@@ -1,0 +1,429 @@
+"""Deterministic synthetic world: polygons + class rasters + documents.
+
+Mirrors the reference's small-fixture strategy (its tests run the real
+pipeline over a 0.5° world grid with downsampled rasters,
+/root/reference/test_extract_country_data.py:255-301): we generate a
+seeded world of ~28 country polygons and five class rasters on grids
+G1 = 720s×360s (1 km analog, tile 64) and G3 = 3×G1 (300 m analog,
+tile 192), pack raster tiles into the interleaved-document table
+(model.DOCUMENTS_SCHEMA + sibling media table) and write Parquet
+partitioned by dataset, sorted by doc_id (cell-prefix order).
+
+Everything is a pure function of (seed, scale); no external data. The
+polygon set deliberately includes (FIXTURES.md T2): a ≥100× area-skew
+pair, two features folding to one admin, an admin=None dropped feature,
+shared borders, a polygon with a hole + an enclave inside it, an
+overlapping sliver pair (double-count), and a 1-pixel coastal dilation
+so some raster-land pixels are covered by no polygon (kNN-snap cases).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import model, wkb
+from .geo import GridSpec
+from .state.pipindex import PolygonIndex
+from .constants import LCCS_CLASSES
+
+WORLDS_ROOT = os.environ.get("AEZRAY_WORLDS", "/tmp/spatial_aez_ray/worlds")
+
+DATASETS = ("kg", "lc", "slope", "wk", "lpd")
+DATASET_GRID = {"kg": "g1", "lc": "g3", "slope": "g1", "wk": "g1", "lpd": "g1"}
+DATASET_BANDS = {"kg": 1, "lc": 1, "slope": 8, "wk": 1, "lpd": 1}
+DATASET_NODATA = {"kg": 0, "lc": 0, "slope": 127, "wk": 0, "lpd": 255}
+
+
+@dataclass(frozen=True)
+class WorldSpec:
+    name: str
+    scale: int = 1
+    seed: int = 42
+
+    @property
+    def g1(self) -> GridSpec:
+        return GridSpec("g1", 720 * self.scale, 360 * self.scale, 64)
+
+    @property
+    def g3(self) -> GridSpec:
+        return GridSpec("g3", 2160 * self.scale, 1080 * self.scale, 192)
+
+    def grid(self, name: str) -> GridSpec:
+        return self.g1 if name == "g1" else self.g3
+
+    @property
+    def path(self) -> str:
+        return os.path.join(WORLDS_ROOT, f"{self.name}-sc{self.scale}-s{self.seed}")
+
+    # snap tolerance (degrees) ≈ 1.6 pixel diagonals per grid, enough to
+    # catch the 1-px coastal dilation at that grid's resolution
+    def snap_tol(self, grid_name: str) -> float:
+        g = self.grid(grid_name)
+        return 1.6 * abs(g.y_size) * np.sqrt(2.0)
+
+
+TINY = WorldSpec("tiny", 1)
+SMALL = WorldSpec("small", 4)
+BENCH = WorldSpec("bench", 16)
+PRESETS = {w.name: w for w in (TINY, SMALL, BENCH)}
+
+
+# ---------------------------------------------------------------------------
+# Countries
+# ---------------------------------------------------------------------------
+
+_NAMES = [
+    "Arcadia", "Borduria", "Carpania", "Drusselstein", "Elbonia",
+    "Fredonia", "Grand Fenwick", "Hyrkania", "Illyria", "Jotunheim",
+    "Krakozhia", "Latveria", "Molvania", "Novistrana", "Osterlich",
+    "Pottsylvania", "Qumar", "Ruritania", "Sylvania", "Tomainia",
+    "Urkesh", "Vulgaria", "Wadiya", "Zubrowka", "Enclavia", "Holeland",
+]
+
+# admin_raw -> admin overrides, the admin_names.lookup analog
+# (/root/reference/admin_names.py:4-77): identity default, explicit
+# renames, None ⇒ feature dropped.
+ADMIN_OVERRIDES: dict[str, str | None] = {
+    "Republic of Fredonia": "Fredonia",
+    "Kingdom of Ruritania": "Ruritania",
+    "Terra Nullius": None,
+}
+
+# country -> list of regions (may be multiple, e.g. Belgium -> [OECD90,
+# EU] in /root/reference/admin_names.py:100) or None (excluded).
+REGION_OF: dict[str, list[str] | None] = {}
+
+
+def _region_for(i: int, admin: str) -> list[str] | None:
+    from .constants import REGIONS
+    if admin == "Fredonia":
+        return ["OECD90", "EU"]          # multi-region membership
+    if admin == "Molvania":
+        return None                       # excluded from rollup
+    return [REGIONS[i % len(REGIONS)]]
+
+
+def _star_polygon(rng: np.ndarray, cx: float, cy: float, r_lo: float,
+                  r_hi: float, n: int = 12) -> np.ndarray:
+    """Seeded star-convex polygon around (cx, cy); closed ring."""
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    radii = r_lo + (r_hi - r_lo) * rng
+    xs = cx + radii * np.cos(angles)
+    ys = cy + radii * np.sin(angles)
+    ring = np.column_stack([xs, ys])
+    return np.vstack([ring, ring[:1]])
+
+
+def build_countries(seed: int = 42) -> list[dict]:
+    """Fixed synthetic feature list: feature_idx, a3, admin_raw, admin,
+    geometry (WKB). Independent of scale (countries don't grow with
+    data volume; only raster resolution does)."""
+    rng = np.random.default_rng(seed)
+    feats: list[dict] = []
+
+    def add(admin_raw: str, polygons: wkb.Geometry):
+        idx = len(feats)
+        admin = ADMIN_OVERRIDES.get(admin_raw, admin_raw)
+        feats.append({
+            "feature_idx": idx,
+            "a3": f"F{idx:02d}",
+            "admin_raw": admin_raw,
+            "admin": admin,
+            "geometry": wkb.dumps(polygons),
+        })
+
+    # --- mainland: columns of rectangles sharing integer-degree borders
+    col_edges = [-150.0, -96.0, -60.0, -57.0, -20.0, 22.0, 60.0]
+    lat_lo, lat_hi = -55.0, 65.0
+    name_i = 0
+    for ci in range(len(col_edges) - 1):
+        x0, x1 = col_edges[ci], col_edges[ci + 1]
+        if ci == 0:
+            # one huge country: the whole first column (Russia analog)
+            add(_NAMES[name_i], wkb.box(x0, lat_lo, x1, lat_hi)); name_i += 1
+            continue
+        if ci == 2:
+            # one tiny country: 3°-wide strip split once (Monaco analog)
+            add(_NAMES[name_i], wkb.box(x0, 20.0, x1, 23.0)); name_i += 1
+            add(_NAMES[name_i], wkb.box(x0, 23.0, x1, 26.0)); name_i += 1
+            continue
+        nrows = 3 if ci % 2 else 4
+        cuts = np.sort(rng.uniform(lat_lo + 10, lat_hi - 10, nrows - 1))
+        cuts = np.round(cuts)  # integer-degree borders, off pixel centers
+        edges = [lat_lo, *cuts.tolist(), lat_hi]
+        for ri in range(len(edges) - 1):
+            if name_i == 7:
+                # dropped feature: admin normalizes to None
+                add("Terra Nullius", wkb.box(x0, edges[ri], x1, edges[ri + 1]))
+            else:
+                add(_NAMES[name_i], wkb.box(x0, edges[ri], x1, edges[ri + 1]))
+            name_i += 1
+
+    # --- Holeland: rectangle with a hole; Enclavia inside the hole
+    outer = wkb.box(80.0, -30.0, 100.0, -10.0)[0][0]
+    hole = wkb.box(88.0, -24.0, 94.0, -16.0)[0][0][::-1].copy()  # reversed winding
+    add("Holeland", [[outer, hole]])
+    add("Enclavia", wkb.box(89.0, -23.0, 93.0, -17.0))
+
+    # --- islands (star-convex, non-axis-aligned edges)
+    island_seeds = [(115.0, 10.0, 6.0, 11.0), (140.0, -20.0, 5.0, 9.0),
+                    (155.0, 30.0, 4.0, 8.0)]
+    for k, (cx, cy, rlo, rhi) in enumerate(island_seeds):
+        ring = _star_polygon(rng.uniform(size=12), cx, cy, rlo, rhi)
+        if k == 0:
+            add("Kingdom of Ruritania", [[ring]])
+        else:
+            add(_NAMES[name_i], [[ring]]); name_i += 1
+
+    # --- Fredonia island (second feature, same admin after normalize)
+    ring = _star_polygon(rng.uniform(size=12), 128.0, 42.0, 3.0, 6.0)
+    add("Republic of Fredonia", [[ring]])
+
+    # --- deliberate sliver-overlap pair (double-count parity, J1)
+    ring_a = _star_polygon(rng.uniform(size=12), 165.0, -5.0, 4.0, 7.0)
+    ring_b = _star_polygon(rng.uniform(size=12), 171.0, -5.0, 4.0, 7.0)
+    add(_NAMES[name_i], [[ring_a]]); name_i += 1
+    add(_NAMES[name_i], [[ring_b]]); name_i += 1
+
+    for f in feats:
+        if f["admin"] is not None:
+            REGION_OF.setdefault(f["admin"], _region_for(f["feature_idx"], f["admin"]))
+    return feats
+
+
+def countries_table(seed: int = 42) -> pa.Table:
+    feats = build_countries(seed)
+    return pa.table({
+        "feature_idx": pa.array([f["feature_idx"] for f in feats], pa.int32()),
+        "a3": [f["a3"] for f in feats],
+        "admin_raw": [f["admin_raw"] for f in feats],
+        "admin": [f["admin"] for f in feats],
+        "geometry": pa.array([f["geometry"] for f in feats], pa.binary()),
+    })
+
+
+def regions_table(seed: int = 42) -> pa.Table:
+    feats = build_countries(seed)
+    admins = sorted({f["admin"] for f in feats if f["admin"] is not None})
+    return pa.table({
+        "admin": admins,
+        "regions": [REGION_OF.get(a) or [] for a in admins],
+    })
+
+
+def land_index(seed: int = 42) -> PolygonIndex:
+    """Index over ALL features (incl. admin=None) — defines raster land."""
+    feats = build_countries(seed)
+    return PolygonIndex([(f["feature_idx"], f["admin_raw"], f["geometry"])
+                         for f in feats])
+
+
+def zonal_index(seed: int = 42) -> PolygonIndex:
+    """Index over features with admin != None (the join side; the
+    reference drops admin-None features before building masks,
+    extract_country_data.py:223-225)."""
+    feats = build_countries(seed)
+    return PolygonIndex([(f["feature_idx"], f["admin"], f["geometry"])
+                         for f in feats if f["admin"] is not None])
+
+
+# ---------------------------------------------------------------------------
+# Raster value noise — pure function of (seed, dataset, lon, lat)
+# ---------------------------------------------------------------------------
+
+def _harmonics(seed: int, dataset: str, channel: int = 0):
+    h = np.frombuffer(f"{seed}/{dataset}/{channel}".encode(), dtype=np.uint8)
+    rng = np.random.default_rng(int(h.sum()) * 2654435761 % (2**31))
+    k = 6
+    return (rng.uniform(0.3, 1.0, k),          # amplitudes
+            rng.integers(1, 7, k).astype(float),   # lon cycles
+            rng.integers(1, 7, k).astype(float),   # lat cycles
+            rng.uniform(0, 2 * np.pi, k), rng.uniform(0, 2 * np.pi, k))
+
+
+def noise01(seed: int, dataset: str, lons: np.ndarray, lats: np.ndarray,
+            channel: int = 0) -> np.ndarray:
+    """Smooth field in [0, 1), separable-harmonic value noise evaluated
+    on the lons × lats grid -> (len(lats), len(lons)) array."""
+    a, fl, fa, pl, pa_ = _harmonics(seed, dataset, channel)
+    acc = np.zeros((len(lats), len(lons)))
+    for i in range(len(a)):
+        sl = np.sin(2 * np.pi * fl[i] * lons / 360.0 + pl[i])
+        sa = np.sin(2 * np.pi * fa[i] * lats / 180.0 + pa_[i])
+        acc += a[i] * (sa[:, None] * sl[None, :])
+    amp = a.sum()
+    v = (acc + amp) / (2 * amp)
+    return np.clip(v, 0.0, 0.999999)
+
+
+# ---------------------------------------------------------------------------
+# Tile generation
+# ---------------------------------------------------------------------------
+
+def land_mask_tile(spec: WorldSpec, grid: GridSpec, ty: int, tx: int,
+                   index: PolygonIndex) -> np.ndarray:
+    """Raster-land mask for a tile: union of all feature covers, dilated
+    by one pixel (the coastal overhang that exercises kNN snap)."""
+    x_off, y_off, ncols, nrows = grid.tile_window(ty, tx)
+    # compute on a 1-px padded window so dilation is seamless across tiles
+    lons = grid.x_min + (np.arange(x_off - 1, x_off + ncols + 1) + 0.5) * grid.x_size
+    lats = grid.y_min + (np.arange(y_off - 1, y_off + nrows + 1) + 0.5) * grid.y_size
+    pad = np.zeros((nrows + 2, ncols + 2), dtype=bool)
+    cands = index.candidates(lons.min(), lats.min(), lons.max(), lats.max())
+    if cands:
+        glon = np.broadcast_to(lons[None, :], pad.shape).ravel()
+        glat = np.broadcast_to(lats[:, None], pad.shape).ravel()
+        m = np.zeros(glon.shape, dtype=bool)
+        for pos in cands:
+            todo = ~m
+            if not todo.any():
+                break
+            m[todo] |= index.covers_points(pos, glon[todo], glat[todo])
+        pad = m.reshape(pad.shape)
+    dil = pad.copy()
+    dil[1:, :] |= pad[:-1, :]
+    dil[:-1, :] |= pad[1:, :]
+    dil[:, 1:] |= pad[:, :-1]
+    dil[:, :-1] |= pad[:, 1:]
+    return dil[1:-1, 1:-1]
+
+
+def tile_arrays(spec: WorldSpec, dataset: str, ty: int, tx: int,
+                index: PolygonIndex | None = None) -> list[np.ndarray] | None:
+    """Band arrays for one (dataset, tile), or None if all-nodata
+    (all-nodata tiles are omitted from the table — the sparse-mask skip
+    of geoutil.py:28-32 expressed as source-level pruning)."""
+    grid = spec.grid(DATASET_GRID[dataset])
+    if index is None:
+        index = land_index(spec.seed)
+    x_off, y_off, ncols, nrows = grid.tile_window(ty, tx)
+    land = land_mask_tile(spec, grid, ty, tx, index)
+    if not land.any():
+        return None
+    lons = grid.lons(x_off, ncols)
+    lats = grid.lats(y_off, nrows)
+    v = noise01(spec.seed, dataset, lons, lats)
+    if dataset == "kg":
+        a = (1 + np.floor(v * 30)).astype(np.uint8)
+        a[~land] = 0
+        return [a]
+    if dataset == "lc":
+        cls = np.asarray(LCCS_CLASSES, dtype=np.uint8)
+        a = cls[np.floor(v * len(cls)).astype(np.int64)]
+        a[~land] = 210  # ocean = water class
+        return [a]
+    if dataset == "wk":
+        a = (1 + np.floor(v * 7)).astype(np.uint8)
+        a[~land] = 0
+        return [a]
+    if dataset == "lpd":
+        a = np.floor(v * 4).astype(np.uint8)
+        a[~land] = 255
+        return [a]
+    if dataset == "slope":
+        v2 = noise01(spec.seed, dataset, lons, lats, channel=1)
+        minimal = np.floor(v * 101).astype(np.int64).clip(0, 100)
+        moderate = np.floor(v2 * (101 - minimal)).astype(np.int64)
+        steep = 100 - minimal - moderate
+        b = [minimal - 3 * (minimal // 4), minimal // 4, minimal // 4,
+             minimal // 4, moderate - moderate // 2, moderate // 2,
+             steep - steep // 2, steep // 2]
+        out = []
+        for arr in b:
+            u = arr.astype(np.uint8)
+            u[~land] = DATASET_NODATA["slope"]
+            out.append(u)
+        return out
+    raise ValueError(dataset)
+
+
+# ---------------------------------------------------------------------------
+# World materialization (Parquet, cached under /tmp)
+# ---------------------------------------------------------------------------
+
+def _gen_dataset_shard(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int]],
+                       index: PolygonIndex) -> tuple[pa.Table, pa.Table]:
+    grid_name = DATASET_GRID[dataset]
+    grid = spec.grid(grid_name)
+    docs, media_refs_, payloads = [], [], []
+    for ty, tx in tiles:
+        bands = tile_arrays(spec, dataset, ty, tx, index)
+        if bands is None:
+            continue
+        x_off, y_off, ncols, nrows = grid.tile_window(ty, tx)
+        docs.append(model.make_document(
+            dataset, grid_name, ty, tx, x_off, y_off, ncols, nrows,
+            bands=len(bands), nodata=DATASET_NODATA[dataset],
+            caption=f"synthetic {dataset} tile ({ty},{tx})"))
+        for b, arr in enumerate(bands, start=1):
+            media_refs_.append(model.media_ref(dataset, grid_name, ty, tx, b))
+            payloads.append(model.encode_tile(arr))
+    doc_table = pa.Table.from_pylist(docs, schema=model.DOCUMENTS_SCHEMA) \
+        if docs else model.DOCUMENTS_SCHEMA.empty_table()
+    media_table = pa.table({"media_ref": pa.array(media_refs_, pa.string()),
+                            "payload": pa.array(payloads, pa.binary())})
+    return doc_table, media_table
+
+
+def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) -> str:
+    """Materialize the world at ``spec.path`` (idempotent, cached)."""
+    path = spec.path
+    marker = os.path.join(path, "_WORLD.json")
+    if os.path.exists(marker) and not force:
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    index = land_index(spec.seed)
+    pq.write_table(countries_table(spec.seed), os.path.join(path, "countries.parquet"))
+    pq.write_table(regions_table(spec.seed), os.path.join(path, "regions.parquet"))
+
+    for dataset in DATASETS:
+        grid = spec.grid(DATASET_GRID[dataset])
+        tiles = [(ty, tx) for ty in range(grid.tiles_y) for tx in range(grid.tiles_x)]
+        ddir = os.path.join(path, "documents", f"dataset={dataset}")
+        mdir = os.path.join(path, "media", f"dataset={dataset}")
+        os.makedirs(ddir, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        if use_ray:
+            _gen_with_ray(spec, dataset, tiles, ddir, mdir)
+        else:
+            doc_t, med_t = _gen_dataset_shard(spec, dataset, tiles, index)
+            pq.write_table(doc_t, os.path.join(ddir, "part-00000.parquet"),
+                           row_group_size=256)
+            pq.write_table(med_t, os.path.join(mdir, "part-00000.parquet"),
+                           row_group_size=64)
+    with open(marker, "w") as f:
+        json.dump({"name": spec.name, "scale": spec.scale, "seed": spec.seed,
+                   "datasets": list(DATASETS)}, f)
+    return path
+
+
+def _gen_with_ray(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int]],
+                  ddir: str, mdir: str) -> None:
+    """Parallel generation: shard the tile list over Ray tasks; each task
+    writes its own doc/media part files (fixture prep, not the engine)."""
+    import ray
+
+    nshards = 64
+    shards = [tiles[i::nshards] for i in range(nshards) if tiles[i::nshards]]
+
+    @ray.remote
+    def gen(shard_id: int, shard: list[tuple[int, int]]) -> int:
+        idx = land_index(spec.seed)
+        doc_t, med_t = _gen_dataset_shard(spec, dataset, shard, idx)
+        if doc_t.num_rows:
+            pq.write_table(doc_t, os.path.join(ddir, f"part-{shard_id:05d}.parquet"),
+                           row_group_size=256)
+            pq.write_table(med_t, os.path.join(mdir, f"part-{shard_id:05d}.parquet"),
+                           row_group_size=64)
+        return doc_t.num_rows
+
+    ray.get([gen.remote(i, s) for i, s in enumerate(shards)])

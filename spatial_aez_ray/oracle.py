@@ -1,0 +1,404 @@
+"""Straight-line NumPy oracle — reference semantics, sequential.
+
+Golden-test generator for the Ray pipelines: reimplements the
+reference's accumulation loops verbatim-shaped (feature loop × block
+loop × masked per-class sums, /root/reference/extract_country_data.py
+``process_map``/lookup classes, /root/reference/process_imagery.py
+``produce_CSV``/``produce_GeoTIFF``, /root/reference/degraded_analysis.py)
+over the synthetic fixture world. Masks come from boundary-inclusive
+point-in-polygon of pixel centers (our analog of the rasterized
+feature masks, prepare_feature_masks.py:9-63).
+
+Deliberately NOT distributed and deliberately dumb: plain dict/DataFrame
+accumulators in deterministic order. Only the geometry predicate is
+shared with the engine (tested separately with known shapes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import fixtures
+from .constants import (
+    AEZ_LUT, DEGRADED_COLUMNS, DEGRADED_COVER_NAMES, DEGRADED_SOIL_NAMES,
+    GEOMORPHO_SLOPE_CLASSES, KG_CLASSES, KG_TO_TMR, LAND_USE_NAMES,
+    LC_TO_DEGRADED_COVER, LC_TO_LAND_USE, LCCS_CLASSES, N_AEZ, REGIONS,
+    SOIL_HEALTH_NAMES, TMR_NAMES, WK_TO_DEGRADED_SOIL, WK_TO_SOIL,
+    WORKABILITY_CLASSES, SOIL_RENDER_CODE, TMR_BASE_COLOR,
+    AEZ_BLANK, SLOPE_BLANK, LAND_USE_BLANK, SOIL_BLANK, LAND_USE_NONE,
+)
+from .geo import GridSpec, km2_block, upsample3
+from .state.pipindex import PolygonIndex
+
+
+# ---------------------------------------------------------------------------
+# Masks ("prepare_feature_masks" analog): full-grid boolean per feature.
+# ---------------------------------------------------------------------------
+
+def feature_masks(spec: fixtures.WorldSpec, grid: GridSpec
+                  ) -> list[tuple[int, str, np.ndarray]]:
+    """(feature_idx, admin, full-grid bool mask) per admin!=None feature,
+    in feature order (the reference iterates shapefile order)."""
+    idx = fixtures.zonal_index(spec.seed)
+    lons = grid.lons(0, grid.width)
+    lats = grid.lats(0, grid.height)
+    glon = np.broadcast_to(lons[None, :], (grid.height, grid.width)).ravel()
+    glat = np.broadcast_to(lats[:, None], (grid.height, grid.width)).ravel()
+    out = []
+    for pos, f in enumerate(idx.features):
+        x0, y0, x1, y1 = f.bbox
+        cand = (glon >= x0) & (glon <= x1) & (glat >= y0) & (glat <= y1)
+        mask = np.zeros(glon.shape, dtype=bool)
+        if cand.any():
+            mask[cand] = idx.covers_points(pos, glon[cand], glat[cand])
+        out.append((f.feature_idx, f.admin, mask.reshape(grid.height, grid.width)))
+    return out
+
+
+def full_raster(spec: fixtures.WorldSpec, dataset: str) -> list[np.ndarray]:
+    """Whole-grid band arrays assembled from fixture tiles (absent tiles
+    filled with the dataset nodata value)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    nbands = fixtures.DATASET_BANDS[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    bands = [np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+             for _ in range(nbands)]
+    if dataset == "lc":
+        for b in bands:
+            b[:] = 210  # oceans are water in LC, see fixtures.tile_arrays
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            for b, arr in enumerate(arrs):
+                bands[b][y:y + nr, x:x + nc] = arr
+    return bands
+
+
+def cell_country(spec: fixtures.WorldSpec, grid: GridSpec,
+                 snap_tol: float = 0.0) -> pd.DataFrame:
+    """(cell_row, cell_col, feature_idx, admin) for every claimed pixel;
+    with snap_tol > 0, unclaimed raster-land pixels snap to the nearest
+    boundary within tol (ties -> lowest feature position)."""
+    rows = []
+    for fidx, admin, mask in feature_masks(spec, grid):
+        r, c = np.nonzero(mask)
+        rows.append(pd.DataFrame({"cell_row": r, "cell_col": c,
+                                  "feature_idx": fidx, "admin": admin}))
+    df = pd.concat(rows, ignore_index=True)
+    if snap_tol > 0:
+        idx = fixtures.zonal_index(spec.seed)
+        land_idx = fixtures.land_index(spec.seed)
+        claimed = np.zeros((grid.height, grid.width), dtype=bool)
+        claimed[df["cell_row"], df["cell_col"]] = True
+        # raster land = union of per-tile land masks (incl. dilation)
+        land = np.zeros_like(claimed)
+        for ty in range(grid.tiles_y):
+            for tx in range(grid.tiles_x):
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                land[y:y + nr, x:x + nc] = fixtures.land_mask_tile(
+                    spec, grid, ty, tx, land_idx)
+        # also exclude pixels covered only by admin=None features: they
+        # are not snapped (they are inside a polygon, just a dropped one)
+        for pos, f in enumerate(land_idx.features):
+            admin = fixtures.ADMIN_OVERRIDES.get(f.admin, f.admin)
+            if admin is not None:
+                continue
+            lons = grid.lons(0, grid.width)
+            lats = grid.lats(0, grid.height)
+            glon = np.broadcast_to(lons[None, :], land.shape).ravel()
+            glat = np.broadcast_to(lats[:, None], land.shape).ravel()
+            m = land_idx.covers_points(pos, glon, glat).reshape(land.shape)
+            claimed |= m
+        r, c = np.nonzero(land & ~claimed)
+        lons = grid.lons(0, grid.width)[c]
+        lats = grid.lats(0, grid.height)[r]
+        pos = idx.snap(lons, lats, snap_tol)
+        ok = pos >= 0
+        rows.append(pd.DataFrame({
+            "cell_row": r[ok], "cell_col": c[ok],
+            "feature_idx": [idx.feature_idx_of(p) for p in pos[ok]],
+            "admin": [idx.admin_of(p) for p in pos[ok]]}))
+        df = pd.concat(rows, ignore_index=True)
+    return df.sort_values(["feature_idx", "cell_row", "cell_col"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# process_map analogs (extract_country_data.py:213-251)
+# ---------------------------------------------------------------------------
+
+def _zonal_frame(columns) -> pd.DataFrame:
+    df = pd.DataFrame(columns=[str(c) for c in columns], dtype="float")
+    df.index.name = "Country"
+    return df
+
+
+def _iter_blocks(grid: GridSpec):
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            yield grid.tile_window(ty, tx)
+
+
+def zonal_csv(spec: fixtures.WorldSpec, dataset: str) -> pd.DataFrame:
+    """Per-country class-area table for one dataset — the process_map
+    loop: per feature, per block, masked per-class km² sums."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    bands = full_raster(spec, dataset)
+    masks = feature_masks(spec, grid)
+
+    if dataset == "kg":
+        columns = KG_CLASSES
+    elif dataset == "lc":
+        columns = LCCS_CLASSES
+    elif dataset == "slope":
+        columns = GEOMORPHO_SLOPE_CLASSES
+    elif dataset == "wk":
+        columns = WORKABILITY_CLASSES
+    elif dataset == "lpd":
+        columns = ["degraded", "nondegraded"]
+    else:
+        raise ValueError(dataset)
+    df = _zonal_frame(columns)
+
+    for fidx, admin, mask in masks:
+        if admin not in df.index:
+            df.loc[admin] = [0.0] * len(df.columns)
+        for x, y, ncols, nrows in _iter_blocks(grid):
+            mblk = mask[y:y + nrows, x:x + ncols]
+            if not mblk.any():
+                continue  # the sparse-mask skip (geoutil.py:28-32)
+            km2 = km2_block(nrows, ncols, y, grid)
+            if dataset == "slope":
+                for b in range(8):
+                    blk = bands[b][y:y + nrows, x:x + ncols].astype(float)
+                    bad = np.logical_or(~mblk, blk == 127)
+                    blk = np.where(bad, 0.0, blk)
+                    df.loc[admin, GEOMORPHO_SLOPE_CLASSES[b]] += \
+                        (km2 * (blk / 100.0))[~bad].sum()
+                continue
+            blk = bands[0][y:y + nrows, x:x + ncols]
+            vals = blk[mblk]
+            w = km2[mblk]
+            for label in np.unique(vals):
+                if dataset in ("kg", "lc", "wk") and label in (0, 255):
+                    continue
+                if dataset == "kg":
+                    col = KG_CLASSES[label - 1]
+                elif dataset == "lpd":
+                    # any nonzero LPD class is degraded
+                    # (degraded_analysis.py:136-137, extract:193-202)
+                    col = "degraded" if label != 0 else "nondegraded"
+                else:
+                    col = str(label)
+                df.loc[admin, str(col)] += w[vals == label].sum()
+    return df.sort_index(axis="index")
+
+
+# ---------------------------------------------------------------------------
+# AEZ produce_CSV analog (process_imagery.py:201-296)
+# ---------------------------------------------------------------------------
+
+def aez_csv(spec: fixtures.WorldSpec) -> pd.DataFrame:
+    g1 = spec.g1
+    kg = full_raster(spec, "kg")[0]
+    sl = full_raster(spec, "slope")
+    lc = full_raster(spec, "lc")[0]
+    wk = full_raster(spec, "wk")[0]
+    masks = feature_masks(spec, g1)
+    columns = [f"{tmr}|AEZ{n}" for tmr in TMR_NAMES for n in range(1, N_AEZ + 1)]
+    df = _zonal_frame(columns)
+
+    for fidx, admin, mask in masks:
+        if admin not in df.index:
+            df.loc[admin] = [0.0] * len(df.columns)
+        for x, y, ncols, nrows in _iter_blocks(g1):
+            mblk = mask[y:y + nrows, x:x + ncols]
+            if not mblk.any():
+                continue
+            k = km2_block(nrows, ncols, y, g1)
+            k[np.logical_not(mblk)] = 0.0
+            km2_blk = upsample3(k) / 9.0
+
+            kg_blk = upsample3(kg[y:y + nrows, x:x + ncols])
+            regime = _populate_tmr(kg_blk)
+            sl_blk = {b + 1: upsample3(sl[b][y:y + nrows, x:x + ncols])
+                      for b in range(8)}
+            slope = _populate_slope(sl_blk)
+            lc_blk = lc[3 * y:3 * (y + nrows), 3 * x:3 * (x + ncols)]
+            land_use = _populate_land_use(lc_blk)
+            wk_blk = upsample3(wk[y:y + nrows, x:x + ncols])
+            soil = _populate_soil_health(wk_blk)
+
+            for tmr in TMR_NAMES:
+                n = 1
+                for aez in _yield_aezs(regime, tmr, slope, land_use, soil):
+                    df.loc[admin, f"{tmr}|AEZ{n}"] += (aez * km2_blk).sum()
+                    n += 1
+    return df.sort_index(axis="index")
+
+
+def _populate_tmr(kg_blk):
+    regime = {}
+    tmr_idx = KG_TO_TMR[kg_blk]
+    for i, name in enumerate(TMR_NAMES):
+        regime[name] = tmr_idx == i
+    return regime
+
+
+def _populate_slope(sl_blk):
+    return {
+        "minimal": (sl_blk[1].astype(float) + sl_blk[2] + sl_blk[3] + sl_blk[4]) / 100.0,
+        "moderate": (sl_blk[5].astype(float) + sl_blk[6]) / 100.0,
+        "steep": (sl_blk[7].astype(float) + sl_blk[8]) / 100.0,
+    }
+
+
+def _populate_land_use(lc_blk):
+    u = LC_TO_LAND_USE[lc_blk]
+    return {name: u == i for i, name in enumerate(LAND_USE_NAMES)}
+
+
+def _populate_soil_health(wk_blk):
+    s = WK_TO_SOIL[wk_blk]
+    return {name: s == i for i, name in enumerate(SOIL_HEALTH_NAMES)}
+
+
+def _yield_aezs(regime, tmr, slope, land_use, soil_health):
+    """Literal transcription of the 29-zone generator semantics
+    (process_imagery.py:137-198): per land-use family the 7-zone
+    prime/good/(good+prime)/marginal × slope pattern, then AEZ29 =
+    bare ∨ barren (the reference zeroes barren where bare is set to
+    avoid double counting — identical to boolean OR)."""
+    r = regime[tmr]
+    for fam in ("forest", "grassland", "cropland_irrigated", "cropland_rainfed"):
+        u = land_use[fam]
+        yield r * u * soil_health["prime"] * slope["minimal"]
+        yield r * u * soil_health["good"] * slope["minimal"]
+        yield r * u * (soil_health["good"] + soil_health["prime"]) * slope["moderate"]
+        yield r * u * (soil_health["good"] + soil_health["prime"]) * slope["steep"]
+        yield r * u * soil_health["marginal"] * slope["minimal"]
+        yield r * u * soil_health["marginal"] * slope["moderate"]
+        yield r * u * soil_health["marginal"] * slope["steep"]
+    bare = (land_use["bare"].astype(float) + land_use["ice"] + land_use["urban"])
+    barren = soil_health["barren"].astype(float).copy()
+    barren[bare.astype(bool)] = 0.0  # avoid double counting (:195-198)
+    yield r * (bare + barren)
+
+
+# ---------------------------------------------------------------------------
+# degraded_analysis produce_CSV analog (degraded_analysis.py:35-166)
+# ---------------------------------------------------------------------------
+
+def degraded_csv(spec: fixtures.WorldSpec) -> pd.DataFrame:
+    g1 = spec.g1
+    lc = full_raster(spec, "lc")[0]
+    lpd = full_raster(spec, "lpd")[0]
+    wk = full_raster(spec, "wk")[0]
+    masks = feature_masks(spec, g1)
+    df = _zonal_frame(DEGRADED_COLUMNS)
+
+    for fidx, admin, mask in masks:
+        if admin not in df.index:
+            df.loc[admin] = [0.0] * len(df.columns)
+        for x, y, ncols, nrows in _iter_blocks(g1):
+            mblk = mask[y:y + nrows, x:x + ncols]
+            if not mblk.any():
+                continue
+            k = km2_block(nrows, ncols, y, g1)
+            k[np.logical_not(mblk)] = 0.0
+            km2_blk = upsample3(k) / 9.0
+            lc_blk = lc[3 * y:3 * (y + nrows), 3 * x:3 * (x + ncols)]
+            cov_idx = LC_TO_DEGRADED_COVER[lc_blk]
+            lpd_blk = upsample3(lpd[y:y + nrows, x:x + ncols])
+            wk_blk = upsample3(wk[y:y + nrows, x:x + ncols])
+            soil_idx = WK_TO_DEGRADED_SOIL[wk_blk]
+            degraded = lpd_blk != 0
+            for ci, cover in enumerate(DEGRADED_COVER_NAMES):
+                for deg_name, deg_mask in (("degraded", degraded),
+                                           ("nondegraded", ~degraded)):
+                    for si, soilname in enumerate(DEGRADED_SOIL_NAMES):
+                        sel = (cov_idx == ci) & deg_mask & (soil_idx == si)
+                        df.loc[admin, f"{cover}:{soilname}:{deg_name}"] += \
+                            (sel * km2_blk).sum()
+    return df.sort_index(axis="index")
+
+
+# ---------------------------------------------------------------------------
+# Region rollup (extract_country_data.py:254-263)
+# ---------------------------------------------------------------------------
+
+def region_rollup(df: pd.DataFrame, spec: fixtures.WorldSpec) -> pd.DataFrame:
+    fixtures.build_countries(spec.seed)  # populate REGION_OF
+    df_region = pd.DataFrame(0.0, index=REGIONS, columns=df.columns.copy())
+    df_region.index.name = "Region"
+    for country, row in df.iterrows():
+        regions = fixtures.REGION_OF.get(country)
+        if regions:
+            df_region.loc[regions, :] += row
+    return df_region
+
+
+# ---------------------------------------------------------------------------
+# produce_GeoTIFF analog (process_imagery.py:398-497): per-G3-tile
+# classified output arrays (aez / slope / land use / soil health codes).
+# ---------------------------------------------------------------------------
+
+def render_tiles(spec: fixtures.WorldSpec) -> dict[tuple[int, int], dict[str, np.ndarray]]:
+    g1, g3 = spec.g1, spec.g3
+    kg = full_raster(spec, "kg")[0]
+    sl = full_raster(spec, "slope")
+    lc = full_raster(spec, "lc")[0]
+    wk = full_raster(spec, "wk")[0]
+    out: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+    for ty in range(g3.tiles_y):
+        for tx in range(g3.tiles_x):
+            x, y, ncols, nrows = g3.tile_window(ty, tx)
+            x3, y3, nc3, nr3 = x // 3, y // 3, ncols // 3, nrows // 3
+            kg_blk = upsample3(kg[y3:y3 + nr3, x3:x3 + nc3])
+            regime = _populate_tmr(kg_blk)
+            sl_blk = {b + 1: upsample3(sl[b][y3:y3 + nr3, x3:x3 + nc3])
+                      for b in range(8)}
+            slope = _populate_slope(sl_blk)
+            plurality = {
+                "steep": (slope["steep"] >= slope["moderate"]) &
+                         (slope["steep"] >= slope["minimal"]),
+                "moderate": (slope["moderate"] > slope["steep"]) &
+                            (slope["moderate"] >= slope["minimal"]),
+                "minimal": (slope["minimal"] > slope["steep"]) &
+                           (slope["minimal"] >= slope["moderate"]),
+            }
+            slope_oh = plurality
+            lc_blk = lc[y:y + nrows, x:x + ncols]
+            land_use = _populate_land_use(lc_blk)
+            wk_blk = upsample3(wk[y3:y3 + nr3, x3:x3 + nc3])
+            soil = _populate_soil_health(wk_blk)
+
+            aez_arr = np.full((nrows, ncols), AEZ_BLANK, dtype=np.int64)
+            for tmr in TMR_NAMES:
+                color = TMR_BASE_COLOR[tmr]
+                for aez in _yield_aezs(regime, tmr, slope_oh, land_use, soil):
+                    aez_arr[aez.astype(bool)] = color
+                    color += 1
+
+            slope_arr = np.full((nrows, ncols), SLOPE_BLANK, dtype=np.int64)
+            slope_arr[slope_oh["minimal"].astype(bool)] = 0
+            slope_arr[slope_oh["moderate"].astype(bool)] = 1
+            slope_arr[slope_oh["steep"].astype(bool)] = 2
+
+            lu_arr = np.full((nrows, ncols), LAND_USE_BLANK, dtype=np.int64)
+            for i, name in enumerate(LAND_USE_NAMES):
+                lu_arr[land_use[name]] = i
+
+            sh_arr = np.full((nrows, ncols), SOIL_BLANK, dtype=np.int64)
+            for name in SOIL_HEALTH_NAMES:
+                sh_arr[soil[name]] = SOIL_RENDER_CODE[name]
+
+            out[(ty, tx)] = {"aez": aez_arr.astype(np.uint8),
+                             "slope": slope_arr.astype(np.uint8),
+                             "land_use": lu_arr.astype(np.uint8),
+                             "soil_health": sh_arr.astype(np.uint8)}
+    return out

@@ -1,0 +1,213 @@
+"""AEZ cross-classification pipeline (process_imagery.py produce_CSV).
+
+Ray-Data-first expression of the reference's 4-raster align-join
+(SURVEY.md §2.4 J4): the four datasets' interleaved documents are
+co-keyed by their G1 tile coordinate (doc_id embeds it), grouped with
+``groupby(tile_key)`` — a shuffle of *span metadata only*, the tile
+payloads stay in the media store and are fetched by the group kernel —
+and each group is classified by an actor-pool kernel that reproduces
+the reference block loop exactly:
+
+  mask → km² (zeroed off-mask) → 3×3 upsample ÷9 → TMR / slope /
+  land-use / soil-health → 8 TMR × 29 AEZ weighted sums
+  (process_imagery.py:240-279).
+
+Partials then combine deterministically exactly like the zonal
+pipelines, giving bit-exact CSVs against the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..constants import (
+    AEZ_COLUMNS, KG_TO_TMR, LAND_USE_NAMES, LC_TO_LAND_USE, N_AEZ,
+    SOIL_HEALTH_NAMES, TMR_NAMES, WK_TO_SOIL,
+)
+from ..geo import km2_block, upsample3
+from ..sources.documents import MediaStore, read_documents
+from ..stages.zonal import PARTIAL_SCHEMA, combine_partials_deterministic
+from ..state.pipindex import PolygonIndex
+from .extract import build_zonal_index, pivot_zonal, region_rollup, world_grid, write_csv
+
+AEZ_DATASETS = ("kg", "slope", "wk", "lc")
+
+
+def populate_tmr(kg_blk: np.ndarray) -> dict[str, np.ndarray]:
+    """process_imagery.py:82-96 as a LUT remap (same membership sets)."""
+    tmr_idx = KG_TO_TMR[kg_blk]
+    return {name: tmr_idx == i for i, name in enumerate(TMR_NAMES)}
+
+
+def populate_slope(sl_bands: list[np.ndarray]) -> dict[str, np.ndarray]:
+    """process_imagery.py:99-104 (float sums of uint8 bands / 100)."""
+    return {
+        "minimal": (sl_bands[0].astype(float) + sl_bands[1] + sl_bands[2]
+                    + sl_bands[3]) / 100.0,
+        "moderate": (sl_bands[4].astype(float) + sl_bands[5]) / 100.0,
+        "steep": (sl_bands[6].astype(float) + sl_bands[7]) / 100.0,
+    }
+
+
+def populate_land_use(lc_blk: np.ndarray) -> dict[str, np.ndarray]:
+    u = LC_TO_LAND_USE[lc_blk]
+    return {name: u == i for i, name in enumerate(LAND_USE_NAMES)}
+
+
+def populate_soil_health(wk_blk: np.ndarray) -> dict[str, np.ndarray]:
+    s = WK_TO_SOIL[wk_blk]
+    return {name: s == i for i, name in enumerate(SOIL_HEALTH_NAMES)}
+
+
+def yield_aezs(regime, tmr, slope, land_use, soil_health):
+    """The 29-zone generator, literal algebra of
+    process_imagery.py:137-198 incl. the (good+prime) moderate/steep
+    rows and AEZ29 = bare ∨ barren (in-place zeroing ≡ boolean OR)."""
+    r = regime[tmr]
+    for fam in ("forest", "grassland", "cropland_irrigated", "cropland_rainfed"):
+        u = land_use[fam]
+        yield r * u * soil_health["prime"] * slope["minimal"]
+        yield r * u * soil_health["good"] * slope["minimal"]
+        yield r * u * (soil_health["good"] + soil_health["prime"]) * slope["moderate"]
+        yield r * u * (soil_health["good"] + soil_health["prime"]) * slope["steep"]
+        yield r * u * soil_health["marginal"] * slope["minimal"]
+        yield r * u * soil_health["marginal"] * slope["moderate"]
+        yield r * u * soil_health["marginal"] * slope["steep"]
+    bare = (land_use["bare"].astype(float) + land_use["ice"] + land_use["urban"])
+    barren = soil_health["barren"].astype(float).copy()
+    barren[bare.astype(bool)] = 0.0
+    yield r * (bare + barren)
+
+
+def add_tile_key(batch: pa.Table) -> pa.Table:
+    """tile_key = "{ty:05d}/{tx:05d}" parsed from doc_id (vectorized)."""
+    key = pc.utf8_slice_codeunits(batch["doc_id"],
+                                  pc.add(pc.find_substring(batch["doc_id"], "/g"), 4))
+    return batch.append_column("tile_key", key)
+
+
+class AezTileKernel:
+    """map_groups callable: one co-keyed tile group -> AEZ partials."""
+
+    def __init__(self, world_path: str, index: PolygonIndex, g1, g3):
+        self.media = MediaStore(world_path)
+        self.index = index
+        self.g1 = g1
+        self.g3 = g3
+
+    def _decode_group(self, group: pa.Table):
+        """Gather per-dataset band arrays for the group's tile."""
+        metas, refs_by_ds = {}, {}
+        for row in group.to_pylist():
+            ds_name = row["doc_id"].split("/", 1)[0]
+            meta, refs = None, []
+            for s in sorted(row["spans"], key=lambda s: s["offset"]):
+                if s["kind"] == "meta":
+                    meta = json.loads(s["text"])
+                elif s["kind"] == "media":
+                    refs.append(s["media_ref"])
+            metas[ds_name] = meta
+            refs_by_ds[ds_name] = refs
+        return metas, refs_by_ds
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        metas, refs_by_ds = self._decode_group(group)
+        any_meta = next(iter(metas.values()))
+        ty, tx = any_meta["tile_y"], any_meta["tile_x"]
+        x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
+        claims = self.index.assign_tile(self.g1, ty, tx)
+        if not claims:
+            return PARTIAL_SCHEMA.empty_table()
+
+        all_refs = [r for rs in refs_by_ds.values() for r in rs]
+        payloads = self.media.fetch(all_refs)
+
+        def band(ds_name: str, i: int, nodata: int, g1_shape=True):
+            refs = refs_by_ds.get(ds_name)
+            shape = (nr1, nc1) if g1_shape else (nr1 * 3, nc1 * 3)
+            if not refs:
+                return np.full(shape, nodata, dtype=np.uint8)
+            return np.frombuffer(payloads[refs[i]], dtype=np.uint8).reshape(shape)
+
+        kg_blk = upsample3(band("kg", 0, 0))
+        regime = populate_tmr(kg_blk)
+        sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
+        slope = populate_slope(sl_bands)
+        lc_blk = band("lc", 0, 210, g1_shape=False)
+        land_use = populate_land_use(lc_blk)
+        wk_blk = upsample3(band("wk", 0, 0))
+        soil = populate_soil_health(wk_blk)
+
+        admins, clss, km2s, fidxs, tys, txs, seqs = [], [], [], [], [], [], []
+        for fidx, admin, mask in claims:
+            k = km2_block(nr1, nc1, y1, self.g1)
+            k[np.logical_not(mask)] = 0.0
+            km2_blk = upsample3(k) / 9.0
+            seq = 0
+            for tmr in TMR_NAMES:
+                n = 1
+                for aez in yield_aezs(regime, tmr, slope, land_use, soil):
+                    admins.append(admin)
+                    clss.append(f"{tmr}|AEZ{n}")
+                    km2s.append((aez * km2_blk).sum())
+                    fidxs.append(fidx); tys.append(ty); txs.append(tx)
+                    seqs.append(seq)
+                    seq += 1
+                    n += 1
+        return pa.Table.from_arrays([
+            pa.array(admins, pa.string()), pa.array(clss, pa.string()),
+            pa.array(km2s, pa.float64()), pa.array(fidxs, pa.int32()),
+            pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
+            pa.array(seqs, pa.int32()),
+        ], schema=PARTIAL_SCHEMA)
+
+
+def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
+                    concurrency: int | tuple = (1, 4)):
+    if index is None:
+        index = build_zonal_index(world_path)
+    g1 = world_grid(world_path, "g1")
+    g3 = world_grid(world_path, "g3")
+    docs = read_documents(world_path, list(AEZ_DATASETS),
+                          columns=["doc_id", "spans"])
+    keyed = docs.map_batches(add_tile_key, batch_format="pyarrow")
+    return keyed.groupby("tile_key").map_groups(
+        AezTileKernel,
+        fn_constructor_kwargs={"world_path": world_path, "index": index,
+                               "g1": g1, "g3": g3},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
+              concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Country × 232 (tmr|AEZn) km² table, bit-exact vs the oracle."""
+    partials = aez_partials_ds(world_path, index=index, concurrency=concurrency)
+    combined = partials.groupby("admin").map_groups(
+        combine_partials_deterministic, batch_format="pandas")
+    return pivot_zonal(combined.to_pandas(), AEZ_COLUMNS, world_path)
+
+
+TMR_TITLE = ["Tropical-Humid", "Arid", "Tropical-Semiarid", "Temperate-Humid",
+             "Temperate-Semiarid", "Boreal-Humid", "Boreal-Semiarid", "Arctic"]
+
+
+def produce_aez_csvs(world_path: str, out_dir: str, *,
+                     concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """AEZ-by-country.csv + per-TMR regional CSVs
+    (process_imagery.py:281-296): fixed region order, regex column
+    split per TMR."""
+    df = aez_stats(world_path, concurrency=concurrency)
+    write_csv(df, os.path.join(out_dir, "AEZ-by-country.csv"))
+    df_region = region_rollup(df, world_path)
+    for tmr in TMR_TITLE:
+        tmrfilename = tmr.translate(str.maketrans("/", "-"))
+        sub = df_region.filter(regex=f"^{tmr.lower()}", axis=1)
+        sub.to_csv(os.path.join(out_dir, f"AEZ-{tmrfilename}-by-region.csv"),
+                   float_format="%.2f")
+    return df

@@ -1,0 +1,148 @@
+"""Per-dataset zonal CSV pipelines (extract_country_data.py analog).
+
+``zonal_stats`` is the generic pipeline builder
+(SURVEY.md §2.9): read the dataset's interleaved documents →
+actor-pool ZonalPartials (decode + broadcast PIP join + partial sums)
+→ deterministic grouped combine → driver-side pivot into the
+Country × class table → CSV with the reference's exact output shape
+(sorted countries, ``%.2f``, extract_country_data.py:249-250).
+
+The input side table (countries.parquet) is read once on the driver,
+normalized (admin=None features dropped,
+extract_country_data.py:223-225), built into a PolygonIndex and
+broadcast to the actor pool via constructor args — never shuffled.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..constants import REGIONS
+from ..sources.documents import read_documents
+from ..stages.classify import CLASSIFIERS
+from ..stages.zonal import ZonalPartials, combine_partials_deterministic
+from ..state.pipindex import PolygonIndex
+from ..geo import GridSpec
+
+
+def load_countries(world_path: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(world_path, "countries.parquet")).to_pandas()
+
+
+def load_regions(world_path: str) -> dict[str, list[str]]:
+    t = pq.read_table(os.path.join(world_path, "regions.parquet")).to_pandas()
+    return dict(zip(t["admin"], t["regions"]))
+
+
+def build_zonal_index(world_path: str) -> PolygonIndex:
+    """Polygon index over normalized features (admin != None)."""
+    df = load_countries(world_path)
+    feats = [(int(r.feature_idx), r.admin, r.geometry)
+             for r in df.itertuples() if r.admin is not None]
+    return PolygonIndex(feats)
+
+
+def world_grid(world_path: str, grid_name: str) -> GridSpec:
+    """Reconstruct the GridSpec from the world marker (scale)."""
+    import json
+    with open(os.path.join(world_path, "_WORLD.json")) as f:
+        meta = json.load(f)
+    scale = meta["scale"]
+    if grid_name == "g1":
+        return GridSpec("g1", 720 * scale, 360 * scale, 64)
+    return GridSpec("g3", 2160 * scale, 1080 * scale, 192)
+
+
+def zonal_partials_ds(world_path: str, dataset: str, *,
+                      index: PolygonIndex | None = None,
+                      concurrency: int | tuple = (1, 4), batch_size: int = 16):
+    """Lazy Dataset of (admin, cls, km2, ...) partial rows for a dataset."""
+    classifier = CLASSIFIERS[dataset]()
+    grid = world_grid(world_path, classifier.grid)
+    if index is None:
+        index = build_zonal_index(world_path)
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    return docs.map_batches(
+        ZonalPartials,
+        fn_constructor_kwargs={"world_path": world_path,
+                               "classifier": classifier,
+                               "index": index, "grid_spec": grid},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def zonal_stats(world_path: str, dataset: str, *,
+                index: PolygonIndex | None = None,
+                concurrency: int | tuple = (1, 4), batch_size: int = 16,
+                deterministic: bool = True) -> pd.DataFrame:
+    """Country × class km² table for one dataset (process_map analog)."""
+    partials = zonal_partials_ds(world_path, dataset, index=index,
+                                 concurrency=concurrency, batch_size=batch_size)
+    if deterministic:
+        combined = partials.groupby("admin").map_groups(
+            combine_partials_deterministic, batch_format="pandas")
+        pdf = combined.to_pandas()
+    else:
+        from ray.data.aggregate import Sum
+        pdf = (partials.groupby(["admin", "cls"])
+               .aggregate(Sum("km2", alias_name="km2")).to_pandas())
+    classifier = CLASSIFIERS[dataset]()
+    return pivot_zonal(pdf, classifier.columns(), world_path)
+
+
+def pivot_zonal(pdf: pd.DataFrame, columns: list[str],
+                world_path: str) -> pd.DataFrame:
+    """Long (admin, cls, km2) -> Country × class frame with every
+    normalized admin present (the reference seeds a zero row per
+    processed feature, extract_country_data.py:227-228) and the fixed
+    class-column order."""
+    admins = sorted(set(load_countries(world_path)["admin"].dropna()))
+    df = pd.DataFrame(0.0, index=admins, columns=[str(c) for c in columns])
+    df.index.name = "Country"
+    for admin, cls, km2 in zip(pdf["admin"], pdf["cls"], pdf["km2"]):
+        df.loc[admin, str(cls)] = km2
+    return df.sort_index(axis="index")
+
+
+def region_rollup(df: pd.DataFrame, world_path: str) -> pd.DataFrame:
+    """Country rows -> fixed-order region rows; a country may roll into
+    several regions (list values, admin_names.py:81-408; accumulation
+    per extract_country_data.py:254-263)."""
+    region_of = load_regions(world_path)
+    df_region = pd.DataFrame(0.0, index=REGIONS, columns=df.columns.copy())
+    df_region.index.name = "Region"
+    for country, row in df.iterrows():
+        regions = region_of.get(country)
+        if regions is not None and len(regions):
+            df_region.loc[list(regions), :] += row
+    return df_region
+
+
+def write_csv(df: pd.DataFrame, path: str) -> None:
+    """Reference byte format: sorted index, %.2f floats
+    (extract_country_data.py:249-250)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.sort_index(axis="index").to_csv(path, float_format="%.2f")
+
+
+def extract_all(world_path: str, out_dir: str, *,
+                datasets=("kg", "lc", "slope", "wk", "lpd"),
+                concurrency: int | tuple = (1, 4)) -> dict[str, pd.DataFrame]:
+    """The --all CLI path (extract_country_data.py:270-341): one zonal
+    CSV + one region CSV per dataset, sharing one broadcast index."""
+    index = build_zonal_index(world_path)
+    names = {"kg": "Koppen-Geiger", "lc": "Land-Cover", "slope": "Slope",
+             "wk": "Workability", "lpd": "Degraded"}
+    out = {}
+    for ds_name in datasets:
+        df = zonal_stats(world_path, ds_name, index=index,
+                         concurrency=concurrency)
+        write_csv(df, os.path.join(out_dir, f"{names[ds_name]}-by-country.csv"))
+        write_csv(region_rollup(df, world_path),
+                  os.path.join(out_dir, f"{names[ds_name]}-by-region.csv"))
+        out[ds_name] = df
+    return out

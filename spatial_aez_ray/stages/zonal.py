@@ -1,0 +1,118 @@
+"""Zonal-statistics stage: decode tile docs → PIP join → partial sums.
+
+The heart of the engine (SURVEY.md §2.5 A1): an actor-pool
+``map_batches`` stage that, per interleaved document (one raster tile),
+
+1. parses the meta span and fetches the media payload(s) (MediaStore,
+   opened once per actor),
+2. assigns pixels to country features via the broadcast PolygonIndex
+   (built once per actor; per-tile claims LRU-cached so the 5-dataset
+   runs over the same grid reuse the geometry work),
+3. computes per-(feature, class) partial km² sums with the classifier
+   kernel — pixels never leave the task; only tiny partial rows hit
+   the shuffle (partial-aggregate-before-shuffle, SURVEY.md §4).
+
+The combine is ``groupby(admin).map_groups`` with an in-group sort by
+(feature_idx, tile_y, tile_x, seq): float additions then happen in
+exactly the sequential order of the reference's feature×block loops,
+making the distributed result bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo import km2_block
+from ..sources.documents import MediaStore
+from ..state.pipindex import PolygonIndex
+
+PARTIAL_SCHEMA = pa.schema([
+    ("admin", pa.string()),
+    ("cls", pa.string()),
+    ("km2", pa.float64()),
+    ("feature_idx", pa.int32()),
+    ("tile_y", pa.int32()),
+    ("tile_x", pa.int32()),
+    ("seq", pa.int32()),
+])
+
+
+class ZonalPartials:
+    """Callable class for ``map_batches(..., concurrency=N)`` — one
+    MediaStore + one PolygonIndex + one claims cache per actor."""
+
+    def __init__(self, world_path: str, classifier, index: PolygonIndex,
+                 grid_spec, cache_tiles: int = 256):
+        self.media = MediaStore(world_path)
+        self.classifier = classifier
+        self.index = index
+        self.grid = grid_spec
+        self._claims: OrderedDict = OrderedDict()
+        self._cache_tiles = cache_tiles
+
+    def claims_for(self, ty: int, tx: int):
+        key = (ty, tx)
+        hit = self._claims.get(key)
+        if hit is not None:
+            self._claims.move_to_end(key)
+            return hit
+        claims = self.index.assign_tile(self.grid, ty, tx)
+        self._claims[key] = claims
+        if len(self._claims) > self._cache_tiles:
+            self._claims.popitem(last=False)
+        return claims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        admins, clss, km2s = [], [], []
+        fidxs, tys, txs, seqs = [], [], [], []
+        spans_col = batch.column("spans").to_pylist()
+        for spans in spans_col:
+            meta = None
+            refs = []
+            for s in spans:
+                if s["kind"] == "meta":
+                    meta = json.loads(s["text"])
+                elif s["kind"] == "media":
+                    refs.append(s["media_ref"])
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            nrows, ncols = meta["nrows"], meta["ncols"]
+            claims = self.claims_for(ty, tx)
+            if not claims:
+                continue
+            payloads = self.media.fetch(refs)
+            bands = [np.frombuffer(payloads[r], dtype=np.uint8)
+                     .reshape(nrows, ncols) for r in refs]
+            km2 = km2_block(nrows, ncols, meta["y_off"], self.grid)
+            for fidx, admin, mask in claims:
+                seq = 0
+                for col, val in self.classifier.class_sums(bands, mask, km2):
+                    admins.append(admin); clss.append(col); km2s.append(val)
+                    fidxs.append(fidx); tys.append(ty); txs.append(tx)
+                    seqs.append(seq); seq += 1
+        return pa.Table.from_arrays([
+            pa.array(admins, pa.string()), pa.array(clss, pa.string()),
+            pa.array(km2s, pa.float64()), pa.array(fidxs, pa.int32()),
+            pa.array(tys, pa.int32()), pa.array(txs, pa.int32()),
+            pa.array(seqs, pa.int32()),
+        ], schema=PARTIAL_SCHEMA)
+
+
+def combine_partials_deterministic(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-admin sequential reduce in reference order: sort partials by
+    (feature, tile row-major, emission seq) and add in that order so
+    float accumulation matches the sequential loops bit-for-bit."""
+    g = g.sort_values(["feature_idx", "tile_y", "tile_x", "seq"],
+                      kind="stable")
+    sums: dict[str, float] = {}
+    cols = g["cls"].to_numpy()
+    vals = g["km2"].to_numpy()
+    for c, v in zip(cols, vals):
+        sums[c] = sums.get(c, 0.0) + v
+    return pd.DataFrame({"admin": g["admin"].iloc[0],
+                         "cls": list(sums.keys()),
+                         "km2": list(sums.values())})

@@ -1,0 +1,95 @@
+"""End-to-end zonal pipelines vs the sequential NumPy oracle.
+
+The gate is exact: bit-identical float tables (deterministic combine)
+and byte-identical CSV output (%.2f, sorted countries) — the
+reference-parity criteria of BASELINE.md.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spatial_aez_ray import fixtures, oracle
+from spatial_aez_ray.pipelines import extract
+
+SPEC = fixtures.TINY
+
+
+@pytest.fixture(scope="module")
+def zindex(tiny_world):
+    return extract.build_zonal_index(tiny_world)
+
+
+@pytest.mark.parametrize("dataset", ["kg", "lc", "slope", "wk", "lpd"])
+def test_zonal_bit_exact_vs_oracle(tiny_world, zindex, dataset):
+    df = extract.zonal_stats(tiny_world, dataset, index=zindex)
+    odf = oracle.zonal_csv(SPEC, dataset)
+    odf.columns = [str(c) for c in odf.columns]
+    assert list(df.index) == list(odf.index)
+    assert list(df.columns) == list(odf.columns)
+    assert (df.values == odf.values).all(), \
+        f"max diff {np.abs(df.values - odf.values).max()}"
+
+
+def test_zonal_csv_bytes(tiny_world, zindex, tmp_path):
+    df = extract.zonal_stats(tiny_world, "kg", index=zindex)
+    p1 = tmp_path / "ray.csv"
+    p2 = tmp_path / "oracle.csv"
+    extract.write_csv(df, str(p1))
+    oracle.zonal_csv(SPEC, "kg").to_csv(p2, float_format="%.2f")
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_area_conservation(tiny_world, zindex):
+    """Σ per-class zonal areas == Σ area of assigned cells per country
+    (FIXTURES.md invariant 4): nothing lost or double-counted inside a
+    dataset with a total vocabulary (lpd covers every in-mask pixel)."""
+    df = extract.zonal_stats(tiny_world, "lpd", index=zindex)
+    cc = oracle.cell_country(SPEC, SPEC.g1)
+    from spatial_aez_ray.geo import km2_rows
+    rows_km2 = km2_rows(SPEC.g1.height, 0, SPEC.g1)
+    cc = cc.assign(km2=rows_km2[cc["cell_row"].to_numpy()])
+    want = cc.groupby("admin")["km2"].sum()
+    got = df.sum(axis=1)
+    for admin in got.index:
+        assert np.isclose(got[admin], want.get(admin, 0.0), rtol=1e-9), admin
+
+
+def test_region_rollup_matches_oracle_and_membership(tiny_world, zindex):
+    df = extract.zonal_stats(tiny_world, "wk", index=zindex)
+    reg = extract.region_rollup(df, tiny_world)
+    oreg = oracle.region_rollup(oracle.zonal_csv(SPEC, "wk"), SPEC)
+    oreg.columns = [str(c) for c in oreg.columns]
+    assert list(reg.index) == list(oreg.index)  # fixed region order
+    assert np.allclose(reg.values, oreg.values, rtol=0, atol=0)
+    # multi-region country counted in each of its regions
+    region_of = extract.load_regions(tiny_world)
+    assert len(region_of["Fredonia"]) == 2
+    r1, r2 = region_of["Fredonia"]
+    # regions containing Fredonia include at least Fredonia's row
+    fred = df.loc["Fredonia"]
+    members = {r: [a for a, rs in region_of.items() if rs is not None and r in list(rs)]
+               for r in (r1, r2)}
+    for r in (r1, r2):
+        expect = sum((df.loc[a] for a in members[r] if a in df.index),
+                     pd.Series(0.0, index=df.columns))
+        assert np.allclose(reg.loc[r].values, expect.values)
+    assert fred.sum() > 0
+
+
+def test_cell_country_pipeline_matches_oracle(tiny_world, zindex):
+    """PIP assignment parity: engine per-tile claims == oracle masks."""
+    got = {}
+    grid = SPEC.g1
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            for fidx, admin, m in zindex.assign_tile(grid, ty, tx):
+                rr, cc_ = np.nonzero(m)
+                for r, c in zip(rr, cc_):
+                    got.setdefault((y + r, x + c), set()).add(fidx)
+    odf = oracle.cell_country(SPEC, grid)
+    want = {}
+    for r, c, f in zip(odf["cell_row"], odf["cell_col"], odf["feature_idx"]):
+        want.setdefault((r, c), set()).add(f)
+    assert got == want
