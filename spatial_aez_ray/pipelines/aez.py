@@ -87,8 +87,7 @@ def yield_aezs(regime, tmr, slope, land_use, soil_health):
 
 def add_tile_key(batch: pa.Table) -> pa.Table:
     """tile_key = "{ty:05d}/{tx:05d}" parsed from doc_id (vectorized)."""
-    key = pc.utf8_slice_codeunits(batch["doc_id"],
-                                  pc.add(pc.find_substring(batch["doc_id"], "/g"), 4))
+    key = pc.utf8_slice_codeunits(batch["doc_id"], -11)
     return batch.append_column("tile_key", key)
 
 

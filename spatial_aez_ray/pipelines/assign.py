@@ -1,0 +1,140 @@
+"""Cell→country assignment pipeline (the join-output-rows surface).
+
+Produces the engine's analog of the reference's rasterized feature
+masks (prepare_feature_masks.py:9-63) as a table:
+(cell_id, cell_row, cell_col, feature_idx, admin) — one row per
+(pixel, claiming feature), overlap double-claims included (J1), plus
+optional kNN snap (ST5/J5): raster-land pixels (value != nodata)
+covered by no feature snap to the nearest polygon boundary within a
+tolerance; pixels inside dropped (admin=None) features are NOT
+snapped — they are excluded land, not coastline.
+
+``cell_id`` is the Morton cell id of the pixel center (cells.py), the
+partition-friendly spatial key; (cell_row, cell_col) is the exact
+integer grid id used for alignment (two id systems, one source of
+truth — SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .. import cells
+from ..geo import GridSpec
+from ..sources.documents import MediaStore, read_documents
+from ..state.pipindex import PolygonIndex
+from .extract import load_countries, world_grid
+
+ASSIGN_SCHEMA = pa.schema([
+    ("cell_id", pa.int64()),
+    ("cell_row", pa.int32()),
+    ("cell_col", pa.int32()),
+    ("feature_idx", pa.int32()),
+    ("admin", pa.string()),
+])
+
+
+def build_dropped_index(world_path: str) -> PolygonIndex | None:
+    """Index over admin=None features (exclusion side for snapping)."""
+    df = load_countries(world_path)
+    feats = [(int(r.feature_idx), r.admin_raw, r.geometry)
+             for r in df.itertuples() if r.admin is None]
+    return PolygonIndex(feats) if feats else None
+
+
+class CellAssign:
+    """map_batches actor: tile documents -> assignment rows."""
+
+    def __init__(self, world_path: str, index: PolygonIndex,
+                 dropped: PolygonIndex | None, grid_spec: GridSpec,
+                 snap_tol: float, nodata: int, cell_level: int = 16):
+        self.media = MediaStore(world_path)
+        self.index = index
+        self.dropped = dropped
+        self.grid = grid_spec
+        self.snap_tol = snap_tol
+        self.nodata = nodata
+        self.cell_level = cell_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows, out_cols, out_fidx, out_admin = [], [], [], []
+        for spans in batch.column("spans").to_pylist():
+            meta, refs = None, []
+            for s in spans:
+                if s["kind"] == "meta":
+                    meta = json.loads(s["text"])
+                elif s["kind"] == "media":
+                    refs.append(s["media_ref"])
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            x_off, y_off = meta["x_off"], meta["y_off"]
+            nrows, ncols = meta["nrows"], meta["ncols"]
+            claims = self.index.assign_tile(self.grid, ty, tx)
+            claimed = np.zeros((nrows, ncols), dtype=bool)
+            for fidx, admin, mask in claims:
+                r, c = np.nonzero(mask)
+                out_rows.append(r + y_off); out_cols.append(c + x_off)
+                out_fidx.append(np.full(len(r), fidx, dtype=np.int64))
+                out_admin.extend([admin] * len(r))
+                claimed |= mask
+            if self.snap_tol > 0:
+                payload = self.media.fetch(refs[:1])[refs[0]]
+                vals = np.frombuffer(payload, dtype=np.uint8).reshape(nrows, ncols)
+                land = vals != self.nodata
+                todo = land & ~claimed
+                if todo.any():
+                    r, c = np.nonzero(todo)
+                    lons = self.grid.lons(x_off, ncols)[c]
+                    lats = self.grid.lats(y_off, nrows)[r]
+                    keep = np.ones(len(r), dtype=bool)
+                    if self.dropped is not None:
+                        for pos in range(len(self.dropped.features)):
+                            if not keep.any():
+                                break
+                            keep &= ~self.dropped.covers_points(pos, lons, lats)
+                    if keep.any():
+                        pos = self.index.snap(lons[keep], lats[keep], self.snap_tol)
+                        ok = pos >= 0
+                        rr, cc = r[keep][ok], c[keep][ok]
+                        out_rows.append(rr + y_off); out_cols.append(cc + x_off)
+                        out_fidx.append(np.array(
+                            [self.index.feature_idx_of(p) for p in pos[ok]],
+                            dtype=np.int64))
+                        out_admin.extend(self.index.admin_of(p) for p in pos[ok])
+        if not out_rows:
+            return ASSIGN_SCHEMA.empty_table()
+        rows = np.concatenate(out_rows)
+        cols = np.concatenate(out_cols)
+        fidx = np.concatenate(out_fidx)
+        lons = self.grid.x_min + (cols + 0.5) * self.grid.x_size
+        lats = self.grid.y_min + (rows + 0.5) * self.grid.y_size
+        cid = cells.encode_lonlat(lons, lats, self.cell_level)
+        return pa.Table.from_arrays([
+            pa.array(cid, pa.int64()),
+            pa.array(rows.astype(np.int32)), pa.array(cols.astype(np.int32)),
+            pa.array(fidx.astype(np.int32)), pa.array(out_admin, pa.string()),
+        ], schema=ASSIGN_SCHEMA)
+
+
+def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
+                 index: PolygonIndex | None = None,
+                 concurrency: int | tuple = (1, 4), batch_size: int = 16):
+    """Lazy Dataset of assignment rows over one dataset's tiles."""
+    from .extract import build_zonal_index
+    from ..fixtures import DATASET_GRID, DATASET_NODATA
+
+    if index is None:
+        index = build_zonal_index(world_path)
+    grid = world_grid(world_path, DATASET_GRID[dataset])
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    return docs.map_batches(
+        CellAssign,
+        fn_constructor_kwargs={
+            "world_path": world_path, "index": index,
+            "dropped": build_dropped_index(world_path),
+            "grid_spec": grid, "snap_tol": snap_tol,
+            "nodata": DATASET_NODATA[dataset]},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -129,6 +129,96 @@ def write_csv(df: pd.DataFrame, path: str) -> None:
     df.sort_index(axis="index").to_csv(path, float_format="%.2f")
 
 
+def write_region_csv(df_region: pd.DataFrame, path: str) -> None:
+    """Region CSVs keep the literal 9-region order, NOT sorted
+    (extract_country_data.py:255-263, SURVEY §2.6 O2)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df_region.to_csv(path, float_format="%.2f")
+
+
+def combine_partials_table(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side deterministic combine of a full partials table
+    (same ordering rule as stages.zonal.combine_partials_deterministic)."""
+    pdf = pdf.sort_values(["admin", "feature_idx", "tile_y", "tile_x", "seq"],
+                          kind="stable")
+    sums: dict[tuple[str, str], float] = {}
+    for admin, cls, km2 in zip(pdf["admin"], pdf["cls"], pdf["km2"]):
+        k = (admin, cls)
+        sums[k] = sums.get(k, 0.0) + km2
+    return pd.DataFrame({"admin": [k[0] for k in sums],
+                         "cls": [k[1] for k in sums],
+                         "km2": list(sums.values())})
+
+
+def zonal_stats_checkpointed(world_path: str, dataset: str, out_dir: str, *,
+                             num_shards: int = 8,
+                             index: PolygonIndex | None = None,
+                             concurrency: int | tuple = (1, 4),
+                             batch_size: int = 16) -> pd.DataFrame:
+    """Resumable zonal stats: doc_id-range shards, one atomic partials
+    part file + manifest line each (state.checkpoint); resume skips
+    completed shards; final result identical to ``zonal_stats``.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as papq
+    import ray.data as rd
+    import time as _time
+
+    from ..state.checkpoint import (
+        CheckpointManifest, ShardResult, doc_id_range_shards, op_hash,
+    )
+    from ..sources.documents import document_paths
+
+    classifier = CLASSIFIERS[dataset]()
+    grid = world_grid(world_path, classifier.grid)
+    if index is None:
+        index = build_zonal_index(world_path)
+    paths = document_paths(world_path, [dataset])
+    doc_ids = pds.dataset(paths).to_table(columns=["doc_id"])["doc_id"].to_pylist()
+    shards = doc_id_range_shards(doc_ids, num_shards)
+    man = CheckpointManifest(
+        out_dir, op_hash("zonal-partials", dataset, "v1"))
+    pending = set(man.pending([s[0] for s in shards]))
+
+    for sid, lo, hi in shards:
+        if sid not in pending:
+            continue
+        t0 = _time.time()
+        ds = rd.read_parquet(
+            paths, columns=["doc_id", "spans"],
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
+        partials = ds.map_batches(
+            ZonalPartials,
+            fn_constructor_kwargs={"world_path": world_path,
+                                   "classifier": classifier,
+                                   "index": index, "grid_spec": grid},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+        table = pa_concat(partials.to_arrow_refs())
+        man.write_part(
+            sid, table,
+            lineage={"dataset": dataset, "doc_id_lo": lo, "doc_id_hi": hi,
+                     "world": world_path},
+            result=ShardResult(shard_id=sid, rows=table.num_rows,
+                               cells=int(table.num_rows),
+                               seconds=_time.time() - t0))
+
+    all_parts = [man.part_path(s[0]) for s in shards]
+    pdf = papq.ParquetDataset(all_parts).read().to_pandas()
+    combined = combine_partials_table(pdf)
+    return pivot_zonal(combined, CLASSIFIERS[dataset]().columns(), world_path)
+
+
+def pa_concat(refs):
+    import pyarrow as pa
+    import ray
+    tables = [t for t in ray.get(refs)]
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+              for t in tables]
+    return pa.concat_tables(tables) if tables else None
+
+
 def extract_all(world_path: str, out_dir: str, *,
                 datasets=("kg", "lc", "slope", "wk", "lpd"),
                 concurrency: int | tuple = (1, 4)) -> dict[str, pd.DataFrame]:
@@ -142,7 +232,7 @@ def extract_all(world_path: str, out_dir: str, *,
         df = zonal_stats(world_path, ds_name, index=index,
                          concurrency=concurrency)
         write_csv(df, os.path.join(out_dir, f"{names[ds_name]}-by-country.csv"))
-        write_csv(region_rollup(df, world_path),
-                  os.path.join(out_dir, f"{names[ds_name]}-by-region.csv"))
+        write_region_csv(region_rollup(df, world_path),
+                         os.path.join(out_dir, f"{names[ds_name]}-by-region.csv"))
         out[ds_name] = df
     return out

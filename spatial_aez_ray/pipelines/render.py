@@ -1,0 +1,201 @@
+"""Classified raster output tiles (process_imagery.py produce_GeoTIFF).
+
+Whole-globe pass on the 300 m-analog grid: the same co-keyed tile
+group join as the AEZ CSV pipeline, but with no masks/countries
+(process_imagery.py:398-404) — each G3 tile group renders four palette
+rasters (AEZ codes = TMR base + zone index, slope plurality one-hot,
+land-use codes, soil-health codes; :461-492) and emits them as NEW
+interleaved tile documents (dataset ``render_aez`` etc.) plus their
+media payloads — the tile-assignment shuffle expressed as
+group-by-tile + per-group assembly (SURVEY.md S6).
+
+Output layout mirrors a world directory, so rendered tiles are
+readable by ``sources.documents`` again (raster↔vector round trip).
+Each map task writes its own part files atomically (tmp + rename) —
+the resumable per-partition layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import model
+from ..constants import (
+    AEZ_BLANK, LAND_USE_BLANK, LAND_USE_NAMES, SLOPE_BLANK, SOIL_BLANK,
+    SOIL_HEALTH_NAMES, SOIL_RENDER_CODE, TMR_BASE_COLOR, TMR_NAMES,
+)
+from ..geo import upsample3
+from ..sources.documents import MediaStore, read_documents
+from .aez import (
+    AEZ_DATASETS, add_tile_key, populate_land_use, populate_slope,
+    populate_soil_health, populate_tmr, yield_aezs,
+)
+from .extract import world_grid
+
+RENDER_PRODUCTS = ("render_aez", "render_slope", "render_landuse",
+                   "render_soilhealth")
+
+COMBINED_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(model.SPAN_TYPE)),
+    ("media_ref", pa.string()),
+    ("payload", pa.binary()),
+])
+
+
+def render_arrays(kg_blk, sl_bands, lc_blk, wk_blk) -> dict[str, np.ndarray]:
+    """One G3 block -> the four palette arrays (process_imagery.py:426-492).
+    Inputs are already upsampled to the G3 window."""
+    regime = populate_tmr(kg_blk)
+    slope = populate_slope(sl_bands)
+    plurality = {
+        "steep": (slope["steep"] >= slope["moderate"]) &
+                 (slope["steep"] >= slope["minimal"]),
+        "moderate": (slope["moderate"] > slope["steep"]) &
+                    (slope["moderate"] >= slope["minimal"]),
+        "minimal": (slope["minimal"] > slope["steep"]) &
+                   (slope["minimal"] >= slope["moderate"]),
+    }
+    land_use = populate_land_use(lc_blk)
+    soil = populate_soil_health(wk_blk)
+    shape = lc_blk.shape
+
+    aez_arr = np.full(shape, AEZ_BLANK, dtype=np.int64)
+    for tmr in TMR_NAMES:
+        color = TMR_BASE_COLOR[tmr]
+        for aez in yield_aezs(regime, tmr, plurality, land_use, soil):
+            aez_arr[aez.astype(bool)] = color
+            color += 1
+
+    slope_arr = np.full(shape, SLOPE_BLANK, dtype=np.int64)
+    slope_arr[plurality["minimal"].astype(bool)] = 0
+    slope_arr[plurality["moderate"].astype(bool)] = 1
+    slope_arr[plurality["steep"].astype(bool)] = 2
+
+    lu_arr = np.full(shape, LAND_USE_BLANK, dtype=np.int64)
+    for i, name in enumerate(LAND_USE_NAMES):
+        lu_arr[land_use[name]] = i
+
+    sh_arr = np.full(shape, SOIL_BLANK, dtype=np.int64)
+    for name in SOIL_HEALTH_NAMES:
+        sh_arr[soil[name]] = SOIL_RENDER_CODE[name]
+
+    return {"render_aez": aez_arr.astype(np.uint8),
+            "render_slope": slope_arr.astype(np.uint8),
+            "render_landuse": lu_arr.astype(np.uint8),
+            "render_soilhealth": sh_arr.astype(np.uint8)}
+
+
+class RenderTileKernel:
+    """map_groups callable: tile group -> 4 rendered tile documents."""
+
+    def __init__(self, world_path: str, g1, g3):
+        self.media = MediaStore(world_path)
+        self.g1 = g1
+        self.g3 = g3
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        metas, refs_by_ds = {}, {}
+        for row in group.to_pylist():
+            ds_name = row["doc_id"].split("/", 1)[0]
+            for s in sorted(row["spans"], key=lambda s: s["offset"]):
+                if s["kind"] == "meta":
+                    metas[ds_name] = json.loads(s["text"])
+                elif s["kind"] == "media":
+                    refs_by_ds.setdefault(ds_name, []).append(s["media_ref"])
+        any_meta = next(iter(metas.values()))
+        ty, tx = any_meta["tile_y"], any_meta["tile_x"]
+        x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
+        x3, y3, nc3, nr3 = self.g3.tile_window(ty, tx)
+        payloads = self.media.fetch([r for rs in refs_by_ds.values() for r in rs])
+
+        def band(ds_name, i, nodata, g1_shape=True):
+            refs = refs_by_ds.get(ds_name)
+            shape = (nr1, nc1) if g1_shape else (nr3, nc3)
+            if not refs:
+                return np.full(shape, nodata, dtype=np.uint8)
+            return np.frombuffer(payloads[refs[i]], dtype=np.uint8).reshape(shape)
+
+        kg_blk = upsample3(band("kg", 0, 0))
+        sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
+        lc_blk = band("lc", 0, 210, g1_shape=False)
+        wk_blk = upsample3(band("wk", 0, 0))
+        arrays = render_arrays(kg_blk, sl_bands, lc_blk, wk_blk)
+
+        rows = []
+        for product, arr in arrays.items():
+            doc = model.make_document(product, "g3", ty, tx, x3, y3, nc3, nr3,
+                                      bands=1, nodata=255)
+            ref = model.media_ref(product, "g3", ty, tx, 1)
+            rows.append({"doc_id": doc["doc_id"], "spans": doc["spans"],
+                         "media_ref": ref,
+                         "payload": model.encode_tile(arr)})
+        return pa.Table.from_pylist(rows, schema=COMBINED_SCHEMA)
+
+
+def render_tiles_ds(world_path: str, *, concurrency: int | tuple = (1, 4)):
+    g1 = world_grid(world_path, "g1")
+    g3 = world_grid(world_path, "g3")
+    docs = read_documents(world_path, list(AEZ_DATASETS),
+                          columns=["doc_id", "spans"])
+    keyed = docs.map_batches(add_tile_key, batch_format="pyarrow")
+    return keyed.groupby("tile_key").map_groups(
+        RenderTileKernel,
+        fn_constructor_kwargs={"world_path": world_path, "g1": g1, "g3": g3},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+class _RenderWriter:
+    """Per-batch atomic writer: documents/ + media/ part files keyed by
+    the batch's tile range (resumable output layout)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        by_ds: dict[str, list[int]] = {}
+        ids = batch.column("doc_id").to_pylist()
+        for i, d in enumerate(ids):
+            by_ds.setdefault(d.split("/", 1)[0], []).append(i)
+        parts = []
+        for ds_name, idxs in by_ds.items():
+            sub = batch.take(pa.array(idxs))
+            tag = sub.column("doc_id")[0].as_py().replace("/", "_")
+            for kind, cols in (("documents", ["doc_id", "spans"]),
+                               ("media", ["media_ref", "payload"])):
+                d = os.path.join(self.out_dir, kind, f"dataset={ds_name}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, f"part-{tag}.parquet")
+                tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(sub.select(cols), tmp)
+                os.replace(tmp, final)
+            parts.append(f"{ds_name}:{tag}")
+        return pa.table({"part": pa.array(parts, pa.string()),
+                         "rows": pa.array([len(ids)] * len(parts), pa.int64())})
+
+
+def produce_render_tiles(world_path: str, out_dir: str, *,
+                         concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Run the render pass and persist a world-shaped output directory."""
+    ds = render_tiles_ds(world_path, concurrency=concurrency)
+    res = ds.map_batches(_RenderWriter,
+                         fn_constructor_kwargs={"out_dir": out_dir},
+                         batch_format="pyarrow",
+                         concurrency=(1, 2)).to_pandas()
+    with open(os.path.join(out_dir, "_WORLD.json"), "w") as f:
+        import json as _json
+        with open(os.path.join(world_path, "_WORLD.json")) as src:
+            meta = _json.load(src)
+        meta["datasets"] = list(RENDER_PRODUCTS)
+        _json.dump(meta, f)
+    return res

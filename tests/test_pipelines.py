@@ -1,0 +1,122 @@
+"""AEZ / degraded / assignment / render / checkpoint / docops pipelines
+vs the oracle and the committed goldens."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spatial_aez_ray import fixtures, model, oracle
+from spatial_aez_ray.pipelines import aez, assign, degraded, docops, extract, render
+from spatial_aez_ray.sources.documents import MediaStore, read_documents_table
+
+SPEC = fixtures.TINY
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_aez_stats_bit_exact(tiny_world):
+    df = aez.aez_stats(tiny_world)
+    odf = oracle.aez_csv(SPEC)
+    odf.columns = [str(c) for c in odf.columns]
+    assert list(df.index) == list(odf.index)
+    assert list(df.columns) == list(odf.columns)
+    assert (df.values == odf.values).all()
+
+
+def test_aez_csv_golden_bytes(tiny_world, tmp_path):
+    df = aez.aez_stats(tiny_world)
+    p = tmp_path / "AEZ-by-country.csv"
+    extract.write_csv(df, str(p))
+    assert p.read_bytes() == open(f"{GOLD}/AEZ-by-country.csv", "rb").read()
+
+
+def test_degraded_bit_exact_and_golden(tiny_world, tmp_path):
+    df = degraded.degraded_stats(tiny_world)
+    odf = oracle.degraded_csv(SPEC)
+    assert (df.values == odf.values).all()
+    p = tmp_path / "degraded-cover-by-country.csv"
+    extract.write_csv(df, str(p))
+    assert p.read_bytes() == open(f"{GOLD}/degraded-cover-by-country.csv", "rb").read()
+
+
+def test_zonal_goldens(tiny_world, tmp_path):
+    names = {"kg": "Koppen-Geiger", "slope": "Slope"}
+    index = extract.build_zonal_index(tiny_world)
+    for ds, nm in names.items():
+        df = extract.zonal_stats(tiny_world, ds, index=index)
+        p = tmp_path / f"{nm}-by-country.csv"
+        extract.write_csv(df, str(p))
+        assert p.read_bytes() == open(f"{GOLD}/{nm}-by-country.csv", "rb").read(), nm
+        rp = tmp_path / f"{nm}-by-region.csv"
+        extract.write_region_csv(extract.region_rollup(df, tiny_world), str(rp))
+        assert rp.read_bytes() == open(f"{GOLD}/{nm}-by-region.csv", "rb").read(), nm
+
+
+def _pairs(df):
+    return set(zip(df["cell_row"], df["cell_col"], df["feature_idx"]))
+
+
+def test_cell_country_matches_golden(tiny_world):
+    df = assign.cell_country(tiny_world).to_pandas()
+    want = pd.read_parquet(f"{GOLD}/cell_country_g1.parquet")
+    assert _pairs(df) == _pairs(want)
+
+
+def test_cell_country_snap_matches_golden(tiny_world):
+    tol = SPEC.snap_tol("g1")
+    df = assign.cell_country(tiny_world, snap_tol=tol).to_pandas()
+    want = pd.read_parquet(f"{GOLD}/cell_country_g1_snap.parquet")
+    assert _pairs(df) == _pairs(want)
+    # snap adds rows beyond the pure-PIP assignment
+    base = pd.read_parquet(f"{GOLD}/cell_country_g1.parquet")
+    assert len(want) > len(base)
+
+
+def test_render_tiles_match_oracle(tiny_world, tmp_path):
+    out = str(tmp_path / "render")
+    render.produce_render_tiles(tiny_world, out)
+    want = oracle.render_tiles(SPEC)
+    ms = MediaStore(out)
+    for product, key in [("render_aez", "aez"), ("render_slope", "slope"),
+                         ("render_landuse", "land_use"),
+                         ("render_soilhealth", "soil_health")]:
+        docs = read_documents_table(out, [product])
+        assert docs.num_rows > 0
+        for row in docs.to_pylist():
+            meta = model.parse_meta(row["spans"])
+            refs = model.media_refs(row["spans"])
+            arr = model.decode_tile(ms.fetch(refs)[refs[0]],
+                                    meta["nrows"], meta["ncols"])
+            assert (arr == want[(meta["tile_y"], meta["tile_x"])][key]).all()
+
+
+def test_checkpoint_resume_identical(tiny_world, tmp_path):
+    out = str(tmp_path / "ckpt")
+    df1 = extract.zonal_stats_checkpointed(tiny_world, "wk", out, num_shards=4)
+    df0 = extract.zonal_stats(tiny_world, "wk")
+    assert (df1.values == df0.values).all()
+    # simulate partial failure: drop one part, resume
+    os.remove(os.path.join(out, "parts", "part-00001.parquet"))
+    df2 = extract.zonal_stats_checkpointed(tiny_world, "wk", out, num_shards=4)
+    assert (df2.values == df1.values).all()
+    man = open(os.path.join(out, "MANIFEST.jsonl")).read().splitlines()
+    assert len(man) == 5  # 4 original + 1 recomputed
+    # manifest records lineage + metrics
+    import json
+    rec = json.loads(man[0])
+    assert rec["lineage"]["dataset"] == "wk"
+    assert rec["metrics"]["rows"] >= 0 and rec["metrics"]["bytes"] > 0
+
+
+def test_normalize_documents_preserves_spans(tiny_world, tmp_path):
+    out = str(tmp_path / "norm")
+    docops.normalize_documents(tiny_world, out, datasets=["kg"])
+    orig = read_documents_table(tiny_world, ["kg"])
+    norm = docops.read_normalized(out)
+    assert norm.num_rows == orig.num_rows
+    model.assert_spans_equal(orig, norm.select(["doc_id", "spans"]))
+    ids = norm["doc_id"].to_pylist()
+    assert ids == sorted(ids)  # cell-prefix range order
+    assert "tile_key" in norm.schema.names and "dataset" in norm.schema.names
