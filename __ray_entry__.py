@@ -1,44 +1,209 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families (SURVEY.md §2 inventory + training-data operators):
+
+* relational — the engine's generic distributed primitives on the
+  star-schema tables (partial-agg groupby, broadcast join, rollup,
+  sort/limit, predicate pushdown), all with exact DuckDB oracles
+  (integer-cent arithmetic → bit-identical sums).
+* text / dedup / simsearch / multimodal — training-data pipeline
+  operators over ``documents`` / ``embeddings``; SQL oracles where
+  DuckDB can express the semantics, rows-only otherwise.
+* spatial_* — the spatial-aez engine itself (zonal stats, AEZ
+  cross-classification, cell→country assignment, degraded analysis,
+  raster render, doc normalize, checkpoint/resume) over the
+  deterministic synthetic world (fixtures.py). Not SQL-expressible —
+  verified instead against the in-repo NumPy oracle by the pytest
+  suite (tests/test_pipelines.py, bit-exact goldens).
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from typing import Any
 
+_TMP = "/tmp/spatial_aez_ray/entry"
+
+
+@functools.lru_cache(maxsize=1)
+def _world() -> str:
+    """Deterministic tiny synthetic world, generated once per process."""
+    from spatial_aez_ray import fixtures
+    return fixtures.generate_world(fixtures.TINY)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: document hygiene —
+    token/quality stats + exact-dedup survivors, returned as a
+    DataFrame with a stable schema."""
+    import pandas as pd
+    sf_dir = "/root/testdata/sf0.001"
+    from spatial_aez_ray.datapipe import dedup, text
+    stats = text.token_stats(sf_dir)
+    qual = text.quality_scores(sf_dir)[
+        ["doc_id", "stopword_ratio", "mean_token_len"]]
+    survivors = dedup.exact_dedup(sf_dir)
+    out = (stats.merge(qual, on="doc_id")
+                .merge(survivors, on="doc_id", how="inner"))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# spatial pipeline wrappers (sf_dir selects nothing — the spatial input
+# is the synthetic interleaved-document world, same at every sf)
+# --------------------------------------------------------------------------
+
+def _spatial_zonal(dataset: str):
+    def run(sf_dir: str):
+        from spatial_aez_ray.pipelines import extract
+        df = extract.zonal_stats(_world(), dataset)
+        return df.reset_index()
+    return run
+
+
+def _spatial_aez(sf_dir: str):
+    from spatial_aez_ray.pipelines import aez
+    return aez.aez_stats(_world()).reset_index()
+
+
+def _spatial_degraded(sf_dir: str):
+    from spatial_aez_ray.pipelines import degraded
+    return degraded.degraded_stats(_world()).reset_index()
+
+
+def _spatial_region_rollup(sf_dir: str):
+    from spatial_aez_ray.pipelines import extract
+    df = extract.zonal_stats(_world(), "kg")
+    return extract.region_rollup(df, _world()).reset_index()
+
+
+def _spatial_assign(sf_dir: str):
+    import pandas as pd
+    from spatial_aez_ray.pipelines import assign
+    ds = assign.cell_country(_world())
+    pdf = ds.to_pandas()
+    # aggregate to per-admin claim counts + coordinate checksums (the
+    # full cell table is the tested surface; this keeps the driver
+    # payload small and deterministic)
+    g = pdf.groupby("admin", dropna=False).agg(
+        claims=("cell_id", "size"),
+        cell_checksum=("cell_id", "sum"),
+        row_sum=("cell_row", "sum"),
+        col_sum=("cell_col", "sum")).reset_index()
+    return g.sort_values("admin").reset_index(drop=True)
+
+
+def _spatial_render(sf_dir: str):
+    import hashlib
+    import pandas as pd
+    from spatial_aez_ray.pipelines import render
+    ds = render.render_tiles_ds(_world())
+    pdf = ds.to_pandas()
+    out = pd.DataFrame({
+        "doc_id": pdf["doc_id"],
+        "media_ref": pdf["media_ref"],
+        "n_bytes": [len(p) for p in pdf["payload"]],
+        "payload_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _spatial_normalize_docs(sf_dir: str):
+    import shutil
+    from spatial_aez_ray.pipelines import docops
+    out_dir = os.path.join(_TMP, "normalized")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rep = docops.normalize_documents(_world(), out_dir, datasets=["kg"])
+    return rep.sort_values("part").reset_index(drop=True)
+
+
+def _spatial_checkpoint_resume(sf_dir: str):
+    import shutil
+    from spatial_aez_ray.pipelines import extract
+    out_dir = os.path.join(_TMP, "ckpt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    extract.zonal_stats_checkpointed(_world(), "kg", out_dir, num_shards=4)
+    # second run resumes from the manifest (all shards skip) and must
+    # reproduce the identical table
+    df = extract.zonal_stats_checkpointed(_world(), "kg", out_dir,
+                                          num_shards=4)
+    return df.reset_index()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from spatial_aez_ray.datapipe import (
+        dedup, multimodal, relational, simsearch, text,
+    )
+    q: dict[str, Callable[[str], Any]] = {
+        # relational primitives (SQL-verified)
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "region_rollup_revenue": relational.region_rollup_revenue,
+        "top_orders": relational.top_orders,
+        "events_daily": relational.events_daily,
+        "events_type_stats": relational.events_type_stats,
+        "filter_parts": relational.filter_parts,
+        # text analysis
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "fingerprints": text.fingerprints,
+        "rolling_fingerprints": text.rolling_fingerprints,
+        "lang_counts": text.lang_counts,
+        "lang_id": text.lang_id,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        "dedup_simhash": dedup.simhash_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
+        "jaccard_pairs": dedup.jaccard_pairs,
+        # similarity search
+        "ann_topk": simsearch.ann_topk,
+        "ann_lsh": simsearch.ann_lsh,
+        "knn_label_vote": simsearch.knn_label_vote,
+        # multimodal
+        "media_bytes": multimodal.media_bytes,
+        "media_features": multimodal.media_features,
+        # spatial engine (oracle = in-repo NumPy reimplementation,
+        # bit-exact in tests; rows-only here)
+        "spatial_zonal_kg": _spatial_zonal("kg"),
+        "spatial_zonal_lc": _spatial_zonal("lc"),
+        "spatial_zonal_slope": _spatial_zonal("slope"),
+        "spatial_zonal_wk": _spatial_zonal("wk"),
+        "spatial_zonal_lpd": _spatial_zonal("lpd"),
+        "spatial_aez": _spatial_aez,
+        "spatial_degraded": _spatial_degraded,
+        "spatial_region_rollup": _spatial_region_rollup,
+        "spatial_assign_cells": _spatial_assign,
+        "spatial_render": _spatial_render,
+        "spatial_normalize_docs": _spatial_normalize_docs,
+        "spatial_checkpoint_resume": _spatial_checkpoint_resume,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spatial_aez_ray.datapipe import dedup, multimodal, relational, text
+    return {
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "events_daily": relational.EVENTS_DAILY_SQL,
+        "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
+        "filter_parts": relational.FILTER_PARTS_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
+        "quality_scores": text.QUALITY_SCORES_SQL,
+        "fingerprints": text.FINGERPRINTS_SQL,
+        "lang_counts": text.LANG_COUNTS_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
+        "ann_topk": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["ANN_TOPK_SQL"]).ANN_TOPK_SQL,
+        "media_bytes": multimodal.MEDIA_BYTES_SQL,
+    }

@@ -1,0 +1,167 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Headline pipelines:
+  * zonal_kg / aez       — the north-star GAEZ×GADM zonal-stats workload
+                           over the synthetic interleaved-document world
+                           (scale 4 ⇒ 4.1M G1 cells, 37M joined cells in
+                           the AEZ pass); throughput reported as
+                           cells_per_sec.
+  * pricing_summary      — partial-agg groupby over lineitem (sf dir)
+  * dedup_minhash        — shingle→minhash→LSH dedup over documents
+  * ann_topk             — brute-force cosine top-k over embeddings
+
+``--scaling`` runs the headline spatial job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 over the same input and reports both
+throughputs plus scaling efficiency = (thr32/thr8)/4 (the sandbox
+evidence for the N vs 4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _bench_world():
+    """Synthetic world for the spatial headline (generated once,
+    cached on disk; generation excluded from timings)."""
+    from spatial_aez_ray import fixtures
+    spec = fixtures.PRESETS[os.environ.get("AEZRAY_BENCH_WORLD", "small")]
+    return spec, fixtures.generate_world(spec, use_ray=True)
+
+
+def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    from spatial_aez_ray.datapipe import dedup, relational, simsearch
+    from spatial_aez_ray.pipelines import aez, extract
+
+    spec, world = _bench_world()
+    g1 = spec.g1
+    g1_cells = g1.width * g1.height
+    g3 = spec.g3
+    conc = (1, max(2, num_cpus - 1))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    extract.zonal_stats(world, "kg", concurrency=conc,
+                        batch_size=max(16, 256 // max(num_cpus // 8, 1)))
+    timings["zonal_kg"] = time.time() - t0
+    extras["zonal_cells_per_sec"] = g1_cells / timings["zonal_kg"]
+
+    t0 = time.time()
+    aez.aez_stats(world, concurrency=conc)
+    timings["aez"] = time.time() - t0
+    # AEZ reads 4 co-keyed rasters: 3×G1 + 1×G3 cells per pass
+    extras["aez_cells_per_sec"] = (3 * g1_cells + g3.width * g3.height) \
+        / timings["aez"]
+
+    t0 = time.time()
+    relational.pricing_summary(sf_dir)
+    timings["pricing_summary"] = time.time() - t0
+
+    t0 = time.time()
+    dedup.minhash_lsh_dedup(sf_dir)
+    timings["dedup_minhash"] = time.time() - t0
+
+    t0 = time.time()
+    simsearch.ann_topk(sf_dir, n_queries=16, k=10)
+    timings["ann_topk"] = time.time() - t0
+
+    return {"timings": timings, "extras": extras}
+
+
+def main_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    res = run_queries(sf_dir, num_cpus)
+    out = {
+        "metric": "headline pipelines total wall time",
+        "value": round(sum(res["timings"].values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["timings"].items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    out.update({k: round(v, 1) for k, v in res["extras"].items()})
+    return out
+
+
+def _scaling_child(num_cpus: int) -> None:
+    """Fresh-process leg of the scaling run: the spatial headline only."""
+    _init_ray(num_cpus)
+    from spatial_aez_ray.pipelines import aez, extract
+    spec, world = _bench_world()
+    conc = (1, max(2, num_cpus - 1))
+    t0 = time.time()
+    extract.zonal_stats(world, "kg", concurrency=conc)
+    aez.aez_stats(world, concurrency=conc)
+    dt = time.time() - t0
+    g1c = spec.g1.width * spec.g1.height
+    g3c = spec.g3.width * spec.g3.height
+    cells = g1c + (3 * g1c + g3c)
+    print(json.dumps({"num_cpus": num_cpus, "sec": dt,
+                      "cells_per_sec": cells / dt}))
+
+
+def main_scaling(sf_dir: str) -> dict:
+    # pre-generate the world so neither leg pays generation cost
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    _bench_world()
+    import ray
+    ray.shutdown()
+
+    legs = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_ADDRESS="local")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-child", str(n)],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = [l for l in p.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        legs[n] = json.loads(line)
+    thr8, thr32 = legs[8]["cells_per_sec"], legs[32]["cells_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "zonal+aez cells/sec scaling, num_cpus 8 vs 32",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"sec_cpus8": round(legs[8]["sec"], 3),
+                    "sec_cpus32": round(legs[32]["sec"], 3)},
+        "throughput_cpus8": round(thr8, 1),
+        "throughput_cpus32": round(thr32, 1),
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling-child" in sys.argv:
+        _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(main_scaling(sf_dir)))
+    else:
+        print(json.dumps(main_bench(sf_dir, num_cpus)))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()

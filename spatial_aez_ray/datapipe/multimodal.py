@@ -1,0 +1,132 @@
+"""Multimodal (binary-payload) column processing.
+
+Treats media as opaque ``binary`` columns with typed metadata, the
+way the spatial engine treats raster tiles (model.py MEDIA_SCHEMA).
+The image/audio codec libraries are NOT in this container, so the
+actual decode is STUBBED (deterministic fake, clearly marked), but all
+the Ray-side plumbing — schema, actor-pool stage signature, batch
+sizing, output layout — is real and tested.
+
+* ``make_media_table``   — derive a (doc_id, media, media_type, n_bytes)
+                           binary-column table from the documents table
+                           (UTF-8 payloads stand in for image bytes).
+* ``StubImageDecoder``   — actor-pool ``map_batches`` stage shaped like
+                           a real decoder: per-actor "codec init" in
+                           __init__, per-batch decode in __call__.
+                           ``decode_real`` raises NotImplementedError
+                           (no PIL/libjpeg here); ``_decode_fake`` is
+                           the deterministic stand-in: byte histogram →
+                           16-bin "feature vector" + fake (w, h).
+* ``media_features``     — the end-to-end pipeline over the stub.
+
+At 100 TB: payload batches must be SMALL (batch_size counts rows, not
+bytes — 1 MB images × 4096-row default batch = 4 GB per batch heap).
+``media_features`` sets batch_size explicitly from a payload budget,
+the pattern to keep.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_BATCH_BYTES = 64 << 20  # per-batch payload budget
+
+
+def make_media_table(sf_dir: str) -> ray.data.Dataset:
+    """documents → binary media column (text bytes as stand-in
+    payload) + typed metadata."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/fake"] * batch.num_rows),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+class StubImageDecoder:
+    """Actor-pool decode stage. Real decoders load their codec once per
+    actor here (model weights, libjpeg handles, ffmpeg contexts) —
+    the __init__/__call__ split is the load-bearing part."""
+
+    N_BINS = 16
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32)):
+        # real impl: self.codec = PIL/torchvision/ffmpeg init (once)
+        self.target_size = target_size
+        self.edges = np.linspace(0, 256, self.N_BINS + 1)
+
+    def decode_real(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "plug PIL.Image.open/ffmpeg here on a real cluster")
+
+    def _decode_fake(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """Deterministic stand-in: 16-bin byte histogram as the
+        'pixel' feature; fake dimensions derived from content hash."""
+        b = np.frombuffer(payload, dtype=np.uint8)
+        hist, _ = np.histogram(b, bins=self.edges)
+        h = hashlib.md5(payload).digest()
+        w, ht = 16 + h[0] % 240, 16 + h[1] % 240
+        return hist.astype(np.int64), w, ht
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ws, hs = [], [], []
+        for p in batch["media"].to_pylist():
+            f, w, h = self._decode_fake(p)
+            feats.append(f)
+            ws.append(w)
+            hs.append(h)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": batch["n_bytes"],
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "feature": pa.array(
+                feats, pa.list_(pa.int64(), self.N_BINS)),
+        })
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """media table → decoded feature rows. Batch size derived from the
+    payload budget (rows ≈ budget / avg payload), the multimodal batch
+    sizing rule."""
+    media = make_media_table(sf_dir)
+    # sf docs are ~300 B; a real image pipeline would probe avg size
+    avg_payload = 512
+    batch_size = max(32, min(4096, MEDIA_BATCH_BYTES // avg_payload))
+    feats = media.map_batches(
+        StubImageDecoder, fn_constructor_kwargs={},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4))
+    out = feats.to_pandas()
+    out["feat_sum"] = [int(np.sum(f)) for f in out["feature"]]
+    out = out.drop(columns=["feature"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MEDIA_BYTES_SQL = """
+SELECT doc_id, strlen(text) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def media_bytes(sf_dir: str) -> pd.DataFrame:
+    """SQL-verifiable slice of the media pipeline: payload byte counts
+    straight off the binary column."""
+    media = make_media_table(sf_dir)
+    out = media.select_columns(["doc_id", "n_bytes"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,346 @@
+"""Generic relational pipelines over the star-schema parquet tables.
+
+These exercise the engine's core distributed primitives on ordinary
+tabular data, mirroring the spatial pipelines' patterns
+(SURVEY.md §2.5/§2.4):
+
+* ``pricing_summary``  — partial-aggregate-before-shuffle grouped sum
+  (the A1 zonal-sum pattern: per-batch combiner inside ``map_batches``,
+  then a tiny ``groupby`` over pre-reduced keys; raw rows never shuffle).
+* ``revenue_by_nation`` — broadcast hash join (J2 pattern: the small
+  dimension side is ``ray.put`` once and probed per batch; no shuffle
+  join for a 25-row table).
+* ``region_rollup_revenue`` — one-to-many broadcast rollup (J3/A4).
+* ``top_orders`` — distributed sort + limit (O1).
+* ``events_daily`` / ``events_type_stats`` — time-bucketed and
+  categorical grouped aggregates over the event stream table.
+* ``filter_parts`` — predicate + projection pushdown at the read.
+
+Exact-match discipline: every money/quantity column in the test data is
+2-decimal, so all sums are computed in integer cents/percent units
+(int64, order-independent and exactly associative) and divided back to
+float at the very end — bit-identical to the DuckDB oracle regardless
+of parallel reduction order (SURVEY.md §7.4 float-determinism note).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kw)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """2-decimal double -> exact int64 cents."""
+    a = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return np.round(a * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — TPC-H-Q1-shaped grouped sums with per-batch partials
+# ---------------------------------------------------------------------------
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: reduce ~thousands of rows to <=6 key rows
+    before the shuffle (A1 partial phase, extract_country_data.py:59-71
+    semantics re-expressed)."""
+    df = pd.DataFrame({
+        "l_returnflag": batch["l_returnflag"].to_pandas(),
+        "l_linestatus": batch["l_linestatus"].to_pandas(),
+        "qty": _cents(batch["l_quantity"]) // 100,
+        "price_c": _cents(batch["l_extendedprice"]),
+        # disc_price in 1e-4 units: cents * (100 - discount_pct)
+        "disc_u": _cents(batch["l_extendedprice"])
+                  * (100 - _cents(batch["l_discount"])),
+        "n": np.ones(batch.num_rows, dtype=np.int64),
+    })
+    g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+           .sum(numeric_only=True))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    agg = (ds.map_batches(_q1_partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty", alias_name="qty"),
+                        Sum("price_c", alias_name="price_c"),
+                        Sum("disc_u", alias_name="disc_u"),
+                        Sum("n", alias_name="n")))
+    out = agg.to_pandas()
+    out["sum_qty"] = out.pop("qty").astype(np.int64) * 1.0
+    out["sum_price"] = out.pop("price_c").astype(np.int64) / 100.0
+    out["sum_disc_price"] = out.pop("disc_u").astype(np.int64) / 10000.0
+    out["row_cnt"] = out.pop("n").astype(np.int64)
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+               .reset_index(drop=True))
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity) AS BIGINT)) * 1.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS sum_disc_price,
+       COUNT(*) AS row_cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — broadcast hash join, dimension side shipped once
+# ---------------------------------------------------------------------------
+
+class _RevenueJoiner:
+    """Actor-pool stage holding the broadcast dimension maps
+    (custkey->nationkey, nationkey->name) built ONCE per actor from
+    object-store refs — the J2 broadcast-small-side pattern
+    (SURVEY.md §2.4; the reference's analog is admin_names.py lookup)."""
+
+    def __init__(self, cust_ref, nation_ref):
+        import ray
+        ckey, cnat = ray.get(cust_ref)
+        self.cust2nat = dict(zip(ckey, cnat))
+        nkey, nname = ray.get(nation_ref)
+        self.nat_name = dict(zip(nkey, nname))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nat = np.array([self.cust2nat.get(k, -1)
+                        for k in batch["o_custkey"].to_numpy()])
+        rev = _cents(batch["o_totalprice"])
+        df = pd.DataFrame({"nk": nat, "rev_c": rev,
+                           "n": np.ones(len(nat), dtype=np.int64)})
+        g = df.groupby("nk", as_index=False).sum()
+        g["n_name"] = [self.nat_name.get(int(k), "") for k in g["nk"]]
+        return pa.Table.from_pandas(g[["nk", "n_name", "rev_c", "n"]],
+                                    preserve_index=False)
+
+
+def _dim_refs(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    cust_ref = ray.put((cust["c_custkey"].to_pylist(),
+                        cust["c_nationkey"].to_pylist()))
+    nation_ref = ray.put((nation["n_nationkey"].to_pylist(),
+                          nation["n_name"].to_pylist()))
+    nat2reg = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_regionkey"].to_pylist()))
+    return cust_ref, nation_ref, nat2reg
+
+
+def _revenue_by_nationkey(sf_dir: str) -> pd.DataFrame:
+    cust_ref, nation_ref, _ = _dim_refs(sf_dir)
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (ds.map_batches(_RevenueJoiner,
+                          fn_constructor_kwargs={"cust_ref": cust_ref,
+                                                 "nation_ref": nation_ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+             .groupby(["nk", "n_name"])
+             .aggregate(Sum("rev_c", alias_name="rev_c"),
+                        Sum("n", alias_name="n")))
+    return agg.to_pandas()
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    out = _revenue_by_nationkey(sf_dir)
+    out = out[out["nk"] >= 0].copy()
+    out["revenue"] = out.pop("rev_c").astype(np.int64) / 100.0
+    out["order_cnt"] = out.pop("n").astype(np.int64)
+    out = out.drop(columns=["nk"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# region_rollup_revenue — one-to-many rollup (A4 region pattern)
+# ---------------------------------------------------------------------------
+
+def region_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """Nation revenues rolled up to regions on the driver — the A4
+    pattern: the grouped result is tiny (25 rows), so the rollup join
+    runs driver-side exactly like extract_country_data.py:254-263."""
+    import pyarrow.parquet as pq
+    per_nat = _revenue_by_nationkey(sf_dir)
+    per_nat = per_nat[per_nat["nk"] >= 0]
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat2reg = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    reg_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    acc: dict[str, list[int]] = {}
+    for _, row in per_nat.iterrows():
+        rname = reg_name[nat2reg[int(row["nk"])]]
+        cur = acc.setdefault(rname, [0, 0])
+        cur[0] += int(row["rev_c"])
+        cur[1] += int(row["n"])
+    out = pd.DataFrame({"r_name": list(acc),
+                        "revenue": [v[0] / 100.0 for v in acc.values()],
+                        "order_cnt": [v[1] for v in acc.values()]})
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+REGION_ROLLUP_REVENUE_SQL = """
+SELECT r_name,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_orders — sort + limit
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+             .limit(k).to_pandas())
+    return top.reset_index(drop=True)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# events — time-bucketed + categorical grouped aggregates
+# ---------------------------------------------------------------------------
+
+def _events_partial(batch: pa.Table) -> pa.Table:
+    day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                  pa.timestamp("us"))
+    df = pd.DataFrame({"day": day.to_pandas(),
+                       "val_c": _cents(batch["value"]),
+                       "n": np.ones(batch.num_rows, dtype=np.int64)})
+    g = df.groupby("day", as_index=False).sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    agg = (ds.map_batches(_events_partial, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("val_c", alias_name="val_c"),
+                        Sum("n", alias_name="n")))
+    out = agg.to_pandas()
+    out["event_day"] = pd.to_datetime(out.pop("day")).dt.strftime("%Y-%m-%d")
+    out["sum_value"] = out.pop("val_c").astype(np.int64) / 100.0
+    out["event_cnt"] = out.pop("n").astype(np.int64)
+    return (out[["event_day", "sum_value", "event_cnt"]]
+            .sort_values("event_day").reset_index(drop=True))
+
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       COUNT(*) AS event_cnt
+FROM events GROUP BY event_day ORDER BY event_day
+"""
+
+
+def events_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "val_c": _cents(batch["value"]),
+                           "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby("event_type", as_index=False).agg(
+            val_c=("val_c", "sum"), n=("n", "sum"),
+            min_c=("val_c", "min"), max_c=("val_c", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("val_c", alias_name="val_c"),
+                        Sum("n", alias_name="n"),
+                        Min("min_c", alias_name="min_c"),
+                        Max("max_c", alias_name="max_c")))
+    out = agg.to_pandas()
+    out["sum_value"] = out.pop("val_c").astype(np.int64) / 100.0
+    out["event_cnt"] = out.pop("n").astype(np.int64)
+    out["min_value"] = out.pop("min_c").astype(np.int64) / 100.0
+    out["max_value"] = out.pop("max_c").astype(np.int64) / 100.0
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       COUNT(*) AS event_cnt,
+       MIN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS min_value,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter_parts — predicate + projection pruned at the read (S4 analog)
+# ---------------------------------------------------------------------------
+
+def filter_parts(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pds
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_size", "p_retailprice"],
+        filter=pds.field("p_size") >= 25)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"p_brand": batch["p_brand"].to_pandas(),
+                           "price_c": _cents(batch["p_retailprice"]),
+                           "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby("p_brand", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("p_brand")
+             .aggregate(Sum("price_c", alias_name="price_c"),
+                        Sum("n", alias_name="n")))
+    out = agg.to_pandas()
+    out["sum_retailprice"] = out.pop("price_c").astype(np.int64) / 100.0
+    out["part_cnt"] = out.pop("n").astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+FILTER_PARTS_SQL = """
+SELECT p_brand,
+       SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0
+           AS sum_retailprice,
+       COUNT(*) AS part_cnt
+FROM part WHERE p_size >= 25
+GROUP BY p_brand ORDER BY p_brand
+"""

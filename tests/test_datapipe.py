@@ -1,0 +1,136 @@
+"""datapipe operators vs DuckDB oracles + invariants (sf0.001)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF}/lineitem.parquet"), reason="no testdata")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _assert_match(mine: pd.DataFrame, sql: str, con) -> None:
+    oracle = con.execute(sql).fetchdf()
+    a, b = _canon(mine), _canon(oracle)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating):
+            assert np.array_equal(av.astype(float), bv.astype(float)), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_pricing_summary_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.pricing_summary(SF),
+                  relational.PRICING_SUMMARY_SQL, con)
+
+
+def test_revenue_by_nation_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.revenue_by_nation(SF),
+                  relational.REVENUE_BY_NATION_SQL, con)
+
+
+def test_events_daily_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.events_daily(SF),
+                  relational.EVENTS_DAILY_SQL, con)
+
+
+def test_token_and_quality_exact(con):
+    from spatial_aez_ray.datapipe import text
+    _assert_match(text.token_stats(SF), text.TOKEN_STATS_SQL, con)
+    _assert_match(text.quality_scores(SF), text.QUALITY_SCORES_SQL, con)
+
+
+def test_exact_dedup_matches_sql_and_is_idempotent(con):
+    from spatial_aez_ray.datapipe import dedup
+    mine = dedup.exact_dedup(SF)
+    _assert_match(mine, dedup.EXACT_DEDUP_SQL, con)
+    # survivors are unique doc_ids; dup counts >= 1
+    assert mine["doc_id"].is_unique
+    assert (mine["dup_cnt"] >= 1).all()
+
+
+def test_ann_topk_matches_numpy_oracle():
+    """Brute-force distributed top-k == single-process numpy top-k."""
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.ann_topk(SF, n_queries=3, k=5)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array([np.asarray(v) for v in
+                  t["embedding"].to_pylist()], dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(3):
+        cos = mn @ mn[qi]
+        order = [int(ids[i]) for i in np.lexsort((ids, -cos))
+                 if ids[i] != ids[qi]][:5]
+        got = list(mine[mine["query_id"] == ids[qi]]
+                   .sort_values("rank")["neighbor_id"])
+        assert got == order, f"query {ids[qi]}"
+
+
+def test_minhash_lsh_finds_exact_dups_and_keeps_distinct():
+    """LSH near-dup detection must (a) bucket identical texts together,
+    (b) never merge everything into one component."""
+    from spatial_aez_ray.datapipe import dedup
+    surv = dedup.minhash_lsh_dedup(SF)
+    exact = dedup.exact_dedup(SF)
+    # exact dups are trivially near-dups: survivors <= exact survivors
+    assert len(surv) <= len(exact)
+    assert len(surv) > 1
+    assert surv["component_size"].sum() == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+
+
+def test_simhash_pairs_are_symmetric_unique():
+    from spatial_aez_ray.datapipe import dedup
+    pairs = dedup.simhash_dedup(SF)
+    assert (pairs["doc_lo"] < pairs["doc_hi"]).all()
+    assert not pairs.duplicated(["doc_lo", "doc_hi"]).any()
+
+
+def test_media_features_schema_and_determinism():
+    from spatial_aez_ray.datapipe import multimodal
+    a = multimodal.media_features(SF)
+    b = multimodal.media_features(SF)
+    assert list(a.columns) == ["doc_id", "n_bytes", "width", "height",
+                               "feat_sum"]
+    pd.testing.assert_frame_equal(a, b)
+    # the fake decode's histogram covers every byte exactly once
+    assert (a["feat_sum"] == a["n_bytes"]).all()
+
+
+def test_stub_decoder_real_path_raises():
+    from spatial_aez_ray.datapipe.multimodal import StubImageDecoder
+    with pytest.raises(NotImplementedError):
+        StubImageDecoder().decode_real(b"\xff\xd8\xff")
