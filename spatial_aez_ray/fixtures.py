@@ -58,9 +58,15 @@ class WorldSpec:
     def grid(self, name: str) -> GridSpec:
         return self.g1 if name == "g1" else self.g3
 
+    #: bump when the on-disk document/media format changes so cached
+    #: worlds under /tmp regenerate (v2: zero-padded media_ref)
+    FORMAT_VERSION = 2
+
     @property
     def path(self) -> str:
-        return os.path.join(WORLDS_ROOT, f"{self.name}-sc{self.scale}-s{self.seed}")
+        return os.path.join(
+            WORLDS_ROOT,
+            f"{self.name}-sc{self.scale}-s{self.seed}-v{self.FORMAT_VERSION}")
 
     # snap tolerance (degrees) ≈ 1.6 pixel diagonals per grid, enough to
     # catch the 1-px coastal dilation at that grid's resolution

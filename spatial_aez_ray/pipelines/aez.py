@@ -92,7 +92,16 @@ def add_tile_key(batch: pa.Table) -> pa.Table:
 
 
 class AezTileKernel:
-    """map_groups callable: one co-keyed tile group -> AEZ partials."""
+    """Batched map_batches callable over the driver dataset's ("kg")
+    tile documents. The 4-raster align-join (SURVEY.md §2.4 J4) needs
+    NO shuffle: doc_id / media_ref embed the tile key, so the sibling
+    datasets' payload refs are *derived* from the driver tile's
+    coordinates (the co-partitioning contract of the cell-prefix
+    addressing scheme — mirroring the reference's co-windowed reads,
+    process_imagery.py:252-272) and fetched in one batched MediaStore
+    call per map_batches batch. This replaced a
+    groupby(tile_key).map_groups join: identical partials, one less
+    all-to-all exchange, and media reads amortize over the batch."""
 
     def __init__(self, world_path: str, index: PolygonIndex, g1, g3):
         self.media = MediaStore(world_path)
@@ -100,65 +109,75 @@ class AezTileKernel:
         self.g1 = g1
         self.g3 = g3
 
-    def _decode_group(self, group: pa.Table):
-        """Gather per-dataset band arrays for the group's tile."""
-        metas, refs_by_ds = {}, {}
-        for row in group.to_pylist():
-            ds_name = row["doc_id"].split("/", 1)[0]
-            meta, refs = None, []
-            for s in sorted(row["spans"], key=lambda s: s["offset"]):
+    def _sibling_refs(self, ty: int, tx: int) -> dict[str, list[str]]:
+        from ..fixtures import DATASET_BANDS, DATASET_GRID
+        from .. import model
+        return {ds_name: [
+            model.media_ref(ds_name, DATASET_GRID[ds_name], ty, tx, b)
+            for b in range(1, DATASET_BANDS[ds_name] + 1)]
+            for ds_name in AEZ_DATASETS}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # pass 1: parse driver metas, compute claims, derive all refs
+        tiles = []
+        all_refs: list[str] = []
+        for spans in batch.column("spans").to_pylist():
+            meta = None
+            for s in spans:
                 if s["kind"] == "meta":
                     meta = json.loads(s["text"])
-                elif s["kind"] == "media":
-                    refs.append(s["media_ref"])
-            metas[ds_name] = meta
-            refs_by_ds[ds_name] = refs
-        return metas, refs_by_ds
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        metas, refs_by_ds = self._decode_group(group)
-        any_meta = next(iter(metas.values()))
-        ty, tx = any_meta["tile_y"], any_meta["tile_x"]
-        x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
-        claims = self.index.assign_tile(self.g1, ty, tx)
-        if not claims:
+                    break
+            claims = self.index.assign_tile(
+                self.g1, meta["tile_y"], meta["tile_x"])
+            if not claims:
+                continue
+            refs_by_ds = self._sibling_refs(meta["tile_y"], meta["tile_x"])
+            tiles.append((meta, refs_by_ds, claims))
+            for rs in refs_by_ds.values():
+                all_refs.extend(rs)
+        if not tiles:
             return PARTIAL_SCHEMA.empty_table()
-
-        all_refs = [r for rs in refs_by_ds.values() for r in rs]
-        payloads = self.media.fetch(all_refs)
-
-        def band(ds_name: str, i: int, nodata: int, g1_shape=True):
-            refs = refs_by_ds.get(ds_name)
-            shape = (nr1, nc1) if g1_shape else (nr1 * 3, nc1 * 3)
-            if not refs:
-                return np.full(shape, nodata, dtype=np.uint8)
-            return np.frombuffer(payloads[refs[i]], dtype=np.uint8).reshape(shape)
-
-        kg_blk = upsample3(band("kg", 0, 0))
-        regime = populate_tmr(kg_blk)
-        sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
-        slope = populate_slope(sl_bands)
-        lc_blk = band("lc", 0, 210, g1_shape=False)
-        land_use = populate_land_use(lc_blk)
-        wk_blk = upsample3(band("wk", 0, 0))
-        soil = populate_soil_health(wk_blk)
+        # ONE batched, footer-pruned media fetch per map_batches call
+        payloads = self.media.fetch(all_refs, strict=False)
 
         admins, clss, km2s, fidxs, tys, txs, seqs = [], [], [], [], [], [], []
-        for fidx, admin, mask in claims:
-            k = km2_block(nr1, nc1, y1, self.g1)
-            k[np.logical_not(mask)] = 0.0
-            km2_blk = upsample3(k) / 9.0
-            seq = 0
-            for tmr in TMR_NAMES:
-                n = 1
-                for aez in yield_aezs(regime, tmr, slope, land_use, soil):
-                    admins.append(admin)
-                    clss.append(f"{tmr}|AEZ{n}")
-                    km2s.append((aez * km2_blk).sum())
-                    fidxs.append(fidx); tys.append(ty); txs.append(tx)
-                    seqs.append(seq)
-                    seq += 1
-                    n += 1
+        for meta, refs_by_ds, claims in tiles:
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
+
+            def band(ds_name: str, i: int, nodata: int, g1_shape=True):
+                refs = refs_by_ds.get(ds_name)
+                shape = (nr1, nc1) if g1_shape else (nr1 * 3, nc1 * 3)
+                if not refs or refs[i] not in payloads:
+                    return np.full(shape, nodata, dtype=np.uint8)
+                return np.frombuffer(payloads[refs[i]],
+                                     dtype=np.uint8).reshape(shape)
+
+            kg_blk = upsample3(band("kg", 0, 0))
+            regime = populate_tmr(kg_blk)
+            sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
+            slope = populate_slope(sl_bands)
+            lc_blk = band("lc", 0, 210, g1_shape=False)
+            land_use = populate_land_use(lc_blk)
+            wk_blk = upsample3(band("wk", 0, 0))
+            soil = populate_soil_health(wk_blk)
+
+            km2_tile = km2_block(nr1, nc1, y1, self.g1)
+            for fidx, admin, mask in claims:
+                k = km2_tile.copy()
+                k[np.logical_not(mask)] = 0.0
+                km2_blk = upsample3(k) / 9.0
+                seq = 0
+                for tmr in TMR_NAMES:
+                    n = 1
+                    for aez in yield_aezs(regime, tmr, slope, land_use, soil):
+                        admins.append(admin)
+                        clss.append(f"{tmr}|AEZ{n}")
+                        km2s.append((aez * km2_blk).sum())
+                        fidxs.append(fidx); tys.append(ty); txs.append(tx)
+                        seqs.append(seq)
+                        seq += 1
+                        n += 1
         return pa.Table.from_arrays([
             pa.array(admins, pa.string()), pa.array(clss, pa.string()),
             pa.array(km2s, pa.float64()), pa.array(fidxs, pa.int32()),
@@ -168,19 +187,18 @@ class AezTileKernel:
 
 
 def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
-                    concurrency: int | tuple = (1, 4)):
+                    concurrency: int | tuple = (1, 4), batch_size: int = 8):
     if index is None:
         index = build_zonal_index(world_path)
     g1 = world_grid(world_path, "g1")
     g3 = world_grid(world_path, "g3")
-    docs = read_documents(world_path, list(AEZ_DATASETS),
-                          columns=["doc_id", "spans"])
-    keyed = docs.map_batches(add_tile_key, batch_format="pyarrow")
-    return keyed.groupby("tile_key").map_groups(
+    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"])
+    return docs.map_batches(
         AezTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "index": index,
                                "g1": g1, "g3": g3},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def aez_stats(world_path: str, *, index: PolygonIndex | None = None,

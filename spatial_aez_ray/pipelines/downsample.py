@@ -1,0 +1,159 @@
+"""Windowed histogram downsample + thumbnail pipelines.
+
+* ``downsample_histogram`` — the S9/A5 operator
+  (/root/reference/data/geomorpho90m/classify_slope.py:36-98, the
+  offline importer that converts fine tiles into a coarse multi-band
+  class-count raster): each fine (G3) tile is reduced to its parent
+  coarse (G1) tile where band ``b`` holds the count of the 3×3 child
+  window's pixels falling in class-bin ``b``, plus a final band =
+  ``floor(mean)`` of the window (classify_slope.py:82). The G3 tile
+  edge is exactly 3× the G1 edge, so the reduction is tile-local —
+  a stateless ``map_batches``, no shuffle at all.
+* ``thumbnail_tiles`` — the S8 PNG-thumbnail analog
+  (/root/reference/process_imagery.py:500-508, 1% nearest-neighbour
+  downsample): stride-subsampled small tile documents of any dataset.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import model
+from ..sources.documents import MediaStore, read_documents
+from .extract import world_grid
+
+#: class-value bin edges (inclusive lo, exclusive hi) mirroring the
+#: reference's GAEZ slope bins shape; over LCCS codes we bin by the
+#: code ranges of the land-use families.
+DEFAULT_BINS: list[tuple[int, int]] = [
+    (0, 10), (10, 40), (40, 100), (100, 130),
+    (130, 160), (160, 200), (200, 210), (210, 256),
+]
+
+
+def window_histogram(child: np.ndarray, factor: int,
+                     bins: list[tuple[int, int]]) -> np.ndarray:
+    """(H, W) uint8 -> (len(bins)+1, H/f, W/f): per-window bin counts +
+    floor(mean) band, vectorized over all windows at once (the
+    reference loops windows python-side, classify_slope.py:65-84; we
+    reshape to (h, f, w, f) and reduce)."""
+    h, w = child.shape
+    oh, ow = h // factor, w // factor
+    win = child[:oh * factor, :ow * factor].reshape(oh, factor, ow, factor)
+    out = np.empty((len(bins) + 1, oh, ow), dtype=np.uint8)
+    for b, (lo, hi) in enumerate(bins):
+        out[b] = np.logical_and(win >= lo, win < hi).sum(axis=(1, 3))
+    out[-1] = np.floor(win.astype(np.float64).mean(axis=(1, 3))).astype(np.uint8)
+    return out
+
+
+class HistogramDownsampler:
+    """Stateless-per-batch, stateful-per-actor (MediaStore handle) tile
+    reducer: G3 doc -> parent G1 multiband histogram doc."""
+
+    def __init__(self, world_path: str, dataset: str, factor: int = 3,
+                 bins: list[tuple[int, int]] | None = None):
+        self.media = MediaStore(world_path)
+        self.dataset = dataset
+        self.factor = factor
+        self.bins = bins or DEFAULT_BINS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            meta = model.parse_meta(row["spans"])
+            refs = model.media_refs(row["spans"])
+            payloads = self.media.fetch(refs)
+            child = model.decode_tile(payloads[refs[0]],
+                                      meta["nrows"], meta["ncols"])
+            hist = window_histogram(child, self.factor, self.bins)
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            nbands = hist.shape[0]
+            doc = model.make_document(
+                f"{self.dataset}_hist", "g1", ty, tx,
+                meta["x_off"] // self.factor, meta["y_off"] // self.factor,
+                hist.shape[2], hist.shape[1], bands=nbands, nodata=255)
+            for b in range(nbands):
+                rows.append({"doc_id": doc["doc_id"], "spans": doc["spans"],
+                             "media_ref": model.media_ref(
+                                 f"{self.dataset}_hist", "g1", ty, tx, b + 1),
+                             "payload": model.encode_tile(hist[b])})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("spans", pa.list_(model.SPAN_TYPE)),
+            ("media_ref", pa.string()), ("payload", pa.binary())]))
+
+
+def downsample_histogram(world_path: str, dataset: str = "lc", *,
+                         factor: int = 3,
+                         bins: list[tuple[int, int]] | None = None,
+                         concurrency: int | tuple = (1, 4)):
+    """Lazy Dataset of parent-tile histogram documents (one row per
+    output band, sibling media rows inline)."""
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    return docs.map_batches(
+        HistogramDownsampler,
+        fn_constructor_kwargs={"world_path": world_path, "dataset": dataset,
+                               "factor": factor, "bins": bins},
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+def downsample_summary(world_path: str, dataset: str = "lc", *,
+                       factor: int = 3) -> pd.DataFrame:
+    """Deterministic summary of the downsample output (for driver-gate
+    and golden tests): per output band, number of tiles + payload sum."""
+    ds = downsample_histogram(world_path, dataset, factor=factor)
+    pdf = ds.to_pandas()
+    band = pdf["media_ref"].str.rsplit("b", n=1).str[-1].astype(int)
+    psum = pdf["payload"].map(lambda p: int(np.frombuffer(p, np.uint8)
+                                            .astype(np.int64).sum()))
+    out = (pd.DataFrame({"band": band, "payload_sum": psum,
+                         "n_tiles": np.ones(len(pdf), dtype=np.int64)})
+           .groupby("band", as_index=False).sum())
+    return out.sort_values("band").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# thumbnails (S8)
+# ---------------------------------------------------------------------------
+
+class Thumbnailer:
+    """Stride-subsample each tile by ``stride`` (nearest-neighbour, the
+    gdal_translate -outsize 1% analog) into a thumbnail document."""
+
+    def __init__(self, world_path: str, stride: int = 8):
+        self.media = MediaStore(world_path)
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs_out, payloads_out, ws, hs = [], [], [], [], []
+        for row in batch.to_pylist():
+            meta = model.parse_meta(row["spans"])
+            refs = model.media_refs(row["spans"])
+            payloads = self.media.fetch(refs[:1])
+            tile = model.decode_tile(payloads[refs[0]],
+                                     meta["nrows"], meta["ncols"])
+            thumb = np.ascontiguousarray(
+                tile[:: self.stride, :: self.stride])
+            ids.append(row["doc_id"] + "/thumb")
+            refs_out.append(refs[0] + "/thumb")
+            payloads_out.append(thumb.tobytes())
+            hs.append(thumb.shape[0])
+            ws.append(thumb.shape[1])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "media_ref": pa.array(refs_out, pa.string()),
+                         "payload": pa.array(payloads_out, pa.binary()),
+                         "nrows": pa.array(hs, pa.int32()),
+                         "ncols": pa.array(ws, pa.int32())})
+
+
+def thumbnail_tiles(world_path: str, dataset: str, *, stride: int = 8,
+                    concurrency: int | tuple = (1, 4)):
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    return docs.map_batches(
+        Thumbnailer,
+        fn_constructor_kwargs={"world_path": world_path, "stride": stride},
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)

@@ -34,7 +34,7 @@ from ..constants import (
 from ..geo import upsample3
 from ..sources.documents import MediaStore, read_documents
 from .aez import (
-    AEZ_DATASETS, add_tile_key, populate_land_use, populate_slope,
+    AEZ_DATASETS, populate_land_use, populate_slope,
     populate_soil_health, populate_tmr, yield_aezs,
 )
 from .extract import world_grid
@@ -94,62 +94,75 @@ def render_arrays(kg_blk, sl_bands, lc_blk, wk_blk) -> dict[str, np.ndarray]:
 
 
 class RenderTileKernel:
-    """map_groups callable: tile group -> 4 rendered tile documents."""
+    """Batched map_batches callable: driver ("kg") tile docs -> 4
+    rendered tile documents per tile; sibling refs derived from the
+    tile key, one batched MediaStore fetch per map_batches batch."""
 
     def __init__(self, world_path: str, g1, g3):
         self.media = MediaStore(world_path)
         self.g1 = g1
         self.g3 = g3
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        metas, refs_by_ds = {}, {}
-        for row in group.to_pylist():
-            ds_name = row["doc_id"].split("/", 1)[0]
-            for s in sorted(row["spans"], key=lambda s: s["offset"]):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import DATASET_BANDS, DATASET_GRID
+        metas = []
+        refs_by_tile = []
+        all_refs: list[str] = []
+        for spans in batch.column("spans").to_pylist():
+            meta = None
+            for s in spans:
                 if s["kind"] == "meta":
-                    metas[ds_name] = json.loads(s["text"])
-                elif s["kind"] == "media":
-                    refs_by_ds.setdefault(ds_name, []).append(s["media_ref"])
-        any_meta = next(iter(metas.values()))
-        ty, tx = any_meta["tile_y"], any_meta["tile_x"]
-        x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
-        x3, y3, nc3, nr3 = self.g3.tile_window(ty, tx)
-        payloads = self.media.fetch([r for rs in refs_by_ds.values() for r in rs])
-
-        def band(ds_name, i, nodata, g1_shape=True):
-            refs = refs_by_ds.get(ds_name)
-            shape = (nr1, nc1) if g1_shape else (nr3, nc3)
-            if not refs:
-                return np.full(shape, nodata, dtype=np.uint8)
-            return np.frombuffer(payloads[refs[i]], dtype=np.uint8).reshape(shape)
-
-        kg_blk = upsample3(band("kg", 0, 0))
-        sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
-        lc_blk = band("lc", 0, 210, g1_shape=False)
-        wk_blk = upsample3(band("wk", 0, 0))
-        arrays = render_arrays(kg_blk, sl_bands, lc_blk, wk_blk)
+                    meta = json.loads(s["text"])
+                    break
+            refs_by_ds = {ds_name: [
+                model.media_ref(ds_name, DATASET_GRID[ds_name],
+                                meta["tile_y"], meta["tile_x"], b)
+                for b in range(1, DATASET_BANDS[ds_name] + 1)]
+                for ds_name in AEZ_DATASETS}
+            metas.append(meta)
+            refs_by_tile.append(refs_by_ds)
+            for rs in refs_by_ds.values():
+                all_refs.extend(rs)
+        payloads = self.media.fetch(all_refs, strict=False)
 
         rows = []
-        for product, arr in arrays.items():
-            doc = model.make_document(product, "g3", ty, tx, x3, y3, nc3, nr3,
-                                      bands=1, nodata=255)
-            ref = model.media_ref(product, "g3", ty, tx, 1)
-            rows.append({"doc_id": doc["doc_id"], "spans": doc["spans"],
-                         "media_ref": ref,
-                         "payload": model.encode_tile(arr)})
+        for meta, refs_by_ds in zip(metas, refs_by_tile):
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            x1, y1, nc1, nr1 = self.g1.tile_window(ty, tx)
+            x3, y3, nc3, nr3 = self.g3.tile_window(ty, tx)
+
+            def band(ds_name, i, nodata, g1_shape=True):
+                refs = refs_by_ds.get(ds_name)
+                shape = (nr1, nc1) if g1_shape else (nr3, nc3)
+                if not refs or refs[i] not in payloads:
+                    return np.full(shape, nodata, dtype=np.uint8)
+                return np.frombuffer(payloads[refs[i]],
+                                     dtype=np.uint8).reshape(shape)
+
+            kg_blk = upsample3(band("kg", 0, 0))
+            sl_bands = [upsample3(band("slope", i, 127)) for i in range(8)]
+            lc_blk = band("lc", 0, 210, g1_shape=False)
+            wk_blk = upsample3(band("wk", 0, 0))
+            arrays = render_arrays(kg_blk, sl_bands, lc_blk, wk_blk)
+
+            for product, arr in arrays.items():
+                doc = model.make_document(product, "g3", ty, tx, x3, y3,
+                                          nc3, nr3, bands=1, nodata=255)
+                ref = model.media_ref(product, "g3", ty, tx, 1)
+                rows.append({"doc_id": doc["doc_id"], "spans": doc["spans"],
+                             "media_ref": ref,
+                             "payload": model.encode_tile(arr)})
         return pa.Table.from_pylist(rows, schema=COMBINED_SCHEMA)
 
 
 def render_tiles_ds(world_path: str, *, concurrency: int | tuple = (1, 4)):
     g1 = world_grid(world_path, "g1")
     g3 = world_grid(world_path, "g3")
-    docs = read_documents(world_path, list(AEZ_DATASETS),
-                          columns=["doc_id", "spans"])
-    keyed = docs.map_batches(add_tile_key, batch_format="pyarrow")
-    return keyed.groupby("tile_key").map_groups(
+    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"])
+    return docs.map_batches(
         RenderTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "g1": g1, "g3": g3},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 
 class _RenderWriter:

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 
-import pyarrow.compute as pc
 import pyarrow.dataset as pds
 
 try:  # pragma: no cover - lance not available in this sandbox
@@ -63,34 +62,76 @@ def read_documents_table(world_path: str, datasets: list[str] | None = None):
 class MediaStore:
     """Payload fetch by media_ref, one instance per actor (ST1 analog:
     the reference keeps GDAL datasets open per process,
-    process_imagery.py:218-227; we keep pyarrow datasets open per actor).
+    process_imagery.py:218-227; we keep per-actor state: a per-file
+    min/max(media_ref) interval index built from parquet footers ONCE,
+    so a fetch touches only the part files that can contain its refs —
+    never a full-table scan. Kernels MUST batch all their refs into one
+    ``fetch`` call per map_batches batch; per-row fetches turn the
+    footer pruning into the dominant cost (measured 13× slower).
     """
+
+    # process-global footer-index cache: survives kernel re-instantiation
+    # (groupby().map_groups may construct the callable per group) —
+    # dir path -> list of (path, min_ref, max_ref)
+    _FILE_INDEX: dict[str, list[tuple[str, str, str]]] = {}
 
     def __init__(self, world_path: str):
         self._root = os.path.join(world_path, "media")
-        self._per_dataset: dict[str, pds.Dataset] = {}
 
     def _dataset_for(self, ref: str) -> str:
         # "mem://{dataset}/..." -> dataset
         return ref.split("//", 1)[1].split("/", 1)[0]
 
-    def fetch(self, refs: list[str]) -> dict[str, bytes]:
-        """Batch point-lookup of payloads; prunes to the datasets named
-        by the refs and filters row groups by media_ref statistics."""
+    def _index_for(self, ds_name: str) -> list[tuple[str, str, str]]:
+        cache_key = os.path.join(self._root, f"dataset={ds_name}")
+        idx = MediaStore._FILE_INDEX.get(cache_key)
+        if idx is None:
+            import pyarrow.parquet as pq
+            d = os.path.join(self._root, f"dataset={ds_name}")
+            idx = []
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(d, fname)
+                md = pq.read_metadata(path)
+                ref_i = md.schema.to_arrow_schema().get_field_index("media_ref")
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ref_i).statistics
+                    if st is None:  # no stats: conservative whole-range
+                        lo, hi = "", "\U0010ffff"
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                idx.append((path, lo or "", hi or "\U0010ffff"))
+            MediaStore._FILE_INDEX[cache_key] = idx
+        return idx
+
+    def fetch(self, refs: list[str], strict: bool = True) -> dict[str, bytes]:
+        """Batch point-lookup of payloads: refs grouped by dataset, then
+        by candidate part file via the interval index; one filtered
+        single-file read per touched file. ``strict=False`` returns only
+        the refs that exist (callers fill nodata for the rest)."""
+        import pyarrow.parquet as pq
         by_ds: dict[str, list[str]] = {}
         for r in refs:
             by_ds.setdefault(self._dataset_for(r), []).append(r)
         out: dict[str, bytes] = {}
         for ds_name, ds_refs in by_ds.items():
-            if ds_name not in self._per_dataset:
-                self._per_dataset[ds_name] = pds.dataset(
-                    os.path.join(self._root, f"dataset={ds_name}"))
-            t = self._per_dataset[ds_name].to_table(
-                filter=pc.field("media_ref").isin(ds_refs))
-            for ref, payload in zip(t.column("media_ref").to_pylist(),
-                                    t.column("payload").to_pylist()):
-                out[ref] = payload
-        missing = [r for r in refs if r not in out]
-        if missing:
-            raise KeyError(f"media refs not found: {missing[:3]}... ({len(missing)})")
+            by_file: dict[str, list[str]] = {}
+            for path, lo, hi in self._index_for(ds_name):
+                wanted = [r for r in ds_refs if lo <= r <= hi]
+                if wanted:
+                    by_file[path] = wanted
+            for path, wanted in by_file.items():
+                t = pq.read_table(
+                    path, filters=[("media_ref", "in", wanted)])
+                for ref, payload in zip(t.column("media_ref").to_pylist(),
+                                        t.column("payload").to_pylist()):
+                    out[ref] = payload
+        if strict:
+            missing = [r for r in refs if r not in out]
+            if missing:
+                raise KeyError(
+                    f"media refs not found: {missing[:3]}... ({len(missing)})")
         return out

@@ -71,6 +71,9 @@ class ZonalPartials:
         admins, clss, km2s = [], [], []
         fidxs, tys, txs, seqs = [], [], [], []
         spans_col = batch.column("spans").to_pylist()
+        # pass 1: parse metas, compute claims, gather every needed ref
+        parsed = []
+        all_refs: list[str] = []
         for spans in spans_col:
             meta = None
             refs = []
@@ -79,12 +82,20 @@ class ZonalPartials:
                     meta = json.loads(s["text"])
                 elif s["kind"] == "media":
                     refs.append(s["media_ref"])
-            ty, tx = meta["tile_y"], meta["tile_x"]
-            nrows, ncols = meta["nrows"], meta["ncols"]
-            claims = self.claims_for(ty, tx)
+            claims = self.claims_for(meta["tile_y"], meta["tile_x"])
             if not claims:
                 continue
-            payloads = self.media.fetch(refs)
+            parsed.append((meta, refs, claims))
+            all_refs.extend(refs)
+        if not parsed:
+            return pa.Table.from_arrays(
+                [pa.array([], t.type) for t in PARTIAL_SCHEMA],
+                schema=PARTIAL_SCHEMA)
+        # ONE batched media fetch per map_batches call (footer-pruned)
+        payloads = self.media.fetch(all_refs)
+        for meta, refs, claims in parsed:
+            ty, tx = meta["tile_y"], meta["tile_x"]
+            nrows, ncols = meta["nrows"], meta["ncols"]
             bands = [np.frombuffer(payloads[r], dtype=np.uint8)
                      .reshape(nrows, ncols) for r in refs]
             km2 = km2_block(nrows, ncols, meta["y_off"], self.grid)

@@ -16,7 +16,7 @@ def test_document_roundtrip_and_span_order():
     meta = model.parse_meta(row["spans"])
     assert meta["tile_y"] == 3 and meta["x_off"] == 448
     refs = model.media_refs(row["spans"])
-    assert refs == ["mem://kg/g1/3/7/b1", "mem://kg/g1/3/7/b2"]
+    assert refs == ["mem://kg/g1/00003/00007/b1", "mem://kg/g1/00003/00007/b2"]
     offsets = [s["offset"] for s in row["spans"]]
     assert offsets == sorted(offsets)
     kinds = [s["kind"] for s in row["spans"]]
