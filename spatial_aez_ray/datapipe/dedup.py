@@ -108,14 +108,31 @@ class MinHasher:
         self.rows = num_perm // bands
         self.k = shingle_k
 
+    _token_cache: dict[str, int] = {}
+
     def _shingles(self, text: str) -> np.ndarray:
+        """Unique k-shingle hashes. Tokens are md5-hashed once each
+        (per-actor cache — real corpora have vocab ≪ token stream);
+        shingle hash = vectorized mix of the k token hashes, so the
+        per-shingle cost is numpy, not hashlib."""
         toks = text.split()
         if len(toks) < self.k:
             toks = toks + [""] * (self.k - len(toks))
-        sh = {" ".join(toks[i:i + self.k])
-              for i in range(len(toks) - self.k + 1)}
-        return np.fromiter((np.uint64(_h64(s)) for s in sh),
-                           dtype=np.uint64, count=len(sh))
+        cache = MinHasher._token_cache
+        th = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = np.uint64(_h64(t))
+                cache[t] = h
+            th[i] = h
+        n_sh = len(toks) - self.k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n_sh, dtype=np.uint64)
+            mult = np.uint64(0x100000001B3)  # FNV prime as positional mixer
+            for j in range(self.k):
+                acc = (acc ^ th[j:j + n_sh]) * mult
+        return np.unique(acc)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self._shingles(text)
@@ -148,23 +165,38 @@ def hash_sig(sig: np.ndarray) -> int:
 
 
 _MAX_BUCKET = 256  # skew cap: deterministic truncation of hot buckets
+_N_COARSE = 64     # coarse partitions for the bucket shuffle
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (map_groups kernel).
-    Deterministic order; hot-bucket cap against quadratic blowup."""
-    ids = sorted(set(group["doc_id"]))
-    if len(ids) > _MAX_BUCKET:
-        ids = ids[:_MAX_BUCKET]
+def _add_coarse_part(batch: pa.Table) -> pa.Table:
+    """Coarse shuffle key: LSH bucket count is O(docs × bands), far too
+    many for one map_groups group each (measured 76k groups = pure
+    per-group overhead). Buckets are hash-folded into _N_COARSE
+    partitions; pair generation then runs vectorized per partition."""
+    part = (np.asarray(batch["band_key"].to_numpy(zero_copy_only=False))
+            .astype(np.uint64) % np.uint64(_N_COARSE)).astype(np.int32)
+    return batch.append_column("part", pa.array(part))
+
+
+def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All candidate pairs in one coarse partition: pandas groupby over
+    the real bucket key, deterministic order, hot-bucket cap."""
     lo, hi = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            lo.append(ids[i])
-            hi.append(ids[j])
+    for _, g in group.groupby("band_key", sort=True):
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2:
+            continue
+        if len(ids) > _MAX_BUCKET:
+            ids = ids[:_MAX_BUCKET]
+        a = np.array(ids)
+        iu, ju = np.triu_indices(len(a), k=1)
+        lo.append(a[iu])
+        hi.append(a[ju])
     if not lo:
         return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
                              "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})
-    return pd.DataFrame({"doc_lo": lo, "doc_hi": hi})
+    return pd.DataFrame({"doc_lo": np.concatenate(lo),
+                         "doc_hi": np.concatenate(hi)})
 
 
 def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
@@ -175,8 +207,9 @@ def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
                                           "bands": bands},
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = (sigs.groupby("band_key")
-                 .map_groups(_bucket_pairs, batch_format="pandas"))
+    pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(_partition_pairs, batch_format="pandas"))
     pdf = pairs.to_pandas().drop_duplicates()
     return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
 
@@ -219,21 +252,29 @@ class SimHasher:
     bits overall ⇒ at least one identical band) co-shuffle."""
 
     BANDS = 4
+    _token_bits: dict[str, np.ndarray] = {}
+
+    def _bits(self, tok: str) -> np.ndarray:
+        b = SimHasher._token_bits.get(tok)
+        if b is None:
+            h = np.uint64(_h64(tok))
+            b = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
+                .astype(np.int64) * 2 - 1
+            SimHasher._token_bits[tok] = b
+        return b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, sims, band_keys = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             toks = t.split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.uint64(_h64(tok))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sim = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sim |= (1 << bit)
+            if toks:
+                acc = np.sum([self._bits(tok) for tok in toks], axis=0)
+            else:
+                acc = np.zeros(64, dtype=np.int64)
+            bits_pos = (acc > 0).astype(np.uint64)
+            sim = int((bits_pos << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64))
             sim = np.int64(np.uint64(sim).astype(np.int64))
             for bi in range(self.BANDS):
                 band = (int(np.uint64(sim)) >> (16 * bi)) & 0xFFFF
@@ -245,28 +286,45 @@ class SimHasher:
                          "simhash": pa.array(np.array(sims, np.int64))})
 
 
-def _simhash_pairs(group: pd.DataFrame, max_dist: int = 3) -> pd.DataFrame:
-    uniq = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = list(uniq["doc_id"])
-    hs = [int(np.uint64(h)) for h in uniq["simhash"]]
+def _simhash_partition_pairs(group: pd.DataFrame,
+                             max_dist: int = 3) -> pd.DataFrame:
+    """Hamming-close pairs within one coarse partition, bucketed by the
+    real band key; popcount vectorized over each bucket's pair matrix."""
     lo, hi = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if bin(hs[i] ^ hs[j]).count("1") <= max_dist:
-                lo.append(ids[i])
-                hi.append(ids[j])
-    return pd.DataFrame({"doc_lo": pd.Series(lo, dtype=uniq["doc_id"].dtype),
-                         "doc_hi": pd.Series(hi, dtype=uniq["doc_id"].dtype)})
+    for _, g in group.groupby("band_key", sort=True):
+        uniq = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(uniq) < 2:
+            continue
+        if len(uniq) > _MAX_BUCKET:
+            uniq = uniq.iloc[:_MAX_BUCKET]
+        ids = uniq["doc_id"].to_numpy()
+        hs = uniq["simhash"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = hs[iu] ^ hs[ju]
+        dist = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = dist <= max_dist
+        lo.append(ids[iu[keep]])
+        hi.append(ids[ju[keep]])
+    if not lo:
+        return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
+                             "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})
+    return pd.DataFrame({"doc_lo": np.concatenate(lo),
+                         "doc_hi": np.concatenate(hi)})
 
 
 def simhash_dedup(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_dist, found via
-    band-bucket groupby (no all-pairs at scale)."""
+    band buckets folded into coarse partitions (no all-pairs at scale,
+    no per-bucket task overhead)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
                           concurrency=(1, 4))
-    pairs = (sigs.groupby("band_key")
-                 .map_groups(lambda g: _simhash_pairs(g, max_dist),
+    pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(lambda g: _simhash_partition_pairs(g, max_dist),
                              batch_format="pandas"))
     pdf = pairs.to_pandas().drop_duplicates()
     return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)

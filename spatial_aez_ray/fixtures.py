@@ -77,8 +77,9 @@ class WorldSpec:
 
 TINY = WorldSpec("tiny", 1)
 SMALL = WorldSpec("small", 4)
+MID = WorldSpec("mid", 8)
 BENCH = WorldSpec("bench", 16)
-PRESETS = {w.name: w for w in (TINY, SMALL, BENCH)}
+PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH)}
 
 
 # ---------------------------------------------------------------------------
