@@ -137,7 +137,7 @@ def _spatial_checkpoint_resume(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
-        dedup, multimodal, relational, simsearch, text,
+        dedup, multimodal, relational, simsearch, temporal, text,
     )
     q: dict[str, Callable[[str], Any]] = {
         # relational primitives (SQL-verified)
@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": relational.events_daily,
         "events_type_stats": relational.events_type_stats,
         "filter_parts": relational.filter_parts,
+        "events_sessionize": temporal.sessionize,
+        "events_asof_orders": temporal.asof_join_events_orders,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -187,8 +189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spatial_aez_ray.datapipe import dedup, multimodal, relational, text
+    from spatial_aez_ray.datapipe import (
+        dedup, multimodal, relational, temporal, text,
+    )
     return {
+        "events_sessionize": temporal.SESSIONIZE_SQL,
+        "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,

@@ -2,4 +2,4 @@
 relational primitives, dedup family, text analysis, similarity search,
 multimodal plumbing."""
 
-from . import dedup, multimodal, relational, simsearch, text  # noqa: F401
+from . import dedup, multimodal, relational, simsearch, temporal, text  # noqa: F401

@@ -134,3 +134,14 @@ def test_stub_decoder_real_path_raises():
     from spatial_aez_ray.datapipe.multimodal import StubImageDecoder
     with pytest.raises(NotImplementedError):
         StubImageDecoder().decode_real(b"\xff\xd8\xff")
+
+
+def test_sessionize_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.sessionize(SF), temporal.SESSIONIZE_SQL, con)
+
+
+def test_asof_join_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.asof_join_events_orders(SF),
+                  temporal.ASOF_JOIN_SQL, con)
