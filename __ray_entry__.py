@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": simsearch.ann_topk,
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
+        "embedding_neardup": simsearch.embedding_neardup,
         # multimodal
         "media_bytes": multimodal.media_bytes,
         "media_features": multimodal.media_features,
@@ -211,5 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_TOPK_SQL"]).ANN_TOPK_SQL,
+        "embedding_neardup": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["EMBEDDING_NEARDUP_SQL"]).EMBEDDING_NEARDUP_SQL,
         "media_bytes": multimodal.MEDIA_BYTES_SQL,
     }

@@ -211,6 +211,66 @@ def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
                                        "n_candidates"])
 
 
+class _CosinePairCounter:
+    """Brute-force embedding near-dup: the full (small) normalized
+    matrix is broadcast once per actor; each batch does one matmul and
+    counts partners with cosine >= threshold. At scale the candidate
+    generation swaps to _LshBucketer buckets (same verify kernel) —
+    this brute-force form is the exact oracle-matched baseline."""
+
+    def __init__(self, mat_ref, threshold: float):
+        import ray
+        self.ids, self.m = ray.get(mat_ref)  # ids (n,), unit rows (n,d)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _emb_matrix(batch)
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        q = q / np.where(norms == 0, 1.0, norms)
+        qids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        cos = q @ self.m.T  # (b, n)
+        hits = cos >= self.threshold
+        # exclude self and count only partners with larger vec_id
+        larger = self.ids[None, :] > qids[:, None]
+        sel = hits & larger
+        cnt = sel.sum(axis=1).astype(np.int64)
+        chk = np.where(sel, self.ids[None, :], 0).sum(axis=1).astype(np.int64)
+        return pa.table({"vec_id": pa.array(qids.astype(np.int64)),
+                         "pair_cnt": pa.array(cnt),
+                         "hi_checksum": pa.array(chk)})
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Per-vector count of near-duplicate partners (cosine >= threshold,
+    partner vec_id greater) + partner-id checksum."""
+    import pyarrow.parquet as pq
+    import ray
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    m = _emb_matrix(full)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.where(norms == 0, 1.0, norms)
+    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False))
+    mat_ref = ray.put((ids, m))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    out = ds.map_batches(
+        _CosinePairCounter,
+        fn_constructor_kwargs={"mat_ref": mat_ref, "threshold": threshold},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = out[out["pair_cnt"] > 0]
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS vec_id, COUNT(*) AS pair_cnt,
+       CAST(SUM(b.vec_id) AS BIGINT) AS hi_checksum
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4
+GROUP BY a.vec_id ORDER BY vec_id
+"""
+
+
 def knn_label_vote(sf_dir: str, n_queries: int = 20,
                    k: int = 5) -> pd.DataFrame:
     """k-NN majority-label classification of the first n_queries

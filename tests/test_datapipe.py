@@ -145,3 +145,9 @@ def test_asof_join_matches_sql(con):
     from spatial_aez_ray.datapipe import temporal
     _assert_match(temporal.asof_join_events_orders(SF),
                   temporal.ASOF_JOIN_SQL, con)
+
+
+def test_embedding_neardup_matches_sql(con):
+    from spatial_aez_ray.datapipe import simsearch
+    _assert_match(simsearch.embedding_neardup(SF),
+                  simsearch.EMBEDDING_NEARDUP_SQL, con)
