@@ -228,3 +228,25 @@ def produce_aez_csvs(world_path: str, out_dir: str, *,
         sub.to_csv(os.path.join(out_dir, f"AEZ-{tmrfilename}-by-region.csv"),
                    float_format="%.2f")
     return df
+
+
+def aez_stats_checkpointed(world_path: str, out_dir: str, *,
+                           num_shards: int = 8,
+                           index: PolygonIndex | None = None,
+                           concurrency: int | tuple = (1, 4),
+                           batch_size: int = 8) -> pd.DataFrame:
+    """Resumable AEZ run: same shard manifest machinery as the zonal
+    pipelines (extract.run_checkpointed_partials) over the kg driver
+    docs; result identical to ``aez_stats``."""
+    from .extract import pivot_zonal, run_checkpointed_partials
+    if index is None:
+        index = build_zonal_index(world_path)
+    g1 = world_grid(world_path, "g1")
+    g3 = world_grid(world_path, "g3")
+    combined = run_checkpointed_partials(
+        world_path, "kg", AezTileKernel,
+        {"world_path": world_path, "index": index, "g1": g1, "g3": g3},
+        out_dir, "aez-partials",
+        num_shards=num_shards, concurrency=concurrency,
+        batch_size=batch_size)
+    return pivot_zonal(combined, AEZ_COLUMNS, world_path)

@@ -150,15 +150,17 @@ def combine_partials_table(pdf: pd.DataFrame) -> pd.DataFrame:
                          "km2": list(sums.values())})
 
 
-def zonal_stats_checkpointed(world_path: str, dataset: str, out_dir: str, *,
-                             num_shards: int = 8,
-                             index: PolygonIndex | None = None,
-                             concurrency: int | tuple = (1, 4),
-                             batch_size: int = 16) -> pd.DataFrame:
-    """Resumable zonal stats: doc_id-range shards, one atomic partials
-    part file + manifest line each (state.checkpoint); resume skips
-    completed shards; final result identical to ``zonal_stats``.
-    """
+def run_checkpointed_partials(world_path: str, driver_dataset: str,
+                              kernel_cls, kernel_kwargs: dict,
+                              out_dir: str, op_key: str, *,
+                              num_shards: int = 8,
+                              concurrency: int | tuple = (1, 4),
+                              batch_size: int = 16) -> pd.DataFrame:
+    """Generic resumable partials runner: split the driver dataset's
+    doc_id space into contiguous cell-prefix range shards, run the
+    partials kernel per shard, persist one atomic part file + manifest
+    line (lineage + metrics) each; resume skips completed shards.
+    Returns the concatenated partials combined deterministically."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
     import pyarrow.parquet as papq
@@ -170,15 +172,10 @@ def zonal_stats_checkpointed(world_path: str, dataset: str, out_dir: str, *,
     )
     from ..sources.documents import document_paths
 
-    classifier = CLASSIFIERS[dataset]()
-    grid = world_grid(world_path, classifier.grid)
-    if index is None:
-        index = build_zonal_index(world_path)
-    paths = document_paths(world_path, [dataset])
+    paths = document_paths(world_path, [driver_dataset])
     doc_ids = pds.dataset(paths).to_table(columns=["doc_id"])["doc_id"].to_pylist()
     shards = doc_id_range_shards(doc_ids, num_shards)
-    man = CheckpointManifest(
-        out_dir, op_hash("zonal-partials", dataset, "v1"))
+    man = CheckpointManifest(out_dir, op_hash(op_key, driver_dataset, "v1"))
     pending = set(man.pending([s[0] for s in shards]))
 
     for sid, lo, hi in shards:
@@ -189,25 +186,44 @@ def zonal_stats_checkpointed(world_path: str, dataset: str, out_dir: str, *,
             paths, columns=["doc_id", "spans"],
             filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
         partials = ds.map_batches(
-            ZonalPartials,
-            fn_constructor_kwargs={"world_path": world_path,
-                                   "classifier": classifier,
-                                   "index": index, "grid_spec": grid},
+            kernel_cls, fn_constructor_kwargs=kernel_kwargs,
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency)
         table = pa_concat(partials.to_arrow_refs())
         man.write_part(
             sid, table,
-            lineage={"dataset": dataset, "doc_id_lo": lo, "doc_id_hi": hi,
-                     "world": world_path},
+            lineage={"driver_dataset": driver_dataset, "doc_id_lo": lo,
+                     "doc_id_hi": hi, "world": world_path, "op": op_key},
             result=ShardResult(shard_id=sid, rows=table.num_rows,
                                cells=int(table.num_rows),
                                seconds=_time.time() - t0))
 
     all_parts = [man.part_path(s[0]) for s in shards]
     pdf = papq.ParquetDataset(all_parts).read().to_pandas()
-    combined = combine_partials_table(pdf)
-    return pivot_zonal(combined, CLASSIFIERS[dataset]().columns(), world_path)
+    return combine_partials_table(pdf)
+
+
+def zonal_stats_checkpointed(world_path: str, dataset: str, out_dir: str, *,
+                             num_shards: int = 8,
+                             index: PolygonIndex | None = None,
+                             concurrency: int | tuple = (1, 4),
+                             batch_size: int = 16) -> pd.DataFrame:
+    """Resumable zonal stats: doc_id-range shards, one atomic partials
+    part file + manifest line each (state.checkpoint); resume skips
+    completed shards; final result identical to ``zonal_stats``.
+    """
+    classifier = CLASSIFIERS[dataset]()
+    grid = world_grid(world_path, classifier.grid)
+    if index is None:
+        index = build_zonal_index(world_path)
+    combined = run_checkpointed_partials(
+        world_path, dataset, ZonalPartials,
+        {"world_path": world_path, "classifier": classifier,
+         "index": index, "grid_spec": grid},
+        out_dir, "zonal-partials",
+        num_shards=num_shards, concurrency=concurrency,
+        batch_size=batch_size)
+    return pivot_zonal(combined, classifier.columns(), world_path)
 
 
 def pa_concat(refs):

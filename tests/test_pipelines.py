@@ -120,3 +120,20 @@ def test_normalize_documents_preserves_spans(tiny_world, tmp_path):
     ids = norm["doc_id"].to_pylist()
     assert ids == sorted(ids)  # cell-prefix range order
     assert "tile_key" in norm.schema.names and "dataset" in norm.schema.names
+
+
+def test_aez_checkpointed_matches_and_resumes(tiny_world, tmp_path):
+    """Sharded, resumable AEZ == streaming AEZ bit-exactly; a second run
+    resumes from the manifest (all shards skipped) with identical output."""
+    from spatial_aez_ray.pipelines import aez as aezmod
+    out = str(tmp_path / "aez_ckpt")
+    df1 = aezmod.aez_stats_checkpointed(tiny_world, out, num_shards=3)
+    base = aezmod.aez_stats(tiny_world)
+    assert (df1.values == base.values).all()
+    manifest = (tmp_path / "aez_ckpt" / "MANIFEST.jsonl").read_text()
+    n_lines = len([l for l in manifest.splitlines() if l.strip()])
+    df2 = aezmod.aez_stats_checkpointed(tiny_world, out, num_shards=3)
+    manifest2 = (tmp_path / "aez_ckpt" / "MANIFEST.jsonl").read_text()
+    assert manifest2 == manifest, "resume must not recompute shards"
+    assert (df2.values == df1.values).all()
+    assert n_lines == 3
