@@ -42,16 +42,29 @@ def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
 # token_stats
 # ---------------------------------------------------------------------------
 
+#: BPE-ish pre-tokenizer: word runs OR single non-word non-space marks
+#: (same RE2-compatible pattern both here and in the DuckDB oracle)
+BPE_ISH_PATTERN = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+_BPE_RE = None  # compiled once per worker process
+
+
 def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+        _BPE_RE = re.compile(BPE_ISH_PATTERN)
     texts = batch["text"].to_pylist()
     n_tokens = np.fromiter((len(t.split(" ")) for t in texts),
                            dtype=np.int64, count=len(texts))
+    n_bpe = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
+                        dtype=np.int64, count=len(texts))
     n_bytes = np.fromiter((len(t.encode("utf-8")) for t in texts),
                           dtype=np.int64, count=len(texts))
     n_chars = np.fromiter((len(t) for t in texts),
                           dtype=np.int64, count=len(texts))
     return pa.table({"doc_id": batch["doc_id"],
                      "n_tokens": pa.array(n_tokens),
+                     "n_bpe_tokens": pa.array(n_bpe),
                      "n_bytes": pa.array(n_bytes),
                      "n_chars_m": pa.array(n_chars)})
 
@@ -62,9 +75,10 @@ def token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
        strlen(text) AS n_bytes,
        length(text) AS n_chars_m
 FROM documents ORDER BY doc_id

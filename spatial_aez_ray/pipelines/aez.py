@@ -202,9 +202,13 @@ def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
 
 
 def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
-              concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
-    """Country × 232 (tmr|AEZn) km² table, bit-exact vs the oracle."""
+              concurrency: int | tuple = (1, 4),
+              coalesce: int | None = 16) -> pd.DataFrame:
+    """Country × 232 (tmr|AEZn) km² table, bit-exact vs the oracle.
+    ``coalesce``: see extract.zonal_stats (tiny-partials repartition)."""
     partials = aez_partials_ds(world_path, index=index, concurrency=concurrency)
+    if coalesce:
+        partials = partials.repartition(coalesce)
     combined = partials.groupby("admin").map_groups(
         combine_partials_deterministic, batch_format="pandas")
     return pivot_zonal(combined.to_pandas(), AEZ_COLUMNS, world_path)
