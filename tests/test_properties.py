@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the pure-math core: Morton
+cells, WKB round-trip, grid geometry, window histograms, salted-sum
+determinism helpers. No Ray needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spatial_aez_ray import cells, wkb
+from spatial_aez_ray.geo import GridSpec, blklim, km2_rows
+from spatial_aez_ray.pipelines.downsample import DEFAULT_BINS, window_histogram
+
+LEVELS = st.integers(min_value=0, max_value=cells.MAX_LEVEL)
+
+
+@given(level=st.integers(min_value=1, max_value=20),
+       data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_morton_roundtrip(level, data):
+    n = 2 ** level
+    ix = data.draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=20))
+    iy = data.draw(st.lists(st.integers(0, n - 1), min_size=len(ix),
+                            max_size=len(ix)))
+    cid = cells.encode_xy(np.array(ix), np.array(iy), level)
+    rx, ry, lv = cells.decode(cid)
+    assert (rx == np.array(ix)).all()
+    assert (ry == np.array(iy)).all()
+    assert (lv == level).all()
+
+
+@given(level=st.integers(min_value=2, max_value=20),
+       data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_morton_parent_halves_coords(level, data):
+    n = 2 ** level
+    ix = data.draw(st.integers(0, n - 1))
+    iy = data.draw(st.integers(0, n - 1))
+    cid = cells.encode_xy(np.array([ix]), np.array([iy]), level)
+    par = cells.parent(cid)
+    px, py, plv = cells.decode(par)
+    assert plv[0] == level - 1
+    assert px[0] == ix // 2 and py[0] == iy // 2
+
+
+@given(lon=st.floats(-179.999, 179.999), lat=st.floats(-89.999, 89.999),
+       level=st.integers(4, 24))
+@settings(max_examples=80, deadline=None)
+def test_lonlat_encode_in_range(lon, lat, level):
+    cid = cells.encode_lonlat(np.array([lon]), np.array([lat]), level)
+    ix, iy, lv = cells.decode(cid)
+    n = 2 ** level
+    assert 0 <= ix[0] < n and 0 <= iy[0] < n and lv[0] == level
+
+
+@given(st.lists(
+    st.lists(st.tuples(st.floats(-180, 180, allow_nan=False),
+                       st.floats(-90, 90, allow_nan=False)),
+             min_size=3, max_size=8),
+    min_size=1, max_size=3))
+@settings(max_examples=50, deadline=None)
+def test_wkb_roundtrip(polys):
+    geom = []
+    for ring_pts in polys:
+        ring = np.array(ring_pts + ring_pts[:1], dtype=np.float64)
+        geom.append([ring])
+    buf = wkb.dumps(geom)
+    back = wkb.loads(buf)
+    assert len(back) == len(geom)
+    for p, q in zip(geom, back):
+        assert len(p) == len(q)
+        assert np.array_equal(p[0], q[0])
+
+
+@given(coord=st.integers(0, 10000), blk=st.integers(1, 512),
+       tot=st.integers(1, 20000))
+@settings(max_examples=100, deadline=None)
+def test_blklim_properties(coord, blk, tot):
+    if coord >= tot:
+        return
+    n = blklim(coord, blk, tot)
+    assert 0 < n <= blk
+    assert coord + n <= tot
+    # covers to the edge when clamped
+    if n < blk:
+        assert coord + n == tot
+
+
+@given(h=st.integers(3, 30), w=st.integers(3, 30),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_window_histogram_conservation(h, w, seed):
+    rng = np.random.RandomState(seed)
+    child = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    out = window_histogram(child, 3, DEFAULT_BINS)
+    # bins partition [0,256): counts sum to 9 in every full window
+    assert (out[:-1].sum(axis=0) == 9).all()
+
+
+def test_km2_rows_monotone_toward_equator():
+    g = GridSpec("g", 720, 360, 64)
+    area = km2_rows(360, 0, g)
+    # symmetric-ish and maximal at the equator rows
+    mid = len(area) // 2
+    assert area[mid - 1] == area.max() or area[mid] == area.max()
+    assert area[0] < area[mid] and area[-1] < area[mid]
