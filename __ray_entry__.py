@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
+        "quality_filter_stats": text.quality_filter_stats,
         "fingerprints": text.fingerprints,
         "rolling_fingerprints": text.rolling_fingerprints,
         "lang_counts": text.lang_counts,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_parts": relational.FILTER_PARTS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
+        "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
         "lang_counts": text.LANG_COUNTS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

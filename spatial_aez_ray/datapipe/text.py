@@ -132,6 +132,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def quality_filter_stats(sf_dir: str, min_tokens: int = 40,
+                         max_stop_ratio: float = 0.06) -> pd.DataFrame:
+    """Composite filter → groupby: documents passing the quality gate
+    (enough tokens, low stopword ratio), counted per language with
+    total kept tokens. The filter predicate is computed from the same
+    integer-derived ratios as ``quality_scores`` so the boundary is
+    bit-identical to the SQL oracle."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        keep = (np.asarray(q["n_tokens"]) >= min_tokens) & \
+               (np.asarray(q["stopword_ratio"]) <= max_stop_ratio)
+        idx = np.flatnonzero(keep)
+        df = pd.DataFrame({
+            "lang": np.asarray(batch["lang"].to_pylist())[idx],
+            "kept_docs": np.ones(len(idx), dtype=np.int64),
+            "kept_tokens": np.asarray(q["n_tokens"])[idx],
+        })
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(gate, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("kept_docs", alias_name="kept_docs"),
+                        Sum("kept_tokens", alias_name="kept_tokens")))
+    out = agg.to_pandas()
+    out["kept_docs"] = out["kept_docs"].astype(np.int64)
+    out["kept_tokens"] = out["kept_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUALITY_FILTER_STATS_SQL = f"""
+WITH q AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {STOPWORDS!r}))
+           / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)
+           AS stop_ratio
+  FROM documents)
+SELECT lang, COUNT(*) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM q WHERE n_tokens >= 40 AND stop_ratio <= 0.06
+GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------

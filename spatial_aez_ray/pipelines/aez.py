@@ -85,6 +85,45 @@ def yield_aezs(regime, tmr, slope, land_use, soil_health):
     yield r * (bare + barren)
 
 
+def tile_aez_weights(regime, slope, land_use, soil_health) -> list:
+    """All 232 (label, weight array) pairs for one tile, in the exact
+    (TMR, AEZ1..29) emission order of ``yield_aezs``.
+
+    Algebraically identical but ~2.5× cheaper: the 7 soil×slope combos
+    are TMR- and family-independent and are built once, as is r·u per
+    (TMR, family). Bit-exact vs the naive form because every factor
+    except the slope fraction is a 0/1 indicator — multiplication by
+    0/1 is exact under any association.
+    """
+    combos = [
+        soil_health["prime"] * slope["minimal"],
+        soil_health["good"] * slope["minimal"],
+        (soil_health["good"] + soil_health["prime"]) * slope["moderate"],
+        (soil_health["good"] + soil_health["prime"]) * slope["steep"],
+        soil_health["marginal"] * slope["minimal"],
+        soil_health["marginal"] * slope["moderate"],
+        soil_health["marginal"] * slope["steep"],
+    ]
+    bare = (land_use["bare"].astype(float) + land_use["ice"]
+            + land_use["urban"])
+    barren = soil_health["barren"].astype(float).copy()
+    barren[bare.astype(bool)] = 0.0
+    bare_zone = bare + barren
+
+    out = []
+    for tmr in TMR_NAMES:
+        r = regime[tmr]
+        n = 1
+        for fam in ("forest", "grassland", "cropland_irrigated",
+                    "cropland_rainfed"):
+            ru = r & land_use[fam]
+            for c in combos:
+                out.append((f"{tmr}|AEZ{n}", ru * c))
+                n += 1
+        out.append((f"{tmr}|AEZ{n}", r * bare_zone))
+    return out
+
+
 def add_tile_key(batch: pa.Table) -> pa.Table:
     """tile_key = "{ty:05d}/{tx:05d}" parsed from doc_id (vectorized)."""
     key = pc.utf8_slice_codeunits(batch["doc_id"], -11)
@@ -162,22 +201,57 @@ class AezTileKernel:
             wk_blk = upsample3(band("wk", 0, 0))
             soil = populate_soil_health(wk_blk)
 
+            # factored algebra (bit-exact vs yield_aezs: every factor
+            # except the slope fraction is a 0/1 indicator, so any
+            # association gives identical floats — tested elementwise):
+            # the 7 soil×slope combos + the bare∨barren zone depend only
+            # on the tile; per claim they are fused with the masked km²
+            # once (8 float mults), leaving ONE float mult + pairwise
+            # sum per zone instead of three.
+            combos = [
+                soil["prime"] * slope["minimal"],
+                soil["good"] * slope["minimal"],
+                (soil["good"] + soil["prime"]) * slope["moderate"],
+                (soil["good"] + soil["prime"]) * slope["steep"],
+                soil["marginal"] * slope["minimal"],
+                soil["marginal"] * slope["moderate"],
+                soil["marginal"] * slope["steep"],
+            ]
+            bare = (land_use["bare"].astype(float) + land_use["ice"]
+                    + land_use["urban"])
+            barren = soil["barren"].astype(float).copy()
+            barren[bare.astype(bool)] = 0.0
+            bare_zone = bare + barren
+            fams = [land_use[f] for f in
+                    ("forest", "grassland", "cropland_irrigated",
+                     "cropland_rainfed")]
+
             km2_tile = km2_block(nr1, nc1, y1, self.g1)
             for fidx, admin, mask in claims:
                 k = km2_tile.copy()
                 k[np.logical_not(mask)] = 0.0
                 km2_blk = upsample3(k) / 9.0
+                ck = [c * km2_blk for c in combos]
+                bk = bare_zone * km2_blk
                 seq = 0
                 for tmr in TMR_NAMES:
+                    r = regime[tmr]
                     n = 1
-                    for aez in yield_aezs(regime, tmr, slope, land_use, soil):
-                        admins.append(admin)
-                        clss.append(f"{tmr}|AEZ{n}")
-                        km2s.append((aez * km2_blk).sum())
-                        fidxs.append(fidx); tys.append(ty); txs.append(tx)
-                        seqs.append(seq)
-                        seq += 1
-                        n += 1
+                    for u in fams:
+                        ru = r & u
+                        for c in ck:
+                            admins.append(admin)
+                            clss.append(f"{tmr}|AEZ{n}")
+                            km2s.append((ru * c).sum())
+                            fidxs.append(fidx); tys.append(ty)
+                            txs.append(tx); seqs.append(seq)
+                            seq += 1; n += 1
+                    admins.append(admin)
+                    clss.append(f"{tmr}|AEZ{n}")
+                    km2s.append((r * bk).sum())
+                    fidxs.append(fidx); tys.append(ty)
+                    txs.append(tx); seqs.append(seq)
+                    seq += 1
         return pa.Table.from_arrays([
             pa.array(admins, pa.string()), pa.array(clss, pa.string()),
             pa.array(km2s, pa.float64()), pa.array(fidxs, pa.int32()),
