@@ -137,3 +137,28 @@ def test_aez_checkpointed_matches_and_resumes(tiny_world, tmp_path):
     assert manifest2 == manifest, "resume must not recompute shards"
     assert (df2.values == df1.values).all()
     assert n_lines == 3
+
+
+def test_produce_aez_csvs_per_tmr_split(tiny_world, tmp_path):
+    """A6: the 8 per-TMR regional CSVs partition the 232 AEZ columns
+    (regex prefix split, process_imagery.py:292-296 semantics) and
+    their region totals equal the rollup of the country table."""
+    import glob
+    df = aez.produce_aez_csvs(tiny_world, str(tmp_path))
+    files = sorted(glob.glob(str(tmp_path / "AEZ-*-by-region.csv")))
+    assert len(files) == 8
+    all_cols = []
+    for f in files:
+        sub = pd.read_csv(f, index_col=0)
+        tmr = os.path.basename(f)[len("AEZ-"):-len("-by-region.csv")]
+        assert all(c.lower().startswith(tmr.lower() + "|") for c in sub.columns), f
+        assert sub.shape == (9, 29)
+        all_cols.extend(sub.columns)
+    assert len(all_cols) == 232 and len(set(all_cols)) == 232
+    # region totals == rollup of the country frame, at %.2f precision
+    rolled = extract.region_rollup(df, tiny_world)
+    sub0 = pd.read_csv(files[0], index_col=0)
+    for c in sub0.columns:
+        want = rolled[c].round(2)
+        got = sub0[c]
+        assert np.allclose(got.values, want.values, atol=0.011), c
