@@ -113,6 +113,24 @@ def _spatial_render(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _spatial_downsample(sf_dir: str):
+    from spatial_aez_ray.pipelines import downsample
+    return downsample.downsample_summary(_world(), "lc", factor=3)
+
+
+def _spatial_thumbnail(sf_dir: str):
+    import hashlib
+    import pandas as pd
+    from spatial_aez_ray.pipelines import downsample
+    pdf = downsample.thumbnail_tiles(_world(), "kg", stride=8).to_pandas()
+    out = pd.DataFrame({
+        "doc_id": pdf["doc_id"], "nrows": pdf["nrows"],
+        "ncols": pdf["ncols"],
+        "payload_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _spatial_normalize_docs(sf_dir: str):
     import shutil
     from spatial_aez_ray.pipelines import docops
@@ -150,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_parts": relational.filter_parts,
         "events_sessionize": temporal.sessionize,
         "events_asof_orders": temporal.asof_join_events_orders,
+        "revenue_by_mktsegment": relational.revenue_by_mktsegment,
+        "distinct_order_priorities": relational.distinct_order_priorities,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -184,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_region_rollup": _spatial_region_rollup,
         "spatial_assign_cells": _spatial_assign,
         "spatial_render": _spatial_render,
+        "spatial_downsample": _spatial_downsample,
+        "spatial_thumbnail": _spatial_thumbnail,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
     }
@@ -204,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": relational.EVENTS_DAILY_SQL,
         "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
         "filter_parts": relational.FILTER_PARTS_SQL,
+        "revenue_by_mktsegment": relational.REVENUE_BY_MKTSEGMENT_SQL,
+        "distinct_order_priorities": relational.DISTINCT_ORDER_PRIORITIES_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

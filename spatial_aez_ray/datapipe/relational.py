@@ -344,3 +344,55 @@ SELECT p_brand,
 FROM part WHERE p_size >= 25
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# native hash shuffle join (the wide-join path, complementing the
+# broadcast join above: both sides hash-partition on the key — the
+# right choice when neither side fits in one worker's heap)
+# ---------------------------------------------------------------------------
+
+def revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer via Dataset.join (hash shuffle join), then
+    grouped revenue per market segment in exact cents."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_mktsegment": batch["c_mktsegment"].to_pandas(),
+                           "rev_c": _cents(batch["o_totalprice"]),
+                           "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("c_mktsegment")
+                 .aggregate(Sum("rev_c", alias_name="rev_c"),
+                            Sum("n", alias_name="n")))
+    out = agg.to_pandas()
+    out["revenue"] = out.pop("rev_c").astype(np.int64) / 100.0
+    out["order_cnt"] = out.pop("n").astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+REVENUE_BY_MKTSEGMENT_SQL = """
+SELECT c_mktsegment,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def distinct_order_priorities(sf_dir: str) -> pd.DataFrame:
+    """Distributed distinct via Dataset.unique."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pd.DataFrame({"o_orderpriority": vals})
+
+
+DISTINCT_ORDER_PRIORITIES_SQL = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""

@@ -151,3 +151,15 @@ def test_embedding_neardup_matches_sql(con):
     from spatial_aez_ray.datapipe import simsearch
     _assert_match(simsearch.embedding_neardup(SF),
                   simsearch.EMBEDDING_NEARDUP_SQL, con)
+
+
+def test_native_hash_join_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.revenue_by_mktsegment(SF),
+                  relational.REVENUE_BY_MKTSEGMENT_SQL, con)
+
+
+def test_distinct_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.distinct_order_priorities(SF),
+                  relational.DISTINCT_ORDER_PRIORITIES_SQL, con)
