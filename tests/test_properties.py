@@ -103,3 +103,46 @@ def test_km2_rows_monotone_toward_equator():
     mid = len(area) // 2
     assert area[mid - 1] == area.max() or area[mid] == area.max()
     assert area[0] < area[mid] and area[-1] < area[mid]
+
+
+def test_aez_zones_partition_eligible_area():
+    """Tier-3 invariant (SURVEY §5): with normalized slope bands, the
+    232 AEZ weights sum per pixel to exactly the eligibility indicator:
+    valid TMR × (four-family land use with non-barren/water soil ×
+    slope total + bare/ice/urban + non-bare barren-soil)."""
+    from spatial_aez_ray.pipelines import aez
+    from spatial_aez_ray.constants import TMR_NAMES
+    rng = np.random.RandomState(7)
+    shape = (30, 30)
+    kg = rng.randint(0, 32, shape).astype(np.uint8)
+    # slope bands normalized to sum 100 (fixture construction)
+    raw = rng.randint(1, 10, (8,) + shape)
+    tot = raw.sum(axis=0)
+    bands = np.floor(raw * 100 / tot).astype(np.uint8)
+    bands[0] += (100 - bands.sum(axis=0)).astype(np.uint8)
+    sl = [bands[i] for i in range(8)]
+    lc = rng.choice([0, 10, 20, 30, 60, 80, 100, 130, 150, 190, 200,
+                     210, 220, 255], shape).astype(np.uint8)
+    wk = rng.randint(0, 9, shape).astype(np.uint8)
+
+    regime = aez.populate_tmr(kg)
+    slope = aez.populate_slope(sl)
+    lu = aez.populate_land_use(lc)
+    soil = aez.populate_soil_health(wk)
+
+    total = np.zeros(shape)
+    for tmr in TMR_NAMES:
+        for z in aez.yield_aezs(regime, tmr, slope, lu, soil):
+            total = total + z
+
+    valid = np.zeros(shape, dtype=bool)
+    for tmr in TMR_NAMES:
+        valid |= regime[tmr]
+    fam4 = (lu["forest"] | lu["grassland"] | lu["cropland_irrigated"]
+            | lu["cropland_rainfed"])
+    soil_pgm = soil["prime"] | soil["good"] | soil["marginal"]
+    slope_sum = slope["minimal"] + slope["moderate"] + slope["steep"]
+    bare3 = lu["bare"] | lu["ice"] | lu["urban"]
+    expected = valid * ((fam4 & soil_pgm) * slope_sum
+                        + bare3 + (~bare3 & soil["barren"]))
+    assert np.allclose(total, expected, atol=1e-12)
