@@ -59,8 +59,10 @@ class WorldSpec:
         return self.g1 if name == "g1" else self.g3
 
     #: bump when the on-disk document/media format changes so cached
-    #: worlds under /tmp regenerate (v2: zero-padded media_ref)
-    FORMAT_VERSION = 2
+    #: worlds under /tmp regenerate (v2: zero-padded media_ref;
+    #: v3: contiguous ray-generation shards so part files cover tight
+    #: media_ref ranges)
+    FORMAT_VERSION = 3
 
     @property
     def path(self) -> str:
@@ -79,7 +81,8 @@ TINY = WorldSpec("tiny", 1)
 SMALL = WorldSpec("small", 4)
 MID = WorldSpec("mid", 8)
 BENCH = WorldSpec("bench", 16)
-PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH)}
+BIG = WorldSpec("big", 24)
+PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH, BIG)}
 
 
 # ---------------------------------------------------------------------------
@@ -419,8 +422,15 @@ def _gen_with_ray(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int]],
     writes its own doc/media part files (fixture prep, not the engine)."""
     import ray
 
+    # CONTIGUOUS shards: tiles are row-major (= doc_id sort order), so
+    # each part file covers a tight doc_id/media_ref range and the
+    # MediaStore footer interval index prunes to one file per fetch.
+    # (Round-robin striding made every file span the full range — every
+    # fetch read all 64 files: measured 64 reads/batch at scale 16.)
     nshards = 64
-    shards = [tiles[i::nshards] for i in range(nshards) if tiles[i::nshards]]
+    chunk = (len(tiles) + nshards - 1) // nshards
+    shards = [tiles[i * chunk:(i + 1) * chunk] for i in range(nshards)
+              if tiles[i * chunk:(i + 1) * chunk]]
 
     @ray.remote
     def gen(shard_id: int, shard: list[tuple[int, int]]) -> int:
