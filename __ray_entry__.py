@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": temporal.asof_join_events_orders,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
         "distinct_order_priorities": relational.distinct_order_priorities,
+        "salted_qty_by_returnflag": relational.salted_qty_by_returnflag,
+        "doc_embedding_label_stats": relational.doc_embedding_label_stats,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_parts": relational.FILTER_PARTS_SQL,
         "revenue_by_mktsegment": relational.REVENUE_BY_MKTSEGMENT_SQL,
         "distinct_order_priorities": relational.DISTINCT_ORDER_PRIORITIES_SQL,
+        "salted_qty_by_returnflag": relational.SALTED_QTY_SQL,
+        "doc_embedding_label_stats": relational.DOC_EMBEDDING_LABEL_STATS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

@@ -396,3 +396,73 @@ def distinct_order_priorities(sf_dir: str) -> pd.DataFrame:
 DISTINCT_ORDER_PRIORITIES_SQL = """
 SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
 """
+
+
+def salted_qty_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Grouped quantity sums via the salted two-phase aggregation
+    (stages.salted) — the skew-handling path, exact by integer units."""
+    from ..stages.salted import salted_sum
+
+    def to_units(b: pa.Table) -> pa.Table:
+        q = np.round(np.asarray(
+            b["l_quantity"].to_numpy(zero_copy_only=False))).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "sum_qty": pa.array(q)})
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    units = ds.map_batches(to_units, batch_format="pyarrow")
+    out = salted_sum(units, ["l_returnflag"], "sum_qty", n_salts=16)
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    return out
+
+
+SALTED_QTY_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def doc_embedding_label_stats(sf_dir: str) -> pd.DataFrame:
+    """documents ⋈ embeddings on doc_id == vec_id (the multimodal
+    text-to-vector join), counting docs per (label, lang) — broadcast
+    small side (the label map) probed per batch."""
+    import pyarrow.parquet as pq
+    import ray
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "label"])
+    label_ref = ray.put(dict(zip(emb["vec_id"].to_pylist(),
+                                 emb["label"].to_pylist())))
+
+    class LabelJoin:
+        def __init__(self, ref):
+            self.label_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            labels = [self.label_of.get(d, -1)
+                      for d in batch["doc_id"].to_pylist()]
+            df = pd.DataFrame({"label": np.array(labels, dtype=np.int64),
+                               "lang": batch["lang"].to_pylist(),
+                               "doc_cnt": np.ones(batch.num_rows,
+                                                  dtype=np.int64)})
+            df = df[df["label"] >= 0]
+            g = df.groupby(["label", "lang"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    agg = (ds.map_batches(LabelJoin, fn_constructor_kwargs={"ref": label_ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+             .groupby(["label", "lang"])
+             .aggregate(Sum("doc_cnt", alias_name="doc_cnt")))
+    out = agg.to_pandas()
+    out["doc_cnt"] = out["doc_cnt"].astype(np.int64)
+    return out.sort_values(["label", "lang"]).reset_index(drop=True)
+
+
+DOC_EMBEDDING_LABEL_STATS_SQL = """
+SELECT e.label AS label, d.lang AS lang, COUNT(*) AS doc_cnt
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label, d.lang ORDER BY label, lang
+"""
