@@ -58,22 +58,42 @@ def entry() -> Any:
 # is the synthetic interleaved-document world, same at every sf)
 # --------------------------------------------------------------------------
 
+def _assert_oracle(df, odf, what: str):
+    """Self-verification: the driver's check for spatial queries is
+    rows-only, so each query asserts bit-exact equality against the
+    in-repo sequential NumPy oracle itself — a mismatch fails the
+    query loudly instead of passing a weak row count."""
+    odf = odf.copy()
+    odf.columns = [str(c) for c in odf.columns]
+    if not (df.values == odf.values).all():
+        raise AssertionError(f"{what}: Ray result != NumPy oracle")
+
+
 def _spatial_zonal(dataset: str):
     def run(sf_dir: str):
+        from spatial_aez_ray import fixtures, oracle
         from spatial_aez_ray.pipelines import extract
         df = extract.zonal_stats(_world(), dataset)
+        _assert_oracle(df, oracle.zonal_csv(fixtures.TINY, dataset),
+                       f"zonal[{dataset}]")
         return df.reset_index()
     return run
 
 
 def _spatial_aez(sf_dir: str):
+    from spatial_aez_ray import fixtures, oracle
     from spatial_aez_ray.pipelines import aez
-    return aez.aez_stats(_world()).reset_index()
+    df = aez.aez_stats(_world())
+    _assert_oracle(df, oracle.aez_csv(fixtures.TINY), "aez")
+    return df.reset_index()
 
 
 def _spatial_degraded(sf_dir: str):
+    from spatial_aez_ray import fixtures, oracle
     from spatial_aez_ray.pipelines import degraded
-    return degraded.degraded_stats(_world()).reset_index()
+    df = degraded.degraded_stats(_world())
+    _assert_oracle(df, oracle.degraded_csv(fixtures.TINY), "degraded")
+    return df.reset_index()
 
 
 def _spatial_region_rollup(sf_dir: str):
@@ -84,9 +104,16 @@ def _spatial_region_rollup(sf_dir: str):
 
 def _spatial_assign(sf_dir: str):
     import pandas as pd
+    from spatial_aez_ray import fixtures, oracle
     from spatial_aez_ray.pipelines import assign
     ds = assign.cell_country(_world())
     pdf = ds.to_pandas()
+    # self-verify: claim set == rasterization-oracle claim set, exactly
+    got = set(zip(pdf["cell_row"], pdf["cell_col"], pdf["feature_idx"]))
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1)
+    want = set(zip(odf["cell_row"], odf["cell_col"], odf["feature_idx"]))
+    if got != want:
+        raise AssertionError("assign: claim set != oracle claim set")
     # aggregate to per-admin claim counts + coordinate checksums (the
     # full cell table is the tested surface; this keeps the driver
     # payload small and deterministic)
