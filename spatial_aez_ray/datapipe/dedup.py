@@ -208,6 +208,7 @@ def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
                                           "bands": bands},
         batch_format="pyarrow", concurrency=(1, 4))
     pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
+                 .repartition(8)  # tiny rows; fewer blocks -> cheaper sort
                  .groupby("part")
                  .map_groups(_partition_pairs, batch_format="pandas"))
     pdf = pairs.to_pandas().drop_duplicates()
@@ -323,6 +324,7 @@ def simhash_dedup(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
                           concurrency=(1, 4))
     pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
+                 .repartition(8)
                  .groupby("part")
                  .map_groups(lambda g: _simhash_partition_pairs(g, max_dist),
                              batch_format="pandas"))
