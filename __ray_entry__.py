@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_parts": relational.filter_parts,
         "events_sessionize": temporal.sessionize,
         "events_asof_orders": temporal.asof_join_events_orders,
+        "events_rolling_7d": temporal.rolling_daily_counts,
+        "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
         "distinct_order_priorities": relational.distinct_order_priorities,
         "salted_qty_by_returnflag": relational.salted_qty_by_returnflag,
@@ -218,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
         "embedding_neardup": simsearch.embedding_neardup,
+        "ann_ivf": simsearch.ann_ivf,
+        "embed_documents": multimodal.embed_documents,
         # multimodal
         "media_bytes": multimodal.media_bytes,
         "media_features": multimodal.media_features,
@@ -248,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
+        "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
+        "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,

@@ -130,3 +130,62 @@ def media_bytes(sf_dir: str) -> pd.DataFrame:
     media = make_media_table(sf_dir)
     out = media.select_columns(["doc_id", "n_bytes"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# batched "model inference": documents -> embeddings (stub model, real
+# actor-pool plumbing — load-once weights, batched matmul per call)
+# ---------------------------------------------------------------------------
+
+class StubEmbedder:
+    """Actor-pool embedding 'model'. A real deployment loads weights
+    here (sentence-transformer / ONNX session) ONCE per actor; the stub
+    uses a seeded random projection over hashed bag-of-words — fully
+    deterministic across actors and runs, with the same batched-matmul
+    shape a real encoder has."""
+
+    DIM = 32
+    VOCAB_BUCKETS = 512
+
+    def __init__(self, seed: int = 5):
+        rng = np.random.RandomState(seed)
+        # "model weights": fixed projection, drawn once per actor
+        self.proj = rng.normal(size=(self.VOCAB_BUCKETS, self.DIM)) \
+            .astype(np.float32)
+
+    def _bow(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.VOCAB_BUCKETS), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in t.split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                out[i, h % self.VOCAB_BUCKETS] += 1.0
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        emb = self._bow(texts) @ self.proj  # ONE matmul per batch
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(norms == 0, 1.0, norms)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "embedding": pa.array(list(emb.astype(np.float32)),
+                                  pa.list_(pa.float32(), self.DIM)),
+        })
+
+
+def embed_documents(sf_dir: str) -> pd.DataFrame:
+    """documents → document embeddings via the actor-pool stub model;
+    returns per-doc embedding checksums (deterministic)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    emb = docs.map_batches(StubEmbedder, fn_constructor_kwargs={},
+                           batch_format="pyarrow", batch_size=256,
+                           concurrency=(1, 4))
+    pdf = emb.to_pandas()
+    sums = np.array([np.round(float(np.sum(np.asarray(e))), 4)
+                     for e in pdf["embedding"]])
+    out = pd.DataFrame({"doc_id": pdf["doc_id"],
+                        "dim": [len(e) for e in pdf["embedding"]],
+                        "embed_sum": sums})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -301,3 +301,91 @@ def knn_label_vote(sf_dir: str, n_queries: int = 20,
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         rows.append((int(qid), int(best)))
     return pd.DataFrame(rows, columns=["query_id", "pred_label"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed search
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd's k-means on unit vectors (spherical-ish): the
+    coarse quantizer is trained driver-side on a sample — at 100 TB the
+    sample is a `ds.limit(...)`/random-sample pull, the train cost is
+    independent of dataset size."""
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+class _IvfAssigner:
+    """map_batches stage: nearest-centroid list assignment (the IVF
+    build pass). Centroids are broadcast via constructor ref."""
+
+    def __init__(self, cent_ref):
+        import ray
+        self.cent = ray.get(cent_ref)  # (k, d), unit rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        lists = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+        return pa.table({
+            "list_id": pa.array(lists),
+            "vec_id": batch["vec_id"],
+        })
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10,
+            n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN: vectors bucketed by nearest coarse centroid (built
+    distributed), queries probe their n_probe nearest lists and score
+    exact cosine over those lists' members only."""
+    import pyarrow.parquet as pq
+    import ray
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    m = _emb_matrix(full)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.where(norms == 0, 1.0, norms)
+    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False))
+    cent = _kmeans(m[: min(len(m), 2048)], n_lists)
+    cent_ref = ray.put(cent)
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    assign = ds.map_batches(
+        _IvfAssigner, fn_constructor_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    members: dict[int, list[int]] = {}
+    for lid, vid in zip(assign["list_id"], assign["vec_id"]):
+        members.setdefault(int(lid), []).append(int(vid))
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        cands: set[int] = set()
+        for lid in q_lists[qi]:
+            cands.update(members.get(int(lid), []))
+        cands.discard(int(qid))
+        if not cands:
+            continue
+        cl = sorted(cands)
+        cos = m[[id_to_row[c] for c in cl]] @ q[qi]
+        order = np.lexsort((np.array(cl), -cos))[:k]
+        for rank, oi in enumerate(order, start=1):
+            rows.append((int(qid), cl[oi], rank, len(cl)))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank",
+                                       "n_candidates"])

@@ -158,3 +158,109 @@ FROM events e LEFT JOIN matched m
   ON m.event_id = e.event_id AND m.rn = 1
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling window aggregate: 7-day trailing event counts per day
+# ---------------------------------------------------------------------------
+
+def rolling_daily_counts(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Per calendar day: events that day + trailing-window total
+    (day-6 .. day). Daily partials are computed distributed (the same
+    partial-aggregate pattern as every grouped sum); the rolling pass
+    runs on the tiny per-day frame driver-side — at any scale the day
+    cardinality is bounded, so this is the right split."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        df = pd.DataFrame({"day": day.to_pandas()})
+        g = df.groupby("day", as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("n", alias_name="n"))
+               .to_pandas().sort_values("day").reset_index(drop=True))
+    days = pd.to_datetime(daily["day"])
+    counts = daily["n"].astype(np.int64).to_numpy()
+    rolling = np.zeros(len(daily), dtype=np.int64)
+    for i in range(len(daily)):
+        lo = days[i] - pd.Timedelta(days=window_days - 1)
+        sel = (days >= lo) & (days <= days[i])
+        rolling[i] = counts[sel.to_numpy()].sum()
+    return pd.DataFrame({"event_day": days.dt.strftime("%Y-%m-%d"),
+                         "day_cnt": counts,
+                         "rolling_cnt": rolling})
+
+
+ROLLING_DAILY_COUNTS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
+  FROM events GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS event_day,
+       CAST(n AS BIGINT) AS day_cnt,
+       CAST(SUM(n) OVER (ORDER BY d
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_cnt
+FROM daily ORDER BY event_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# union of two activity streams
+# ---------------------------------------------------------------------------
+
+def activity_union_daily(sf_dir: str) -> pd.DataFrame:
+    """events ∪ orders as one activity stream (Dataset.union), counted
+    per day and kind."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+    od = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def ev_part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        df = pd.DataFrame({"day": day.to_pandas()})
+        g = df.groupby("day", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["kind"] = "event"
+        return pa.Table.from_pandas(g[["day", "kind", "n"]],
+                                    preserve_index=False)
+
+    def od_part(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        df = pd.DataFrame({"day": day.to_pandas()})
+        g = df.groupby("day", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["kind"] = "order"
+        return pa.Table.from_pandas(g[["day", "kind", "n"]],
+                                    preserve_index=False)
+
+    unioned = (ev.map_batches(ev_part, batch_format="pyarrow")
+                 .union(od.map_batches(od_part, batch_format="pyarrow")))
+    agg = (unioned.groupby(["day", "kind"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["activity_day"] = pd.to_datetime(agg.pop("day")).dt.strftime(
+        "%Y-%m-%d")
+    agg["cnt"] = agg.pop("n").astype(np.int64)
+    return (agg[["activity_day", "kind", "cnt"]]
+            .sort_values(["activity_day", "kind"]).reset_index(drop=True))
+
+
+ACTIVITY_UNION_DAILY_SQL = """
+SELECT activity_day, kind, COUNT(*) AS cnt FROM (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS activity_day,
+         'event' AS kind FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d'),
+         'order' FROM orders)
+GROUP BY activity_day, kind ORDER BY activity_day, kind
+"""

@@ -163,3 +163,32 @@ def test_distinct_matches_sql(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.distinct_order_priorities(SF),
                   relational.DISTINCT_ORDER_PRIORITIES_SQL, con)
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    """IVF with n_probe=all lists must equal brute force exactly; with
+    fewer probes recall@10 should stay high on this data."""
+    from spatial_aez_ray.datapipe import simsearch
+    exact = simsearch.ann_topk(SF, n_queries=3, k=10)
+    full = simsearch.ann_ivf(SF, n_queries=3, k=10, n_lists=8, n_probe=8)
+    for q in exact["query_id"].unique():
+        want = list(exact[exact["query_id"] == q]
+                    .sort_values("rank")["neighbor_id"])
+        got = list(full[full["query_id"] == q]
+                   .sort_values("rank")["neighbor_id"])
+        assert got == want, q
+    probed = simsearch.ann_ivf(SF, n_queries=3, k=10, n_lists=8, n_probe=4)
+    hits = 0
+    for q in exact["query_id"].unique():
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(probed[probed["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+    assert hits / (3 * 10) >= 0.5  # probing half the lists
+
+
+def test_stub_embedder_deterministic_and_normalized():
+    from spatial_aez_ray.datapipe import multimodal
+    a = multimodal.embed_documents(SF)
+    b = multimodal.embed_documents(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["dim"] == 32).all()
