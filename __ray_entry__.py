@@ -125,6 +125,26 @@ def _spatial_assign(sf_dir: str):
     return g.sort_values("admin").reset_index(drop=True)
 
 
+def _spatial_assign_snap(sf_dir: str):
+    """Assignment WITH kNN boundary snap (ST5/J5): unclaimed raster-land
+    pixels snap to the nearest polygon within tolerance; self-verified
+    against the snap oracle's claim set."""
+    import pandas as pd
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import assign
+    tol = fixtures.TINY.snap_tol("g1")
+    pdf = assign.cell_country(_world(), snap_tol=tol).to_pandas()
+    got = set(zip(pdf["cell_row"], pdf["cell_col"], pdf["feature_idx"]))
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1, snap_tol=tol)
+    want = set(zip(odf["cell_row"], odf["cell_col"], odf["feature_idx"]))
+    if got != want:
+        raise AssertionError("assign+snap: claim set != oracle claim set")
+    g = pdf.groupby("admin", dropna=False).agg(
+        claims=("cell_id", "size"),
+        cell_checksum=("cell_id", "sum")).reset_index()
+    return g.sort_values("admin").reset_index(drop=True)
+
+
 def _spatial_render(sf_dir: str):
     import hashlib
     import pandas as pd
@@ -236,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_degraded": _spatial_degraded,
         "spatial_region_rollup": _spatial_region_rollup,
         "spatial_assign_cells": _spatial_assign,
+        "spatial_assign_snap": _spatial_assign_snap,
         "spatial_render": _spatial_render,
         "spatial_downsample": _spatial_downsample,
         "spatial_thumbnail": _spatial_thumbnail,
