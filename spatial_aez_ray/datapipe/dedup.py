@@ -47,6 +47,20 @@ def _h64(s: str) -> int:
     return struct.unpack("<q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+def _h64u(s: str) -> int:
+    """Unsigned 64-bit variant for uint64 numpy pipelines: np.uint64()
+    of a negative python int warns on numpy 1.26 and raises on
+    numpy >= 2, so token-hash caches must use this form."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+#: cap for per-process token-hash caches: long-lived actors on real
+#: corpora have unbounded vocab; when the cap is hit the cache is
+#: dropped wholesale (hash values are recomputable, correctness is
+#: unaffected — this only bounds memory).
+_TOKEN_CACHE_CAP = 1 << 20
+
+
 def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=columns)
@@ -119,11 +133,13 @@ class MinHasher:
         if len(toks) < self.k:
             toks = toks + [""] * (self.k - len(toks))
         cache = MinHasher._token_cache
+        if len(cache) > _TOKEN_CACHE_CAP:
+            cache.clear()
         th = np.empty(len(toks), dtype=np.uint64)
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = np.uint64(_h64(t))
+                h = np.uint64(_h64u(t))
                 cache[t] = h
             th[i] = h
         n_sh = len(toks) - self.k + 1
@@ -180,13 +196,18 @@ def _add_coarse_part(batch: pa.Table) -> pa.Table:
 
 def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """All candidate pairs in one coarse partition: pandas groupby over
-    the real bucket key, deterministic order, hot-bucket cap."""
+    the real bucket key, deterministic order, hot-bucket cap (truncation
+    is logged so dropped candidate pairs are visible to operators)."""
+    import logging
     lo, hi = [], []
-    for _, g in group.groupby("band_key", sort=True):
+    for bk, g in group.groupby("band_key", sort=True):
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2:
             continue
         if len(ids) > _MAX_BUCKET:
+            logging.warning(
+                "dedup: hot LSH bucket %s truncated %d -> %d docs "
+                "(potential near-dups dropped)", bk, len(ids), _MAX_BUCKET)
             ids = ids[:_MAX_BUCKET]
         a = np.array(ids)
         iu, ju = np.triu_indices(len(a), k=1)
@@ -256,9 +277,11 @@ class SimHasher:
     _token_bits: dict[str, np.ndarray] = {}
 
     def _bits(self, tok: str) -> np.ndarray:
+        if len(SimHasher._token_bits) > _TOKEN_CACHE_CAP:
+            SimHasher._token_bits.clear()
         b = SimHasher._token_bits.get(tok)
         if b is None:
-            h = np.uint64(_h64(tok))
+            h = np.uint64(_h64u(tok))
             b = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
                 .astype(np.int64) * 2 - 1
             SimHasher._token_bits[tok] = b
@@ -291,12 +314,16 @@ def _simhash_partition_pairs(group: pd.DataFrame,
                              max_dist: int = 3) -> pd.DataFrame:
     """Hamming-close pairs within one coarse partition, bucketed by the
     real band key; popcount vectorized over each bucket's pair matrix."""
+    import logging
     lo, hi = [], []
-    for _, g in group.groupby("band_key", sort=True):
+    for bk, g in group.groupby("band_key", sort=True):
         uniq = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(uniq) < 2:
             continue
         if len(uniq) > _MAX_BUCKET:
+            logging.warning(
+                "dedup: hot simhash bucket %s truncated %d -> %d docs "
+                "(potential near-dups dropped)", bk, len(uniq), _MAX_BUCKET)
             uniq = uniq.iloc[:_MAX_BUCKET]
         ids = uniq["doc_id"].to_numpy()
         hs = uniq["simhash"].to_numpy().astype(np.uint64)

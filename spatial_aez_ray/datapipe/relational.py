@@ -42,9 +42,12 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """2-decimal double -> exact int64 cents."""
+    """2-decimal double -> exact int64 cents, rounding half AWAY from
+    zero to match DuckDB ROUND exactly (np.round is half-to-even, which
+    disagrees by one cent whenever x*100 is exactly representable as
+    k+0.5 — e.g. 0.125; the oracle contract is ROUND on both sides)."""
     a = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
-    return np.round(a * 100.0).astype(np.int64)
+    return np.floor(a * 100.0 + np.copysign(0.5, a)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -79,7 +79,11 @@ class _BruteTopK:
             k = min(self.k, len(cand_ids))
             if k == 0:
                 continue
-            part = np.argpartition(-cand_cos, k - 1)[:k]
+            # per-batch selection uses the SAME (cos DESC, neighbor_id)
+            # tie-break as the driver merge and the SQL oracle — a bare
+            # argpartition keeps an arbitrary k when ties straddle the
+            # k boundary (latent gate flake on duplicate embeddings)
+            part = np.lexsort((cand_ids, -cand_cos))[:k]
             qid_out.extend([qid] * k)
             nid_out.extend(cand_ids[part].tolist())
             cos_out.extend(cand_cos[part].tolist())

@@ -63,12 +63,20 @@ class HistogramDownsampler:
         self.bins = bins or DEFAULT_BINS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
+        # pass 1: collect every row's ref, ONE batched MediaStore fetch
+        # per map_batches call (per-row fetches measured 13x slower —
+        # CLAUDE.md invariant, same two-pass shape as ZonalPartials)
+        rows_meta = []
+        all_refs = []
         for row in batch.to_pylist():
             meta = model.parse_meta(row["spans"])
-            refs = model.media_refs(row["spans"])
-            payloads = self.media.fetch(refs)
-            child = model.decode_tile(payloads[refs[0]],
+            ref0 = model.media_refs(row["spans"])[0]
+            rows_meta.append((meta, ref0))
+            all_refs.append(ref0)
+        payloads = self.media.fetch(all_refs)
+        rows = []
+        for meta, ref0 in rows_meta:
+            child = model.decode_tile(payloads[ref0],
                                       meta["nrows"], meta["ncols"])
             hist = window_histogram(child, self.factor, self.bins)
             ty, tx = meta["tile_y"], meta["tile_x"]
@@ -129,17 +137,21 @@ class Thumbnailer:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, refs_out, payloads_out, ws, hs = [], [], [], [], []
+        # one batched fetch per call (CLAUDE.md media-fetch invariant)
+        rows_meta = []
         for row in batch.to_pylist():
             meta = model.parse_meta(row["spans"])
-            refs = model.media_refs(row["spans"])
-            payloads = self.media.fetch(refs[:1])
-            tile = model.decode_tile(payloads[refs[0]],
+            ref0 = model.media_refs(row["spans"])[0]
+            rows_meta.append((row["doc_id"], meta, ref0))
+        payloads = self.media.fetch([r for _, _, r in rows_meta])
+        ids, refs_out, payloads_out, ws, hs = [], [], [], [], []
+        for doc_id, meta, ref0 in rows_meta:
+            tile = model.decode_tile(payloads[ref0],
                                      meta["nrows"], meta["ncols"])
             thumb = np.ascontiguousarray(
                 tile[:: self.stride, :: self.stride])
-            ids.append(row["doc_id"] + "/thumb")
-            refs_out.append(refs[0] + "/thumb")
+            ids.append(doc_id + "/thumb")
+            refs_out.append(ref0 + "/thumb")
             payloads_out.append(thumb.tobytes())
             hs.append(thumb.shape[0])
             ws.append(thumb.shape[1])
