@@ -220,29 +220,51 @@ def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
                          "doc_hi": np.concatenate(hi)})
 
 
-def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
-                       bands: int = 16) -> pd.DataFrame:
-    """Distinct candidate near-dup pairs from LSH band buckets."""
+def _minhash_raw_pairs(sf_dir: str, *, num_perm: int = 64,
+                       bands: int = 16) -> ray.data.Dataset:
+    """Candidate pairs straight out of the coarse-partition bucket fold
+    (may contain dupes when two docs collide in several bands)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
                                           "bands": bands},
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
-                 .repartition(8)  # tiny rows; fewer blocks -> cheaper sort
-                 .groupby("part")
-                 .map_groups(_partition_pairs, batch_format="pandas"))
-    pdf = pairs.to_pandas().drop_duplicates()
+    return (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
+                .repartition(8)  # tiny rows; fewer blocks -> cheaper sort
+                .groupby("part")
+                .map_groups(_partition_pairs, batch_format="pandas"))
+
+
+def minhash_candidates_ds(sf_dir: str, *, num_perm: int = 64,
+                          bands: int = 16) -> ray.data.Dataset:
+    """Lazy Dataset of DISTINCT candidate near-dup pairs from LSH band
+    buckets (distinct via a (doc_lo, doc_hi) groupby — dedupe stays
+    distributed; consumers that tolerate dupes, like connected
+    components, use the raw pairs and skip this shuffle)."""
+    pairs = _minhash_raw_pairs(sf_dir, num_perm=num_perm, bands=bands)
+    distinct = (pairs.groupby(["doc_lo", "doc_hi"])
+                     .aggregate(Count(alias_name="_n")))
+    return distinct.drop_columns(["_n"])
+
+
+def minhash_candidates(sf_dir: str, *, num_perm: int = 64,
+                       bands: int = 16) -> pd.DataFrame:
+    """Driver-side frame of the distinct candidate pairs (small output:
+    this is the *result* of LSH, bounded by bucket caps)."""
+    pdf = minhash_candidates_ds(sf_dir, num_perm=num_perm,
+                                bands=bands).to_pandas()
     return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
 
 
-def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
-    """Near-dup survivors: union-find over candidate pairs (driver-side
-    on the *pair list*, which is small; the heavy shingle/sign work is
-    distributed), keep min doc_id per component."""
-    ds = _read_docs(sf_dir, columns=["doc_id"])
-    all_ids = sorted(ds.to_pandas()["doc_id"])
-    pairs = minhash_candidates(sf_dir)
+#: pair-count threshold for driver-side union-find vs the distributed
+#: min-label connected components (the pair list is LSH *output*,
+#: bounded by bucket caps; 2M pairs ≈ 32 MB on the driver)
+_CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def _union_find_roots(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over the pair list only (NOT the corpus): returns
+    node -> component-min root for every node appearing in a pair."""
     parent: dict = {}
 
     def find(x):
@@ -255,13 +277,127 @@ def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    survivors = [d for d in all_ids if find(d) == d]
-    comp_sizes: dict = {}
-    for d in all_ids:
-        r = find(d)
-        comp_sizes[r] = comp_sizes.get(r, 0) + 1
-    return pd.DataFrame({"doc_id": survivors,
-                         "component_size": [comp_sizes[d] for d in survivors]})
+    return {int(n): int(find(n)) for n in parent}
+
+
+def connected_components(pairs: ray.data.Dataset,
+                         max_iters: int = 25) -> ray.data.Dataset:
+    """Distributed connected components over an undirected edge list
+    (doc_lo, doc_hi) by iterative min-label propagation: label(x)
+    starts at min(x, neighbors(x)) and each round takes the min of its
+    neighbors' labels; labels are monotone non-increasing and the
+    fixpoint label is the component minimum. Rounds needed = graph
+    diameter — LSH bucket components are near-cliques, so typically
+    1-2 rounds. Each round is one small join + groupby over the PAIR
+    NODES only (never the corpus); labels are materialized per round
+    so lineage doesn't re-execute.
+
+    Returns a Dataset (node, label) for nodes that appear in >=1 pair.
+    """
+    from ray.data.aggregate import Min
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        """Both edge directions + a self-loop per endpoint (the self
+        loops make the init groupby produce label(x)=min(x, nbrs(x))
+        without a separate union pass)."""
+        lo = b["doc_lo"].combine_chunks() if isinstance(
+            b["doc_lo"], pa.ChunkedArray) else b["doc_lo"]
+        hi = b["doc_hi"].combine_chunks() if isinstance(
+            b["doc_hi"], pa.ChunkedArray) else b["doc_hi"]
+        return pa.table({
+            "src": pa.concat_arrays([lo, hi, lo, hi]),
+            "dst": pa.concat_arrays([hi, lo, lo, hi]),
+        })
+
+    edges = pairs.map_batches(symmetrize,
+                              batch_format="pyarrow").materialize()
+    # round 0: label(x) = min(x, neighbors(x)) — self loops included
+    labels = (edges.groupby("src")
+              .aggregate(Min("dst", alias_name="label"))
+              .rename_columns({"src": "node"})).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        prop = edges.join(labels, join_type="inner", num_partitions=8,
+                          on=("dst",), right_on=("node",))
+        prop = prop.map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["label"]}),
+            batch_format="pyarrow")
+        labels = (prop.union(labels).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels are ints, monotone decreasing
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover - pathological chain longer than max_iters
+        import logging
+        logging.warning("connected_components: not converged after %d "
+                        "rounds; labels may span a component", max_iters)
+    return labels
+
+
+def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup survivors (min doc_id per connected component of the
+    candidate-pair graph) + component sizes, computed end-to-end
+    distributed: LSH candidates -> distributed connected components
+    over pair nodes -> corpus doc_ids LEFT-joined to their component
+    root (isolated docs root to themselves) -> grouped size count.
+    The component root IS the min doc_id, so the survivor table is
+    exactly the (root, count) groupby — no extra filter/join pass.
+    The corpus id column shuffles as 8-byte keys; nothing corpus-sized
+    ever lands on the driver (the returned survivor frame is the
+    operator's actual result)."""
+    import ray as _ray
+    pairs = _minhash_raw_pairs(sf_dir).materialize()
+    docs = _read_docs(sf_dir, columns=["doc_id"])
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        mapped = docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "root": b["doc_id"]}),
+            batch_format="pyarrow")
+    elif n_pairs <= _CC_DRIVER_MAX_PAIRS:
+        # The pair list is the *output* of LSH (bounded by bucket
+        # caps, ≪ corpus). Below the threshold, union-find it on the
+        # driver and broadcast the node->root map; the corpus-side
+        # mapping stays distributed. Above, the fully distributed
+        # min-label path takes over (verified equal in tests).
+        roots_ref = _ray.put(_union_find_roots(pairs.to_pandas()))
+
+        class BroadcastRoot:
+            def __init__(self, ref):
+                self.roots = _ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                root = np.fromiter(
+                    (self.roots.get(int(d), d) for d in ids),
+                    dtype=np.int64, count=len(ids))
+                return pa.table({"doc_id": b["doc_id"],
+                                 "root": pa.array(root)})
+
+        mapped = docs.map_batches(
+            BroadcastRoot, fn_constructor_kwargs={"ref": roots_ref},
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        labels = connected_components(pairs)
+        joined = docs.join(labels, join_type="left_outer",
+                           num_partitions=8,
+                           on=("doc_id",), right_on=("node",))
+
+        def to_root(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "root": pc.coalesce(b["label"], b["doc_id"]),
+            })
+
+        mapped = joined.map_batches(to_root, batch_format="pyarrow")
+    sizes = (mapped.groupby("root")
+             .aggregate(Count(alias_name="component_size")))
+    pdf = sizes.to_pandas().rename(columns={"root": "doc_id"})
+    pdf["component_size"] = pdf["component_size"].astype(np.int64)
+    return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -371,31 +507,44 @@ def _shingle_set(text: str, k: int = 3) -> frozenset:
 
 def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
     """Exact 3-gram Jaccard on the minhash candidate pairs — the
-    verify pass of the standard LSH dedup pipeline. Texts for the
-    (small) candidate set are fetched via a broadcast lookup."""
-    import ray
-    cands = minhash_candidates(sf_dir)
-    docs = _read_docs(sf_dir, columns=["doc_id", "text"]).to_pandas()
-    text_of = dict(zip(docs["doc_id"], docs["text"]))
-    text_ref = ray.put(text_of)
-
-    if len(cands) == 0:
+    verify pass of the standard LSH dedup pipeline. Candidate texts
+    are attached via two hash shuffle joins against the documents
+    table (candidates ⋈ docs on doc_lo, then on doc_hi) — the corpus
+    is never materialized on the driver or broadcast; only the rows
+    that are actually candidates carry text through the verify stage.
+    """
+    cands_ds = minhash_candidates_ds(sf_dir).materialize()
+    if cands_ds.count() == 0:
         return pd.DataFrame({"doc_lo": [], "doc_hi": [], "jaccard3": []})
 
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def _renamed(side: str):
+        def rn(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b["doc_id"],
+                             f"text_{side}": b["text"]})
+        return rn
+
+    j = cands_ds.join(
+        docs.map_batches(_renamed("lo"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("doc_lo",), right_on=("id_lo",))
+    j = j.join(
+        docs.map_batches(_renamed("hi"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("doc_hi",), right_on=("id_hi",))
+
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tmap = ray.get(text_ref)
         jac = []
-        for a, b in zip(batch["doc_lo"], batch["doc_hi"]):
-            sa, sb = _shingle_set(tmap[a]), _shingle_set(tmap[b])
+        for ta, tb in zip(batch["text_lo"], batch["text_hi"]):
+            sa, sb = _shingle_set(ta), _shingle_set(tb)
             inter = len(sa & sb)
             jac.append(inter / (len(sa) + len(sb) - inter))
-        out = batch.copy()
+        out = batch[["doc_lo", "doc_hi"]].copy()
         out["jaccard3"] = jac
-        return out
+        return out[np.asarray(jac) >= threshold]
 
-    ds = ray.data.from_pandas(cands)
-    out = ds.map_batches(verify, batch_format="pandas").to_pandas()
-    out = out[out["jaccard3"] >= threshold]
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
 
 

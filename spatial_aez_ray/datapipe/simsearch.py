@@ -46,10 +46,20 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str, n_queries: int):
+    """First n_queries vectors (vec_id order == file order), read via
+    streamed record batches — only the leading row group(s) leave
+    storage, never the full table (100 TB rule: the query side is the
+    ONLY thing the driver materializes)."""
     import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    head = t.slice(0, n_queries)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, got = [], 0
+    for rb in pf.iter_batches(batch_size=max(n_queries, 256),
+                              columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        got += rb.num_rows
+        if got >= n_queries:
+            break
+    head = pa.Table.from_batches(batches).slice(0, n_queries)
     q = _emb_matrix(head)
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     return head["vec_id"].to_pylist(), q
@@ -168,51 +178,101 @@ class _LshBucketer:
         })
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
-    """Approximate top-k: exact cosine restricted to vectors sharing an
-    LSH bucket with the query in any of the hash tables."""
-    import pyarrow.parquet as pq
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    dim = len(full["embedding"][0])
-    q_ids, q = _load_queries(sf_dir, n_queries)
+class _CandidateScorer:
+    """Shared single-pass scorer for bucketed ANN (LSH / IVF): the
+    query set (+ its bucket/probe assignments) is broadcast once per
+    actor; each batch computes its OWN vectors' buckets in place,
+    selects candidates matching any query bucket, scores exact cosine,
+    and emits a per-batch partial top-k (<= q*k rows) plus one
+    candidate-count row per query (neighbor_id=-1, n_cand=count).
+    Nothing but q*k-sized partials ever leaves a worker — no shuffle,
+    no driver-side table read; the whole search is one streaming pass.
+    """
 
-    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
-    buckets = ds.map_batches(
-        _LshBucketer, fn_constructor_kwargs={"dim": dim},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.q_ids, self.q, self.aux = ray.get(q_ref)
+        self.k = k
 
-    bucketer = _LshBucketer(dim)
-    qb = bucketer.bucket(q)  # (nq, n_tables)
+    def _masks(self, m: np.ndarray) -> np.ndarray:
+        """(n, d) unit rows -> (nq, n) candidate mask."""
+        raise NotImplementedError
 
-    # candidate set per query: union over tables of bucket members
-    emb_all = _emb_matrix(full)
-    norms = np.linalg.norm(emb_all, axis=1, keepdims=True)
-    emb_all = emb_all / np.where(norms == 0, 1.0, norms)
-    id_to_row = {int(v): i for i, v in enumerate(full["vec_id"].to_pylist())}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        masks = self._masks(m)
+        qid_out, nid_out, cos_out, cnt_out = [], [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            sel = masks[qi] & (ids != qid)
+            n_cand = int(sel.sum())
+            if n_cand == 0:
+                continue
+            cand_ids = ids[sel]
+            cos = m[sel] @ self.q[qi]
+            k = min(self.k, n_cand)
+            part = np.lexsort((cand_ids, -cos))[:k]
+            qid_out.extend([qid] * k)
+            nid_out.extend(cand_ids[part].tolist())
+            cos_out.extend(cos[part].tolist())
+            cnt_out.extend([0] * k)
+            qid_out.append(qid)  # count row for this (query, batch)
+            nid_out.append(-1)
+            cos_out.append(0.0)
+            cnt_out.append(n_cand)
+        return pa.table({"query_id": pa.array(qid_out, pa.int64()),
+                         "neighbor_id": pa.array(nid_out, pa.int64()),
+                         "cos": pa.array(cos_out, pa.float64()),
+                         "n_cand": pa.array(cnt_out, pa.int64())})
 
-    by_table: dict[tuple[int, int], list[int]] = {}
-    for t, bk, vid in zip(buckets["table_id"], buckets["bucket"],
-                          buckets["vec_id"]):
-        by_table.setdefault((int(t), int(bk)), []).append(int(vid))
 
+def _merge_topk_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver merge of per-batch partials: q*k rows per batch, tiny.
+    Same (cos DESC, neighbor_id ASC) tie-break as the per-batch pass."""
+    counts = partials.groupby("query_id")["n_cand"].sum()
     rows = []
-    for qi, qid in enumerate(q_ids):
-        cands: set[int] = set()
-        for t in range(bucketer.n_tables):
-            cands.update(by_table.get((t, int(qb[qi, t])), []))
-        cands.discard(int(qid))
-        if not cands:
-            continue
-        cand_list = sorted(cands)
-        rows_idx = [id_to_row[c] for c in cand_list]
-        cos = emb_all[rows_idx] @ q[qi]
-        order = np.lexsort((np.array(cand_list), -cos))[:k]
+    for qid, grp in partials[partials["n_cand"] == 0].groupby("query_id"):
+        nid = grp["neighbor_id"].to_numpy()
+        order = np.lexsort((nid, -grp["cos"].to_numpy()))[:k]
         for rank, oi in enumerate(order, start=1):
-            rows.append((int(qid), cand_list[oi], rank,
-                         int(len(cand_list))))
+            rows.append((int(qid), int(nid[oi]), rank, int(counts[qid])))
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank",
                                        "n_candidates"])
+
+
+class _LshScorer(_CandidateScorer):
+    """aux = (dim, qb): per-actor rebuild of the seeded hyperplanes
+    (identical everywhere — broadcast-free broadcast), candidates =
+    vectors sharing the query's bucket in >=1 table."""
+
+    def __init__(self, q_ref, k: int):
+        super().__init__(q_ref, k)
+        dim, self.qb = self.aux
+        self.bucketer = _LshBucketer(dim)
+
+    def _masks(self, m: np.ndarray) -> np.ndarray:
+        b = self.bucketer.bucket(m)  # (n, n_tables)
+        # (nq, n): match in any table
+        return (b[None, :, :] == self.qb[:, None, :]).any(axis=2)
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+    """Approximate top-k: exact cosine restricted to vectors sharing an
+    LSH bucket with the query in any of the hash tables. Fully
+    distributed: one streaming map_batches pass, queries + their bucket
+    ids broadcast, q*k partials merged driver-side."""
+    import ray
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    dim = q.shape[1]
+    qb = _LshBucketer(dim).bucket(q)  # (nq, n_tables)
+    q_ref = ray.put((q_ids, q, (dim, qb)))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _LshScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return _merge_topk_partials(partials, k)
 
 
 class _CosinePairCounter:
@@ -350,46 +410,38 @@ class _IvfAssigner:
         })
 
 
+class _IvfScorer(_CandidateScorer):
+    """aux = (cent, q_lists): candidates = vectors whose nearest-
+    centroid list is among the query's probed lists. List assignment is
+    recomputed per batch in place (one small matmul) — vectors never
+    shuffle by list_id; only q*k partials leave each worker."""
+
+    def __init__(self, q_ref, k: int):
+        super().__init__(q_ref, k)
+        self.cent, self.q_lists = self.aux  # (nl, d), (nq, n_probe)
+
+    def _masks(self, m: np.ndarray) -> np.ndarray:
+        lists = np.argmax(m @ self.cent.T, axis=1)  # (n,)
+        return (lists[None, :, None]
+                == self.q_lists[:, None, :]).any(axis=2)
+
+
 def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10,
             n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF ANN: vectors bucketed by nearest coarse centroid (built
-    distributed), queries probe their n_probe nearest lists and score
-    exact cosine over those lists' members only."""
-    import pyarrow.parquet as pq
+    """IVF ANN: a coarse k-means quantizer trained driver-side on a
+    bounded head sample (train cost independent of dataset size),
+    then ONE streaming scoring pass — each batch assigns its own
+    vectors to lists, scores exact cosine for queries probing those
+    lists, and ships only q*k partial rows. No full-table reads, no
+    shuffle, no driver-side member index."""
     import ray
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    m = _emb_matrix(full)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m = m / np.where(norms == 0, 1.0, norms)
-    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False))
-    cent = _kmeans(m[: min(len(m), 2048)], n_lists)
-    cent_ref = ray.put(cent)
-
-    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
-    assign = ds.map_batches(
-        _IvfAssigner, fn_constructor_kwargs={"cent_ref": cent_ref},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
-    members: dict[int, list[int]] = {}
-    for lid, vid in zip(assign["list_id"], assign["vec_id"]):
-        members.setdefault(int(lid), []).append(int(vid))
-    id_to_row = {int(v): i for i, v in enumerate(ids)}
-
+    _, sample = _load_queries(sf_dir, 2048)  # normalized head sample
+    cent = _kmeans(sample, n_lists)
     q_ids, q = _load_queries(sf_dir, n_queries)
     q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
-
-    rows = []
-    for qi, qid in enumerate(q_ids):
-        cands: set[int] = set()
-        for lid in q_lists[qi]:
-            cands.update(members.get(int(lid), []))
-        cands.discard(int(qid))
-        if not cands:
-            continue
-        cl = sorted(cands)
-        cos = m[[id_to_row[c] for c in cl]] @ q[qi]
-        order = np.lexsort((np.array(cl), -cos))[:k]
-        for rank, oi in enumerate(order, start=1):
-            rows.append((int(qid), cl[oi], rank, len(cl)))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank",
-                                       "n_candidates"])
+    q_ref = ray.put((q_ids, q, (cent, q_lists)))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return _merge_topk_partials(partials, k)

@@ -112,6 +112,37 @@ def test_minhash_lsh_finds_exact_dups_and_keeps_distinct():
     ).fetchone()[0]
 
 
+def test_connected_components_distributed_matches_union_find():
+    """The distributed min-label CC (the >2M-pair scale path) must
+    produce the same node->root labels as the driver union-find that
+    handles small pair lists."""
+    from spatial_aez_ray.datapipe import dedup
+    pairs = dedup.minhash_candidates_ds(SF).materialize()
+    if pairs.count() == 0:
+        pytest.skip("no candidate pairs at this sf")
+    labels = dedup.connected_components(pairs).to_pandas()
+    want = dedup._union_find_roots(pairs.to_pandas())
+    got = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
+    # union-find only records nodes it re-parented; fill self-roots
+    for n in got:
+        want.setdefault(n, n)
+    assert got == want
+
+
+def test_minhash_lsh_dedup_distributed_cc_path_matches():
+    """Force the distributed-CC branch and check it returns the exact
+    same survivor table as the (default) driver union-find branch."""
+    from spatial_aez_ray.datapipe import dedup
+    a = dedup.minhash_lsh_dedup(SF)
+    old = dedup._CC_DRIVER_MAX_PAIRS
+    dedup._CC_DRIVER_MAX_PAIRS = 0
+    try:
+        b = dedup.minhash_lsh_dedup(SF)
+    finally:
+        dedup._CC_DRIVER_MAX_PAIRS = old
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_simhash_pairs_are_symmetric_unique():
     from spatial_aez_ray.datapipe import dedup
     pairs = dedup.simhash_dedup(SF)
