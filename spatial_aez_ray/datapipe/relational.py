@@ -428,38 +428,30 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 def doc_embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     """documents ⋈ embeddings on doc_id == vec_id (the multimodal
-    text-to-vector join), counting docs per (label, lang) — broadcast
-    small side (the label map) probed per batch."""
-    import pyarrow.parquet as pq
-    import ray
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "label"])
-    label_ref = ray.put(dict(zip(emb["vec_id"].to_pylist(),
-                                 emb["label"].to_pylist())))
+    text-to-vector join), counting docs per (label, lang). Both sides
+    are fact tables at 100 TB, so this is a hash SHUFFLE join
+    (Dataset.join) — not a broadcast of the embedding label map —
+    followed by the usual partial-agg groupby."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = docs.join(emb, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("vec_id",))
 
-    class LabelJoin:
-        def __init__(self, ref):
-            self.label_of = ray.get(ref)
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "label": np.asarray(
+                batch["label"].to_numpy(zero_copy_only=False),
+                dtype=np.int64),
+            "lang": batch["lang"].to_pylist(),
+            "doc_cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["label", "lang"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            labels = [self.label_of.get(d, -1)
-                      for d in batch["doc_id"].to_pylist()]
-            df = pd.DataFrame({"label": np.array(labels, dtype=np.int64),
-                               "lang": batch["lang"].to_pylist(),
-                               "doc_cnt": np.ones(batch.num_rows,
-                                                  dtype=np.int64)})
-            df = df[df["label"] >= 0]
-            g = df.groupby(["label", "lang"], as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang"])
-    agg = (ds.map_batches(LabelJoin, fn_constructor_kwargs={"ref": label_ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
-             .groupby(["label", "lang"])
-             .aggregate(Sum("doc_cnt", alias_name="doc_cnt")))
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["label", "lang"])
+                 .aggregate(Sum("doc_cnt", alias_name="doc_cnt")))
     out = agg.to_pandas()
+    out["label"] = out["label"].astype(np.int64)
     out["doc_cnt"] = out["doc_cnt"].astype(np.int64)
     return out.sort_values(["label", "lang"]).reset_index(drop=True)
 

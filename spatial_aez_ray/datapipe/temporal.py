@@ -86,61 +86,94 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 # as-of join: each event matched to the user's latest order at/before ts
 # ---------------------------------------------------------------------------
 
-class _AsofJoiner:
-    """Actor-pool stage: the (small) orders side is broadcast once per
-    actor as per-customer sorted arrays; each event batch does a
-    vectorized searchsorted per user run. For a big right side this
-    becomes a co-partitioned merge (shuffle both sides on the key,
-    sort-merge within partition) — same kernel, different layout."""
+#: coarse key-fold width for the co-partitioned merge: per-user groups
+#: are tiny (tens of events), so map_groups runs over ~N_ASOF_PARTS
+#: hash partitions and does a vectorized pandas groupby inside — never
+#: one Ray group per user (the tiny-groups anti-pattern).
+N_ASOF_PARTS = 64
 
-    def __init__(self, orders_ref):
-        import ray
-        by_cust = ray.get(orders_ref)
-        self.by_cust = by_cust  # custkey -> (sorted ts int64[], orderkey[])
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        users = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False))
-        ts = (batch["ts"].to_numpy(zero_copy_only=False)
-              .astype("datetime64[us]").astype(np.int64))
-        okey = np.full(len(users), -1, dtype=np.int64)
-        for u in np.unique(users):
-            side = self.by_cust.get(int(u))
-            if side is None:
-                continue
-            ots, oks = side
-            rows = np.flatnonzero(users == u)
-            pos = np.searchsorted(ots, ts[rows], side="right") - 1
-            ok = pos >= 0
-            okey[rows[ok]] = oks[pos[ok]]
-        return pa.table({
-            "event_id": batch["event_id"],
-            "user_id": batch["user_id"],
-            "asof_orderkey": pa.array(okey),
-        })
+def _asof_merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse partition of the unioned (events ∪ orders) stream:
+    per user, sort the order side by (ts, orderkey) and match each
+    event to the last order at/before it (searchsorted right-1 — ties
+    on date resolve to the highest orderkey, deterministic)."""
+    out = []
+    for uid, gu in g.groupby("user_id", sort=False):
+        ev = gu[gu["side"] == 0]
+        if not len(ev):
+            continue
+        od = gu[gu["side"] == 1]
+        okey = np.full(len(ev), -1, dtype=np.int64)
+        if len(od):
+            od = od.sort_values(["ts_us", "okey"], kind="stable")
+            ots = od["ts_us"].to_numpy()
+            oks = od["okey"].to_numpy()
+            pos = np.searchsorted(ots, ev["ts_us"].to_numpy(),
+                                  side="right") - 1
+            hit = pos >= 0
+            okey[hit] = oks[pos[hit]]
+        out.append(pd.DataFrame({
+            "event_id": ev["event_id"].to_numpy(),
+            "user_id": ev["user_id"].to_numpy(),
+            "asof_orderkey": okey}))
+    if not out:
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "user_id": pd.Series([], dtype=np.int64),
+                             "asof_orderkey": pd.Series([], dtype=np.int64)})
+    return pd.concat(out, ignore_index=True)
 
 
 def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
     """For every event: the user's most recent order with
     o_orderdate <= ts (ties on date -> highest orderkey, deterministic);
-    -1 when no prior order exists."""
-    import pyarrow.parquet as pq
-    import ray
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_custkey", "o_orderkey", "o_orderdate"])
-    odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate",
-                                          "o_orderkey"])
-    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for cust, g in odf.groupby("o_custkey"):
-        ots = g["o_orderdate"].to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
-        by_cust[int(cust)] = (ots, g["o_orderkey"].to_numpy())
-    orders_ref = ray.put(by_cust)
+    -1 when no prior order exists.
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    out = ds.map_batches(_AsofJoiner,
-                         fn_constructor_kwargs={"orders_ref": orders_ref},
-                         batch_format="pyarrow",
-                         concurrency=(1, 4)).to_pandas()
+    Co-partitioned sort-merge: BOTH sides shuffle once on the user
+    key (folded into N_ASOF_PARTS coarse hash partitions), the merge
+    kernel runs vectorized inside each partition. Neither side is ever
+    broadcast or driver-materialized — the right layout when orders is
+    a fact table too (the reference-scale assumption)."""
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            "ts_us": pa.array(ts),
+            "event_id": pa.array(np.asarray(
+                b["event_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)),
+            "okey": pa.array(np.full(len(uid), -1, dtype=np.int64)),
+        })
+
+    def od_prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
+        ts = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "side": pa.array(np.ones(len(uid), dtype=np.int8)),
+            "ts_us": pa.array(ts),
+            "event_id": pa.array(np.full(len(uid), -1, dtype=np.int64)),
+            "okey": pa.array(np.asarray(
+                b["o_orderkey"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)),
+        })
+
+    ev = (_read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+          .map_batches(ev_prep, batch_format="pyarrow"))
+    od = (_read(sf_dir, "orders",
+                columns=["o_custkey", "o_orderkey", "o_orderdate"])
+          .map_batches(od_prep, batch_format="pyarrow"))
+    out = (ev.union(od)
+             .groupby("part")
+             .map_groups(_asof_merge_part, batch_format="pandas")
+             .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
 
