@@ -62,7 +62,7 @@ class WorldSpec:
     #: worlds under /tmp regenerate (v2: zero-padded media_ref;
     #: v3: contiguous ray-generation shards so part files cover tight
     #: media_ref ranges)
-    FORMAT_VERSION = 3
+    FORMAT_VERSION = 4
 
     @property
     def path(self) -> str:
@@ -406,8 +406,13 @@ def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) 
             _gen_with_ray(spec, dataset, tiles, ddir, mdir)
         else:
             doc_t, med_t = _gen_dataset_shard(spec, dataset, tiles, index)
+            # several row groups even at tiny scale: the checkpoint
+            # shard planner cuts at row-group boundaries from footer
+            # stats, so granularity must exist on disk (real tables
+            # have thousands of row groups)
+            rg = max(8, min(256, doc_t.num_rows // 8))
             pq.write_table(doc_t, os.path.join(ddir, "part-00000.parquet"),
-                           row_group_size=256)
+                           row_group_size=rg)
             pq.write_table(med_t, os.path.join(mdir, "part-00000.parquet"),
                            row_group_size=64)
     with open(marker, "w") as f:

@@ -167,46 +167,72 @@ def run_checkpointed_partials(world_path: str, driver_dataset: str,
                               concurrency: int | tuple = (1, 4),
                               batch_size: int = 16) -> pd.DataFrame:
     """Generic resumable partials runner: split the driver dataset's
-    doc_id space into contiguous cell-prefix range shards, run the
-    partials kernel per shard, persist one atomic part file + manifest
-    line (lineage + metrics) each; resume skips completed shards.
+    doc_id space into contiguous cell-prefix range shards PLANNED FROM
+    PARQUET FOOTER STATS (the id column is never materialized — at
+    100 TB reading every doc_id to plan shards is itself a full scan),
+    run the partials kernel per shard with a few shards in flight
+    concurrently, persist one atomic part file + manifest line
+    (lineage + metrics) each; resume skips completed shards.
     Returns the concatenated partials combined deterministically."""
     import pyarrow.compute as pc
-    import pyarrow.dataset as pds
     import pyarrow.parquet as papq
+    import ray
     import ray.data as rd
+    import threading
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..state.checkpoint import (
-        CheckpointManifest, ShardResult, doc_id_range_shards, op_hash,
+        CheckpointManifest, ShardResult, doc_id_range_shards_from_stats,
+        op_hash,
     )
     from ..sources.documents import document_paths
 
     paths = document_paths(world_path, [driver_dataset])
-    doc_ids = pds.dataset(paths).to_table(columns=["doc_id"])["doc_id"].to_pylist()
-    shards = doc_id_range_shards(doc_ids, num_shards)
-    man = CheckpointManifest(out_dir, op_hash(op_key, driver_dataset, "v1"))
+    shards = doc_id_range_shards_from_stats(paths, num_shards)
+    # v2: stats-based shard bounds differ from the v1 full-id-read plan;
+    # the op version keys the manifest so stale v1 parts never satisfy
+    # a v2 resume.
+    man = CheckpointManifest(out_dir, op_hash(op_key, driver_dataset, "v2"))
     pending = set(man.pending([s[0] for s in shards]))
+    manifest_lock = threading.Lock()
+    plan_lock = threading.Lock()
 
-    for sid, lo, hi in shards:
-        if sid not in pending:
-            continue
+    def run_shard(shard):
+        sid, lo, hi = shard
         t0 = _time.time()
-        ds = rd.read_parquet(
-            paths, columns=["doc_id", "spans"],
-            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
+        # Dataset construction (path/filesystem resolution) is not
+        # thread-safe in Ray Data (concurrent first-import race in its
+        # fsspec sniffing); serialize the cheap plan step, run the
+        # actual streaming execution concurrently.
+        with plan_lock:
+            ds = rd.read_parquet(
+                paths, columns=["doc_id", "spans"],
+                filter=(pc.field("doc_id") >= lo)
+                       & (pc.field("doc_id") <= hi))
         partials = ds.map_batches(
             kernel_cls, fn_constructor_kwargs=kernel_kwargs,
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency)
         table = pa_concat(partials.to_arrow_refs())
-        man.write_part(
-            sid, table,
-            lineage={"dataset": driver_dataset, "doc_id_lo": lo,
-                     "doc_id_hi": hi, "world": world_path, "op": op_key},
-            result=ShardResult(shard_id=sid, rows=table.num_rows,
-                               cells=int(table.num_rows),
-                               seconds=_time.time() - t0))
+        with manifest_lock:
+            man.write_part(
+                sid, table,
+                lineage={"dataset": driver_dataset, "doc_id_lo": lo,
+                         "doc_id_hi": hi, "world": world_path, "op": op_key},
+                result=ShardResult(shard_id=sid, rows=table.num_rows,
+                                   cells=int(table.num_rows),
+                                   seconds=_time.time() - t0))
+
+    todo = [s for s in shards if s[0] in pending]
+    if todo:
+        # overlap shard executions (each is an independent streaming
+        # Dataset run); cap in-flight shards so the per-shard actor
+        # pools can't reserve every CPU and starve the read stages
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        workers = max(1, min(4, cpus // 2, len(todo)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(run_shard, todo))
 
     all_parts = [man.part_path(s[0]) for s in shards]
     pdf = papq.ParquetDataset(all_parts).read().to_pandas()

@@ -91,6 +91,50 @@ def op_hash(*parts: str) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def doc_id_range_shards_from_stats(paths: list[str], num_shards: int
+                                   ) -> list[tuple[str, str, str]]:
+    """Shard bounds from parquet FOOTER statistics only — row-group
+    min/max(doc_id) + row counts; the id column itself never leaves
+    storage (at 100 TB reading every doc_id to plan shards is itself a
+    full scan). Relies on the documents layout guarantee: files are
+    doc_id-sorted with non-overlapping ranges, so contiguous runs of
+    row groups form contiguous doc_id ranges. Shards are row-balanced
+    greedy cuts at row-group boundaries: (shard_id, lo, hi) with
+    lo <= doc_id <= hi, disjoint and covering."""
+    import pyarrow.parquet as pq
+
+    rgs: list[tuple[str, str, int]] = []  # (min, max, rows)
+    for p in paths:
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = rg.column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                raise ValueError(
+                    f"{p} row group {i} lacks doc_id statistics; "
+                    "rewrite the table with stats enabled to shard it")
+            rgs.append((st.min, st.max, rg.num_rows))
+    if not rgs:
+        return []
+    rgs.sort()  # sorted layout -> file order == id order; sort is belt
+    total = sum(r[2] for r in rgs)
+    n = min(num_shards, len(rgs))
+    shards: list[tuple[str, str, str]] = []
+    start = 0
+    acc = 0
+    for i, (_, _, rows) in enumerate(rgs):
+        acc += rows
+        remaining = len(rgs) - (i + 1)   # row groups left after i
+        need = n - len(shards) - 1       # shards still to cut after this
+        if len(shards) < n - 1 and remaining >= need and (
+                acc >= total * (len(shards) + 1) / n or remaining == need):
+            shards.append((f"{len(shards):05d}", rgs[start][0], rgs[i][1]))
+            start = i + 1
+    shards.append((f"{len(shards):05d}", rgs[start][0], rgs[-1][1]))
+    return shards
+
+
 def doc_id_range_shards(doc_ids: list[str], num_shards: int
                         ) -> list[tuple[str, str, str]]:
     """Split the sorted doc_id space into contiguous ranges:

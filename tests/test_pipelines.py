@@ -162,3 +162,31 @@ def test_produce_aez_csvs_per_tmr_split(tiny_world, tmp_path):
         want = rolled[c].round(2)
         got = sub0[c]
         assert np.allclose(got.values, want.values, atol=0.011), c
+
+
+def test_stats_shard_planner_covers_disjoint_no_id_read(tiny_world):
+    """Shard bounds come from parquet footer stats only: ranges must
+    cover every doc_id exactly once, honor the requested shard count
+    when row groups allow, and never read the id column (enforced by
+    failing any to_table/read_table during planning)."""
+    from unittest import mock
+    import pyarrow.dataset as pds
+    from spatial_aez_ray.sources.documents import document_paths
+    from spatial_aez_ray.state.checkpoint import doc_id_range_shards_from_stats
+
+    paths = document_paths(tiny_world, ["wk"])
+    with mock.patch("pyarrow.parquet.read_table",
+                    side_effect=AssertionError("planner read data")), \
+         mock.patch("pyarrow.dataset.dataset",
+                    side_effect=AssertionError("planner read data")):
+        shards = doc_id_range_shards_from_stats(paths, 4)
+    assert len(shards) == 4
+    ids = sorted(pds.dataset(paths).to_table(
+        columns=["doc_id"])["doc_id"].to_pylist())
+    hit = {i: 0 for i in ids}
+    for _, lo, hi in shards:
+        assert lo <= hi
+        for i in ids:
+            if lo <= i <= hi:
+                hit[i] += 1
+    assert all(v == 1 for v in hit.values()), "gap or overlap in shards"
