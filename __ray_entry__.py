@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
         "embedding_neardup": simsearch.embedding_neardup,
+        # LSH params tuned for the data's 0.4 threshold (32 tables x
+        # 4 bits ≈ 99.6% recall); the brute twin above is the oracle
+        "embedding_neardup_lsh": lambda sf: simsearch.embedding_neardup_lsh(
+            sf, threshold=0.4, n_tables=32, n_bits=4),
         "ann_ivf": simsearch.ann_ivf,
         "embed_documents": multimodal.embed_documents,
         # multimodal

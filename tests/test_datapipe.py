@@ -196,6 +196,50 @@ def test_distinct_matches_sql(con):
                   relational.DISTINCT_ORDER_PRIORITIES_SQL, con)
 
 
+def test_embedding_neardup_lsh_vs_bruteforce(tmp_path):
+    """The LSH-bucketed near-dup scale path must find only REAL pairs
+    (exact cosine verify => precision 1.0) and nearly all of them
+    (16-table LSH at cos>=0.9 => recall >=0.9; deterministic seed).
+    Testdata embeddings have no high-cos pairs, so run over a synthetic
+    clustered table: 40 base vectors, each with 2 noisy near-copies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import simsearch
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 32))
+    vecs, vid = [], 0
+    for b_ in base:
+        for _ in range(3):  # base + 2 near-dups
+            v = b_ + rng.normal(scale=0.03, size=32)
+            vecs.append(v / np.linalg.norm(v))
+            vid += 1
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.repeat(np.arange(40), 3).astype(np.int32)),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+    brute = simsearch.embedding_neardup(sf, threshold=0.9)
+    lsh = simsearch.embedding_neardup_lsh(sf, threshold=0.9)
+    total_b = int(brute["pair_cnt"].sum())
+    total_l = int(lsh["pair_cnt"].sum())
+    assert total_b >= 40  # the fixture really contains near-dups
+    b = dict(zip(brute["vec_id"], brute["pair_cnt"]))
+    for _, r in lsh.iterrows():  # precision 1.0
+        assert r["pair_cnt"] <= b.get(r["vec_id"], 0), r["vec_id"]
+    assert total_l / total_b >= 0.9, (total_l, total_b)
+
+
+def test_embedding_neardup_lsh_empty_schema_stable():
+    """Zero qualifying pairs must yield an empty frame with the same
+    columns (the gate hashes schemas)."""
+    from spatial_aez_ray.datapipe import simsearch
+    out = simsearch.embedding_neardup_lsh(SF, threshold=0.99)
+    assert list(out.columns) == ["vec_id", "pair_cnt", "hi_checksum"]
+
+
 def test_ann_ivf_recall_vs_bruteforce():
     """IVF with n_probe=all lists must equal brute force exactly; with
     fewer probes recall@10 should stay high on this data."""
