@@ -294,7 +294,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
+        "rolling_fingerprints": text.ROLLING_FINGERPRINTS_SQL,
         "lang_counts": text.LANG_COUNTS_SQL,
+        "lang_id": text.LANG_ID_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "ann_topk": __import__(

@@ -233,15 +233,17 @@ def _rolling_hashes(data: bytes) -> np.ndarray:
 def _winnow_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint = min rolling-window hash (winnowing with a
     single global window — a deterministic content sketch robust to
-    local edits)."""
+    local edits). The uint64 min is emitted as its two's-complement
+    int64 view so the DuckDB oracle (HUGEINT arithmetic -> BIGNT cast)
+    compares exactly."""
     ids, mins, n_windows = [], [], []
     for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         h = _rolling_hashes(t.encode("utf-8"))
         ids.append(d)
-        mins.append(int(h.min()))
+        mins.append(int(np.uint64(h.min()).astype(np.int64)))
         n_windows.append(len(h))
     return pa.table({"doc_id": pa.array(ids, batch["doc_id"].type),
-                     "min_window_hash": pa.array(np.array(mins, dtype=np.uint64)),
+                     "min_hash_i64": pa.array(mins, pa.int64()),
                      "n_windows": pa.array(n_windows, pa.int64())})
 
 
@@ -249,6 +251,41 @@ def rolling_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(_winnow_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _rolling_fp_sql() -> str:
+    """DuckDB oracle for ``rolling_fingerprints``: the byte stream is
+    recovered via hex(encode(text)), each 16-byte window hash is the
+    HUGEINT dot product with the precomputed BASE powers mod 2^64
+    (identical to the numpy uint64 wraparound), minimized per doc with
+    a list comprehension, and viewed as signed BIGINT on both sides."""
+    w = _WINDOW
+    powers = [pow(int(_ROLL_BASE), w - 1 - j, 1 << 64) for j in range(w)]
+    terms = " + ".join(
+        f"(CASE WHEN i + {j} < n THEN "
+        f"('0x' || substr(hx, 2*(i+{j}) + 1, 2))::INT::HUGEINT "
+        f"ELSE 0::HUGEINT END) * {powers[j]}::HUGEINT"
+        for j in range(w))
+    return f"""
+WITH bt AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text)::BIGINT AS n,
+         GREATEST(strlen(text)::BIGINT - {w - 1}, 1) AS n_win
+  FROM documents),
+h AS (
+  SELECT doc_id, n_win,
+         list_min([({terms}) % 18446744073709551616::HUGEINT
+                   for i in range(0, n_win)]) AS hmin
+  FROM bt)
+SELECT doc_id,
+       CASE WHEN hmin >= 9223372036854775808::HUGEINT
+            THEN (hmin - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE hmin::BIGINT END AS min_hash_i64,
+       n_win AS n_windows
+FROM h ORDER BY doc_id
+"""
+
+
+ROLLING_FINGERPRINTS_SQL = _rolling_fp_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -312,3 +349,36 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     out["agree"] = (out["pred_lang"] == out["lang"]).astype(np.int64)
     return out[["doc_id", "pred_lang", "lang", "agree"]].sort_values(
         "doc_id").reset_index(drop=True)
+
+
+def _lang_id_sql() -> str:
+    """DuckDB oracle for ``lang_id``: a bigram is 'hit' iff it occurs
+    as a substring (== membership in the text's bigram set); argmax
+    with ties to the lexicographically smallest language, exactly the
+    LangId scoring loop. Profiles are injected from _LANG_BIGRAMS so
+    both sides always share one table."""
+
+    def lit(g: str) -> str:
+        return "'" + g.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({lit(lang)}, [{', '.join(lit(g) for g in grams)}])"
+        for lang, grams in sorted(_LANG_BIGRAMS.items()))
+    return f"""
+WITH profiles(cand, prof) AS (VALUES {vals}),
+scored AS (
+  SELECT d.doc_id, d.lang, p.cand,
+         len(list_filter(p.prof, g -> contains(d.text, g))) AS hits
+  FROM documents d CROSS JOIN profiles p),
+ranked AS (
+  SELECT doc_id, lang, cand, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand ASC) AS rn
+  FROM scored)
+SELECT doc_id, cand AS pred_lang, lang,
+       CAST(cand = lang AS BIGINT) AS agree
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()

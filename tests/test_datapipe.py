@@ -267,3 +267,14 @@ def test_stub_embedder_deterministic_and_normalized():
     b = multimodal.embed_documents(SF)
     pd.testing.assert_frame_equal(a, b)
     assert (a["dim"] == 32).all()
+
+
+def test_rolling_fingerprints_match_sql(con):
+    from spatial_aez_ray.datapipe import text
+    _assert_match(text.rolling_fingerprints(SF),
+                  text.ROLLING_FINGERPRINTS_SQL, con)
+
+
+def test_lang_id_matches_sql(con):
+    from spatial_aez_ray.datapipe import text
+    _assert_match(text.lang_id(SF), text.LANG_ID_SQL, con)
