@@ -46,11 +46,46 @@ def document_paths(world_path: str, datasets: list[str] | None = None,
     return out
 
 
+def lance_uris(world_path: str, datasets: list[str] | None = None,
+               kind: str = "documents") -> list[str]:
+    """Lance dataset directories of selected datasets (a dataset dir
+    holds either ``part-*.parquet`` files or ``*.lance`` dataset
+    dirs; both layouts carry the identical schema)."""
+    root = os.path.join(world_path, kind)
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for n in sorted(os.listdir(root)):
+        ds_name = n.split("=", 1)[1] if "=" in n else n
+        if datasets is None or ds_name in datasets:
+            d = os.path.join(root, n)
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".lance"))
+    return out
+
+
 def read_documents(world_path: str, datasets: list[str] | None = None,
                    columns: list[str] | None = None):
-    """Ray Dataset over the interleaved documents of selected datasets."""
+    """Ray Dataset over the interleaved documents of selected datasets.
+
+    Reads Lance tables via ``ray.data.read_lance`` when the world's
+    document dirs hold ``*.lance`` datasets and the ``lance`` package
+    is importable (BASELINE.json names Lance as the target format);
+    otherwise the Parquet layout with the identical schema. Source
+    pruning is the same either way: only requested datasets' dirs are
+    touched and only requested columns leave storage."""
     import ray.data as rd
 
+    uris = lance_uris(world_path, datasets)
+    if uris:
+        if not HAVE_LANCE:
+            raise ImportError(
+                "world stores Lance tables but the 'lance' package is "
+                "not importable; install pylance or convert to parquet")
+        ds = rd.read_lance(uris[0], columns=columns)
+        for u in uris[1:]:
+            ds = ds.union(rd.read_lance(u, columns=columns))
+        return ds
     return rd.read_parquet(document_paths(world_path, datasets), columns=columns)
 
 
