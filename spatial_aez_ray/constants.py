@@ -36,6 +36,25 @@ KG_CLASSES: list[str] = [
     "ET", "EF",
 ]
 
+# RGB color -> KG class, the published Beck et al. legend colors
+# (legend.txt from the gloh2o.org/koppen archive; carried verbatim by
+# the reference as KGlookup.kg_colors, extract_country_data.py:38-50).
+# Used by sources.geotiff.kg_palette_lut to decode palette rasters
+# (index -> RGB -> class); white/black entries are blank/masked.
+KG_COLORS: dict[tuple[int, int, int], str] = {
+    (0, 0, 255): "Af", (0, 120, 255): "Am", (70, 170, 250): "Aw",
+    (255, 0, 0): "BWh", (255, 150, 150): "BWk", (245, 165, 0): "BSh",
+    (255, 220, 100): "BSk",
+    (255, 255, 0): "Csa", (200, 200, 0): "Csb", (150, 150, 0): "Csc",
+    (150, 255, 150): "Cwa", (100, 200, 100): "Cwb", (50, 150, 50): "Cwc",
+    (200, 255, 80): "Cfa", (100, 255, 80): "Cfb", (50, 200, 0): "Cfc",
+    (255, 0, 255): "Dsa", (200, 0, 200): "Dsb", (150, 50, 150): "Dsc",
+    (150, 100, 150): "Dsd", (170, 175, 255): "Dwa", (90, 120, 220): "Dwb",
+    (75, 80, 180): "Dwc", (50, 0, 135): "Dwd", (0, 255, 255): "Dfa",
+    (55, 200, 255): "Dfb", (0, 125, 125): "Dfc", (0, 70, 95): "Dfd",
+    (178, 178, 178): "ET", (102, 102, 102): "EF",
+}
+
 # Thermal-moisture regimes; membership sets are exactly the
 # ``populate_tmr`` masks in process_imagery.py:82-96 (KG value sets).
 TMR_NAMES: list[str] = [

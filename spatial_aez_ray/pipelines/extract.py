@@ -58,10 +58,16 @@ def world_grid(world_path: str, grid_name: str) -> GridSpec:
 
 def zonal_partials_ds(world_path: str, dataset: str, *,
                       index: PolygonIndex | None = None,
+                      grid: GridSpec | None = None,
                       concurrency: int | tuple = (1, 4), batch_size: int = 16):
-    """Lazy Dataset of (admin, cls, km2, ...) partial rows for a dataset."""
+    """Lazy Dataset of (admin, cls, km2, ...) partial rows for a dataset.
+
+    ``grid`` overrides the world-marker GridSpec — the path for worlds
+    assembled by ``sources.geotiff.import_geotiff``, whose dimensions
+    come from the raster rather than a synthetic-world scale."""
     classifier = CLASSIFIERS[dataset]()
-    grid = world_grid(world_path, classifier.grid)
+    if grid is None:
+        grid = world_grid(world_path, classifier.grid)
     if index is None:
         index = build_zonal_index(world_path)
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
@@ -77,6 +83,7 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
 
 def zonal_stats(world_path: str, dataset: str, *,
                 index: PolygonIndex | None = None,
+                grid: GridSpec | None = None,
                 concurrency: int | tuple = (1, 4), batch_size: int = 16,
                 deterministic: bool = True,
                 coalesce: int | None = 16) -> pd.DataFrame:
@@ -88,7 +95,7 @@ def zonal_stats(world_path: str, dataset: str, *,
     per-block cost (measured 6.4s → 2.5s). At 100 TB scale set it to
     ~total_partial_rows / 1e6 or None to keep the map-stage layout.
     """
-    partials = zonal_partials_ds(world_path, dataset, index=index,
+    partials = zonal_partials_ds(world_path, dataset, index=index, grid=grid,
                                  concurrency=concurrency, batch_size=batch_size)
     if coalesce:
         partials = partials.repartition(coalesce)

@@ -1,0 +1,198 @@
+"""GeoTIFF codec + importer and shapefile/.dbf converter (S1/S3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spatial_aez_ray import model, wkb
+from spatial_aez_ray.constants import KG_CLASSES, KG_COLORS
+from spatial_aez_ray.sources import geotiff, shapefile
+from spatial_aez_ray.sources.documents import MediaStore, read_documents
+
+
+def test_tiff_roundtrip_plain(tmp_path):
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, size=(100, 37), dtype=np.uint8)
+    p = str(tmp_path / "t.tif")
+    geotiff.write_geotiff(p, arr, rows_per_strip=16)
+    gt = geotiff.read_geotiff(p)
+    assert (gt.array == arr).all()
+    assert gt.color_map is None and gt.geotransform is None
+
+
+def test_tiff_roundtrip_palette_and_geo(tmp_path):
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 31, size=(64, 64), dtype=np.uint8)
+    cm = np.zeros((256, 3), dtype=np.uint8)
+    cm[255] = (255, 255, 255)
+    for i, cls in enumerate(KG_CLASSES):
+        rgb = [k for k, v in KG_COLORS.items() if v == cls][0]
+        cm[i + 1] = rgb
+    p = str(tmp_path / "pal.tif")
+    geotiff.write_geotiff(p, arr, color_map=cm,
+                          pixel_scale=(0.5, 0.5, 0.0),
+                          tiepoint=(0, 0, 0, -180.0, 90.0, 0.0))
+    gt = geotiff.read_geotiff(p)
+    assert (gt.array == arr).all()
+    assert (gt.color_map == cm).all()
+    assert gt.geotransform == (-180.0, 0.5, 0.0, 90.0, 0.0, -0.5)
+
+
+def test_kg_palette_decode_matches_legend():
+    """palette index -> RGB -> class == the direct legend index the
+    synthetic worlds store (M3, extract_country_data.py:39-70)."""
+    cm = np.zeros((256, 3), dtype=np.uint8)
+    # scatter KG colors over arbitrary palette slots + blanks
+    slots = {}
+    for i, cls in enumerate(KG_CLASSES):
+        slot = 40 + i * 3
+        rgb = [k for k, v in KG_COLORS.items() if v == cls][0]
+        cm[slot] = rgb
+        slots[slot] = i + 1
+    cm[0] = (255, 255, 255)  # white = blank
+    arr = np.array([[0, 40, 43], [46, 200, 40 + 29 * 3]], dtype=np.uint8)
+    out = geotiff.kg_palette_remap(arr, cm)
+    want = np.array([[0, 1, 2], [3, 0, 30]], dtype=np.uint8)
+    assert (out == want).all()
+
+
+def test_import_geotiff_world_roundtrip(tmp_path, ray_session):
+    """raster -> tile documents -> MediaStore reassembly == original."""
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(48, 80), dtype=np.uint8)
+    tif = str(tmp_path / "in.tif")
+    geotiff.write_geotiff(tif, arr)
+    wp = str(tmp_path / "world")
+    rep = geotiff.import_geotiff(tif, wp, "imp", "g1", tile_edge=16,
+                                 rows_per_part=2)
+    assert rep["tiles"] == 3 * 5 and rep["shape"] == (48, 80)
+    docs = read_documents(wp, ["imp"]).take_all()
+    assert sorted(d["doc_id"] for d in docs) == \
+        [d["doc_id"] for d in sorted(docs, key=lambda d: d["doc_id"])]
+    ms = MediaStore(wp)
+    rebuilt = np.zeros_like(arr)
+    for d in docs:
+        meta = model.parse_meta(d["spans"])
+        ref = model.media_refs(d["spans"])[0]
+        tile = model.decode_tile(ms.fetch([ref])[ref],
+                                 meta["nrows"], meta["ncols"])
+        rebuilt[meta["y_off"]:meta["y_off"] + meta["nrows"],
+                meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
+    assert (rebuilt == arr).all()
+
+
+def _square(cx, cy, r, clockwise=True):
+    pts = [(cx - r, cy - r), (cx - r, cy + r), (cx + r, cy + r),
+           (cx + r, cy - r), (cx - r, cy - r)]
+    if not clockwise:
+        pts = pts[::-1]
+    return np.array(pts, dtype=np.float64)
+
+
+def test_shp_roundtrip_with_hole(tmp_path):
+    outer = _square(0, 0, 10, clockwise=True)
+    hole = _square(0, 0, 3, clockwise=False)
+    outer2 = _square(30, 0, 5, clockwise=True)
+    geoms = [[[outer, hole]], [[outer2]]]
+    p = str(tmp_path / "a.shp")
+    shapefile.write_shp(p, geoms)
+    back = shapefile.read_shp(p)
+    assert len(back) == 2
+    assert len(back[0]) == 1 and len(back[0][0]) == 2  # poly with hole
+    assert (back[0][0][0] == outer).all() and (back[0][0][1] == hole).all()
+    assert len(back[1]) == 1 and (back[1][0][0] == outer2).all()
+    assert os.path.exists(str(tmp_path / "a.shx"))
+
+
+def test_dbf_roundtrip_non_ascii(tmp_path):
+    rows = [{"ADMIN": "Ivory Coast", "SOV_A3": "CIV"},
+            {"ADMIN": "Russia", "SOV_A3": "RUS"}]
+    p = str(tmp_path / "a.dbf")
+    shapefile.write_dbf(p, rows)
+    back = shapefile.read_dbf(p)
+    assert back == rows
+
+
+def test_shapefile_to_countries_normalizes(tmp_path):
+    import pyarrow.parquet as pq
+    geoms = [[[_square(0, 0, 5)]], [[_square(20, 0, 5)]],
+             [[_square(40, 0, 5)]]]
+    shp = str(tmp_path / "ne.shp")
+    shapefile.write_shp(shp, geoms)
+    shapefile.write_dbf(str(tmp_path / "ne.dbf"), [
+        {"ADMIN": "Russia", "SOV_A3": "RUS"},
+        {"ADMIN": "Kosovo", "SOV_A3": "KOS"},
+        {"ADMIN": "France", "SOV_A3": "FRA"}])
+    out = str(tmp_path / "countries.parquet")
+    n = shapefile.shapefile_to_countries(shp, out)
+    assert n == 3
+    t = pq.read_table(out)
+    assert t.column("admin").to_pylist() == [
+        "Russian Federation", None, "France"]
+    assert t.column("admin_raw").to_pylist() == [
+        "Russia", "Kosovo", "France"]
+    g = wkb.loads(t.column("geometry")[2].as_py())
+    assert (g[0][0] == _square(40, 0, 5)).all()
+
+
+def test_real_format_ingestion_end_to_end(tmp_path, ray_session):
+    """The full reference ingestion path on real formats: KG palette
+    GeoTIFF (palette->RGB->class decode) + Natural-Earth-style
+    .shp/.dbf countries -> imported world -> zonal_stats == a direct
+    numpy zonal oracle over the same raster."""
+    import pyarrow.parquet as pq
+    from spatial_aez_ray import geo
+    from spatial_aez_ray.pipelines import extract
+
+    grid = geo.GridSpec("g1", 128, 64, 16)
+    rng = np.random.RandomState(7)
+    classes = rng.randint(0, 31, size=(64, 128), dtype=np.uint8)  # legend
+    # palette: legend index i lives at palette slot 2*i (0 stays blank)
+    cm = np.zeros((256, 3), dtype=np.uint8)
+    for i, cls in enumerate(KG_CLASSES):
+        rgb = [k for k, v in KG_COLORS.items() if v == cls][0]
+        cm[2 * (i + 1)] = rgb
+    palette_raster = (classes * 2).astype(np.uint8)  # 0 -> blank slot 0
+    tif = str(tmp_path / "kg.tif")
+    geotiff.write_geotiff(tif, palette_raster, color_map=cm,
+                          pixel_scale=(2.8125, 2.8125, 0),
+                          tiepoint=(0, 0, 0, -180.0, 90.0, 0))
+    wp = str(tmp_path / "world")
+    geotiff.import_geotiff(tif, wp, "kg", "g1", tile_edge=16,
+                           decode_kg_palette=True)
+
+    # two rectangle countries, edges between cell centers
+    def rect(lo0, la0, lo1, la1):
+        return [[np.array([(lo0, la0), (lo0, la1), (lo1, la1),
+                           (lo1, la0), (lo0, la0)], dtype=np.float64)]]
+
+    shp = str(tmp_path / "ne.shp")
+    shapefile.write_shp(shp, [rect(-100, -40, -20, 40),
+                              rect(20, -20, 100, 50)])
+    shapefile.write_dbf(str(tmp_path / "ne.dbf"), [
+        {"ADMIN": "Russia", "SOV_A3": "RUS"},
+        {"ADMIN": "France", "SOV_A3": "FRA"}])
+    shapefile.shapefile_to_countries(
+        shp, os.path.join(wp, "countries.parquet"))
+
+    df = extract.zonal_stats(wp, "kg", grid=grid)
+    assert list(df.index) == ["France", "Russian Federation"]
+
+    # independent numpy oracle: cell-center-in-rectangle + km2 weights
+    lons = grid.lons(0, 128)
+    lats = grid.lats(0, 64)
+    km2 = geo.km2_rows(64, 0, grid)[:, None] * np.ones((1, 128))
+    rects = {"Russian Federation": (-100, -40, -20, 40),
+             "France": (20, -20, 100, 50)}
+    want = {a: np.zeros(30) for a in rects}
+    lon_g, lat_g = np.meshgrid(lons, lats)
+    for admin, (lo0, la0, lo1, la1) in rects.items():
+        inside = ((lon_g > lo0) & (lon_g < lo1)
+                  & (lat_g > la0) & (lat_g < la1))
+        for c in range(1, 31):
+            want[admin][c - 1] = km2[inside & (classes == c)].sum()
+    for admin in rects:
+        got = df.loc[admin].to_numpy()
+        assert np.allclose(got, want[admin], rtol=1e-9), admin
+        assert got.sum() > 0
