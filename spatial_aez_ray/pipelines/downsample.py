@@ -130,11 +130,18 @@ def downsample_summary(world_path: str, dataset: str = "lc", *,
 
 class Thumbnailer:
     """Stride-subsample each tile by ``stride`` (nearest-neighbour, the
-    gdal_translate -outsize 1% analog) into a thumbnail document."""
+    gdal_translate -outsize 1% analog) into a thumbnail document.
+    ``encode="png"`` emits real PNG payloads (functions.png, the
+    process_imagery.py:500-508 output format); ``"raw"`` keeps the
+    uint8 tile bytes."""
 
-    def __init__(self, world_path: str, stride: int = 8):
+    def __init__(self, world_path: str, stride: int = 8,
+                 encode: str = "raw",
+                 palette: "np.ndarray | None" = None):
         self.media = MediaStore(world_path)
         self.stride = stride
+        self.encode = encode
+        self.palette = palette
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # one batched fetch per call (CLAUDE.md media-fetch invariant)
@@ -152,7 +159,11 @@ class Thumbnailer:
                 tile[:: self.stride, :: self.stride])
             ids.append(doc_id + "/thumb")
             refs_out.append(ref0 + "/thumb")
-            payloads_out.append(thumb.tobytes())
+            if self.encode == "png":
+                from ..functions.png import encode_png
+                payloads_out.append(encode_png(thumb, self.palette))
+            else:
+                payloads_out.append(thumb.tobytes())
             hs.append(thumb.shape[0])
             ws.append(thumb.shape[1])
         return pa.table({"doc_id": pa.array(ids, pa.string()),
@@ -163,9 +174,11 @@ class Thumbnailer:
 
 
 def thumbnail_tiles(world_path: str, dataset: str, *, stride: int = 8,
+                    encode: str = "raw", palette=None,
                     concurrency: int | tuple = (1, 4)):
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
     return docs.map_batches(
         Thumbnailer,
-        fn_constructor_kwargs={"world_path": world_path, "stride": stride},
+        fn_constructor_kwargs={"world_path": world_path, "stride": stride,
+                               "encode": encode, "palette": palette},
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)

@@ -197,6 +197,73 @@ class _RenderWriter:
                          "rows": pa.array([len(ids)] * len(parts), pa.int64())})
 
 
+def render_color_table(product: str) -> np.ndarray:
+    """(256, 3) uint8 palette for a render product, mirroring the
+    reference's GDAL color tables (process_imagery.py:300-395): AEZ
+    gets a 30-entry linear ramp per TMR base code, the other products
+    fixed entries; every blank code is black."""
+    cm = np.zeros((256, 3), dtype=np.uint8)
+    if product == "render_aez":
+        ramps = {  # base code -> (start RGB, end RGB), :311-321
+            "tropical-humid": ((0, 192, 0), (0, 255, 0)),
+            "arid": ((128, 128, 0), (255, 255, 0)),
+            "tropical-semiarid": ((0, 0, 128), (0, 0, 255)),
+            "temperate-humid": ((128, 0, 0), (255, 0, 0)),
+            "temperate-semiarid": ((128, 0, 128), (255, 0, 255)),
+            "boreal-humid": ((0, 64, 0), (0, 128, 0)),
+            "boreal-semiarid": ((0, 128, 128), (0, 255, 255)),
+            "arctic": ((64, 64, 64), (192, 192, 192)),
+        }
+        for tmr, (lo, hi) in ramps.items():
+            base = TMR_BASE_COLOR[tmr]
+            for i in range(30):
+                f = i / 29.0
+                cm[base + i] = [round(a + (b - a) * f)
+                                for a, b in zip(lo, hi)]
+    elif product == "render_slope":
+        cm[0], cm[1], cm[2] = (32, 64, 32), (32, 64, 96), (32, 64, 240)
+    elif product == "render_landuse":
+        for i, rgb in enumerate([(49, 113, 35), (245, 237, 7),
+                                 (227, 175, 18), (99, 222, 123),
+                                 (80, 80, 80), (198, 198, 218),
+                                 (128, 128, 240), (240, 240, 248)]):
+            cm[i] = rgb
+    elif product == "render_soilhealth":
+        for code, rgb in [(0, (49, 113, 35)), (1, (212, 145, 0)),
+                          (2, (173, 13, 2)), (4, (80, 80, 80)),
+                          (5, (128, 128, 240))]:
+            cm[code] = rgb
+    else:
+        raise ValueError(f"unknown render product {product!r}")
+    return cm
+
+
+def export_render_geotiff(render_world: str, product: str, tiff_path: str,
+                          grid) -> dict:
+    """Assemble one render product's tiles into a palette GeoTIFF with
+    the reference's color table + geotransform (the S6 classified-
+    raster sink, process_imagery.py:300-395). Tiles stream in doc_id
+    (row-major) order; at planetary scale the sink would emit one
+    strip run per tile row — here the mosaic is assembled in memory,
+    which covers every sandbox-scale world."""
+    from ..sources.geotiff import write_geotiff
+
+    docs = read_documents(render_world, [product]).take_all()
+    media = MediaStore(render_world)
+    arr = np.full((grid.height, grid.width), 255, dtype=np.uint8)
+    refs = [model.media_refs(d["spans"])[0] for d in docs]
+    payloads = media.fetch(refs)
+    for d, ref in zip(docs, refs):
+        meta = model.parse_meta(d["spans"])
+        tile = model.decode_tile(payloads[ref], meta["nrows"], meta["ncols"])
+        arr[meta["y_off"]:meta["y_off"] + meta["nrows"],
+            meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
+    write_geotiff(tiff_path, arr, color_map=render_color_table(product),
+                  pixel_scale=(grid.x_size, -grid.y_size, 0.0),
+                  tiepoint=(0, 0, 0, grid.x_min, grid.y_min, 0.0))
+    return {"shape": arr.shape, "tiles": len(docs), "path": tiff_path}
+
+
 def produce_render_tiles(world_path: str, out_dir: str, *,
                          concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
     """Run the render pass and persist a world-shaped output directory."""
