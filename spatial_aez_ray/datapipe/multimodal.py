@@ -153,12 +153,29 @@ class StubEmbedder:
         self.proj = rng.normal(size=(self.VOCAB_BUCKETS, self.DIM)) \
             .astype(np.float32)
 
+    #: per-process token->bucket cache (vocab ≪ token stream; cleared
+    #: wholesale at the cap so long-lived actors stay bounded)
+    _tok_bucket: dict[str, int] = {}
+    _TOK_CACHE_CAP = 1 << 20
+
     def _bow(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.VOCAB_BUCKETS), dtype=np.float32)
+        cache = StubEmbedder._tok_bucket
+        if len(cache) > self._TOK_CACHE_CAP:
+            cache.clear()
+        rows: list[int] = []
+        buckets: list[int] = []
         for i, t in enumerate(texts):
             for tok in t.split():
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-                out[i, h % self.VOCAB_BUCKETS] += 1.0
+                b = cache.get(tok)
+                if b is None:
+                    b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                            16) % self.VOCAB_BUCKETS
+                    cache[tok] = b
+                rows.append(i)
+                buckets.append(b)
+        if rows:
+            np.add.at(out, (np.asarray(rows), np.asarray(buckets)), 1.0)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -31,29 +31,46 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 # sessionization
 # ---------------------------------------------------------------------------
 
-def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One user's events -> session stats. A new session starts when the
-    gap to the previous event exceeds SESSION_GAP_MIN minutes."""
-    ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+def _sessionize_user(ts: np.ndarray) -> tuple[int, int, int]:
+    """One user's sorted int64-us timestamps -> (events, sessions,
+    max session events). A new session starts when the gap to the
+    previous event exceeds SESSION_GAP_MIN minutes."""
     gaps = np.diff(ts)
     new_session = gaps > SESSION_GAP_MIN * 60 * 1_000_000
-    n_sessions = 1 + int(new_session.sum())
-    # session lengths in events: split sizes of the boundary indices
     bounds = np.flatnonzero(new_session) + 1
     sizes = np.diff(np.concatenate([[0], bounds, [len(ts)]]))
-    return pd.DataFrame({
-        "user_id": [int(g["user_id"].iloc[0])],
-        "event_cnt": [len(ts)],
-        "session_cnt": [n_sessions],
-        "max_session_events": [int(sizes.max())],
-    })
+    return len(ts), 1 + int(new_session.sum()), int(sizes.max())
+
+
+def _sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse hash partition of users (never one Ray group per
+    user — the tiny-groups anti-pattern): pandas groupby inside."""
+    rows = []
+    for uid, gu in g.groupby("user_id", sort=False):
+        ts = np.sort(gu["ts_us"].to_numpy())
+        n, s, mx = _sessionize_user(ts)
+        rows.append((int(uid), n, s, mx))
+    return pd.DataFrame(rows, columns=["user_id", "event_cnt",
+                                       "session_cnt", "max_session_events"])
 
 
 def sessionize(sf_dir: str) -> pd.DataFrame:
-    """Per-user gap-based session stats (30-min inactivity gap)."""
+    """Per-user gap-based session stats (30-min inactivity gap),
+    shuffled once on a coarse fold of the user key."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    out = (ds.groupby("user_id")
-             .map_groups(_sessionize_group, batch_format="pandas")
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts_us": pa.array(ts)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(_sessionize_part, batch_format="pandas")
              .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
 

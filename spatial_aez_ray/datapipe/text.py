@@ -318,25 +318,28 @@ _LANG_BIGRAMS: dict[str, tuple[str, ...]] = {
 class LangId:
     """Actor-pool language identifier: per-actor, compile the bigram
     profiles into index maps ONCE (__init__), then score batches
-    vectorized (__call__) — the ST-pattern from SURVEY.md §2.3."""
+    vectorized (__call__) — the ST-pattern from SURVEY.md §2.3.
+
+    Scoring is one pandas ``str.contains`` pass per profile bigram
+    (vectorized C substring search over the whole batch; bigram-in-
+    gram-set == substring occurrence), then a single argmax: langs are
+    iterated sorted so np.argmax's first-max rule IS the smallest-lang
+    tie-break."""
 
     def __init__(self):
         self.langs = sorted(_LANG_BIGRAMS)
-        self.profiles = [set(_LANG_BIGRAMS[l]) for l in self.langs]
-
-    def _score(self, text: str) -> str:
-        grams = {text[i:i + 2] for i in range(len(text) - 1)}
-        best, best_hits = self.langs[0], -1
-        for lang, prof in zip(self.langs, self.profiles):
-            hits = len(grams & prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        self.profiles = [_LANG_BIGRAMS[l] for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._score(t) for t in batch["text"].to_pylist()]
+        s = batch["text"].to_pandas().astype(str)
+        hits = np.zeros((len(self.langs), len(s)), dtype=np.int64)
+        for li, prof in enumerate(self.profiles):
+            for g in prof:
+                hits[li] += s.str.contains(g, regex=False).to_numpy()
+        best = np.argmax(hits, axis=0)  # first max == smallest lang
+        preds = np.asarray(self.langs, dtype=object)[best]
         return pa.table({"doc_id": batch["doc_id"],
-                         "pred_lang": pa.array(preds, pa.string()),
+                         "pred_lang": pa.array(list(preds), pa.string()),
                          "lang": batch["lang"]})
 
 
