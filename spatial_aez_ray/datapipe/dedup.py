@@ -273,11 +273,14 @@ def _union_find_roots(pairs: pd.DataFrame) -> dict[int, int]:
             x = parent[x]
         return x
 
+    nodes: set = set()
     for a, b in zip(pairs["doc_lo"], pairs["doc_hi"]):
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return {int(n): int(find(n)) for n in parent}
+    return {int(n): int(find(n)) for n in nodes}
 
 
 def connected_components(pairs: ray.data.Dataset,
@@ -351,34 +354,43 @@ def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
     pairs = _minhash_raw_pairs(sf_dir).materialize()
     docs = _read_docs(sf_dir, columns=["doc_id"])
     n_pairs = pairs.count()
+    if 0 < n_pairs <= _CC_DRIVER_MAX_PAIRS:
+        # The pair list is the *output* of LSH (bounded by bucket caps,
+        # ≪ corpus). Below the threshold, union-find it on the driver:
+        # every member of a multi-doc component appears in some pair,
+        # so component roots + sizes fall out of the (small) root map,
+        # and the only corpus-wide work left is finding ISOLATED docs —
+        # one shuffle-free broadcast-set filter pass. Above the
+        # threshold the fully distributed min-label path takes over
+        # (verified equal in tests).
+        from collections import Counter
+        roots = _union_find_roots(pairs.to_pandas())
+        comp_sizes = Counter(roots.values())
+        nodes_ref = _ray.put(frozenset(roots))
+
+        def keep_isolated(b: pa.Table) -> pa.Table:
+            nodes = _ray.get(nodes_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter((int(d) not in nodes for d in ids),
+                               dtype=bool, count=len(ids))
+            return pa.table({"doc_id": pa.array(ids[keep])})
+
+        iso = docs.map_batches(keep_isolated,
+                               batch_format="pyarrow").to_pandas()
+        pdf = pd.concat([
+            pd.DataFrame({"doc_id": iso["doc_id"],
+                          "component_size": np.ones(len(iso), np.int64)}),
+            pd.DataFrame({"doc_id": sorted(comp_sizes),
+                          "component_size": [comp_sizes[r]
+                                             for r in sorted(comp_sizes)]}),
+        ], ignore_index=True)
+        return pdf.sort_values("doc_id").reset_index(drop=True)
+
     if n_pairs == 0:
         mapped = docs.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"],
                                 "root": b["doc_id"]}),
             batch_format="pyarrow")
-    elif n_pairs <= _CC_DRIVER_MAX_PAIRS:
-        # The pair list is the *output* of LSH (bounded by bucket
-        # caps, ≪ corpus). Below the threshold, union-find it on the
-        # driver and broadcast the node->root map; the corpus-side
-        # mapping stays distributed. Above, the fully distributed
-        # min-label path takes over (verified equal in tests).
-        roots_ref = _ray.put(_union_find_roots(pairs.to_pandas()))
-
-        class BroadcastRoot:
-            def __init__(self, ref):
-                self.roots = _ray.get(ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                ids = b["doc_id"].to_numpy(zero_copy_only=False)
-                root = np.fromiter(
-                    (self.roots.get(int(d), d) for d in ids),
-                    dtype=np.int64, count=len(ids))
-                return pa.table({"doc_id": b["doc_id"],
-                                 "root": pa.array(root)})
-
-        mapped = docs.map_batches(
-            BroadcastRoot, fn_constructor_kwargs={"ref": roots_ref},
-            batch_format="pyarrow", concurrency=(1, 4))
     else:
         labels = connected_components(pairs)
         joined = docs.join(labels, join_type="left_outer",
