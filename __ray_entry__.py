@@ -187,6 +187,116 @@ def _spatial_normalize_docs(sf_dir: str):
     return rep.sort_values("part").reset_index(drop=True)
 
 
+def _spatial_geotiff_import(sf_dir: str):
+    """S1/S3/M3 real-format ingestion gate: KG palette GeoTIFF +
+    .shp/.dbf countries -> imported world -> zonal_stats, self-verified
+    against a direct numpy oracle (raises on mismatch)."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import geo
+    from spatial_aez_ray.constants import KG_CLASSES, KG_COLORS
+    from spatial_aez_ray.pipelines import extract
+    from spatial_aez_ray.sources import geotiff, shapefile
+
+    base = os.path.join(_TMP, "geotiff_import")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    grid = geo.GridSpec("g1", 128, 64, 16)
+    rng = np.random.RandomState(7)
+    classes = rng.randint(0, 31, size=(64, 128), dtype=np.uint8)
+    cm = np.zeros((256, 3), dtype=np.uint8)
+    for i, cls in enumerate(KG_CLASSES):
+        cm[2 * (i + 1)] = [k for k, v in KG_COLORS.items() if v == cls][0]
+    tif = os.path.join(base, "kg.tif")
+    geotiff.write_geotiff(tif, (classes * 2).astype(np.uint8), color_map=cm,
+                          pixel_scale=(2.8125, 2.8125, 0),
+                          tiepoint=(0, 0, 0, -180.0, 90.0, 0))
+    wp = os.path.join(base, "world")
+    geotiff.import_geotiff(tif, wp, "kg", "g1", tile_edge=16,
+                           decode_kg_palette=True)
+
+    def rect(lo0, la0, lo1, la1):
+        return [[np.array([(lo0, la0), (lo0, la1), (lo1, la1),
+                           (lo1, la0), (lo0, la0)], dtype=np.float64)]]
+
+    shp = os.path.join(base, "ne.shp")
+    shapefile.write_shp(shp, [rect(-100, -40, -20, 40),
+                              rect(20, -20, 100, 50)])
+    shapefile.write_dbf(os.path.join(base, "ne.dbf"), [
+        {"ADMIN": "Russia", "SOV_A3": "RUS"},
+        {"ADMIN": "France", "SOV_A3": "FRA"}])
+    shapefile.shapefile_to_countries(
+        shp, os.path.join(wp, "countries.parquet"))
+    df = extract.zonal_stats(wp, "kg", grid=grid)
+
+    lons = grid.lons(0, 128)
+    lats = grid.lats(0, 64)
+    km2 = geo.km2_rows(64, 0, grid)[:, None] * np.ones((1, 128))
+    lon_g, lat_g = np.meshgrid(lons, lats)
+    rects = {"Russian Federation": (-100, -40, -20, 40),
+             "France": (20, -20, 100, 50)}
+    for admin, (lo0, la0, lo1, la1) in rects.items():
+        inside = ((lon_g > lo0) & (lon_g < lo1)
+                  & (lat_g > la0) & (lat_g < la1))
+        want = np.array([km2[inside & (classes == c)].sum()
+                         for c in range(1, 31)])
+        if not np.allclose(df.loc[admin].to_numpy(), want, rtol=1e-9):
+            raise AssertionError(f"geotiff import zonal != oracle: {admin}")
+    return df.reset_index()
+
+
+def _spatial_geotiff_export(sf_dir: str):
+    """S6 classified-raster sink gate: render the tiny world, mosaic
+    one product into a palette GeoTIFF, return deterministic digests."""
+    import hashlib
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.pipelines import render
+    from spatial_aez_ray.pipelines.extract import world_grid
+    from spatial_aez_ray.sources.geotiff import read_geotiff
+
+    base = os.path.join(_TMP, "geotiff_export")
+    shutil.rmtree(base, ignore_errors=True)
+    out_world = os.path.join(base, "rendered")
+    render.produce_render_tiles(_world(), out_world)
+    g3 = world_grid(_world(), "g3")
+    rows = []
+    for product in render.RENDER_PRODUCTS:
+        tif = os.path.join(base, f"{product}.tif")
+        rep = render.export_render_geotiff(out_world, product, tif, g3)
+        gt = read_geotiff(tif)
+        rows.append({
+            "product": product,
+            "height": rep["shape"][0], "width": rep["shape"][1],
+            "tiles": rep["tiles"],
+            "array_md5": hashlib.md5(gt.array.tobytes()).hexdigest(),
+            "palette_md5": hashlib.md5(gt.color_map.tobytes()).hexdigest(),
+        })
+    return pd.DataFrame(rows).sort_values("product").reset_index(drop=True)
+
+
+def _spatial_thumbnail_png(sf_dir: str):
+    """S8 PNG thumbnails: real PNG payloads, decoded back and checked
+    against the raw-stride thumbnails in-query."""
+    import hashlib
+    import pandas as pd
+    from spatial_aez_ray.functions.png import decode_png
+    from spatial_aez_ray.pipelines import downsample
+    raw = {r["doc_id"]: r for r in downsample.thumbnail_tiles(
+        _world(), "kg", stride=8).take_all()}
+    rows = []
+    for r in downsample.thumbnail_tiles(_world(), "kg", stride=8,
+                                        encode="png").take_all():
+        arr, _ = decode_png(r["payload"])
+        if arr.tobytes() != raw[r["doc_id"]]["payload"]:
+            raise AssertionError(f"png thumbnail != raw: {r['doc_id']}")
+        rows.append({"doc_id": r["doc_id"], "nrows": r["nrows"],
+                     "ncols": r["ncols"],
+                     "png_md5": hashlib.md5(r["payload"]).hexdigest()})
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
 def _spatial_checkpoint_resume(sf_dir: str):
     import shutil
     from spatial_aez_ray.pipelines import extract
@@ -266,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_thumbnail": _spatial_thumbnail,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
+        "spatial_geotiff_import": _spatial_geotiff_import,
+        "spatial_geotiff_export": _spatial_geotiff_export,
+        "spatial_thumbnail_png": _spatial_thumbnail_png,
     }
     return q
 
