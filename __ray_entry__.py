@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
@@ -411,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": text.LANG_COUNTS_SQL,
         "lang_id": text.LANG_ID_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,
+        "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,
+        "dedup_simhash": dedup.SIMHASH_DEDUP_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "ann_topk": __import__(
             "spatial_aez_ray.datapipe.simsearch",

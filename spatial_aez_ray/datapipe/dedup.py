@@ -510,6 +510,139 @@ def simhash_dedup(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
     return pdf.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
 
 
+def _minhash_sql_parts() -> tuple[str, str]:
+    """Generated DuckDB CTE chain reproducing the EXACT MinHasher
+    pipeline: '\\s+' tokenization (== str.split()), pad-to-k, token
+    hash = little-endian u64 of the first 8 md5 bytes, FNV-mix 3-token
+    shingles with uint64 wraparound at every multiply (HUGEINT % 2^64),
+    64 universal-hash minima with the same RandomState(7) coefficients
+    and the same wrap-then-mod-Mersenne order as the numpy kernel, and
+    16 four-sig band fingerprints. Returns (cte_block, pairs_select).
+    """
+    rng = np.random.RandomState(7)
+    a_coef = rng.randint(1, (1 << 61) - 1, size=64).astype(np.uint64)
+    b_coef = rng.randint(0, (1 << 61) - 1, size=64).astype(np.uint64)
+    mers = (1 << 61) - 1
+    fnv = 0x100000001B3
+    p64 = 1 << 64
+    le = " || ".join(f"substr(md5(t), {15 - 2 * i}, 2)" for i in range(8))
+    mix = (f"(((xor((((xor((((th[i]::HUGEINT * {fnv}) % {p64})::UBIGINT), "
+           f"th[i+1])::HUGEINT * {fnv}) % {p64})::UBIGINT), "
+           f"th[i+2])::HUGEINT * {fnv}) % {p64})::UBIGINT)")
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> ((((({a}::HUGEINT * s::HUGEINT)"
+        f" % {p64}) + {b}) % {p64}) % {mers})::UBIGINT)) AS s{p}"
+        for p, (a, b) in enumerate(zip(a_coef.tolist(), b_coef.tolist())))
+    band_strs = ",\n    ".join(
+        "(" + " || ',' || ".join(f"s{4 * bi + j}::VARCHAR"
+                                 for j in range(4)) + f") AS b{bi}"
+        for bi in range(16))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, b{bi} AS band FROM bands"
+        for bi in range(16))
+    ctes = f"""base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t0
+  FROM documents),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN len(t0) >= 3 THEN t0
+              ELSE list_concat(t0, list_transform(range(1, 4 - len(t0)),
+                                                  i -> '')) END AS toks
+  FROM base),
+th AS (
+  SELECT doc_id, list_transform(toks, t -> ('0x' || {le})::UBIGINT) AS th
+  FROM padded),
+sh AS (
+  SELECT doc_id, list_transform(range(1, len(th) - 1), i -> {mix}) AS sh
+  FROM th),
+sigs AS (SELECT doc_id, {sig_exprs} FROM sh),
+bands AS (SELECT doc_id, {band_strs} FROM sigs),
+band_long AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM band_long a JOIN band_long b
+    ON a.band_idx = b.band_idx AND a.band = b.band
+   AND a.doc_id < b.doc_id)"""
+    return ctes, "SELECT doc_lo, doc_hi FROM pairs ORDER BY doc_lo, doc_hi"
+
+
+def _minhash_candidates_sql() -> str:
+    ctes, sel = _minhash_sql_parts()
+    return f"WITH {ctes}\n{sel}"
+
+
+def _minhash_lsh_dedup_sql() -> str:
+    """Survivors oracle: the candidate CTEs + a recursive-CTE connected
+    components (label propagation until closure, min label per node =
+    component root) + isolated docs at size 1."""
+    ctes, _ = _minhash_sql_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+edges AS (SELECT doc_lo AS u, doc_hi AS v FROM pairs
+          UNION ALL SELECT doc_hi, doc_lo FROM pairs),
+lab(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, l.label FROM edges e JOIN lab l ON l.node = e.u),
+roots AS (SELECT node, MIN(label) AS root FROM lab GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS component_size FROM roots GROUP BY root)
+SELECT d.doc_id AS doc_id,
+       COALESCE(s.component_size, 1) AS component_size
+FROM documents d
+LEFT JOIN roots r ON r.node = d.doc_id
+LEFT JOIN sizes s ON s.root = d.doc_id
+WHERE r.node IS NULL OR r.root = d.doc_id
+ORDER BY doc_id
+"""
+
+
+MINHASH_CANDIDATES_SQL = _minhash_candidates_sql()
+MINHASH_LSH_DEDUP_SQL = _minhash_lsh_dedup_sql()
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle for ``simhash_dedup``: rebuilds the exact 64-bit
+    simhash in SQL — token hash = little-endian u64 of the first 8 md5
+    bytes (hex re-ordering), per-bit sign sums via 64 generated
+    aggregates (bit j set iff 2*count_set > n_tokens, i.e. the ±1 sum
+    is positive), then candidate pairs sharing any 16-bit band with
+    Hamming distance <= 3 (bit_count of UBIGINT xor). Tokenization is
+    regexp '\\s+' with empties dropped == python str.split()."""
+    le = " || ".join(f"substr(md5(tok), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    cbits = ",\n  ".join(
+        f"SUM(((h >> {j}) & 1)::BIGINT) AS c{j}" for j in range(64))
+    simterms = " + ".join(
+        f"(CASE WHEN 2*COALESCE(c{j},0) > COALESCE(n,0) "
+        f"THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)" for j in range(64))
+    band_eq = " OR ".join(
+        f"((a.sim >> {16 * i}) & 65535::UBIGINT) = "
+        f"((b.sim >> {16 * i}) & 65535::UBIGINT)" for i in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || {le})::UBIGINT AS h FROM toks),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+  {cbits}
+  FROM th GROUP BY doc_id),
+sims AS (
+  SELECT d.doc_id, ({simterms}) AS sim
+  FROM documents d LEFT JOIN agg USING (doc_id))
+SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_eq})
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY doc_lo, doc_hi
+"""
+
+
+SIMHASH_DEDUP_SQL = _simhash_sql()
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verify over LSH candidates)
 # ---------------------------------------------------------------------------

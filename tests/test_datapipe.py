@@ -278,3 +278,20 @@ def test_rolling_fingerprints_match_sql(con):
 def test_lang_id_matches_sql(con):
     from spatial_aez_ray.datapipe import text
     _assert_match(text.lang_id(SF), text.LANG_ID_SQL, con)
+
+
+def test_simhash_matches_sql(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.simhash_dedup(SF), dedup.SIMHASH_DEDUP_SQL, con)
+
+
+def test_minhash_candidates_match_sql(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.minhash_candidates(SF),
+                  dedup.MINHASH_CANDIDATES_SQL, con)
+
+
+def test_minhash_lsh_dedup_matches_sql(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.minhash_lsh_dedup(SF),
+                  dedup.MINHASH_LSH_DEDUP_SQL, con)
