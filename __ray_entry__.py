@@ -415,7 +415,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,
         "dedup_simhash": dedup.SIMHASH_DEDUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
+        "knn_label_vote": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["KNN_LABEL_VOTE_SQL"]).KNN_LABEL_VOTE_SQL,
         "ann_topk": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_TOPK_SQL"]).ANN_TOPK_SQL,

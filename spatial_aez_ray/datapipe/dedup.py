@@ -597,8 +597,38 @@ ORDER BY doc_id
 """
 
 
+def _ngram_jaccard_sql(threshold: float = 0.7) -> str:
+    """Oracle for ``ngram_jaccard_dedup``: the candidate CTEs + exact
+    3-gram string-shingle Jaccard (list_distinct/list_intersect ==
+    frozenset semantics; short docs collapse to one shingle of the
+    available tokens, matching _shingle_set). jaccard3 is the single
+    double division of identical ints on both sides — bit-identical."""
+    ctes, _ = _minhash_sql_parts()
+    return f"""
+WITH {ctes},
+sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t0) - 2, 1) + 1),
+           i -> array_to_string(list_filter([t0[i], t0[i+1], t0[i+2]],
+                                            x -> x IS NOT NULL), ' '))) AS s
+  FROM base),
+j AS (
+  SELECT p.doc_lo, p.doc_hi,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM pairs p JOIN sh3 a ON a.doc_id = p.doc_lo
+               JOIN sh3 b ON b.doc_id = p.doc_hi)
+SELECT doc_lo, doc_hi,
+       inter / CAST(na + nb - inter AS DOUBLE) AS jaccard3
+FROM j WHERE inter / CAST(na + nb - inter AS DOUBLE) >= {threshold}
+ORDER BY doc_lo, doc_hi
+"""
+
+
 MINHASH_CANDIDATES_SQL = _minhash_candidates_sql()
 MINHASH_LSH_DEDUP_SQL = _minhash_lsh_dedup_sql()
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
 def _simhash_sql() -> str:

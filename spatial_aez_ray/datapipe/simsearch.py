@@ -484,6 +484,31 @@ def knn_label_vote(sf_dir: str, n_queries: int = 20,
     return pd.DataFrame(rows, columns=["query_id", "pred_label"])
 
 
+KNN_LABEL_VOTE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+topk AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS cnt FROM topk
+  WHERE rn <= 5 GROUP BY query_id, label),
+ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, label) AS r
+  FROM votes)
+SELECT query_id, label AS pred_label FROM ranked WHERE r = 1
+ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + probed search
 # ---------------------------------------------------------------------------

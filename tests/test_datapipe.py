@@ -295,3 +295,15 @@ def test_minhash_lsh_dedup_matches_sql(con):
     from spatial_aez_ray.datapipe import dedup
     _assert_match(dedup.minhash_lsh_dedup(SF),
                   dedup.MINHASH_LSH_DEDUP_SQL, con)
+
+
+def test_ngram_jaccard_matches_sql(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.ngram_jaccard_dedup(SF),
+                  dedup.NGRAM_JACCARD_SQL, con)
+
+
+def test_knn_label_vote_matches_sql(con):
+    from spatial_aez_ray.datapipe import simsearch
+    _assert_match(simsearch.knn_label_vote(SF),
+                  simsearch.KNN_LABEL_VOTE_SQL, con)
