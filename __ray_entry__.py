@@ -427,4 +427,5 @@ def oracle_sql() -> dict[str, str]:
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["EMBEDDING_NEARDUP_SQL"]).EMBEDDING_NEARDUP_SQL,
         "media_bytes": multimodal.MEDIA_BYTES_SQL,
+        "media_features": multimodal.MEDIA_FEATURES_SQL,
     }

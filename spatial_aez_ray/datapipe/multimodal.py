@@ -123,6 +123,18 @@ SELECT doc_id, strlen(text) AS n_bytes
 FROM documents ORDER BY doc_id
 """
 
+#: full oracle for the stub decode pipeline: the fake dims come from
+#: the first two md5 bytes of the payload (== md5 of the UTF-8 text,
+#: which DuckDB's md5() also hashes) and the 16-bin byte histogram
+#: always sums to the payload length.
+MEDIA_FEATURES_SQL = """
+SELECT doc_id, strlen(text) AS n_bytes,
+       16 + ('0x' || substr(md5(text), 1, 2))::INT % 240 AS width,
+       16 + ('0x' || substr(md5(text), 3, 2))::INT % 240 AS height,
+       strlen(text) AS feat_sum
+FROM documents ORDER BY doc_id
+"""
+
 
 def media_bytes(sf_dir: str) -> pd.DataFrame:
     """SQL-verifiable slice of the media pipeline: payload byte counts

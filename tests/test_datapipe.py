@@ -307,3 +307,9 @@ def test_knn_label_vote_matches_sql(con):
     from spatial_aez_ray.datapipe import simsearch
     _assert_match(simsearch.knn_label_vote(SF),
                   simsearch.KNN_LABEL_VOTE_SQL, con)
+
+
+def test_media_features_matches_sql(con):
+    from spatial_aez_ray.datapipe import multimodal
+    _assert_match(multimodal.media_features(SF),
+                  multimodal.MEDIA_FEATURES_SQL, con)
