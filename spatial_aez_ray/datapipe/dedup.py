@@ -220,17 +220,35 @@ def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
                          "doc_hi": np.concatenate(hi)})
 
 
+#: process-global signer: MinHasher's only state (seeded coefficients,
+#: token cache) is cheap and identical everywhere, so the sign stage
+#: runs as TASKS in Ray's reusable worker processes — one lazy build
+#: per worker, no actor-pool spin-up (measured ~1s saved per run).
+#: Heavy per-actor state (MediaStore, PolygonIndex) stays on actor
+#: pools; this shortcut is only for broadcast-free-broadcast stages.
+_SIGNER: "MinHasher | None" = None
+_SIGNER_KEY: tuple | None = None
+
+
+def _sign_batch(batch: pa.Table, *, num_perm: int = 64,
+                bands: int = 16) -> pa.Table:
+    global _SIGNER, _SIGNER_KEY
+    if _SIGNER_KEY != (num_perm, bands):
+        _SIGNER = MinHasher(num_perm=num_perm, bands=bands)
+        _SIGNER_KEY = (num_perm, bands)
+    return _add_coarse_part(_SIGNER(batch))
+
+
 def _minhash_raw_pairs(sf_dir: str, *, num_perm: int = 64,
                        bands: int = 16) -> ray.data.Dataset:
     """Candidate pairs straight out of the coarse-partition bucket fold
     (may contain dupes when two docs collide in several bands)."""
+    import functools
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
-                                          "bands": bands},
-        batch_format="pyarrow", concurrency=(1, 4))
-    return (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
-                .repartition(8)  # tiny rows; fewer blocks -> cheaper sort
+        functools.partial(_sign_batch, num_perm=num_perm, bands=bands),
+        batch_format="pyarrow")
+    return (sigs.repartition(8)  # tiny rows; fewer blocks -> cheaper sort
                 .groupby("part")
                 .map_groups(_partition_pairs, batch_format="pandas"))
 
