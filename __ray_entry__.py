@@ -187,6 +187,47 @@ def _spatial_normalize_docs(sf_dir: str):
     return rep.sort_values("part").reset_index(drop=True)
 
 
+def _spatial_s2_cells(sf_dir: str):
+    """S2-style cell index over the assignment table: every assigned
+    cell center gets a level-20 S2 id inside map_batches; per-admin
+    counts + coarse-cell cardinality + id checksum. Self-verifies the
+    hierarchy contract in-query (parent(fine) == coarse id and fine
+    ids inside the coarse id range — a mismatch raises)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from spatial_aez_ray import s2cells
+    from spatial_aez_ray.pipelines import assign, extract
+
+    grid = extract.world_grid(_world(), "g1")
+
+    def add_s2(b: pa.Table) -> pa.Table:
+        rows = np.asarray(b["cell_row"].to_numpy(zero_copy_only=False))
+        cols = np.asarray(b["cell_col"].to_numpy(zero_copy_only=False))
+        lons = grid.x_min + (cols + 0.5) * grid.x_size
+        lats = grid.y_min + (rows + 0.5) * grid.y_size
+        fine = s2cells.cell_id(lons, lats, 20)
+        coarse = s2cells.cell_id(lons, lats, 6)
+        if not (s2cells.parent(fine, 6) == coarse).all():
+            raise AssertionError("s2 parent(fine,6) != coarse id")
+        lo, hi = s2cells.range_of(coarse)
+        if not ((fine >= lo) & (fine <= hi)).all():
+            raise AssertionError("s2 fine id outside coarse range")
+        return pa.table({
+            "admin": b["admin"],
+            "s2_fine": pa.array(fine.astype(np.int64)),
+            "s2_coarse": pa.array(coarse.astype(np.int64)),
+        })
+
+    pdf = (assign.cell_country(_world())
+           .map_batches(add_s2, batch_format="pyarrow").to_pandas())
+    g = pdf.groupby("admin", dropna=False).agg(
+        cells=("s2_fine", "size"),
+        coarse_cells=("s2_coarse", "nunique"),
+        fine_checksum=("s2_fine", "sum")).reset_index()
+    return g.sort_values("admin").reset_index(drop=True)
+
+
 def _spatial_geotiff_import(sf_dir: str):
     """S1/S3/M3 real-format ingestion gate: KG palette GeoTIFF +
     .shp/.dbf countries -> imported world -> zonal_stats, self-verified
@@ -377,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_thumbnail": _spatial_thumbnail,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
+        "spatial_s2_cells": _spatial_s2_cells,
         "spatial_geotiff_import": _spatial_geotiff_import,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
