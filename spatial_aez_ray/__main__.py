@@ -1,0 +1,135 @@
+"""CLI: the reference's script surface, Ray-Data-native.
+
+Mirrors what a spatial-aez user runs today (cited per subcommand):
+
+* ``extract``   — per-dataset zonal CSVs + region rollups
+                  (extract_country_data.py ``--lc/--kg/--sl/--wk/--dg/
+                  --all``, :270-341)
+* ``aez``       — AEZ-by-country CSV + 8 per-TMR region CSVs
+                  (process_imagery.py produce_CSV, :253-296)
+* ``degraded``  — cover × soil × degraded CSV (degraded_analysis.py)
+* ``render``    — classified raster tiles + palette GeoTIFF mosaics
+                  (process_imagery.py produce_GeoTIFF, :398-492)
+* ``import-geotiff`` — real raster -> interleaved tile documents
+                  (the GDAL read side, extract_country_data.py:55-60)
+* ``import-shapefile`` — .shp/.dbf -> countries.parquet side table
+                  (OGR read side, extract_country_data.py:218-226)
+* ``checkpointed-extract`` — the resumable sharded zonal run
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spatial_aez_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        s = sub.add_parser(name, **kw)
+        s.add_argument("--world", required=True)
+        s.add_argument("--out", required=True)
+        return s
+
+    s = add("extract")
+    s.add_argument("--datasets", default="kg,lc,slope,wk,lpd",
+                   help="comma list; default = --all")
+    add("aez")
+    add("degraded")
+    add("render")
+    s = add("checkpointed-extract")
+    s.add_argument("--dataset", default="kg")
+    s.add_argument("--num-shards", type=int, default=8)
+
+    s = sub.add_parser("import-geotiff")
+    s.add_argument("--tiff", required=True)
+    s.add_argument("--world", required=True)
+    s.add_argument("--dataset", required=True)
+    s.add_argument("--grid", default="g1")
+    s.add_argument("--tile-edge", type=int, default=64)
+    s.add_argument("--kg-palette", action="store_true",
+                   help="decode a palette raster to KG legend indices")
+
+    s = sub.add_parser("import-shapefile")
+    s.add_argument("--shp", required=True)
+    s.add_argument("--world", required=True)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "import-shapefile":  # no Ray needed
+        from .sources.shapefile import shapefile_to_countries
+        n = shapefile_to_countries(
+            a.shp, os.path.join(a.world, "countries.parquet"))
+        print(f"imported {n} features -> {a.world}/countries.parquet")
+        return 0
+    if a.cmd == "import-geotiff":
+        from .sources.geotiff import import_geotiff
+        rep = import_geotiff(a.tiff, a.world, a.dataset, a.grid,
+                             tile_edge=a.tile_edge,
+                             decode_kg_palette=a.kg_palette)
+        print(f"imported {rep['tiles']} tiles {rep['shape']} "
+              f"-> {a.world}/documents/dataset={a.dataset}")
+        return 0
+
+    _init_ray(a.num_cpus)
+    import ray
+    try:
+        if a.cmd == "extract":
+            from .pipelines.extract import extract_all
+            dfs = extract_all(a.world, a.out,
+                              datasets=tuple(a.datasets.split(",")))
+            print(f"wrote {2 * len(dfs)} CSVs -> {a.out}")
+        elif a.cmd == "aez":
+            from .pipelines.aez import produce_aez_csvs
+            produce_aez_csvs(a.world, a.out)
+            print(f"wrote AEZ CSVs -> {a.out}")
+        elif a.cmd == "degraded":
+            from .pipelines.degraded import degraded_stats
+            from .pipelines.extract import write_csv
+            df = degraded_stats(a.world)
+            write_csv(df, os.path.join(a.out, "Degraded-Land.csv"))
+            print(f"wrote {a.out}/Degraded-Land.csv")
+        elif a.cmd == "render":
+            from .pipelines.extract import world_grid
+            from .pipelines.render import (
+                RENDER_PRODUCTS, export_render_geotiff, produce_render_tiles,
+            )
+            out_world = os.path.join(a.out, "rendered")
+            produce_render_tiles(a.world, out_world)
+            g3 = world_grid(a.world, "g3")
+            for product in RENDER_PRODUCTS:
+                export_render_geotiff(
+                    out_world, product,
+                    os.path.join(a.out, f"{product}.tif"), g3)
+            print(f"wrote rendered tiles + {len(RENDER_PRODUCTS)} "
+                  f"GeoTIFFs -> {a.out}")
+        elif a.cmd == "checkpointed-extract":
+            from .pipelines.extract import zonal_stats_checkpointed
+            df = zonal_stats_checkpointed(a.world, a.dataset, a.out,
+                                          num_shards=a.num_shards)
+            print(f"checkpointed zonal[{a.dataset}]: {len(df)} countries "
+                  f"-> {a.out}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
