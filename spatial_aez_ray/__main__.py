@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dataset", default="kg")
     s.add_argument("--num-shards", type=int, default=8)
 
+    s = sub.add_parser(
+        "prepare-claims",
+        help="precompute tile claims (prepare_feature_masks.py analog)")
+    s.add_argument("--world", required=True)
+    s.add_argument("--grid", default="g1", choices=["g1", "g3"])
+
     s = sub.add_parser("import-geotiff")
     s.add_argument("--tiff", required=True)
     s.add_argument("--world", required=True)
@@ -120,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
                     os.path.join(a.out, f"{product}.tif"), g3)
             print(f"wrote rendered tiles + {len(RENDER_PRODUCTS)} "
                   f"GeoTIFFs -> {a.out}")
+        elif a.cmd == "prepare-claims":
+            from .pipelines.extract import world_grid
+            from .state.claims_cache import prepare_claims
+            summary = prepare_claims(a.world, world_grid(a.world, a.grid))
+            print(f"prepared {summary['claims'].sum()} claims over "
+                  f"{summary['tiles'].sum()} tiles "
+                  f"-> {a.world}/claims/grid={a.grid}")
         elif a.cmd == "checkpointed-extract":
             from .pipelines.extract import zonal_stats_checkpointed
             df = zonal_stats_checkpointed(a.world, a.dataset, a.out,

@@ -142,11 +142,30 @@ class AezTileKernel:
     groupby(tile_key).map_groups join: identical partials, one less
     all-to-all exchange, and media reads amortize over the batch."""
 
-    def __init__(self, world_path: str, index: PolygonIndex, g1, g3):
+    def __init__(self, world_path: str, index: PolygonIndex, g1, g3,
+                 use_claims_cache: bool = True):
+        from ..state.claims_cache import ClaimsStore
         self.media = MediaStore(world_path)
         self.index = index
         self.g1 = g1
         self.g3 = g3
+        store = ClaimsStore(world_path, g1.name) if use_claims_cache \
+            else None
+        self.claims_store = store if store is not None and \
+            store.available else None
+
+    def _claims_batch(self, tiles: list[tuple[int, int]]) -> dict:
+        """(ty, tx) -> claims for the whole batch: ONE prepared-cache
+        fetch when the world carries one, inline PIP otherwise."""
+        if self.claims_store is not None:
+            from ..state.claims_cache import tile_key
+            uniq = list(dict.fromkeys(tiles))
+            fetched = self.claims_store.fetch(
+                [tile_key(ty, tx) for ty, tx in uniq])
+            return {(ty, tx): fetched[tile_key(ty, tx)]
+                    for ty, tx in uniq}
+        return {(ty, tx): self.index.assign_tile(self.g1, ty, tx)
+                for ty, tx in dict.fromkeys(tiles)}
 
     def _sibling_refs(self, ty: int, tx: int) -> dict[str, list[str]]:
         from ..fixtures import DATASET_BANDS, DATASET_GRID
@@ -157,17 +176,22 @@ class AezTileKernel:
             for ds_name in AEZ_DATASETS}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # pass 1: parse driver metas, compute claims, derive all refs
-        tiles = []
-        all_refs: list[str] = []
+        # pass 1: parse driver metas, fetch/compute claims for the
+        # whole batch at once, derive all refs
+        metas = []
         for spans in batch.column("spans").to_pylist():
             meta = None
             for s in spans:
                 if s["kind"] == "meta":
                     meta = json.loads(s["text"])
                     break
-            claims = self.index.assign_tile(
-                self.g1, meta["tile_y"], meta["tile_x"])
+            metas.append(meta)
+        claims_of = self._claims_batch(
+            [(m["tile_y"], m["tile_x"]) for m in metas])
+        tiles = []
+        all_refs: list[str] = []
+        for meta in metas:
+            claims = claims_of[(meta["tile_y"], meta["tile_x"])]
             if not claims:
                 continue
             refs_by_ds = self._sibling_refs(meta["tile_y"], meta["tile_x"])

@@ -47,13 +47,38 @@ class ZonalPartials:
     MediaStore + one PolygonIndex + one claims cache per actor."""
 
     def __init__(self, world_path: str, classifier, index: PolygonIndex,
-                 grid_spec, cache_tiles: int = 256):
+                 grid_spec, cache_tiles: int = 256,
+                 use_claims_cache: bool = True):
+        from ..state.claims_cache import ClaimsStore
         self.media = MediaStore(world_path)
         self.classifier = classifier
         self.index = index
         self.grid = grid_spec
         self._claims: OrderedDict = OrderedDict()
         self._cache_tiles = cache_tiles
+        store = ClaimsStore(world_path, grid_spec.name) \
+            if use_claims_cache else None
+        # prepared claims (the reference's precomputed-masks stage):
+        # used automatically when the world carries a cache for this
+        # grid; results are bit-identical to inline PIP
+        self.claims_store = store if store is not None and \
+            store.available else None
+
+    def ensure_claims(self, tiles: list[tuple[int, int]]) -> None:
+        """Batched prefetch of prepared claims for a map_batches batch
+        (ONE store fetch per call — the media-fetch batching rule)."""
+        if self.claims_store is None:
+            return
+        from ..state.claims_cache import tile_key
+        missing = [t for t in dict.fromkeys(tiles) if t not in self._claims]
+        if not missing:
+            return
+        fetched = self.claims_store.fetch(
+            [tile_key(ty, tx) for ty, tx in missing])
+        for ty, tx in missing:
+            self._claims[(ty, tx)] = fetched[tile_key(ty, tx)]
+            if len(self._claims) > self._cache_tiles:
+                self._claims.popitem(last=False)
 
     def claims_for(self, ty: int, tx: int):
         key = (ty, tx)
@@ -71,9 +96,9 @@ class ZonalPartials:
         admins, clss, km2s = [], [], []
         fidxs, tys, txs, seqs = [], [], [], []
         spans_col = batch.column("spans").to_pylist()
-        # pass 1: parse metas, compute claims, gather every needed ref
-        parsed = []
-        all_refs: list[str] = []
+        # pass 1: parse metas, prefetch prepared claims for the whole
+        # batch (one store fetch), then gather every needed ref
+        metas = []
         for spans in spans_col:
             meta = None
             refs = []
@@ -82,6 +107,11 @@ class ZonalPartials:
                     meta = json.loads(s["text"])
                 elif s["kind"] == "media":
                     refs.append(s["media_ref"])
+            metas.append((meta, refs))
+        self.ensure_claims([(m["tile_y"], m["tile_x"]) for m, _ in metas])
+        parsed = []
+        all_refs: list[str] = []
+        for meta, refs in metas:
             claims = self.claims_for(meta["tile_y"], meta["tile_x"])
             if not claims:
                 continue
