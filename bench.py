@@ -56,6 +56,19 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     g3 = spec.g3
     conc = (1, max(2, num_cpus - 1))
 
+    # session warm-up: spin up worker processes + import the package in
+    # them once, so the first timed query measures the pipeline, not
+    # Ray's cold process pool (worker start alone is ~1-2 s of noise)
+    import ray.data as _rd
+    import pyarrow as _pa
+
+    def _noop(b: "_pa.Table") -> "_pa.Table":
+        import spatial_aez_ray  # noqa: F401 - warm the worker import
+        return b
+
+    _rd.range(num_cpus * 4).map_batches(
+        _noop, batch_format="pyarrow", batch_size=1).count()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

@@ -290,7 +290,9 @@ def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
         index = build_zonal_index(world_path)
     g1 = world_grid(world_path, "g1")
     g3 = world_grid(world_path, "g3")
-    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"])
+    from ..sources.documents import blocks_for
+    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
     return docs.map_batches(
         AezTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "index": index,

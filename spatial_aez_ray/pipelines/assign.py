@@ -128,7 +128,9 @@ def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
     if index is None:
         index = build_zonal_index(world_path)
     grid = world_grid(world_path, DATASET_GRID[dataset])
-    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    from ..sources.documents import blocks_for
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
     return docs.map_batches(
         CellAssign,
         fn_constructor_kwargs={

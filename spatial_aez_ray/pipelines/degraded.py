@@ -120,7 +120,9 @@ def degraded_stats(world_path: str, *, index: PolygonIndex | None = None,
     if index is None:
         index = build_zonal_index(world_path)
     g1 = world_grid(world_path, "g1")
-    docs = read_documents(world_path, ["lpd"], columns=["doc_id", "spans"])
+    from ..sources.documents import blocks_for
+    docs = read_documents(world_path, ["lpd"], columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
     partials = docs.map_batches(
         DegradedTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "index": index,

@@ -70,7 +70,9 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
         grid = world_grid(world_path, classifier.grid)
     if index is None:
         index = build_zonal_index(world_path)
-    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    from ..sources.documents import blocks_for
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
     return docs.map_batches(
         ZonalPartials,
         fn_constructor_kwargs={"world_path": world_path,

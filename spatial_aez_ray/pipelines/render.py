@@ -158,7 +158,9 @@ class RenderTileKernel:
 def render_tiles_ds(world_path: str, *, concurrency: int | tuple = (1, 4)):
     g1 = world_grid(world_path, "g1")
     g3 = world_grid(world_path, "g3")
-    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"])
+    from ..sources.documents import blocks_for
+    docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
     return docs.map_batches(
         RenderTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "g1": g1, "g3": g3},
