@@ -146,3 +146,65 @@ def test_aez_zones_partition_eligible_area():
     expected = valid * ((fam4 & soil_pgm) * slope_sum
                         + bare3 + (~bare3 & soil["barren"]))
     assert np.allclose(total, expected, atol=1e-12)
+
+
+@given(h=st.integers(1, 80), w=st.integers(1, 80),
+       rps=st.integers(1, 90), seed=st.integers(0, 2**31 - 1),
+       palette=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_geotiff_roundtrip_property(h, w, rps, seed, palette):
+    import tempfile
+    from spatial_aez_ray.sources import geotiff
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    cm = rng.randint(0, 256, size=(256, 3), dtype=np.uint8) if palette \
+        else None
+    tmp = tempfile.mkdtemp(prefix="tifprop")
+    p = f"{tmp}/t{seed}.tif"
+    geotiff.write_geotiff(p, arr, color_map=cm, rows_per_strip=rps)
+    gt = geotiff.read_geotiff(p)
+    assert (gt.array == arr).all()
+    if palette:
+        assert (gt.color_map == cm).all()
+    else:
+        assert gt.color_map is None
+
+
+@given(h=st.integers(1, 60), w=st.integers(1, 60),
+       seed=st.integers(0, 2**31 - 1), palette=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, seed, palette):
+    from spatial_aez_ray.functions.png import decode_png, encode_png
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8) if palette \
+        else None
+    a2, p2 = decode_png(encode_png(arr, pal))
+    assert (a2 == arr).all()
+    assert (p2 is None) == (pal is None)
+    if pal is not None:
+        assert (p2 == pal).all()
+
+
+@given(n_polys=st.integers(1, 4), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_shp_roundtrip_property(n_polys, seed):
+    import tempfile
+    from spatial_aez_ray.sources import shapefile
+    rng = np.random.RandomState(seed)
+    geoms = []
+    for _ in range(n_polys):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        r = rng.uniform(0.5, 5.0)
+        # CW outer ring (shapefile convention)
+        ring = np.array([(cx - r, cy - r), (cx - r, cy + r),
+                         (cx + r, cy + r), (cx + r, cy - r),
+                         (cx - r, cy - r)], dtype=np.float64)
+        geoms.append([[ring]])
+    p = f"{tempfile.mkdtemp(prefix='shpprop')}/s{seed}.shp"
+    shapefile.write_shp(p, geoms)
+    back = shapefile.read_shp(p)
+    assert len(back) == len(geoms)
+    for g, b in zip(geoms, back):
+        assert len(b) == 1 and len(b[0]) == 1
+        assert (b[0][0] == g[0][0]).all()
