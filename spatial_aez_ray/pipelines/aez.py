@@ -257,12 +257,24 @@ class AezTileKernel:
                 km2_blk = upsample3(k) / 9.0
                 ck = [c * km2_blk for c in combos]
                 bk = bare_zone * km2_blk
+                # Empty-selection skips are bit-exact: a zero product
+                # contributes +0.0 (exact identity) and the pivot seeds
+                # zero cells, so dropping all-zero rows changes nothing
+                # — but seq/n MUST advance so surviving rows keep their
+                # combine order. Tiles usually span 1-2 of the 8
+                # regimes, so this cuts ~4x of the 232 products.
                 seq = 0
                 for tmr in TMR_NAMES:
                     r = regime[tmr]
                     n = 1
+                    if not r.any():
+                        seq += 4 * len(ck) + 1
+                        continue
                     for u in fams:
                         ru = r & u
+                        if not ru.any():
+                            seq += len(ck); n += len(ck)
+                            continue
                         for c in ck:
                             admins.append(admin)
                             clss.append(f"{tmr}|AEZ{n}")

@@ -91,22 +91,42 @@ class DegradedTileKernel:
             soil_idx = WK_TO_DEGRADED_SOIL[wk_blk]
             degraded = lpd_blk != 0
 
+            # claim-independent selection masks, hoisted per tile; empty
+            # combos are skipped per claim (bit-exact: a zero product
+            # contributes +0.0 and the pivot seeds zero cells; seq keeps
+            # its original value so combine order is unchanged)
+            combos: list[tuple[str, np.ndarray | None]] = []
+            for ci, cover in enumerate(DEGRADED_COVER_NAMES):
+                cmask = cov_idx == ci
+                if not cmask.any():
+                    combos.extend(
+                        (f"{cover}:{soil}:{deg_name}", None)
+                        for deg_name in ("degraded", "nondegraded")
+                        for soil in DEGRADED_SOIL_NAMES)
+                    continue
+                for deg_name, deg_mask in (("degraded", degraded),
+                                           ("nondegraded", ~degraded)):
+                    cd = cmask & deg_mask
+                    cd_any = cd.any()
+                    for si, soil in enumerate(DEGRADED_SOIL_NAMES):
+                        sel = cd & (soil_idx == si) if cd_any else None
+                        if sel is not None and not sel.any():
+                            sel = None
+                        combos.append((f"{cover}:{soil}:{deg_name}", sel))
+
             km2_tile = km2_block(nr1, nc1, y1, self.g1)
             for fidx, admin, mask in claims:
                 k = km2_tile.copy()
                 k[np.logical_not(mask)] = 0.0
                 km2_blk = upsample3(k) / 9.0
-                seq = 0
-                for ci, cover in enumerate(DEGRADED_COVER_NAMES):
-                    for deg_name, deg_mask in (("degraded", degraded),
-                                               ("nondegraded", ~degraded)):
-                        for si, soil in enumerate(DEGRADED_SOIL_NAMES):
-                            sel = (cov_idx == ci) & deg_mask & (soil_idx == si)
-                            admins.append(admin)
-                            clss.append(f"{cover}:{soil}:{deg_name}")
-                            km2s.append((sel * km2_blk).sum())
-                            fidxs.append(fidx); tys.append(ty); txs.append(tx)
-                            seqs.append(seq); seq += 1
+                for seq, (label, sel) in enumerate(combos):
+                    if sel is None:
+                        continue
+                    admins.append(admin)
+                    clss.append(label)
+                    km2s.append((sel * km2_blk).sum())
+                    fidxs.append(fidx); tys.append(ty); txs.append(tx)
+                    seqs.append(seq)
         return pa.Table.from_arrays([
             pa.array(admins, pa.string()), pa.array(clss, pa.string()),
             pa.array(km2s, pa.float64()), pa.array(fidxs, pa.int32()),
