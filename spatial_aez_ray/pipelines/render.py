@@ -70,6 +70,8 @@ def render_arrays(kg_blk, sl_bands, lc_blk, wk_blk) -> dict[str, np.ndarray]:
     aez_arr = np.full(shape, AEZ_BLANK, dtype=np.int64)
     for tmr in TMR_NAMES:
         color = TMR_BASE_COLOR[tmr]
+        if not regime[tmr].any():
+            continue  # all 29 products are zero -> assignments no-op
         for aez in yield_aezs(regime, tmr, plurality, land_use, soil):
             aez_arr[aez.astype(bool)] = color
             color += 1
