@@ -120,10 +120,11 @@ def _scaling_world():
     compute to dominate fixed per-leg overhead (actor-pool spin-up,
     reads, ~6-8 s/leg). Every kernel optimization shrank the work and
     re-exposed that overhead (scale 4 → 0.22 eff, scale 8 → 0.47 after
-    the media-layout fix), so the default world tracks engine speed:
-    scale 24 ≈ 200 s at 8 CPUs / 48 s at 32."""
+    the media-layout fix, scale 24 → 0.57 after the round-2 kernel
+    skips), so the default world tracks engine speed: scale 40 ≈
+    300+ s at 8 CPUs."""
     from spatial_aez_ray import fixtures
-    spec = fixtures.PRESETS[os.environ.get("AEZRAY_SCALING_WORLD", "big")]
+    spec = fixtures.PRESETS[os.environ.get("AEZRAY_SCALING_WORLD", "huge")]
     return spec, fixtures.generate_world(spec, use_ray=True)
 
 

@@ -1,13 +1,14 @@
 """Natural Earth ADMIN -> model country-name normalization.
 
-The mapping table is parity-required data carried from the reference
+The mapping table is parity-required DATA carried from the reference
 (/root/reference/admin_names.py:4-77, itself sourced from the public
-Natural Earth attribute table and the Drawdown model's country list):
+Natural Earth attribute table and the Drawdown model country list):
 territories fold into their sovereign state, a handful of names are
 respelled, and entries mapping to ``None`` are dropped from zonal
-outputs (extract_country_data.py:223-225). The *mechanism* (None-drop,
-many-to-one fold) is exercised by the synthetic-world fixtures; this
-table enables parity runs against real Natural Earth shapefiles.
+outputs (extract_country_data.py:223-225). Stored here sorted by key;
+the *mechanism* (None-drop, many-to-one fold) is exercised by the
+synthetic-world fixtures, and this table enables parity runs against
+real Natural Earth shapefiles (sources.shapefile).
 """
 
 from __future__ import annotations
@@ -19,16 +20,14 @@ ADMIN_MAP: dict[str, str | None] = {
     "Anguilla": "United Kingdom",
     "Aruba": "Netherlands",
     "Ashmore and Cartier Islands": "Australia",
-    "The Bahamas": "Bahamas",
     "Bajo Nuevo Bank (Petrel Is.)": None,
     "Baykonur Cosmodrome": "Kazakhstan",
+    "Bermuda": "United Kingdom",
     "British Indian Ocean Territory": "United Kingdom",
     "British Virgin Islands": "United Kingdom",
-    "Bermuda": "United Kingdom",
     "Cabo Verde": "Cape Verde",
     "Cayman Islands": "United Kingdom",
     "Clipperton Island": "France",
-    "Republic of the Congo": "Congo",
     "Coral Sea Islands": "Australia",
     "Cyprus No Mans Area": "Cyprus",
     "Czechia": "Czech Republic",
@@ -47,19 +46,20 @@ ADMIN_MAP: dict[str, str | None] = {
     "Isle of Man": None,
     "Ivory Coast": "Côte d'Ivoire",
     "Jersey": "United Kingdom",
-    "North Korea": "Democratic People's Republic of Korea",
     "Kosovo": None,
     "Laos": "Lao People's Democratic Republic",
-    "Macedonia": "The former Yugoslav Republic of Macedonia",
     "Macao S.A.R": None,
+    "Macedonia": "The former Yugoslav Republic of Macedonia",
     "Montserrat": "United Kingdom",
     "New Caledonia": "France",
-    "Northern Cyprus": "Cyprus",
     "Norfolk Island": "Australia",
+    "North Korea": "Democratic People's Republic of Korea",
+    "Northern Cyprus": "Cyprus",
     "Northern Mariana Islands": "United States of America",
     "Pitcairn Islands": "United Kingdom",
     "Puerto Rico": "United States of America",
     "Republic of Serbia": "Serbia",
+    "Republic of the Congo": "Congo",
     "Russia": "Russian Federation",
     "Saint Barthelemy": "France",
     "Saint Helena": "United Kingdom",
@@ -74,10 +74,11 @@ ADMIN_MAP: dict[str, str | None] = {
     "South Korea": "Republic of Korea (South Korea)",
     "Spratly Islands": None,
     "Syria": "Syrian Arab Republic",
+    "The Bahamas": "Bahamas",
     "Turks and Caicos Islands": "United Kingdom",
+    "US Naval Base Guantanamo Bay": "United States of America",
     "United States Minor Outlying Islands": "United States of America",
     "United States Virgin Islands": "United States of America",
-    "US Naval Base Guantanamo Bay": "United States of America",
     "Vatican": "Holy See",
     "Wallis and Futuna": "France",
     "eSwatini": "Swaziland",

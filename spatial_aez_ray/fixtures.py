@@ -82,7 +82,8 @@ SMALL = WorldSpec("small", 4)
 MID = WorldSpec("mid", 8)
 BENCH = WorldSpec("bench", 16)
 BIG = WorldSpec("big", 24)
-PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH, BIG)}
+HUGE = WorldSpec("huge", 40)
+PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH, BIG, HUGE)}
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ the preceding outer ring.
 ``shapefile_to_countries`` is the S3 ingestion path: .shp/.dbf ->
 normalized WKB side table (feature_idx, a3, admin_raw, admin,
 geometry), the exact ``countries.parquet`` schema the PolygonIndex
-builds from — admin normalization (admin_names.ADMIN_MAP, None-drop)
+builds from — admin normalization (admin_normalize.ADMIN_MAP, None-drop)
 applied like extract_country_data.py:223-225.
 """
 
@@ -25,7 +25,7 @@ import struct
 import numpy as np
 
 from .. import wkb
-from ..admin_names import normalize
+from ..admin_normalize import normalize
 
 _SHP_POLYGON = 5
 
