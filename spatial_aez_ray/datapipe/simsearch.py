@@ -165,18 +165,6 @@ class _LshBucketer:
             out[:, t] = bits.astype(np.int64) @ weights
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch)
-        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
-        b = self.bucket(m)
-        n = len(ids)
-        table_ids = np.repeat(np.arange(self.n_tables), n)
-        return pa.table({
-            "table_id": pa.array(table_ids.astype(np.int32)),
-            "bucket": pa.array(b.T.reshape(-1)),
-            "vec_id": pa.array(np.tile(ids, self.n_tables)),
-        })
-
 
 class _CandidateScorer:
     """Shared single-pass scorer for bucketed ANN (LSH / IVF): the
@@ -531,25 +519,6 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
                 if n > 0:
                     cent[c] = m / n
     return cent
-
-
-class _IvfAssigner:
-    """map_batches stage: nearest-centroid list assignment (the IVF
-    build pass). Centroids are broadcast via constructor ref."""
-
-    def __init__(self, cent_ref):
-        import ray
-        self.cent = ray.get(cent_ref)  # (k, d), unit rows
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        m = m / np.where(norms == 0, 1.0, norms)
-        lists = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
-        return pa.table({
-            "list_id": pa.array(lists),
-            "vec_id": batch["vec_id"],
-        })
 
 
 class _IvfScorer(_CandidateScorer):
