@@ -233,7 +233,9 @@ def _merge_topk_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 class _LshScorer(_CandidateScorer):
     """aux = (dim, qb): per-actor rebuild of the seeded hyperplanes
     (identical everywhere — broadcast-free broadcast), candidates =
-    vectors sharing the query's bucket in >=1 table."""
+    vectors whose bucket is in the query's probe set in >=1 table.
+    ``qb`` is (nq, n_tables, n_probes): probe 0 is the query's own
+    bucket, the rest are multi-probe neighbors (1-bit flips)."""
 
     def __init__(self, q_ref, k: int):
         super().__init__(q_ref, k)
@@ -242,19 +244,31 @@ class _LshScorer(_CandidateScorer):
 
     def _masks(self, m: np.ndarray) -> np.ndarray:
         b = self.bucketer.bucket(m)  # (n, n_tables)
-        # (nq, n): match in any table
-        return (b[None, :, :] == self.qb[:, None, :]).any(axis=2)
+        # (nq, n): match any probe in any table
+        return (b[None, :, :, None]
+                == self.qb[:, None, :, :]).any(axis=(2, 3))
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10,
+            multiprobe: int = 0) -> pd.DataFrame:
     """Approximate top-k: exact cosine restricted to vectors sharing an
     LSH bucket with the query in any of the hash tables. Fully
     distributed: one streaming map_batches pass, queries + their bucket
-    ids broadcast, q*k partials merged driver-side."""
+    ids broadcast, q*k partials merged driver-side.
+
+    ``multiprobe=1`` additionally probes every bucket one bit-flip away
+    from the query's bucket in each table (classic multi-probe LSH:
+    recall of many more tables for the cost of widening the candidate
+    mask, no extra shuffled state)."""
     import ray
     q_ids, q = _load_queries(sf_dir, n_queries)
     dim = q.shape[1]
-    qb = _LshBucketer(dim).bucket(q)  # (nq, n_tables)
+    bucketer = _LshBucketer(dim)
+    qb0 = bucketer.bucket(q)  # (nq, n_tables)
+    probes = [qb0]
+    if multiprobe >= 1:
+        probes += [qb0 ^ (1 << bit) for bit in range(bucketer.n_bits)]
+    qb = np.stack(probes, axis=2)  # (nq, n_tables, n_probes)
     q_ref = ray.put((q_ids, q, (dim, qb)))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     partials = ds.map_batches(

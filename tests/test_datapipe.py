@@ -313,3 +313,26 @@ def test_media_features_matches_sql(con):
     from spatial_aez_ray.datapipe import multimodal
     _assert_match(multimodal.media_features(SF),
                   multimodal.MEDIA_FEATURES_SQL, con)
+
+
+def test_ann_lsh_multiprobe_recall_dominates():
+    """Multi-probe widens the candidate set and can only improve recall
+    vs the exact brute-force top-k (candidate sets are supersets)."""
+    from spatial_aez_ray.datapipe import simsearch
+    exact = simsearch.ann_topk(SF, n_queries=3, k=10)
+    plain = simsearch.ann_lsh(SF, n_queries=3, k=10)
+    probed = simsearch.ann_lsh(SF, n_queries=3, k=10, multiprobe=1)
+
+    def recall(approx):
+        hits = 0
+        for qid in exact["query_id"].unique():
+            want = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(want & got)
+        return hits / (3 * 10)
+
+    # candidate counts are supersets per query
+    pc = dict(zip(plain["query_id"], plain["n_candidates"]))
+    for qid, n in zip(probed["query_id"], probed["n_candidates"]):
+        assert n >= pc.get(qid, 0)
+    assert recall(probed) >= recall(plain)
