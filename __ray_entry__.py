@@ -250,9 +250,13 @@ def _spatial_geotiff_import(sf_dir: str):
     for i, cls in enumerate(KG_CLASSES):
         cm[2 * (i + 1)] = [k for k, v in KG_COLORS.items() if v == cls][0]
     tif = os.path.join(base, "kg.tif")
+    # DEFLATE + TILED, like every real reference raster
+    # (process_imagery.py:302-306): the gate proves the compressed
+    # codec path end-to-end, not just baseline strips.
     geotiff.write_geotiff(tif, (classes * 2).astype(np.uint8), color_map=cm,
                           pixel_scale=(2.8125, 2.8125, 0),
-                          tiepoint=(0, 0, 0, -180.0, 90.0, 0))
+                          tiepoint=(0, 0, 0, -180.0, 90.0, 0),
+                          compress="deflate", tiled=True, tile_size=32)
     wp = os.path.join(base, "world")
     geotiff.import_geotiff(tif, wp, "kg", "g1", tile_edge=16,
                            decode_kg_palette=True)

@@ -351,9 +351,12 @@ def connected_components(pairs: ray.data.Dataset,
             break
         prev_sum = cur_sum
     else:  # pragma: no cover - pathological chain longer than max_iters
-        import logging
-        logging.warning("connected_components: not converged after %d "
-                        "rounds; labels may span a component", max_iters)
+        # Unconverged labels would silently split a component and emit
+        # wrong survivor/size rows — correctness-critical, so fail loud.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} "
+            f"min-label rounds (graph diameter exceeds the bound); "
+            f"re-run with a larger max_iters")
     return labels
 
 

@@ -45,9 +45,11 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """2-decimal double -> exact int64 cents, rounding half AWAY from
     zero to match DuckDB ROUND exactly (np.round is half-to-even, which
     disagrees by one cent whenever x*100 is exactly representable as
-    k+0.5 — e.g. 0.125; the oracle contract is ROUND on both sides)."""
+    k+0.5 — e.g. 0.125; the oracle contract is ROUND on both sides).
+    trunc (not floor) implements half-away-from-zero for BOTH signs:
+    floor(-1.13*100 - 0.5) = -114 but DuckDB ROUND(-1.13*100) = -113."""
     a = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
-    return np.floor(a * 100.0 + np.copysign(0.5, a)).astype(np.int64)
+    return np.trunc(a * 100.0 + np.copysign(0.5, a)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -268,7 +268,9 @@ class AezTileKernel:
                     r = regime[tmr]
                     n = 1
                     if not r.any():
-                        seq += 4 * len(ck) + 1
+                        # keep seq in lockstep with the emitting loop
+                        # below (len(fams) family passes + the bare row)
+                        seq += len(fams) * len(ck) + 1
                         continue
                     for u in fams:
                         ru = r & u

@@ -201,8 +201,13 @@ def run_checkpointed_partials(world_path: str, driver_dataset: str,
     shards = doc_id_range_shards_from_stats(paths, num_shards)
     # v2: stats-based shard bounds differ from the v1 full-id-read plan;
     # the op version keys the manifest so stale v1 parts never satisfy
-    # a v2 resume.
-    man = CheckpointManifest(out_dir, op_hash(op_key, driver_dataset, "v2"))
+    # a v2 resume. The PLAN itself (shard count + bounds) is also part
+    # of the key: resuming with a different num_shards would otherwise
+    # reuse completed shard ids whose doc_id ranges differ from the new
+    # plan, silently dropping or duplicating rows.
+    plan_key = ";".join(f"{sid}:{lo}..{hi}" for sid, lo, hi in shards)
+    man = CheckpointManifest(
+        out_dir, op_hash(op_key, driver_dataset, "v2", plan_key))
     pending = set(man.pending([s[0] for s in shards]))
     manifest_lock = threading.Lock()
     plan_lock = threading.Lock()

@@ -242,19 +242,35 @@ def render_color_table(product: str) -> np.ndarray:
     return cm
 
 
+#: reference GDAL creation options per product
+#: (process_imagery.py:306,332,353,379: COMPRESS=DEFLATE TILED=YES,
+#: plus NBITS=2 slope / 4 land-use / 3 soil-health; AEZ full byte).
+#: Fill for uncovered pixels = the product's blank code.
+RENDER_EXPORT_OPTS = {
+    "render_aez": {"nbits": 8, "fill": AEZ_BLANK},
+    "render_slope": {"nbits": 2, "fill": SLOPE_BLANK},
+    "render_landuse": {"nbits": 4, "fill": LAND_USE_BLANK},
+    "render_soilhealth": {"nbits": 3, "fill": SOIL_BLANK},
+}
+
+
 def export_render_geotiff(render_world: str, product: str, tiff_path: str,
-                          grid) -> dict:
+                          grid, *, compress: str | None = "deflate",
+                          tiled: bool = True, tile_size: int = 256) -> dict:
     """Assemble one render product's tiles into a palette GeoTIFF with
-    the reference's color table + geotransform (the S6 classified-
-    raster sink, process_imagery.py:300-395). Tiles stream in doc_id
-    (row-major) order; at planetary scale the sink would emit one
-    strip run per tile row — here the mosaic is assembled in memory,
-    which covers every sandbox-scale world."""
+    the reference's color table + geotransform + creation options (the
+    S6 classified-raster sink, process_imagery.py:300-395: DEFLATE
+    compression, TILED layout, sub-byte NBITS for the small-vocabulary
+    products). Tiles stream in doc_id (row-major) order; at planetary
+    scale the sink would emit one tile run per tile row — here the
+    mosaic is assembled in memory, which covers every sandbox-scale
+    world."""
     from ..sources.geotiff import write_geotiff
 
+    opts = RENDER_EXPORT_OPTS[product]
     docs = read_documents(render_world, [product]).take_all()
     media = MediaStore(render_world)
-    arr = np.full((grid.height, grid.width), 255, dtype=np.uint8)
+    arr = np.full((grid.height, grid.width), opts["fill"], dtype=np.uint8)
     refs = [model.media_refs(d["spans"])[0] for d in docs]
     payloads = media.fetch(refs)
     for d, ref in zip(docs, refs):
@@ -264,7 +280,10 @@ def export_render_geotiff(render_world: str, product: str, tiff_path: str,
             meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
     write_geotiff(tiff_path, arr, color_map=render_color_table(product),
                   pixel_scale=(grid.x_size, -grid.y_size, 0.0),
-                  tiepoint=(0, 0, 0, grid.x_min, grid.y_min, 0.0))
+                  tiepoint=(0, 0, 0, grid.x_min, grid.y_min, 0.0),
+                  compress=compress, tiled=tiled,
+                  tile_size=tile_size if tiled else 256,
+                  nbits=opts["nbits"])
     return {"shape": arr.shape, "tiles": len(docs), "path": tiff_path}
 
 

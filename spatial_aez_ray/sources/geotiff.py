@@ -1,28 +1,45 @@
-"""Minimal GeoTIFF reader/writer + raster -> tile-document importer.
+"""GeoTIFF reader/writer + raster -> tile-document importer.
 
 The reference's universal source is GDAL ``band.ReadAsArray`` over
 GeoTIFF rasters (/root/reference/extract_country_data.py:55-60,
 process_imagery.py:218-227). GDAL/rasterio are not in this sandbox, so
 this module implements the needed slice of the PUBLIC TIFF 6.0 spec
-from scratch: baseline uncompressed, 8-bit, single-sample, striped
-images with an optional 256-entry palette (ColorMap, tag 320) and the
-two GeoTIFF geo-referencing tags (ModelPixelScale 33550, ModelTiepoint
-33922 — a GDAL north-up geotransform). That covers every raster the
-reference consumes (KG palette map, LCCS codes, workability classes,
-LPD) and produces (classified uint8 rasters with a color table,
-process_imagery.py:300-395).
+from scratch. Round 2 covered baseline uncompressed 8-bit strips only;
+every raster the actual reference ships is compressed and tiled
+(``COMPRESS=DEFLATE, TILED=YES`` with ``NBITS`` 2/3/4 for the
+classified outputs, process_imagery.py:302-306,332,353,379; ``NBITS=1,
+COMPRESS=ZSTD, TILED=YES, SPARSE_OK=TRUE`` for the feature masks,
+prepare_feature_masks.py:44-45), so this codec now speaks:
 
-``import_geotiff`` is the S1 ingestion path: raster -> interleaved
-tile documents + sibling media rows in the engine's world layout,
-after which every pipeline (zonal, AEZ, render, downsample) runs
-unchanged. The import itself streams strip-by-strip per tile row, so
-a planet-scale raster never has to fit in memory.
+* Compression: none (1), DEFLATE/Adobe-deflate (8) and the legacy
+  deflate code (32946) via stdlib zlib, and ZSTD (50000) gated behind
+  an import-try of the ``zstandard`` package (absent in this sandbox;
+  the DEFLATE path is the tested one).
+* Layout: classic strips (RowsPerStrip 278) AND tiles (TileWidth 322 /
+  TileLength 323 / TileOffsets 324 / TileByteCounts 325, edge tiles
+  padded to full tile size per TIFF 6.0 §15).
+* Bit depth: BitsPerSample 1..8, single sample, MSB-first contiguous
+  packing with every row byte-aligned (libtiff scanline semantics,
+  scanline size = ceil(width*bits/8)) — covers GDAL NBITS=1/2/3/4/7.
+* Sparse tiles (GDAL SPARSE_OK): offset==0 / bytecount==0 means an
+  implicit all-zero tile; ``GeoTiffReader.tile_is_sparse`` is the
+  no-read probe equivalent to GDAL ``GetDataCoverageStatus``
+  (reference geoutil.py:28-32) and sparse writes omit the data.
+
+``GeoTiffReader`` is the streaming window reader (decode only the
+strips/tiles a window touches); ``read_geotiff`` is the whole-image
+convenience. ``import_geotiff`` is the S1 ingestion path: raster ->
+interleaved tile documents + sibling media rows in the engine's world
+layout, streamed one tile-row band at a time so a planet-scale raster
+never has to fit in memory; sparse/empty source tiles can be skipped
+at import (S4 source-level pruning).
 """
 
 from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,11 +50,80 @@ from .. import model
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
-_T_STRIP_COUNTS, _T_COLOR_MAP = 279, 320
+_T_STRIP_COUNTS, _T_PREDICTOR, _T_COLOR_MAP = 279, 317, 320
+_T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
+_T_TILE_OFFSETS, _T_TILE_COUNTS = 324, 325
 _T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+
+# compression codes (TIFF 6.0 §7 + registered extensions)
+_C_NONE, _C_DEFLATE, _C_DEFLATE_OLD, _C_ZSTD = 1, 8, 32946, 50000
+_COMPRESS_NAMES = {"none": _C_NONE, "deflate": _C_DEFLATE,
+                   "zstd": _C_ZSTD}
+
+
+def _zstd_ctx(decompress: bool):
+    try:
+        import zstandard
+    except ImportError as e:  # pragma: no cover - lib absent in sandbox
+        raise ValueError(
+            "ZSTD-compressed TIFF (compression 50000) needs the "
+            "'zstandard' package, which is not installed") from e
+    return (zstandard.ZstdDecompressor() if decompress
+            else zstandard.ZstdCompressor())
+
+
+def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
+    if compression == _C_NONE:
+        return raw
+    if compression in (_C_DEFLATE, _C_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if compression == _C_ZSTD:  # pragma: no cover - needs zstandard
+        return _zstd_ctx(True).decompress(raw, max_output_size=expected)
+    raise ValueError(f"unsupported TIFF compression code {compression}")
+
+
+def _compress(raw: bytes, compression: int) -> bytes:
+    if compression == _C_NONE:
+        return raw
+    if compression == _C_DEFLATE:
+        return zlib.compress(raw, 6)
+    if compression == _C_ZSTD:  # pragma: no cover - needs zstandard
+        return _zstd_ctx(False).compress(raw)
+    raise ValueError(f"unsupported TIFF compression code {compression}")
+
+
+# ---------------------------------------------------------------------------
+# sub-byte sample packing (libtiff scanline semantics: MSB-first, every
+# row starts on a byte boundary, scanline bytes = ceil(width*bits/8))
+# ---------------------------------------------------------------------------
+
+def _row_bytes(width: int, nbits: int) -> int:
+    return (width * nbits + 7) // 8
+
+
+def _pack_rows(arr: np.ndarray, nbits: int) -> bytes:
+    """(rows, cols) uint8 -> packed bytes, rows byte-aligned."""
+    if nbits == 8:
+        return np.ascontiguousarray(arr).tobytes()
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint8)
+    bits = ((arr[:, :, None] >> shifts) & 1).reshape(arr.shape[0], -1)
+    return np.packbits(bits, axis=1).tobytes()  # pads each row to byte
+
+
+def _unpack_rows(raw: bytes, rows: int, cols: int, nbits: int) -> np.ndarray:
+    """packed bytes -> (rows, cols) uint8 (vectorized across all rows)."""
+    if nbits == 8:
+        return (np.frombuffer(raw, np.uint8, count=rows * cols)
+                .reshape(rows, cols).copy())
+    rb = _row_bytes(cols, nbits)
+    a = np.frombuffer(raw, np.uint8, count=rows * rb).reshape(rows, rb)
+    bits = np.unpackbits(a, axis=1)[:, :cols * nbits]
+    bits = bits.reshape(rows, cols, nbits)
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
 
 
 @dataclass
@@ -59,18 +145,65 @@ class GeoTiff:
         return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
 
 
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
 def write_geotiff(path: str, arr: np.ndarray, *,
                   color_map: np.ndarray | None = None,
                   pixel_scale: tuple | None = None,
                   tiepoint: tuple | None = None,
-                  rows_per_strip: int = 64) -> None:
-    """Baseline little-endian TIFF: uint8, one sample, uncompressed
-    strips; palette + geo tags optional."""
+                  rows_per_strip: int = 64,
+                  compress: str | None = None,
+                  tiled: bool = False,
+                  tile_size: int = 256,
+                  nbits: int = 8,
+                  sparse_ok: bool = False) -> None:
+    """Little-endian single-band uint8 TIFF.
+
+    Defaults reproduce the round-2 baseline file (uncompressed strips,
+    8-bit). ``compress`` in {"deflate", "zstd", None}; ``tiled=True``
+    emits TileWidth/TileLength/TileOffsets/TileByteCounts with edge
+    tiles zero-padded to ``tile_size`` (must be a multiple of 16, TIFF
+    6.0 §15); ``nbits`` packs sub-byte samples MSB-first with
+    byte-aligned rows (GDAL NBITS); ``sparse_ok`` (tiled only) writes
+    offset=0/count=0 for all-zero tiles and omits their data — the
+    GDAL SPARSE_OK layout the reference masks use
+    (prepare_feature_masks.py:44-45).
+    """
     if arr.dtype != np.uint8 or arr.ndim != 2:
         raise ValueError("writer supports single-band uint8 rasters")
+    if not 1 <= nbits <= 8:
+        raise ValueError("nbits must be in 1..8")
+    if nbits < 8 and arr.max(initial=0) >= (1 << nbits):
+        raise ValueError(f"array values exceed {nbits}-bit range")
+    if tiled and tile_size % 16:
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+    if sparse_ok and not tiled:
+        raise ValueError("sparse_ok requires tiled=True")
+    comp = _COMPRESS_NAMES[compress or "none"]
+
     h, w = arr.shape
-    strips = [np.ascontiguousarray(arr[r:r + rows_per_strip]).tobytes()
-              for r in range(0, h, rows_per_strip)]
+    chunks: list[bytes] = []   # compressed payloads ('' = sparse)
+    if tiled:
+        tiles_down = (h + tile_size - 1) // tile_size
+        tiles_across = (w + tile_size - 1) // tile_size
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                t = arr[ty * tile_size:(ty + 1) * tile_size,
+                        tx * tile_size:(tx + 1) * tile_size]
+                if sparse_ok and not t.any():
+                    chunks.append(b"")
+                    continue
+                if t.shape != (tile_size, tile_size):
+                    pad = np.zeros((tile_size, tile_size), np.uint8)
+                    pad[:t.shape[0], :t.shape[1]] = t
+                    t = pad
+                chunks.append(_compress(_pack_rows(t, nbits), comp))
+    else:
+        for r in range(0, h, rows_per_strip):
+            chunks.append(_compress(
+                _pack_rows(arr[r:r + rows_per_strip], nbits), comp))
 
     entries: list[tuple[int, int, int, bytes]] = []  # tag, type, cnt, raw
 
@@ -81,14 +214,21 @@ def write_geotiff(path: str, arr: np.ndarray, *,
 
     add(_T_WIDTH, _TYPE_LONG, [w])
     add(_T_HEIGHT, _TYPE_LONG, [h])
-    add(_T_BITS, _TYPE_SHORT, [8])
-    add(_T_COMPRESSION, _TYPE_SHORT, [1])
+    add(_T_BITS, _TYPE_SHORT, [nbits])
+    add(_T_COMPRESSION, _TYPE_SHORT, [comp])
     add(_T_PHOTOMETRIC, _TYPE_SHORT, [3 if color_map is not None else 1])
-    strip_off_idx = len(entries)
-    add(_T_STRIP_OFFSETS, _TYPE_LONG, [0] * len(strips))  # patched below
     add(_T_SAMPLES, _TYPE_SHORT, [1])
-    add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
-    add(_T_STRIP_COUNTS, _TYPE_LONG, [len(s) for s in strips])
+    # data offsets are patched after layout; index of the offsets entry
+    if tiled:
+        add(_T_TILE_WIDTH, _TYPE_LONG, [tile_size])
+        add(_T_TILE_LENGTH, _TYPE_LONG, [tile_size])
+        off_tag, cnt_tag = _T_TILE_OFFSETS, _T_TILE_COUNTS
+    else:
+        add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
+        off_tag, cnt_tag = _T_STRIP_OFFSETS, _T_STRIP_COUNTS
+    off_idx = len(entries)
+    add(off_tag, _TYPE_LONG, [0] * len(chunks))  # patched below
+    add(cnt_tag, _TYPE_LONG, [len(c) for c in chunks])
     if color_map is not None:
         cm = np.asarray(color_map, dtype=np.uint16)
         if cm.shape != (256, 3):
@@ -101,17 +241,17 @@ def write_geotiff(path: str, arr: np.ndarray, *,
     if tiepoint is not None:
         add(_T_TIEPOINT, _TYPE_DOUBLE, list(tiepoint))
 
-    # layout: header | strips | IFD | overflow values
+    # layout: header | data chunks | IFD | overflow values
     data_start = 8
-    strip_offsets = []
+    offsets = []
     pos = data_start
-    for s in strips:
-        strip_offsets.append(pos)
-        pos += len(s)
+    for c in chunks:
+        offsets.append(0 if not c else pos)  # sparse: offset stays 0
+        pos += len(c)
     ifd_off = pos
-    entries[strip_off_idx] = (
-        _T_STRIP_OFFSETS, _TYPE_LONG, len(strips),
-        b"".join(struct.pack("<I", o) for o in strip_offsets))
+    entries[off_idx] = (
+        off_tag, _TYPE_LONG, len(chunks),
+        b"".join(struct.pack("<I", o) for o in offsets))
 
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_pos = ifd_off + ifd_size
@@ -128,66 +268,195 @@ def write_geotiff(path: str, arr: np.ndarray, *,
 
     with open(path, "wb") as f:
         f.write(b"II*\0" + struct.pack("<I", ifd_off))
-        for s in strips:
-            f.write(s)
+        for c in chunks:
+            f.write(c)
         f.write(ifd)
         f.write(overflow)
 
 
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+class GeoTiffReader:
+    """Streaming window reader: the IFD is parsed once, windows decode
+    only the strips/tiles they touch (GDAL ReadAsArray semantics,
+    reference extract_country_data.py:237-248). ``tile_is_sparse`` is
+    the zero-I/O coverage probe (geoutil.py:28-32)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(8)
+            if head[:2] == b"II":
+                e = "<"
+            elif head[:2] == b"MM":
+                e = ">"
+            else:
+                raise ValueError("not a TIFF file")
+            magic, ifd_off = struct.unpack(e + "HI", head[2:8])
+            if magic != 42:
+                raise ValueError("not a TIFF file (bad magic)")
+            f.seek(ifd_off)
+            n, = struct.unpack(e + "H", f.read(2))
+            entries_raw = f.read(12 * n)
+            tags: dict[int, list] = {}
+            deferred: list[tuple[int, int, int, int]] = []
+            for i in range(n):
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", entries_raw, 12 * i)
+                if typ not in _TYPE_SIZE:
+                    continue  # tag types we don't model (ASCII, rational)
+                size = _TYPE_SIZE[typ] * cnt
+                if size > 4:
+                    voff, = struct.unpack_from(e + "I", entries_raw,
+                                               12 * i + 8)
+                    deferred.append((tag, typ, cnt, voff))
+                else:
+                    fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I",
+                           _TYPE_DOUBLE: "d"}[typ]
+                    tags[tag] = list(struct.unpack_from(
+                        e + fmt * cnt, entries_raw, 12 * i + 8))
+            for tag, typ, cnt, voff in deferred:
+                f.seek(voff)
+                fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I",
+                       _TYPE_DOUBLE: "d"}[typ]
+                tags[tag] = list(struct.unpack(
+                    e + fmt * cnt, f.read(_TYPE_SIZE[typ] * cnt)))
+
+        def one(tag: int, default=None):
+            v = tags.get(tag)
+            return v[0] if v else default
+
+        self.compression = one(_T_COMPRESSION, 1)
+        if self.compression not in (_C_NONE, _C_DEFLATE, _C_DEFLATE_OLD,
+                                    _C_ZSTD):
+            raise ValueError(
+                f"unsupported TIFF compression {self.compression}")
+        if one(_T_PREDICTOR, 1) != 1:
+            raise ValueError("TIFF predictor differencing not supported")
+        self.nbits = one(_T_BITS, 8)
+        if not 1 <= self.nbits <= 8 or one(_T_SAMPLES, 1) != 1:
+            raise ValueError(
+                "only single-sample rasters with 1..8 bits are supported")
+        self.width = one(_T_WIDTH)
+        self.height = one(_T_HEIGHT)
+        self.tiled = _T_TILE_OFFSETS in tags
+        if self.tiled:
+            self.tile_w = one(_T_TILE_WIDTH)
+            self.tile_h = one(_T_TILE_LENGTH)
+            self.tiles_across = (self.width + self.tile_w - 1) // self.tile_w
+            self.tiles_down = (self.height + self.tile_h - 1) // self.tile_h
+            self._offsets = tags[_T_TILE_OFFSETS]
+            self._counts = tags.get(
+                _T_TILE_COUNTS, [0] * len(self._offsets))
+        else:
+            self.rows_per_strip = one(_T_ROWS_PER_STRIP, self.height)
+            self._offsets = tags[_T_STRIP_OFFSETS]
+            self._counts = tags[_T_STRIP_COUNTS]
+
+        self.color_map = None
+        if _T_COLOR_MAP in tags:
+            v = np.asarray(tags[_T_COLOR_MAP],
+                           dtype=np.uint32).reshape(3, -1)
+            self.color_map = (v // 257).astype(np.uint8).T  # 8-bit RGB
+            if self.color_map.shape[0] < 256:  # sub-byte palettes
+                pad = np.zeros((256, 3), np.uint8)
+                pad[:self.color_map.shape[0]] = self.color_map
+                self.color_map = pad
+        self.pixel_scale = (tuple(tags[_T_PIXEL_SCALE])
+                            if _T_PIXEL_SCALE in tags else None)
+        self.tiepoint = (tuple(tags[_T_TIEPOINT])
+                         if _T_TIEPOINT in tags else None)
+        self._f = None
+
+    # -- raw chunk access ---------------------------------------------------
+
+    def _file(self):
+        if self._f is None:
+            self._f = open(self.path, "rb")
+        return self._f
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def _chunk(self, idx: int, rows: int, cols: int) -> np.ndarray:
+        off, cnt = self._offsets[idx], self._counts[idx]
+        if off == 0 or cnt == 0:  # GDAL SPARSE_OK hole -> implicit zeros
+            return np.zeros((rows, cols), np.uint8)
+        f = self._file()
+        f.seek(off)
+        raw = _decompress(f.read(cnt), self.compression,
+                          rows * _row_bytes(cols, self.nbits))
+        return _unpack_rows(raw, rows, cols, self.nbits)
+
+    # -- tile API -----------------------------------------------------------
+
+    def tile_is_sparse(self, ty: int, tx: int) -> bool:
+        """True iff the tile is a SPARSE_OK hole (all zeros, no data in
+        the file) — answered from the offset/count arrays alone, no
+        data I/O (GDAL GetDataCoverageStatus, geoutil.py:28-32)."""
+        if not self.tiled:
+            raise ValueError("tile_is_sparse needs a tiled TIFF")
+        i = ty * self.tiles_across + tx
+        return self._offsets[i] == 0 or self._counts[i] == 0
+
+    def read_tile(self, ty: int, tx: int) -> np.ndarray:
+        """Decode one tile, cropped to the raster bounds (edge tiles
+        are stored padded; the pad is stripped here)."""
+        if not self.tiled:
+            raise ValueError("read_tile needs a tiled TIFF")
+        t = self._chunk(ty * self.tiles_across + tx,
+                        self.tile_h, self.tile_w)
+        return t[:min(self.tile_h, self.height - ty * self.tile_h),
+                 :min(self.tile_w, self.width - tx * self.tile_w)]
+
+    # -- window API ---------------------------------------------------------
+
+    def read_window(self, x: int, y: int, cols: int,
+                    rows: int) -> np.ndarray:
+        """ReadAsArray(x, y, cols, rows): decode only the chunks the
+        window intersects."""
+        out = np.zeros((rows, cols), np.uint8)
+        if self.tiled:
+            ty0, ty1 = y // self.tile_h, (y + rows - 1) // self.tile_h
+            tx0, tx1 = x // self.tile_w, (x + cols - 1) // self.tile_w
+            for ty in range(ty0, min(ty1 + 1, self.tiles_down)):
+                for tx in range(tx0, min(tx1 + 1, self.tiles_across)):
+                    if self.tile_is_sparse(ty, tx):
+                        continue  # out is pre-zeroed
+                    t = self._chunk(ty * self.tiles_across + tx,
+                                    self.tile_h, self.tile_w)
+                    gy, gx = ty * self.tile_h, tx * self.tile_w
+                    sy0, sy1 = max(y - gy, 0), min(y + rows - gy, self.tile_h)
+                    sx0, sx1 = max(x - gx, 0), min(x + cols - gx, self.tile_w)
+                    out[gy + sy0 - y:gy + sy1 - y,
+                        gx + sx0 - x:gx + sx1 - x] = t[sy0:sy1, sx0:sx1]
+        else:
+            rps = self.rows_per_strip
+            s0, s1 = y // rps, (y + rows - 1) // rps
+            for s in range(s0, s1 + 1):
+                srows = min(rps, self.height - s * rps)
+                strip = self._chunk(s, srows, self.width)
+                gy = s * rps
+                sy0, sy1 = max(y - gy, 0), min(y + rows - gy, srows)
+                out[gy + sy0 - y:gy + sy1 - y] = strip[sy0:sy1, x:x + cols]
+        return out
+
+    def read_all(self) -> np.ndarray:
+        return self.read_window(0, 0, self.width, self.height)
+
+
 def read_geotiff(path: str) -> GeoTiff:
-    """Decode the baseline slice of TIFF 6.0 this engine ingests
-    (either byte order; uncompressed uint8 single-sample strips)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:2] == b"II":
-        e = "<"
-    elif buf[:2] == b"MM":
-        e = ">"
-    else:
-        raise ValueError("not a TIFF file")
-    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("not a TIFF file (bad magic)")
-
-    n, = struct.unpack_from(e + "H", buf, ifd_off)
-    tags: dict[int, list] = {}
-    for i in range(n):
-        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, ifd_off + 2 + 12 * i)
-        if typ not in _TYPE_SIZE:
-            continue  # tag types we don't model (ASCII, rational, ...)
-        size = _TYPE_SIZE[typ] * cnt
-        voff = ifd_off + 2 + 12 * i + 8
-        if size > 4:
-            voff, = struct.unpack_from(e + "I", buf, voff)
-        fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
-        tags[tag] = list(struct.unpack_from(e + fmt * cnt, buf, voff))
-
-    def one(tag: int, default=None):
-        v = tags.get(tag)
-        return v[0] if v else default
-
-    if one(_T_COMPRESSION, 1) != 1:
-        raise ValueError("only uncompressed baseline TIFF is supported")
-    if one(_T_BITS, 8) != 8 or one(_T_SAMPLES, 1) != 1:
-        raise ValueError("only 8-bit single-sample rasters are supported")
-    w, h = one(_T_WIDTH), one(_T_HEIGHT)
-    rps = one(_T_ROWS_PER_STRIP, h)
-    offsets = tags[_T_STRIP_OFFSETS]
-    counts = tags[_T_STRIP_COUNTS]
-    arr = np.empty((h, w), dtype=np.uint8)
-    row = 0
-    for off, cnt in zip(offsets, counts):
-        rows = min(rps, h - row)
-        strip = np.frombuffer(buf, np.uint8, count=rows * w, offset=off)
-        arr[row:row + rows] = strip.reshape(rows, w)
-        row += rows
-    cm = None
-    if _T_COLOR_MAP in tags:
-        v = np.asarray(tags[_T_COLOR_MAP], dtype=np.uint32).reshape(3, 256)
-        cm = (v // 257).astype(np.uint8).T  # back to 8-bit RGB
-    ps = tuple(tags[_T_PIXEL_SCALE]) if _T_PIXEL_SCALE in tags else None
-    tp = tuple(tags[_T_TIEPOINT]) if _T_TIEPOINT in tags else None
-    return GeoTiff(array=arr, color_map=cm, pixel_scale=ps, tiepoint=tp)
+    """Whole-image decode (both byte orders; all supported layouts)."""
+    r = GeoTiffReader(path)
+    try:
+        return GeoTiff(array=r.read_all(), color_map=r.color_map,
+                       pixel_scale=r.pixel_scale, tiepoint=r.tiepoint)
+    finally:
+        r.close()
 
 
 # ---------------------------------------------------------------------------
@@ -223,25 +492,36 @@ def kg_palette_remap(arr: np.ndarray, color_map: np.ndarray) -> np.ndarray:
 def import_geotiff(tiff_path: str, world_path: str, dataset: str,
                    grid_name: str, tile_edge: int, *,
                    nodata: int = 0, decode_kg_palette: bool = False,
-                   rows_per_part: int = 8) -> dict:
+                   rows_per_part: int = 8,
+                   skip_empty_tiles: bool = False) -> dict:
     """Convert a GeoTIFF into the engine's interleaved tile-document
     world layout: ``{world}/documents/dataset={ds}/part-*.parquet`` +
-    sibling media parts. Tiles stream out in row-major (doc_id sort)
-    order, ``rows_per_part`` tile-rows per part file, so part min/max
-    statistics form tight intervals for the MediaStore footer index.
+    sibling media parts. The raster is STREAMED one tile-row band at a
+    time through ``GeoTiffReader.read_window`` (only the source
+    strips/tiles under the band are decoded), so a planet-scale raster
+    never has to fit in memory. Tiles stream out in row-major (doc_id
+    sort) order, ``rows_per_part`` tile-rows per part file, so part
+    min/max statistics form tight intervals for the MediaStore footer
+    index.
+
+    ``skip_empty_tiles=True`` omits all-zero tiles from the document
+    table entirely — S4 source-level pruning (the reference's sparse
+    masks make empty blocks skippable without reading,
+    prepare_feature_masks.py:40-47 + geoutil.py:28-32; here the tile
+    rows are simply absent and downstream kernels never see them).
 
     Returns a summary dict (tiles, parts, shape).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    gt = read_geotiff(tiff_path)
-    arr = gt.array
+    rdr = GeoTiffReader(tiff_path)
+    lut = None
     if decode_kg_palette:
-        if gt.color_map is None:
+        if rdr.color_map is None:
             raise ValueError("decode_kg_palette=True needs a palette TIFF")
-        arr = kg_palette_remap(arr, gt.color_map)
-    h, w = arr.shape
+        lut = kg_palette_lut(rdr.color_map)
+    h, w = rdr.height, rdr.width
     tiles_y = (h + tile_edge - 1) // tile_edge
     tiles_x = (w + tile_edge - 1) // tile_edge
 
@@ -250,18 +530,31 @@ def import_geotiff(tiff_path: str, world_path: str, dataset: str,
     os.makedirs(ddir, exist_ok=True)
     os.makedirs(mdir, exist_ok=True)
 
-    part = 0
+    part = n_tiles = 0
+    gt = GeoTiff(array=np.empty((0, 0), np.uint8), color_map=rdr.color_map,
+                 pixel_scale=rdr.pixel_scale, tiepoint=rdr.tiepoint)
     for ty0 in range(0, tiles_y, rows_per_part):
+        ty1 = min(ty0 + rows_per_part, tiles_y)
+        # one contiguous band of source rows, decoded once
+        band = rdr.read_window(0, ty0 * tile_edge, w,
+                               min(ty1 * tile_edge, h) - ty0 * tile_edge)
+        if lut is not None:
+            band = lut[band]
         docs, refs, payloads = [], [], []
-        for ty in range(ty0, min(ty0 + rows_per_part, tiles_y)):
+        for ty in range(ty0, ty1):
+            r0 = (ty - ty0) * tile_edge
             for tx in range(tiles_x):
-                y0, x0 = ty * tile_edge, tx * tile_edge
-                tile = arr[y0:y0 + tile_edge, x0:x0 + tile_edge]
+                x0 = tx * tile_edge
+                tile = band[r0:r0 + tile_edge, x0:x0 + tile_edge]
+                if skip_empty_tiles and not tile.any():
+                    continue
                 docs.append(model.make_document(
-                    dataset, grid_name, ty, tx, x0, y0,
+                    dataset, grid_name, ty, tx, x0, ty * tile_edge,
                     tile.shape[1], tile.shape[0], bands=1, nodata=nodata))
                 refs.append(model.media_ref(dataset, grid_name, ty, tx, 1))
                 payloads.append(model.encode_tile(tile))
+        if not docs:
+            continue
         doc_t = pa.Table.from_pylist(docs, schema=model.DOCUMENTS_SCHEMA)
         med_t = pa.table({"media_ref": pa.array(refs),
                           "payload": pa.array(payloads, pa.binary())},
@@ -271,6 +564,8 @@ def import_geotiff(tiff_path: str, world_path: str, dataset: str,
         pq.write_table(med_t, os.path.join(mdir, f"part-{part:05d}.parquet"),
                        row_group_size=64)
         part += 1
-    return {"tiles": tiles_y * tiles_x, "parts": part, "shape": (h, w),
+        n_tiles += len(docs)
+    rdr.close()
+    return {"tiles": n_tiles, "parts": part, "shape": (h, w),
             "tiles_y": tiles_y, "tiles_x": tiles_x,
             "geotransform": gt.geotransform}

@@ -90,29 +90,41 @@ def prepare_claims(world_path: str, grid, *, index=None,
                    concurrency: int | tuple = (1, 4),
                    batch_size: int = 32):
     """Compute + persist the full claims cache for one grid. Returns a
-    per-part summary frame. Idempotent: re-running overwrites parts
-    atomically and rewrites the marker."""
+    per-part summary frame. Idempotent: parts are written into a FRESH
+    temp dir and the whole dir is swapped in at the end — part
+    filenames depend on batch composition (first tile per batch), so
+    overwriting in place with a different batch_size/concurrency would
+    leave stale parts with overlapping tile ranges and ``fetch`` would
+    silently double-count claims. The in-process ``_FILE_INDEX`` entry
+    is invalidated on swap."""
+    import shutil
+
     import ray.data as rd
+
     from ..pipelines.extract import build_zonal_index
 
     if index is None:
         index = build_zonal_index(world_path)
-    out_dir = claims_dir(world_path, grid.name)
-    os.makedirs(out_dir, exist_ok=True)
+    final_dir = claims_dir(world_path, grid.name)
+    tmp_dir = final_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp_dir)
     tiles = [{"ty": ty, "tx": tx}
              for ty in range(grid.tiles_y) for tx in range(grid.tiles_x)]
     summary = (rd.from_items(tiles)
                .map_batches(_ClaimsComputer,
                             fn_constructor_kwargs={
                                 "index": index, "grid": grid,
-                                "out_dir": out_dir},
+                                "out_dir": tmp_dir},
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=concurrency)
                .to_pandas())
-    with open(os.path.join(out_dir, "_CLAIMS.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "_CLAIMS.json"), "w") as f:
         json.dump({"grid": grid.name, "tiles": len(tiles),
                    "tiles_y": grid.tiles_y, "tiles_x": grid.tiles_x,
                    "parts": len(summary)}, f)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp_dir, final_dir)
+    ClaimsStore._FILE_INDEX.pop(final_dir, None)
     return summary.sort_values("part").reset_index(drop=True)
 
 

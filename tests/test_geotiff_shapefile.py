@@ -196,3 +196,95 @@ def test_real_format_ingestion_end_to_end(tmp_path, ray_session):
         got = df.loc[admin].to_numpy()
         assert np.allclose(got, want[admin], rtol=1e-9), admin
         assert got.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# compressed / tiled / sub-byte codec paths (the formats the actual
+# reference rasters use: process_imagery.py:302-306,332,353,379 and
+# prepare_feature_masks.py:44-45)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nbits", [1, 2, 3, 4, 7, 8])
+@pytest.mark.parametrize("layout", ["strips", "tiled"])
+def test_tiff_roundtrip_deflate_nbits(tmp_path, nbits, layout):
+    rng = np.random.RandomState(nbits)
+    arr = rng.randint(0, 1 << nbits, size=(53, 41), dtype=np.uint8)
+    p = str(tmp_path / f"c{nbits}{layout}.tif")
+    geotiff.write_geotiff(p, arr, compress="deflate", nbits=nbits,
+                          tiled=(layout == "tiled"), tile_size=16,
+                          rows_per_strip=10)
+    gt = geotiff.read_geotiff(p)
+    assert (gt.array == arr).all()
+
+
+def test_tiff_sparse_mask_roundtrip_and_probe(tmp_path):
+    """NBITS=1 + TILED + sparse holes — the reference feature-mask
+    layout (prepare_feature_masks.py:44-45, DEFLATE standing in for
+    ZSTD which needs a lib this sandbox lacks). Sparse tiles answer
+    from the offset table with no data I/O (geoutil.py:28-32)."""
+    m = np.zeros((80, 120), np.uint8)
+    m[5:20, 40:70] = 1            # touches tiles (0,2..4) and (1,2..4)
+    p = str(tmp_path / "mask.tif")
+    geotiff.write_geotiff(p, m, nbits=1, compress="deflate", tiled=True,
+                          tile_size=16, sparse_ok=True)
+    r = geotiff.GeoTiffReader(p)
+    assert r.tiled and r.nbits == 1
+    assert r.tile_is_sparse(0, 0) and r.tile_is_sparse(4, 7)
+    assert not r.tile_is_sparse(0, 3)
+    assert (r.read_all() == m).all()
+    # windowed read crossing tile boundaries and a sparse region
+    assert (r.read_window(35, 2, 50, 30) == m[2:32, 35:85]).all()
+    # sparse tiles occupy zero file bytes: dense copy must be larger
+    r.close()
+    pd_ = str(tmp_path / "dense.tif")
+    geotiff.write_geotiff(pd_, m, nbits=1, compress="deflate", tiled=True,
+                          tile_size=16, sparse_ok=False)
+    assert os.path.getsize(p) < os.path.getsize(pd_)
+
+
+def test_tiff_windowed_reader_matches_full_decode(tmp_path):
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 16, size=(70, 90), dtype=np.uint8)
+    p = str(tmp_path / "w.tif")
+    geotiff.write_geotiff(p, arr, compress="deflate", tiled=True,
+                          tile_size=32, nbits=4)
+    r = geotiff.GeoTiffReader(p)
+    for (x, y, w, h) in [(0, 0, 90, 70), (10, 5, 40, 33), (60, 40, 30, 30),
+                         (31, 31, 2, 2), (0, 69, 90, 1)]:
+        assert (r.read_window(x, y, w, h) == arr[y:y + h, x:x + w]).all()
+    r.close()
+
+
+def test_tiff_writer_rejects_out_of_range_nbits(tmp_path):
+    arr = np.array([[4]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="2-bit"):
+        geotiff.write_geotiff(str(tmp_path / "x.tif"), arr, nbits=2)
+
+
+def test_import_geotiff_compressed_streams_and_skips_empty(tmp_path,
+                                                          ray_session):
+    """Compressed tiled raster -> world import, with S4 source-level
+    pruning: all-zero engine tiles are absent from the document table."""
+    arr = np.zeros((48, 80), np.uint8)
+    arr[0:16, 0:16] = 7        # engine tile (0,0)
+    arr[32:48, 64:80] = 3      # engine tile (2,4)
+    tif = str(tmp_path / "in.tif")
+    geotiff.write_geotiff(tif, arr, compress="deflate", tiled=True,
+                          tile_size=16, nbits=4, sparse_ok=True)
+    wp = str(tmp_path / "world")
+    rep = geotiff.import_geotiff(tif, wp, "imp", "g1", tile_edge=16,
+                                 rows_per_part=2, skip_empty_tiles=True)
+    assert rep["tiles"] == 2
+    docs = read_documents(wp, ["imp"]).take_all()
+    ids = sorted(d["doc_id"] for d in docs)
+    assert len(ids) == 2
+    ms = MediaStore(wp)
+    rebuilt = np.zeros_like(arr)
+    for d in docs:
+        meta = model.parse_meta(d["spans"])
+        ref = model.media_refs(d["spans"])[0]
+        tile = model.decode_tile(ms.fetch([ref])[ref],
+                                 meta["nrows"], meta["ncols"])
+        rebuilt[meta["y_off"]:meta["y_off"] + meta["nrows"],
+                meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
+    assert (rebuilt == arr).all()
