@@ -273,7 +273,9 @@ def _spatial_geotiff_import(sf_dir: str):
         {"ADMIN": "France", "SOV_A3": "FRA"}])
     shapefile.shapefile_to_countries(
         shp, os.path.join(wp, "countries.parquet"))
-    df = extract.zonal_stats(wp, "kg", grid=grid)
+    # no grid override: the imported world's _WORLD.json declares its
+    # own grid dims + layout (self-describing import path)
+    df = extract.zonal_stats(wp, "kg")
 
     lons = grid.lons(0, 128)
     lats = grid.lats(0, 64)

@@ -36,9 +36,12 @@ from .constants import LCCS_CLASSES
 WORLDS_ROOT = os.environ.get("AEZRAY_WORLDS", "/tmp/spatial_aez_ray/worlds")
 
 DATASETS = ("kg", "lc", "slope", "wk", "lpd")
-DATASET_GRID = {"kg": "g1", "lc": "g3", "slope": "g1", "wk": "g1", "lpd": "g1"}
-DATASET_BANDS = {"kg": 1, "lc": 1, "slope": 8, "wk": 1, "lpd": 1}
-DATASET_NODATA = {"kg": 0, "lc": 0, "slope": 127, "wk": 0, "lpd": 255}
+# Views over the authoritative registry in model.DEFAULT_DATASET_LAYOUT
+# (fixtures CONSUME the world layout; production kernels read it from
+# model.world_layout / the _WORLD.json marker, never from this module).
+DATASET_GRID = {k: v["grid"] for k, v in model.DEFAULT_DATASET_LAYOUT.items()}
+DATASET_BANDS = {k: v["bands"] for k, v in model.DEFAULT_DATASET_LAYOUT.items()}
+DATASET_NODATA = {k: v["nodata"] for k, v in model.DEFAULT_DATASET_LAYOUT.items()}
 
 
 @dataclass(frozen=True)
@@ -418,7 +421,12 @@ def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) 
                            row_group_size=64)
     with open(marker, "w") as f:
         json.dump({"name": spec.name, "scale": spec.scale, "seed": spec.seed,
-                   "datasets": list(DATASETS)}, f)
+                   "datasets": list(DATASETS),
+                   "layout": {ds: dict(model.DEFAULT_DATASET_LAYOUT[ds])
+                              for ds in DATASETS},
+                   "grids": {g.name: {"width": g.width, "height": g.height,
+                                      "tile": g.tile}
+                             for g in (spec.g1, spec.g3)}}, f)
     return path
 
 

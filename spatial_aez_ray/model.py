@@ -51,6 +51,49 @@ MEDIA_SCHEMA = pa.schema([
     ("payload", pa.binary()),
 ])
 
+#: Default per-dataset physical layout of a world (which grid the tiles
+#: live on, band count, nodata sentinel) — the reference's raster
+#: vocabulary (extract_country_data.py:55-137: KG/slope/workability on
+#: the 1 km-analog grid, ESA-CCI land cover on the 300 m-analog grid
+#: with 8 slope-percentage bands and the reference nodata codes).
+#: A world's ``_WORLD.json`` may override/extend this under "layout";
+#: ``world_layout`` merges marker entries over these defaults so
+#: imported (non-synthetic) worlds declare their own shape.
+DEFAULT_DATASET_LAYOUT: dict[str, dict] = {
+    "kg":    {"grid": "g1", "bands": 1, "nodata": 0},
+    "lc":    {"grid": "g3", "bands": 1, "nodata": 0},
+    "slope": {"grid": "g1", "bands": 8, "nodata": 127},
+    "wk":    {"grid": "g1", "bands": 1, "nodata": 0},
+    "lpd":   {"grid": "g1", "bands": 1, "nodata": 255},
+}
+
+
+def world_layout(world_path: str | None) -> dict[str, dict]:
+    """Per-dataset layout for a world: the ``_WORLD.json`` marker's
+    "layout" entries merged over ``DEFAULT_DATASET_LAYOUT``. Cheap
+    enough to call in actor ``__init__`` (one small JSON read)."""
+    import os
+
+    layout = {k: dict(v) for k, v in DEFAULT_DATASET_LAYOUT.items()}
+    if world_path:
+        marker = os.path.join(world_path, "_WORLD.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                meta = json.load(f)
+            for ds, ent in (meta.get("layout") or {}).items():
+                layout[ds] = {**layout.get(ds, {}), **ent}
+    return layout
+
+
+def sibling_refs(layout: dict[str, dict], datasets, ty: int,
+                 tx: int) -> dict[str, list[str]]:
+    """Derive the co-keyed media refs of ``datasets`` at one tile from
+    the layout registry — the shuffle-free align-join contract (refs
+    are computed, never joined)."""
+    return {ds: [media_ref(ds, layout[ds]["grid"], ty, tx, b)
+                 for b in range(1, layout[ds]["bands"] + 1)]
+            for ds in datasets}
+
 
 def doc_id(dataset: str, grid: str, ty: int, tx: int) -> str:
     return f"{dataset}/{grid}/{ty:05d}/{tx:05d}"

@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import model
 from ..constants import (
     AEZ_COLUMNS, KG_TO_TMR, LAND_USE_NAMES, LC_TO_LAND_USE, N_AEZ,
     SOIL_HEALTH_NAMES, TMR_NAMES, WK_TO_SOIL,
@@ -149,6 +150,7 @@ class AezTileKernel:
         self.index = index
         self.g1 = g1
         self.g3 = g3
+        self.layout = model.world_layout(world_path)
         store = ClaimsStore(world_path, g1.name) if use_claims_cache \
             else None
         self.claims_store = store if store is not None and \
@@ -168,12 +170,7 @@ class AezTileKernel:
                 for ty, tx in dict.fromkeys(tiles)}
 
     def _sibling_refs(self, ty: int, tx: int) -> dict[str, list[str]]:
-        from ..fixtures import DATASET_BANDS, DATASET_GRID
-        from .. import model
-        return {ds_name: [
-            model.media_ref(ds_name, DATASET_GRID[ds_name], ty, tx, b)
-            for b in range(1, DATASET_BANDS[ds_name] + 1)]
-            for ds_name in AEZ_DATASETS}
+        return model.sibling_refs(self.layout, AEZ_DATASETS, ty, tx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # pass 1: parse driver metas, fetch/compute claims for the

@@ -123,11 +123,12 @@ def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
                  concurrency: int | tuple = (1, 4), batch_size: int = 16):
     """Lazy Dataset of assignment rows over one dataset's tiles."""
     from .extract import build_zonal_index
-    from ..fixtures import DATASET_GRID, DATASET_NODATA
+    from .. import model as _model
 
+    layout = _model.world_layout(world_path)
     if index is None:
         index = build_zonal_index(world_path)
-    grid = world_grid(world_path, DATASET_GRID[dataset])
+    grid = world_grid(world_path, layout[dataset]["grid"])
     from ..sources.documents import blocks_for
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency))
@@ -137,6 +138,6 @@ def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
             "world_path": world_path, "index": index,
             "dropped": build_dropped_index(world_path),
             "grid_spec": grid, "snap_tol": snap_tol,
-            "nodata": DATASET_NODATA[dataset]},
+            "nodata": layout[dataset]["nodata"]},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)

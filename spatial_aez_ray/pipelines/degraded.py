@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .. import model
 from ..constants import (
     DEGRADED_COLUMNS, DEGRADED_COVER_NAMES, DEGRADED_SOIL_NAMES,
     LC_TO_DEGRADED_COVER, WK_TO_DEGRADED_SOIL,
@@ -41,14 +42,10 @@ class DegradedTileKernel:
         self.media = MediaStore(world_path)
         self.index = index
         self.g1 = g1
+        self.layout = model.world_layout(world_path)
 
     def _sibling_refs(self, ty: int, tx: int) -> dict[str, list[str]]:
-        from ..fixtures import DATASET_BANDS, DATASET_GRID
-        from .. import model
-        return {ds_name: [
-            model.media_ref(ds_name, DATASET_GRID[ds_name], ty, tx, b)
-            for b in range(1, DATASET_BANDS[ds_name] + 1)]
-            for ds_name in DEGRADED_DATASETS}
+        return model.sibling_refs(self.layout, DEGRADED_DATASETS, ty, tx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tiles = []

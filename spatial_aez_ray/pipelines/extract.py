@@ -46,10 +46,15 @@ def build_zonal_index(world_path: str) -> PolygonIndex:
 
 
 def world_grid(world_path: str, grid_name: str) -> GridSpec:
-    """Reconstruct the GridSpec from the world marker (scale)."""
+    """Reconstruct the GridSpec from the world marker: explicit
+    "grids" dims when the marker declares them (imported worlds carry
+    the raster's own dimensions), else the synthetic-world scale."""
     import json
     with open(os.path.join(world_path, "_WORLD.json")) as f:
         meta = json.load(f)
+    g = (meta.get("grids") or {}).get(grid_name)
+    if g is not None:
+        return GridSpec(grid_name, g["width"], g["height"], g["tile"])
     scale = meta["scale"]
     if grid_name == "g1":
         return GridSpec("g1", 720 * scale, 360 * scale, 64)

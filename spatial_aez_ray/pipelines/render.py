@@ -104,9 +104,9 @@ class RenderTileKernel:
         self.media = MediaStore(world_path)
         self.g1 = g1
         self.g3 = g3
+        self.layout = model.world_layout(world_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..fixtures import DATASET_BANDS, DATASET_GRID
         metas = []
         refs_by_tile = []
         all_refs: list[str] = []
@@ -116,11 +116,8 @@ class RenderTileKernel:
                 if s["kind"] == "meta":
                     meta = json.loads(s["text"])
                     break
-            refs_by_ds = {ds_name: [
-                model.media_ref(ds_name, DATASET_GRID[ds_name],
-                                meta["tile_y"], meta["tile_x"], b)
-                for b in range(1, DATASET_BANDS[ds_name] + 1)]
-                for ds_name in AEZ_DATASETS}
+            refs_by_ds = model.sibling_refs(
+                self.layout, AEZ_DATASETS, meta["tile_y"], meta["tile_x"])
             metas.append(meta)
             refs_by_tile.append(refs_by_ds)
             for rs in refs_by_ds.values():

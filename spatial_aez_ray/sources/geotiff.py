@@ -566,6 +566,28 @@ def import_geotiff(tiff_path: str, world_path: str, dataset: str,
         part += 1
         n_tiles += len(docs)
     rdr.close()
+
+    # Declare/extend the world's own layout in the marker (grid dims
+    # come from the raster, not a synthetic-world scale): kernels read
+    # this via model.world_layout / extract.world_grid, so an imported
+    # world is self-describing.
+    import json
+
+    marker = os.path.join(world_path, "_WORLD.json")
+    meta = {"name": os.path.basename(world_path.rstrip("/")), "scale": 0,
+            "seed": 0, "datasets": [], "layout": {}, "grids": {}}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta.update(json.load(f))
+    if dataset not in meta.setdefault("datasets", []):
+        meta["datasets"].append(dataset)
+    meta.setdefault("layout", {})[dataset] = {
+        "grid": grid_name, "bands": 1, "nodata": nodata}
+    meta.setdefault("grids", {})[grid_name] = {
+        "width": w, "height": h, "tile": tile_edge}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+
     return {"tiles": n_tiles, "parts": part, "shape": (h, w),
             "tiles_y": tiles_y, "tiles_x": tiles_x,
             "geotransform": gt.geotransform}
