@@ -36,6 +36,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -157,31 +158,85 @@ class MinHasher:
             hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return hv.min(axis=1)
 
+    _FNV_OFF = np.uint64(0xCBF29CE484222325)
+    _FNV = np.uint64(0x100000001B3)
+    _BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Emit one row per (doc, band): (band_key, doc_id, sig_hash).
-        band_key = hash of (band_idx, band rows) — the LSH bucket."""
-        doc_ids, band_keys, sig_hashes = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            sig = self.signature(t)
-            full = hash_sig(sig)
-            for bi in range(self.bands):
-                band = sig[bi * self.rows:(bi + 1) * self.rows]
-                band_keys.append(np.int64(
-                    _h64(f"{bi}:" + ",".join(map(str, band)))))
-                doc_ids.append(d)
-                sig_hashes.append(full)
-        return pa.table({"band_key": pa.array(np.array(band_keys, np.int64)),
-                         "doc_id": pa.array(doc_ids, batch["doc_id"].type),
-                         "sig_hash": pa.array(np.array(sig_hashes, np.int64))})
+        """Emit one row per (doc, band): (band_key, doc_id).
+        band_key = 64-bit FNV mix of (band rows, band_idx) — the LSH
+        bucket. Fully vectorized: ONE universal-hash pass over the
+        batch's concatenated shingles with a segmented min
+        (minimum.reduceat) instead of a per-doc matmul, and the band
+        keys mix down the (docs, bands, rows) cube in ``rows`` numpy
+        ops instead of per-band string-join + md5 (the old per-doc
+        loop was the dedup pipeline's dominant stage). Key semantics
+        are unchanged for the oracle — candidate pairs join on band
+        CONTENT equality, and any 64-bit key has the same vanishing
+        cross-content collision odds as the md5 it replaces."""
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], batch["doc_id"].type)})
+        shingle_arrays = [self._shingles(t) for t in texts]
+        counts = np.fromiter((len(s) for s in shingle_arrays),
+                             dtype=np.int64, count=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        all_sh = (np.concatenate(shingle_arrays) if n > 1
+                  else shingle_arrays[0])
+        with np.errstate(over="ignore"):
+            hv = (self.a[:, None] * all_sh[None, :]
+                  + self.b[:, None]) % _MERSENNE
+            sigs = np.minimum.reduceat(hv, starts, axis=1)  # (perm, n)
+            cube = np.ascontiguousarray(sigs.T).reshape(
+                n, self.bands, self.rows)
+            acc = np.full((n, self.bands), self._FNV_OFF, np.uint64)
+            for j in range(self.rows):
+                acc = (acc ^ cube[:, :, j]) * self._FNV
+            acc = acc ^ (np.arange(self.bands, dtype=np.uint64)
+                         * self._BAND_SALT)
+        band_keys = acc.reshape(-1).view(np.int64)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
+        return pa.table({"band_key": pa.array(band_keys),
+                         "doc_id": pc.take(batch["doc_id"], idx)})
 
 
-def hash_sig(sig: np.ndarray) -> int:
-    return _h64(",".join(map(str, sig)))
-
-
-_MAX_BUCKET = 256  # skew cap: deterministic truncation of hot buckets
+_MAX_BUCKET = 256  # block edge for bounded-memory bucket pair generation
 _N_COARSE = 64     # coarse partitions for the bucket shuffle
+
+#: absolute guard for adversarial boilerplate: a bucket beyond this is
+#: truncated (with a warning) — ~33 M pairs. Below it, oversized
+#: buckets are processed COMPLETELY in _MAX_BUCKET-edged blocks, so
+#: the cap is a pathological-input fallback, not the mechanism.
+_FALLBACK_MAX_BUCKET = 8192
+
+
+def _iter_bucket_blocks(n: int, block: int = _MAX_BUCKET):
+    """Tile the upper triangle of an n x n pair matrix into square
+    blocks of edge <= ``block``: yields (r0, r1, c0, c1) with
+    c0 >= r0. Every i<j pair of range(n) appears in exactly one block
+    (diagonal blocks carry their own triangle), so a consumer that
+    walks the blocks emits ALL pairs with peak memory block^2 instead
+    of n^2 — hot LSH buckets lose no candidates."""
+    for r0 in range(0, n, block):
+        r1 = min(r0 + block, n)
+        for c0 in range(r0, n, block):
+            yield r0, r1, c0, min(c0 + block, n)
+
+
+def _block_pair_indices(r0: int, r1: int, c0: int,
+                        c1: int) -> tuple[np.ndarray, np.ndarray]:
+    """Global (i, j) index arrays for one block from
+    ``_iter_bucket_blocks`` (triangle on the diagonal, full cross
+    product off it)."""
+    if c0 == r0:
+        iu, ju = np.triu_indices(r1 - r0, k=1)
+        return iu + r0, ju + r0
+    ii = np.repeat(np.arange(r0, r1), c1 - c0)
+    jj = np.tile(np.arange(c0, c1), r1 - r0)
+    return ii, jj
 
 
 def _add_coarse_part(batch: pa.Table) -> pa.Table:
@@ -196,23 +251,27 @@ def _add_coarse_part(batch: pa.Table) -> pa.Table:
 
 def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """All candidate pairs in one coarse partition: pandas groupby over
-    the real bucket key, deterministic order, hot-bucket cap (truncation
-    is logged so dropped candidate pairs are visible to operators)."""
+    the real bucket key, deterministic order. Oversized buckets are
+    walked block-by-block (complete pair coverage, bounded memory);
+    only beyond the pathological _FALLBACK_MAX_BUCKET guard are docs
+    dropped, and loudly."""
     import logging
     lo, hi = [], []
     for bk, g in group.groupby("band_key", sort=True):
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2:
             continue
-        if len(ids) > _MAX_BUCKET:
+        if len(ids) > _FALLBACK_MAX_BUCKET:
             logging.warning(
-                "dedup: hot LSH bucket %s truncated %d -> %d docs "
-                "(potential near-dups dropped)", bk, len(ids), _MAX_BUCKET)
-            ids = ids[:_MAX_BUCKET]
+                "dedup: pathological LSH bucket %s truncated %d -> %d "
+                "docs (potential near-dups dropped)",
+                bk, len(ids), _FALLBACK_MAX_BUCKET)
+            ids = ids[:_FALLBACK_MAX_BUCKET]
         a = np.array(ids)
-        iu, ju = np.triu_indices(len(a), k=1)
-        lo.append(a[iu])
-        hi.append(a[ju])
+        for r0, r1, c0, c1 in _iter_bucket_blocks(len(a)):
+            iu, ju = _block_pair_indices(r0, r1, c0, c1)
+            lo.append(a[iu])
+            hi.append(a[ju])
     if not lo:
         return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
                              "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})
@@ -485,29 +544,33 @@ class SimHasher:
 def _simhash_partition_pairs(group: pd.DataFrame,
                              max_dist: int = 3) -> pd.DataFrame:
     """Hamming-close pairs within one coarse partition, bucketed by the
-    real band key; popcount vectorized over each bucket's pair matrix."""
+    real band key; popcount vectorized per pair block (oversized
+    buckets walk ALL pairs in bounded-memory blocks; only the
+    pathological fallback guard drops docs)."""
     import logging
     lo, hi = [], []
     for bk, g in group.groupby("band_key", sort=True):
         uniq = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(uniq) < 2:
             continue
-        if len(uniq) > _MAX_BUCKET:
+        if len(uniq) > _FALLBACK_MAX_BUCKET:
             logging.warning(
-                "dedup: hot simhash bucket %s truncated %d -> %d docs "
-                "(potential near-dups dropped)", bk, len(uniq), _MAX_BUCKET)
-            uniq = uniq.iloc[:_MAX_BUCKET]
+                "dedup: pathological simhash bucket %s truncated %d -> "
+                "%d docs (potential near-dups dropped)",
+                bk, len(uniq), _FALLBACK_MAX_BUCKET)
+            uniq = uniq.iloc[:_FALLBACK_MAX_BUCKET]
         ids = uniq["doc_id"].to_numpy()
         hs = uniq["simhash"].to_numpy().astype(np.uint64)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        x = hs[iu] ^ hs[ju]
-        dist = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            dist += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = dist <= max_dist
-        lo.append(ids[iu[keep]])
-        hi.append(ids[ju[keep]])
+        for r0, r1, c0, c1 in _iter_bucket_blocks(len(ids)):
+            iu, ju = _block_pair_indices(r0, r1, c0, c1)
+            x = hs[iu] ^ hs[ju]
+            dist = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                dist += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = dist <= max_dist
+            lo.append(ids[iu[keep]])
+            hi.append(ids[ju[keep]])
     if not lo:
         return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
                              "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})

@@ -369,32 +369,46 @@ class _NeardupBucketer:
         })
 
 
-_NEARDUP_MAX_BUCKET = 512
+_NEARDUP_MAX_BUCKET = 512           # cosine block edge (memory bound)
+_NEARDUP_FALLBACK_MAX_BUCKET = 8192  # pathological guard only
 
 
 def _neardup_partition_pairs(group: pd.DataFrame,
                              threshold: float) -> pd.DataFrame:
     """Exact pairwise cosine within each real LSH bucket of one coarse
-    partition (vectors are unit rows, so cos == dot)."""
+    partition (vectors are unit rows, so cos == dot). Oversized
+    buckets compute ALL pairs block-matmul by block-matmul (peak
+    memory = block^2 floats, never bucket^2); only the pathological
+    fallback guard drops vectors, loudly."""
     import logging
+
+    from .dedup import _iter_bucket_blocks
+
     lo, hi = [], []
     for bk, g in group.groupby("band_key", sort=True):
         uniq = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(uniq) < 2:
             continue
-        if len(uniq) > _NEARDUP_MAX_BUCKET:
+        if len(uniq) > _NEARDUP_FALLBACK_MAX_BUCKET:
             logging.warning(
-                "embedding_neardup_lsh: hot bucket %s truncated %d -> %d",
-                bk, len(uniq), _NEARDUP_MAX_BUCKET)
-            uniq = uniq.iloc[:_NEARDUP_MAX_BUCKET]
+                "embedding_neardup_lsh: pathological bucket %s truncated "
+                "%d -> %d", bk, len(uniq), _NEARDUP_FALLBACK_MAX_BUCKET)
+            uniq = uniq.iloc[:_NEARDUP_FALLBACK_MAX_BUCKET]
         ids = uniq["vec_id"].to_numpy()
         e = np.stack([np.asarray(v, dtype=np.float64)
                       for v in uniq["emb"]])
-        cos = e @ e.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, ju] >= threshold
-        lo.append(ids[iu[keep]])
-        hi.append(ids[ju[keep]])
+        for r0, r1, c0, c1 in _iter_bucket_blocks(
+                len(ids), _NEARDUP_MAX_BUCKET):
+            cos = e[r0:r1] @ e[c0:c1].T
+            if c0 == r0:
+                iu, ju = np.triu_indices(r1 - r0, k=1)
+                keep = cos[iu, ju] >= threshold
+                iu, ju = iu[keep] + r0, ju[keep] + r0
+            else:
+                ri, ci = np.nonzero(cos >= threshold)
+                iu, ju = ri + r0, ci + c0
+            lo.append(ids[iu])
+            hi.append(ids[ju])
     if not lo:
         return pd.DataFrame({"vec_lo": pd.Series([], dtype=np.int64),
                              "vec_hi": pd.Series([], dtype=np.int64)})

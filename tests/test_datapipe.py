@@ -336,3 +336,95 @@ def test_ann_lsh_multiprobe_recall_dominates():
     for qid, n in zip(probed["query_id"], probed["n_candidates"]):
         assert n >= pc.get(qid, 0)
     assert recall(probed) >= recall(plain)
+
+
+def test_hot_bucket_block_walk_yields_all_pairs():
+    """A boilerplate LSH bucket 10x the block edge loses NO candidate
+    pairs: the block walk covers the full upper triangle (the cap is a
+    pathological fallback, not the mechanism)."""
+    import pandas as pd
+    from spatial_aez_ray.datapipe import dedup
+
+    n = dedup._MAX_BUCKET * 10
+    ids = [f"doc{i:06d}" for i in range(n)]
+    group = pd.DataFrame({"band_key": np.zeros(n, dtype=np.int64),
+                          "doc_id": ids})
+    out = dedup._partition_pairs(group)
+    assert len(out) == n * (n - 1) // 2
+    # spot-check exact content on a smaller bucket against plain triu
+    m = 700  # > 2 blocks, not a multiple of the edge
+    small = dedup._partition_pairs(
+        pd.DataFrame({"band_key": np.zeros(m, dtype=np.int64),
+                      "doc_id": [f"d{i:04d}" for i in range(m)]}))
+    a = np.array([f"d{i:04d}" for i in range(m)])
+    iu, ju = np.triu_indices(m, k=1)
+    want = pd.DataFrame({"doc_lo": a[iu], "doc_hi": a[ju]})
+    got = small.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+    want = want.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_iter_bucket_blocks_partition_exact():
+    from spatial_aez_ray.datapipe.dedup import (
+        _block_pair_indices, _iter_bucket_blocks)
+
+    for n in (1, 2, 5, 16, 17, 33):
+        seen = set()
+        for r0, r1, c0, c1 in _iter_bucket_blocks(n, block=16):
+            ii, jj = _block_pair_indices(r0, r1, c0, c1)
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                assert i < j
+                assert (i, j) not in seen
+                seen.add((i, j))
+        assert len(seen) == n * (n - 1) // 2
+
+
+def test_simhash_hot_bucket_blocks_match_direct():
+    """Blocked Hamming filtering == direct triu filtering on a bucket
+    bigger than the block edge."""
+    import pandas as pd
+    from spatial_aez_ray.datapipe import dedup
+
+    rng = np.random.RandomState(5)
+    n = 600
+    hs = rng.randint(-2**62, 2**62, size=n).astype(np.int64)
+    hs[100:300] = hs[99]          # boilerplate run -> dist 0 clique
+    ids = np.array([f"s{i:04d}" for i in range(n)])
+    g = pd.DataFrame({"band_key": np.zeros(n, dtype=np.int64),
+                      "doc_id": ids, "simhash": hs})
+    out = dedup._simhash_partition_pairs(g, max_dist=3)
+    u = hs.astype(np.uint64)
+    iu, ju = np.triu_indices(n, k=1)
+    x = u[iu] ^ u[ju]
+    dist = np.zeros(len(x), dtype=np.int64)
+    while x.any():
+        dist += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    keep = dist <= 3
+    want = pd.DataFrame({"doc_lo": ids[iu[keep]], "doc_hi": ids[ju[keep]]})
+    got = out.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+    want = want.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_neardup_hot_bucket_blocks_match_direct():
+    import pandas as pd
+    from spatial_aez_ray.datapipe import simsearch
+
+    rng = np.random.RandomState(6)
+    n, d = 1300, 16   # > 2 cosine blocks of 512
+    e = rng.randn(n, d)
+    e[50:400] = e[49]  # boilerplate clones
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    g = pd.DataFrame({"band_key": np.zeros(n, dtype=np.int64),
+                      "vec_id": np.arange(n, dtype=np.int64),
+                      "emb": list(e)})
+    out = simsearch._neardup_partition_pairs(g, threshold=0.9)
+    cos = e @ e.T
+    iu, ju = np.triu_indices(n, k=1)
+    keep = cos[iu, ju] >= 0.9
+    want = pd.DataFrame({"vec_lo": iu[keep].astype(np.int64),
+                         "vec_hi": ju[keep].astype(np.int64)})
+    got = out.sort_values(["vec_lo", "vec_hi"]).reset_index(drop=True)
+    want = want.sort_values(["vec_lo", "vec_hi"]).reset_index(drop=True)
+    assert len(got) == len(want) and got.equals(want)
