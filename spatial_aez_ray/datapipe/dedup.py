@@ -303,11 +303,13 @@ def _minhash_raw_pairs(sf_dir: str, *, num_perm: int = 64,
     """Candidate pairs straight out of the coarse-partition bucket fold
     (may contain dupes when two docs collide in several bands)."""
     import functools
+    from .util import shuffle_width
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(
         functools.partial(_sign_batch, num_perm=num_perm, bands=bands),
         batch_format="pyarrow")
-    return (sigs.repartition(8)  # tiny rows; fewer blocks -> cheaper sort
+    # tiny rows; fewer blocks -> cheaper sort (width scales with input)
+    return (sigs.repartition(shuffle_width(ds))
                 .groupby("part")
                 .map_groups(_partition_pairs, batch_format="pandas"))
 
@@ -397,8 +399,10 @@ def connected_components(pairs: ray.data.Dataset,
               .rename_columns({"src": "node"})).materialize()
     prev_sum = labels.sum("label")
 
+    from .util import shuffle_width
+    width = shuffle_width(blocks=edges.num_blocks())
     for _ in range(max_iters):
-        prop = edges.join(labels, join_type="inner", num_partitions=8,
+        prop = edges.join(labels, join_type="inner", num_partitions=width,
                           on=("dst",), right_on=("node",))
         prop = prop.map_batches(
             lambda b: pa.table({"node": b["src"], "label": b["label"]}),
@@ -475,9 +479,10 @@ def minhash_lsh_dedup(sf_dir: str) -> pd.DataFrame:
                                 "root": b["doc_id"]}),
             batch_format="pyarrow")
     else:
+        from .util import shuffle_width
         labels = connected_components(pairs)
         joined = docs.join(labels, join_type="left_outer",
-                           num_partitions=8,
+                           num_partitions=shuffle_width(docs),
                            on=("doc_id",), right_on=("node",))
 
         def to_root(b: pa.Table) -> pa.Table:
@@ -582,11 +587,12 @@ def simhash_dedup(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_dist, found via
     band buckets folded into coarse partitions (no all-pairs at scale,
     no per-bucket task overhead)."""
+    from .util import shuffle_width
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
                           concurrency=(1, 4))
     pairs = (sigs.map_batches(_add_coarse_part, batch_format="pyarrow")
-                 .repartition(8)
+                 .repartition(shuffle_width(ds))
                  .groupby("part")
                  .map_groups(lambda g: _simhash_partition_pairs(g, max_dist),
                              batch_format="pandas"))
@@ -787,13 +793,15 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
                              f"text_{side}": b["text"]})
         return rn
 
+    from .util import shuffle_width
+    width = shuffle_width(docs)
     j = cands_ds.join(
         docs.map_batches(_renamed("lo"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=width,
         on=("doc_lo",), right_on=("id_lo",))
     j = j.join(
         docs.map_batches(_renamed("hi"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=width,
         on=("doc_hi",), right_on=("id_hi",))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

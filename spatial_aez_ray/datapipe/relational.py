@@ -360,9 +360,11 @@ GROUP BY p_brand ORDER BY p_brand
 def revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer via Dataset.join (hash shuffle join), then
     grouped revenue per market segment in exact cents."""
+    from .util import shuffle_width
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=shuffle_width(orders),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -434,9 +436,11 @@ def doc_embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     are fact tables at 100 TB, so this is a hash SHUFFLE join
     (Dataset.join) — not a broadcast of the embedding label map —
     followed by the usual partial-agg groupby."""
+    from .util import shuffle_width
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
-    joined = docs.join(emb, join_type="inner", num_partitions=8,
+    joined = docs.join(emb, join_type="inner",
+                       num_partitions=shuffle_width(docs),
                        on=("doc_id",), right_on=("vec_id",))
 
     def partial(batch: pa.Table) -> pa.Table:

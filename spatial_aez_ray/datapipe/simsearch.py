@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .util import shuffle_width as _shuffle_width
+
 
 def _read_emb(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
@@ -447,7 +449,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.9,
                 fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
                                        "n_bits": n_bits},
                 batch_format="pyarrow", concurrency=(1, 4))
-               .repartition(8)
+               .repartition(_shuffle_width(ds))
                .groupby("part")
                .map_groups(
                    lambda g: _neardup_partition_pairs(g, threshold),

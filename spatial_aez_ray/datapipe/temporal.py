@@ -56,15 +56,18 @@ def _sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
 
 def sessionize(sf_dir: str) -> pd.DataFrame:
     """Per-user gap-based session stats (30-min inactivity gap),
-    shuffled once on a coarse fold of the user key."""
+    shuffled once on a coarse fold of the user key (fold width scales
+    with the input so partitions stay bounded at 100 TB)."""
+    from .util import shuffle_width
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
 
     def prep(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
         ts = (b["ts"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
         return pa.table({
-            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "part": pa.array((uid % n_parts).astype(np.int32)),
             "user_id": pa.array(uid.astype(np.int64)),
             "ts_us": pa.array(ts)})
 
@@ -151,13 +154,20 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
     kernel runs vectorized inside each partition. Neither side is ever
     broadcast or driver-materialized — the right layout when orders is
     a fact table too (the reference-scale assumption)."""
+    from .util import shuffle_width
+    ev_src = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od_src = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    # identical fold width on BOTH sides = the co-partitioning contract
+    n_parts = max(shuffle_width(ev_src, floor=N_ASOF_PARTS),
+                  shuffle_width(od_src, floor=N_ASOF_PARTS))
 
     def ev_prep(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
         ts = (b["ts"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
         return pa.table({
-            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "part": pa.array((uid % n_parts).astype(np.int32)),
             "user_id": pa.array(uid.astype(np.int64)),
             "side": pa.array(np.zeros(len(uid), dtype=np.int8)),
             "ts_us": pa.array(ts),
@@ -172,7 +182,7 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
         ts = (b["o_orderdate"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
         return pa.table({
-            "part": pa.array((uid % N_ASOF_PARTS).astype(np.int32)),
+            "part": pa.array((uid % n_parts).astype(np.int32)),
             "user_id": pa.array(uid.astype(np.int64)),
             "side": pa.array(np.ones(len(uid), dtype=np.int8)),
             "ts_us": pa.array(ts),
@@ -182,11 +192,8 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
                 dtype=np.int64)),
         })
 
-    ev = (_read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-          .map_batches(ev_prep, batch_format="pyarrow"))
-    od = (_read(sf_dir, "orders",
-                columns=["o_custkey", "o_orderkey", "o_orderdate"])
-          .map_batches(od_prep, batch_format="pyarrow"))
+    ev = ev_src.map_batches(ev_prep, batch_format="pyarrow")
+    od = od_src.map_batches(od_prep, batch_format="pyarrow")
     out = (ev.union(od)
              .groupby("part")
              .map_groups(_asof_merge_part, batch_format="pandas")

@@ -1,0 +1,42 @@
+"""Shared datapipe helpers (scale-aware shuffle sizing).
+
+Round-2 review flagged hard-coded ``repartition(8)`` /
+``num_partitions=8`` across dedup/simsearch/temporal: right at test
+scale (tiny pre-reduced rows want FEW partitions so the sort's fixed
+per-block cost stays low), wrong at 100 TB (everything funnels into 8
+partitions). ``shuffle_width`` derives the width from the pipeline's
+INPUT file count — the same signal the zonal ``coalesce`` knob
+documents (pipelines/extract.py:95-104) — so test-scale behavior is
+unchanged (single-file inputs resolve to the floor) while many-file
+inputs scale the shuffle with the data.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def shuffle_width(ds=None, *, floor: int = 8, files_per_partition: int = 4,
+                  blocks: int | None = None) -> int:
+    """Partition count for a shuffle fed by ``ds``.
+
+    width = clamp(input_files / files_per_partition, floor, 4 x CPUs).
+
+    ``ds.input_files()`` resolves through a map chain to the read op's
+    file list without executing the pipeline; non-file sources (e.g.
+    ``from_items``) fall back to the floor. Pass ``blocks`` to size
+    from an already-materialized dataset (``ds.num_blocks()``) instead.
+    The 4xCPU ceiling keeps single-node runs from over-partitioning;
+    on a real cluster CPUs scales with nodes, so the ceiling does too.
+    """
+    n = blocks
+    if n is None and ds is not None:
+        try:
+            n = len(ds.input_files()) // files_per_partition
+        except Exception:
+            n = None
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no ray session
+        cpus = 8
+    return int(min(max(floor, 4 * cpus), max(floor, n or floor)))

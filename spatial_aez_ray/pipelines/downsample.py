@@ -109,18 +109,34 @@ def downsample_histogram(world_path: str, dataset: str = "lc", *,
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 
+def _summary_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: (band, payload_sum, n_tiles) rows — payload
+    bytes are reduced INSIDE the worker; only tiny partials shuffle."""
+    refs = batch["media_ref"].to_pylist()
+    band = np.fromiter((int(r.rsplit("b", 1)[-1]) for r in refs),
+                       dtype=np.int64, count=len(refs))
+    psum = np.fromiter(
+        (int(np.frombuffer(p, np.uint8).astype(np.int64).sum())
+         for p in batch["payload"].to_pylist()),
+        dtype=np.int64, count=len(refs))
+    df = (pd.DataFrame({"band": band, "payload_sum": psum,
+                        "n_tiles": np.ones(len(refs), dtype=np.int64)})
+          .groupby("band", as_index=False).sum())
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def downsample_summary(world_path: str, dataset: str = "lc", *,
                        factor: int = 3) -> pd.DataFrame:
     """Deterministic summary of the downsample output (for driver-gate
-    and golden tests): per output band, number of tiles + payload sum."""
+    and golden tests): per output band, number of tiles + payload sum.
+    Payload-bearing rows never cross the driver boundary — each batch
+    reduces to <=bands partial rows before the (tiny) final groupby."""
     ds = downsample_histogram(world_path, dataset, factor=factor)
-    pdf = ds.to_pandas()
-    band = pdf["media_ref"].str.rsplit("b", n=1).str[-1].astype(int)
-    psum = pdf["payload"].map(lambda p: int(np.frombuffer(p, np.uint8)
-                                            .astype(np.int64).sum()))
-    out = (pd.DataFrame({"band": band, "payload_sum": psum,
-                         "n_tiles": np.ones(len(pdf), dtype=np.int64)})
+    partials = ds.map_batches(_summary_partial, batch_format="pyarrow")
+    out = (partials.to_pandas()
            .groupby("band", as_index=False).sum())
+    out["payload_sum"] = out["payload_sum"].astype(np.int64)
+    out["n_tiles"] = out["n_tiles"].astype(np.int64)
     return out.sort_values("band").reset_index(drop=True)
 
 
