@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_zonal_kg": _spatial_zonal("kg"),
         "spatial_zonal_lc": _spatial_zonal("lc"),
         "spatial_zonal_slope": _spatial_zonal("slope"),
+        "spatial_zonal_fao": _spatial_zonal("fao"),
         "spatial_zonal_wk": _spatial_zonal("wk"),
         "spatial_zonal_lpd": _spatial_zonal("lpd"),
         "spatial_aez": _spatial_aez,

@@ -35,7 +35,7 @@ from .constants import LCCS_CLASSES
 
 WORLDS_ROOT = os.environ.get("AEZRAY_WORLDS", "/tmp/spatial_aez_ray/worlds")
 
-DATASETS = ("kg", "lc", "slope", "wk", "lpd")
+DATASETS = ("kg", "lc", "slope", "fao", "wk", "lpd")
 # Views over the authoritative registry in model.DEFAULT_DATASET_LAYOUT
 # (fixtures CONSUME the world layout; production kernels read it from
 # model.world_layout / the _WORLD.json marker, never from this module).
@@ -65,7 +65,7 @@ class WorldSpec:
     #: worlds under /tmp regenerate (v2: zero-padded media_ref;
     #: v3: contiguous ray-generation shards so part files cover tight
     #: media_ref ranges)
-    FORMAT_VERSION = 4
+    FORMAT_VERSION = 5  # v5: + "fao" dataset (FAO GAEZ slope variant)
 
     @property
     def path(self) -> str:
@@ -341,7 +341,7 @@ def tile_arrays(spec: WorldSpec, dataset: str, ty: int, tx: int,
         a = np.floor(v * 4).astype(np.uint8)
         a[~land] = 255
         return [a]
-    if dataset == "slope":
+    if dataset in ("slope", "fao"):
         v2 = noise01(spec.seed, dataset, lons, lats, channel=1)
         minimal = np.floor(v * 101).astype(np.int64).clip(0, 100)
         moderate = np.floor(v2 * (101 - minimal)).astype(np.int64)
@@ -352,7 +352,7 @@ def tile_arrays(spec: WorldSpec, dataset: str, ty: int, tx: int,
         out = []
         for arr in b:
             u = arr.astype(np.uint8)
-            u[~land] = DATASET_NODATA["slope"]
+            u[~land] = DATASET_NODATA[dataset]
             out.append(u)
         return out
     raise ValueError(dataset)

@@ -63,6 +63,7 @@ DEFAULT_DATASET_LAYOUT: dict[str, dict] = {
     "kg":    {"grid": "g1", "bands": 1, "nodata": 0},
     "lc":    {"grid": "g3", "bands": 1, "nodata": 0},
     "slope": {"grid": "g1", "bands": 8, "nodata": 127},
+    "fao":   {"grid": "g1", "bands": 8, "nodata": 255},
     "wk":    {"grid": "g1", "bands": 1, "nodata": 0},
     "lpd":   {"grid": "g1", "bands": 1, "nodata": 255},
 }

@@ -156,6 +156,9 @@ def zonal_csv(spec: fixtures.WorldSpec, dataset: str) -> pd.DataFrame:
         columns = LCCS_CLASSES
     elif dataset == "slope":
         columns = GEOMORPHO_SLOPE_CLASSES
+    elif dataset == "fao":
+        from .constants import FAO_SLOPE_CLASSES
+        columns = FAO_SLOPE_CLASSES
     elif dataset == "wk":
         columns = WORKABILITY_CLASSES
     elif dataset == "lpd":
@@ -179,6 +182,18 @@ def zonal_csv(spec: fixtures.WorldSpec, dataset: str) -> pd.DataFrame:
                     blk = np.where(bad, 0.0, blk)
                     df.loc[admin, GEOMORPHO_SLOPE_CLASSES[b]] += \
                         (km2 * (blk / 100.0))[~bad].sum()
+                continue
+            if dataset == "fao":
+                # FaoSlopeLookup shape (extract_country_data.py:152-158):
+                # masked-fill 0 then whole-array nansum — a DIFFERENT
+                # summation order than the Geomorpho select-then-sum
+                from .constants import FAO_SLOPE_CLASSES
+                for b in range(8):
+                    blk = bands[b][y:y + nrows, x:x + ncols].astype(float)
+                    bad = np.logical_or(~mblk, blk == 255)
+                    masked = np.where(bad, 0.0, blk)
+                    df.loc[admin, FAO_SLOPE_CLASSES[b]] += \
+                        np.nansum(km2 * (masked / 100.0))
                 continue
             blk = bands[0][y:y + nrows, x:x + ncols]
             vals = blk[mblk]

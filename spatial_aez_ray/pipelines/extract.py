@@ -291,13 +291,15 @@ def pa_concat(refs):
 
 
 def extract_all(world_path: str, out_dir: str, *,
-                datasets=("kg", "lc", "slope", "wk", "lpd"),
+                datasets=("kg", "lc", "slope", "fao", "wk", "lpd"),
                 concurrency: int | tuple = (1, 4)) -> dict[str, pd.DataFrame]:
     """The --all CLI path (extract_country_data.py:270-341): one zonal
-    CSV + one region CSV per dataset, sharing one broadcast index."""
+    CSV + one region CSV per dataset, sharing one broadcast index.
+    CSV names mirror the reference's (FAO-Slope == the FaoSlopeLookup
+    output, extract_country_data.py:327)."""
     index = build_zonal_index(world_path)
     names = {"kg": "Koppen-Geiger", "lc": "Land-Cover", "slope": "Slope",
-             "wk": "Workability", "lpd": "Degraded"}
+             "fao": "FAO-Slope", "wk": "Workability", "lpd": "Degraded"}
     out = {}
     for ds_name in datasets:
         df = zonal_stats(world_path, ds_name, index=index,

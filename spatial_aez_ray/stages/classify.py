@@ -24,7 +24,8 @@ from collections.abc import Iterator
 import numpy as np
 
 from ..constants import (
-    GEOMORPHO_SLOPE_CLASSES, KG_CLASSES, LCCS_CLASSES, WORKABILITY_CLASSES,
+    FAO_SLOPE_CLASSES, FAO_SLOPE_NODATA, GEOMORPHO_SLOPE_CLASSES,
+    KG_CLASSES, LCCS_CLASSES, WORKABILITY_CLASSES,
 )
 
 ClassSums = Iterator[tuple[str, float]]
@@ -89,6 +90,30 @@ class SlopeClassifier:
             yield GEOMORPHO_SLOPE_CLASSES[b], (km2 * (blk / 100.0))[~bad].sum()
 
 
+class FaoSlopeClassifier:
+    """FAO GAEZ 3.0 slope variant (FaoSlopeLookup,
+    extract_country_data.py:140-162): 8 fractional-percentage bands
+    like Geomorpho but with the FAO class vocabulary ("5-8%"/"8-15%"
+    bins), nodata 255, and the reference's masked-fill + whole-array
+    ``np.nansum`` summation shape (NOT the Geomorpho select-then-sum
+    — the float-op sequence is mirrored for bit-exactness against the
+    sequential oracle)."""
+
+    dataset = "fao"
+    grid = "g1"
+    nodata = FAO_SLOPE_NODATA
+
+    def columns(self) -> list[str]:
+        return list(FAO_SLOPE_CLASSES)
+
+    def class_sums(self, bands, mask, km2) -> ClassSums:
+        for b in range(8):
+            blk = bands[b].astype(float)
+            bad = np.logical_or(~mask, blk == self.nodata)
+            masked = np.where(bad, 0.0, blk)
+            yield FAO_SLOPE_CLASSES[b], np.nansum(km2 * (masked / 100.0))
+
+
 class WorkabilityClassifier:
     """Workability classes 1..7, skip 0/255
     (extract_country_data.py:165-183)."""
@@ -130,6 +155,7 @@ CLASSIFIERS = {
     "kg": KGClassifier,
     "lc": LCClassifier,
     "slope": SlopeClassifier,
+    "fao": FaoSlopeClassifier,
     "wk": WorkabilityClassifier,
     "lpd": DegradedClassifier,
 }

@@ -20,7 +20,8 @@ def zindex(tiny_world):
     return extract.build_zonal_index(tiny_world)
 
 
-@pytest.mark.parametrize("dataset", ["kg", "lc", "slope", "wk", "lpd"])
+@pytest.mark.parametrize("dataset", ["kg", "lc", "slope", "fao", "wk",
+                                     "lpd"])
 def test_zonal_bit_exact_vs_oracle(tiny_world, zindex, dataset):
     df = extract.zonal_stats(tiny_world, dataset, index=zindex)
     odf = oracle.zonal_csv(SPEC, dataset)
