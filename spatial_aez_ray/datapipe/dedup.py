@@ -19,12 +19,13 @@ Ray-Data-first:
 
 Scale notes (100 TB): exact dedup shuffles only (hash, doc_id) pairs —
 64-bit content hashes computed per batch, never the text; minhash/LSH
-shuffles (band_key, doc_id, signature) which is O(docs × bands × 8B);
-the all-pairs ``jaccard_pairs`` is the *small-data verifier* — at scale
+shuffles (band_key, doc_id) which is O(docs × bands × 8B); the
+all-pairs ``jaccard_pairs`` is the *small-data verifier* — at scale
 the LSH bucket groupby bounds candidate pairs per bucket. Hot buckets
-(boilerplate shingles) are the skew risk: bucket size is capped and
-oversized buckets are truncated deterministically with a logged count
-(no silent skew stall).
+(boilerplate shingles) are the skew risk: oversized buckets walk ALL
+their pairs in bounded-memory blocks (``_iter_bucket_blocks``), so no
+candidates are lost; only the pathological ``_FALLBACK_MAX_BUCKET``
+guard truncates, loudly (no silent skew stall).
 """
 
 from __future__ import annotations

@@ -496,10 +496,17 @@ def knn_label_vote(sf_dir: str, n_queries: int = 20,
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = super().__call__(
                 batch.select(["vec_id", "embedding"]))
-            label_of = dict(zip(
-                batch["vec_id"].to_pylist(), batch["label"].to_pylist()))
-            labels = [label_of[n] for n in out["neighbor_id"].to_pylist()]
-            return out.append_column("label", pa.array(labels, pa.int32()))
+            # neighbor ids all come from THIS batch: vectorized
+            # sorted-lookup instead of a per-row python dict probe
+            vec = np.asarray(batch["vec_id"].to_numpy(
+                zero_copy_only=False))
+            lab = np.asarray(batch["label"].to_numpy(
+                zero_copy_only=False))
+            order = np.argsort(vec, kind="stable")
+            pos = np.searchsorted(vec[order], np.asarray(
+                out["neighbor_id"].to_numpy(zero_copy_only=False)))
+            labels = lab[order][pos].astype(np.int32)
+            return out.append_column("label", pa.array(labels))
 
     partials = ds.map_batches(
         TopKWithLabel, fn_constructor_kwargs={"q_ref": q_ref, "k": k},

@@ -55,3 +55,30 @@ def test_missing_cache_falls_back_inline(tiny_world, ray_session):
         return
     df = extract.zonal_stats(tiny_world, "kg")
     assert len(df) > 0
+
+
+def test_reprepare_with_different_batching_leaves_no_stale_parts(
+        tiny_world, tmp_path, ray_session):
+    """Re-running prepare_claims with a different batch_size must swap
+    the whole cache dir: part filenames depend on batch composition,
+    so an in-place overwrite would leave stale parts with overlapping
+    tile ranges and fetch() would silently double-count claims."""
+    wp = str(tmp_path / "w")
+    shutil.copytree(tiny_world, wp)
+    g1 = extract.world_grid(wp, "g1")
+    prepare_claims(wp, g1, batch_size=4)
+    cdir = os.path.join(wp, "claims", "grid=g1")
+    parts_a = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+    store_a = ClaimsStore(wp, "g1")
+    probe = [tile_key(ty, tx) for ty in range(g1.tiles_y)
+             for tx in range(g1.tiles_x)]
+    counts_a = {k: len(v) for k, v in store_a.fetch(probe).items()}
+
+    prepare_claims(wp, g1, batch_size=32)   # different part layout
+    parts_b = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+    assert parts_b != parts_a                # layout really changed
+    # no stale part survived the swap; every old name is gone unless
+    # regenerated with identical first-tile tags
+    store_b = ClaimsStore(wp, "g1")
+    counts_b = {k: len(v) for k, v in store_b.fetch(probe).items()}
+    assert counts_a == counts_b              # no duplicated claims

@@ -288,3 +288,48 @@ def test_import_geotiff_compressed_streams_and_skips_empty(tmp_path,
         rebuilt[meta["y_off"]:meta["y_off"] + meta["nrows"],
                 meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
     assert (rebuilt == arr).all()
+
+
+_REAL_MASK = "/root/reference/masks/AFG_129_1km_mask._tif"
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_MASK),
+                    reason="reference mask not present")
+def test_reader_parses_real_gdal_mask_structure():
+    """Parity against an ACTUAL GDAL-written reference raster
+    (prepare_feature_masks.py:44-47 creation options): our from-scratch
+    reader must recover the full structure — 1 km global grid, NBITS=1,
+    ZSTD code 50000, 256x256 tiles, geo tags — and answer the sparse
+    probe (geoutil.is_sparse analog) from the offset table with no
+    data I/O. Sparse windows decode to zeros without needing the ZSTD
+    codec at all (holes carry no data)."""
+    r = geotiff.GeoTiffReader(_REAL_MASK)
+    assert (r.width, r.height) == (43200, 21600)   # 1 km WGS84 grid
+    assert r.nbits == 1 and r.compression == 50000  # NBITS=1 + ZSTD
+    assert r.tiled and (r.tile_w, r.tile_h) == (256, 256)
+    assert r.pixel_scale is not None and r.tiepoint is not None
+    # GDAL SPARSE_OK: the vast majority of a one-country mask is holes
+    n_sparse = sum(r.tile_is_sparse(ty, tx)
+                   for ty in range(r.tiles_down)
+                   for tx in range(r.tiles_across))
+    total = r.tiles_down * r.tiles_across
+    assert 0 < total - n_sparse < 200   # Afghanistan ⊂ a few dozen tiles
+    # a window over holes-only decodes to zeros with zero payload reads
+    corner = r.read_window(0, 0, 512, 512)   # NW corner, ocean/arctic
+    assert corner.shape == (512, 512) and not corner.any()
+    r.close()
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("zstandard") is None,
+    reason="zstandard not installed in this sandbox")
+def test_tiff_zstd_roundtrip(tmp_path):  # pragma: no cover - needs lib
+    """ZSTD (code 50000) round trip — the reference masks' codec
+    (prepare_feature_masks.py:44). Runs wherever zstandard exists."""
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 2, size=(64, 80), dtype=np.uint8)
+    p = str(tmp_path / "z.tif")
+    geotiff.write_geotiff(p, arr, nbits=1, compress="zstd", tiled=True,
+                          tile_size=16, sparse_ok=True)
+    gt = geotiff.read_geotiff(p)
+    assert (gt.array == arr).all()
