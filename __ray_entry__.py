@@ -379,7 +379,7 @@ def _spatial_checkpoint_resume(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
-        dedup, multimodal, relational, simsearch, temporal, text,
+        corpus, dedup, multimodal, relational, simsearch, temporal, text,
     )
     q: dict[str, Callable[[str], Any]] = {
         # relational primitives (SQL-verified)
@@ -398,6 +398,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_order_priorities": relational.distinct_order_priorities,
         "salted_qty_by_returnflag": relational.salted_qty_by_returnflag,
         "doc_embedding_label_stats": relational.doc_embedding_label_stats,
+        "group_topk_orders": relational.group_topk_orders,
+        "quantiles_by_returnflag": relational.quantiles_by_returnflag,
+        # corpus construction
+        "vocab_top_tokens": corpus.vocab_top_tokens,
+        "sample_documents": corpus.sample_documents,
+        "pack_sequences": corpus.pack_sequences,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -456,7 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from spatial_aez_ray.datapipe import (
-        dedup, multimodal, relational, temporal, text,
+        corpus, dedup, multimodal, relational, temporal, text,
     )
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
@@ -474,6 +480,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_order_priorities": relational.DISTINCT_ORDER_PRIORITIES_SQL,
         "salted_qty_by_returnflag": relational.SALTED_QTY_SQL,
         "doc_embedding_label_stats": relational.DOC_EMBEDDING_LABEL_STATS_SQL,
+        "group_topk_orders": relational.GROUP_TOPK_ORDERS_SQL,
+        "quantiles_by_returnflag": relational.QUANTILES_BY_RETURNFLAG_SQL,
+        "vocab_top_tokens": corpus.VOCAB_TOP_TOKENS_SQL,
+        "sample_documents": corpus.SAMPLE_DOCUMENTS_SQL,
+        "pack_sequences": corpus.PACK_SEQUENCES_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

@@ -1,0 +1,190 @@
+"""Corpus-construction operators: the steps between raw documents and
+a training set that SURVEY.md §2's reference vocabulary doesn't cover
+but any 100 TB data pipeline needs — vocabulary building, deterministic
+sampling, and sequence packing (a distributed prefix-sum scan).
+
+Scale notes:
+* ``vocab_top_tokens`` pre-aggregates token counts INSIDE map_batches
+  (the A1 combiner pattern on a very wide key — the token), so the
+  shuffle carries one row per distinct token per block, never one per
+  occurrence; the final sort+limit runs over vocab-sized data.
+* ``sample_documents`` is a pure per-batch filter on a stable content
+  hash — embarrassingly parallel, no shuffle, reproducible across any
+  partitioning (the property that matters for dataset versioning).
+* ``pack_sequences`` needs a GLOBAL exclusive prefix sum over
+  doc-token counts in doc_id order — the one primitive Ray Data's
+  Dataset API cannot express (every map is stateless, every aggregate
+  order-free). It drops to raw Ray tasks per the SURVEY custom-
+  operator rule: sort by doc_id, materialize (stable block
+  boundaries), ONE tiny metadata pass computing per-block sums, an
+  exclusive scan over those on the driver (#blocks values, not rows),
+  then a per-block offset map — two passes over the data, O(#blocks)
+  driver state. Partitioning assumption: blocks are doc_id-ordered
+  (guaranteed by the sort).
+
+Every operator has a DuckDB oracle (window functions / unnest) and a
+deterministic tie-break mirrored on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dedup import _h64u
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build — wordcount with per-batch combining + global top-K
+# ---------------------------------------------------------------------------
+
+def _token_count_partial(batch: pa.Table) -> pa.Table:
+    """One (token, cnt) row per DISTINCT token in the batch — the
+    combiner that keeps the token shuffle vocab-sized, not
+    occurrence-sized."""
+    toks: list[str] = []
+    for t in batch["text"].to_pylist():
+        toks.extend(t.split(" "))
+    if not toks:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    s = pd.Series(toks, dtype=object).value_counts()
+    return pa.table({"token": pa.array(s.index.to_list(), pa.string()),
+                     "cnt": pa.array(s.to_numpy(dtype=np.int64))})
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Global top-k tokens by occurrence count (ties -> smaller token
+    string), split on single spaces exactly like the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["text"])
+    counts = (ds.map_batches(_token_count_partial, batch_format="pyarrow")
+                .groupby("token")
+                .aggregate(Sum("cnt", alias_name="cnt")))
+    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    out = top.to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out[["token", "cnt"]].reset_index(drop=True)
+
+
+def _vocab_sql(k: int = 50) -> str:
+    return f"""
+SELECT t AS token, COUNT(*)::BIGINT AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t ORDER BY cnt DESC, token LIMIT {k}
+"""
+
+
+VOCAB_TOP_TOKENS_SQL = _vocab_sql()
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def sample_documents(sf_dir: str, pct: int = 20) -> pd.DataFrame:
+    """Keep documents whose stable 64-bit id hash lands in the first
+    ``pct`` of 100 buckets. Reproducible across any partitioning /
+    cluster size (hash of content id, not row position) — the property
+    dataset versioning depends on. Pure per-batch filter, no shuffle.
+    """
+    ds = _read_docs(sf_dir, columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter((_h64u(str(d)) % 100 for d in ids),
+                        dtype=np.int64, count=len(ids))
+        mask = pa.array(h < pct)
+        return batch.filter(mask)
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sample_sql(pct: int = 20) -> str:
+    # little-endian u64 of the first 8 md5 bytes == dedup._h64u
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || {le})::UBIGINT % 100 < {pct}
+ORDER BY doc_id
+"""
+
+
+SAMPLE_DOCUMENTS_SQL = _sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — distributed exclusive prefix sum (scan)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, budget: int = 2048) -> pd.DataFrame:
+    """Contiguous-fill sequence packing: walk documents in doc_id
+    order, assign each to training sequence floor(prior_tokens /
+    budget) where prior_tokens is the EXCLUSIVE running sum of
+    whitespace token counts. Returns (doc_id, n_tokens, seq_id).
+
+    Distributed scan implementation (see module docstring): sort →
+    materialize → per-block sums (tasks over block refs, each returns
+    ONE int) → driver exclusive scan over #blocks values → per-block
+    offset finish. The only driver state is one int per block.
+    """
+    ds = (_read_docs(sf_dir, columns=["doc_id", "text"])
+          .sort("doc_id").materialize())
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_tokens(block: pa.Table) -> tuple[np.ndarray, int]:
+        n = np.fromiter((len(t.split(" "))
+                         for t in block["text"].to_pylist()),
+                        dtype=np.int64, count=block.num_rows)
+        return n, int(n.sum())
+
+    per_block = ray.get([block_tokens.remote(r) for r in refs])
+    block_sums = np.array([s for _, s in per_block], dtype=np.int64)
+    offsets = np.zeros(len(block_sums), dtype=np.int64)
+    np.cumsum(block_sums[:-1], out=offsets[1:])  # exclusive scan
+
+    @ray.remote
+    def finish(block: pa.Table, n: np.ndarray, offset: int) -> pa.Table:
+        prior = offset + np.cumsum(n) - n
+        return pa.table({
+            "doc_id": block["doc_id"],
+            "n_tokens": pa.array(n),
+            "seq_id": pa.array(prior // budget),
+        })
+
+    out_refs = [finish.remote(r, per_block[i][0], int(offsets[i]))
+                for i, r in enumerate(refs)]
+    pdf = pa.concat_tables(ray.get(out_refs)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pack_sql(budget: int = 2048) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+  FROM t)
+SELECT doc_id, n_tokens, (prior // {budget})::BIGINT AS seq_id
+FROM c ORDER BY doc_id
+"""
+
+
+PACK_SEQUENCES_SQL = _pack_sql()

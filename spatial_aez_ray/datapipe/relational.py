@@ -467,3 +467,121 @@ SELECT e.label AS label, d.lang AS lang, COUNT(*) AS doc_cnt
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY e.label, d.lang ORDER BY label, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# group_topk_orders — per-key top-k with a per-batch combiner
+# ---------------------------------------------------------------------------
+
+#: coarse fold width for the per-key finish (the tiny-groups rule:
+#: never one Ray group per customer)
+_TOPK_N_PARTS = 64
+
+
+def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders per customer by (o_totalprice DESC, o_orderkey
+    ASC). The per-batch combiner keeps at most k rows per key present
+    in the batch (global per-key top-k ⊆ union of per-batch per-key
+    top-k), so the shuffle carries O(keys x k), not every order; the
+    finish runs per coarse key-fold partition with a vectorized pandas
+    groupby inside. Prices pass through unchanged (no arithmetic), so
+    doubles are bit-identical to the oracle's."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": np.asarray(
+                batch["o_custkey"].to_numpy(zero_copy_only=False),
+                dtype=np.int64),
+            "o_orderkey": np.asarray(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                dtype=np.int64),
+            "o_totalprice": np.asarray(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                dtype=np.float64)})
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("o_custkey", as_index=False).head(k)
+        df["part"] = (df["o_custkey"] % _TOPK_N_PARTS).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", as_index=False).head(k)
+        g["rnk"] = g.groupby("o_custkey").cumcount() + 1
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(finish, batch_format="pandas")
+             .to_pandas())
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+GROUP_TOPK_ORDERS_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM ranked
+WHERE rnk <= 3 ORDER BY o_custkey, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles via value-count histograms
+# ---------------------------------------------------------------------------
+
+def quantiles_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles (q25/q50/q90) of l_quantity per
+    returnflag, computed from distributed per-(flag, value) counts —
+    the right shape for low-cardinality numeric columns at 100 TB: the
+    shuffle carries one row per (flag, distinct value), and the driver
+    walks a ~50-row histogram per flag. quantile_disc semantics:
+    sorted[floor((n-1) * q)] — matched to DuckDB exactly; values pass
+    through as integer cents and divide back once."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pylist(),
+            "qty_c": _cents(batch["l_quantity"]),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["l_returnflag", "qty_c"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "qty_c"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("qty_c")
+        vals = g["qty_c"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def disc(q: float) -> float:
+            idx = int(np.floor((n - 1) * q))
+            return float(vals[np.searchsorted(cum, idx + 1)] / 100.0)
+
+        rows.append((flag, n, disc(0.25), disc(0.5), disc(0.9)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "q25", "q50",
+                                      "q90"])
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUANTILES_BY_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.5)  AS q50,
+       quantile_disc(l_quantity, 0.9)  AS q90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -471,3 +471,41 @@ def test_embed_to_embeddings_table_feeds_ann(tmp_path, ray_session):
     # checksums line up with the gate adapter's per-doc sums
     emb = multimodal.embed_documents(SF)
     assert (emb["dim"] == 32).all() and len(emb) == 500
+
+
+def test_vocab_top_tokens_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    _assert_match(corpus.vocab_top_tokens(SF), corpus.VOCAB_TOP_TOKENS_SQL,
+                  con)
+
+
+def test_sample_documents_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.sample_documents(SF)
+    _assert_match(mine, corpus.SAMPLE_DOCUMENTS_SQL, con)
+    # deterministic: independent of partitioning/run
+    assert mine.equals(corpus.sample_documents(SF))
+
+
+def test_pack_sequences_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.pack_sequences(SF)
+    _assert_match(mine, corpus.PACK_SEQUENCES_SQL, con)
+    # scan invariants: seq ids non-decreasing in doc order; no sequence
+    # starts except when the running budget rolls over
+    s = mine["seq_id"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+    assert s[0] == 0
+
+
+def test_group_topk_orders_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.group_topk_orders(SF)
+    _assert_match(mine, relational.GROUP_TOPK_ORDERS_SQL, con)
+    assert (mine.groupby("o_custkey")["rnk"].max() <= 3).all()
+
+
+def test_quantiles_by_returnflag_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.quantiles_by_returnflag(SF),
+                  relational.QUANTILES_BY_RETURNFLAG_SQL, con)
