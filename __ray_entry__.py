@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "media_bytes": multimodal.media_bytes,
         "media_features": multimodal.media_features,
+        "media_frame_sample": multimodal.frame_sample,
         # spatial engine (oracle = in-repo NumPy reimplementation,
         # bit-exact in tests; rows-only here)
         "spatial_zonal_kg": _spatial_zonal("kg"),
@@ -509,4 +510,5 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["EMBEDDING_NEARDUP_SQL"]).EMBEDDING_NEARDUP_SQL,
         "media_bytes": multimodal.MEDIA_BYTES_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
+        "media_frame_sample": multimodal.FRAME_SAMPLE_SQL,
     }

@@ -263,3 +263,87 @@ def embed_documents_to_embeddings(sf_dir: str, out_dir: str) -> dict:
         to_embeddings, batch_format="pyarrow")
     return write_doc_output(
         emb, os.path.join(out_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — flat-map expansion over "video" payloads
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64    # stub frame size (a real pipeline reads container
+                    # metadata; the expansion/row-fanout plumbing is
+                    # identical)
+FRAME_STRIDE = 4    # keep every 4th frame
+
+
+class StubFrameSampler:
+    """Actor-pool frame-sampling stage: treat each binary payload as a
+    fixed-frame-size 'video', emit one ROW per sampled frame (the
+    flat-map row-fanout every video pipeline needs — one input row
+    becomes n_frames/stride output rows). A real impl opens an ffmpeg
+    context per actor in __init__ and decodes keyframes in __call__;
+    the stub slices byte windows, so the fanout, schema and batch
+    accounting are real while the codec is a deterministic fake."""
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES,
+                 stride: int = FRAME_STRIDE):
+        # real impl: self.ctx = ffmpeg/PyAV open (once per actor)
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb = self.frame_bytes
+        ids, idxs, sizes, sums = [], [], [], []
+        for d, p in zip(batch["doc_id"].to_pylist(),
+                        batch["media"].to_pylist()):
+            n_frames = (len(p) + fb - 1) // fb
+            for fi in range(0, n_frames, self.stride):
+                frame = p[fi * fb:(fi + 1) * fb]
+                ids.append(d)
+                idxs.append(fi)
+                sizes.append(len(frame))
+                sums.append(int(np.frombuffer(frame, np.uint8)
+                                .astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, batch["doc_id"].type),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_bytes": pa.array(sizes, pa.int64()),
+            "frame_checksum": pa.array(sums, pa.int64()),
+        })
+
+
+def frame_sample(sf_dir: str) -> pd.DataFrame:
+    """media table → sampled frame rows (every FRAME_STRIDE-th
+    FRAME_BYTES window). Small batch size per the payload-budget rule
+    — the output is BIGGER than the input (row fanout), so the batch
+    budget must cover payload x fanout."""
+    media = make_media_table(sf_dir)
+    batch_size = max(32, min(2048, MEDIA_BATCH_BYTES // (512 * 4)))
+    frames = media.map_batches(
+        StubFrameSampler, fn_constructor_kwargs={},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4))
+    out = frames.to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+def _frame_sample_sql() -> str:
+    fb, stride = FRAME_BYTES, FRAME_STRIDE
+    return f"""
+WITH bt AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text)::BIGINT AS n,
+         (strlen(text)::BIGINT + {fb - 1}) // {fb} AS n_frames
+  FROM documents),
+f AS (
+  SELECT doc_id, hx, n, unnest(range(0, n_frames)) AS frame_idx FROM bt)
+SELECT doc_id, frame_idx,
+       LEAST({fb}, n - frame_idx * {fb})::BIGINT AS frame_bytes,
+       list_sum(list_transform(
+           range(0, LEAST({fb}, n - frame_idx * {fb})::INT),
+           i -> ('0x' || substr(hx, 2 * (frame_idx * {fb} + i) + 1,
+                                2))::INT))::BIGINT AS frame_checksum
+FROM f WHERE frame_idx % {stride} = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+FRAME_SAMPLE_SQL = _frame_sample_sql()

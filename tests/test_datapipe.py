@@ -509,3 +509,12 @@ def test_quantiles_by_returnflag_matches_sql(con, ray_session):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.quantiles_by_returnflag(SF),
                   relational.QUANTILES_BY_RETURNFLAG_SQL, con)
+
+
+def test_frame_sample_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import multimodal
+    mine = multimodal.frame_sample(SF)
+    _assert_match(mine, multimodal.FRAME_SAMPLE_SQL, con)
+    # fanout sanity: every doc contributes >=1 frame row, idx stride 4
+    assert (mine["frame_idx"] % 4 == 0).all()
+    assert mine["doc_id"].nunique() == 500
