@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": corpus.vocab_top_tokens,
         "sample_documents": corpus.sample_documents,
         "pack_sequences": corpus.pack_sequences,
+        "tfidf_top_token": corpus.tfidf_top_token,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_tokens": corpus.VOCAB_TOP_TOKENS_SQL,
         "sample_documents": corpus.SAMPLE_DOCUMENTS_SQL,
         "pack_sequences": corpus.PACK_SEQUENCES_SQL,
+        "tfidf_top_token": corpus.TFIDF_TOP_TOKEN_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

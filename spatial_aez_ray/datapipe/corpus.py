@@ -188,3 +188,111 @@ FROM c ORDER BY doc_id
 
 
 PACK_SEQUENCES_SQL = _pack_sql()
+
+
+# ---------------------------------------------------------------------------
+# tf-idf — two-pass global-statistics broadcast
+# ---------------------------------------------------------------------------
+
+_IDF_SCALE = 1024   # quantized integer idf: (N * SCALE) // df
+_MIN_DF = 2
+
+
+def tfidf_top_token(sf_dir: str, min_df: int = _MIN_DF) -> pd.DataFrame:
+    """Highest-tf-idf token per document (ties -> smaller token).
+
+    The canonical two-pass global-stats pattern: pass 1 computes
+    document frequencies with a per-batch distinct-per-doc combiner
+    (the df shuffle is vocab-sized); the df table is pulled to the
+    driver (bounded: real pipelines cap the vocabulary — here min_df
+    prunes it) and broadcast via ``ray.put`` as sorted arrays; pass 2
+    scores each doc per batch with vectorized searchsorted lookups —
+    no second shuffle.
+
+    idf is QUANTIZED to integers — (N * 1024) // df — so scores are
+    exact int64 arithmetic and the DuckDB oracle matches bit-for-bit
+    (a float ln() would be 1-ulp-fragile across libm implementations,
+    the repo's float-determinism rule)."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(set(t.split(" ")))   # distinct per doc
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        s = pd.Series(toks, dtype=object).value_counts()
+        return pa.table({"token": pa.array(s.index.to_list(), pa.string()),
+                         "df": pa.array(s.to_numpy(dtype=np.int64))})
+
+    from ray.data.aggregate import Sum
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("token")
+                .aggregate(Sum("df", alias_name="df"))
+                .to_pandas())
+    df_tab = df_tab[df_tab["df"] >= min_df].sort_values("token")
+    vocab = df_tab["token"].to_numpy(dtype=object)
+    dfs = df_tab["df"].to_numpy(dtype=np.int64)
+    idf_q = (np.int64(n_docs) * _IDF_SCALE) // dfs
+    broadcast = ray.put((vocab, dfs, idf_q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, dfv, idf = ray.get(broadcast)
+        ids, toks, tfs, dfo, scores = [], [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            words = pd.Series(t.split(" "), dtype=object).value_counts()
+            w = words.index.to_numpy(dtype=object)
+            pos = np.searchsorted(voc, w)
+            ok = (pos < len(voc)) & (voc[np.minimum(pos, len(voc) - 1)] == w)
+            if not ok.any():
+                continue
+            tf = words.to_numpy(dtype=np.int64)[ok]
+            p = pos[ok]
+            sc = tf * idf[p]
+            wt = w[ok]
+            # argmax by (score DESC, token ASC)
+            order = np.lexsort((wt, -sc))[0]
+            ids.append(d)
+            toks.append(wt[order])
+            tfs.append(int(tf[order]))
+            dfo.append(int(dfv[p[order]]))
+            scores.append(int(sc[order]))
+        return pa.table({
+            "doc_id": pa.array(ids, batch["doc_id"].type),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.array(dfo, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _tfidf_sql(min_df: int = _MIN_DF) -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (
+  SELECT doc_id, t, COUNT(*)::BIGINT AS tf FROM dt GROUP BY doc_id, t),
+df AS (
+  SELECT t, COUNT(DISTINCT doc_id)::BIGINT AS df FROM dt
+  GROUP BY t HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+         tf.tf * ((n.n * {_IDF_SCALE}) // df.df) AS score
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, t) AS r
+  FROM scored)
+SELECT doc_id, t AS token, tf, df, score FROM ranked WHERE r = 1
+ORDER BY doc_id
+"""
+
+
+TFIDF_TOP_TOKEN_SQL = _tfidf_sql()

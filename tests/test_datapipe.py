@@ -518,3 +518,11 @@ def test_frame_sample_matches_sql(con, ray_session):
     # fanout sanity: every doc contributes >=1 frame row, idx stride 4
     assert (mine["frame_idx"] % 4 == 0).all()
     assert mine["doc_id"].nunique() == 500
+
+
+def test_tfidf_top_token_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.tfidf_top_token(SF)
+    _assert_match(mine, corpus.TFIDF_TOP_TOKEN_SQL, con)
+    # quantized-integer scores: exact arithmetic, no float anywhere
+    assert mine["score"].dtype == np.int64
