@@ -379,7 +379,8 @@ def _spatial_checkpoint_resume(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
-        corpus, dedup, multimodal, relational, simsearch, temporal, text,
+        corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
+        text,
     )
     q: dict[str, Callable[[str], Any]] = {
         # relational primitives (SQL-verified)
@@ -392,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_parts": relational.filter_parts,
         "events_sessionize": temporal.sessionize,
         "events_asof_orders": temporal.asof_join_events_orders,
+        "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
         "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
@@ -405,6 +407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": corpus.sample_documents,
         "pack_sequences": corpus.pack_sequences,
         "tfidf_top_token": corpus.tfidf_top_token,
+        "chunk_documents": corpus.chunk_documents,
+        "stratified_sample": corpus.stratified_sample,
+        "kmv_distinct_parts": sketch.kmv_distinct_parts,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -464,11 +469,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from spatial_aez_ray.datapipe import (
-        corpus, dedup, multimodal, relational, temporal, text,
+        corpus, dedup, multimodal, relational, sketch, temporal, text,
     )
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
+        "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
@@ -488,6 +494,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": corpus.SAMPLE_DOCUMENTS_SQL,
         "pack_sequences": corpus.PACK_SEQUENCES_SQL,
         "tfidf_top_token": corpus.TFIDF_TOP_TOKEN_SQL,
+        "chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
+        "stratified_sample": corpus.STRATIFIED_SAMPLE_SQL,
+        "kmv_distinct_parts": sketch.KMV_DISTINCT_PARTS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

@@ -127,6 +127,141 @@ SAMPLE_DOCUMENTS_SQL = _sample_sql()
 
 
 # ---------------------------------------------------------------------------
+# document chunking — overlapping token windows (the flat-map expansion
+# every context-window training pipeline runs)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE) -> pd.DataFrame:
+    """Split each document into overlapping token windows: chunk k
+    covers tokens [k*stride, k*stride + chunk) (the final window may be
+    shorter). Returns (doc_id, chunk_idx, n_tokens, chunk_md5).
+
+    Pure per-batch flat-map (one input row -> ceil(n/stride) output
+    rows), no shuffle — the expansion happens inside map_batches so the
+    streaming executor sizes blocks on the OUTPUT side too. The md5 is
+    the chunk's content address for downstream chunk-level dedup."""
+    import hashlib
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, idxs, ns, digests = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = t.split(" ")
+            for k, s in enumerate(range(0, len(toks), stride)):
+                sub = toks[s:s + chunk]
+                ids.append(d)
+                idxs.append(k)
+                ns.append(len(sub))
+                digests.append(hashlib.md5(
+                    " ".join(sub).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "chunk_md5": pa.array(digests, pa.string()),
+        })
+
+    out = ds.map_batches(expand, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _chunk_sql(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {stride})) AS start
+  FROM t)
+SELECT doc_id,
+       (start // {stride})::BIGINT AS chunk_idx,
+       len(list_slice(toks, start + 1, start + {chunk}))::BIGINT AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + {chunk}),
+           ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+CHUNK_DOCUMENTS_SQL = _chunk_sql()
+
+
+# ---------------------------------------------------------------------------
+# stratified per-group sampling — fixed-size deterministic sample per
+# stratum via hash ranking (a distributed "reservoir" that is
+# reproducible across any partitioning)
+# ---------------------------------------------------------------------------
+
+STRATA_SAMPLE_N = 20
+
+
+def stratified_sample(sf_dir: str, n: int = STRATA_SAMPLE_N) -> pd.DataFrame:
+    """The ``n`` documents per language with the smallest stable
+    64-bit id hash (ties -> smaller doc_id): a fixed-size uniform
+    sample per stratum that any worker layout reproduces exactly —
+    hash ranking replaces the seeded reservoir, which is NOT stable
+    across repartitioning.
+
+    Per-batch combiner keeps at most n rows per stratum present in the
+    batch (global per-stratum min-n ⊆ union of per-batch min-n), so
+    the shuffle carries O(strata x n) rows, never the corpus."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter((_h64u(str(d)) for d in ids),
+                        dtype=np.uint64, count=len(ids))
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pylist(),
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).head(n),
+            preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        g = g.groupby("lang", as_index=False).head(n)
+        g["rnk"] = g.groupby("lang").cumcount() + 1
+        return g[["lang", "doc_id", "rnk"]]
+
+    # stratum cardinality is tiny (languages), so grouping directly on
+    # the stratum key is NOT the tiny-groups anti-pattern here
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .map_groups(finish, batch_format="pandas")
+             .to_pandas())
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out.sort_values(["lang", "rnk"]).reset_index(drop=True)
+
+
+def _stratified_sql(n: int = STRATA_SAMPLE_N) -> str:
+    # little-endian u64 of the first 8 md5 bytes == dedup._h64u
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id, ('0x' || {le})::UBIGINT AS h FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+  FROM h)
+SELECT lang, doc_id, rnk::BIGINT AS rnk FROM r
+WHERE rnk <= {n} ORDER BY lang, rnk
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+
+# ---------------------------------------------------------------------------
 # sequence packing — distributed exclusive prefix sum (scan)
 # ---------------------------------------------------------------------------
 

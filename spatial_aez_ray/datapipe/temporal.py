@@ -201,6 +201,123 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# range join: each event joined to the user's orders inside a trailing
+# time window (equi key + range predicate — the windowed-join shape
+# Ray Data lacks natively)
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_DAYS = 7
+
+
+def _range_merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse partition of the unioned (events ∪ orders) stream:
+    per user, prefix sums over the time-sorted order side turn the
+    range aggregate into two searchsorted lookups per event — O(n log
+    n) per user, never the O(n·m) pairwise expansion."""
+    win_us = RANGE_JOIN_WINDOW_DAYS * 86_400 * 1_000_000
+    out = []
+    for uid, gu in g.groupby("user_id", sort=False):
+        ev = gu[gu["side"] == 0]
+        if not len(ev):
+            continue
+        od = gu[gu["side"] == 1]
+        ets = ev["ts_us"].to_numpy()
+        cnt = np.zeros(len(ev), dtype=np.int64)
+        cents = np.zeros(len(ev), dtype=np.int64)
+        if len(od):
+            od = od.sort_values("ts_us", kind="stable")
+            ots = od["ts_us"].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(od["cents"].to_numpy())])
+            # BETWEEN ts - window AND ts, both ends inclusive:
+            # side="left" at the low bound keeps ots == ts - window,
+            # side="right" at ts keeps ots == ts.
+            lo = np.searchsorted(ots, ets - win_us, side="left")
+            hi = np.searchsorted(ots, ets, side="right")
+            cnt = (hi - lo).astype(np.int64)
+            cents = cum[hi] - cum[lo]
+        out.append(pd.DataFrame({
+            "event_id": ev["event_id"].to_numpy(),
+            "user_id": ev["user_id"].to_numpy(),
+            "win_orders": cnt,
+            "win_cents": cents}))
+    if not out:
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "user_id": pd.Series([], dtype=np.int64),
+                             "win_orders": pd.Series([], dtype=np.int64),
+                             "win_cents": pd.Series([], dtype=np.int64)})
+    return pd.concat(out, ignore_index=True)
+
+
+def range_join_events_orders(sf_dir: str) -> pd.DataFrame:
+    """For every event: count + total price (integer cents, the repo's
+    money contract) of the user's orders with o_orderdate in
+    [ts - 7 days, ts], both ends inclusive.
+
+    Same co-partitioned layout as the as-of join: BOTH sides shuffle
+    once on a coarse fold of the user key, the range aggregation runs
+    vectorized per partition (prefix sums + two binary searches per
+    event). The range predicate never expands into pairwise rows, so
+    a hot user with many orders costs O((n+m) log m), not O(n·m)."""
+    from .relational import _cents
+    from .util import shuffle_width
+    ev_src = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od_src = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    n_parts = max(shuffle_width(ev_src, floor=N_ASOF_PARTS),
+                  shuffle_width(od_src, floor=N_ASOF_PARTS))
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            "ts_us": pa.array(ts),
+            "event_id": pa.array(np.asarray(
+                b["event_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)),
+            "cents": pa.array(np.zeros(len(uid), dtype=np.int64)),
+        })
+
+    def od_prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False))
+        ts = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "side": pa.array(np.ones(len(uid), dtype=np.int8)),
+            "ts_us": pa.array(ts),
+            "event_id": pa.array(np.full(len(uid), -1, dtype=np.int64)),
+            "cents": pa.array(_cents(b["o_totalprice"])),
+        })
+
+    ev = ev_src.map_batches(ev_prep, batch_format="pyarrow")
+    od = od_src.map_batches(od_prep, batch_format="pyarrow")
+    out = (ev.union(od)
+             .groupby("part")
+             .map_groups(_range_merge_part, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = f"""
+SELECT e.event_id, e.user_id,
+       COUNT(o.o_orderkey)::BIGINT AS win_orders,
+       COALESCE(SUM(ROUND(o.o_totalprice * 100)::BIGINT), 0)::BIGINT
+         AS win_cents
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL {RANGE_JOIN_WINDOW_DAYS} DAY
+                       AND e.ts
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
 ASOF_JOIN_SQL = """
 WITH matched AS (
   SELECT e.event_id, o.o_orderkey,

@@ -526,3 +526,53 @@ def test_tfidf_top_token_matches_sql(con, ray_session):
     _assert_match(mine, corpus.TFIDF_TOP_TOKEN_SQL, con)
     # quantized-integer scores: exact arithmetic, no float anywhere
     assert mine["score"].dtype == np.int64
+
+
+def test_range_join_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.range_join_events_orders(SF)
+    _assert_match(mine, temporal.RANGE_JOIN_SQL, con)
+    # window counts are bounded by the user's total orders
+    assert (mine["win_orders"] >= 0).all()
+    assert (mine.loc[mine["win_orders"] == 0, "win_cents"] == 0).all()
+
+
+def test_chunk_documents_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.chunk_documents(SF)
+    _assert_match(mine, corpus.CHUNK_DOCUMENTS_SQL, con)
+    # flat-map shape: every doc yields >=1 chunk; a non-last chunk has
+    # a successor starting stride tokens in, so it holds > stride
+    # tokens (only the doc tail can truncate below that)
+    assert mine["doc_id"].nunique() == 500
+    assert (mine["n_tokens"] <= corpus.CHUNK_TOKENS).all()
+    last = mine.groupby("doc_id")["chunk_idx"].transform("max")
+    nonlast = mine["chunk_idx"] < last
+    assert (mine.loc[nonlast, "n_tokens"] > corpus.CHUNK_STRIDE).all()
+
+
+def test_stratified_sample_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.stratified_sample(SF)
+    _assert_match(mine, corpus.STRATIFIED_SAMPLE_SQL, con)
+    # fixed-size per stratum (every lang has >= n docs at sf0.001)
+    assert (mine.groupby("lang")["rnk"].count()
+            == corpus.STRATA_SAMPLE_N).all()
+    # reproducible across runs / partitioning
+    assert mine.equals(corpus.stratified_sample(SF))
+
+
+def test_kmv_distinct_matches_sql_and_estimates(con, ray_session):
+    from spatial_aez_ray.datapipe import sketch
+    mine = sketch.kmv_distinct_parts(SF)
+    _assert_match(mine, sketch.KMV_DISTINCT_PARTS_SQL, con)
+    # the estimate should land within ~3 standard errors (1/sqrt(k-2))
+    # of the true distinct count for every filled sketch
+    truth = con.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd "
+        "FROM lineitem GROUP BY 1 ORDER BY 1").fetchdf()
+    merged = mine.merge(truth, on="l_returnflag")
+    filled = merged[merged["n_hashes"] == sketch.KMV_K]
+    rel_err = 3.0 / np.sqrt(sketch.KMV_K - 2)
+    assert (abs(filled["est_distinct"] - filled["nd"])
+            <= rel_err * filled["nd"]).all()
