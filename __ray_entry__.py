@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": corpus.chunk_documents,
         "stratified_sample": corpus.stratified_sample,
         "kmv_distinct_parts": sketch.kmv_distinct_parts,
+        "mixture_sample": corpus.mixture_sample,
+        "boilerplate_ngrams": text.boilerplate_ngrams,
+        "range_partition_orders": relational.range_partition_orders,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -497,6 +500,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
         "stratified_sample": corpus.STRATIFIED_SAMPLE_SQL,
         "kmv_distinct_parts": sketch.KMV_DISTINCT_PARTS_SQL,
+        "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
+        "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
+        "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

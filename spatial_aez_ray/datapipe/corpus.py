@@ -431,3 +431,79 @@ ORDER BY doc_id
 
 
 TFIDF_TOP_TOKEN_SQL = _tfidf_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted mixture sampling — interleave sources into one training mix
+# with per-source weights, deterministically
+# ---------------------------------------------------------------------------
+
+MIXTURE_N = 100
+#: even-numbered sources are upweighted 4x in the mix — stands in for
+#: the per-corpus mixture weights of a real training run
+MIXTURE_HEAVY_WEIGHT = 4
+
+
+def _source_weight(src: str) -> int:
+    return MIXTURE_HEAVY_WEIGHT if int(src[3:]) % 2 == 0 else 1
+
+
+def mixture_sample(sf_dir: str, n: int = MIXTURE_N) -> pd.DataFrame:
+    """Deterministic weighted cross-source sample: each doc gets
+    priority = hash64(doc_id) // weight(source) and the ``n`` smallest
+    priorities (ties -> smaller doc_id) form the mix — sources with
+    weight w are ~w× as likely to land a slot, and the SAME mix comes
+    out under any partitioning or cluster size (the reproducibility
+    property a seeded weighted reservoir lacks). Returns (rnk, doc_id,
+    source).
+
+    Per-batch combiner keeps the n smallest priorities per batch, so
+    the merge sees O(n x blocks) rows, never the corpus."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        pri = np.fromiter(
+            (_h64u(str(d)) // _source_weight(s)
+             for d, s in zip(ids, srcs)),
+            dtype=np.uint64, count=len(ids))
+        df = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                           "source": srcs, "pri": pri})
+        df = df.sort_values(["pri", "doc_id"], kind="mergesort").head(n)
+        df["part"] = np.int32(0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pri", "doc_id"], kind="mergesort").head(n)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rnk", "doc_id", "source"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(finish, batch_format="pandas")
+             .to_pandas())
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out.sort_values("rnk").reset_index(drop=True)
+
+
+def _mixture_sql(n: int = MIXTURE_N) -> str:
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || {le})::UBIGINT
+           // (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN {MIXTURE_HEAVY_WEIGHT} ELSE 1 END)::UBIGINT AS pri
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (ORDER BY pri, doc_id) AS rnk
+  FROM h)
+SELECT rnk::BIGINT AS rnk, doc_id, source FROM r
+WHERE rnk <= {n} ORDER BY rnk
+"""
+
+
+MIXTURE_SAMPLE_SQL = _mixture_sql()

@@ -568,8 +568,12 @@ def quantiles_by_returnflag(sf_dir: str) -> pd.DataFrame:
         n = int(cum[-1])
 
         def disc(q: float) -> float:
-            idx = int(np.floor((n - 1) * q))
-            return float(vals[np.searchsorted(cum, idx + 1)] / 100.0)
+            # DuckDB quantile_disc: sorted[ceil(q*n) - 1] (empirically
+            # verified; floor((n-1)*q) disagrees when frac(q*n) <= q —
+            # masked here by duplicate quantities, exact regardless)
+            import math
+            return float(vals[np.searchsorted(cum, math.ceil(q * n))]
+                         / 100.0)
 
         rows.append((flag, n, disc(0.25), disc(0.5), disc(0.9)))
     out = pd.DataFrame(rows, columns=["l_returnflag", "n", "q25", "q50",
@@ -585,3 +589,118 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.9)  AS q90
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# range partitioning — exact-quantile boundaries + partitioned write
+# (the layout step before any sort-consuming stage or resumable sink)
+# ---------------------------------------------------------------------------
+
+RANGE_N_BUCKETS = 8
+
+
+def _range_boundaries(sf_dir: str, n_buckets: int) -> np.ndarray:
+    """Exact bucket boundaries: discrete quantiles of o_totalprice
+    (integer cents) at i/n_buckets, from a distributed value-count
+    histogram (one shuffle of pre-reduced (cents, cnt) rows — exact and
+    deterministic; a 100 TB deployment with near-unique keys would swap
+    in a sampled histogram here, trading exactness it doesn't need)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cents": _cents(batch["o_totalprice"]),
+                           "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby("cents", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("cents"))
+    vals = hist["cents"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["cnt"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    # quantile_disc semantics: sorted[ceil(q*n) - 1] — determined
+    # empirically against DuckDB (NOT floor((n-1)*q): the two differ
+    # whenever frac(q*n) <= q, visible on near-unique keys)
+    import math
+    return np.array([
+        vals[np.searchsorted(cum, math.ceil((i / n_buckets) * n))]
+        for i in range(1, n_buckets)], dtype=np.int64)
+
+
+def range_partition_orders(sf_dir: str,
+                           n_buckets: int = RANGE_N_BUCKETS,
+                           out_dir: str | None = None) -> pd.DataFrame:
+    """Range-partition orders into ``n_buckets`` by o_totalprice:
+    bucket(x) = #boundaries below x, boundaries = exact i/n quantiles.
+    Returns the per-bucket summary (bucket, n_rows, min_cents,
+    max_cents); with ``out_dir`` also writes each bucket as its own
+    parquet subdirectory (hive layout via ``partition_cols``) — the
+    resumable, skew-visible layout a later global sort / merge-join
+    consumes without re-shuffling.
+
+    Two passes over the input: boundaries from the histogram (above),
+    then a stateless per-batch assign — the boundary array rides into
+    each task as a broadcast closure constant, never re-shipped per
+    batch. Bucket counts differ from n/n_buckets only by boundary ties
+    (duplicate keys collapse into the lower bucket, exactly like the
+    oracle's (x > b_i) sum)."""
+    bounds = _range_boundaries(sf_dir, n_buckets)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        bucket = np.searchsorted(bounds, cents, side="left")
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "cents": pa.array(cents)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if out_dir is not None:
+        assigned.write_parquet(out_dir, partition_cols=["bucket"])
+        assigned = ray.data.read_parquet(out_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": np.asarray(
+                batch["bucket"].to_numpy(zero_copy_only=False),
+                dtype=np.int64),
+            "cents": np.asarray(
+                batch["cents"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)})
+        g = df.groupby("bucket").agg(
+            n_rows=("cents", "size"), min_cents=("cents", "min"),
+            max_cents=("cents", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (assigned.map_batches(summarize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Min("min_cents", alias_name="min_cents"),
+                      Max("max_cents", alias_name="max_cents"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _range_partition_sql(n_buckets: int = RANGE_N_BUCKETS) -> str:
+    qs = ", ".join(
+        f"quantile_disc(cents, {i}.0/{n_buckets}) AS b{i}"
+        for i in range(1, n_buckets))
+    cmp = " + ".join(f"(c.cents > q.b{i})::INT"
+                     for i in range(1, n_buckets))
+    return f"""
+WITH c AS (
+  SELECT ROUND(o_totalprice * 100)::BIGINT AS cents FROM orders),
+q AS (SELECT {qs} FROM c)
+SELECT ({cmp})::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(c.cents) AS min_cents,
+       MAX(c.cents) AS max_cents
+FROM c, q GROUP BY bucket ORDER BY bucket
+"""
+
+
+RANGE_PARTITION_ORDERS_SQL = _range_partition_sql()

@@ -417,3 +417,112 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
 
 LANG_ID_SQL = _lang_id_sql()
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection — the CCNet/C4-style cleaning step:
+# find token n-grams shared by many documents (nav bars, license
+# headers, templated chrome) and measure each document's boilerplate
+# fraction
+# ---------------------------------------------------------------------------
+
+BOILER_N = 4          # token n-gram width
+BOILER_MIN_DF = 3     # "boilerplate" = appears in >= this many docs
+
+
+def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
+                       min_df: int = BOILER_MIN_DF) -> pd.DataFrame:
+    """Per-document boilerplate measurement: of the doc's token
+    ``n``-gram windows, how many are "boilerplate" (the gram occurs in
+    >= ``min_df`` distinct documents corpus-wide)? Returns (doc_id,
+    n_windows, n_boiler) for every doc with >= n tokens.
+
+    Two-pass global-stats broadcast (the tf-idf pattern): pass 1
+    computes gram document-frequencies with a distinct-per-doc
+    per-batch combiner (the shuffle is gram-vocabulary-sized, one row
+    per distinct gram per block); only grams ABOVE the threshold come
+    back to the driver — the boilerplate set is small by construction
+    (a gram in >= min_df of N docs caps the set at n_windows·N/min_df)
+    — and broadcast once via ``ray.put`` as a sorted array; pass 2
+    scores each doc per batch with vectorized searchsorted membership.
+    No per-doc state ever crosses the driver boundary."""
+    import ray
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def _grams(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch["text"].to_pylist():
+            grams.extend(set(_grams(t)))   # distinct per doc
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        s = pd.Series(grams, dtype=object).value_counts()
+        return pa.table({"gram": pa.array(s.index.to_list(), pa.string()),
+                         "df": pa.array(s.to_numpy(dtype=np.int64))})
+
+    from ray.data.aggregate import Sum
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("gram")
+                .aggregate(Sum("df", alias_name="df")))
+    hot = df_tab.filter(expr=f"df >= {min_df}").to_pandas()
+    # an empty filtered Dataset drops its schema -> guard the column
+    boiler = (hot["gram"].to_numpy(dtype=object) if "gram" in hot
+              else np.array([], dtype=object))
+    boiler.sort()
+    broadcast = ray.put(boiler)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bset = ray.get(broadcast)
+        ids, wins, boil = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            g = _grams(t)
+            if not g:
+                continue
+            ids.append(d)
+            wins.append(len(g))
+            if len(bset):
+                arr = np.asarray(g, dtype=object)
+                pos = np.searchsorted(bset, arr)
+                ok = ((pos < len(bset))
+                      & (bset[np.minimum(pos, len(bset) - 1)] == arr))
+                boil.append(int(ok.sum()))
+            else:
+                boil.append(0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_windows": pa.array(wins, pa.int64()),
+            "n_boiler": pa.array(boil, pa.int64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _boiler_sql(n: int = BOILER_N, min_df: int = BOILER_MIN_DF) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, s, s + {n} - 1), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {n} + 1)) AS s
+        FROM t)),
+b AS (
+  SELECT gram FROM w GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= {min_df})
+SELECT w.doc_id,
+       COUNT(*)::BIGINT AS n_windows,
+       COUNT(*) FILTER (WHERE w.gram IN (SELECT gram FROM b))::BIGINT
+         AS n_boiler
+FROM w GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
+BOILERPLATE_NGRAMS_SQL = _boiler_sql()

@@ -576,3 +576,43 @@ def test_kmv_distinct_matches_sql_and_estimates(con, ray_session):
     rel_err = 3.0 / np.sqrt(sketch.KMV_K - 2)
     assert (abs(filled["est_distinct"] - filled["nd"])
             <= rel_err * filled["nd"]).all()
+
+
+def test_mixture_sample_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.mixture_sample(SF)
+    _assert_match(mine, corpus.MIXTURE_SAMPLE_SQL, con)
+    # upweighted (even-numbered) sources should dominate the mix ~4:1
+    even = mine["source"].str[3:].astype(int) % 2 == 0
+    assert even.sum() > (~even).sum()
+    # deterministic under re-run
+    assert mine.equals(corpus.mixture_sample(SF))
+
+
+def test_boilerplate_ngrams_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text
+    mine = text.boilerplate_ngrams(SF)
+    _assert_match(mine, text.BOILERPLATE_NGRAMS_SQL, con)
+    assert (mine["n_boiler"] <= mine["n_windows"]).all()
+    # the corpus has exact-duplicate docs (dedup fixtures), so some
+    # boilerplate must exist
+    assert mine["n_boiler"].sum() > 0
+
+
+def test_range_partition_matches_sql_and_writes(con, ray_session, tmp_path):
+    import os
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.range_partition_orders(SF)
+    _assert_match(mine, relational.RANGE_PARTITION_ORDERS_SQL, con)
+    # buckets cover all orders, ranges are disjoint and ordered
+    assert mine["n_rows"].sum() == con.execute(
+        "SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert (mine["min_cents"] <= mine["max_cents"]).all()
+    assert (mine["max_cents"].to_numpy()[:-1]
+            <= mine["min_cents"].to_numpy()[1:]).all()
+    # partitioned write: one hive subdir per bucket, summary unchanged
+    out = str(tmp_path / "range_parts")
+    written = relational.range_partition_orders(SF, out_dir=out)
+    assert written.equals(mine)
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert len(subdirs) == len(mine)
