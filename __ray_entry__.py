@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
         "range_partition_orders": relational.range_partition_orders,
+        "bloom_semi_join": relational.bloom_semi_join,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -503,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
+        "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

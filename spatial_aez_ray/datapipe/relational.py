@@ -704,3 +704,117 @@ FROM c, q GROUP BY bucket ORDER BY bucket
 
 
 RANGE_PARTITION_ORDERS_SQL = _range_partition_sql()
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join — the big⋈medium join pattern: a tiny bloom
+# filter (not the key set) broadcasts to prune the fact side, the
+# survivors go through the exact shuffle join
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 17     # 16 KiB — fixed size regardless of build rows
+_BLOOM_HASHES = 3
+_BLOOM_PART_MAX_SIZE = 15   # build-side predicate: p_size < 15
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, _BLOOM_HASHES) bit positions per key, from disjoint slices
+    of the stable 64-bit md5 hash (deterministic across processes)."""
+    from .dedup import _h64u
+    h = np.fromiter((_h64u(str(int(k))) for k in keys),
+                    dtype=np.uint64, count=len(keys))
+    mask = np.uint64(_BLOOM_BITS - 1)
+    return np.stack([(h >> np.uint64(17 * i)) & mask
+                     for i in range(_BLOOM_HASHES)], axis=1)
+
+
+def _bloom_test(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        p = pos[:, i]
+        ok &= (words[p >> np.uint64(6)]
+               >> (p & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Revenue by returnflag over lineitem rows whose part passes
+    ``p_size < 15`` — computed as bloom-prefilter + exact verify join.
+
+    The scale pattern this demonstrates: when the build side is too
+    large to broadcast as an exact key set, broadcast a FIXED-SIZE
+    bloom filter instead (16 KiB here, independent of build rows —
+    vs O(keys) for the np.isin membership array). The probe side
+    drops most non-matching rows batch-locally (no false negatives,
+    so nothing is lost); only the surviving fraction pays the exact
+    hash shuffle join that removes bloom false positives. Build:
+    per-batch partial bit arrays OR-ed on the driver (#blocks x 16 KiB
+    — block-count-sized, not key-count-sized)."""
+    import ray
+    from .util import shuffle_width
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        sizes = np.asarray(batch["p_size"].to_numpy(zero_copy_only=False))
+        keys = np.asarray(batch["p_partkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)[sizes < _BLOOM_PART_MAX_SIZE]
+        words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        if len(keys):
+            pos = _bloom_positions(keys).ravel()
+            np.bitwise_or.at(words, pos >> np.uint64(6),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    parts = part.map_batches(build, batch_format="pyarrow").take_all()
+    words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    for row in parts:
+        words |= np.frombuffer(row["words"], dtype=np.uint64)
+    bloom_ref = ray.put(words)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_returnflag", "l_extendedprice"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        keys = np.asarray(batch["l_partkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return batch.filter(pa.array(_bloom_test(w, uniq)[inv]))
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    build_keys = (part.filter(expr=f"p_size < {_BLOOM_PART_MAX_SIZE}")
+                  .select_columns(["p_partkey"]))
+    exact = survivors.join(build_keys, join_type="inner",
+                           num_partitions=shuffle_width(li),
+                           on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "rev_c": _cents(batch["l_extendedprice"]),
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (exact.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("rev_c", alias_name="revenue_cents"),
+                      Sum("n", alias_name="n_rows"))
+           .to_pandas())
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return (out[["l_returnflag", "n_rows", "revenue_cents"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(ROUND(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_size < {_BLOOM_PART_MAX_SIZE})
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
