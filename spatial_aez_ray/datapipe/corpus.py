@@ -135,16 +135,18 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
 
 
-def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
-                    stride: int = CHUNK_STRIDE) -> pd.DataFrame:
+def chunk_documents_ds(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                       stride: int = CHUNK_STRIDE) -> ray.data.Dataset:
     """Split each document into overlapping token windows: chunk k
     covers tokens [k*stride, k*stride + chunk) (the final window may be
-    shorter). Returns (doc_id, chunk_idx, n_tokens, chunk_md5).
+    shorter). Rows: (doc_id, chunk_idx, n_tokens, chunk_md5).
 
     Pure per-batch flat-map (one input row -> ceil(n/stride) output
     rows), no shuffle — the expansion happens inside map_batches so the
     streaming executor sizes blocks on the OUTPUT side too. The md5 is
-    the chunk's content address for downstream chunk-level dedup."""
+    the chunk's content address for downstream chunk-level dedup. Lazy
+    (the 100 TB form — the chunk table is bigger than the corpus):
+    sink with ``util.write_doc_output`` or consume streaming."""
     import hashlib
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
@@ -168,7 +170,13 @@ def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
             "chunk_md5": pa.array(digests, pa.string()),
         })
 
-    out = ds.map_batches(expand, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``chunk_documents_ds``."""
+    out = chunk_documents_ds(sf_dir, chunk, stride).to_pandas()
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 

@@ -430,8 +430,8 @@ BOILER_N = 4          # token n-gram width
 BOILER_MIN_DF = 3     # "boilerplate" = appears in >= this many docs
 
 
-def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
-                       min_df: int = BOILER_MIN_DF) -> pd.DataFrame:
+def boilerplate_ngrams_ds(sf_dir: str, n: int = BOILER_N,
+                          min_df: int = BOILER_MIN_DF) -> ray.data.Dataset:
     """Per-document boilerplate measurement: of the doc's token
     ``n``-gram windows, how many are "boilerplate" (the gram occurs in
     >= ``min_df`` distinct documents corpus-wide)? Returns (doc_id,
@@ -445,7 +445,9 @@ def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
     (a gram in >= min_df of N docs caps the set at n_windows·N/min_df)
     — and broadcast once via ``ray.put`` as a sorted array; pass 2
     scores each doc per batch with vectorized searchsorted membership.
-    No per-doc state ever crosses the driver boundary."""
+    No per-doc state ever crosses the driver boundary: pass 1's
+    aggregate executes eagerly (it feeds the broadcast), pass 2 is the
+    returned lazy Dataset — sink with ``util.write_doc_output``."""
     import ray
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
@@ -500,7 +502,13 @@ def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
             "n_boiler": pa.array(boil, pa.int64()),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(sf_dir: str, n: int = BOILER_N,
+                       min_df: int = BOILER_MIN_DF) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``boilerplate_ngrams_ds``."""
+    out = boilerplate_ngrams_ds(sf_dir, n, min_df).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

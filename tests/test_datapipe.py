@@ -643,3 +643,25 @@ def test_bloom_filter_has_no_false_negatives(ray_session):
     probe = np.arange(50_000, 60_000, dtype=np.int64)
     fp = relational._bloom_test(words, probe).mean()
     assert fp < 0.01
+
+
+def test_new_doc_output_sinks_write_parts(tmp_path, ray_session):
+    """chunk_documents_ds / boilerplate_ngrams_ds stream to partitioned
+    parquet like the other *_ds sink forms."""
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import corpus, text
+    from spatial_aez_ray.datapipe.util import write_doc_output
+
+    for name, ds_fn, eager, sort_cols in [
+            ("chunks", corpus.chunk_documents_ds, corpus.chunk_documents,
+             ["doc_id", "chunk_idx"]),
+            ("boiler", text.boilerplate_ngrams_ds, text.boilerplate_ngrams,
+             ["doc_id"])]:
+        out = str(tmp_path / name)
+        rep = write_doc_output(ds_fn(SF), out)
+        assert rep["files"] >= 1, name
+        got = (pq.ParquetDataset(out).read().to_pandas()
+               .sort_values(sort_cols).reset_index(drop=True))
+        want = eager(SF)
+        got = got[want.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want, check_like=False)
