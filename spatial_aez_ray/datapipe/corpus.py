@@ -341,6 +341,20 @@ _IDF_SCALE = 1024   # quantized integer idf: (N * SCALE) // df
 _MIN_DF = 2
 
 
+def _flatten_tokens(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch token flattening: (tokens as one object array,
+    parallel doc-index array). The per-doc ``split`` is unavoidable;
+    everything downstream runs vectorized over the flat arrays."""
+    flat: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        lens[i] = len(toks)
+        flat.extend(toks)
+    return (np.asarray(flat, dtype=object),
+            np.repeat(np.arange(len(texts), dtype=np.int64), lens))
+
+
 def tfidf_top_token(sf_dir: str, min_df: int = _MIN_DF) -> pd.DataFrame:
     """Highest-tf-idf token per document (ties -> smaller token).
 
@@ -360,15 +374,17 @@ def tfidf_top_token(sf_dir: str, min_df: int = _MIN_DF) -> pd.DataFrame:
     n_docs = ds.count()
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch["text"].to_pylist():
-            toks.extend(set(t.split(" ")))   # distinct per doc
-        if not toks:
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        if not len(flat):
             return pa.table({"token": pa.array([], pa.string()),
                              "df": pa.array([], pa.int64())})
-        s = pd.Series(toks, dtype=object).value_counts()
-        return pa.table({"token": pa.array(s.index.to_list(), pa.string()),
-                         "df": pa.array(s.to_numpy(dtype=np.int64))})
+        # distinct-per-doc counts without a per-doc loop: factorize the
+        # whole batch, dedupe (doc, code) pairs, bincount the codes
+        codes, uniq = pd.factorize(flat)
+        uk = np.unique(doc_idx * np.int64(len(uniq)) + codes)
+        dfc = np.bincount(uk % len(uniq), minlength=len(uniq))
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "df": pa.array(dfc.astype(np.int64))})
 
     from ray.data.aggregate import Sum
     df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
@@ -383,32 +399,42 @@ def tfidf_top_token(sf_dir: str, min_df: int = _MIN_DF) -> pd.DataFrame:
 
     def score(batch: pa.Table) -> pa.Table:
         voc, dfv, idf = ray.get(broadcast)
-        ids, toks, tfs, dfo, scores = [], [], [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            words = pd.Series(t.split(" "), dtype=object).value_counts()
-            w = words.index.to_numpy(dtype=object)
-            pos = np.searchsorted(voc, w)
-            ok = (pos < len(voc)) & (voc[np.minimum(pos, len(voc) - 1)] == w)
-            if not ok.any():
-                continue
-            tf = words.to_numpy(dtype=np.int64)[ok]
-            p = pos[ok]
-            sc = tf * idf[p]
-            wt = w[ok]
-            # argmax by (score DESC, token ASC)
-            order = np.lexsort((wt, -sc))[0]
-            ids.append(d)
-            toks.append(wt[order])
-            tfs.append(int(tf[order]))
-            dfo.append(int(dfv[p[order]]))
-            scores.append(int(sc[order]))
+        ids_arr = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        empty = pa.table({
+            "doc_id": pa.array([], batch["doc_id"].type),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())})
+        if not len(flat) or not len(voc):
+            return empty
+        # one factorize + one vocab searchsorted for the WHOLE batch
+        # (the round-2-flagged per-doc loop, vectorized): tf per
+        # (doc, token) via unique counts on a combined key, then the
+        # per-doc argmax by (score DESC, token ASC) as a grouped
+        # lexsort + first-of-group mask
+        codes, uniq = pd.factorize(flat)
+        pos = np.searchsorted(voc, uniq)
+        oku = (pos < len(voc)) & (voc[np.minimum(pos, len(voc) - 1)] == uniq)
+        keep = oku[codes]
+        if not keep.any():
+            return empty
+        key = (doc_idx[keep] * np.int64(len(uniq)) + codes[keep])
+        uk, tf = np.unique(key, return_counts=True)
+        udoc = uk // len(uniq)
+        ucode = uk % len(uniq)
+        p = pos[ucode]
+        sc = tf.astype(np.int64) * idf[p]
+        order = np.lexsort((uniq[ucode], -sc, udoc))
+        ud = udoc[order]
+        sel = order[np.concatenate([[True], ud[1:] != ud[:-1]])]
         return pa.table({
-            "doc_id": pa.array(ids, batch["doc_id"].type),
-            "token": pa.array(toks, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-            "df": pa.array(dfo, pa.int64()),
-            "score": pa.array(scores, pa.int64()),
+            "doc_id": pa.array(ids_arr[udoc[sel]], batch["doc_id"].type),
+            "token": pa.array(uniq[ucode[sel]], pa.string()),
+            "tf": pa.array(tf[sel].astype(np.int64)),
+            "df": pa.array(dfv[p[sel]].astype(np.int64)),
+            "score": pa.array(sc[sel]),
         })
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()

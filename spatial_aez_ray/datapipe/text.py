@@ -452,20 +452,34 @@ def boilerplate_ngrams_ds(sf_dir: str, n: int = BOILER_N,
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
 
-    def _grams(text: str) -> list[str]:
-        toks = text.split(" ")
-        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    def _flat_grams(texts: list[str]):
+        """Whole-batch gram building, no per-doc loop: flatten every
+        token with its doc index, form grams by elementwise object-
+        array concatenation over shifted views, and mask out windows
+        that straddle a document boundary."""
+        from .corpus import _flatten_tokens
+        flat, doc_idx = _flatten_tokens(texts)
+        if len(flat) < n:
+            return (np.array([], dtype=object),
+                    np.array([], dtype=np.int64))
+        g = flat[:len(flat) - n + 1].copy()
+        for j in range(1, n):
+            g = g + " "
+            g = g + flat[j:len(flat) - n + 1 + j]
+        same_doc = doc_idx[:len(flat) - n + 1] == doc_idx[n - 1:]
+        return g[same_doc], doc_idx[:len(flat) - n + 1][same_doc]
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        for t in batch["text"].to_pylist():
-            grams.extend(set(_grams(t)))   # distinct per doc
-        if not grams:
+        grams, gdoc = _flat_grams(batch["text"].to_pylist())
+        if not len(grams):
             return pa.table({"gram": pa.array([], pa.string()),
                              "df": pa.array([], pa.int64())})
-        s = pd.Series(grams, dtype=object).value_counts()
-        return pa.table({"gram": pa.array(s.index.to_list(), pa.string()),
-                         "df": pa.array(s.to_numpy(dtype=np.int64))})
+        # distinct per doc: factorize + dedupe (doc, code) + bincount
+        codes, uniq = pd.factorize(grams)
+        uk = np.unique(gdoc * np.int64(len(uniq)) + codes)
+        dfc = np.bincount(uk % len(uniq), minlength=len(uniq))
+        return pa.table({"gram": pa.array(uniq, pa.string()),
+                         "df": pa.array(dfc.astype(np.int64))})
 
     from ray.data.aggregate import Sum
     df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
@@ -480,26 +494,21 @@ def boilerplate_ngrams_ds(sf_dir: str, n: int = BOILER_N,
 
     def score(batch: pa.Table) -> pa.Table:
         bset = ray.get(broadcast)
-        ids, wins, boil = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            g = _grams(t)
-            if not g:
-                continue
-            ids.append(d)
-            wins.append(len(g))
-            if len(bset):
-                arr = np.asarray(g, dtype=object)
-                pos = np.searchsorted(bset, arr)
-                ok = ((pos < len(bset))
-                      & (bset[np.minimum(pos, len(bset) - 1)] == arr))
-                boil.append(int(ok.sum()))
-            else:
-                boil.append(0)
+        ids_arr = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        grams, gdoc = _flat_grams(batch["text"].to_pylist())
+        wins = np.bincount(gdoc, minlength=len(ids_arr))
+        if len(bset) and len(grams):
+            pos = np.searchsorted(bset, grams)
+            ok = ((pos < len(bset))
+                  & (bset[np.minimum(pos, len(bset) - 1)] == grams))
+            boil = np.bincount(gdoc[ok], minlength=len(ids_arr))
+        else:
+            boil = np.zeros(len(ids_arr), dtype=np.int64)
+        has = wins > 0   # docs shorter than n tokens emit no row
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_windows": pa.array(wins, pa.int64()),
-            "n_boiler": pa.array(boil, pa.int64()),
+            "doc_id": pa.array(ids_arr[has]),
+            "n_windows": pa.array(wins[has].astype(np.int64)),
+            "n_boiler": pa.array(boil[has].astype(np.int64)),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
