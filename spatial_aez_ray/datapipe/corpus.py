@@ -51,16 +51,15 @@ def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
 def _token_count_partial(batch: pa.Table) -> pa.Table:
     """One (token, cnt) row per DISTINCT token in the batch — the
     combiner that keeps the token shuffle vocab-sized, not
-    occurrence-sized."""
-    toks: list[str] = []
-    for t in batch["text"].to_pylist():
-        toks.extend(t.split(" "))
-    if not toks:
+    occurrence-sized. One factorize + bincount over the flat batch."""
+    flat, _ = _flatten_tokens(batch["text"].to_pylist())
+    if not len(flat):
         return pa.table({"token": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
-    s = pd.Series(toks, dtype=object).value_counts()
-    return pa.table({"token": pa.array(s.index.to_list(), pa.string()),
-                     "cnt": pa.array(s.to_numpy(dtype=np.int64))})
+    codes, uniq = pd.factorize(flat)
+    cnt = np.bincount(codes, minlength=len(uniq))
+    return pa.table({"token": pa.array(uniq, pa.string()),
+                     "cnt": pa.array(cnt.astype(np.int64))})
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:

@@ -144,7 +144,7 @@ def _asof_merge_part(g: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
+def asof_join_events_orders_ds(sf_dir: str) -> ray.data.Dataset:
     """For every event: the user's most recent order with
     o_orderdate <= ts (ties on date -> highest orderkey, deterministic);
     -1 when no prior order exists.
@@ -194,10 +194,15 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
 
     ev = ev_src.map_batches(ev_prep, batch_format="pyarrow")
     od = od_src.map_batches(od_prep, batch_format="pyarrow")
-    out = (ev.union(od)
-             .groupby("part")
-             .map_groups(_asof_merge_part, batch_format="pandas")
-             .to_pandas())
+    return (ev.union(od)
+              .groupby("part")
+              .map_groups(_asof_merge_part, batch_format="pandas"))
+
+
+def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``asof_join_events_orders_ds``
+    (per-event output — sink the lazy form at scale)."""
+    out = asof_join_events_orders_ds(sf_dir).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -249,7 +254,7 @@ def _range_merge_part(g: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def range_join_events_orders(sf_dir: str) -> pd.DataFrame:
+def range_join_events_orders_ds(sf_dir: str) -> ray.data.Dataset:
     """For every event: count + total price (integer cents, the repo's
     money contract) of the user's orders with o_orderdate in
     [ts - 7 days, ts], both ends inclusive.
@@ -297,10 +302,16 @@ def range_join_events_orders(sf_dir: str) -> pd.DataFrame:
 
     ev = ev_src.map_batches(ev_prep, batch_format="pyarrow")
     od = od_src.map_batches(od_prep, batch_format="pyarrow")
-    out = (ev.union(od)
-             .groupby("part")
-             .map_groups(_range_merge_part, batch_format="pandas")
-             .to_pandas())
+    return (ev.union(od)
+              .groupby("part")
+              .map_groups(_range_merge_part, batch_format="pandas"))
+
+
+def range_join_events_orders(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``range_join_events_orders_ds``
+    (the per-event output is events-table-sized — sink the lazy form
+    at scale)."""
+    out = range_join_events_orders_ds(sf_dir).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 

@@ -208,3 +208,60 @@ def test_shp_roundtrip_property(n_polys, seed):
     for g, b in zip(geoms, back):
         assert len(b) == 1 and len(b[0]) == 1
         assert (b[0][0] == g[0][0]).all()
+
+
+# ---------------------------------------------------------------------------
+# datapipe pure-math properties (no Ray): chunking arithmetic, KMV
+# sketch merge laws, bloom filter guarantees
+# ---------------------------------------------------------------------------
+
+@given(n_toks=st.integers(1, 500), chunk=st.integers(2, 64),
+       data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_chunking_covers_every_token_exactly(n_toks, chunk, data):
+    """The chunk grid [k*stride, k*stride+chunk) must cover each token
+    index, with indices in overlap zones covered by exactly the
+    expected number of windows."""
+    stride = data.draw(st.integers(1, chunk))
+    starts = list(range(0, n_toks, stride))
+    cover = np.zeros(n_toks, dtype=int)
+    for s in starts:
+        cover[s:s + chunk] += 1
+    assert (cover >= 1).all()
+    # a token at index i is inside window k iff k*stride <= i < k*stride+chunk
+    want = [len([s for s in starts if s <= i < s + chunk])
+            for i in range(n_toks)]
+    assert (cover == np.array(want)).all()
+
+
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+       split=st.integers(0, 400), k=st.integers(2, 32))
+@settings(max_examples=60, deadline=None)
+def test_kmv_merge_is_order_independent(keys, split, k):
+    """Merging per-partition KMV sketches (k smallest distinct hashes)
+    must equal the sketch of the union, for any split point — the
+    mergeability law the distributed aggregate relies on."""
+    from spatial_aez_ray.datapipe.dedup import _h64u
+    h = np.array(sorted({_h64u(str(kk)) >> 32 for kk in keys}),
+                 dtype=np.int64)
+    a = keys[:min(split, len(keys))]
+    b = keys[min(split, len(keys)):]
+    sa = np.array(sorted({_h64u(str(kk)) >> 32 for kk in a}),
+                  dtype=np.int64)[:k]
+    sb = np.array(sorted({_h64u(str(kk)) >> 32 for kk in b}),
+                  dtype=np.int64)[:k]
+    merged = np.unique(np.concatenate([sa, sb]))[:k]
+    assert (merged == h[:k]).all()
+
+
+@given(seed=st.integers(0, 1000), n=st.integers(1, 300))
+@settings(max_examples=40, deadline=None)
+def test_bloom_no_false_negatives_property(seed, n):
+    from spatial_aez_ray.datapipe import relational
+    rng = np.random.RandomState(seed)
+    keys = rng.randint(0, 1 << 40, size=n).astype(np.int64)
+    words = np.zeros(relational._BLOOM_BITS // 64, dtype=np.uint64)
+    pos = relational._bloom_positions(keys).ravel()
+    np.bitwise_or.at(words, pos >> np.uint64(6),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    assert relational._bloom_test(words, keys).all()
