@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": corpus.chunk_documents,
         "stratified_sample": corpus.stratified_sample,
         "kmv_distinct_parts": sketch.kmv_distinct_parts,
+        "hll_user_registers": sketch.hll_user_registers,
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
         "range_partition_orders": relational.range_partition_orders,
@@ -501,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
         "stratified_sample": corpus.STRATIFIED_SAMPLE_SQL,
         "kmv_distinct_parts": sketch.KMV_DISTINCT_PARTS_SQL,
+        "hll_user_registers": sketch.HLL_USER_REGISTERS_SQL,
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,

@@ -128,3 +128,122 @@ FROM r GROUP BY l_returnflag, nd ORDER BY l_returnflag
 
 
 KMV_DISTINCT_PARTS_SQL = _kmv_sql()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch
+# ---------------------------------------------------------------------------
+
+#: HLL precision: 2^p registers. p=6 keeps the whole sketch at 64 rows
+#: per group — the shuffle carries O(groups x 64 x blocks) rows no
+#: matter how many distinct values stream through.
+HLL_P = 6
+HLL_M = 1 << HLL_P          # 64 registers
+_HLL_W = 64 - HLL_P         # 58 hash bits feed the rank (rho)
+#: rho range: 1..59 (59 == "remaining 58 bits were all zero")
+_HLL_RHO_MAX = _HLL_W + 1
+
+
+def _hll_reg_rho(value: int) -> tuple[int, int]:
+    """(register, rho) of one value under the md5-derived 64-bit hash.
+
+    register = low HLL_P bits; rho = 1-indexed position of the first
+    set bit of the remaining _HLL_W bits scanning from the MSB
+    (Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+    cardinality estimation algorithm").
+    """
+    h = _h64u(str(int(value)))
+    rem = h >> HLL_P
+    return h & (HLL_M - 1), (_HLL_RHO_MAX - rem.bit_length()) if rem \
+        else _HLL_RHO_MAX
+
+
+def hll_user_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-``user_id`` sketch per ``event_type``:
+    the full register table (event_type, register, max_rho).
+
+    The mergeable-aggregate shape mirrors ``kmv_distinct_parts``: the
+    per-batch partial dedups (event_type, user_id) locally, hashes each
+    batch-distinct user once, and emits per-(type, register) rho
+    maxima — at most groups x 64 rows per block leave the workers; the
+    combine is a plain grouped MAX, associative and commutative, so
+    partials compose in any order. Registers no value hashed into are
+    absent (both engines agree by construction).
+
+    The float cardinality estimate never crosses the oracle boundary —
+    derive it from the register table with ``hll_estimate``; the sketch
+    itself is integer-exact vs the DuckDB oracle.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "user_id": np.asarray(
+                batch["user_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)}).drop_duplicates()
+        rmap = {int(v): _hll_reg_rho(v) for v in df["user_id"].unique()}
+        rr = df["user_id"].map(rmap)
+        df["register"] = [t[0] for t in rr]
+        df["rho"] = [t[1] for t in rr]
+        part = (df.groupby(["event_type", "register"], as_index=False)
+                  ["rho"].max())
+        part["register"] = part["register"].astype(np.int64)
+        part["rho"] = part["rho"].astype(np.int64)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "register"], as_index=False)
+                 ["rho"].max().rename(columns={"rho": "max_rho"}))
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .map_groups(merge, batch_format="pandas")
+             .to_pandas())
+    for c in ("register", "max_rho"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["event_type", "register"])
+               .reset_index(drop=True))
+
+
+def hll_estimate(registers: pd.DataFrame) -> dict[str, float]:
+    """Classic HLL estimate per group from a ``hll_user_registers``
+    table (driver-side float math, test/diagnostic surface only).
+
+    Applies the small-range linear-counting correction when the raw
+    estimate is below 2.5m (Flajolet et al. 2007 §4).
+    """
+    alpha = 0.709  # alpha_64
+    out = {}
+    for etype, g in registers.groupby("event_type"):
+        rho = np.zeros(HLL_M, dtype=np.int64)
+        rho[g["register"].to_numpy()] = g["max_rho"].to_numpy()
+        denom = np.sum(np.exp2(-rho.astype(np.float64)))
+        est = alpha * HLL_M * HLL_M / denom
+        zeros = int((rho == 0).sum())
+        if est <= 2.5 * HLL_M and zeros:
+            est = HLL_M * np.log(HLL_M / zeros)
+        out[str(etype)] = float(est)
+    return out
+
+
+def _hll_sql() -> str:
+    # same little-endian md5-u64 as _h64u; bin(x) has no leading
+    # zeros, so bit_length(rem) == length(bin(rem)) for rem > 0
+    le = " || ".join(f"substr(md5(user_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, ('0x' || {le})::UBIGINT AS h64 FROM u),
+b AS (SELECT event_type, (h64 & {HLL_M - 1})::BIGINT AS register,
+             (h64 >> {HLL_P}) AS rem FROM h)
+SELECT event_type, register,
+       MAX(CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
+                ELSE {_HLL_RHO_MAX} - length(bin(rem)) END)::BIGINT
+         AS max_rho
+FROM b GROUP BY event_type, register ORDER BY event_type, register
+"""
+
+
+HLL_USER_REGISTERS_SQL = _hll_sql()

@@ -665,3 +665,18 @@ def test_new_doc_output_sinks_write_parts(tmp_path, ray_session):
         want = eager(SF)
         got = got[want.columns.tolist()]
         pd.testing.assert_frame_equal(got, want, check_like=False)
+
+
+def test_hll_registers_match_sql_and_estimate(con, ray_session):
+    from spatial_aez_ray.datapipe import sketch
+    mine = sketch.hll_user_registers(SF)
+    _assert_match(mine, sketch.HLL_USER_REGISTERS_SQL, con)
+    assert (mine["register"].between(0, sketch.HLL_M - 1)).all()
+    assert (mine["max_rho"].between(1, 59)).all()
+    # estimate (with small-range correction) lands near the truth
+    est = sketch.hll_estimate(mine)
+    truth = dict(con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+        "GROUP BY 1").fetchall())
+    for etype, nd in truth.items():
+        assert abs(est[etype] - nd) <= max(3.0, 0.35 * nd)
