@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprints": text.rolling_fingerprints,
         "lang_counts": text.lang_counts,
         "lang_id": text.lang_id,
+        "repetition_stats": text.repetition_stats,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_candidates,
@@ -514,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": text.ROLLING_FINGERPRINTS_SQL,
         "lang_counts": text.LANG_COUNTS_SQL,
         "lang_id": text.LANG_ID_SQL,
+        "repetition_stats": text.REPETITION_STATS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,

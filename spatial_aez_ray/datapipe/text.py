@@ -543,3 +543,124 @@ FROM w GROUP BY w.doc_id ORDER BY w.doc_id
 
 
 BOILERPLATE_NGRAMS_SQL = _boiler_sql()
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats — Gopher-style within-document repetition signals
+# ---------------------------------------------------------------------------
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals (Rae et al. 2021, "Scaling Language
+    Models" — the Gopher repetition filters), fully vectorized: one
+    np.unique over the batch's concatenated (doc, token) keys, one
+    over the (doc, bigram) keys — no per-doc Counter loops.
+
+    Tie-break contract: among equally-frequent tokens/bigrams the
+    lexicographically smallest wins (np.unique's sorted uniques ==
+    DuckDB ``ORDER BY n DESC, tok ASC`` on ASCII content).
+    """
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    toks_per_doc = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(x) for x in toks_per_doc),
+                       dtype=np.int64, count=n)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=object) for x in toks_per_doc]
+    ).astype(str)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    def _per_doc_top(d_idx, values):
+        """(count per doc of distinct vals, top value, top count)."""
+        uniq, codes = np.unique(values, return_inverse=True)
+        V = np.int64(len(uniq))
+        key = d_idx * V + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        d = uk // V
+        c = uk % V
+        n_distinct = np.bincount(d, minlength=n).astype(np.int64)
+        # rank inside each doc by (count desc, token lexical asc):
+        # codes are lexical ranks because np.unique sorts
+        order = np.lexsort((c, -cnt, d))
+        d_sorted = d[order]
+        first = np.unique(d_sorted, return_index=True)[1]
+        top_val = np.full(n, "", dtype=object)
+        top_cnt = np.zeros(n, dtype=np.int64)
+        hit_docs = d_sorted[first]
+        top_val[hit_docs] = uniq[c[order][first]]
+        top_cnt[hit_docs] = cnt[order][first]
+        return n_distinct, top_val, top_cnt
+
+    n_distinct, top_token, top_token_n = _per_doc_top(doc_idx, flat)
+
+    # bigrams: drop each doc's last token for the left side, first
+    # token for the right side, then join with a single space
+    pos = np.arange(len(flat), dtype=np.int64)
+    ends = np.cumsum(lens)
+    is_last = np.zeros(len(flat), dtype=bool)
+    is_last[ends - 1] = True
+    is_first = np.zeros(len(flat), dtype=bool)
+    is_first[ends - lens] = True
+    left = flat[~is_last]
+    right = flat[~is_first]
+    grams = np.char.add(np.char.add(left.astype(str), " "),
+                        right.astype(str))
+    g_doc = doc_idx[~is_last]
+    if len(grams):
+        _, top_bigram, top_bigram_n = _per_doc_top(g_doc, grams)
+    else:
+        top_bigram = np.full(n, "", dtype=object)
+        top_bigram_n = np.zeros(n, dtype=np.int64)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(lens),
+        "n_distinct": pa.array(n_distinct),
+        "dup_token_n": pa.array(lens - n_distinct),
+        "top_token": pa.array(top_token.tolist(), type=pa.string()),
+        "top_token_n": pa.array(top_token_n),
+        "n_bigrams": pa.array(np.maximum(lens - 1, 0)),
+        "top_bigram": pa.array(top_bigram.tolist(), type=pa.string()),
+        "top_bigram_n": pa.array(top_bigram_n),
+    })
+
+
+def repetition_stats_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy per-doc repetition rows — the 100 TB form (sink with
+    ``util.write_doc_output`` or feed a downstream filter); no shuffle,
+    no driver materialization."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(_repetition_batch, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``repetition_stats_ds``."""
+    out = repetition_stats_ds(sf_dir).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+ttop AS (SELECT doc_id, tok, n, row_number() OVER
+           (PARTITION BY doc_id ORDER BY n DESC, tok ASC) AS r FROM tc),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)),
+                                    i -> l[i] || ' ' || l[i + 1])) AS gram
+       FROM t),
+bc AS (SELECT doc_id, gram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+btop AS (SELECT doc_id, gram, n, row_number() OVER
+           (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS r FROM bc),
+d AS (SELECT doc_id, len(l)::BIGINT AS n_tokens,
+             len(list_distinct(l))::BIGINT AS n_distinct FROM t)
+SELECT d.doc_id, d.n_tokens, d.n_distinct,
+       (d.n_tokens - d.n_distinct)::BIGINT AS dup_token_n,
+       tt.tok AS top_token, tt.n::BIGINT AS top_token_n,
+       GREATEST(d.n_tokens - 1, 0)::BIGINT AS n_bigrams,
+       COALESCE(bt.gram, '') AS top_bigram,
+       COALESCE(bt.n, 0)::BIGINT AS top_bigram_n
+FROM d
+JOIN (SELECT * FROM ttop WHERE r = 1) tt USING (doc_id)
+LEFT JOIN (SELECT * FROM btop WHERE r = 1) bt USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -680,3 +680,13 @@ def test_hll_registers_match_sql_and_estimate(con, ray_session):
         "GROUP BY 1").fetchall())
     for etype, nd in truth.items():
         assert abs(est[etype] - nd) <= max(3.0, 0.35 * nd)
+
+
+def test_repetition_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text
+    mine = text.repetition_stats(SF)
+    _assert_match(mine, text.REPETITION_STATS_SQL, con)
+    assert (mine["n_distinct"] <= mine["n_tokens"]).all()
+    assert (mine["top_token_n"] >= 1).all()
+    # word-soup fixture docs repeat tokens heavily
+    assert (mine["dup_token_n"] > 0).any()
