@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": sketch.hll_user_registers,
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
+        "posting_stats": corpus.posting_stats,
+        "boolean_and_search": corpus.boolean_and_search,
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         # text analysis
@@ -506,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_registers": sketch.HLL_USER_REGISTERS_SQL,
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
+        "posting_stats": corpus.POSTING_STATS_SQL,
+        "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "token_stats": text.TOKEN_STATS_SQL,

@@ -540,3 +540,148 @@ WHERE rnk <= {n} ORDER BY rnk
 
 
 MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
+# ---------------------------------------------------------------------------
+# inverted index — posting-list construction + conjunctive search
+# ---------------------------------------------------------------------------
+
+#: posting shard count for the partitioned sink: token-hash buckets so
+#: one token's posting always lands in one directory (the unit a
+#: search node would load); scale the constant with vocab, not corpus.
+POSTING_BUCKETS = 16
+
+
+def _posting_rows(batch: pa.Table) -> pa.Table:
+    """(token, doc_id, tf) posting fragments for one batch — the
+    within-batch combiner: one row per (doc, distinct token), never
+    one per occurrence. Docs never span batches (a doc is a row), so
+    tf is final, not partial."""
+    doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+    flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+    if not len(flat):
+        return pa.table({"token": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    codes, uniq = pd.factorize(flat)
+    V = np.int64(len(uniq))
+    key = doc_idx * V + codes
+    uk, tf = np.unique(key, return_counts=True)
+    return pa.table({
+        "token": pa.array(uniq[(uk % V).astype(np.int64)], pa.string()),
+        "doc_id": pa.array(doc_ids[(uk // V).astype(np.int64)]),
+        "tf": pa.array(tf.astype(np.int64))})
+
+
+def inverted_postings_ds(sf_dir: str) -> ray.data.Dataset:
+    """Lazy full inverted index as (token, doc_id, tf) rows — the
+    100 TB form. Sink with ``write_inverted_postings`` (token-hash
+    partitioned parquet: a common token's posting is one directory, a
+    failed run skips finished buckets) or feed a downstream join."""
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(_posting_rows, batch_format="pyarrow")
+
+
+def write_inverted_postings(sf_dir: str, out_dir: str,
+                            buckets: int = POSTING_BUCKETS) -> None:
+    """Partitioned posting sink: bucket = md5-u64(token) % buckets."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        b = np.fromiter((_h64u(t) % buckets for t in toks),
+                        dtype=np.int64, count=len(toks))
+        return batch.append_column("bucket", pa.array(b))
+
+    (inverted_postings_ds(sf_dir)
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["bucket"]))
+
+
+def posting_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-token posting-list aggregates: df (distinct docs), total tf,
+    and doc_id min/max/sum over the posting — the scale-safe gate
+    surface for the inverted index (posting CONTENT stays distributed;
+    only vocab-sized aggregate rows reach the driver; the full posting
+    lives in ``inverted_postings_ds``).
+
+    One shuffle, vocab-sized: the per-batch combiner above means each
+    block contributes at most |vocab| rows."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (inverted_postings_ds(sf_dir)
+           .groupby("token")
+           .aggregate(Count(alias_name="df"),
+                      Sum("tf", alias_name="tf_total"),
+                      Min("doc_id", alias_name="doc_min"),
+                      Max("doc_id", alias_name="doc_max"),
+                      Sum("doc_id", alias_name="doc_sum"))
+           .to_pandas())
+    for c in ("df", "tf_total", "doc_min", "doc_max", "doc_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)
+
+
+POSTING_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+g AS (SELECT token, doc_id, COUNT(*) AS tf FROM p GROUP BY 1, 2)
+SELECT token, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS tf_total,
+       MIN(doc_id)::BIGINT AS doc_min, MAX(doc_id)::BIGINT AS doc_max,
+       SUM(doc_id)::BIGINT AS doc_sum
+FROM g GROUP BY token ORDER BY token
+"""
+
+
+#: default conjunctive query for the gate entry — mid-frequency terms
+#: so the result is a non-trivial strict subset of the corpus
+SEARCH_TERMS = ("spark", "window", "customer")
+
+
+def boolean_and_search(sf_dir: str,
+                       terms: tuple[str, ...] = SEARCH_TERMS
+                       ) -> pd.DataFrame:
+    """Documents containing ALL query terms, with the summed tf of the
+    terms — conjunctive posting intersection expressed as a broadcast
+    membership filter: the terms ride the closure (tiny), each batch
+    answers locally, no shuffle, no index round-trip. (A search node
+    over the partitioned posting sink would intersect postings instead;
+    this is the scan-side equivalent for ad-hoc queries.)"""
+    term_arr = np.asarray(sorted(set(terms)), dtype=object)
+
+    def hit(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        n = len(doc_ids)
+        is_term = np.isin(flat.astype(str), term_arr.astype(str))
+        total_tf = np.bincount(doc_idx[is_term], minlength=n)
+        n_present = np.zeros(n, dtype=np.int64)
+        for t in term_arr:
+            m = flat == t
+            n_present += np.bincount(
+                doc_idx[m], minlength=n).astype(bool).astype(np.int64)
+        keep = n_present == len(term_arr)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep]),
+            "total_tf": pa.array(total_tf[keep].astype(np.int64))})
+
+    out = (_read_docs(sf_dir, columns=["doc_id", "text"])
+           .map_batches(hit, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _search_sql(terms: tuple[str, ...] = SEARCH_TERMS) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    conds = " AND ".join(
+        f"list_contains(l, '{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       len(list_filter(l, x -> x IN ({tl})))::BIGINT AS total_tf
+FROM t WHERE {conds} ORDER BY doc_id
+"""
+
+
+BOOLEAN_AND_SEARCH_SQL = _search_sql()

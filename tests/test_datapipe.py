@@ -690,3 +690,40 @@ def test_repetition_stats_match_sql(con, ray_session):
     assert (mine["top_token_n"] >= 1).all()
     # word-soup fixture docs repeat tokens heavily
     assert (mine["dup_token_n"] > 0).any()
+
+
+def test_posting_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.posting_stats(SF)
+    _assert_match(mine, corpus.POSTING_STATS_SQL, con)
+    assert (mine["df"] <= mine["tf_total"]).all()
+    assert (mine["doc_min"] <= mine["doc_max"]).all()
+
+
+def test_boolean_and_search_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.boolean_and_search(SF)
+    _assert_match(mine, corpus.BOOLEAN_AND_SEARCH_SQL, con)
+    # conjunctive: strict subset of the corpus, and every hit carries
+    # at least one occurrence of each of the 3 terms
+    assert 0 < len(mine) < 500
+    assert (mine["total_tf"] >= len(corpus.SEARCH_TERMS)).all()
+
+
+def test_inverted_postings_sink_roundtrip(con, ray_session, tmp_path):
+    import ray as _ray
+    from spatial_aez_ray.datapipe import corpus
+    out = str(tmp_path / "postings")
+    corpus.write_inverted_postings(SF, out)
+    back = (_ray.data.read_parquet(out).to_pandas()
+            [["token", "doc_id", "tf"]]
+            .sort_values(["token", "doc_id"]).reset_index(drop=True))
+    truth = con.execute(
+        "WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+        "token FROM documents) SELECT token, doc_id, COUNT(*)::BIGINT "
+        "AS tf FROM p GROUP BY 1, 2 ORDER BY token, doc_id").fetchdf()
+    pd.testing.assert_frame_equal(back, truth, check_dtype=False)
+    # every token's posting lives in exactly one bucket directory
+    buckets = (_ray.data.read_parquet(out).to_pandas()
+               .groupby("token")["bucket"].nunique())
+    assert (buckets == 1).all()
