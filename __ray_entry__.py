@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
+        "events_funnel": temporal.funnel_stages,
         "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
         "distinct_order_priorities": relational.distinct_order_priorities,
@@ -484,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
+        "events_funnel": temporal.FUNNEL_STAGES_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,

@@ -449,3 +449,103 @@ SELECT activity_day, kind, COUNT(*) AS cnt FROM (
          'order' FROM orders)
 GROUP BY activity_day, kind ORDER BY activity_day, kind
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis — ordered multi-stage conversion
+# ---------------------------------------------------------------------------
+
+#: default conversion funnel over the events fixture's type vocabulary
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user ordered funnel depth within one coarse user-fold
+    partition. Stage k is reached iff an event of stage-k type exists
+    STRICTLY after the time stage k-1 was reached (min qualifying ts),
+    the classic sequential-funnel recursion — order matters, which is
+    exactly what makes this inexpressible as an order-free aggregate."""
+    stages = list(FUNNEL_STAGES)
+    rows = []
+    for uid, gu in g.groupby("user_id", sort=False):
+        t_prev = None
+        reached = 0
+        for si, stage in enumerate(stages):
+            ts = gu.loc[gu["event_type"] == stage, "ts_us"].to_numpy()
+            if si:
+                ts = ts[ts > t_prev]
+            if not len(ts):
+                break
+            t_prev = ts.min()
+            reached = si + 1
+        if reached:
+            rows.append((int(uid), reached))
+    return pd.DataFrame(rows, columns=["user_id", "stage_reached"])
+
+
+def funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Sequential-funnel user counts: (stage, stage_name, n_users)
+    where n_users counts users whose ordered event history reaches at
+    least that stage (view -> click-after-view -> purchase-after-
+    click; strict ts inequality between stages).
+
+    Scale shape: read pruned to the funnel's event types, ONE shuffle
+    on the coarse user fold (``shuffle_width``-sized partitions), the
+    per-user recursion inside ``map_groups``, and only per-user depth
+    rows feed the final tiny count aggregate — the full event stream
+    never leaves the workers un-reduced.
+    """
+    from ray.data.aggregate import Count
+    from .util import shuffle_width
+
+    types = list(FUNNEL_STAGES)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(b["event_type"].to_pylist(),
+                                  dtype=object), types)
+        b = b.filter(pa.array(mask))
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "event_type": b["event_type"],
+            "ts_us": pa.array(ts)})
+
+    depth_counts = (ds.map_batches(prep, batch_format="pyarrow")
+                      .groupby("part")
+                      .map_groups(_funnel_part, batch_format="pandas")
+                      .groupby("stage_reached")
+                      .aggregate(Count(alias_name="n"))
+                      .to_pandas())
+    by_depth = dict(zip(depth_counts["stage_reached"].astype(int),
+                        depth_counts["n"].astype(int)))
+    rows = []
+    for si, name in enumerate(FUNNEL_STAGES, start=1):
+        n = sum(v for d, v in by_depth.items() if d >= si)
+        rows.append((si, name, n))
+    out = pd.DataFrame(rows, columns=["stage", "stage_name", "n_users"])
+    out["stage"] = out["stage"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+FUNNEL_STAGES_SQL = """
+WITH e AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT 1::BIGINT AS stage, 'view' AS stage_name,
+       COUNT(*)::BIGINT AS n_users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+ORDER BY stage
+"""

@@ -727,3 +727,27 @@ def test_inverted_postings_sink_roundtrip(con, ray_session, tmp_path):
     buckets = (_ray.data.read_parquet(out).to_pandas()
                .groupby("token")["bucket"].nunique())
     assert (buckets == 1).all()
+
+
+def test_funnel_stages_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.funnel_stages(SF)
+    _assert_match(mine, temporal.FUNNEL_STAGES_SQL, con)
+    # monotone: each stage is a subset of the previous
+    assert (mine["n_users"].diff().dropna() <= 0).all()
+
+
+def test_funnel_part_requires_strict_order():
+    from spatial_aez_ray.datapipe.temporal import _funnel_part
+    g = pd.DataFrame({
+        # user 1: view@1 click@2 purchase@3  -> depth 3
+        # user 2: purchase@1 click@2 view@3  -> depth 1 (nothing after)
+        # user 3: view@1 click@1 (same ts)   -> depth 1 (strict >)
+        # user 4: click@1 only               -> depth 0 (no view)
+        "user_id": [1, 1, 1, 2, 2, 2, 3, 3, 4],
+        "event_type": ["view", "click", "purchase",
+                       "purchase", "click", "view",
+                       "view", "click", "click"],
+        "ts_us": [1, 2, 3, 1, 2, 3, 1, 1, 1]})
+    out = _funnel_part(g).set_index("user_id")["stage_reached"]
+    assert out.to_dict() == {1: 3, 2: 1, 3: 1}
