@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": text.boilerplate_ngrams,
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
+        "bm25_topk": corpus.bm25_topk,
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         # text analysis
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
+        "bm25_topk": corpus.BM25_TOPK_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "token_stats": text.TOKEN_STATS_SQL,

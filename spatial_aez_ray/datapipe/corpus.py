@@ -685,3 +685,102 @@ FROM t WHERE {conds} ORDER BY doc_id
 
 
 BOOLEAN_AND_SEARCH_SQL = _search_sql()
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (integer-quantized scoring)
+# ---------------------------------------------------------------------------
+
+#: quantization scale for the integer BM25 score (and the idf proxy)
+_BM25_SCALE = 1 << 20
+#: default single-term query for the gate entry
+BM25_TERM = "customer"
+
+
+def bm25_topk(sf_dir: str, term: str = BM25_TERM, k: int = 20
+              ) -> pd.DataFrame:
+    """Top-k documents for a single-term query under BM25 with
+    k1=6/5, b=3/4 (Robertson & Walker 1994), scored in EXACT integer
+    arithmetic so the DuckDB oracle matches bit-for-bit.
+
+    With avgdl = T/D (T total tokens, D docs) the BM25 term score
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) multiplies out to the
+    integer ratio 22*T*tf / (10*T*tf + 3*T + 9*dl*D); idf uses the
+    repo's quantized proxy (D * S) // df (a float ln() would be
+    1-ulp-fragile across libm implementations). Both floor divisions
+    are mirrored operation-for-operation in the SQL (integer division
+    is not associative — the order is part of the contract).
+
+    Scale shape: pass 1 reduces to THREE driver ints (D, T, df); pass
+    2 re-scans with the scalars riding the closure, emits only rows
+    with tf > 0 (df-bounded), and the sort+limit runs over those.
+    The per-match python-int loop is exact-oracle plumbing; a
+    production scorer at 100 TB would run the float form vectorized
+    and never rank more than each posting's df rows either way.
+    """
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        n = batch.num_rows
+        tf = np.bincount(doc_idx[flat == term], minlength=n)
+        return pa.table({
+            "d": pa.array([np.int64(n)]),
+            "t": pa.array([np.int64(len(flat))]),
+            "df": pa.array([np.int64((tf > 0).sum())])})
+
+    from ray.data.aggregate import Sum
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+            .aggregate(Sum("d"), Sum("t"), Sum("df")))
+    D, T, df = int(st["sum(d)"]), int(st["sum(t)"]), int(st["sum(df)"])
+    if df == 0:
+        return pd.DataFrame(columns=["doc_id", "tf", "dl", "score_q"])
+    idf_q = (D * _BM25_SCALE) // df
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        n = batch.num_rows
+        dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        tf = np.bincount(doc_idx[flat == term], minlength=n)
+        hit = tf > 0
+        sq = np.fromiter(
+            ((idf_q * 22 * T * int(f) * _BM25_SCALE)
+             // (10 * T * int(f) + 3 * T + 9 * int(l) * D)
+             for f, l in zip(tf[hit], dl[hit])),
+            dtype=np.int64, count=int(hit.sum()))
+        return pa.table({"doc_id": pa.array(ids[hit]),
+                         "tf": pa.array(tf[hit].astype(np.int64)),
+                         "dl": pa.array(dl[hit]),
+                         "score_q": pa.array(sq)})
+
+    top = (ds.map_batches(score, batch_format="pyarrow")
+             .sort(["score_q", "doc_id"], descending=[True, False])
+             .limit(k)
+             .to_pandas())
+    for c in ("tf", "dl", "score_q"):
+        top[c] = top[c].astype(np.int64)
+    return top.reset_index(drop=True)
+
+
+def _bm25_sql(term: str = BM25_TERM, k: int = 20,
+              s: int = _BM25_SCALE) -> str:
+    return f"""
+WITH g AS (SELECT COUNT(*)::HUGEINT AS d,
+                  SUM(len(string_split(text, ' ')))::HUGEINT AS t
+           FROM documents),
+m AS (SELECT doc_id, len(string_split(text, ' '))::HUGEINT AS dl,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = '{term}'))::HUGEINT AS tf
+      FROM documents),
+f AS (SELECT * FROM m WHERE tf > 0),
+dfc AS (SELECT COUNT(*)::HUGEINT AS df FROM f)
+SELECT doc_id, tf::BIGINT AS tf, dl::BIGINT AS dl,
+       ((((d * {s}) // df) * 22 * t * tf * {s})
+        // (10 * t * tf + 3 * t + 9 * dl * d))::BIGINT AS score_q
+FROM f, g, dfc ORDER BY score_q DESC, doc_id LIMIT {k}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()

@@ -751,3 +751,14 @@ def test_funnel_part_requires_strict_order():
         "ts_us": [1, 2, 3, 1, 2, 3, 1, 1, 1]})
     out = _funnel_part(g).set_index("user_id")["stage_reached"]
     assert out.to_dict() == {1: 3, 2: 1, 3: 1}
+
+
+def test_bm25_topk_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.bm25_topk(SF)
+    _assert_match(mine, corpus.BM25_TOPK_SQL, con)
+    assert len(mine) == 20
+    # scores strictly ranked, and length-normalization visible: the
+    # top doc should not simply be the max-tf doc unless lengths agree
+    assert (mine["score_q"].diff().dropna() <= 0).all()
+    assert (mine["score_q"] > 0).all()
