@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
         "events_funnel": temporal.funnel_stages,
+        "events_props_stats": temporal.events_props_stats,
+        "events_pivot_daily": temporal.events_pivot_daily,
         "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
         "distinct_order_priorities": relational.distinct_order_priorities,
@@ -487,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
         "events_funnel": temporal.FUNNEL_STAGES_SQL,
+        "events_props_stats": temporal.EVENTS_PROPS_STATS_SQL,
+        "events_pivot_daily": temporal.EVENTS_PIVOT_DAILY_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,

@@ -549,3 +549,127 @@ UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
 ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction — the semi-structured metadata pull every
+# event pipeline runs before it can aggregate (events.props is a JSON
+# string column; the engine never parses JSON row-by-row on the driver)
+# ---------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'   # RE2-safe; compiled by Arrow
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type stats of the integer field ``k`` extracted from
+    the JSON ``props`` column: (event_type, n_events, sum_k, min_k,
+    max_k, n_k_ge_50) — all BIGINT, exact vs DuckDB ``json_extract``.
+
+    Extraction is one vectorized RE2 pass per batch
+    (``pc.extract_regex``), the aggregate is partial-per-batch rows
+    (<= n_types per batch) into a tiny groupby — props strings never
+    shuffle and never reach the driver.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(batch["props"], pattern=_PROPS_K_RE),
+            "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "k": k})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+            n_k_ge_50=("k", lambda s: int((s.to_numpy() >= 50).sum())))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("sum_k", alias_name="sum_k"),
+                        Min("min_k", alias_name="min_k"),
+                        Max("max_k", alias_name="max_k"),
+                        Sum("n_k_ge_50", alias_name="n_k_ge_50"))
+             .to_pandas())
+    for c in ("n_events", "sum_k", "min_k", "max_k", "n_k_ge_50"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["event_type", "n_events", "sum_k", "min_k", "max_k",
+                 "n_k_ge_50"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENTS_PROPS_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COALESCE(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END), 0) AS n_k_ge_50
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / crosstab — day x event_type counts as a wide table (the
+# dashboard-shaped output of every event stream)
+# ---------------------------------------------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily event counts pivoted wide: one row per day, one BIGINT
+    column per event type (fixed, known column set — a pivot over an
+    unbounded type domain would be a different operator).
+
+    Scale shape: per-batch partial (day, type, n) rows — at most
+    days x types per batch — feed a tiny groupby; the pivot itself
+    runs on the driver over the already-aggregated (days x types)
+    result, never over event rows.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        df = pd.DataFrame({"day": day.to_pandas(),
+                           "event_type": batch["event_type"].to_pandas(),
+                           "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["day", "event_type"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["day", "event_type"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    agg["event_day"] = pd.to_datetime(agg.pop("day")).dt.strftime("%Y-%m-%d")
+    wide = (agg.pivot_table(index="event_day", columns="event_type",
+                            values="n", aggfunc="sum", fill_value=0)
+               .reindex(columns=list(PIVOT_EVENT_TYPES), fill_value=0)
+               .astype(np.int64)
+               .reset_index())
+    wide.columns.name = None
+    return wide.sort_values("event_day").reset_index(drop=True)
+
+
+EVENTS_PIVOT_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY event_day ORDER BY event_day
+"""

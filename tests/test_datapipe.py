@@ -762,3 +762,22 @@ def test_bm25_topk_matches_sql(con, ray_session):
     # top doc should not simply be the max-tf doc unless lengths agree
     assert (mine["score_q"].diff().dropna() <= 0).all()
     assert (mine["score_q"] > 0).all()
+
+
+def test_events_props_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.events_props_stats(SF)
+    _assert_match(mine, temporal.EVENTS_PROPS_STATS_SQL, con)
+    # the extraction really parsed every row: counts add to |events|
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert mine["n_events"].sum() == n_events
+    assert (mine["min_k"] <= mine["max_k"]).all()
+
+
+def test_events_pivot_daily_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.events_pivot_daily(SF)
+    _assert_match(mine, temporal.EVENTS_PIVOT_DAILY_SQL, con)
+    # wide x type columns partition the event count
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert mine[list(temporal.PIVOT_EVENT_TYPES)].to_numpy().sum() == n_events
