@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": corpus.bm25_topk,
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
+        "inactive_customers": relational.inactive_customers_by_nation,
+        "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -520,6 +522,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
+        "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
+        "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,

@@ -784,3 +784,148 @@ FROM f, g, dfc ORDER BY score_q DESC, doc_id LIMIT {k}
 
 
 BM25_TOPK_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination — benchmark-overlap detection (the n-gram
+# contamination audit every training corpus runs before eval sets are
+# trusted; cf. GPT-3/PaLM appendix-style 3-gram overlap checks)
+# ---------------------------------------------------------------------------
+
+DECON_TEST_PCT = 10   # stable-hash split: ~10% of docs are the "test" set
+DECON_K = 5           # 5-grams: long enough to separate true near-dups
+                      # from shared-vocabulary noise on the test corpora
+
+
+def decontaminate_stats(sf_dir: str, test_pct: int = DECON_TEST_PCT,
+                        k: int = DECON_K) -> pd.DataFrame:
+    """Per-test-document contamination stats: (doc_id, n_grams, n_hit,
+    contaminated) where n_hit counts the doc's distinct ``k``-token
+    shingles that also occur anywhere in the train split. The split is
+    the stable content-id hash (``sample_documents``'s bucket expr), so
+    it is reproducible across any partitioning.
+
+    Scale shape: both splits are corpus-sized, so the overlap is a
+    hash-partitioned semi-join on the GRAM — each batch emits one row
+    per distinct gram hash (train rows cross-doc-deduped in batch),
+    all grams land on a coarse hash fold, the membership probe is one
+    ``np.isin`` per partition, and only per-(doc, partition) partial
+    counts leave the groups. Gram identity travels as the 64-bit md5
+    hash (16 B/row regardless of gram text length); the SQL oracle
+    joins on gram CONTENT, so a hash collision could over-count a hit
+    — same cross-content collision odds as the minhash pipeline
+    (~n²/2⁶⁵; negligible at any tested scale).
+
+    Shingle semantics shared with ``dedup._shingle_set``: whitespace
+    tokens, distinct ``k``-gram strings joined by ' ', docs shorter
+    than ``k`` tokens collapse to one shingle of the available tokens.
+    """
+    import hashlib
+    import struct
+
+    from ray.data.aggregate import Sum
+
+    from .util import shuffle_width
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    n_parts = shuffle_width(ds)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        grams: list[np.ndarray] = []
+        docs: list[int] = []   # doc_id for test rows, -1 for train rows
+        cache: dict[str, int] = {}
+
+        def h64(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = struct.unpack(
+                    "<Q", hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
+                cache[g] = v
+            return v
+
+        train_seen: set[int] = set()
+        for did, text in zip(ids, texts):
+            toks = text.split()
+            gs = {" ".join(toks[i:i + k])
+                  for i in range(max(len(toks) - k + 1, 1))}
+            hs = np.fromiter((h64(g) for g in gs), dtype=np.uint64,
+                             count=len(gs))
+            if _h64u(str(did)) % 100 < test_pct:
+                grams.append(hs)
+                docs.extend([int(did)] * len(hs))
+            else:
+                fresh = np.array(
+                    [h for h in hs.tolist() if h not in train_seen],
+                    dtype=np.uint64)
+                train_seen.update(fresh.tolist())
+                grams.append(fresh)
+                docs.extend([-1] * len(fresh))
+        gh = (np.concatenate(grams) if grams
+              else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            "part": pa.array((gh % np.uint64(n_parts)).astype(np.int32)),
+            "gram": pa.array(gh),
+            "doc_id": pa.array(np.asarray(docs, dtype=np.int64))})
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        is_test = g["doc_id"].to_numpy() != -1
+        train = np.unique(g.loc[~is_test, "gram"].to_numpy())
+        t = g.loc[is_test, ["doc_id", "gram"]].copy()
+        if not len(t):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_grams": pd.Series([], dtype=np.int64),
+                                 "n_hit": pd.Series([], dtype=np.int64)})
+        t["hit"] = np.isin(t["gram"].to_numpy(), train).astype(np.int64)
+        out = t.groupby("doc_id", as_index=False).agg(
+            n_grams=("gram", "size"), n_hit=("hit", "sum"))
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        return out
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(probe, batch_format="pandas")
+             .groupby("doc_id")
+             .aggregate(Sum("n_grams", alias_name="n_grams"),
+                        Sum("n_hit", alias_name="n_hit"))
+             .to_pandas())
+    agg["n_grams"] = agg["n_grams"].astype(np.int64)
+    agg["n_hit"] = agg["n_hit"].astype(np.int64)
+    agg["contaminated"] = (agg["n_hit"] > 0).astype(np.int64)
+    return (agg[["doc_id", "n_grams", "n_hit", "contaminated"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _decontaminate_sql(test_pct: int = DECON_TEST_PCT,
+                       k: int = DECON_K) -> str:
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    slots = ", ".join(f"t0[i+{j}]" for j in range(k))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t0
+  FROM documents),
+shg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t0) - {k - 1}, 1) + 1),
+           i -> array_to_string(list_filter([{slots}],
+                                            x -> x IS NOT NULL), ' '))) AS s,
+         ('0x' || {le})::UBIGINT % 100 < {test_pct} AS is_test
+  FROM base),
+train_g AS (SELECT DISTINCT unnest(s) AS g FROM shg WHERE NOT is_test),
+test_g AS (SELECT doc_id, unnest(s) AS g FROM shg WHERE is_test)
+SELECT t.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS BIGINT)
+         AS contaminated
+FROM test_g t LEFT JOIN train_g tr ON tr.g = t.g
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+
+DECONTAMINATE_SQL = _decontaminate_sql()

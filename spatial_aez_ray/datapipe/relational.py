@@ -818,3 +818,80 @@ WHERE l_partkey IN (SELECT p_partkey FROM part
                     WHERE p_size < {_BLOOM_PART_MAX_SIZE})
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join — customers with NO event activity, per nation
+# (the "never engaged" cohort query; the complement of a semi-join)
+# ---------------------------------------------------------------------------
+
+def inactive_customers_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Anti-join customer ⟕̸ events on (c_custkey = user_id), rolled up
+    to per-nation counts: (n_name, n_inactive).
+
+    Scale shape: BOTH sides are fact-sized at 100 TB, so neither is
+    broadcast. Each side is pre-reduced per batch (events collapse to
+    the batch's distinct user_ids), both land on the same coarse hash
+    fold of the key, the anti-difference is one vectorized ``np.isin``
+    inside ``map_groups`` per partition, and only per-nation partial
+    counts leave the groups. The 25-row nation name map is the only
+    driver-side table.
+    """
+    from .util import shuffle_width
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    events = _read(sf_dir, "events", columns=["user_id"])
+    n_parts = shuffle_width(cust)
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((key % n_parts).astype(np.int32)),
+            "key": pa.array(key),
+            "nationkey": b["c_nationkey"].cast(pa.int64()),
+            "is_cust": pa.array(np.ones(len(key), dtype=np.int8))})
+
+    def event_prep(b: pa.Table) -> pa.Table:
+        key = np.unique(
+            b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "part": pa.array((key % n_parts).astype(np.int32)),
+            "key": pa.array(key),
+            "nationkey": pa.array(np.full(len(key), -1, dtype=np.int64)),
+            "is_cust": pa.array(np.zeros(len(key), dtype=np.int8))})
+
+    both = (cust.map_batches(cust_prep, batch_format="pyarrow")
+                .union(events.map_batches(event_prep,
+                                          batch_format="pyarrow")))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        is_cust = g["is_cust"].to_numpy() == 1
+        active = g.loc[~is_cust, "key"].to_numpy()
+        c = g.loc[is_cust]
+        inactive = c.loc[~np.isin(c["key"].to_numpy(), active)]
+        out = (inactive.groupby("nationkey", as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out[["nationkey", "n"]]
+
+    agg = (both.groupby("part")
+               .map_groups(anti, batch_format="pandas")
+               .groupby("nationkey")
+               .aggregate(Sum("n", alias_name="n_inactive"))
+               .to_pandas())
+
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    out["n_inactive"] = out["n_inactive"].astype(np.int64)
+    return (out[["n_name", "n_inactive"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+INACTIVE_CUSTOMERS_SQL = """
+SELECT n.n_name AS n_name, COUNT(*) AS n_inactive
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY n.n_name ORDER BY n_name
+"""

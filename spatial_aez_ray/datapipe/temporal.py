@@ -610,10 +610,11 @@ WITH e AS (
   FROM events)
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
-       COALESCE(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END), 0) AS n_k_ge_50
+       CAST(COALESCE(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_k_ge_50
 FROM e GROUP BY event_type ORDER BY event_type
 """
 

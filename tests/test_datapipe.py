@@ -781,3 +781,48 @@ def test_events_pivot_daily_match_sql(con, ray_session):
     # wide x type columns partition the event count
     n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     assert mine[list(temporal.PIVOT_EVENT_TYPES)].to_numpy().sum() == n_events
+
+
+def test_inactive_customers_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.inactive_customers_by_nation(SF)
+    _assert_match(mine, relational.INACTIVE_CUSTOMERS_SQL, con)
+    # sanity: strictly fewer inactive than total customers, and at
+    # least one (events cover only a small user-id range)
+    n_cust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert 0 < mine["n_inactive"].sum() < n_cust
+
+
+def test_decontaminate_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.decontaminate_stats(SF)
+    _assert_match(mine, corpus.DECONTAMINATE_SQL, con)
+    # the test split is the sample_documents 10% bucket
+    assert (mine["n_hit"] <= mine["n_grams"]).all()
+    assert set(mine["contaminated"].unique()) <= {0, 1}
+    # discriminating at k=5: some but not all test docs overlap train
+    assert 0 < mine["contaminated"].sum() < len(mine)
+
+
+def test_decontaminate_flags_planted_duplicate(con, ray_session, tmp_path):
+    """A doc copied verbatim across the split boundary must be flagged
+    with every shingle hit; an unrelated doc must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import corpus
+    from spatial_aez_ray.datapipe.dedup import _h64u
+    # find ids on each side of the split
+    test_id = next(i for i in range(1000) if _h64u(str(i)) % 100 < 10)
+    train_id = next(i for i in range(1000) if _h64u(str(i)) % 100 >= 10)
+    train_id2 = next(i for i in range(train_id + 1, 1000)
+                     if _h64u(str(i)) % 100 >= 10)
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table({
+        "doc_id": pa.array([test_id, train_id, train_id2], pa.int64()),
+        "text": pa.array([dup, dup, "one two three four five six seven"]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = corpus.decontaminate_stats(str(tmp_path))
+    assert list(out["doc_id"]) == [test_id]
+    row = out.iloc[0]
+    assert row["contaminated"] == 1 and row["n_hit"] == row["n_grams"] == 4
