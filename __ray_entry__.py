@@ -414,11 +414,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": corpus.stratified_sample,
         "kmv_distinct_parts": sketch.kmv_distinct_parts,
         "hll_user_registers": sketch.hll_user_registers,
+        "cms_token_counters": sketch.cms_token_counters,
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
         "bm25_topk": corpus.bm25_topk,
+        "pmi_top_pairs": corpus.pmi_top_pairs,
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
@@ -515,11 +517,13 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": corpus.STRATIFIED_SAMPLE_SQL,
         "kmv_distinct_parts": sketch.KMV_DISTINCT_PARTS_SQL,
         "hll_user_registers": sketch.HLL_USER_REGISTERS_SQL,
+        "cms_token_counters": sketch.CMS_TOKEN_COUNTERS_SQL,
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
+        "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,

@@ -810,48 +810,55 @@ def decontaminate_stats(sf_dir: str, test_pct: int = DECON_TEST_PCT,
     per distinct gram hash (train rows cross-doc-deduped in batch),
     all grams land on a coarse hash fold, the membership probe is one
     ``np.isin`` per partition, and only per-(doc, partition) partial
-    counts leave the groups. Gram identity travels as the 64-bit md5
-    hash (16 B/row regardless of gram text length); the SQL oracle
-    joins on gram CONTENT, so a hash collision could over-count a hit
-    — same cross-content collision odds as the minhash pipeline
-    (~n²/2⁶⁵; negligible at any tested scale).
+    counts leave the groups. Gram identity travels as a 64-bit hash
+    (16 B/row regardless of gram text length) — the MinHasher scheme:
+    md5 per DISTINCT token (per-batch cache), then a vectorized FNV
+    positional mix over each k-window, so per-gram cost is numpy, not
+    hashlib. Tokens never contain whitespace and the ``""`` pad only
+    arises for sub-k docs, so two windows hash-equal exactly when
+    their gram CONTENT is equal — which is what the SQL oracle joins
+    on; a 64-bit collision could over-count a hit (~n²/2⁶⁵ odds, same
+    as the minhash pipeline; negligible at any tested scale).
 
     Shingle semantics shared with ``dedup._shingle_set``: whitespace
     tokens, distinct ``k``-gram strings joined by ' ', docs shorter
     than ``k`` tokens collapse to one shingle of the available tokens.
     """
-    import hashlib
-    import struct
-
     from ray.data.aggregate import Sum
 
     from .util import shuffle_width
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     n_parts = shuffle_width(ds)
+    fnv = np.uint64(0x100000001B3)
 
     def prep(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
         grams: list[np.ndarray] = []
         docs: list[int] = []   # doc_id for test rows, -1 for train rows
-        cache: dict[str, int] = {}
+        cache: dict[str, np.uint64] = {}
 
-        def h64(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = struct.unpack(
-                    "<Q", hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
-                cache[g] = v
-            return v
+        def gram_hashes(toks: list[str]) -> np.ndarray:
+            if len(toks) < k:
+                toks = toks + [""] * (k - len(toks))
+            th = np.empty(len(toks), dtype=np.uint64)
+            for i, t in enumerate(toks):
+                h = cache.get(t)
+                if h is None:
+                    h = np.uint64(_h64u(t))
+                    cache[t] = h
+                th[i] = h
+            n_sh = len(toks) - k + 1
+            with np.errstate(over="ignore"):
+                acc = np.zeros(n_sh, dtype=np.uint64)
+                for j in range(k):
+                    acc = (acc ^ th[j:j + n_sh]) * fnv
+            return np.unique(acc)
 
         train_seen: set[int] = set()
         for did, text in zip(ids, texts):
-            toks = text.split()
-            gs = {" ".join(toks[i:i + k])
-                  for i in range(max(len(toks) - k + 1, 1))}
-            hs = np.fromiter((h64(g) for g in gs), dtype=np.uint64,
-                             count=len(gs))
+            hs = gram_hashes(text.split())
             if _h64u(str(did)) % 100 < test_pct:
                 grams.append(hs)
                 docs.extend([int(did)] * len(hs))
@@ -929,3 +936,131 @@ GROUP BY t.doc_id ORDER BY doc_id
 
 
 DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence — the association-mining pass behind phrase
+# detection / collocation extraction in corpus preprocessing
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_DOCS = 5     # drop rare pairs (classic PMI noise guard)
+PMI_SCALE = 1_000_000     # integer quantization of the PMI ratio
+
+
+def pmi_top_pairs(sf_dir: str, k: int = 20,
+                  min_pair_docs: int = PMI_MIN_PAIR_DOCS) -> pd.DataFrame:
+    """Top-k token pairs by document-level pointwise mutual information:
+    (tok_a, tok_b, pair_docs, pmi_q) with tok_a < tok_b, pair_docs =
+    docs containing BOTH tokens, and pmi_q the integer-quantized PMI
+    ratio (pair_docs * N * SCALE) // (df_a * df_b) — monotone in PMI
+    (log of a scaled ratio), exact in integer arithmetic on both sides
+    so ranking never depends on float log.
+
+    Two passes, both vocab-bounded:
+    * pass 1 — per-token document frequency: distinct-per-doc combiner
+      inside map_batches, vocab-sized groupby, broadcast as a dict
+      (same shape as ``tfidf_top_token``'s global stats).
+    * pass 2 — pair doc-counts: per batch, each doc's distinct-token
+      set expands to its ~|v|²/2 pairs IN NUMPY (triu indices over the
+      batch-local code space), pre-summed per batch, so the shuffle
+      carries one row per distinct pair per block. At an unbounded
+      vocab you'd prune to df >= min_df tokens first (broadcast df
+      filter) — the pair space must be bounded before the expansion.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(set(t.split(" ")))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"tok": pa.array(uniq, pa.string()),
+                         "c": pa.array(cnt)})
+
+    dfreq = (ds.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("tok")
+               .aggregate(Sum("c", alias_name="c"))
+               .to_pandas())
+    df_map = dict(zip(dfreq["tok"], dfreq["c"].astype(int)))
+    n_docs = int(ds.count())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        per_doc = [np.unique(np.asarray(t.split(" "), dtype=object))
+                   for t in texts]
+        if not per_doc:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        flat = np.concatenate(per_doc) if per_doc else np.array([])
+        codes, uniq = pd.factorize(flat)   # uniq is batch vocab
+        ai, bi, pos = [], [], 0
+        for u in per_doc:
+            # np.unique returned u lexicographically sorted, so pairing
+            # by POSITION yields tok_a < tok_b in string order (the SQL
+            # oracle's a.tok < b.tok); codes are per-position labels,
+            # NOT sorted — never sort them
+            cu = codes[pos:pos + len(u)]
+            pos += len(u)
+            ia, ib = np.triu_indices(len(cu), 1)
+            ai.append(cu[ia])
+            bi.append(cu[ib])
+        a = np.concatenate(ai)
+        b = np.concatenate(bi)
+        keys = a.astype(np.int64) * len(uniq) + b
+        ku, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            "tok_a": pa.array(uniq[(ku // len(uniq)).astype(int)],
+                              pa.string()),
+            "tok_b": pa.array(uniq[(ku % len(uniq)).astype(int)],
+                              pa.string()),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["tok_a", "tok_b"])
+               .aggregate(Sum("c", alias_name="pair_docs"))
+               .to_pandas())
+    pairs = pairs[pairs["pair_docs"] >= min_pair_docs].copy()
+    da = pairs["tok_a"].map(df_map).astype(object)
+    db = pairs["tok_b"].map(df_map).astype(object)
+    pairs["pmi_q"] = [
+        int((int(cab) * n_docs * PMI_SCALE) // (int(x) * int(y)))
+        for cab, x, y in zip(pairs["pair_docs"], da, db)]
+    pairs["pair_docs"] = pairs["pair_docs"].astype(np.int64)
+    pairs["pmi_q"] = pairs["pmi_q"].astype(np.int64)
+    out = pairs.sort_values(["pmi_q", "tok_a", "tok_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+    return out[["tok_a", "tok_b", "pair_docs", "pmi_q"]].reset_index(
+        drop=True)
+
+
+def _pmi_sql(k: int = 20, min_pair_docs: int = PMI_MIN_PAIR_DOCS) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents),
+t AS (SELECT doc_id, unnest(s) AS tok FROM base),
+df AS (SELECT tok, COUNT(*) AS dfc FROM t GROUP BY tok),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_docs})
+SELECT tok_a, tok_b, CAST(cab AS BIGINT) AS pair_docs,
+       CAST((cab::HUGEINT * nd * {PMI_SCALE})
+            // (da.dfc::HUGEINT * db.dfc) AS BIGINT) AS pmi_q
+FROM pairs, n
+JOIN df da ON da.tok = tok_a
+JOIN df db ON db.tok = tok_b
+ORDER BY pmi_q DESC, tok_a, tok_b LIMIT {k}
+"""
+
+
+PMI_TOP_PAIRS_SQL = _pmi_sql()

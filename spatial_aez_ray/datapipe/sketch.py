@@ -247,3 +247,114 @@ FROM b GROUP BY event_type, register ORDER BY event_type, register
 
 
 HLL_USER_REGISTERS_SQL = _hll_sql()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — heavy-hitter frequency estimation
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d independent hash rows x w buckets. The whole sketch
+#: is d*w counters per group — the shuffle carries O(d x w x blocks)
+#: rows no matter how many distinct tokens stream through. w=256 makes
+#: over-estimates rare at test-vocab scale while keeping the counter
+#: table tiny; error bound is the classic eps = e/w of the total mass
+#: (Cormode & Muthukrishnan 2005, "An improved data stream summary:
+#: the count-min sketch and its applications").
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_bucket(row: int, token: str) -> int:
+    """Bucket of ``token`` under hash row ``row`` — an independent
+    md5-derived hash per row via the salted key 'row:token'."""
+    return _h64u(f"{row}:{token}") % CMS_W
+
+
+def cms_token_counters(sf_dir: str, d: int = CMS_D,
+                       w: int = CMS_W) -> pd.DataFrame:
+    """Count-Min sketch of token frequencies over the document corpus:
+    the full counter table (sketch_row, bucket, cnt), cnt = total
+    occurrences of every token hashing into that (row, bucket) cell.
+
+    Mergeable-aggregate shape (== ``hll_user_registers``): the
+    per-batch partial counts token occurrences locally (one factorize
+    + bincount, the vocab combiner), hashes each batch-distinct token
+    d times, and emits at most d x w pre-summed counter rows per
+    block; the combine is a plain grouped SUM — associative, so
+    partials compose in any order. Only buckets some token hashed
+    into appear (both engines agree by construction).
+
+    Point estimates never cross the oracle boundary: derive them with
+    ``cms_estimate`` (min over the d rows — always >= the true count);
+    the counter table itself is integer-exact vs the DuckDB oracle.
+    """
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for t in batch["text"].to_pylist():
+            flat.extend(t.split(" "))
+        if not flat:
+            return pa.table({"sketch_row": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        rows, buckets, cnts = [], [], []
+        for r in range(d):
+            b = np.fromiter((_cms_bucket(r, t) for t in uniq),
+                            dtype=np.int64, count=len(uniq))
+            acc = np.zeros(w, dtype=np.int64)
+            np.add.at(acc, b, cnt)
+            nz = np.flatnonzero(acc)
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            cnts.append(acc[nz])
+        return pa.table({"sketch_row": pa.array(np.concatenate(rows)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "cnt": pa.array(np.concatenate(cnts))})
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["sketch_row", "bucket"])
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    for c in ("sketch_row", "bucket", "cnt"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["sketch_row", "bucket"])
+               .reset_index(drop=True))
+
+
+def cms_estimate(counters: pd.DataFrame, tokens: list[str],
+                 d: int = CMS_D) -> dict[str, int]:
+    """Point-frequency estimates from a ``cms_token_counters`` table
+    (driver-side, test/diagnostic surface): min over the d rows of the
+    token's counter — never under the true count, over only on
+    collision."""
+    cell = {(int(r), int(b)): int(c) for r, b, c in zip(
+        counters["sketch_row"], counters["bucket"], counters["cnt"])}
+    return {t: min(cell.get((r, _cms_bucket(r, t)), 0) for r in range(d))
+            for t in tokens}
+
+
+def _cms_sql(d: int = CMS_D, w: int = CMS_W) -> str:
+    # same salted little-endian md5-u64 as _cms_bucket ('r:token')
+    def le(r: int) -> str:
+        return " || ".join(
+            f"substr(md5('{r}:' || tok), {15 - 2 * i}, 2)"
+            for i in range(8))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS sketch_row, "
+        f"(('0x' || {le(r)})::UBIGINT % {w})::BIGINT AS bucket, "
+        f"CAST(SUM(c) AS BIGINT) AS cnt FROM tf GROUP BY bucket"
+        for r in range(d))
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+cells AS ({rows})
+SELECT sketch_row, bucket, cnt FROM cells ORDER BY sketch_row, bucket
+"""
+
+
+CMS_TOKEN_COUNTERS_SQL = _cms_sql()

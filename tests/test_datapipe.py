@@ -826,3 +826,39 @@ def test_decontaminate_flags_planted_duplicate(con, ray_session, tmp_path):
     assert list(out["doc_id"]) == [test_id]
     row = out.iloc[0]
     assert row["contaminated"] == 1 and row["n_hit"] == row["n_grams"] == 4
+
+
+def test_cms_token_counters_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import sketch
+    mine = sketch.cms_token_counters(SF)
+    _assert_match(mine, sketch.CMS_TOKEN_COUNTERS_SQL, con)
+    # every sketch row carries the full token mass exactly
+    total = con.execute(
+        "SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        "FROM documents)").fetchone()[0]
+    assert (mine.groupby("sketch_row")["cnt"].sum() == total).all()
+
+
+def test_cms_estimate_never_undercounts(con, ray_session):
+    from spatial_aez_ray.datapipe import sketch
+    counters = sketch.cms_token_counters(SF)
+    exact = dict(con.execute(
+        "SELECT tok, COUNT(*) FROM (SELECT unnest(string_split(text, ' '))"
+        " AS tok FROM documents) GROUP BY tok").fetchall())
+    est = sketch.cms_estimate(counters, list(exact))
+    assert all(est[t] >= c for t, c in exact.items())
+    # w=256 >> vocab: collisions should be rare enough that most
+    # estimates are exact
+    exact_hits = sum(1 for t, c in exact.items() if est[t] == c)
+    assert exact_hits >= len(exact) * 0.8
+
+
+def test_pmi_top_pairs_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.pmi_top_pairs(SF)
+    _assert_match(mine, corpus.PMI_TOP_PAIRS_SQL, con)
+    assert len(mine) == 20
+    assert (mine["tok_a"] < mine["tok_b"]).all()
+    assert (mine["pair_docs"] >= corpus.PMI_MIN_PAIR_DOCS).all()
+    # descending by quantized PMI with deterministic tie-break
+    assert (mine["pmi_q"].diff().dropna() <= 0).all()
