@@ -29,6 +29,21 @@ import sys
 import time
 
 
+def _read_cpu_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — host co-tenants on
+    this box routinely steal 3-20% of CPU and swing wall times ±3x, so
+    every bench line reports the steal fraction measured DURING the
+    run; only near-zero-steal numbers are comparable across rounds."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # pragma: no cover - non-linux
+        return 0, 0
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
     if not ray.is_initialized():
@@ -102,7 +117,10 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
 
 def main_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
+    st0, tt0 = _read_cpu_steal()
     res = run_queries(sf_dir, num_cpus)
+    st1, tt1 = _read_cpu_steal()
+    steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 1)
     out = {
         "metric": "headline pipelines total wall time",
         "value": round(sum(res["timings"].values()), 3),
@@ -110,6 +128,7 @@ def main_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": {k: round(v, 3) for k, v in res["timings"].items()},
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "host_steal_pct": steal_pct,
     }
     out.update({k: round(v, 1) for k, v in res["extras"].items()})
     return out
@@ -159,6 +178,7 @@ def _scaling_child(num_cpus: int) -> None:
     spec, world = _scaling_world()
     conc = (1, max(2, num_cpus - 1))
     index = extract.build_zonal_index(world)
+    st0, tt0 = _read_cpu_steal()
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=2) as ex:
         f1 = ex.submit(extract.zonal_stats, world, "kg",
@@ -170,8 +190,11 @@ def _scaling_child(num_cpus: int) -> None:
     g1c = spec.g1.width * spec.g1.height
     g3c = spec.g3.width * spec.g3.height
     cells = g1c + (3 * g1c + g3c)
-    print(json.dumps({"num_cpus": num_cpus, "sec": dt,
-                      "cells_per_sec": cells / dt}))
+    st1, tt1 = _read_cpu_steal()
+    print(json.dumps({
+        "num_cpus": num_cpus, "sec": dt, "cells_per_sec": cells / dt,
+        "host_steal_pct": round(
+            100.0 * (st1 - st0) / max(tt1 - tt0, 1), 1)}))
 
 
 def main_scaling(sf_dir: str) -> dict:
