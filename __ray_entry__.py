@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,
+        "source_quality_report": text.source_quality_report,
         "quality_scores": text.quality_scores,
         "quality_filter_stats": text.quality_filter_stats,
         "fingerprints": text.fingerprints,
@@ -443,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         # similarity search
         "ann_topk": simsearch.ann_topk,
+        "centroid_outliers": simsearch.centroid_outliers,
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
         "embedding_neardup": simsearch.embedding_neardup,
@@ -529,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
+        "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "quality_filter_stats": text.QUALITY_FILTER_STATS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
@@ -548,6 +551,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_TOPK_SQL"]).ANN_TOPK_SQL,
+        "centroid_outliers": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["CENTROID_OUTLIERS_SQL"]).CENTROID_OUTLIERS_SQL,
         "embedding_neardup": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["EMBEDDING_NEARDUP_SQL"]).EMBEDDING_NEARDUP_SQL,

@@ -605,3 +605,124 @@ def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10,
         _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
     return _merge_topk_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# grouped vector aggregate — per-label centroids + farthest-from-centroid
+# outliers (the embedding-space QA pass: mislabeled / anomalous vectors
+# surface as the largest centroid distances)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 1024      # integer quantization of embedding values
+CENTROID_TOPK = 20
+
+
+def centroid_outliers(sf_dir: str, k: int = CENTROID_TOPK) -> pd.DataFrame:
+    """Global top-k vectors by squared distance to their own label's
+    centroid: (vec_id, label, dist_q), ordered dist_q DESC then vec_id.
+
+    Exactness: embedding values are quantized to integers (qv =
+    round(v * 1024), DuckDB-ROUND semantics), so the per-(label, dim)
+    centroid SUMS are order-free exact int64 and the distance is
+    computed scale-free as sum((qv*n - sq)^2) — all integer, identical
+    to the SQL oracle regardless of partitioning. int64 bound: |qv| <=
+    ~1024, so dist_q < 64 * (2*1024*n)^2 stays under 2^63 for label
+    cardinalities up to ~4e7 vectors — beyond that, raise the final
+    sum to object ints (the partials stay int64).
+
+    Scale shape: pass 1 emits per-batch (label, dim, qsum, n-partial)
+    rows — at most labels x dim rows per block — into a tiny groupby;
+    the (labels x dim) centroid table is closure-broadcast; pass 2 is
+    one vectorized distance per batch with a per-batch top-k partial,
+    so only k rows per block reach the final sort+limit.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "label", "embedding"])
+
+    def _quant(emb_col) -> np.ndarray:
+        m = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in emb_col.to_pylist()])
+        scaled = m * CENTROID_SCALE
+        # trunc(x + copysign(.5, x)) == DuckDB ROUND (half away from 0)
+        return np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        q = _quant(batch["embedding"])            # (rows, dim) int64
+        labels = np.asarray(batch["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        codes, uniq = pd.factorize(labels)
+        dim = q.shape[1]
+        sq = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sq, codes, q)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, dim)
+        d = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab),
+            "dim": pa.array(d),
+            "sq": pa.array(sq.ravel()),
+            "n": pa.array(np.repeat(n, dim))})
+
+    cent = (ds.map_batches(sums_partial, batch_format="pyarrow")
+              .groupby(["label", "dim"])
+              .aggregate(Sum("sq", alias_name="sq"),
+                         Sum("n", alias_name="n"))
+              .to_pandas())
+    dim = int(cent["dim"].max()) + 1
+    labels_u = np.sort(cent["label"].unique())
+    lab_pos = {int(v): i for i, v in enumerate(labels_u)}
+    sq_mat = np.zeros((len(labels_u), dim), dtype=np.int64)
+    n_vec = np.zeros(len(labels_u), dtype=np.int64)
+    rows = cent["label"].map(lab_pos).to_numpy()
+    sq_mat[rows, cent["dim"].to_numpy()] = cent["sq"].to_numpy()
+    n_vec[rows] = cent["n"].to_numpy()
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        q = _quant(batch["embedding"])
+        labels = np.asarray(batch["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        pos = np.fromiter((lab_pos[int(v)] for v in labels),
+                          dtype=np.int64, count=len(labels))
+        diff = q * n_vec[pos, None] - sq_mat[pos]
+        dist = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((np.asarray(
+            batch["vec_id"].to_numpy(zero_copy_only=False)), -dist))[:k]
+        return pa.table({
+            "vec_id": pa.array(np.asarray(
+                batch["vec_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)[order]),
+            "label": pa.array(labels[order]),
+            "dist_q": pa.array(dist[order])})
+
+    out = (ds.map_batches(dist_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = out.sort_values(["dist_q", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    for c in ("vec_id", "label", "dist_q"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _centroid_sql(k: int = CENTROID_TOPK) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings),
+cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+c AS (SELECT label, dim, SUM(qv) AS sq FROM q GROUP BY label, dim),
+d AS (
+  SELECT q.vec_id, q.label,
+         SUM((q.qv * cnt.n - c.sq) * (q.qv * cnt.n - c.sq)) AS dist
+  FROM q JOIN c ON c.label = q.label AND c.dim = q.dim
+         JOIN cnt ON cnt.label = q.label
+  GROUP BY q.vec_id, q.label)
+SELECT vec_id, label, CAST(dist AS BIGINT) AS dist_q
+FROM d ORDER BY dist_q DESC, vec_id LIMIT {k}
+"""
+
+
+CENTROID_OUTLIERS_SQL = _centroid_sql()

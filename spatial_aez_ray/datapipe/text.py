@@ -664,3 +664,81 @@ JOIN (SELECT * FROM ttop WHERE r = 1) tt USING (doc_id)
 LEFT JOIN (SELECT * FROM btop WHERE r = 1) bt USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus quality report — the composition dashboard every
+# multi-source training mix is tuned from
+# ---------------------------------------------------------------------------
+
+SHORT_DOC_TOKENS = 20
+
+
+def source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus composition: (source, n_docs, n_langs,
+    total_tokens, total_chars, n_short_docs, mean_tokens).
+
+    All counts are exact int64 sums (order-free); ``mean_tokens`` is
+    the single division total_tokens / n_docs of identical integers on
+    both sides — bit-identical to the oracle per the repo's float
+    discipline. Scale shape: per-batch partials grouped on
+    (source, lang) — at most sources x langs rows per block — into a
+    tiny groupby; the lang-distinct rollup runs driver-side over the
+    aggregated sources x langs table only.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok = np.fromiter((t.count(" ") + 1 for t in texts),
+                            dtype=np.int64, count=len(texts))
+        n_chars = np.fromiter((len(t) for t in texts),
+                              dtype=np.int64, count=len(texts))
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "lang": batch["lang"].to_pandas(),
+            "n_docs": np.ones(len(texts), dtype=np.int64),
+            "total_tokens": n_tok,
+            "total_chars": n_chars,
+            "n_short_docs": (n_tok < SHORT_DOC_TOKENS).astype(np.int64)})
+        g = df.groupby(["source", "lang"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "lang"])
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("total_tokens", alias_name="total_tokens"),
+                        Sum("total_chars", alias_name="total_chars"),
+                        Sum("n_short_docs", alias_name="n_short_docs"))
+             .to_pandas())
+    out = (agg.groupby("source", as_index=False)
+              .agg(n_docs=("n_docs", "sum"),
+                   n_langs=("lang", "nunique"),
+                   total_tokens=("total_tokens", "sum"),
+                   total_chars=("total_chars", "sum"),
+                   n_short_docs=("n_short_docs", "sum")))
+    for c in ("n_docs", "n_langs", "total_tokens", "total_chars",
+              "n_short_docs"):
+        out[c] = out[c].astype(np.int64)
+    out["mean_tokens"] = out["total_tokens"] / out["n_docs"].astype(float)
+    return (out[["source", "n_docs", "n_langs", "total_tokens",
+                 "total_chars", "n_short_docs", "mean_tokens"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SOURCE_QUALITY_REPORT_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(COALESCE(SUM(CASE WHEN len(string_split(text, ' '))
+                                   < {SHORT_DOC_TOKENS}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_short_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -862,3 +862,39 @@ def test_pmi_top_pairs_match_sql(con, ray_session):
     assert (mine["pair_docs"] >= corpus.PMI_MIN_PAIR_DOCS).all()
     # descending by quantized PMI with deterministic tie-break
     assert (mine["pmi_q"].diff().dropna() <= 0).all()
+
+
+def test_centroid_outliers_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.centroid_outliers(SF)
+    _assert_match(mine, simsearch.CENTROID_OUTLIERS_SQL, con)
+    assert len(mine) == simsearch.CENTROID_TOPK
+    assert (mine["dist_q"].diff().dropna() <= 0).all()
+
+
+def test_centroid_outliers_flags_planted_outlier(ray_session, tmp_path):
+    """A vector far from its label's cluster must rank first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import simsearch
+    rng = np.random.RandomState(3)
+    base = rng.rand(40, 8).astype(np.float32) * 0.01
+    base[7] += 0.9   # the planted outlier
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "label": pa.array(np.repeat(np.arange(4, dtype=np.int64), 10)),
+        "embedding": pa.array([v for v in base.tolist()],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = simsearch.centroid_outliers(str(tmp_path), k=5)
+    assert out.iloc[0]["vec_id"] == 7
+
+
+def test_source_quality_report_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text as t
+    mine = t.source_quality_report(SF)
+    _assert_match(mine, t.SOURCE_QUALITY_REPORT_SQL, con)
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert mine["n_docs"].sum() == n_docs
+    assert (mine["n_short_docs"] <= mine["n_docs"]).all()
