@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_search": corpus.boolean_and_search,
         "bm25_topk": corpus.bm25_topk,
         "pmi_top_pairs": corpus.pmi_top_pairs,
+        "corpus_build_manifest": corpus.corpus_build_manifest,
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
+        "corpus_build_manifest": corpus.CORPUS_BUILD_MANIFEST_SQL,
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,

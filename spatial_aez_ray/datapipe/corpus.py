@@ -1064,3 +1064,230 @@ ORDER BY pmi_q DESC, tok_a, tok_b LIMIT {k}
 
 
 PMI_TOP_PAIRS_SQL = _pmi_sql()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus build manifest — the composed pipeline (dedup ->
+# quality gate -> chunking) every training set actually ships with
+# ---------------------------------------------------------------------------
+
+MANIFEST_MIN_TOKENS = 40
+MANIFEST_MAX_STOP_RATIO = 0.06
+
+
+def corpus_build_manifest(sf_dir: str) -> pd.DataFrame:
+    """One streaming pipeline composing three stages the engine also
+    exposes individually, returning the per-language build manifest
+    (lang, kept_docs, kept_tokens, n_chunks):
+
+    1. exact dedup — ONE hash shuffle; text rides the shuffle because
+       the survivors continue downstream (the build actually needs the
+       bytes, unlike the audit query ``exact_dedup`` where 16 B/doc
+       suffices). Survivor = min doc_id per content hash, resolved per
+       coarse partition fold (never one Ray group per hash — the
+       tiny-groups anti-pattern).
+    2. quality gate — per-batch filter on the same integer-derived
+       token/stopword ratios as ``text.quality_scores`` (bit-identical
+       boundary vs the oracle).
+    3. chunk accounting — ceil(n_tokens / stride) context windows per
+       kept doc (integer form, no float ceil).
+
+    Only per-(partition, lang) partial rows reach the final tiny
+    groupby — document text never leaves the workers after stage 2.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _content_hash_batch
+    from .text import _quality_batch
+    from .util import shuffle_width
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+    n_parts = shuffle_width(ds)
+
+    def hash_part(b: pa.Table) -> pa.Table:
+        hb = _content_hash_batch(b.select(["doc_id", "text"]))
+        h = hb["content_hash"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((h % n_parts).astype(np.int32)),
+            "content_hash": hb["content_hash"],
+            "doc_id": b["doc_id"],
+            "text": b["text"],
+            "lang": b["lang"]})
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("content_hash", sort=False)["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "text", "lang"]]
+
+    def manifest_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        batch = pa.Table.from_pandas(pdf, preserve_index=False)
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        n_tok = np.asarray(q["n_tokens"])
+        keep = (n_tok >= MANIFEST_MIN_TOKENS) & \
+               (np.asarray(q["stopword_ratio"]) <= MANIFEST_MAX_STOP_RATIO)
+        idx = np.flatnonzero(keep)
+        kept_tok = n_tok[idx]
+        df = pd.DataFrame({
+            "lang": np.asarray(batch["lang"].to_pylist())[idx],
+            "kept_docs": np.ones(len(idx), dtype=np.int64),
+            "kept_tokens": kept_tok,
+            "n_chunks": (kept_tok + CHUNK_STRIDE - 1) // CHUNK_STRIDE})
+        return df.groupby("lang", as_index=False).sum()
+
+    out = (ds.map_batches(hash_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(survivors, batch_format="pandas")
+             .map_batches(manifest_partial, batch_format="pandas")
+             .groupby("lang")
+             .aggregate(Sum("kept_docs", alias_name="kept_docs"),
+                        Sum("kept_tokens", alias_name="kept_tokens"),
+                        Sum("n_chunks", alias_name="n_chunks"))
+             .to_pandas())
+    for c in ("kept_docs", "kept_tokens", "n_chunks"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _manifest_sql() -> str:
+    from .text import STOPWORDS
+    return f"""
+WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+d AS (SELECT doc_id, text, lang FROM documents JOIN surv USING (doc_id)),
+q AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {STOPWORDS!r}))
+           / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)
+           AS stop_ratio
+  FROM d)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(SUM((n_tokens + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})
+            AS BIGINT) AS n_chunks
+FROM q WHERE n_tokens >= {MANIFEST_MIN_TOKENS}
+         AND stop_ratio <= {MANIFEST_MAX_STOP_RATIO}
+GROUP BY lang ORDER BY lang
+"""
+
+
+CORPUS_BUILD_MANIFEST_SQL = _manifest_sql()
+
+
+# ---------------------------------------------------------------------------
+# checkpointed corpus-build job — the resumable cluster form of the
+# gate -> chunk stage chain (per-shard lineage + metrics manifest,
+# mirroring extract.run_checkpointed_partials for the spatial side)
+# ---------------------------------------------------------------------------
+
+def chunk_corpus_checkpointed(sf_dir: str, out_dir: str, *,
+                              num_shards: int = 8,
+                              chunk: int = CHUNK_TOKENS,
+                              stride: int = CHUNK_STRIDE,
+                              min_tokens: int = MANIFEST_MIN_TOKENS,
+                              max_stop_ratio: float =
+                              MANIFEST_MAX_STOP_RATIO) -> pd.DataFrame:
+    """Resumable corpus chunking: quality-gate + chunk-expand each
+    doc_id-range shard of the documents table, persisting one atomic
+    chunk part file + manifest line (lineage: doc range, params;
+    metrics: rows, seconds) per shard. Shards are PLANNED FROM PARQUET
+    FOOTER STATS (doc_id min/max per row group — the id column never
+    leaves storage) and the plan is part of the manifest key, so a
+    resume with different num_shards can never reuse stale ranges.
+    Re-running after a failure skips completed shards; output is
+    bit-identical to a single uninterrupted run.
+
+    Returns the job summary: one row per shard
+    (shard_id, docs_kept, chunks, chunk_tokens, resumed).
+    """
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    from ..state.checkpoint import (
+        CheckpointManifest, ShardResult, doc_id_range_shards_from_stats,
+        op_hash,
+    )
+    from .text import _quality_batch
+
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    shards = doc_id_range_shards_from_stats(paths, num_shards)
+    plan_key = ";".join(f"{sid}:{lo}..{hi}" for sid, lo, hi in shards)
+    params = f"c{chunk}-s{stride}-t{min_tokens}-r{max_stop_ratio}"
+    man = CheckpointManifest(
+        out_dir, op_hash("corpus-chunks", "v1", params, plan_key))
+    pending = set(man.pending([s[0] for s in shards]))
+    manifest_lock = threading.Lock()
+    plan_lock = threading.Lock()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import hashlib
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        keep = (np.asarray(q["n_tokens"]) >= min_tokens) & \
+               (np.asarray(q["stopword_ratio"]) <= max_stop_ratio)
+        ids, idxs, ns, digests = [], [], [], []
+        for j in np.flatnonzero(keep):
+            d = batch["doc_id"][int(j)].as_py()
+            toks = batch["text"][int(j)].as_py().split(" ")
+            for ci, s0 in enumerate(range(0, len(toks), stride)):
+                sub = toks[s0:s0 + chunk]
+                ids.append(d)
+                idxs.append(ci)
+                ns.append(len(sub))
+                digests.append(hashlib.md5(
+                    " ".join(sub).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "chunk_md5": pa.array(digests, pa.string())})
+
+    def run_shard(shard):
+        sid, lo, hi = shard
+        t0 = _time.time()
+        with plan_lock:   # Dataset construction isn't thread-safe
+            ds = ray.data.read_parquet(
+                paths, columns=["doc_id", "text"],
+                filter=(pc.field("doc_id") >= lo)
+                       & (pc.field("doc_id") <= hi))
+        parts = ds.map_batches(expand, batch_format="pyarrow")
+        refs = parts.to_arrow_refs()
+        tables = [t if isinstance(t, pa.Table)
+                  else pa.Table.from_batches([t])
+                  for t in ray.get(refs)]
+        table = (pa.concat_tables(tables) if tables
+                 else expand(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "text": pa.array([], pa.string())})))
+        with manifest_lock:
+            man.write_part(
+                sid, table,
+                lineage={"dataset": "documents", "doc_id_lo": str(lo),
+                         "doc_id_hi": str(hi), "params": params,
+                         "op": "corpus-chunks"},
+                result=ShardResult(shard_id=sid, rows=table.num_rows,
+                                   cells=int(table["n_tokens"]
+                                             .to_pandas().sum())
+                                   if table.num_rows else 0,
+                                   seconds=_time.time() - t0))
+
+    todo = [s for s in shards if s[0] in pending]
+    if todo:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        workers = max(1, min(4, cpus // 2, len(todo)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(run_shard, todo))
+
+    rows = []
+    for sid, lo, hi in shards:
+        t = papq.read_table(man.part_path(sid))
+        rows.append((sid, t["doc_id"].to_pandas().nunique(), t.num_rows,
+                     int(t["n_tokens"].to_pandas().sum()),
+                     int(sid not in pending)))
+    out = pd.DataFrame(rows, columns=[
+        "shard_id", "docs_kept", "chunks", "chunk_tokens", "resumed"])
+    for c in ("docs_kept", "chunks", "chunk_tokens", "resumed"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -898,3 +898,57 @@ def test_source_quality_report_match_sql(con, ray_session):
     n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert mine["n_docs"].sum() == n_docs
     assert (mine["n_short_docs"] <= mine["n_docs"]).all()
+
+
+def test_corpus_build_manifest_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.corpus_build_manifest(SF)
+    _assert_match(mine, corpus.CORPUS_BUILD_MANIFEST_SQL, con)
+    assert (mine["n_chunks"] >= mine["kept_docs"]).all()
+
+
+def test_chunk_corpus_checkpointed_resume_identical(con, ray_session,
+                                                    tmp_path):
+    import pyarrow.parquet as pq
+    import ray as _ray
+    from spatial_aez_ray.datapipe import corpus
+    # re-write the docs table with small row groups so footer-stats
+    # planning yields real multi-shard plans
+    src = pq.read_table(f"{SF}/documents.parquet")
+    docs_dir = tmp_path / "tables"
+    docs_dir.mkdir()
+    pq.write_table(src, docs_dir / "documents.parquet", row_group_size=64)
+    out = str(tmp_path / "ckpt")
+
+    s1 = corpus.chunk_corpus_checkpointed(str(docs_dir), out, num_shards=4)
+    assert len(s1) == 4 and s1["resumed"].sum() == 0
+    # totals agree with the independent single-pass chunker
+    direct = corpus.chunk_documents(SF)
+    gated = con.execute(f"""
+        WITH q AS (SELECT doc_id, len(string_split(text,' ')) AS n,
+                   len(list_filter(string_split(text,' '),
+                       w -> w IN {__import__('spatial_aez_ray.datapipe.text',
+                                             fromlist=['STOPWORDS']
+                                             ).STOPWORDS!r}))
+                     / CAST(GREATEST(len(string_split(text,' ')),1)
+                            AS DOUBLE) AS r
+                   FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT),
+               CAST(SUM((n + 23) // 24) AS BIGINT)
+        FROM q WHERE n >= 40 AND r <= 0.06""").fetchone()
+    assert s1["docs_kept"].sum() == gated[0]
+    assert s1["chunks"].sum() == gated[1]
+
+    parts = str(tmp_path / "ckpt" / "parts")
+    read1 = (_ray.data.read_parquet(parts).to_pandas()
+             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    # second run: everything skipped, output bit-identical
+    s2 = corpus.chunk_corpus_checkpointed(str(docs_dir), out, num_shards=4)
+    assert s2["resumed"].sum() == 4
+    read2 = (_ray.data.read_parquet(parts).to_pandas()
+             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(read1, read2)
+    # a different shard plan must NOT reuse the old parts' manifest key
+    s3 = corpus.chunk_corpus_checkpointed(str(docs_dir), out, num_shards=2)
+    assert s3["resumed"].sum() == 0
+    assert s3["chunks"].sum() == s1["chunks"].sum()
