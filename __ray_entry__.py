@@ -80,6 +80,25 @@ def _spatial_zonal(dataset: str):
     return run
 
 
+#: inclusive (ty0, ty1, tx0, tx1) interior rectangle of the TINY g1
+#: grid (12 x 6 tiles) — the spatial range-aggregation window gate
+_ZONAL_WINDOW = (1, 3, 2, 7)
+
+
+def _spatial_zonal_window(sf_dir: str):
+    """Range-aggregation form of zonal stats: the window becomes a
+    doc_id range filter pushed into the read + one exact predicate;
+    self-verified bit-exact against the window-restricted oracle."""
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import extract
+    df = extract.zonal_stats(_world(), "kg", tile_window=_ZONAL_WINDOW)
+    _assert_oracle(
+        df, oracle.zonal_csv(fixtures.TINY, "kg",
+                             tile_window=_ZONAL_WINDOW),
+        "zonal_window[kg]")
+    return df.reset_index()
+
+
 def _spatial_aez(sf_dir: str):
     from spatial_aez_ray import fixtures, oracle
     from spatial_aez_ray.pipelines import aez
@@ -397,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_7d": temporal.rolling_daily_counts,
         "events_funnel": temporal.funnel_stages,
         "events_props_stats": temporal.events_props_stats,
+        "event_transitions": temporal.event_transitions,
         "events_pivot_daily": temporal.events_pivot_daily,
         "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
@@ -438,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
+        "dedup_ingest_precedence": dedup.ingest_precedence_dedup,
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash": dedup.simhash_dedup,
@@ -468,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_zonal_fao": _spatial_zonal("fao"),
         "spatial_zonal_wk": _spatial_zonal("wk"),
         "spatial_zonal_lpd": _spatial_zonal("lpd"),
+        "spatial_zonal_window": _spatial_zonal_window,
         "spatial_aez": _spatial_aez,
         "spatial_degraded": _spatial_degraded,
         "spatial_region_rollup": _spatial_region_rollup,
@@ -497,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
         "events_funnel": temporal.FUNNEL_STAGES_SQL,
         "events_props_stats": temporal.EVENTS_PROPS_STATS_SQL,
+        "event_transitions": temporal.EVENT_TRANSITIONS_SQL,
         "events_pivot_daily": temporal.EVENTS_PIVOT_DAILY_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
@@ -542,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_ingest_precedence": dedup.INGEST_PRECEDENCE_DEDUP_SQL,
         "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,
         "dedup_simhash": dedup.SIMHASH_DEDUP_SQL,

@@ -239,6 +239,8 @@ def main_scaling(sf_dir: str) -> dict:
         "unit": "efficiency",
         "queries": {"sec_cpus8": round(legs[8]["sec"], 3),
                     "sec_cpus32": round(legs[32]["sec"], 3)},
+        "host_steal_pct_cpus8": legs[8].get("host_steal_pct"),
+        "host_steal_pct_cpus32": legs[32].get("host_steal_pct"),
         "throughput_cpus8": round(thr8, 1),
         "throughput_cpus32": round(thr32, 1),
         "scaling_efficiency": round(eff, 3),

@@ -882,3 +882,74 @@ FROM documents a JOIN documents b ON a.doc_id < b.doc_id
 WHERE jaccard(a.text, b.text) >= 0.9
 GROUP BY a.doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ingestion precedence dedup — multi-source merge where duplicates keep
+# ONE copy by source priority (the crawl-vs-curated precedence rule of
+# every multi-source ingest)
+# ---------------------------------------------------------------------------
+
+def ingest_precedence_dedup(sf_dir: str) -> pd.DataFrame:
+    """One surviving (doc_id, source, dup_cnt) row per distinct text,
+    the winner being the lexicographically smallest (source, doc_id)
+    pair — "preferred source first, stable id tie-break".
+
+    Same 16-byte content-hash shuffle as ``exact_dedup``; the winner
+    resolution is a per-batch combiner (sort + drop_duplicates keeps
+    at most one candidate row per distinct hash per block) followed by
+    a coarse-fold ``map_groups`` min — never one Ray group per hash.
+    """
+    from .util import shuffle_width
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "source"])
+    n_parts = shuffle_width(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hb = _content_hash_batch(b.select(["doc_id", "text"]))
+        df = pd.DataFrame({
+            "content_hash": hb["content_hash"].to_numpy(
+                zero_copy_only=False),
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pylist()})
+        df["n"] = np.int64(1)
+        cnt = df.groupby("content_hash", as_index=False)["n"].sum()
+        win = (df.sort_values(["content_hash", "source", "doc_id"],
+                              kind="mergesort")
+                 .drop_duplicates("content_hash"))
+        out = win[["content_hash", "doc_id", "source"]].merge(
+            cnt, on="content_hash")
+        out["part"] = (out["content_hash"].to_numpy(dtype=np.uint64)
+                       % np.uint64(n_parts)).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("content_hash", as_index=False)["n"].sum()
+        win = (g.sort_values(["content_hash", "source", "doc_id"],
+                             kind="mergesort")
+                .drop_duplicates("content_hash"))
+        out = win[["content_hash", "doc_id", "source"]].merge(
+            cnt, on="content_hash")
+        return out[["doc_id", "source", "n"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(resolve, batch_format="pandas")
+             .to_pandas())
+    out = out.rename(columns={"n": "dup_cnt"})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_cnt"] = out["dup_cnt"].astype(np.int64)
+    return (out[["doc_id", "source", "dup_cnt"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+INGEST_PRECEDENCE_DEDUP_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY source, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY text) AS dup_cnt
+  FROM documents)
+SELECT doc_id, source, CAST(dup_cnt AS BIGINT) AS dup_cnt
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""

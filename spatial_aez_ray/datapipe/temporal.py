@@ -674,3 +674,79 @@ SELECT strftime(ts, '%Y-%m-%d') AS event_day,
        COUNT(*) FILTER (WHERE event_type = 'view') AS view
 FROM events GROUP BY event_day ORDER BY event_day
 """
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix — consecutive event-type bigrams per user
+# (the Markov / clickstream-path summary; complements the funnel's
+# fixed-order reachability)
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Counts of consecutive (from_type, to_type) transitions inside
+    each user's time-ordered event stream: (from_type, to_type, n).
+    Ordering ties on equal timestamps break by event_id — mirrored in
+    the oracle's window ORDER BY, so the pair sequence is identical.
+
+    Scale shape: ONE shuffle on the coarse user fold; inside each
+    partition the per-user ordering + bigram count is vectorized
+    (lexsort + one boundary mask, no per-user loop), and only
+    per-(partition, from, to) counts — at most types² rows each —
+    reach the final tiny aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "event_type": b["event_type"],
+            "ts_us": pa.array(ts),
+            "event_id": b["event_id"].cast(pa.int64())})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(), uid))
+        uid = uid[order]
+        et = g["event_type"].to_numpy()[order]
+        same_user = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"from_type": et[:-1][same_user],
+                           "to_type": et[1:][same_user]})
+        out = (df.groupby(["from_type", "to_type"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(count_pairs, batch_format="pandas")
+             .groupby(["from_type", "to_type"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["from_type", "to_type"])
+               .reset_index(drop=True))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""

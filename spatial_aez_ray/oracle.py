@@ -137,15 +137,25 @@ def _zonal_frame(columns) -> pd.DataFrame:
     return df
 
 
-def _iter_blocks(grid: GridSpec):
+def _iter_blocks(grid: GridSpec, tile_window=None):
+    """Block iterator; ``tile_window=(ty0, ty1, tx0, tx1)`` restricts
+    to that inclusive tile rectangle (the range-aggregation window).
+    Skipping tiles preserves the (ty, tx) iteration order, so the
+    deterministic-summation invariant is untouched."""
     for ty in range(grid.tiles_y):
         for tx in range(grid.tiles_x):
+            if tile_window is not None:
+                ty0, ty1, tx0, tx1 = tile_window
+                if not (ty0 <= ty <= ty1 and tx0 <= tx <= tx1):
+                    continue
             yield grid.tile_window(ty, tx)
 
 
-def zonal_csv(spec: fixtures.WorldSpec, dataset: str) -> pd.DataFrame:
+def zonal_csv(spec: fixtures.WorldSpec, dataset: str,
+              tile_window=None) -> pd.DataFrame:
     """Per-country class-area table for one dataset — the process_map
-    loop: per feature, per block, masked per-class km² sums."""
+    loop: per feature, per block, masked per-class km² sums.
+    ``tile_window`` restricts to an inclusive tile rectangle."""
     grid = spec.grid(fixtures.DATASET_GRID[dataset])
     bands = full_raster(spec, dataset)
     masks = feature_masks(spec, grid)
@@ -170,7 +180,7 @@ def zonal_csv(spec: fixtures.WorldSpec, dataset: str) -> pd.DataFrame:
     for fidx, admin, mask in masks:
         if admin not in df.index:
             df.loc[admin] = [0.0] * len(df.columns)
-        for x, y, ncols, nrows in _iter_blocks(grid):
+        for x, y, ncols, nrows in _iter_blocks(grid, tile_window):
             mblk = mask[y:y + nrows, x:x + ncols]
             if not mblk.any():
                 continue  # the sparse-mask skip (geoutil.py:28-32)

@@ -61,23 +61,63 @@ def world_grid(world_path: str, grid_name: str) -> GridSpec:
     return GridSpec("g3", 2160 * scale, 1080 * scale, 192)
 
 
+def _tile_window_filter(tile_window):
+    """Exact per-batch tile-window predicate: ty/tx parsed from the
+    doc_id tail with one vectorized RE2 pass. The read-side doc_id
+    range prune (cell-prefix order) already dropped every tile row
+    outside [ty0, ty1]; this drops the out-of-[tx0, tx1] tiles of the
+    interior rows and is the sole correctness guard on sources whose
+    reader ignores the pushdown hint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ty0, ty1, tx0, tx1 = tile_window
+
+    def flt(b: "pa.Table") -> "pa.Table":
+        m = pc.extract_regex(b["doc_id"], r"/(?P<ty>\d{5})/(?P<tx>\d{5})$")
+        ty = pc.cast(pc.struct_field(m, "ty"), pa.int32())
+        tx = pc.cast(pc.struct_field(m, "tx"), pa.int32())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(ty, ty0), pc.less_equal(ty, ty1)),
+            pc.and_(pc.greater_equal(tx, tx0), pc.less_equal(tx, tx1)))
+        return b.filter(keep)
+
+    return flt
+
+
 def zonal_partials_ds(world_path: str, dataset: str, *,
                       index: PolygonIndex | None = None,
                       grid: GridSpec | None = None,
-                      concurrency: int | tuple = (1, 4), batch_size: int = 16):
+                      concurrency: int | tuple = (1, 4), batch_size: int = 16,
+                      tile_window=None):
     """Lazy Dataset of (admin, cls, km2, ...) partial rows for a dataset.
 
     ``grid`` overrides the world-marker GridSpec — the path for worlds
     assembled by ``sources.geotiff.import_geotiff``, whose dimensions
-    come from the raster rather than a synthetic-world scale."""
+    come from the raster rather than a synthetic-world scale.
+    ``tile_window=(ty0, ty1, tx0, tx1)`` restricts the aggregation to
+    an inclusive tile rectangle — the spatial range-aggregation form:
+    the window becomes a lexicographic doc_id range filter pushed into
+    the read (row groups outside the window never leave storage), plus
+    one exact vectorized predicate before the kernel."""
     classifier = CLASSIFIERS[dataset]()
     if grid is None:
         grid = world_grid(world_path, classifier.grid)
     if index is None:
         index = build_zonal_index(world_path)
     from ..sources.documents import blocks_for
+    doc_filter = None
+    if tile_window is not None:
+        import pyarrow.compute as pc
+        ty0, ty1, tx0, tx1 = tile_window
+        lo = f"{dataset}/{classifier.grid}/{ty0:05d}/{tx0:05d}"
+        hi = f"{dataset}/{classifier.grid}/{ty1:05d}/{tx1:05d}"
+        doc_filter = (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi)
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
-                          override_num_blocks=blocks_for(concurrency))
+                          override_num_blocks=blocks_for(concurrency),
+                          doc_filter=doc_filter)
+    if tile_window is not None:
+        docs = docs.map_batches(_tile_window_filter(tile_window),
+                                batch_format="pyarrow")
     return docs.map_batches(
         ZonalPartials,
         fn_constructor_kwargs={"world_path": world_path,
@@ -93,7 +133,8 @@ def zonal_stats(world_path: str, dataset: str, *,
                 grid: GridSpec | None = None,
                 concurrency: int | tuple = (1, 4), batch_size: int = 16,
                 deterministic: bool = True,
-                coalesce: int | None = 16) -> pd.DataFrame:
+                coalesce: int | None = 16,
+                tile_window=None) -> pd.DataFrame:
     """Country × class km² table for one dataset (process_map analog).
 
     ``coalesce``: partials are pre-reduced (a few dozen rows per tile),
@@ -103,7 +144,9 @@ def zonal_stats(world_path: str, dataset: str, *,
     ~total_partial_rows / 1e6 or None to keep the map-stage layout.
     """
     partials = zonal_partials_ds(world_path, dataset, index=index, grid=grid,
-                                 concurrency=concurrency, batch_size=batch_size)
+                                 concurrency=concurrency,
+                                 batch_size=batch_size,
+                                 tile_window=tile_window)
     if coalesce:
         partials = partials.repartition(coalesce)
     if deterministic:

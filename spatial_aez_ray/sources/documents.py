@@ -78,7 +78,8 @@ def blocks_for(concurrency) -> int:
 
 def read_documents(world_path: str, datasets: list[str] | None = None,
                    columns: list[str] | None = None,
-                   override_num_blocks: int | None = None):
+                   override_num_blocks: int | None = None,
+                   doc_filter=None):
     """Ray Dataset over the interleaved documents of selected datasets.
 
     Reads Lance tables via ``ray.data.read_lance`` when the world's
@@ -102,6 +103,13 @@ def read_documents(world_path: str, datasets: list[str] | None = None,
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    if doc_filter is not None:
+        # row-group pruning at the read: doc_id is the cell-prefix
+        # partition key, so a lexicographic range filter touches only
+        # the row groups whose footer stats intersect the window.
+        # (Callers must still apply an exact predicate — the Lance
+        # branch above ignores this hint.)
+        kw["filter"] = doc_filter
     return rd.read_parquet(document_paths(world_path, datasets),
                            columns=columns, **kw)
 

@@ -952,3 +952,44 @@ def test_chunk_corpus_checkpointed_resume_identical(con, ray_session,
     s3 = corpus.chunk_corpus_checkpointed(str(docs_dir), out, num_shards=2)
     assert s3["resumed"].sum() == 0
     assert s3["chunks"].sum() == s1["chunks"].sum()
+
+
+def test_ingest_precedence_dedup_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import dedup
+    mine = dedup.ingest_precedence_dedup(SF)
+    _assert_match(mine, dedup.INGEST_PRECEDENCE_DEDUP_SQL, con)
+    # one survivor per distinct text (sf0.01 has no exact dups — the
+    # planted-precedence test below covers the dup-group semantics)
+    n_distinct = con.execute(
+        "SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
+    assert len(mine) == n_distinct
+    assert (mine["dup_cnt"] >= 1).all()
+
+
+def test_ingest_precedence_prefers_source(ray_session, tmp_path):
+    """Duplicate text across sources keeps the lexicographically first
+    source even when a later source has the smaller doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.datapipe import dedup
+    tbl = pa.table({
+        "doc_id": pa.array([5, 1, 9], pa.int64()),
+        "text": pa.array(["same text here"] * 3),
+        "source": pa.array(["curated", "webcrawl", "curated"]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = dedup.ingest_precedence_dedup(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["source"] == "curated" and row["doc_id"] == 5
+    assert row["dup_cnt"] == 3
+
+
+def test_event_transitions_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.event_transitions(SF)
+    _assert_match(mine, temporal.EVENT_TRANSITIONS_SQL, con)
+    # transition count == events - distinct users (one chain per user)
+    n_ev, n_us = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events").fetchone()
+    assert mine["n"].sum() == n_ev - n_us

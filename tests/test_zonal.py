@@ -94,3 +94,30 @@ def test_cell_country_pipeline_matches_oracle(tiny_world, zindex):
     for r, c, f in zip(odf["cell_row"], odf["cell_col"], odf["feature_idx"]):
         want.setdefault((r, c), set()).add(f)
     assert got == want
+
+
+def test_zonal_window_bit_exact_and_pruned(ray_session, tiny_world):
+    """Windowed zonal == window-restricted oracle, and the read is
+    actually pruned to the window's tile rows."""
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import extract
+
+    win = (1, 3, 2, 7)
+    df = extract.zonal_stats(tiny_world, "kg", tile_window=win)
+    odf = oracle.zonal_csv(fixtures.TINY, "kg", tile_window=win)
+    assert (df.values == odf.values).all()
+    # full-grid result differs (the window genuinely restricts)
+    full = oracle.zonal_csv(fixtures.TINY, "kg")
+    assert not (df.values == full.values).all()
+    # the filtered source yields exactly the window's tile count
+    ty0, ty1, tx0, tx1 = win
+    import pyarrow.compute as pc
+    from spatial_aez_ray.sources.documents import read_documents
+    lo, hi = f"kg/g1/{ty0:05d}/{tx0:05d}", f"kg/g1/{ty1:05d}/{tx1:05d}"
+    ds = read_documents(tiny_world, ["kg"], columns=["doc_id"],
+                        doc_filter=(pc.field("doc_id") >= lo)
+                                   & (pc.field("doc_id") <= hi))
+    from spatial_aez_ray.pipelines.extract import _tile_window_filter
+    n = ds.map_batches(_tile_window_filter(win),
+                       batch_format="pyarrow").count()
+    assert n == (ty1 - ty0 + 1) * (tx1 - tx0 + 1)
