@@ -99,6 +99,39 @@ def _spatial_zonal_window(sf_dir: str):
     return df.reset_index()
 
 
+def _spatial_s2_partition(sf_dir: str):
+    """Hive-partitioned cell table keyed by the level-4 S2 prefix token
+    (explicit cell-prefix range partitioning). Self-verifies against an
+    independent driver-side recomputation: per-prefix counts from the
+    WRITTEN files must equal counts derived from the rasterization
+    oracle's claim set encoded with the same S2 kernel."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import fixtures, oracle, s2cells
+    from spatial_aez_ray.pipelines import assign, extract
+
+    out = os.path.join(_TMP, "s2_parts")
+    shutil.rmtree(out, ignore_errors=True)
+    man = assign.write_cells_s2_partitioned(_world(), out, level=4)
+
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1)
+    grid = extract.world_grid(_world(), "g1")
+    lons = grid.x_min + (odf["cell_col"].to_numpy() + 0.5) * grid.x_size
+    lats = grid.y_min + (odf["cell_row"].to_numpy() + 0.5) * grid.y_size
+    tok = s2cells.token(s2cells.cell_id(lons, lats, 4))
+    want = (pd.DataFrame({"s2_prefix": tok})
+            .groupby("s2_prefix", as_index=False).size()
+            .rename(columns={"size": "n_cells"})
+            .sort_values("s2_prefix").reset_index(drop=True))
+    want["n_cells"] = want["n_cells"].astype(np.int64)
+    if not man.equals(want):
+        raise AssertionError(
+            "s2-partitioned write != oracle per-prefix counts")
+    return man
+
+
 def _spatial_aez(sf_dir: str):
     from spatial_aez_ray import fixtures, oracle
     from spatial_aez_ray.pipelines import aez
@@ -445,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
+        "events_value_outliers": relational.events_value_outliers,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,
@@ -501,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,
+        "spatial_s2_partition": _spatial_s2_partition,
         "spatial_geotiff_import": _spatial_geotiff_import,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
@@ -554,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
+        "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

@@ -895,3 +895,81 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 GROUP BY n.n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection — IQR fences per group, computed entirely
+# from the distributed value-count histogram (one shuffle, no second
+# pass: the same histogram yields both the quantiles and the counts)
+# ---------------------------------------------------------------------------
+
+def events_value_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier counts of ``value`` per event_type:
+    (event_type, n, q1, q3, n_outliers) with the 1.5×IQR rule applied
+    in doubled-integer form (2v < 2q1 − 3·iqr ∨ 2v > 2q3 + 3·iqr) so
+    the boundary never touches float arithmetic. Quantiles use the
+    DuckDB quantile_disc convention sorted[ceil(q·n) − 1] (the repo's
+    documented ceil rule — the floor form disagrees on near-unique
+    columns exactly like this one).
+
+    One (type, cents)-histogram shuffle; the driver walks ~2k-row
+    histograms per type and derives fences AND outlier counts from the
+    same counts — the value column itself crosses the wire once as
+    pre-summed histogram rows, never twice.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "val_c": _cents(batch["value"]),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["event_type", "val_c"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "val_c"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("val_c")
+        vals = g["val_c"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        q1 = int(vals[np.searchsorted(cum, math.ceil(0.25 * n))])
+        q3 = int(vals[np.searchsorted(cum, math.ceil(0.75 * n))])
+        iqr = q3 - q1
+        out_mask = (2 * vals < 2 * q1 - 3 * iqr) | \
+                   (2 * vals > 2 * q3 + 3 * iqr)
+        rows.append((etype, n, q1 / 100.0, q3 / 100.0,
+                     int(cnts[out_mask].sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "q1", "q3",
+                                      "n_outliers"])
+    out["n"] = out["n"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+qs AS (SELECT event_type,
+              quantile_disc(v, 0.25) AS q1,
+              quantile_disc(v, 0.75) AS q3,
+              COUNT(*) AS n
+       FROM c GROUP BY event_type)
+SELECT c.event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       ANY_VALUE(q1) / 100.0 AS q1,
+       ANY_VALUE(q3) / 100.0 AS q3,
+       CAST(SUM(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1)
+                       OR 2 * v > 2 * q3 + 3 * (q3 - q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN qs USING (event_type)
+GROUP BY c.event_type ORDER BY event_type
+"""

@@ -141,3 +141,46 @@ def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
             "nodata": layout[dataset]["nodata"]},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def write_cells_s2_partitioned(world_path: str, out_dir: str, *,
+                               level: int = 4,
+                               dataset: str = "kg") -> "pd.DataFrame":
+    """Write the cell→country assignment table as parquet partitioned
+    by the cell's level-``level`` S2 prefix token — the explicit
+    cell-prefix range partitioning of the north rule in S2 terms: one
+    directory per coarse cell, so (a) a spatial range query touches
+    only the prefixes intersecting its region, and (b) a failed run
+    resumes by skipping complete prefix directories (same atomic-dir
+    contract as ``docops``/render part files).
+
+    Returns the per-prefix manifest (s2_prefix, n_cells) read back
+    from the written files.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from .. import s2cells
+    from .extract import world_grid
+
+    grid = world_grid(world_path, "g1")
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        rows = np.asarray(b["cell_row"].to_numpy(zero_copy_only=False))
+        cols = np.asarray(b["cell_col"].to_numpy(zero_copy_only=False))
+        lons = grid.x_min + (cols + 0.5) * grid.x_size
+        lats = grid.y_min + (rows + 0.5) * grid.y_size
+        coarse = s2cells.cell_id(lons, lats, level)
+        return b.append_column(
+            "s2_prefix", pa.array(s2cells.token(coarse), pa.string()))
+
+    ds = (cell_country(world_path, dataset=dataset)
+          .map_batches(add_prefix, batch_format="pyarrow"))
+    ds.write_parquet(out_dir, partition_cols=["s2_prefix"])
+
+    import ray.data as rd
+    back = rd.read_parquet(out_dir).to_pandas()
+    man = (back.groupby("s2_prefix", as_index=False)
+               .size().rename(columns={"size": "n_cells"}))
+    man["n_cells"] = man["n_cells"].astype(np.int64)
+    return man.sort_values("s2_prefix").reset_index(drop=True)

@@ -993,3 +993,12 @@ def test_event_transitions_match_sql(con, ray_session):
     n_ev, n_us = con.execute(
         "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events").fetchone()
     assert mine["n"].sum() == n_ev - n_us
+
+
+def test_events_value_outliers_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.events_value_outliers(SF)
+    _assert_match(mine, relational.EVENTS_VALUE_OUTLIERS_SQL, con)
+    assert (mine["n_outliers"] > 0).all()
+    assert (mine["n_outliers"] < mine["n"]).all()
+    assert (mine["q1"] <= mine["q3"]).all()

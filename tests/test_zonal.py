@@ -121,3 +121,26 @@ def test_zonal_window_bit_exact_and_pruned(ray_session, tiny_world):
     n = ds.map_batches(_tile_window_filter(win),
                        batch_format="pyarrow").count()
     assert n == (ty1 - ty0 + 1) * (tx1 - tx0 + 1)
+
+
+def test_s2_partitioned_write_covers_assignment(ray_session, tiny_world,
+                                                tmp_path):
+    """Every assigned cell lands in exactly one s2-prefix directory and
+    the per-prefix manifest equals the written files' counts."""
+    import os
+    import ray as _ray
+    from spatial_aez_ray.pipelines import assign
+
+    out = str(tmp_path / "s2")
+    man = assign.write_cells_s2_partitioned(tiny_world, out, level=2)
+    n_cells = assign.cell_country(tiny_world).count()
+    assert man["n_cells"].sum() == n_cells
+    # hive layout: one directory per prefix token
+    dirs = {d.split("=", 1)[1] for d in os.listdir(out)
+            if d.startswith("s2_prefix=")}
+    assert dirs == set(man["s2_prefix"])
+    # range-query pruning: reading ONE prefix dir yields that count
+    p0 = man.iloc[0]
+    sub = _ray.data.read_parquet(
+        os.path.join(out, f"s2_prefix={p0['s2_prefix']}")).count()
+    assert sub == p0["n_cells"]
