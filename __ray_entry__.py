@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": temporal.funnel_stages,
         "events_props_stats": temporal.events_props_stats,
         "event_transitions": temporal.event_transitions,
+        "cohort_retention": temporal.cohort_retention,
         "events_pivot_daily": temporal.events_pivot_daily,
         "activity_union_daily": temporal.activity_union_daily,
         "revenue_by_mktsegment": relational.revenue_by_mktsegment,
@@ -555,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": temporal.FUNNEL_STAGES_SQL,
         "events_props_stats": temporal.EVENTS_PROPS_STATS_SQL,
         "event_transitions": temporal.EVENT_TRANSITIONS_SQL,
+        "cohort_retention": temporal.COHORT_RETENTION_SQL,
         "events_pivot_daily": temporal.EVENTS_PIVOT_DAILY_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,

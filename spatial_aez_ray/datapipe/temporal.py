@@ -750,3 +750,81 @@ SELECT prev_type AS from_type, event_type AS to_type,
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — customers bucketed by first-order month, counted
+# at each later month they ordered again (the classic retention matrix)
+# ---------------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Retention matrix over orders: (cohort_month, month_offset,
+    n_customers) where cohort_month is the customer's first order
+    month and each row counts the cohort's distinct customers active
+    at that calendar-month offset (offset 0 = the cohort size).
+
+    Scale shape: ONE shuffle of (custkey, month-index) pairs — months
+    are pre-deduped per batch so at most |custs| x |months| rows move
+    — onto the coarse customer fold; per-customer min + offsets are
+    vectorized inside the partition, and only (cohort, offset) partial
+    counts reach the final tiny aggregate. Month arithmetic is integer
+    (y*12 + m), identical to the oracle's ``datediff('month', ...)``
+    on month-truncated dates.
+    """
+    from ray.data.aggregate import Sum
+
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        cust = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        ym = d.astype("datetime64[M]").astype(np.int64)   # months since 1970
+        df = (pd.DataFrame({"cust": cust, "my": ym})
+                .drop_duplicates())
+        part = (df["cust"].to_numpy() % n_parts).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "cust": pa.array(df["cust"].to_numpy()),
+                         "my": pa.array(df["my"].to_numpy())})
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["cust", "my"])
+        first = g.groupby("cust")["my"].transform("min")
+        df = pd.DataFrame({"cohort_my": first.to_numpy(),
+                           "offset": (g["my"] - first).to_numpy()})
+        out = (df.groupby(["cohort_my", "offset"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(offsets, batch_format="pandas")
+             .groupby(["cohort_my", "offset"])
+             .aggregate(Sum("n", alias_name="n_customers"))
+             .to_pandas())
+    my = agg["cohort_my"].to_numpy(dtype=np.int64)
+    agg["cohort_month"] = [f"{1970 + m // 12:04d}-{m % 12 + 1:02d}"
+                           for m in my]
+    agg["month_offset"] = agg.pop("offset").astype(np.int64)
+    agg["n_customers"] = agg["n_customers"].astype(np.int64)
+    return (agg[["cohort_month", "month_offset", "n_customers"]]
+            .sort_values(["cohort_month", "month_offset"])
+            .reset_index(drop=True))
+
+
+COHORT_RETENTION_SQL = """
+WITH f AS (SELECT o_custkey,
+                  MIN(date_trunc('month', o_orderdate)) AS cm
+           FROM orders GROUP BY o_custkey),
+m AS (SELECT DISTINCT o.o_custkey,
+             date_trunc('month', o.o_orderdate) AS om, f.cm
+      FROM orders o JOIN f USING (o_custkey))
+SELECT strftime(cm, '%Y-%m') AS cohort_month,
+       CAST(datediff('month', cm, om) AS BIGINT) AS month_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY cm, om ORDER BY cohort_month, month_offset
+"""

@@ -1002,3 +1002,18 @@ def test_events_value_outliers_match_sql(con, ray_session):
     assert (mine["n_outliers"] > 0).all()
     assert (mine["n_outliers"] < mine["n"]).all()
     assert (mine["q1"] <= mine["q3"]).all()
+
+
+def test_cohort_retention_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.cohort_retention(SF)
+    _assert_match(mine, temporal.COHORT_RETENTION_SQL, con)
+    # offset-0 rows are the cohort sizes and partition all customers
+    n_cust = con.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    zero = mine[mine["month_offset"] == 0]
+    assert zero["n_customers"].sum() == n_cust
+    # retention never exceeds the cohort size
+    m = mine.merge(zero[["cohort_month", "n_customers"]],
+                   on="cohort_month", suffixes=("", "_size"))
+    assert (m["n_customers"] <= m["n_customers_size"]).all()
