@@ -797,10 +797,12 @@ DECON_K = 5           # 5-grams: long enough to separate true near-dups
                       # from shared-vocabulary noise on the test corpora
 
 
-def decontaminate_stats(sf_dir: str, test_pct: int = DECON_TEST_PCT,
-                        k: int = DECON_K) -> pd.DataFrame:
-    """Per-test-document contamination stats: (doc_id, n_grams, n_hit,
-    contaminated) where n_hit counts the doc's distinct ``k``-token
+def decontaminate_stats_ds(sf_dir: str, test_pct: int = DECON_TEST_PCT,
+                           k: int = DECON_K) -> ray.data.Dataset:
+    """Lazy per-test-document contamination stats: (doc_id, n_grams,
+    n_hit) rows as a Dataset — the 100 TB form (the test split is
+    corpus-sized; sink with ``util.write_doc_output`` or consume
+    streaming). ``n_hit`` counts the doc's distinct ``k``-token
     shingles that also occur anywhere in the train split. The split is
     the stable content-id hash (``sample_documents``'s bucket expr), so
     it is reproducible across any partitioning.
@@ -890,13 +892,19 @@ def decontaminate_stats(sf_dir: str, test_pct: int = DECON_TEST_PCT,
         out["n_grams"] = out["n_grams"].astype(np.int64)
         return out
 
-    agg = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby("part")
-             .map_groups(probe, batch_format="pandas")
-             .groupby("doc_id")
-             .aggregate(Sum("n_grams", alias_name="n_grams"),
-                        Sum("n_hit", alias_name="n_hit"))
-             .to_pandas())
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(probe, batch_format="pandas")
+              .groupby("doc_id")
+              .aggregate(Sum("n_grams", alias_name="n_grams"),
+                         Sum("n_hit", alias_name="n_hit")))
+
+
+def decontaminate_stats(sf_dir: str, test_pct: int = DECON_TEST_PCT,
+                        k: int = DECON_K) -> pd.DataFrame:
+    """Driver-frame gate adapter over ``decontaminate_stats_ds`` with
+    the derived ``contaminated`` flag (test scale)."""
+    agg = decontaminate_stats_ds(sf_dir, test_pct, k).to_pandas()
     agg["n_grams"] = agg["n_grams"].astype(np.int64)
     agg["n_hit"] = agg["n_hit"].astype(np.int64)
     agg["contaminated"] = (agg["n_hit"] > 0).astype(np.int64)

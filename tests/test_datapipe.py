@@ -1017,3 +1017,13 @@ def test_cohort_retention_match_sql(con, ray_session):
     m = mine.merge(zero[["cohort_month", "n_customers"]],
                    on="cohort_month", suffixes=("", "_size"))
     assert (m["n_customers"] <= m["n_customers_size"]).all()
+
+
+def test_decontaminate_ds_sinks_without_driver_pull(ray_session, tmp_path):
+    from spatial_aez_ray.datapipe import corpus
+    from spatial_aez_ray.datapipe.util import write_doc_output
+    summary = write_doc_output(corpus.decontaminate_stats_ds(SF),
+                               str(tmp_path / "decon"))
+    direct = corpus.decontaminate_stats(SF)
+    assert summary["rows"] == len(direct)
+    assert summary["files"] >= 1
