@@ -499,8 +499,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
+        "dedup_prefix": dedup.prefix_dup_groups,
+        "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
+        "ann_quantized": simsearch.ann_quantized,
         "centroid_outliers": simsearch.centroid_outliers,
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
@@ -609,6 +612,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
+        "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
+        "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
+        "ann_quantized": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["ANN_QUANTIZED_SQL"]).ANN_QUANTIZED_SQL,
         "knn_label_vote": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["KNN_LABEL_VOTE_SQL"]).KNN_LABEL_VOTE_SQL,

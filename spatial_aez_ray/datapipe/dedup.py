@@ -953,3 +953,60 @@ WITH r AS (
 SELECT doc_id, source, CAST(dup_cnt AS BIGINT) AS dup_cnt
 FROM r WHERE rn = 1 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix dedup — docs sharing their first-k tokens (template / mirror
+# boilerplate catcher: CCNet-style head dedup, cheaper than minhash)
+# ---------------------------------------------------------------------------
+
+PREFIX_DUP_K = 12
+
+
+def prefix_dup_groups(sf_dir: str, k: int = PREFIX_DUP_K) -> pd.DataFrame:
+    """Groups of documents that share their first ``k`` tokens:
+    (doc_id, n_docs) per group with >= 2 members, doc_id = the group's
+    min (the canonical keeper), ordered by doc_id.
+
+    Near-duplicates that differ only in their tails (templated pages,
+    mirrored articles with appended navigation) collide on the prefix
+    even when whole-text hashing misses them — the cheap first line of
+    defence before minhash.
+
+    Scale shape: exactly ``exact_dedup``'s — the shuffle key is the
+    64-bit prefix hash (16 bytes/doc on the wire, never the text), and
+    the >= 2 filter runs DISTRIBUTED on the aggregated dataset before
+    anything reaches the driver: at 100 TB the group table is
+    corpus-sized but the duplicate-group result is small.
+    """
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def prefix_hash(batch: pa.Table) -> pa.Table:
+        hashes = np.fromiter(
+            (_h64(" ".join(t.split(" ")[:k]))
+             for t in batch["text"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "prefix_hash": pa.array(hashes)})
+
+    agg = (ds.map_batches(prefix_hash, batch_format="pyarrow")
+             .groupby("prefix_hash")
+             .aggregate(Min("doc_id", alias_name="doc_id"),
+                        Count(alias_name="n_docs"))
+             .map_batches(
+                 lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
+                 batch_format="pyarrow"))
+    out = agg.to_pandas()[["doc_id", "n_docs"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PREFIX_DUP_GROUPS_SQL = f"""
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY array_to_string(
+    list_slice(string_split(text, ' '), 1, {PREFIX_DUP_K}), ' ')
+HAVING COUNT(*) >= 2
+ORDER BY doc_id
+"""

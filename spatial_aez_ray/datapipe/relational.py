@@ -973,3 +973,79 @@ SELECT c.event_type,
 FROM c JOIN qs USING (event_type)
 GROUP BY c.event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# winsorized mean — robust-stats family beside the IQR fences
+# ---------------------------------------------------------------------------
+
+def winsorized_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type winsorized mean of ``value`` at the 5th/95th
+    percentiles: (event_type, n, p05, p95, wmean) where every value is
+    clamped into [p05, p95] before the mean — the robust location
+    estimate a quality-score or latency column wants when a fat tail
+    would swamp the plain mean.
+
+    Exactness: cents-integer clamp + sum; percentiles use the repo's
+    documented quantile_disc ceil convention; ``wmean`` is the same
+    two-division chain as the oracle ((sum/n)/100) on identical
+    integers, so the float output is bit-equal.
+
+    Scale shape: identical to ``events_value_outliers`` — ONE
+    (type, cents)-histogram shuffle with per-batch pre-summing; the
+    driver walks the tiny per-type histograms; raw values cross the
+    wire only as pre-reduced (value, count) rows.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "val_c": _cents(batch["value"]),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["event_type", "val_c"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "val_c"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("val_c")
+        vals = g["val_c"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        p05 = int(vals[np.searchsorted(cum, math.ceil(0.05 * n))])
+        p95 = int(vals[np.searchsorted(cum, math.ceil(0.95 * n))])
+        clamped = np.clip(vals, p05, p95)
+        s = int((clamped * cnts).sum())
+        rows.append((etype, n, p05 / 100.0, p95 / 100.0,
+                     (float(s) / n) / 100.0))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p05", "p95",
+                                      "wmean"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+WINSORIZED_VALUE_STATS_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+qs AS (SELECT event_type,
+              quantile_disc(v, 0.05) AS p05,
+              quantile_disc(v, 0.95) AS p95,
+              COUNT(*) AS n
+       FROM c GROUP BY event_type)
+SELECT c.event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       ANY_VALUE(p05) / 100.0 AS p05,
+       ANY_VALUE(p95) / 100.0 AS p95,
+       (CAST(SUM(LEAST(GREATEST(v, p05), p95)) AS DOUBLE)
+        / ANY_VALUE(n)) / 100.0 AS wmean
+FROM c JOIN qs USING (event_type)
+GROUP BY c.event_type ORDER BY event_type
+"""

@@ -1027,3 +1027,36 @@ def test_decontaminate_ds_sinks_without_driver_pull(ray_session, tmp_path):
     direct = corpus.decontaminate_stats(SF)
     assert summary["rows"] == len(direct)
     assert summary["files"] >= 1
+
+
+def test_prefix_dup_groups_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import dedup
+    mine = dedup.prefix_dup_groups(SF)
+    _assert_match(mine, dedup.PREFIX_DUP_GROUPS_SQL, con)
+    # non-trivial on the fixture (planted near-dups share prefixes)
+    assert len(mine) > 0
+    assert (mine["n_docs"] >= 2).all()
+
+
+def test_winsorized_value_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.winsorized_value_stats(SF)
+    _assert_match(mine, relational.WINSORIZED_VALUE_STATS_SQL, con)
+    # clamped mean stays inside the fences
+    assert (mine["wmean"] >= mine["p05"]).all()
+    assert (mine["wmean"] <= mine["p95"]).all()
+
+
+def test_ann_quantized_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.ann_quantized(SF)
+    _assert_match(mine, simsearch.ANN_QUANTIZED_SQL, con)
+    # quantized ranking should agree closely with float brute force
+    # (recall@10 against ann_topk — int8 on unit-ish vectors is tight)
+    brute = simsearch.ann_topk(SF)
+    agree = 0
+    for qid in mine["query_id"].unique():
+        a = set(mine[mine["query_id"] == qid]["neighbor_id"])
+        b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        agree += len(a & b)
+    assert agree >= 0.7 * len(mine)
