@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": temporal.funnel_stages,
         "events_props_stats": temporal.events_props_stats,
         "event_transitions": temporal.event_transitions,
+        "event_debounce_stats": temporal.event_debounce_stats,
+        "embedding_gram": simsearch.embedding_gram,
         "cohort_retention": temporal.cohort_retention,
         "events_pivot_daily": temporal.events_pivot_daily,
         "activity_union_daily": temporal.activity_union_daily,
@@ -559,6 +561,10 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": temporal.FUNNEL_STAGES_SQL,
         "events_props_stats": temporal.EVENTS_PROPS_STATS_SQL,
         "event_transitions": temporal.EVENT_TRANSITIONS_SQL,
+        "event_debounce_stats": temporal.EVENT_DEBOUNCE_STATS_SQL,
+        "embedding_gram": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["EMBEDDING_GRAM_SQL"]).EMBEDDING_GRAM_SQL,
         "cohort_retention": temporal.COHORT_RETENTION_SQL,
         "events_pivot_daily": temporal.EVENTS_PIVOT_DAILY_SQL,
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,

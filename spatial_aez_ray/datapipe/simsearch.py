@@ -857,3 +857,89 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(score AS BIGINT) AS score
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram matrix + top principal component
+# ---------------------------------------------------------------------------
+
+def embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact Gram matrix of the embedding column: (dim_i,
+    dim_j, gram_q) for i <= j (1-based dims, upper triangle), where
+    gram_q = sum over vectors of qv_i * qv_j with qv = round(v * 1024)
+    (DuckDB-ROUND semantics, same quantization as the centroid op).
+
+    The Gram/covariance matrix is THE building block for distributed
+    PCA / whitening / OOD scoring: each block contributes one d x d
+    partial via a single ``q.T @ q`` einsum — d(d+1)/2 rows per block,
+    independent of block size — and the combine is an order-free
+    integer groupby-sum, so the result is exact under any partitioning.
+    The full corpus never moves: at 100 TB the shuffle carries only
+    (#blocks x 2080) pre-summed rows for d=64.
+
+    int64 bound: |qv| <= ~1024 so each product is <= ~2^20 — safe up
+    to ~2^43 vectors.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_emb(sf_dir, columns=["embedding"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        scaled = m * CENTROID_SCALE
+        q = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        g = q.T @ q                              # (d, d) int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"dim_i": pa.array(iu + 1),
+                         "dim_j": pa.array(ju + 1),
+                         "gram_q": pa.array(g[iu, ju])})
+
+    out = (ds.map_batches(gram_partial, batch_format="pyarrow")
+             .groupby(["dim_i", "dim_j"])
+             .aggregate(Sum("gram_q", alias_name="gram_q"))
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out[["dim_i", "dim_j", "gram_q"]]
+            .sort_values(["dim_i", "dim_j"]).reset_index(drop=True))
+
+
+EMBEDDING_GRAM_SQL = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram_q
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j
+"""
+
+
+def embedding_top_pc(sf_dir: str, iters: int = 600) -> np.ndarray:
+    """Top principal direction of the (uncentered) Gram matrix via
+    driver-side power iteration — the d x d matrix comes from the
+    distributed exact ``embedding_gram`` pass; only O(d^2) numbers
+    ever reach the driver. Sign-normalized so the first nonzero
+    component is positive (eigenvectors are sign-ambiguous). The
+    default iteration count converges to machine precision even for
+    eigengap ratios ~0.95 (0.95^600 ≈ 4e-14); each step is one d x d
+    matvec, so the driver cost is microseconds.
+    """
+    g = embedding_gram(sf_dir)
+    d = int(g["dim_j"].max())
+    m = np.zeros((d, d), dtype=np.float64)
+    i = g["dim_i"].to_numpy() - 1
+    j = g["dim_j"].to_numpy() - 1
+    m[i, j] = g["gram_q"].to_numpy().astype(np.float64)
+    m[j, i] = m[i, j]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        nv = m @ v
+        v = nv / np.linalg.norm(nv)
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return v

@@ -828,3 +828,94 @@ SELECT strftime(cm, '%Y-%m') AS cohort_month,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM m GROUP BY cm, om ORDER BY cohort_month, month_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# event debounce — burst filtering per (user, type)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_US = 3600 * 1000000  # 1 hour, in exact microseconds
+
+
+def event_debounce_stats(sf_dir: str,
+                         window_us: int = DEBOUNCE_US) -> pd.DataFrame:
+    """Burst-filter summary: per event_type, how many events survive
+    when repeats of the same (user, type) within ``window_us``
+    microseconds of the PREVIOUS occurrence are dropped — the telemetry
+    dedup every event pipeline wants before sessionizing. Output
+    (event_type, n_total, n_kept).
+
+    Kept == gap-to-lag > window (or first occurrence); gaps compare in
+    exact integer microseconds on both sides (``epoch_us`` in the
+    oracle), so sub-second timestamps can't drift the boundary.
+
+    Scale shape: ``event_transitions``'s — ONE shuffle on the coarse
+    user fold (a (user,type) stream never spans folds), in-partition
+    lexsort + one vectorized boundary mask, only per-(partition, type)
+    count rows reach the final tiny aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "event_type": b["event_type"],
+            "ts_us": pa.array(ts),
+            "event_id": b["event_id"].cast(pa.int64())})
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        # order within (user, type) by time then event_id (ties drop);
+        # the group key is pure integer math: user * n_types + type_code
+        # (n_types is tiny; the product stays far under 2^63)
+        tcode, uniq_types = pd.factorize(et)
+        codes = uid * np.int64(len(uniq_types)) + tcode
+        order = np.lexsort((g["event_id"].to_numpy(), ts, codes))
+        codes_o, ts_o, et_o = codes[order], ts[order], et[order]
+        same = codes_o[1:] == codes_o[:-1]
+        gap_ok = (ts_o[1:] - ts_o[:-1]) > window_us
+        kept = np.ones(len(codes_o), dtype=bool)
+        kept[1:] = ~same | gap_ok
+        df = pd.DataFrame({"event_type": et_o,
+                           "n_total": np.ones(len(et_o), dtype=np.int64),
+                           "n_kept": kept.astype(np.int64)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(debounce, batch_format="pandas")
+             .groupby("event_type")
+             .aggregate(Sum("n_total", alias_name="n_total"),
+                        Sum("n_kept", alias_name="n_kept"))
+             .to_pandas())
+    out["n_total"] = out["n_total"].astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_DEBOUNCE_STATS_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {DEBOUNCE_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM s GROUP BY event_type ORDER BY event_type
+"""

@@ -1060,3 +1060,47 @@ def test_ann_quantized_match_sql(con, ray_session):
         b = set(brute[brute["query_id"] == qid]["neighbor_id"])
         agree += len(a & b)
     assert agree >= 0.7 * len(mine)
+
+
+def test_event_debounce_stats_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.event_debounce_stats(SF)
+    _assert_match(mine, temporal.EVENT_DEBOUNCE_STATS_SQL, con)
+    assert (mine["n_kept"] <= mine["n_total"]).all()
+    assert (mine["n_kept"] >= 1).all()
+    # distinct (user,type) pairs lower-bound the kept count
+    n_pairs = con.execute("SELECT COUNT(*) FROM (SELECT DISTINCT user_id, "
+                          "event_type FROM events)").fetchone()[0]
+    assert mine["n_kept"].sum() >= n_pairs
+
+
+def test_embedding_gram_match_sql_and_numpy(con, ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.embedding_gram(SF)
+    _assert_match(mine, simsearch.EMBEDDING_GRAM_SQL, con)
+    # independent numpy oracle: quantize the whole matrix in one shot
+    emb = con.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id").fetchdf()
+    m = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in emb["embedding"]])
+    s = m * simsearch.CENTROID_SCALE
+    q = np.trunc(s + np.copysign(0.5, s)).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(g.shape[0])
+    assert (mine["gram_q"].to_numpy() == g[iu, ju]).all()
+
+
+def test_embedding_top_pc_matches_eigh(ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    v = simsearch.embedding_top_pc(SF)
+    g = simsearch.embedding_gram(SF)
+    d = int(g["dim_j"].max())
+    m = np.zeros((d, d))
+    i, j = g["dim_i"].to_numpy() - 1, g["dim_j"].to_numpy() - 1
+    m[i, j] = g["gram_q"].to_numpy().astype(float)
+    m[j, i] = m[i, j]
+    w, vecs = np.linalg.eigh(m)
+    ref = vecs[:, -1]
+    if ref[np.nonzero(np.abs(ref) > 1e-12)[0][0]] < 0:
+        ref = -ref
+    assert np.abs(np.dot(v, ref)) > 1 - 1e-8
