@@ -230,6 +230,22 @@ def _spatial_thumbnail(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _spatial_pyramid(sf_dir: str):
+    """Overview pyramid of the KG raster down to one tile; the
+    distributed per-level summary self-verifies BIT-EXACT against the
+    sequential numpy oracle (order-free md5-int checksums) in-query."""
+    import shutil
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    out_dir = os.path.join(_TMP, "pyramid")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mine = pyramid.build_pyramid(_world(), "kg", out_dir)
+    oracle = pyramid.pyramid_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("pyramid summary != sequential oracle")
+    return mine
+
+
 def _spatial_normalize_docs(sf_dir: str):
     import shutil
     from spatial_aez_ray.pipelines import docops
@@ -538,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_render": _spatial_render,
         "spatial_downsample": _spatial_downsample,
         "spatial_thumbnail": _spatial_thumbnail,
+        "spatial_pyramid": _spatial_pyramid,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -1,0 +1,250 @@
+"""Tile-pyramid (overview) builder — the GDAL ``BuildOverviews``
+analog (the reference creates its rasters with ``COPY_SRC_OVERVIEWS``
+-ready layouts, process_imagery.py:302-306; real deployments serve the
+rendered products through overview levels).
+
+Level ``L`` halves level ``L-1`` in both axes: each parent tile is the
+2×2-window plurality vote (ties → smallest class, nodata excluded
+unless the whole window is nodata — the same vote semantics as the
+render plurality, O3) over a mosaic of its four child tiles.
+
+Scale design:
+* Each level is ONE shuffle-free ``map_batches`` pass: the four child
+  refs are DERIVED from the parent tile key (`model.media_ref`) and
+  fetched in one batched, footer-pruned ``MediaStore`` read per batch —
+  the same align-join contract as the AEZ kernel (CLAUDE.md invariant);
+  absent children (ocean tiles) fill with nodata via ``strict=False``.
+* Levels write through the render pipeline's atomic part writer
+  (documents/ + media/ per dataset), so every level is itself a valid
+  media world — level L+1 reads level L exactly like level 1 reads the
+  base world, and a failed run resumes by rebuilding only missing
+  parts.
+* The whole pyramid is a geometric series: level L touches 4^-L of the
+  base tiles, so total work is < 4/3 of one base pass regardless of
+  depth. Parent keys come from ``ray.data.range`` (no driver-side key
+  materialization beyond the integer count).
+* The per-level summary never moves payloads: each batch reduces to
+  one (n_tiles, payload_sum, md5-int sum) partial row; the md5-int sum
+  is an ORDER-FREE checksum (int64 wrap-sum of each tile's first-8-byte
+  md5), so the gate compares bit-exactly against the sequential oracle
+  without imposing an ordering on the streamed tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .. import model
+from ..sources.documents import MediaStore
+from .extract import world_grid
+from .render import _RenderWriter
+
+
+def _md5_int(payload: bytes) -> int:
+    return struct.unpack(
+        "<q", hashlib.md5(payload).digest()[:8])[0]
+
+
+def mode_reduce2(mosaic: np.ndarray, nodata: int) -> np.ndarray:
+    """(2H, 2W) uint8 -> (H, W): per-2×2-window plurality vote.
+    Ties break to the smallest class value (argmax keeps the first
+    maximum); nodata never wins unless the window is all-nodata."""
+    h2, w2 = mosaic.shape
+    h, w = h2 // 2, w2 // 2
+    vals = np.stack([mosaic[0::2, 0::2], mosaic[0::2, 1::2],
+                     mosaic[1::2, 0::2], mosaic[1::2, 1::2]])
+    win = np.arange(h * w, dtype=np.int64)
+    ids = (win[None, :] * 256 +
+           vals.reshape(4, h * w).astype(np.int64)).ravel()
+    cnt = np.bincount(ids, minlength=h * w * 256).reshape(h * w, 256)
+    nod = cnt[:, nodata].copy()
+    cnt[:, nodata] = 0
+    best = cnt.argmax(axis=1).astype(np.uint8)
+    best[nod == 4] = nodata
+    return best.reshape(h, w)
+
+
+class PyramidKernel:
+    """Actor-pool stage for one pyramid level: per parent tile, fetch
+    the (up to) four derived child refs in one batched read, mosaic
+    with nodata fill, 2×2 plurality-reduce, emit the parent doc+media
+    rows."""
+
+    def __init__(self, src_root: str, src_dataset: str, out_dataset: str,
+                 grid_name: str, tile: int, src_ty: int, src_tx: int,
+                 src_width: int, src_height: int, par_tx: int,
+                 nodata: int):
+        self.media = MediaStore(src_root)
+        self.src_dataset = src_dataset
+        self.out_dataset = out_dataset
+        self.grid_name = grid_name
+        self.tile = tile
+        self.src_ty = src_ty
+        self.src_tx = src_tx
+        self.src_width = src_width
+        self.src_height = src_height
+        self.par_tx = par_tx
+        self.nodata = nodata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.tile
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        want: list[str] = []
+        parents = []
+        for pid in ids:
+            ty, tx = int(pid) // self.par_tx, int(pid) % self.par_tx
+            kids = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cy, cx = 2 * ty + dy, 2 * tx + dx
+                    if cy < self.src_ty and cx < self.src_tx:
+                        r = model.media_ref(self.src_dataset,
+                                            self.grid_name, cy, cx, 1)
+                        kids.append((dy, dx, r))
+                        want.append(r)
+            parents.append((ty, tx, kids))
+        payloads = self.media.fetch(want, strict=False)
+        rows = []
+        for ty, tx, kids in parents:
+            mosaic = np.full((2 * t, 2 * t), self.nodata, dtype=np.uint8)
+            for dy, dx, ref in kids:
+                p = payloads.get(ref)
+                if p is None:
+                    continue
+                # edge-clamped child dims derive EXACTLY from the
+                # source lattice's pixel size (same rule as
+                # GridSpec.tile_window) — never inferred from length
+                cy, cx = 2 * ty + dy, 2 * tx + dx
+                nrows = min(t, self.src_height - cy * t)
+                ncols = min(t, self.src_width - cx * t)
+                arr = np.frombuffer(
+                    p, np.uint8, count=nrows * ncols).reshape(nrows, ncols)
+                mosaic[dy * t:dy * t + nrows,
+                       dx * t:dx * t + ncols] = arr
+            parent = mode_reduce2(mosaic, self.nodata)
+            doc = model.make_document(
+                self.out_dataset, self.grid_name, ty, tx,
+                tx * t, ty * t, t, t, bands=1, nodata=self.nodata)
+            rows.append({"doc_id": doc["doc_id"], "spans": doc["spans"],
+                         "media_ref": model.media_ref(
+                             self.out_dataset, self.grid_name, ty, tx, 1),
+                         "payload": model.encode_tile(parent)})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("spans", pa.list_(model.SPAN_TYPE)),
+            ("media_ref", pa.string()), ("payload", pa.binary())]))
+
+
+def _summary_partial(batch: pa.Table) -> pa.Table:
+    payloads = batch["payload"].to_pylist()
+    return pa.table({
+        "n_tiles": pa.array([len(payloads)], pa.int64()),
+        "payload_sum": pa.array([int(sum(
+            int(np.frombuffer(p, np.uint8).astype(np.int64).sum())
+            for p in payloads))], pa.int64()),
+        "md5_sum": pa.array([int(np.array(
+            [_md5_int(p) for p in payloads],
+            dtype=np.int64).sum(dtype=np.int64))], pa.int64())})
+
+
+def build_pyramid(world_path: str, dataset: str, out_dir: str, *,
+                  concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Build all overview levels of ``dataset`` band 1 down to a single
+    tile; returns the per-level summary (level, n_tiles, payload_sum,
+    md5_sum). Levels land under ``out_dir`` in the world layout."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    t = grid.tile
+    levels = []
+    src_root, src_dataset = world_path, dataset
+    src_ty, src_tx = grid.tiles_y, grid.tiles_x
+    src_width, src_height = grid.width, grid.height
+    level = 0
+    while src_ty > 1 or src_tx > 1:
+        level += 1
+        par_ty = (src_ty + 1) // 2
+        par_tx = (src_tx + 1) // 2
+        out_dataset = f"{dataset}_ov{level}"
+        keys = ray.data.range(par_ty * par_tx)
+        tiles = keys.map_batches(
+            PyramidKernel,
+            fn_constructor_kwargs={
+                "src_root": src_root, "src_dataset": src_dataset,
+                "out_dataset": out_dataset, "grid_name": grid.name,
+                "tile": t, "src_ty": src_ty, "src_tx": src_tx,
+                "src_width": src_width, "src_height": src_height,
+                "par_tx": par_tx, "nodata": nodata},
+            batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        summary = (tiles.map_batches(
+            functools.partial(_write_and_summarize, out_dir=out_dir),
+            batch_format="pyarrow").to_pandas())
+        agg = summary.sum()
+        levels.append((level, int(agg["n_tiles"]), int(agg["payload_sum"]),
+                       int(np.int64(agg["md5_sum"]))))
+        # the freshly-written level is the next level's source; drop
+        # the footer-index cache entry so the new parts are visible
+        MediaStore._FILE_INDEX.pop(
+            os.path.join(out_dir, "media", f"dataset={out_dataset}"), None)
+        src_root, src_dataset = out_dir, out_dataset
+        src_ty, src_tx = par_ty, par_tx
+        # every written tile is full t×t, so the lattice is t-aligned
+        src_width, src_height = par_tx * t, par_ty * t
+    out = pd.DataFrame(levels, columns=["level", "n_tiles",
+                                        "payload_sum", "md5_sum"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _write_and_summarize(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Write the level rows atomically, return ONE summary partial —
+    payloads never leave the worker."""
+    _RenderWriter(out_dir)(batch)
+    return _summary_partial(batch)
+
+
+def pyramid_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential numpy reimplementation: pad the full base raster to
+    the tile lattice, repeatedly pad-to-even-tiles + 2×2 plurality
+    vote; summaries computed per tile in the same order-free form."""
+    from .. import fixtures, oracle
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    t = grid.tile
+    base = oracle.full_raster(spec, dataset)[0]
+    ty, tx = grid.tiles_y, grid.tiles_x
+    arr = np.full((ty * t, tx * t), nodata, dtype=np.uint8)
+    arr[:grid.height, :grid.width] = base
+    rows = []
+    level = 0
+    while ty > 1 or tx > 1:
+        level += 1
+        pty, ptx = (ty + 1) // 2, (tx + 1) // 2
+        padded = np.full((pty * 2 * t, ptx * 2 * t), nodata, dtype=np.uint8)
+        padded[:arr.shape[0], :arr.shape[1]] = arr
+        arr = mode_reduce2(padded, nodata)
+        ty, tx = pty, ptx
+        n_tiles = ty * tx
+        psum = int(arr.astype(np.int64).sum())
+        md5s = np.empty(n_tiles, dtype=np.int64)
+        i = 0
+        for yy in range(ty):
+            for xx in range(tx):
+                tile = arr[yy * t:(yy + 1) * t, xx * t:(xx + 1) * t]
+                md5s[i] = _md5_int(model.encode_tile(tile))
+                i += 1
+        rows.append((level, n_tiles, psum, int(md5s.sum(dtype=np.int64))))
+    out = pd.DataFrame(rows, columns=["level", "n_tiles",
+                                      "payload_sum", "md5_sum"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

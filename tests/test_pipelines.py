@@ -190,3 +190,36 @@ def test_stats_shard_planner_covers_disjoint_no_id_read(tiny_world):
             if lo <= i <= hi:
                 hit[i] += 1
     assert all(v == 1 for v in hit.values()), "gap or overlap in shards"
+
+
+def test_pyramid_bit_exact_and_resumable_layout(tiny_world, tmp_path):
+    from spatial_aez_ray.pipelines import pyramid
+    out = str(tmp_path / "pyr")
+    mine = pyramid.build_pyramid(tiny_world, "kg", out)
+    odf = pyramid.pyramid_oracle(SPEC, "kg")
+    assert mine.equals(odf)
+    # every level is a valid media world (documents/ + media/ parts)
+    for lvl in mine["level"]:
+        for kind in ("documents", "media"):
+            d = os.path.join(out, kind, f"dataset=kg_ov{lvl}")
+            assert os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d))
+    # geometric series: each level shrinks tiles by ~4x
+    n = mine["n_tiles"].to_numpy()
+    assert (n[1:] <= (n[:-1] + 3) // 4 + 1).all()
+
+
+def test_pyramid_mode_reduce_semantics():
+    from spatial_aez_ray.pipelines.pyramid import mode_reduce2
+    import numpy as np
+    m = np.array([[1, 1, 2, 0],
+                  [2, 3, 0, 0],
+                  [5, 0, 0, 0],
+                  [0, 5, 0, 0]], dtype=np.uint8)
+    out = mode_reduce2(m, nodata=0)
+    # window 1: {1,1,2,3} -> 1 ; window 2: {2,0,0,0} -> 2 (nodata loses)
+    # window 3: {5,0,0,5} -> 5 ; window 4: all nodata -> 0
+    assert out.tolist() == [[1, 2], [5, 0]]
+    # tie breaks to the smallest class
+    t = np.array([[4, 4], [7, 7]], dtype=np.uint8)
+    assert mode_reduce2(t, nodata=0).tolist() == [[4]]
