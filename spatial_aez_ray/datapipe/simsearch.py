@@ -943,3 +943,30 @@ def embedding_top_pc(sf_dir: str, iters: int = 600) -> np.ndarray:
     if len(nz) and v[nz[0]] < 0:
         v = -v
     return v
+
+
+def quantize_embeddings_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Lazy sink form of the int8 quantization: a Dataset of (vec_id,
+    qembedding list<int8>, scale) ready for ``util.write_doc_output``
+    — the one-time pass a real deployment runs so every later ANN
+    query streams 4×-smaller vectors. The global scale rides on every
+    row (constant column) so a reader needs no side channel."""
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def max_abs(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        return pa.table({"a": pa.array([float(np.abs(m).max())]
+                                       if m.size else [0.0])})
+
+    scale = float(ds.map_batches(max_abs, batch_format="pyarrow")
+                    .to_pandas()["a"].max())
+
+    def quant(batch: pa.Table) -> pa.Table:
+        q = _symmetric_quantize(_emb_matrix(batch), scale)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qembedding": pa.array(list(q.astype(np.int8))),
+            "scale": pa.array(
+                np.full(batch.num_rows, scale, dtype=np.float64))})
+
+    return ds.map_batches(quant, batch_format="pyarrow")

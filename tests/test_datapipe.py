@@ -1104,3 +1104,19 @@ def test_embedding_top_pc_matches_eigh(ray_session):
     if ref[np.nonzero(np.abs(ref) > 1e-12)[0][0]] < 0:
         ref = -ref
     assert np.abs(np.dot(v, ref)) > 1 - 1e-8
+
+
+def test_quantize_embeddings_ds_roundtrip(ray_session, tmp_path):
+    from spatial_aez_ray.datapipe import simsearch
+    from spatial_aez_ray.datapipe.util import write_doc_output
+    s = write_doc_output(simsearch.quantize_embeddings_ds(SF),
+                         str(tmp_path / "q8"))
+    import duckdb
+    n = duckdb.sql(f"SELECT COUNT(*), MIN(len(qembedding)), "
+                   f"MAX(ABS(u.q)) FROM read_parquet("
+                   f"'{tmp_path}/q8/*.parquet') t, "
+                   f"unnest(t.qembedding) AS u(q)").fetchone()
+    rows = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet("
+                      f"'{tmp_path}/q8/*.parquet')").fetchone()[0]
+    assert rows == s["rows"] > 0
+    assert n[2] <= 127  # int8 range holds by construction
