@@ -391,6 +391,31 @@ def _spatial_geotiff_export(sf_dir: str):
     return pd.DataFrame(rows).sort_values("product").reset_index(drop=True)
 
 
+def _compact_parts(sf_dir: str):
+    """Small-file compaction over a deliberately over-partitioned copy
+    of the token-stats table; the op SELF-VERIFIES content equality
+    (distributed order-free checksum) and raises on drift."""
+    import shutil
+    import pandas as pd
+    import ray.data
+    from spatial_aez_ray.datapipe import text
+    from spatial_aez_ray.datapipe.util import compact_parquet_dir
+    frag_dir = os.path.join(_TMP, "compact_in")
+    out_dir = os.path.join(_TMP, "compact_out")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(frag_dir, exist_ok=True)
+    text.token_stats_ds(sf_dir).repartition(32).write_parquet(frag_dir)
+    rep = compact_parquet_dir(frag_dir, out_dir, target_rows=1 << 20)
+    if rep["files_out"] >= rep["files_in"]:
+        raise AssertionError("compaction did not reduce file count")
+    # drop the raw checksum value: pd.util.hash_pandas_object is only
+    # stable within a session, and gate outputs must be deterministic
+    # across runs (the equality itself was already asserted above)
+    rep = {k: v for k, v in rep.items() if k != "checksum"}
+    return pd.DataFrame([{**rep, "checksum_ok": True}])
+
+
 def _embed_ann_compose(sf_dir: str):
     """Pipeline composition gate: documents -> stub encoder -> an
     embeddings table written as partitioned parquet (the *_ds sink
@@ -498,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
         "events_value_outliers": relational.events_value_outliers,
+        "profile_events": relational.profile_table,
+        "compact_parts": _compact_parts,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,
@@ -618,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
+        "profile_events": relational.PROFILE_TABLE_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

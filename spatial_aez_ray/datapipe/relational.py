@@ -1049,3 +1049,85 @@ SELECT c.event_type,
 FROM c JOIN qs USING (event_type)
 GROUP BY c.event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# table profiling — per-column stats (the "what is this table" scan)
+# ---------------------------------------------------------------------------
+
+PROFILE_TABLE = "events"
+PROFILE_COLUMNS = ("event_id", "event_type", "props", "ts", "user_id",
+                   "value")
+
+
+def profile_table(sf_dir: str, table: str = PROFILE_TABLE) -> pd.DataFrame:
+    """Per-column profile of a table: (col, n, n_null, n_distinct) —
+    the first scan every ingestion runs over unknown data.
+
+    Two streamed passes: pass 1 reduces each block to one
+    (col, n, n_null) row set; pass 2 hashes values vectorized
+    (``pd.util.hash_pandas_object``), pre-dedupes per batch, and
+    shuffles only 8-byte (col, hash) rows — nulls excluded, matching
+    COUNT(DISTINCT). At 100 TB the distinct pass carries at most one
+    hash per distinct value per block; swap in the KMV sketch
+    (``sketch.kmv_distinct_parts``) when approximate is acceptable.
+    """
+    cols = list(PROFILE_COLUMNS) if table == PROFILE_TABLE else None
+    ds = _read(sf_dir, table, columns=cols)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in batch.column_names:
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(batch[c].null_count)
+        return pa.table({"col": pa.array(names),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_null": pa.array(nulls, pa.int64())})
+
+    base = (ds.map_batches(counts, batch_format="pyarrow")
+              .groupby("col")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("n_null", alias_name="n_null"))
+              .to_pandas())
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_c, out_h = [], []
+        for c in df.columns:
+            s = df[c].dropna()
+            h = np.unique(pd.util.hash_pandas_object(
+                s, index=False).to_numpy().astype(np.int64))
+            out_c.extend([c] * len(h))
+            out_h.append(h)
+        return pa.table({
+            "col": pa.array(out_c),
+            "h": pa.array(np.concatenate(out_h) if out_h
+                          else np.empty(0, np.int64))})
+
+    distinct = (ds.map_batches(hashes, batch_format="pyarrow")
+                  .groupby(["col", "h"])
+                  .aggregate(Count(alias_name="_"))
+                  .groupby("col")
+                  .aggregate(Count(alias_name="n_distinct"))
+                  .to_pandas())
+
+    out = base.merge(distinct, on="col")
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["col", "n", "n_null", "n_distinct"]]
+            .sort_values("col").reset_index(drop=True))
+
+
+def _profile_sql(table: str = PROFILE_TABLE,
+                 columns=PROFILE_COLUMNS) -> str:
+    parts = [
+        f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"
+        for c in columns]
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts) +
+            ") ORDER BY col")
+
+
+PROFILE_TABLE_SQL = _profile_sql()

@@ -63,3 +63,59 @@ def write_doc_output(ds, out_dir: str) -> dict:
     rows = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
                for f in files)
     return {"out_dir": out_dir, "files": len(files), "rows": rows}
+
+
+def _content_checksum(ds) -> tuple[int, int]:
+    """(rows, order-free int64 wrap-sum of per-row hashes) — computed
+    distributed: each batch reduces to one (n, hash_sum) partial row;
+    ``pd.util.hash_pandas_object`` is deterministic within a session,
+    which is all an A/B content comparison needs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "hsum": pa.array([int(h.astype(np.int64)
+                                  .sum(dtype=np.int64))], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (int(agg["n"].sum()),
+            int(np.int64(agg["hsum"].to_numpy().sum(dtype=np.int64))))
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str, *,
+                        target_rows: int = 1 << 20) -> dict:
+    """Compact a directory of small parquet parts into ~target_rows
+    files — the table-maintenance pass every long-lived 100 TB dataset
+    needs (thousands of tiny resume/checkpoint parts destroy read
+    parallelism and footer-prune efficiency).
+
+    Streams: read → repartition(ceil(rows/target)) → write; then
+    SELF-VERIFIES content equality with an order-free distributed
+    checksum over both directories (rows + per-row-hash wrap sum) and
+    raises on any drift. Returns the summary dict only — no row ever
+    reaches the driver.
+    """
+    import math
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(in_dir)
+    rows_in, sum_in = _content_checksum(ds)
+    n_files = max(1, math.ceil(rows_in / target_rows))
+    os.makedirs(out_dir, exist_ok=True)
+    ray.data.read_parquet(in_dir).repartition(n_files).write_parquet(out_dir)
+    rows_out, sum_out = _content_checksum(ray.data.read_parquet(out_dir))
+    if (rows_in, sum_in) != (rows_out, sum_out):
+        raise AssertionError(
+            f"compaction drift: {rows_in, sum_in} != {rows_out, sum_out}")
+    files_in = sum(1 for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    files_out = sum(1 for f in os.listdir(out_dir)
+                    if f.endswith(".parquet"))
+    return {"rows": rows_in, "files_in": files_in, "files_out": files_out,
+            "checksum": sum_in}

@@ -1120,3 +1120,28 @@ def test_quantize_embeddings_ds_roundtrip(ray_session, tmp_path):
                       f"'{tmp_path}/q8/*.parquet')").fetchone()[0]
     assert rows == s["rows"] > 0
     assert n[2] <= 127  # int8 range holds by construction
+
+
+def test_profile_table_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.profile_table(SF)
+    _assert_match(mine, relational.PROFILE_TABLE_SQL, con)
+    assert (mine["n_distinct"] + mine["n_null"] <= mine["n"] + 1).all()
+
+
+def test_compact_parquet_dir_preserves_content(ray_session, tmp_path):
+    import duckdb
+    import ray.data
+    from spatial_aez_ray.datapipe import text
+    from spatial_aez_ray.datapipe.util import compact_parquet_dir
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    text.token_stats_ds(SF).repartition(16).write_parquet(frag)
+    rep = compact_parquet_dir(frag, out, target_rows=1 << 20)
+    assert rep["files_out"] < rep["files_in"]
+    # independent content check via DuckDB anti-join both ways
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT * FROM read_parquet('{frag}/*.parquet')"
+        f" EXCEPT ALL SELECT * FROM read_parquet('{out}/*.parquet'))"
+    ).fetchone()[0]
+    assert n == 0 and rep["rows"] > 0
