@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers_by_nation,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
+        "zorder_orders": relational.zorder_orders,
         "compact_parts": _compact_parts,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
@@ -646,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
+        "zorder_orders": relational.ZORDER_ORDERS_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

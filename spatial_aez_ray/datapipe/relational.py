@@ -1131,3 +1131,128 @@ def _profile_sql(table: str = PROFILE_TABLE,
 
 
 PROFILE_TABLE_SQL = _profile_sql()
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering — multi-column locality (the OPTIMIZE ZORDER
+# analog: one sort key that keeps BOTH columns' neighborhoods together)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_N_BUCKETS = 8
+
+
+def _z_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bit-interleave two 16-bit keys into one 32-bit Morton/z value.
+    Written as the same explicit per-bit arithmetic the SQL oracle
+    generates ((k >> i) & 1) << ... — no magic-number spread tricks, so
+    both sides are literally the same expression."""
+    z = np.zeros_like(x)
+    for i in range(ZORDER_BITS):
+        z = z | (((x >> i) & 1) << (2 * i))
+        z = z | (((y >> i) & 1) << (2 * i + 1))
+    return z
+
+
+def zorder_orders(sf_dir: str, n_buckets: int = ZORDER_N_BUCKETS,
+                  out_dir: str | None = None) -> pd.DataFrame:
+    """Z-order-cluster orders on (o_custkey, o_totalprice): derive the
+    Morton interleave of the two 16-bit sub-keys, range-partition on
+    exact z quantiles, and summarize (bucket, n_rows, z_min, z_max).
+    With ``out_dir`` the buckets are written hive-partitioned — a scan
+    filtered on EITHER column then touches only the buckets whose
+    z-interval intersects its value range, the locality property a
+    single-column sort can't give both columns at once.
+
+    Same two-pass shape as ``range_partition_orders``: a pre-reduced
+    (z, cnt) histogram shuffle for boundaries, then a stateless
+    vectorized assign with the boundary array as a closure constant.
+    """
+    import math
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        cust = np.asarray(batch["o_custkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cents = _cents(batch["o_totalprice"])
+        return cust & 0xFFFF, (cents >> 8) & 0xFFFF
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        x, y = keys(batch)
+        df = pd.DataFrame({"z": _z_interleave(x, y),
+                           "cnt": np.ones(len(x), dtype=np.int64)})
+        g = df.groupby("z", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+              .groupby("z").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("z"))
+    vals = hist["z"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["cnt"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    bounds = np.array([
+        vals[np.searchsorted(cum, math.ceil((i / n_buckets) * n))]
+        for i in range(1, n_buckets)], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x, y = keys(batch)
+        z = _z_interleave(x, y)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "bucket": pa.array(
+                np.searchsorted(bounds, z, side="left").astype(np.int64)),
+            "z": pa.array(z)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if out_dir is not None:
+        assigned.write_parquet(out_dir, partition_cols=["bucket"])
+        assigned = ray.data.read_parquet(out_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": np.asarray(
+                batch["bucket"].to_numpy(zero_copy_only=False),
+                dtype=np.int64),
+            "z": np.asarray(batch["z"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)})
+        g = df.groupby("bucket").agg(
+            n_rows=("z", "size"), z_min=("z", "min"),
+            z_max=("z", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (assigned.map_batches(summarize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Min("z_min", alias_name="z_min"),
+                      Max("z_max", alias_name="z_max"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _zorder_sql(n_buckets: int = ZORDER_N_BUCKETS) -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS))
+    qs = ", ".join(
+        f"quantile_disc(z, {i}.0/{n_buckets}) AS b{i}"
+        for i in range(1, n_buckets))
+    cmp = " + ".join(f"(c.z > q.b{i})::INT" for i in range(1, n_buckets))
+    return f"""
+WITH k AS (
+  SELECT o_custkey & 65535 AS x,
+         (ROUND(o_totalprice * 100)::BIGINT >> 8) & 65535 AS y
+  FROM orders),
+c AS (SELECT ({terms})::BIGINT AS z FROM k),
+q AS (SELECT {qs} FROM c)
+SELECT ({cmp})::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(c.z) AS z_min, MAX(c.z) AS z_max
+FROM c, q GROUP BY bucket ORDER BY bucket
+"""
+
+
+ZORDER_ORDERS_SQL = _zorder_sql()

@@ -1145,3 +1145,26 @@ def test_compact_parquet_dir_preserves_content(ray_session, tmp_path):
         f" EXCEPT ALL SELECT * FROM read_parquet('{out}/*.parquet'))"
     ).fetchone()[0]
     assert n == 0 and rep["rows"] > 0
+
+
+def test_zorder_orders_match_sql_and_locality(con, ray_session, tmp_path):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.zorder_orders(SF)
+    _assert_match(mine, relational.ZORDER_ORDERS_SQL, con)
+    # bucket z-intervals are disjoint and ordered (the locality
+    # property range scans rely on)
+    assert (mine["z_min"].to_numpy()[1:] >
+            mine["z_max"].to_numpy()[:-1]).all()
+    # hive write produces one directory per bucket
+    out = str(tmp_path / "zorder")
+    relational.zorder_orders(SF, out_dir=out)
+    dirs = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert len(dirs) == len(mine)
+    # z really interleaves: a point (x, y) maps back to its inputs
+    import numpy as np
+    x = np.array([0x1234], dtype=np.int64)
+    y = np.array([0xABCD], dtype=np.int64)
+    z = relational._z_interleave(x, y)
+    xa = sum(((int(z[0]) >> (2 * i)) & 1) << i for i in range(16))
+    ya = sum(((int(z[0]) >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (xa, ya) == (0x1234, 0xABCD)
