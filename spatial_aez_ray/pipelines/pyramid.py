@@ -114,6 +114,13 @@ class PyramidKernel:
         payloads = self.media.fetch(want, strict=False)
         rows = []
         for ty, tx, kids in parents:
+            if not any(payloads.get(r) is not None for _, _, r in kids):
+                # sparse skip (S4): no child exists -> the parent is
+                # all-nodata; never compute or write it. Deeper levels
+                # read the hole back as nodata via strict=False, so
+                # skipping is output-transparent — and at planet scale
+                # most tiles are ocean holes.
+                continue
             mosaic = np.full((2 * t, 2 * t), self.nodata, dtype=np.uint8)
             for dy, dx, ref in kids:
                 p = payloads.get(ref)
@@ -130,6 +137,8 @@ class PyramidKernel:
                 mosaic[dy * t:dy * t + nrows,
                        dx * t:dx * t + ncols] = arr
             parent = mode_reduce2(mosaic, self.nodata)
+            if (parent == self.nodata).all():
+                continue  # children were present but carried no data
             doc = model.make_document(
                 self.out_dataset, self.grid_name, ty, tx,
                 tx * t, ty * t, t, t, bands=1, nodata=self.nodata)
@@ -233,18 +242,50 @@ def pyramid_oracle(spec, dataset: str) -> pd.DataFrame:
         padded[:arr.shape[0], :arr.shape[1]] = arr
         arr = mode_reduce2(padded, nodata)
         ty, tx = pty, ptx
-        n_tiles = ty * tx
-        psum = int(arr.astype(np.int64).sum())
-        md5s = np.empty(n_tiles, dtype=np.int64)
-        i = 0
+        # sparse semantics: all-nodata tiles are holes, never written
+        psum, md5s = 0, []
         for yy in range(ty):
             for xx in range(tx):
                 tile = arr[yy * t:(yy + 1) * t, xx * t:(xx + 1) * t]
-                md5s[i] = _md5_int(model.encode_tile(tile))
-                i += 1
-        rows.append((level, n_tiles, psum, int(md5s.sum(dtype=np.int64))))
+                if (tile == nodata).all():
+                    continue
+                psum += int(tile.astype(np.int64).sum())
+                md5s.append(_md5_int(model.encode_tile(tile)))
+        rows.append((level, len(md5s), psum,
+                     int(np.array(md5s, dtype=np.int64)
+                         .sum(dtype=np.int64))))
     out = pd.DataFrame(rows, columns=["level", "n_tiles",
                                       "payload_sum", "md5_sum"])
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
+    return out
+
+
+def read_window(src_root: str, dataset: str, grid_name: str,
+                tile: int, lattice_ty: int, lattice_tx: int,
+                window: tuple[int, int, int, int], nodata: int
+                ) -> np.ndarray:
+    """Serve a tile window (ty0, ty1, tx0, tx1 inclusive) of one
+    pyramid level (or the base world): refs are DERIVED from the tile
+    keys and fetched in ONE footer-pruned batched read; holes (sparse
+    skipped / ocean tiles) fill with nodata. This is the zoom-serving
+    read — cost is O(window), never O(level)."""
+    ty0, ty1, tx0, tx1 = window
+    refs = {}
+    for ty in range(ty0, min(ty1 + 1, lattice_ty)):
+        for tx in range(tx0, min(tx1 + 1, lattice_tx)):
+            refs[(ty, tx)] = model.media_ref(dataset, grid_name, ty, tx, 1)
+    payloads = MediaStore(src_root).fetch(list(refs.values()),
+                                          strict=False)
+    h = (ty1 - ty0 + 1) * tile
+    w = (tx1 - tx0 + 1) * tile
+    out = np.full((h, w), nodata, dtype=np.uint8)
+    for (ty, tx), ref in refs.items():
+        p = payloads.get(ref)
+        if p is None:
+            continue
+        arr = np.frombuffer(p, np.uint8,
+                            count=tile * tile).reshape(tile, tile)
+        out[(ty - ty0) * tile:(ty - ty0 + 1) * tile,
+            (tx - tx0) * tile:(tx - tx0 + 1) * tile] = arr
     return out

@@ -223,3 +223,24 @@ def test_pyramid_mode_reduce_semantics():
     # tie breaks to the smallest class
     t = np.array([[4, 4], [7, 7]], dtype=np.uint8)
     assert mode_reduce2(t, nodata=0).tolist() == [[4]]
+
+
+def test_pyramid_window_read_matches_oracle_level(tiny_world, tmp_path):
+    import numpy as np
+    from spatial_aez_ray.pipelines import pyramid
+    out = str(tmp_path / "pyr")
+    pyramid.build_pyramid(tiny_world, "kg", out)
+    # reconstruct level-1 array the oracle's way
+    grid = SPEC.grid("g1")
+    t = grid.tile
+    base = oracle.full_raster(SPEC, "kg")[0]
+    arr = np.zeros((grid.tiles_y * t, grid.tiles_x * t), dtype=np.uint8)
+    arr[:grid.height, :grid.width] = base
+    pty, ptx = (grid.tiles_y + 1) // 2, (grid.tiles_x + 1) // 2
+    padded = np.zeros((pty * 2 * t, ptx * 2 * t), dtype=np.uint8)
+    padded[:arr.shape[0], :arr.shape[1]] = arr
+    lvl1 = pyramid.mode_reduce2(padded, 0)
+    win = pyramid.read_window(out, "kg_ov1", "g1", t, pty, ptx,
+                              (0, pty - 1, 0, ptx - 1), 0)
+    assert win.shape == lvl1.shape
+    assert (win == lvl1).all()
