@@ -919,3 +919,75 @@ SELECT event_type,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM s GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# cube / grouping sets — (type × day), (type), (day), () in ONE scan
+# ---------------------------------------------------------------------------
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(event_type, day) over the events stream: n and exact
+    value cents for every grouping set, with 'ALL' as the rolled-up
+    dimension marker. Output (event_type, day, n, value_sum).
+
+    The OLAP discipline at 100 TB: the raw table is scanned ONCE into
+    (type, day) partials — types × days rows per block — and every
+    coarser grouping set (type), (day), () is derived from the
+    ALREADY-AGGREGATED finest table, which is tiny. The three rollups
+    cost nothing compared to re-scanning per set (what a naive
+    4-query translation would do).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .relational import _cents
+        day = (b["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]"))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "day": np.datetime_as_string(day, unit="D"),
+            "n": np.ones(b.num_rows, dtype=np.int64),
+            "vc": _cents(b["value"])})
+        g = df.groupby(["event_type", "day"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("vc", alias_name="vc"))
+              .to_pandas())
+
+    def roll(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False)[["n", "vc"]].sum()
+        else:
+            g = pd.DataFrame([{"n": df["n"].sum(), "vc": df["vc"].sum()}])
+        for c in ("event_type", "day"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g
+
+    out = pd.concat([
+        roll(fine, ["event_type", "day"]),
+        roll(fine, ["event_type"]),
+        roll(fine, ["day"]),
+        roll(fine, []),
+    ], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["value_sum"] = out.pop("vc").astype(np.int64) / 100.0
+    return (out[["event_type", "day", "n", "value_sum"]]
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""

@@ -1168,3 +1168,15 @@ def test_zorder_orders_match_sql_and_locality(con, ray_session, tmp_path):
     xa = sum(((int(z[0]) >> (2 * i)) & 1) << i for i in range(16))
     ya = sum(((int(z[0]) >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (xa, ya) == (0x1234, 0xABCD)
+
+
+def test_events_cube_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.events_cube(SF)
+    _assert_match(mine, temporal.EVENTS_CUBE_SQL, con)
+    # grand total row equals the whole table; every rollup is consistent
+    total = mine[(mine["event_type"] == "ALL") & (mine["day"] == "ALL")]
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert total["n"].iloc[0] == n_events
+    fine = mine[(mine["event_type"] != "ALL") & (mine["day"] != "ALL")]
+    assert fine["n"].sum() == n_events
