@@ -416,6 +416,35 @@ def _compact_parts(sf_dir: str):
     return pd.DataFrame([{**rep, "checksum_ok": True}])
 
 
+def _snapshot_diff(sf_dir: str):
+    """Snapshot/diff versioning over a written doc-stats table: the
+    no-change diff must be empty and a simulated append+delete must be
+    detected exactly — asserted in-query; returns the summary row."""
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.datapipe import text
+    from spatial_aez_ray.datapipe.util import snapshot_dir, snapshot_diff
+    d = os.path.join(_TMP, "snap_data")
+    shutil.rmtree(d, ignore_errors=True)
+    text.token_stats_ds(sf_dir).repartition(4).write_parquet(d)
+    s1 = os.path.join(_TMP, "snap1.parquet")
+    s2 = os.path.join(_TMP, "snap2.parquet")
+    rep = snapshot_dir(d, s1)
+    snapshot_dir(d, s2)
+    if len(snapshot_diff(s1, s2)) != 0:
+        raise AssertionError("identical snapshots must diff empty")
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    os.remove(os.path.join(d, parts[0]))
+    shutil.copy(os.path.join(d, parts[1]), os.path.join(d, "zz.parquet"))
+    snapshot_dir(d, s2)
+    diff = snapshot_diff(s1, s2)
+    got = set(zip(diff["file"], diff["status"]))
+    if got != {(parts[0], "removed"), ("zz.parquet", "added")}:
+        raise AssertionError(f"unexpected diff: {got}")
+    return pd.DataFrame([{"files": rep["files"], "rows": rep["rows"],
+                          "n_added": 1, "n_removed": 1}])
+
+
 def _embed_ann_compose(sf_dir: str):
     """Pipeline composition gate: documents -> stub encoder -> an
     embeddings table written as partitioned parquet (the *_ds sink
@@ -527,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
         "compact_parts": _compact_parts,
+        "snapshot_diff": _snapshot_diff,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,

@@ -119,3 +119,53 @@ def compact_parquet_dir(in_dir: str, out_dir: str, *,
                     if f.endswith(".parquet"))
     return {"rows": rows_in, "files_in": files_in, "files_out": files_out,
             "checksum": sum_in}
+
+
+def snapshot_dir(data_dir: str, snap_path: str) -> dict:
+    """Record an immutable snapshot of a parquet dataset directory:
+    one manifest row per part file (name, bytes, rows, footer
+    min/max row-group count) written as its own parquet file — the
+    Iceberg-manifest-shaped versioning primitive. Footer metadata
+    only: no data row is read, so snapshotting a 100 TB directory
+    costs one footer read per file."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(data_dir, f)
+        md = pq.read_metadata(p)
+        rows.append({"file": f, "bytes": os.path.getsize(p),
+                     "rows": md.num_rows,
+                     "row_groups": md.num_row_groups})
+    df = pd.DataFrame(rows, columns=["file", "bytes", "rows",
+                                     "row_groups"])
+    os.makedirs(os.path.dirname(snap_path) or ".", exist_ok=True)
+    df.to_parquet(snap_path, index=False)
+    return {"files": len(df), "rows": int(df["rows"].sum())
+            if len(df) else 0}
+
+
+def snapshot_diff(snap_a: str, snap_b: str) -> "pd.DataFrame":
+    """Compare two snapshots: (file, status) with status in
+    {added, removed, changed} — 'changed' = same name, different
+    bytes/rows. The incremental-processing primitive: a consumer
+    resumes by processing exactly the added/changed parts."""
+    import pandas as pd
+
+    a = pd.read_parquet(snap_a).set_index("file")
+    b = pd.read_parquet(snap_b).set_index("file")
+    rows = []
+    for f in sorted(set(a.index) | set(b.index)):
+        if f not in a.index:
+            rows.append((f, "added"))
+        elif f not in b.index:
+            rows.append((f, "removed"))
+        elif (a.loc[f, ["bytes", "rows"]].tolist()
+              != b.loc[f, ["bytes", "rows"]].tolist()):
+            rows.append((f, "changed"))
+    return pd.DataFrame(rows, columns=["file", "status"])

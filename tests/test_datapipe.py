@@ -1180,3 +1180,26 @@ def test_events_cube_match_sql(con, ray_session):
     assert total["n"].iloc[0] == n_events
     fine = mine[(mine["event_type"] != "ALL") & (mine["day"] != "ALL")]
     assert fine["n"].sum() == n_events
+
+
+def test_snapshot_diff_detects_changes(ray_session, tmp_path):
+    from spatial_aez_ray.datapipe import text
+    from spatial_aez_ray.datapipe.util import snapshot_dir, snapshot_diff
+    d = str(tmp_path / "data")
+    text.token_stats_ds(SF).repartition(4).write_parquet(d)
+    s1 = str(tmp_path / "s1.parquet")
+    s2 = str(tmp_path / "s2.parquet")
+    rep = snapshot_dir(d, s1)
+    assert rep["files"] == 4 and rep["rows"] > 0
+    # no change -> empty diff
+    snapshot_dir(d, s2)
+    assert len(snapshot_diff(s1, s2)) == 0
+    # remove one part + append a new one -> both detected
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    os.remove(os.path.join(d, parts[0]))
+    import shutil
+    shutil.copy(os.path.join(d, parts[1]), os.path.join(d, "zz-new.parquet"))
+    snapshot_dir(d, s2)
+    diff = snapshot_diff(s1, s2)
+    assert set(zip(diff["file"], diff["status"])) == {
+        (parts[0], "removed"), ("zz-new.parquet", "added")}
