@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": temporal.event_transitions,
         "event_debounce_stats": temporal.event_debounce_stats,
         "events_cube": temporal.events_cube,
+        "events_hourly_ohlc": temporal.events_hourly_ohlc,
         "embedding_gram": simsearch.embedding_gram,
         "cohort_retention": temporal.cohort_retention,
         "events_pivot_daily": temporal.events_pivot_daily,
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": temporal.EVENT_TRANSITIONS_SQL,
         "event_debounce_stats": temporal.EVENT_DEBOUNCE_STATS_SQL,
         "events_cube": temporal.EVENTS_CUBE_SQL,
+        "events_hourly_ohlc": temporal.EVENTS_HOURLY_OHLC_SQL,
         "embedding_gram": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["EMBEDDING_GRAM_SQL"]).EMBEDDING_GRAM_SQL,

@@ -991,3 +991,98 @@ FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample — per (type, hour): open / high / low / close of value
+# ---------------------------------------------------------------------------
+
+def events_hourly_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Resample the event stream to hourly OHLC bars per type:
+    (event_type, hour, n, open, high, low, close) — open/close are the
+    values at the (ts, event_id)-first/last rows of the bar, the
+    metric-downsampling shape every telemetry store serves.
+
+    Mergeable-partial discipline: each batch reduces to at most
+    (types × hours-in-batch) rows carrying the bar's count, min/max
+    cents AND the open/close values tagged with their (ts, event_id)
+    keys — merging two partials keeps the smaller/larger key's value,
+    so the merge is associative and order-free. Partials co-fold on a
+    coarse hash of (type, hour) and merge vectorized inside each
+    partition; only final bars leave the groups.
+    """
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id", "value"])
+    n_parts = shuffle_width(ds, floor=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .relational import _cents
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]"))
+        hour = np.datetime_as_string(ts.astype("datetime64[h]"), unit="h")
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "hour": hour,
+            "ts_us": ts.astype(np.int64),
+            "eid": np.asarray(b["event_id"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64),
+            "v": _cents(b["value"])})
+        df = df.sort_values(["ts_us", "eid"], kind="mergesort")
+        g = df.groupby(["event_type", "hour"], sort=False)
+        out = g.agg(n=("v", "size"), lo=("v", "min"), hi=("v", "max"),
+                    open_v=("v", "first"), close_v=("v", "last"),
+                    open_ts=("ts_us", "first"), open_eid=("eid", "first"),
+                    close_ts=("ts_us", "last"), close_eid=("eid", "last")
+                    ).reset_index()
+        h = pd.util.hash_pandas_object(
+            out["event_type"] + "\x00" + out["hour"], index=False)
+        out["part"] = (h % n_parts).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["open_ts", "open_eid"], kind="mergesort")
+        grp = g.groupby(["event_type", "hour"], sort=False)
+        first = grp.agg(open_v=("open_v", "first")).reset_index()
+        g2 = g.sort_values(["close_ts", "close_eid"], kind="mergesort")
+        last = (g2.groupby(["event_type", "hour"], sort=False)
+                .agg(close_v=("close_v", "last")).reset_index())
+        base = grp.agg(n=("n", "sum"), lo=("lo", "min"),
+                       hi=("hi", "max")).reset_index()
+        return base.merge(first, on=["event_type", "hour"]).merge(
+            last, on=["event_type", "hour"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(merge, batch_format="pandas")
+             .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    for src, dst in (("open_v", "open"), ("hi", "high"),
+                     ("lo", "low"), ("close_v", "close")):
+        out[dst] = out.pop(src).astype(np.int64) / 100.0
+    return (out[["event_type", "hour", "n", "open", "high", "low",
+                 "close"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+EVENTS_HOURLY_OHLC_SQL = """
+WITH c AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%dT%H')
+             AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(CASE WHEN rn_a = 1 THEN v END) / 100.0 AS open,
+       MAX(v) / 100.0 AS high,
+       MIN(v) / 100.0 AS low,
+       MAX(CASE WHEN rn_d = 1 THEN v END) / 100.0 AS close
+FROM c GROUP BY event_type, hour ORDER BY event_type, hour
+"""

@@ -1203,3 +1203,12 @@ def test_snapshot_diff_detects_changes(ray_session, tmp_path):
     diff = snapshot_diff(s1, s2)
     assert set(zip(diff["file"], diff["status"])) == {
         (parts[0], "removed"), ("zz-new.parquet", "added")}
+
+
+def test_events_hourly_ohlc_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.events_hourly_ohlc(SF)
+    _assert_match(mine, temporal.EVENTS_HOURLY_OHLC_SQL, con)
+    assert (mine["low"] <= mine["high"]).all()
+    assert mine["open"].between(mine["low"], mine["high"]).all()
+    assert mine["close"].between(mine["low"], mine["high"]).all()
