@@ -15,6 +15,8 @@ Mirrors what a spatial-aez user runs today (cited per subcommand):
 * ``import-shapefile`` — .shp/.dbf -> countries.parquet side table
                   (OGR read side, extract_country_data.py:218-226)
 * ``checkpointed-extract`` — the resumable sharded zonal run
+* ``pyramid``   — overview tile levels down to one tile (the GDAL
+                  BuildOverviews analog; sparse ocean holes skipped)
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -57,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     s = add("checkpointed-extract")
     s.add_argument("--dataset", default="kg")
     s.add_argument("--num-shards", type=int, default=8)
+    s = add("pyramid")
+    s.add_argument("--dataset", default="kg")
 
     s = sub.add_parser(
         "prepare-claims",
@@ -133,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"prepared {summary['claims'].sum()} claims over "
                   f"{summary['tiles'].sum()} tiles "
                   f"-> {a.world}/claims/grid={a.grid}")
+        elif a.cmd == "pyramid":
+            from .pipelines.pyramid import build_pyramid
+            df = build_pyramid(a.world, a.dataset, a.out)
+            print(f"built {len(df)} overview levels "
+                  f"({int(df['n_tiles'].sum())} tiles) -> {a.out}")
         elif a.cmd == "checkpointed-extract":
             from .pipelines.extract import zonal_stats_checkpointed
             df = zonal_stats_checkpointed(a.world, a.dataset, a.out,
