@@ -246,6 +246,59 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_radius_query(sf_dir: str):
+    """Point-radius spatial query served from the S2-prefix-partitioned
+    cell sink (only intersecting prefix dirs are read); self-verifies
+    the FULL result set — rows and exact integer metre distances —
+    against a sequential full-scan oracle sharing the same haversine."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.geo import haversine_km
+    from spatial_aez_ray.pipelines import assign, extract
+
+    cells_dir = os.path.join(_TMP, "radius_cells")
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    assign.write_cells_s2_partitioned(_world(), cells_dir)
+    grid = extract.world_grid(_world(), "g1")
+    odf = oracle.cell_country(fixtures.TINY, grid)
+    a0 = sorted(a for a in odf["admin"].dropna().unique())[0]
+    sub = odf[odf["admin"] == a0]
+    lon = float((grid.x_min
+                 + (sub["cell_col"].to_numpy() + 0.5) * grid.x_size).mean())
+    lat = float((grid.y_min
+                 + (sub["cell_row"].to_numpy() + 0.5) * grid.y_size).mean())
+    radius = 4000.0
+    got = (assign.radius_query(cells_dir, grid, lon, lat, radius)
+           .to_pandas())
+
+    lons = grid.x_min + (odf["cell_col"].to_numpy() + 0.5) * grid.x_size
+    lats = grid.y_min + (odf["cell_row"].to_numpy() + 0.5) * grid.y_size
+    d = haversine_km(lon, lat, lons, lats)
+    keep = d <= radius
+    exp = pd.DataFrame({
+        "admin": odf["admin"].to_numpy()[keep],
+        "cell_row": odf["cell_row"].to_numpy()[keep],
+        "cell_col": odf["cell_col"].to_numpy()[keep],
+        "dist_m": np.round(d[keep] * 1000.0).astype(np.int64)})
+
+    def canon(df):
+        df = df.copy()
+        df["admin"] = df["admin"].astype(str)
+        for c in ("cell_row", "cell_col", "dist_m"):
+            df[c] = df[c].astype(np.int64)
+        return (df.sort_values(["admin", "cell_row", "cell_col", "dist_m"])
+                  .reset_index(drop=True))
+
+    if not canon(got).equals(canon(exp)):
+        raise AssertionError("radius query != full-scan oracle")
+    g = (canon(got).groupby("admin", as_index=False)
+         .agg(n_cells=("dist_m", "size"), min_dist_m=("dist_m", "min"),
+              max_dist_m=("dist_m", "max")))
+    return g.sort_values("admin").reset_index(drop=True)
+
+
 def _spatial_normalize_docs(sf_dir: str):
     import shutil
     from spatial_aez_ray.pipelines import docops
@@ -615,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_downsample": _spatial_downsample,
         "spatial_thumbnail": _spatial_thumbnail,
         "spatial_pyramid": _spatial_pyramid,
+        "spatial_radius_query": _spatial_radius_query,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -105,3 +105,21 @@ def upsample3(a: np.ndarray) -> np.ndarray:
     """3×3 nearest-neighbour upsample, the reference's alignment of 1 km
     rasters onto the 300 m grid (process_imagery.py:253-271)."""
     return np.repeat(np.repeat(a, 3, axis=1), 3, axis=0)
+
+
+#: mean Earth radius (km) — the public IUGG mean radius; spherical
+#: haversine is the documented distance model for radius queries (the
+#: reference's area math stays on the WGS84 constants above).
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized spherical great-circle distance in km. BOTH the
+    distributed radius query and its sequential oracle call this one
+    function, so the float math is bit-identical on both sides."""
+    rl1, rl2 = np.radians(lat1), np.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = np.radians(lon2) - np.radians(lon1)
+    a = (np.sin(dlat / 2.0) ** 2
+         + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2.0) ** 2)
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))

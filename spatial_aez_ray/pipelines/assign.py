@@ -184,3 +184,77 @@ def write_cells_s2_partitioned(world_path: str, out_dir: str, *,
                .size().rename(columns={"size": "n_cells"}))
     man["n_cells"] = man["n_cells"].astype(np.int64)
     return man.sort_values("s2_prefix").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# spatial radius query over the S2-prefix-partitioned cell sink
+# ---------------------------------------------------------------------------
+
+def _covering_tokens(lon: float, lat: float, radius_km: float,
+                     level: int) -> list[str]:
+    """Coarse-cell covering of the query disc: sample the lat/lon
+    bbox at 0.5° spacing (far below any level<=6 cell edge, so no
+    intersecting cell can be missed) and collect the distinct tokens.
+    A few extra tokens only cost a directory listing each — the
+    covering must err large, never small."""
+    from .. import s2cells
+    from ..geo import EARTH_RADIUS_KM
+
+    dlat = np.degrees(radius_km / EARTH_RADIUS_KM) + 0.5
+    coslat = max(np.cos(np.radians(lat)), 1e-3)
+    dlon = min(np.degrees(radius_km / EARTH_RADIUS_KM) / coslat + 0.5,
+               180.0)
+    lats = np.clip(np.arange(lat - dlat, lat + dlat + 0.5, 0.5),
+                   -89.999, 89.999)
+    lons = (np.arange(lon - dlon, lon + dlon + 0.5, 0.5)
+            + 180.0) % 360.0 - 180.0
+    gl, gt = np.meshgrid(lons, lats)
+    ids = s2cells.cell_id(gl.ravel(), gt.ravel(), level)
+    return sorted(set(s2cells.token(np.unique(ids))))
+
+
+def radius_query(cells_dir: str, grid: GridSpec, lon: float, lat: float,
+                 radius_km: float, *, level: int = 4) -> "pa.Table":
+    """All assigned cells within ``radius_km`` of (lon, lat), served
+    from the S2-prefix-partitioned sink: ONLY the prefix directories
+    whose coarse cell can intersect the disc are read (the partition
+    prune the sink exists for), then one vectorized haversine filter
+    per batch. Returns (admin, cell_row, cell_col, dist_m) with the
+    distance as exact-int metres-from-identical-floats.
+
+    At 100 TB the read cost is O(disc area / world area) of the table;
+    the full-scan fallback is only the verification oracle.
+    """
+    import os
+
+    import ray.data
+
+    from ..geo import haversine_km
+
+    tokens = _covering_tokens(lon, lat, radius_km, level)
+    dirs = [os.path.join(cells_dir, f"s2_prefix={t}") for t in tokens]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return pa.table({"admin": pa.array([], pa.string()),
+                         "cell_row": pa.array([], pa.int32()),
+                         "cell_col": pa.array([], pa.int32()),
+                         "dist_m": pa.array([], pa.int64())})
+    ds = ray.data.read_parquet(files)
+
+    def filt(b: pa.Table) -> pa.Table:
+        rows = np.asarray(b["cell_row"].to_numpy(zero_copy_only=False))
+        cols = np.asarray(b["cell_col"].to_numpy(zero_copy_only=False))
+        lons = grid.x_min + (cols + 0.5) * grid.x_size
+        lats = grid.y_min + (rows + 0.5) * grid.y_size
+        d = haversine_km(lon, lat, lons, lats)
+        keep = d <= radius_km
+        return pa.table({
+            "admin": b["admin"].filter(pa.array(keep)),
+            "cell_row": b["cell_row"].filter(pa.array(keep)),
+            "cell_col": b["cell_col"].filter(pa.array(keep)),
+            "dist_m": pa.array(
+                np.round(d[keep] * 1000.0).astype(np.int64))})
+
+    out = ds.map_batches(filt, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -244,3 +244,27 @@ def test_pyramid_window_read_matches_oracle_level(tiny_world, tmp_path):
                               (0, pty - 1, 0, ptx - 1), 0)
     assert win.shape == lvl1.shape
     assert (win == lvl1).all()
+
+
+def test_radius_query_matches_full_scan(tiny_world, tmp_path):
+    import numpy as np
+    from spatial_aez_ray import oracle as orc
+    from spatial_aez_ray.geo import haversine_km
+    from spatial_aez_ray.pipelines import assign as asg
+    from spatial_aez_ray.pipelines.extract import world_grid
+    cells_dir = str(tmp_path / "cells")
+    asg.write_cells_s2_partitioned(tiny_world, cells_dir)
+    grid = world_grid(tiny_world, "g1")
+    got = asg.radius_query(cells_dir, grid, 10.0, 20.0, 3000.0).to_pandas()
+    odf = orc.cell_country(SPEC, grid)
+    lons = grid.x_min + (odf["cell_col"].to_numpy() + 0.5) * grid.x_size
+    lats = grid.y_min + (odf["cell_row"].to_numpy() + 0.5) * grid.y_size
+    d = haversine_km(10.0, 20.0, lons, lats)
+    keep = d <= 3000.0
+    assert len(got) == int(keep.sum())
+    want = set(zip(odf["cell_row"].to_numpy()[keep],
+                   odf["cell_col"].to_numpy()[keep]))
+    assert set(zip(got["cell_row"], got["cell_col"])) == want
+    # distances are exact metres from identical float math
+    exp_m = np.sort(np.round(d[keep] * 1000.0).astype(np.int64))
+    assert (np.sort(got["dist_m"].to_numpy()) == exp_m).all()
