@@ -246,6 +246,47 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_s2_rollup(sf_dir: str):
+    """Multi-resolution S2 rollup (the spatial cube). Self-verifies
+    (a) derived-vs-direct: rolling the finest level's aggregated cells
+    up via s2cells.parent must reproduce every coarser level exactly;
+    (b) per-admin assigned totals are level-invariant; (c) the finest
+    totals equal the rasterization oracle's per-admin claim counts."""
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import fixtures, oracle, s2cells
+    from spatial_aez_ray.pipelines import assign
+
+    out, cells = assign.s2_rollup(_world(), return_cells=True)
+    levels = sorted(out["level"].unique(), reverse=True)
+    fine = cells[cells["level"] == levels[0]]
+    for lv in levels[1:]:
+        derived = fine.copy()
+        # s2 ids occupy the full 64 bits (faces 4-5 are negative as
+        # int64) — parent()'s bit math needs the uint64 view
+        derived["cell"] = s2cells.parent(
+            derived["cell"].to_numpy().astype(np.int64)
+            .astype(np.uint64), int(lv)).astype(np.int64)
+        derived = (derived.groupby(["admin", "cell"], as_index=False)
+                   ["n"].sum())
+        direct = (cells[cells["level"] == lv]
+                  [["admin", "cell", "n"]].reset_index(drop=True))
+        a = derived.sort_values(["admin", "cell"]).reset_index(drop=True)
+        b = direct.sort_values(["admin", "cell"]).reset_index(drop=True)
+        if not a.equals(b):
+            raise AssertionError(f"s2 rollup level {lv}: derived != direct")
+    tot = out.pivot_table(index="admin", columns="level",
+                          values="n_assigned")
+    if tot.nunique(axis=1).max() != 1:
+        raise AssertionError("n_assigned varies across levels")
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1)
+    want = odf.groupby("admin").size()
+    got = out[out["level"] == levels[0]].set_index("admin")["n_assigned"]
+    if not (want.sort_index() == got.sort_index()).all():
+        raise AssertionError("s2 rollup totals != oracle claim counts")
+    return out
+
+
 def _spatial_radius_query(sf_dir: str):
     """Point-radius spatial query served from the S2-prefix-partitioned
     cell sink (only intersecting prefix dirs are read); self-verifies
@@ -669,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_thumbnail": _spatial_thumbnail,
         "spatial_pyramid": _spatial_pyramid,
         "spatial_radius_query": _spatial_radius_query,
+        "spatial_s2_rollup": _spatial_s2_rollup,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

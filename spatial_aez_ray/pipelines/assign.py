@@ -258,3 +258,65 @@ def radius_query(cells_dir: str, grid: GridSpec, lon: float, lat: float,
 
     out = ds.map_batches(filt, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# S2 multi-resolution rollup — the spatial cube
+# ---------------------------------------------------------------------------
+
+S2_ROLLUP_LEVELS = (8, 6, 4)
+
+
+def s2_rollup(world_path: str, *, levels=S2_ROLLUP_LEVELS,
+              return_cells: bool = False):
+    """Assigned-cell counts per admin at every S2 level in ``levels``:
+    (admin, level, n_cells, n_assigned) — the multi-resolution spatial
+    aggregate a tile server or coverage dashboard reads.
+
+    ONE shuffle carries all levels: each batch derives every level's
+    cell id per row and pre-reduces to (admin, level, cell, n) partial
+    rows, so the combine is a single groupby regardless of how many
+    levels roll up. The aggregated table is bounded by the S2
+    hierarchy (<= 6·4^L cells per level), never by the data. The
+    coarser levels are ALSO derivable from the finest via
+    ``s2cells.parent`` — callers can cross-check derived == direct
+    (the gate does), which catches any hierarchy bug in the index.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .. import s2cells
+    from .extract import world_grid
+
+    grid = world_grid(world_path, "g1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = np.asarray(b["cell_row"].to_numpy(zero_copy_only=False))
+        cols = np.asarray(b["cell_col"].to_numpy(zero_copy_only=False))
+        lons = grid.x_min + (cols + 0.5) * grid.x_size
+        lats = grid.y_min + (rows + 0.5) * grid.y_size
+        fine = s2cells.cell_id(lons, lats, max(levels))
+        admin = b["admin"].to_pylist()
+        frames = []
+        for lv in levels:
+            cid = (fine if lv == max(levels)
+                   else s2cells.parent(fine, lv))
+            frames.append(pd.DataFrame({
+                "admin": admin, "level": np.int64(lv),
+                "cell": cid.astype(np.int64),
+                "n": np.ones(len(cid), dtype=np.int64)}))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["admin", "level", "cell"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (cell_country(world_path)
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["admin", "level", "cell"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    out = (cells.groupby(["admin", "level"], as_index=False)
+           .agg(n_cells=("cell", "size"), n_assigned=("n", "sum")))
+    for c in ("level", "n_cells", "n_assigned"):
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values(["admin", "level"]).reset_index(drop=True)
+    return (out, cells) if return_cells else out

@@ -268,3 +268,27 @@ def test_radius_query_matches_full_scan(tiny_world, tmp_path):
     # distances are exact metres from identical float math
     exp_m = np.sort(np.round(d[keep] * 1000.0).astype(np.int64))
     assert (np.sort(got["dist_m"].to_numpy()) == exp_m).all()
+
+
+def test_s2_rollup_levels_consistent(tiny_world):
+    import numpy as np
+    from spatial_aez_ray import s2cells
+    from spatial_aez_ray.pipelines import assign as asg
+    out, cells = asg.s2_rollup(tiny_world, return_cells=True)
+    # per-admin assigned totals identical at every level
+    for _, g in out.groupby("admin"):
+        assert g["n_assigned"].nunique() == 1
+    # coarser levels have <= as many distinct cells
+    piv = out.pivot_table(index="admin", columns="level",
+                          values="n_cells")
+    assert (piv[4] <= piv[6]).all() and (piv[6] <= piv[8]).all()
+    # derived parent rollup reproduces level 6 exactly
+    fine = cells[cells["level"] == 8].copy()
+    fine["cell"] = s2cells.parent(
+        fine["cell"].to_numpy().astype(np.int64).astype(np.uint64),
+        6).astype(np.int64)
+    der = (fine.groupby(["admin", "cell"], as_index=False)["n"].sum()
+           .sort_values(["admin", "cell"]).reset_index(drop=True))
+    direct = (cells[cells["level"] == 6][["admin", "cell", "n"]]
+              .sort_values(["admin", "cell"]).reset_index(drop=True))
+    assert der.equals(direct)
