@@ -246,6 +246,46 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_diff_worlds(sf_dir: str):
+    """Raster change detection: copy the world, flip ONE pixel in one
+    tile's payload, and the diff must report exactly that tile with
+    n_changed=1 (and the unmutated self-diff must be empty) — both
+    asserted in-query."""
+    import shutil
+    import pyarrow.parquet as pq
+    import pyarrow as pa_mod
+    from spatial_aez_ray.pipelines import pyramid
+
+    w = _world()
+    w2 = os.path.join(_TMP, "world_v2")
+    shutil.rmtree(w2, ignore_errors=True)
+    shutil.copytree(w, w2)
+    if len(pyramid.diff_worlds(w, w2, "kg")):
+        raise AssertionError("identical worlds must diff empty")
+    d = os.path.join(w2, "media", "dataset=kg")
+    part = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(d, part))
+    payloads = t["payload"].to_pylist()
+    refs = t["media_ref"].to_pylist()
+    mut = bytearray(payloads[0])
+    mut[0] ^= 1
+    payloads[0] = bytes(mut)
+    pq.write_table(
+        pa_mod.table({"media_ref": refs, "payload": payloads},
+                     schema=t.schema), os.path.join(d, part))
+    # the mutated ref names its tile: mem://kg/g1/{ty}/{tx}/b1
+    parts = refs[0].split("/")
+    ty_s, tx_s = parts[-3], parts[-2]
+    diff = pyramid.diff_worlds(w, w2, "kg")
+    if not (len(diff) == 1
+            and int(diff["tile_y"][0]) == int(ty_s)
+            and int(diff["tile_x"][0]) == int(tx_s)
+            and diff["status"][0] == "changed"
+            and int(diff["n_changed"][0]) == 1):
+        raise AssertionError(f"unexpected diff: {diff.to_dict()}")
+    return diff
+
+
 def _spatial_s2_rollup(sf_dir: str):
     """Multi-resolution S2 rollup (the spatial cube). Self-verifies
     (a) derived-vs-direct: rolling the finest level's aggregated cells
@@ -711,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_pyramid": _spatial_pyramid,
         "spatial_radius_query": _spatial_radius_query,
         "spatial_s2_rollup": _spatial_s2_rollup,
+        "spatial_diff_worlds": _spatial_diff_worlds,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,
