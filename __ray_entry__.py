@@ -690,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
+        "events_value_trend": relational.events_value_trend,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "decontaminate_stats": corpus.decontaminate_stats,
@@ -819,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
+        "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

@@ -1256,3 +1256,83 @@ FROM c, q GROUP BY bucket ORDER BY bucket
 
 
 ZORDER_ORDERS_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS trend — per-group least-squares slope in exact integers
+# ---------------------------------------------------------------------------
+
+#: fixed day-zero for the trend regressor (x = days since this date);
+#: a constant base keeps the sufficient statistics exact int64 without
+#: a min-date pre-pass
+TREND_EPOCH = "1992-01-01"
+
+
+def events_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type OLS slope of value-vs-time: (event_type, n,
+    slope_num, slope_den, slope) where slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), x = whole days since 1992-01-01, y = value cents.
+
+    The regression state is the five sufficient statistics — all
+    order-free int64 sums, pre-reduced per batch (one row per type per
+    block), so the distributed result is EXACT and the float slope is
+    one division of identical integers on both sides. The same shape
+    extends to any grouped linear fit (drift detection, per-source
+    quality trend) without a second pass.
+
+    int64 bounds (documented): x ≤ ~12k days, y cents ≤ ~1e7 ⇒
+    n·Σxy < 2^63 up to ~1e9 rows per group; beyond that, promote the
+    driver-side combine to Python ints (partials stay int64-safe).
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    base = np.datetime64(TREND_EPOCH, "D")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (b["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]") - base).astype(np.int64)
+        y = _cents(b["value"])
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "n": np.ones(len(x), dtype=np.int64),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy"),
+                        Sum("sxx", alias_name="sxx"))
+             .to_pandas())
+    n = agg["n"].to_numpy(dtype=np.int64)
+    sx = agg["sx"].to_numpy(dtype=np.int64)
+    sy = agg["sy"].to_numpy(dtype=np.int64)
+    num = n * agg["sxy"].to_numpy(dtype=np.int64) - sx * sy
+    den = n * agg["sxx"].to_numpy(dtype=np.int64) - sx * sx
+    out = pd.DataFrame({
+        "event_type": agg["event_type"], "n": n,
+        "slope_num": num, "slope_den": den,
+        "slope": num.astype(np.float64) / den.astype(np.float64)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_TREND_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         datediff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE))::BIGINT
+             AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+         SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+         SUM(x * x)::BIGINT AS sxx
+  FROM c GROUP BY event_type)
+SELECT event_type, n,
+       (n * sxy - sx * sy)::BIGINT AS slope_num,
+       (n * sxx - sx * sx)::BIGINT AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM s ORDER BY event_type
+"""

@@ -1212,3 +1212,12 @@ def test_events_hourly_ohlc_match_sql(con, ray_session):
     assert (mine["low"] <= mine["high"]).all()
     assert mine["open"].between(mine["low"], mine["high"]).all()
     assert mine["close"].between(mine["low"], mine["high"]).all()
+
+
+def test_events_value_trend_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.events_value_trend(SF)
+    _assert_match(mine, relational.EVENTS_VALUE_TREND_SQL, con)
+    # slope == num/den exactly, and den > 0 (x has spread)
+    assert (mine["slope_den"] > 0).all()
+    assert (mine["slope"] == mine["slope_num"] / mine["slope_den"]).all()
