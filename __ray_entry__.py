@@ -246,6 +246,36 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_media_integrity(sf_dir: str):
+    """Media integrity scan: the pristine world must scan clean, and a
+    copy with one truncated payload must report exactly that doc —
+    both asserted in-query."""
+    import shutil
+    import pyarrow.parquet as pq
+    import pyarrow as pa_mod
+    from spatial_aez_ray.pipelines import docops
+
+    out, bad = docops.media_integrity_scan(_world())
+    if int(out["n_missing"][0]) or int(out["n_bad_size"][0]) or bad:
+        raise AssertionError("pristine world failed the integrity scan")
+    w2 = os.path.join(_TMP, "world_corrupt")
+    shutil.rmtree(w2, ignore_errors=True)
+    shutil.copytree(_world(), w2)
+    d = os.path.join(w2, "media", "dataset=kg")
+    part = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(d, part))
+    payloads = t["payload"].to_pylist()
+    payloads[0] = payloads[0][:-1]  # truncate one tile by a byte
+    pq.write_table(
+        pa_mod.table({"media_ref": t["media_ref"].to_pylist(),
+                      "payload": payloads}, schema=t.schema),
+        os.path.join(d, part))
+    out2, bad2 = docops.media_integrity_scan(w2)
+    if int(out2["n_bad_size"][0]) != 1 or len(bad2) != 1:
+        raise AssertionError(f"corruption not detected: {out2.to_dict()}")
+    return out2
+
+
 def _spatial_diff_worlds(sf_dir: str):
     """Raster change detection: copy the world, flip ONE pixel in one
     tile's payload, and the diff must report exactly that tile with
@@ -691,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
         "events_value_trend": relational.events_value_trend,
+        "events_value_percentiles": relational.events_value_percentiles,
+        "fk_violations_orders": relational.fk_violations_orders,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "decontaminate_stats": corpus.decontaminate_stats,
@@ -753,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_query": _spatial_radius_query,
         "spatial_s2_rollup": _spatial_s2_rollup,
         "spatial_diff_worlds": _spatial_diff_worlds,
+        "spatial_media_integrity": _spatial_media_integrity,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,
@@ -821,6 +854,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
+        "events_value_percentiles":
+            relational.EVENTS_VALUE_PERCENTILES_SQL,
+        "fk_violations_orders": relational.FK_VIOLATIONS_ORDERS_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

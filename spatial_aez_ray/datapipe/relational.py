@@ -1336,3 +1336,119 @@ SELECT event_type, n,
            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
 FROM s ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# p50/p95/p99 summary — the latency-dashboard staple
+# ---------------------------------------------------------------------------
+
+def events_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type p50/p95/p99 of ``value``: the SLO summary every
+    metrics pipeline serves. Same one-histogram-shuffle shape as the
+    IQR/winsorized ops (pre-reduced (type, cents) rows, quantile_disc
+    ceil convention); output floats are cents/100 on both sides.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "val_c": _cents(batch["value"]),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["event_type", "val_c"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "val_c"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("val_c")
+        vals = g["val_c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        q = {p: int(vals[np.searchsorted(cum, math.ceil(p * n))])
+             for p in (0.5, 0.95, 0.99)}
+        rows.append((etype, n, q[0.5] / 100.0, q[0.95] / 100.0,
+                     q[0.99] / 100.0))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p50", "p95",
+                                      "p99"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_PERCENTILES_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(v, 0.5) / 100.0 AS p50,
+       quantile_disc(v, 0.95) / 100.0 AS p95,
+       quantile_disc(v, 0.99) / 100.0 AS p99
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# FK-violation counter — referential-integrity data-quality check
+# ---------------------------------------------------------------------------
+
+def fk_violations_orders(sf_dir: str) -> pd.DataFrame:
+    """Orders whose o_custkey has no matching customer: (n_orders,
+    n_violations, n_bad_keys) — the referential-integrity scan every
+    ingestion runs.
+
+    The dimension key set ships ONCE as a sorted numpy array via
+    ``ray.put`` (plasma zero-copy — the documented fastest membership
+    probe); each batch is one ``np.isin``. Per-batch partials reduce to
+    (n, n_viol) plus the distinct bad keys (violation-sized, not
+    fact-sized). When the dimension side outgrows a broadcast, swap in
+    ``bloom_semi_join``'s fixed-size filter + exact shuffle — same
+    output, documented scale path.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    keys = np.sort(np.asarray(cust["c_custkey"].to_numpy(
+        zero_copy_only=False), dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    class Probe:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            bad = ~np.isin(ck, self.keys)
+            return pa.table({
+                "n": pa.array([len(ck)], pa.int64()),
+                "n_viol": pa.array([int(bad.sum())], pa.int64()),
+                "bad_keys": pa.array([np.unique(ck[bad]).tolist()],
+                                     pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    parts = ds.map_batches(Probe, batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    bad_all = (np.unique(np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in parts["bad_keys"]]))
+        if len(parts) else np.array([], dtype=np.int64))
+    return pd.DataFrame([{
+        "n_orders": np.int64(parts["n"].sum()),
+        "n_violations": np.int64(parts["n_viol"].sum()),
+        "n_bad_keys": np.int64(len(bad_all))}])
+
+
+FK_VIOLATIONS_ORDERS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                THEN o.o_custkey END)
+            AS BIGINT) AS n_bad_keys
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""

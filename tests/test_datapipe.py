@@ -1221,3 +1221,35 @@ def test_events_value_trend_match_sql(con, ray_session):
     # slope == num/den exactly, and den > 0 (x has spread)
     assert (mine["slope_den"] > 0).all()
     assert (mine["slope"] == mine["slope_num"] / mine["slope_den"]).all()
+
+
+def test_events_value_percentiles_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.events_value_percentiles(SF)
+    _assert_match(mine, relational.EVENTS_VALUE_PERCENTILES_SQL, con)
+    assert (mine["p50"] <= mine["p95"]).all()
+    assert (mine["p95"] <= mine["p99"]).all()
+
+
+def test_fk_violations_detects_planted_orphan(con, ray_session, tmp_path):
+    import duckdb
+    import shutil
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.fk_violations_orders(SF)
+    _assert_match(mine, relational.FK_VIOLATIONS_ORDERS_SQL, con)
+    assert mine["n_violations"].iloc[0] == 0  # TPC-H data is clean
+    # plant two orphan orders in a copied sf dir
+    sf2 = str(tmp_path / "sf")
+    os.makedirs(sf2)
+    for t in ("orders", "customer"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{sf2}/{t}.parquet")
+    duckdb.sql(f"""
+        COPY (SELECT * REPLACE (CASE WHEN o_orderkey IN (
+                  SELECT o_orderkey FROM read_parquet('{SF}/orders.parquet')
+                  ORDER BY o_orderkey LIMIT 2)
+                  THEN -777 ELSE o_custkey END AS o_custkey)
+              FROM read_parquet('{SF}/orders.parquet'))
+        TO '{sf2}/orders.parquet' (FORMAT PARQUET)""")
+    got = relational.fk_violations_orders(sf2)
+    assert got["n_violations"].iloc[0] == 2
+    assert got["n_bad_keys"].iloc[0] == 1

@@ -292,3 +292,12 @@ def test_s2_rollup_levels_consistent(tiny_world):
     direct = (cells[cells["level"] == 6][["admin", "cell", "n"]]
               .sort_values(["admin", "cell"]).reset_index(drop=True))
     assert der.equals(direct)
+
+
+def test_media_integrity_scan_clean_world(tiny_world):
+    from spatial_aez_ray.pipelines import docops
+    out, bad = docops.media_integrity_scan(tiny_world)
+    assert int(out["n_missing"][0]) == 0
+    assert int(out["n_bad_size"][0]) == 0
+    assert bad == []
+    assert int(out["n_docs"][0]) > 0
