@@ -609,6 +609,36 @@ def _snapshot_diff(sf_dir: str):
                           "n_added": 1, "n_removed": 1}])
 
 
+def _ann_ivf_persistent(sf_dir: str):
+    """Disk-backed IVF: build the list-partitioned index, query it by
+    reading only probed list dirs, and assert in-query that (a) the
+    result EQUALS the in-memory ann_ivf pass bit-for-bit (same seeded
+    quantizer) and (b) the probed set is a strict subset of the lists
+    (the pruning the layout exists for)."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray.datapipe import simsearch
+
+    idx = os.path.join(_TMP, "ivf_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    n_lists, n_probe = 32, 4
+    man = simsearch.build_ivf_index(sf_dir, idx, n_lists=n_lists)
+    got = simsearch.ann_ivf_query(idx, sf_dir, n_probe=n_probe)
+    mem = simsearch.ann_ivf(sf_dir, n_lists=n_lists, n_probe=n_probe)
+    if not got.equals(mem):
+        raise AssertionError("persistent IVF != in-memory IVF")
+    cdf = pd.read_parquet(os.path.join(idx, "_CENTROIDS.parquet"))
+    dim = int(cdf["dim"].max()) + 1
+    cent = np.zeros((n_lists, dim))
+    cent[cdf["list_id"], cdf["dim"]] = cdf["val"]
+    _, q = simsearch._load_queries(sf_dir, 4)
+    probed = np.unique(np.argsort(-(q @ cent.T), axis=1)[:, :n_probe])
+    if len(probed) >= n_lists:
+        raise AssertionError("no list pruning happened")
+    return got
+
+
 def _embed_ann_compose(sf_dir: str):
     """Pipeline composition gate: documents -> stub encoder -> an
     embeddings table written as partitioned parquet (the *_ds sink
@@ -758,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": lambda sf: simsearch.embedding_neardup_lsh(
             sf, threshold=0.4, n_tables=32, n_bits=4),
         "ann_ivf": simsearch.ann_ivf,
+        "ann_ivf_persistent": _ann_ivf_persistent,
         "embed_documents": multimodal.embed_documents,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal

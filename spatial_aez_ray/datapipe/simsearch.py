@@ -970,3 +970,96 @@ def quantize_embeddings_ds(sf_dir: str) -> "ray.data.Dataset":
                 np.full(batch.num_rows, scale, dtype=np.float64))})
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index — the disk-backed ANN: build once, query by
+# reading ONLY the probed lists' files
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(sf_dir: str, out_dir: str, *, n_lists: int = 16,
+                    seed: int = 11) -> pd.DataFrame:
+    """Write the embeddings hive-partitioned by IVF list (one directory
+    per inverted list) plus the quantizer centroids as a sidecar table
+    — the vector-space analog of the S2-prefix cell sink: a query then
+    reads ONLY its probed lists' files, cost O(probed/total) of the
+    corpus. Same seeded head-sample quantizer as ``ann_ivf``, so both
+    paths assign identical lists. Returns the (list_id, n_vecs)
+    manifest."""
+    import os
+
+    import ray
+
+    _, sample = _load_queries(sf_dir, 2048)
+    cent = _kmeans(sample, n_lists, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _emb_matrix(b)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norms == 0, 1.0, norms)
+            lists = np.argmax(m @ self.cent.T, axis=1)
+            return b.append_column(
+                "list_id", pa.array(lists.astype(np.int64)))
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    (ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+       .write_parquet(out_dir, partition_cols=["list_id"]))
+    dim = cent.shape[1]
+    pd.DataFrame({
+        "list_id": np.repeat(np.arange(n_lists, dtype=np.int64), dim),
+        "dim": np.tile(np.arange(dim, dtype=np.int64), n_lists),
+        "val": cent.ravel(),
+    }).to_parquet(os.path.join(out_dir, "_CENTROIDS.parquet"),
+                  index=False)
+    man = []
+    import pyarrow.parquet as pq
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("list_id="):
+            continue
+        n = sum(pq.read_metadata(os.path.join(out_dir, d, f)).num_rows
+                for f in os.listdir(os.path.join(out_dir, d))
+                if f.endswith(".parquet"))
+        man.append((int(d.split("=", 1)[1]), n))
+    out = pd.DataFrame(man, columns=["list_id", "n_vecs"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("list_id").reset_index(drop=True)
+
+
+def ann_ivf_query(index_dir: str, sf_dir: str, *, n_queries: int = 4,
+                  k: int = 10, n_probe: int = 4) -> pd.DataFrame:
+    """Query the persistent IVF index: load the sidecar centroids,
+    pick each query's ``n_probe`` nearest lists, and read ONLY the
+    union of probed list directories; per batch one exact-cosine
+    scoring against the broadcast queries with q×k partials (the same
+    merge as every ANN path). Output matches ``ann_ivf`` exactly —
+    same quantizer, same assignments, same tie-breaks."""
+    import os
+
+    import ray
+    import ray.data
+
+    cdf = pd.read_parquet(os.path.join(index_dir, "_CENTROIDS.parquet"))
+    n_lists = int(cdf["list_id"].max()) + 1
+    dim = int(cdf["dim"].max()) + 1
+    cent = np.zeros((n_lists, dim))
+    cent[cdf["list_id"], cdf["dim"]] = cdf["val"]
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    probed = np.unique(q_lists)
+    files = [os.path.join(index_dir, f"list_id={lv}", f)
+             for lv in probed
+             for f in sorted(os.listdir(
+                 os.path.join(index_dir, f"list_id={lv}")))
+             if f.endswith(".parquet")]
+    q_ref = ray.put((q_ids, q, (cent, q_lists)))
+    ds = ray.data.read_parquet(files)
+    partials = ds.map_batches(
+        _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return _merge_topk_partials(partials, k)

@@ -1253,3 +1253,16 @@ def test_fk_violations_detects_planted_orphan(con, ray_session, tmp_path):
     got = relational.fk_violations_orders(sf2)
     assert got["n_violations"].iloc[0] == 2
     assert got["n_bad_keys"].iloc[0] == 1
+
+
+def test_persistent_ivf_matches_memory_and_prunes(ray_session, tmp_path):
+    import numpy as np
+    from spatial_aez_ray.datapipe import simsearch
+    idx = str(tmp_path / "ivf")
+    man = simsearch.build_ivf_index(SF, idx, n_lists=32)
+    assert man["n_vecs"].sum() == 500
+    got = simsearch.ann_ivf_query(idx, SF, n_probe=4)
+    mem = simsearch.ann_ivf(SF, n_lists=32, n_probe=4)
+    assert got.equals(mem)
+    # lists on disk partition the corpus exactly
+    assert (man["n_vecs"] >= 0).all() and len(man) <= 32
