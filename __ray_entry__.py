@@ -246,6 +246,47 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_equalize(sf_dir: str):
+    """Histogram equalization (contrast stretch): two-pass global
+    histogram → integer LUT → stateless remap; self-verified bit-exact
+    against the sequential oracle (order-free md5 checksums)."""
+    import shutil
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import downsample
+    out_dir = os.path.join(_TMP, "equalized")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mine = downsample.equalize_tiles(_world(), "kg", out_dir)
+    oracle = downsample.equalize_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("equalize != sequential oracle")
+    return mine
+
+
+def _spatial_admin_summary(sf_dir: str):
+    """Per-admin bbox + integer centroid sums; self-verified exactly
+    against the same aggregates over the rasterization oracle's claim
+    set (order-free int64 sums — partition-invariant)."""
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import assign
+
+    got = assign.admin_spatial_summary(_world())
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1)
+    want = (odf.assign(r=odf["cell_row"].astype("int64"),
+                       c=odf["cell_col"].astype("int64"))
+            .groupby("admin", as_index=False)
+            .agg(n=("r", "size"), row_min=("r", "min"),
+                 row_max=("r", "max"), col_min=("c", "min"),
+                 col_max=("c", "max"), row_sum=("r", "sum"),
+                 col_sum=("c", "sum"))
+            .sort_values("admin").reset_index(drop=True))
+    for c in want.columns:
+        if c != "admin":
+            want[c] = want[c].astype("int64")
+    if not got.equals(want):
+        raise AssertionError("admin spatial summary != oracle")
+    return got
+
+
 def _spatial_media_integrity(sf_dir: str):
     """Media integrity scan: the pristine world must scan clean, and a
     copy with one truncated payload must report exactly that doc —
@@ -817,6 +858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_s2_rollup": _spatial_s2_rollup,
         "spatial_diff_worlds": _spatial_diff_worlds,
         "spatial_media_integrity": _spatial_media_integrity,
+        "spatial_admin_summary": _spatial_admin_summary,
+        "spatial_equalize": _spatial_equalize,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

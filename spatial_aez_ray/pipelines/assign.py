@@ -320,3 +320,43 @@ def s2_rollup(world_path: str, *, levels=S2_ROLLUP_LEVELS,
         out[c] = out[c].astype(np.int64)
     out = out.sort_values(["admin", "level"]).reset_index(drop=True)
     return (out, cells) if return_cells else out
+
+
+def admin_spatial_summary(world_path: str) -> "pd.DataFrame":
+    """Per-admin spatial summary from the assignment table: bounding
+    box and integer centroid sums — (admin, n, row_min, row_max,
+    col_min, col_max, row_sum, col_sum). All order-free int64
+    aggregates pre-reduced per batch (one row per admin per block), so
+    the result is exact under any partitioning; the float centroid is
+    derivable driver-side as row_sum/n without ever moving cells."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "admin": b["admin"].to_pylist(),
+            "r": np.asarray(b["cell_row"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64),
+            "c": np.asarray(b["cell_col"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)})
+        g = df.groupby("admin", as_index=False).agg(
+            n=("r", "size"), row_min=("r", "min"), row_max=("r", "max"),
+            col_min=("c", "min"), col_max=("c", "max"),
+            row_sum=("r", "sum"), col_sum=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (cell_country(world_path)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("admin")
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("row_min", alias_name="row_min"),
+                      Max("row_max", alias_name="row_max"),
+                      Min("col_min", alias_name="col_min"),
+                      Max("col_max", alias_name="col_max"),
+                      Sum("row_sum", alias_name="row_sum"),
+                      Sum("col_sum", alias_name="col_sum"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("admin").reset_index(drop=True)

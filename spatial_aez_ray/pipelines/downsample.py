@@ -198,3 +198,158 @@ def thumbnail_tiles(world_path: str, dataset: str, *, stride: int = 8,
         fn_constructor_kwargs={"world_path": world_path, "stride": stride,
                                "encode": encode, "palette": palette},
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# histogram equalization — the contrast-stretch raster transform
+# ---------------------------------------------------------------------------
+
+def equalize_lut(hist: np.ndarray, nodata: int) -> np.ndarray:
+    """256-entry equalization LUT from a global value histogram
+    (nodata excluded). All-integer arithmetic: lut[v] =
+    round_half_up((cdf[v] − cdf_min) · 255 / (n − cdf_min)), so the
+    pipeline and the sequential oracle agree bit-for-bit. nodata maps
+    to itself (a real class may collide with the nodata code after
+    stretching — inherent to equalization, documented not hidden)."""
+    h = hist.astype(np.int64).copy()
+    h[nodata] = 0
+    cdf = np.cumsum(h)
+    n = int(cdf[-1])
+    nz = np.flatnonzero(h)
+    lut = np.zeros(256, dtype=np.uint8)
+    if len(nz):
+        cdf_min = int(cdf[nz[0]])
+        den = max(n - cdf_min, 1)
+        lut[:] = ((np.maximum(cdf - cdf_min, 0) * 255 * 2 + den)
+                  // (2 * den)).astype(np.uint8)
+    lut[nodata] = nodata
+    return lut
+
+
+def equalize_tiles(world_path: str, dataset: str, out_dir: str, *,
+                   concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Histogram-equalize a raster dataset into ``out_dir`` (world
+    layout) and return (n_tiles, payload_sum, md5_sum) — the classic
+    two-pass raster transform: pass 1 reduces every block to ONE
+    256-int histogram row (the global statistic), the driver derives
+    the integer LUT, pass 2 is a stateless vectorized remap + atomic
+    part write with order-free checksum partials (pyramid's summary
+    discipline). Neither pass shuffles; payloads never reach the
+    driver."""
+    import functools
+
+    from ..sources.documents import MediaStore
+    from .pyramid import _md5_int
+    from .render import _RenderWriter
+
+    layout = model.world_layout(world_path)
+    nodata = int(layout[dataset]["nodata"])
+
+    class Hist:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            refs = [model.media_refs(s)[0]
+                    for s in b["spans"].to_pylist()]
+            payloads = self.media.fetch(refs)
+            h = np.zeros(256, dtype=np.int64)
+            for r in refs:
+                h += np.bincount(np.frombuffer(payloads[r], np.uint8),
+                                 minlength=256)
+            return pa.table({"bin": pa.array(np.arange(256, dtype=np.int64)),
+                             "cnt": pa.array(h)})
+
+    docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    hist_df = (docs.map_batches(Hist, batch_format="pyarrow",
+                                concurrency=concurrency)
+               .to_pandas().groupby("bin", as_index=False)["cnt"].sum())
+    hist = np.zeros(256, dtype=np.int64)
+    hist[hist_df["bin"].to_numpy()] = hist_df["cnt"].to_numpy()
+    lut = equalize_lut(hist, nodata)
+
+    class Remap:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import json as _json
+            rows = []
+            metas = []
+            refs = []
+            for s in b["spans"].to_pylist():
+                metas.append(model.parse_meta(s))
+                refs.append(model.media_refs(s)[0])
+            payloads = self.media.fetch(refs)
+            for meta, ref in zip(metas, refs):
+                arr = np.frombuffer(payloads[ref], np.uint8)
+                eq = lut[arr].reshape(meta["nrows"], meta["ncols"])
+                ty, tx = meta["tile_y"], meta["tile_x"]
+                doc = model.make_document(
+                    f"{dataset}_eq", meta["grid"], ty, tx,
+                    meta["x_off"], meta["y_off"], meta["ncols"],
+                    meta["nrows"], bands=1, nodata=nodata)
+                rows.append({
+                    "doc_id": doc["doc_id"], "spans": doc["spans"],
+                    "media_ref": model.media_ref(
+                        f"{dataset}_eq", meta["grid"], ty, tx, 1),
+                    "payload": model.encode_tile(eq)})
+            return pa.Table.from_pylist(rows, schema=pa.schema([
+                ("doc_id", pa.string()),
+                ("spans", pa.list_(model.SPAN_TYPE)),
+                ("media_ref", pa.string()), ("payload", pa.binary())]))
+
+    def write_sum(batch: pa.Table, out_dir: str) -> pa.Table:
+        _RenderWriter(out_dir)(batch)
+        payloads = batch["payload"].to_pylist()
+        return pa.table({
+            "n_tiles": pa.array([len(payloads)], pa.int64()),
+            "payload_sum": pa.array([int(sum(
+                int(np.frombuffer(p, np.uint8).astype(np.int64).sum())
+                for p in payloads))], pa.int64()),
+            "md5_sum": pa.array([int(np.array(
+                [_md5_int(p) for p in payloads], dtype=np.int64)
+                .sum(dtype=np.int64))], pa.int64())})
+
+    parts = (docs.map_batches(Remap, batch_format="pyarrow",
+                              concurrency=concurrency)
+             .map_batches(functools.partial(write_sum, out_dir=out_dir),
+                          batch_format="pyarrow")
+             .to_pandas())
+    out = pd.DataFrame([{
+        "n_tiles": np.int64(parts["n_tiles"].sum()),
+        "payload_sum": np.int64(parts["payload_sum"].sum()),
+        "md5_sum": np.int64(parts["md5_sum"].to_numpy()
+                            .sum(dtype=np.int64))}])
+    return out
+
+
+def equalize_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential reimplementation over the fixture tiles (absent
+    tiles skipped exactly like the pipeline's doc scan)."""
+    from .. import fixtures
+    from .pyramid import _md5_int
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    tiles = []
+    hist = np.zeros(256, dtype=np.int64)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            tiles.append(arrs[0])
+            hist += np.bincount(arrs[0].ravel(), minlength=256)
+    lut = equalize_lut(hist, nodata)
+    psum, md5s = 0, []
+    for t in tiles:
+        eq = lut[t]
+        psum += int(eq.astype(np.int64).sum())
+        md5s.append(_md5_int(model.encode_tile(eq)))
+    return pd.DataFrame([{
+        "n_tiles": np.int64(len(tiles)),
+        "payload_sum": np.int64(psum),
+        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
+                            .sum(dtype=np.int64))}])

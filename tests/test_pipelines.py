@@ -301,3 +301,35 @@ def test_media_integrity_scan_clean_world(tiny_world):
     assert int(out["n_bad_size"][0]) == 0
     assert bad == []
     assert int(out["n_docs"][0]) > 0
+
+
+def test_admin_spatial_summary_matches_oracle(tiny_world):
+    import numpy as np
+    from spatial_aez_ray.pipelines import assign as asg
+    got = asg.admin_spatial_summary(tiny_world)
+    odf = oracle.cell_country(SPEC, SPEC.g1)
+    want = (odf.assign(r=odf["cell_row"].astype("int64"),
+                       c=odf["cell_col"].astype("int64"))
+            .groupby("admin", as_index=False)
+            .agg(n=("r", "size"), row_min=("r", "min"),
+                 row_max=("r", "max"), col_min=("c", "min"),
+                 col_max=("c", "max"), row_sum=("r", "sum"),
+                 col_sum=("c", "sum"))
+            .sort_values("admin").reset_index(drop=True))
+    for c in want.columns:
+        if c != "admin":
+            want[c] = want[c].astype("int64")
+    assert got.equals(want)
+
+
+def test_equalize_bit_exact_and_lut_properties(tiny_world, tmp_path):
+    import numpy as np
+    from spatial_aez_ray.pipelines import downsample as dsm
+    mine = dsm.equalize_tiles(tiny_world, "kg", str(tmp_path / "eq"))
+    assert mine.equals(dsm.equalize_oracle(SPEC, "kg"))
+    # LUT is monotone over occupied bins and nodata-preserving
+    h = np.zeros(256, dtype=np.int64)
+    h[[3, 10, 200]] = [5, 10, 5]
+    lut = dsm.equalize_lut(h, nodata=0)
+    assert lut[0] == 0
+    assert lut[3] <= lut[10] <= lut[200] == 255
