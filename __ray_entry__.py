@@ -246,6 +246,49 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_cog_export(sf_dir: str):
+    """COG export composition: distributed pyramid → multi-page TIFF
+    (chained reduced-resolution IFDs). Self-verifies every page by
+    decoding it back with the repo's own reader and comparing
+    BIT-EXACT against the oracle's level arrays."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import pyramid
+    from spatial_aez_ray.sources.geotiff import read_cog_pages
+
+    pyr = os.path.join(_TMP, "cog_pyr")
+    tif = os.path.join(_TMP, "export.cog.tif")
+    shutil.rmtree(pyr, ignore_errors=True)
+    pyramid.build_pyramid(_world(), "kg", pyr)
+    rep = pyramid.export_cog(_world(), "kg", pyr, tif)
+
+    grid = fixtures.TINY.grid("g1")
+    t = grid.tile
+    base = oracle.full_raster(fixtures.TINY, "kg")[0]
+    arr = np.zeros((grid.tiles_y * t, grid.tiles_x * t), dtype=np.uint8)
+    arr[:grid.height, :grid.width] = base
+    want = [base]
+    ty, tx = grid.tiles_y, grid.tiles_x
+    while ty > 1 or tx > 1:
+        pty, ptx = (ty + 1) // 2, (tx + 1) // 2
+        padded = np.zeros((pty * 2 * t, ptx * 2 * t), dtype=np.uint8)
+        padded[:arr.shape[0], :arr.shape[1]] = arr
+        arr = pyramid.mode_reduce2(padded, 0)
+        ty, tx = pty, ptx
+        want.append(arr)
+    pages = read_cog_pages(tif)
+    if len(pages) != len(want):
+        raise AssertionError(f"{len(pages)} pages != {len(want)} levels")
+    for i, (p, w) in enumerate(zip(pages, want)):
+        got = p.read_all()[:w.shape[0], :w.shape[1]]
+        if not (got == w).all():
+            raise AssertionError(f"COG page {i} != oracle level")
+    return pd.DataFrame([{**rep,
+                          "base_shape": str(rep["base_shape"])}])
+
+
 def _spatial_equalize(sf_dir: str):
     """Histogram equalization (contrast stretch): two-pass global
     histogram → integer LUT → stateless remap; self-verified bit-exact
@@ -860,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_media_integrity": _spatial_media_integrity,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
+        "spatial_cog_export": _spatial_cog_export,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -263,8 +263,9 @@ def pyramid_oracle(spec, dataset: str) -> pd.DataFrame:
 
 def read_window(src_root: str, dataset: str, grid_name: str,
                 tile: int, lattice_ty: int, lattice_tx: int,
-                window: tuple[int, int, int, int], nodata: int
-                ) -> np.ndarray:
+                window: tuple[int, int, int, int], nodata: int,
+                src_width: int | None = None,
+                src_height: int | None = None) -> np.ndarray:
     """Serve a tile window (ty0, ty1, tx0, tx1 inclusive) of one
     pyramid level (or the base world): refs are DERIVED from the tile
     keys and fetched in ONE footer-pruned batched read; holes (sparse
@@ -280,14 +281,19 @@ def read_window(src_root: str, dataset: str, grid_name: str,
     h = (ty1 - ty0 + 1) * tile
     w = (tx1 - tx0 + 1) * tile
     out = np.full((h, w), nodata, dtype=np.uint8)
+    w_px = src_width if src_width is not None else lattice_tx * tile
+    h_px = src_height if src_height is not None else lattice_ty * tile
     for (ty, tx), ref in refs.items():
         p = payloads.get(ref)
         if p is None:
             continue
-        arr = np.frombuffer(p, np.uint8,
-                            count=tile * tile).reshape(tile, tile)
-        out[(ty - ty0) * tile:(ty - ty0 + 1) * tile,
-            (tx - tx0) * tile:(tx - tx0 + 1) * tile] = arr
+        # edge-clamped dims derive from the lattice pixel size (base
+        # worlds have partial edge tiles; pyramid levels are full t×t)
+        nr = min(tile, h_px - ty * tile)
+        nc = min(tile, w_px - tx * tile)
+        arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+        out[(ty - ty0) * tile:(ty - ty0) * tile + nr,
+            (tx - tx0) * tile:(tx - tx0) * tile + nc] = arr
     return out
 
 
@@ -363,3 +369,45 @@ def diff_worlds(world_a: str, world_b: str, dataset: str,
     out["n_changed"] = out["n_changed"].astype(np.int64)
     return (out.sort_values(["tile_y", "tile_x"])
             .reset_index(drop=True))
+
+
+def export_cog(world_path: str, dataset: str, pyramid_dir: str,
+               tiff_path: str, *, compress: str = "deflate",
+               tile_size: int = 64) -> dict:
+    """Export a dataset + its (already-built) overview pyramid as ONE
+    Cloud-Optimized-GeoTIFF-style file: the full raster as page 0 and
+    each pyramid level as a chained reduced-resolution IFD — the
+    COPY_SRC_OVERVIEWS product layout the reference ships
+    (process_imagery.py creation options), written entirely by the
+    from-scratch codec.
+
+    The page arrays assemble via ``read_window`` (derived refs, one
+    batched footer-pruned fetch per level); the write itself is
+    inherently a single-file mosaic — the per-level TILED layout keeps
+    later windowed reads O(window).
+    """
+    from ..sources.geotiff import write_cog
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    t = grid.tile
+    base = read_window(world_path, dataset, grid.name, t,
+                       grid.tiles_y, grid.tiles_x,
+                       (0, grid.tiles_y - 1, 0, grid.tiles_x - 1),
+                       nodata, src_width=grid.width,
+                       src_height=grid.height)[:grid.height, :grid.width]
+    overviews = []
+    ty, tx = grid.tiles_y, grid.tiles_x
+    level = 0
+    while ty > 1 or tx > 1:
+        level += 1
+        ty, tx = (ty + 1) // 2, (tx + 1) // 2
+        overviews.append(read_window(
+            pyramid_dir, f"{dataset}_ov{level}", grid.name, t, ty, tx,
+            (0, ty - 1, 0, tx - 1), nodata))
+    write_cog(tiff_path, base, overviews, compress=compress,
+              tiled=True, tile_size=tile_size)
+    return {"pages": 1 + len(overviews),
+            "base_shape": list(base.shape),
+            "bytes": os.path.getsize(tiff_path)}

@@ -47,6 +47,7 @@ import numpy as np
 from .. import model
 
 # TIFF tag ids (TIFF 6.0 spec §8; GeoTIFF spec §2.6.1)
+_T_SUBFILE = 254            # NewSubfileType (1 = reduced-resolution)
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
@@ -149,16 +150,18 @@ class GeoTiff:
 # writer
 # ---------------------------------------------------------------------------
 
-def write_geotiff(path: str, arr: np.ndarray, *,
-                  color_map: np.ndarray | None = None,
-                  pixel_scale: tuple | None = None,
-                  tiepoint: tuple | None = None,
-                  rows_per_strip: int = 64,
-                  compress: str | None = None,
-                  tiled: bool = False,
-                  tile_size: int = 256,
-                  nbits: int = 8,
-                  sparse_ok: bool = False) -> None:
+def _encode_page(arr: np.ndarray, base: int, *,
+                 color_map: np.ndarray | None = None,
+                 pixel_scale: tuple | None = None,
+                 tiepoint: tuple | None = None,
+                 rows_per_strip: int = 64,
+                 compress: str | None = None,
+                 tiled: bool = False,
+                 tile_size: int = 256,
+                 nbits: int = 8,
+                 sparse_ok: bool = False,
+                 subfile_type: int | None = None
+                 ) -> tuple[bytes, int, int]:
     """Little-endian single-band uint8 TIFF.
 
     Defaults reproduce the round-2 baseline file (uncompressed strips,
@@ -212,6 +215,8 @@ def write_geotiff(path: str, arr: np.ndarray, *,
         raw = b"".join(struct.pack(fmt, v) for v in values)
         entries.append((tag, typ, len(values), raw))
 
+    if subfile_type is not None:
+        add(_T_SUBFILE, _TYPE_LONG, [subfile_type])
     add(_T_WIDTH, _TYPE_LONG, [w])
     add(_T_HEIGHT, _TYPE_LONG, [h])
     add(_T_BITS, _TYPE_SHORT, [nbits])
@@ -241,10 +246,9 @@ def write_geotiff(path: str, arr: np.ndarray, *,
     if tiepoint is not None:
         add(_T_TIEPOINT, _TYPE_DOUBLE, list(tiepoint))
 
-    # layout: header | data chunks | IFD | overflow values
-    data_start = 8
+    # page layout (absolute offsets): base | data chunks | IFD | overflow
     offsets = []
-    pos = data_start
+    pos = base
     for c in chunks:
         offsets.append(0 if not c else pos)  # sparse: offset stays 0
         pos += len(c)
@@ -264,14 +268,46 @@ def write_geotiff(path: str, arr: np.ndarray, *,
             val = struct.pack("<I", overflow_pos + len(overflow))
             overflow += raw
         ifd += struct.pack("<HHI", tag, typ, cnt) + val
-    ifd += struct.pack("<I", 0)  # no next IFD
+    next_ptr_pos = (ifd_off - base) + len(ifd)  # within the blob
+    ifd += struct.pack("<I", 0)  # next-IFD pointer (patched for COGs)
 
+    blob = b"".join(chunks) + ifd + overflow
+    return blob, ifd_off, next_ptr_pos
+
+
+def write_geotiff(path: str, arr: np.ndarray, **opts) -> None:
+    """Single-page writer (see ``_encode_page`` for the options)."""
+    blob, ifd_off, _ = _encode_page(arr, 8, **opts)
     with open(path, "wb") as f:
         f.write(b"II*\0" + struct.pack("<I", ifd_off))
-        for c in chunks:
-            f.write(c)
-        f.write(ifd)
-        f.write(overflow)
+        f.write(blob)
+
+
+def write_cog(path: str, base_arr: np.ndarray,
+              overviews: list[np.ndarray], **opts) -> None:
+    """Cloud-Optimized-GeoTIFF-style multi-page file: the full raster
+    as page 0 followed by one chained IFD per overview level, each
+    tagged NewSubfileType=1 (reduced-resolution) — the layout the
+    reference produces with COPY_SRC_OVERVIEWS (process_imagery.py
+    creation options). Every page round-trips through the repo's own
+    reader (``read_cog_pages``)."""
+    pages = []
+    pos = 8
+    for i, arr in enumerate([base_arr] + list(overviews)):
+        blob, ifd_off, next_pos = _encode_page(
+            arr, pos, subfile_type=None if i == 0 else 1, **opts)
+        pages.append([blob, ifd_off, next_pos, pos])
+        pos += len(blob)
+    # chain the IFDs: page k's next pointer -> page k+1's IFD offset
+    for k in range(len(pages) - 1):
+        blob, _, next_pos, _ = pages[k]
+        nxt = pages[k + 1][1]
+        pages[k][0] = (blob[:next_pos] + struct.pack("<I", nxt)
+                       + blob[next_pos + 4:])
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", pages[0][1]))
+        for blob, _, _, _ in pages:
+            f.write(blob)
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +320,7 @@ class GeoTiffReader:
     reference extract_country_data.py:237-248). ``tile_is_sparse`` is
     the zero-I/O coverage probe (geoutil.py:28-32)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, ifd_offset: int | None = None):
         self.path = path
         with open(path, "rb") as f:
             head = f.read(8)
@@ -297,9 +333,13 @@ class GeoTiffReader:
             magic, ifd_off = struct.unpack(e + "HI", head[2:8])
             if magic != 42:
                 raise ValueError("not a TIFF file (bad magic)")
+            if ifd_offset is not None:  # a chained (overview) page
+                ifd_off = ifd_offset
             f.seek(ifd_off)
             n, = struct.unpack(e + "H", f.read(2))
             entries_raw = f.read(12 * n)
+            #: offset of the next chained IFD (0 = last page)
+            self.next_ifd, = struct.unpack(e + "I", f.read(4))
             tags: dict[int, list] = {}
             deferred: list[tuple[int, int, int, int]] = []
             for i in range(n):
@@ -591,3 +631,13 @@ def import_geotiff(tiff_path: str, world_path: str, dataset: str,
     return {"tiles": n_tiles, "parts": part, "shape": (h, w),
             "tiles_y": tiles_y, "tiles_x": tiles_x,
             "geotransform": gt.geotransform}
+
+
+def read_cog_pages(path: str) -> list[GeoTiffReader]:
+    """Walk the chained IFDs of a multi-page (COG-style) TIFF and
+    return one streaming reader per page (page 0 = full resolution,
+    later pages = overview levels)."""
+    pages = [GeoTiffReader(path)]
+    while pages[-1].next_ifd:
+        pages.append(GeoTiffReader(path, ifd_offset=pages[-1].next_ifd))
+    return pages

@@ -333,3 +333,24 @@ def test_tiff_zstd_roundtrip(tmp_path):  # pragma: no cover - needs lib
                           tile_size=16, sparse_ok=True)
     gt = geotiff.read_geotiff(p)
     assert (gt.array == arr).all()
+
+
+def test_cog_multipage_roundtrip(tmp_path):
+    import numpy as np
+    from spatial_aez_ray.sources import geotiff as gt
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 4, size=(200, 300)).astype(np.uint8)
+    ovs = [base[::2, ::2].copy(), base[::4, ::4].copy()]
+    p = str(tmp_path / "c.tif")
+    gt.write_cog(p, base, ovs, compress="deflate", tiled=True,
+                 tile_size=64, nbits=2)
+    pages = gt.read_cog_pages(p)
+    assert [(pg.width, pg.height) for pg in pages] == \
+        [(300, 200), (150, 100), (75, 50)]
+    for pg, arr in zip(pages, [base] + ovs):
+        assert (pg.read_all() == arr).all()
+    # single-page files still read with next_ifd == 0
+    gt.write_geotiff(str(tmp_path / "s.tif"), base, compress="deflate",
+                     tiled=True, tile_size=64)
+    r = gt.GeoTiffReader(str(tmp_path / "s.tif"))
+    assert r.next_ifd == 0 and (r.read_all() == base).all()
