@@ -17,6 +17,8 @@ Mirrors what a spatial-aez user runs today (cited per subcommand):
 * ``checkpointed-extract`` — the resumable sharded zonal run
 * ``pyramid``   — overview tile levels down to one tile (the GDAL
                   BuildOverviews analog; sparse ocean holes skipped)
+* ``export-cog`` — pyramid + multi-page COG-style GeoTIFF (chained
+                  reduced-resolution IFDs, COPY_SRC_OVERVIEWS layout)
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -61,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--num-shards", type=int, default=8)
     s = add("pyramid")
     s.add_argument("--dataset", default="kg")
+    s = add("export-cog")
+    s.add_argument("--dataset", default="kg")
+    s.add_argument("--tiff", required=True)
 
     s = sub.add_parser(
         "prepare-claims",
@@ -142,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
             df = build_pyramid(a.world, a.dataset, a.out)
             print(f"built {len(df)} overview levels "
                   f"({int(df['n_tiles'].sum())} tiles) -> {a.out}")
+        elif a.cmd == "export-cog":
+            from .pipelines.pyramid import build_pyramid, export_cog
+            build_pyramid(a.world, a.dataset, a.out)
+            rep = export_cog(a.world, a.dataset, a.out, a.tiff)
+            print(f"wrote {rep['pages']}-page COG "
+                  f"({rep['bytes']} bytes) -> {a.tiff}")
         elif a.cmd == "checkpointed-extract":
             from .pipelines.extract import zonal_stats_checkpointed
             df = zonal_stats_checkpointed(a.world, a.dataset, a.out,
