@@ -246,6 +246,23 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_warp(sf_dir: str):
+    """Web-Mercator warp (gdalwarp analog): distributed per-output-
+    tile gather, self-verified bit-exact against the sequential
+    whole-array oracle (both sides share mercator_src_index)."""
+    import shutil
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import warp
+    out_dir = os.path.join(_TMP, "warped")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mine = warp.warp_to_mercator(_world(), "kg", out_dir)
+    oracle = warp.warp_oracle(fixtures.TINY, "kg",
+                              int(mine["out_n"][0]))
+    if not mine.equals(oracle):
+        raise AssertionError("warp != sequential oracle")
+    return mine
+
+
 def _spatial_cog_export(sf_dir: str):
     """COG export composition: distributed pyramid → multi-page TIFF
     (chained reduced-resolution IFDs). Self-verifies every page by
@@ -904,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,
+        "spatial_warp": _spatial_warp,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -17,8 +17,11 @@ Scale design:
 * Levels write through the render pipeline's atomic part writer
   (documents/ + media/ per dataset), so every level is itself a valid
   media world — level L+1 reads level L exactly like level 1 reads the
-  base world, and a failed run resumes by rebuilding only missing
-  parts.
+  base world. Re-runs are content-idempotent: payloads are
+  deterministic and parts swap in atomically, so a re-run (or a resume
+  that re-derives a level) never corrupts concurrent readers —
+  duplicate coverage across differently-split parts is benign because
+  MediaStore point-lookups key by ref.
 * The whole pyramid is a geometric series: level L touches 4^-L of the
   base tiles, so total work is < 4/3 of one base pass regardless of
   depth. Parent keys come from ``ray.data.range`` (no driver-side key

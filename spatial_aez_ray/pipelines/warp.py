@@ -1,0 +1,190 @@
+"""Raster reprojection (warp) — equirectangular → Web Mercator,
+nearest-neighbor (the ``gdalwarp -t_srs EPSG:3857 -r near`` analog; the
+reference's rendered products are served reprojected by every web map
+stack).
+
+Distributed shape: one shuffle-free pass over the OUTPUT tile lattice
+(`ray.data.range`) — each output tile computes its source pixel indices
+(vectorized, via the SAME ``mercator_src_index`` function the
+sequential oracle calls, so the gather is bit-identical), derives the
+set of source tiles its index bbox touches, fetches them in ONE
+batched footer-pruned MediaStore read, and gathers. Source tiles are
+re-fetched by at most the handful of output tiles whose bboxes overlap
+them — O(1) amplification, no shuffle, no driver materialization.
+
+The Mercator Y axis uses the standard Gudermannian inverse
+(lat = atan(sinh(π(1 − 2·y/N)))) over the Web-Mercator latitude range
+±85.0511° (the square world of every slippy-map tile scheme).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .. import model
+from ..sources.documents import MediaStore
+from .extract import world_grid
+from .pyramid import _md5_int
+from .render import _RenderWriter
+
+
+def mercator_src_index(grid, out_n: int, rows: np.ndarray,
+                       cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Source (row, col) for output pixels of an ``out_n``×``out_n``
+    Web-Mercator square. Shared verbatim by the distributed kernel and
+    the sequential oracle — identical IEEE float math on both sides."""
+    lon = -180.0 + (cols + 0.5) * (360.0 / out_n)
+    merc_y = np.pi * (1.0 - 2.0 * (rows + 0.5) / out_n)
+    lat = np.degrees(np.arctan(np.sinh(merc_y)))
+    src_c = np.floor((lon - grid.x_min) / grid.x_size).astype(np.int64)
+    src_r = np.floor((lat - grid.y_min) / grid.y_size).astype(np.int64)
+    np.clip(src_c, 0, grid.width - 1, out=src_c)
+    np.clip(src_r, 0, grid.height - 1, out=src_r)
+    return src_r, src_c
+
+
+class _WarpKernel:
+    """One output tile per work item: vectorized index computation,
+    one batched fetch of the touched source tiles, numpy gather."""
+
+    def __init__(self, world_path: str, dataset: str, grid, out_n: int,
+                 tile: int, out_dataset: str, nodata: int):
+        self.media = MediaStore(world_path)
+        self.dataset = dataset
+        self.grid = grid
+        self.out_n = out_n
+        self.tile = tile
+        self.out_dataset = out_dataset
+        self.nodata = nodata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g, t = self.grid, self.tile
+        per_tile = self.out_n // t
+        rows_out = []
+        # pass 1: indices + the union of touched source tiles
+        plans = []
+        want: set[str] = set()
+        for pid in batch["id"].to_numpy(zero_copy_only=False):
+            oty, otx = int(pid) // per_tile, int(pid) % per_tile
+            rr = np.arange(oty * t, (oty + 1) * t, dtype=np.float64)
+            cc = np.arange(otx * t, (otx + 1) * t, dtype=np.float64)
+            rgrid, cgrid = np.meshgrid(rr, cc, indexing="ij")
+            src_r, src_c = mercator_src_index(
+                g, self.out_n, rgrid.ravel(), cgrid.ravel())
+            sty = np.unique(src_r // t)
+            stx = np.unique(src_c // t)
+            refs = {}
+            for a in sty:
+                for b in stx:
+                    refs[(int(a), int(b))] = model.media_ref(
+                        self.dataset, g.name, int(a), int(b), 1)
+            want.update(refs.values())
+            plans.append((oty, otx, src_r, src_c, refs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        for oty, otx, src_r, src_c, refs in plans:
+            out = np.full(len(src_r), self.nodata, dtype=np.uint8)
+            for (a, b), ref in refs.items():
+                p = payloads.get(ref)
+                if p is None:
+                    continue
+                nr = min(t, g.height - a * t)
+                nc = min(t, g.width - b * t)
+                arr = np.frombuffer(p, np.uint8,
+                                    count=nr * nc).reshape(nr, nc)
+                sel = ((src_r // t == a) & (src_c // t == b))
+                rr = src_r[sel] - a * t
+                cc = src_c[sel] - b * t
+                ok = (rr < nr) & (cc < nc)
+                idx = np.flatnonzero(sel)[ok]
+                out[idx] = arr[rr[ok], cc[ok]]
+            tile_arr = out.reshape(t, t)
+            doc = model.make_document(
+                self.out_dataset, "merc", oty, otx, otx * t, oty * t,
+                t, t, bands=1, nodata=self.nodata)
+            rows_out.append({
+                "doc_id": doc["doc_id"], "spans": doc["spans"],
+                "media_ref": model.media_ref(self.out_dataset, "merc",
+                                             oty, otx, 1),
+                "payload": model.encode_tile(tile_arr)})
+        return pa.Table.from_pylist(rows_out, schema=pa.schema([
+            ("doc_id", pa.string()), ("spans", pa.list_(model.SPAN_TYPE)),
+            ("media_ref", pa.string()), ("payload", pa.binary())]))
+
+
+def warp_to_mercator(world_path: str, dataset: str, out_dir: str, *,
+                     out_n: int | None = None,
+                     concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Warp a dataset to an ``out_n``×``out_n`` Web-Mercator square
+    written in the world layout under ``out_dir``; returns (out_n,
+    n_tiles, payload_sum, md5_sum). Default ``out_n`` = the source
+    height (a natural square for an equirect world)."""
+    import functools
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    t = grid.tile
+    if out_n is None:
+        out_n = (grid.height // t) * t  # t-aligned square
+    if out_n % t:
+        raise ValueError("out_n must be a multiple of the tile edge")
+    per_tile = out_n // t
+
+    def write_sum(batch: pa.Table, out_dir: str) -> pa.Table:
+        _RenderWriter(out_dir)(batch)
+        payloads = batch["payload"].to_pylist()
+        return pa.table({
+            "n_tiles": pa.array([len(payloads)], pa.int64()),
+            "payload_sum": pa.array([int(sum(
+                int(np.frombuffer(p, np.uint8).astype(np.int64).sum())
+                for p in payloads))], pa.int64()),
+            "md5_sum": pa.array([int(np.array(
+                [_md5_int(p) for p in payloads], dtype=np.int64)
+                .sum(dtype=np.int64))], pa.int64())})
+
+    parts = (ray.data.range(per_tile * per_tile)
+             .map_batches(_WarpKernel, fn_constructor_kwargs={
+                 "world_path": world_path, "dataset": dataset,
+                 "grid": grid, "out_n": out_n, "tile": t,
+                 "out_dataset": f"{dataset}_merc", "nodata": nodata},
+                 batch_format="pyarrow", batch_size=8,
+                 concurrency=concurrency)
+             .map_batches(functools.partial(write_sum, out_dir=out_dir),
+                          batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame([{
+        "out_n": np.int64(out_n),
+        "n_tiles": np.int64(parts["n_tiles"].sum()),
+        "payload_sum": np.int64(parts["payload_sum"].sum()),
+        "md5_sum": np.int64(parts["md5_sum"].to_numpy()
+                            .sum(dtype=np.int64))}])
+
+
+def warp_oracle(spec, dataset: str, out_n: int) -> pd.DataFrame:
+    """Sequential oracle: one whole-array gather through the SAME
+    index function, summarized per output tile."""
+    from .. import fixtures, oracle
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    t = grid.tile
+    base = oracle.full_raster(spec, dataset)[0]
+    rr, cc = np.meshgrid(np.arange(out_n, dtype=np.float64),
+                         np.arange(out_n, dtype=np.float64),
+                         indexing="ij")
+    src_r, src_c = mercator_src_index(grid, out_n, rr.ravel(), cc.ravel())
+    out = base[src_r, src_c].reshape(out_n, out_n)
+    psum, md5s = 0, []
+    for ty in range(out_n // t):
+        for tx in range(out_n // t):
+            tile = out[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            psum += int(tile.astype(np.int64).sum())
+            md5s.append(_md5_int(model.encode_tile(tile)))
+    return pd.DataFrame([{
+        "out_n": np.int64(out_n),
+        "n_tiles": np.int64(len(md5s)),
+        "payload_sum": np.int64(psum),
+        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
+                            .sum(dtype=np.int64))}])

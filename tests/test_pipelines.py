@@ -333,3 +333,22 @@ def test_equalize_bit_exact_and_lut_properties(tiny_world, tmp_path):
     lut = dsm.equalize_lut(h, nodata=0)
     assert lut[0] == 0
     assert lut[3] <= lut[10] <= lut[200] == 255
+
+
+def test_warp_mercator_bit_exact(tiny_world, tmp_path):
+    import numpy as np
+    from spatial_aez_ray.pipelines import warp as wp
+    mine = wp.warp_to_mercator(tiny_world, "kg", str(tmp_path / "w"))
+    assert mine.equals(wp.warp_oracle(SPEC, "kg", int(mine["out_n"][0])))
+    # index function sanity: equator maps near the grid's middle row,
+    # and the poles clamp inside bounds
+    grid = SPEC.grid("g1")
+    n = int(mine["out_n"][0])
+    r, c = wp.mercator_src_index(
+        grid, n, np.array([n / 2.0 - 0.5]), np.array([n / 2.0 - 0.5]))
+    assert abs(int(r[0]) - grid.height // 2) <= 1
+    r0, _ = wp.mercator_src_index(grid, n, np.array([0.0]),
+                                  np.array([0.0]))
+    rn, _ = wp.mercator_src_index(grid, n, np.array([float(n - 1)]),
+                                  np.array([0.0]))
+    assert 0 <= int(r0[0]) < int(rn[0]) <= grid.height - 1
