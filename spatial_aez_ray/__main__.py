@@ -19,6 +19,8 @@ Mirrors what a spatial-aez user runs today (cited per subcommand):
                   BuildOverviews analog; sparse ocean holes skipped)
 * ``export-cog`` — pyramid + multi-page COG-style GeoTIFF (chained
                   reduced-resolution IFDs, COPY_SRC_OVERVIEWS layout)
+* ``warp``      — reproject a dataset to the Web-Mercator square
+                  (gdalwarp -r near analog, bit-exact distributed gather)
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -66,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     s = add("export-cog")
     s.add_argument("--dataset", default="kg")
     s.add_argument("--tiff", required=True)
+    s = add("warp")
+    s.add_argument("--dataset", default="kg")
 
     s = sub.add_parser(
         "prepare-claims",
@@ -147,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
             df = build_pyramid(a.world, a.dataset, a.out)
             print(f"built {len(df)} overview levels "
                   f"({int(df['n_tiles'].sum())} tiles) -> {a.out}")
+        elif a.cmd == "warp":
+            from .pipelines.warp import warp_to_mercator
+            rep = warp_to_mercator(a.world, a.dataset, a.out)
+            print(f"warped to {int(rep['out_n'][0])}² Web Mercator "
+                  f"({int(rep['n_tiles'][0])} tiles) -> {a.out}")
         elif a.cmd == "export-cog":
             from .pipelines.pyramid import build_pyramid, export_cog
             build_pyramid(a.world, a.dataset, a.out)
