@@ -710,6 +710,22 @@ def _snapshot_diff(sf_dir: str):
                           "n_added": 1, "n_removed": 1}])
 
 
+def _ann_pq(sf_dir: str):
+    """PQ+re-rank ANN; self-verifies recall@10 >= 0.8 vs the exact
+    brute-force ranking in-query (PQ is lossy by design — the bound,
+    not rank equality, is the contract)."""
+    from spatial_aez_ray.datapipe import simsearch
+    pq = simsearch.ann_pq(sf_dir)
+    brute = simsearch.ann_topk(sf_dir)
+    agree = sum(
+        len(set(pq[pq["query_id"] == q]["neighbor_id"])
+            & set(brute[brute["query_id"] == q]["neighbor_id"]))
+        for q in pq["query_id"].unique())
+    if agree < 0.8 * len(pq):
+        raise AssertionError(f"PQ recall {agree / len(pq):.2f} < 0.8")
+    return pq
+
+
 def _ann_ivf_persistent(sf_dir: str):
     """Disk-backed IVF: build the list-partitioned index, query it by
     reading only probed list dirs, and assert in-query that (a) the
@@ -890,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.4, n_tables=32, n_bits=4),
         "ann_ivf": simsearch.ann_ivf,
         "ann_ivf_persistent": _ann_ivf_persistent,
+        "ann_pq": _ann_pq,
         "embed_documents": multimodal.embed_documents,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal

@@ -1063,3 +1063,126 @@ def ann_ivf_query(index_dir: str, sf_dir: str, *, n_queries: int = 4,
         _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
     return _merge_topk_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — the 64×-compressed codebook path
+# ---------------------------------------------------------------------------
+
+PQ_M = 16         # subspaces
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_RERANK = 100   # exact-rescored shortlist size per (query, batch)
+
+
+def _pq_codebooks(sample: np.ndarray, m: int = PQ_M, k: int = PQ_K,
+                  seed: int = 23) -> np.ndarray:
+    """(m, k, d/m) seeded per-subspace k-means codebooks trained on a
+    bounded head sample (train cost independent of corpus size)."""
+    d = sample.shape[1]
+    sub = d // m
+    books = np.empty((m, k, sub))
+    rng = np.random.RandomState(seed)
+    for j in range(m):
+        s = sample[:, j * sub:(j + 1) * sub]
+        cent = s[rng.choice(len(s), size=k, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode(m_rows: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 codes: nearest centroid per subspace."""
+    n, d = m_rows.shape
+    m, k, sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        s = m_rows[:, j * sub:(j + 1) * sub]
+        d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+class _PqScorer:
+    """ADC + exact re-rank (the FAISS IVFPQ+refine discipline): per
+    query ONE (m × k) table of squared subvector distances; each batch
+    encodes its vectors (m tiny matmuls) and scores by m table lookups
+    per vector — the full-dimension dot product runs ONLY on the
+    per-batch top-``rerank`` PQ shortlist, whose exact cosines feed the
+    standard q×k partial merge. The PQ pass is the cheap filter; the
+    rerank restores recall the 32×-compressed codes alone lose."""
+
+    def __init__(self, q_ref, k_top: int, rerank: int = PQ_RERANK):
+        import ray
+        self.q_ids, self.q, self.tables, self.books = ray.get(q_ref)
+        self.k_top = k_top
+        self.rerank = rerank
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        codes = _pq_encode(m, self.books)          # (n, m)
+        qid_out, nid_out, cos_out = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            t = self.tables[qi]                    # (m, k)
+            dist = t[np.arange(codes.shape[1])[None, :],
+                     codes].sum(axis=1)            # (n,)
+            mask = ids != qid
+            cand_ids = ids[mask]
+            short = np.lexsort((cand_ids, dist[mask]))[:self.rerank]
+            if not len(short):
+                continue
+            cid = cand_ids[short]
+            exact = m[mask][short] @ self.q[qi]
+            kk = min(self.k_top, len(cid))
+            part = np.lexsort((cid, -exact))[:kk]
+            qid_out.extend([qid] * kk)
+            nid_out.extend(cid[part].tolist())
+            cos_out.extend(exact[part].tolist())
+        return pa.table({"query_id": pa.array(qid_out, pa.int64()),
+                         "neighbor_id": pa.array(nid_out, pa.int64()),
+                         "cos": pa.array(cos_out, pa.float64())})
+
+
+def ann_pq(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+    """PQ ANN: 4-bit-per-subspace codes (m=16 × k=16 → 8 bytes/vector,
+    a 32× compression of 64-dim float32) scored by ADC with a
+    per-batch exact re-rank of the PQ shortlist. Deterministic (seeded
+    codebooks); verified by a recall-vs-brute-force bound in the
+    gate/tests rather than exact rank equality — the PQ filter is
+    lossy by design. Output (query_id, neighbor_id, rank)."""
+    import heapq
+
+    import ray
+
+    _, sample = _load_queries(sf_dir, 2048)
+    books = _pq_codebooks(sample)
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    m, kk, sub = books.shape
+    tables = np.empty((len(q_ids), m, kk))
+    for qi in range(len(q_ids)):
+        for j in range(m):
+            s = q[qi, j * sub:(j + 1) * sub]
+            tables[qi, j] = ((books[j] - s[None, :]) ** 2).sum(axis=1)
+    q_ref = ray.put((q_ids, q, tables, books))
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _PqScorer, fn_constructor_kwargs={"q_ref": q_ref, "k_top": k},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, zip(-grp["cos"].values, grp["neighbor_id"].values))
+        for rank, (_, nid) in enumerate(sorted(best), start=1):
+            rows.append((int(qid), int(nid), rank))
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1266,3 +1266,22 @@ def test_persistent_ivf_matches_memory_and_prunes(ray_session, tmp_path):
     assert got.equals(mem)
     # lists on disk partition the corpus exactly
     assert (man["n_vecs"] >= 0).all() and len(man) <= 32
+
+
+def test_ann_pq_recall_and_determinism(ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    pq = simsearch.ann_pq(SF)
+    assert pq.equals(simsearch.ann_pq(SF))
+    brute = simsearch.ann_topk(SF)
+    agree = sum(
+        len(set(pq[pq["query_id"] == q]["neighbor_id"])
+            & set(brute[brute["query_id"] == q]["neighbor_id"]))
+        for q in pq["query_id"].unique())
+    assert agree >= 0.8 * len(pq)
+    # codes really are m bytes per vector
+    import numpy as np
+    _, sample = simsearch._load_queries(SF, 256)
+    books = simsearch._pq_codebooks(sample)
+    codes = simsearch._pq_encode(sample, books)
+    assert codes.shape == (256, simsearch.PQ_M)
+    assert codes.dtype == np.uint8 and codes.max() < simsearch.PQ_K
