@@ -870,6 +870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": relational.events_value_trend,
         "events_value_percentiles": relational.events_value_percentiles,
         "fk_violations_orders": relational.fk_violations_orders,
+        # incrementally-maintained view == batch view, same oracle
+        "incremental_revenue_view":
+            relational.incremental_revenue_by_nation,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "decontaminate_stats": corpus.decontaminate_stats,
@@ -1010,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,
         "fk_violations_orders": relational.FK_VIOLATIONS_ORDERS_SQL,
+        "incremental_revenue_view": relational.REVENUE_BY_NATION_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

@@ -1452,3 +1452,61 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
             AS BIGINT) AS n_bad_keys
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance — additive-aggregate delta merging
+# ---------------------------------------------------------------------------
+
+IVM_CHUNKS = 4
+
+
+def incremental_revenue_by_nation(sf_dir: str,
+                                  n_chunks: int = IVM_CHUNKS
+                                  ) -> pd.DataFrame:
+    """The revenue-by-nation view maintained INCREMENTALLY: orders
+    arrive in ``n_chunks`` batches (simulated by a deterministic
+    orderkey hash split); each arrival runs the delta pipeline over
+    ONLY its chunk (a pushed-down filter — at 100 TB the delta pass
+    touches the new partition, never the history) and merges the
+    per-nation partial into the stored view by integer addition.
+
+    Additive aggregates (SUM/COUNT in cents) make the merge exact:
+    the final view is bit-identical to the one-shot batch recompute —
+    which is precisely what the SQL oracle checks (same query as the
+    batch view). A non-additive view would store its mergeable partial
+    (the sketch module's discipline) instead.
+    """
+    cust_ref, nation_ref, _ = _dim_refs(sf_dir)
+    view: pd.DataFrame | None = None
+    for chunk in range(n_chunks):
+        ds = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def pick(b: pa.Table, chunk=chunk) -> pa.Table:
+            keys = np.asarray(
+                b["o_orderkey"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            return b.filter(pa.array(keys % n_chunks == chunk))
+
+        delta = (ds.map_batches(pick, batch_format="pyarrow")
+                 .map_batches(_RevenueJoiner,
+                              fn_constructor_kwargs={
+                                  "cust_ref": cust_ref,
+                                  "nation_ref": nation_ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+                 .groupby(["nk", "n_name"])
+                 .aggregate(Sum("rev_c", alias_name="rev_c"),
+                            Sum("n", alias_name="n"))
+                 .to_pandas())
+        if view is None:
+            view = delta
+        else:
+            view = (pd.concat([view, delta], ignore_index=True)
+                    .groupby(["nk", "n_name"], as_index=False)
+                    [["rev_c", "n"]].sum())
+    out = view[view["nk"] >= 0].copy()
+    out["revenue"] = out.pop("rev_c").astype(np.int64) / 100.0
+    out["order_cnt"] = out.pop("n").astype(np.int64)
+    out = out.drop(columns=["nk"])
+    return out.sort_values("n_name").reset_index(drop=True)

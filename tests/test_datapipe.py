@@ -1285,3 +1285,10 @@ def test_ann_pq_recall_and_determinism(ray_session):
     codes = simsearch._pq_encode(sample, books)
     assert codes.shape == (256, simsearch.PQ_M)
     assert codes.dtype == np.uint8 and codes.max() < simsearch.PQ_K
+
+
+def test_incremental_view_equals_batch(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    inc = relational.incremental_revenue_by_nation(SF)
+    _assert_match(inc, relational.REVENUE_BY_NATION_SQL, con)
+    assert inc.equals(relational.revenue_by_nation(SF))
