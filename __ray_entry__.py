@@ -898,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
+        "ann_topk_filtered": simsearch.ann_topk_filtered,
         "ann_quantized": simsearch.ann_quantized,
         "centroid_outliers": simsearch.centroid_outliers,
         "ann_lsh": simsearch.ann_lsh,
@@ -1033,6 +1034,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
+        "ann_topk_filtered": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["ANN_TOPK_FILTERED_SQL"]).ANN_TOPK_FILTERED_SQL,
         "ann_quantized": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_QUANTIZED_SQL"]).ANN_QUANTIZED_SQL,

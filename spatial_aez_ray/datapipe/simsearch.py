@@ -1186,3 +1186,95 @@ def ann_pq(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# filtered (hybrid) ANN — vector search under a metadata predicate
+# ---------------------------------------------------------------------------
+
+def ann_topk_filtered(sf_dir: str, n_queries: int = 4,
+                      k: int = 10) -> pd.DataFrame:
+    """Top-k cosine neighbors RESTRICTED to the query's own label —
+    the hybrid metadata-filtered vector search every retrieval stack
+    needs (filter pushed INTO the scoring pass, not applied after,
+    so k survivors always come back even under selective filters).
+    Output (query_id, neighbor_id, rank), rank ties by neighbor_id.
+
+    Same streaming shape as ``ann_topk``: the filter is one vectorized
+    label mask per (batch, query) before the per-batch partial top-k;
+    only q×k rows leave each worker."""
+    import heapq
+
+    import ray
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.ParquetFile(path).read_row_group(0,
+                                               columns=["vec_id", "label"])
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    lbl = dict(zip(head["vec_id"].to_pylist(), head["label"].to_pylist()))
+    q_labels = np.array([lbl[i] for i in q_ids], dtype=np.int64)
+    q_ref = ray.put((q_ids, q, q_labels))
+
+    class FilteredTopK:
+        def __init__(self):
+            self.q_ids, self.q, self.q_labels = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norms == 0, 1.0, norms)
+            ids = np.asarray(
+                batch["vec_id"].to_numpy(zero_copy_only=False))
+            labels = np.asarray(
+                batch["label"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            cos = m @ self.q.T
+            qo, no, co = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                sel = (labels == self.q_labels[qi]) & (ids != qid)
+                if not sel.any():
+                    continue
+                cid = ids[sel]
+                c = cos[sel, qi]
+                kk = min(k, len(cid))
+                part = np.lexsort((cid, -c))[:kk]
+                qo.extend([qid] * kk)
+                no.extend(cid[part].tolist())
+                co.extend(c[part].tolist())
+            return pa.table({"query_id": pa.array(qo, pa.int64()),
+                             "neighbor_id": pa.array(no, pa.int64()),
+                             "cos": pa.array(co, pa.float64())})
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "label", "embedding"])
+    partials = ds.map_batches(FilteredTopK, batch_format="pyarrow",
+                              concurrency=(1, 4)).to_pandas()
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, zip(-grp["cos"].values, grp["neighbor_id"].values))
+        for rank, (_, nid) in enumerate(sorted(best), start=1):
+            rows.append((int(qid), int(nid), rank))
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+ANN_TOPK_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  embedding::DOUBLE[] AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 4),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id AND e.label = q.qlabel),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""

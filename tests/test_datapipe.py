@@ -1292,3 +1292,14 @@ def test_incremental_view_equals_batch(con, ray_session):
     inc = relational.incremental_revenue_by_nation(SF)
     _assert_match(inc, relational.REVENUE_BY_NATION_SQL, con)
     assert inc.equals(relational.revenue_by_nation(SF))
+
+
+def test_ann_topk_filtered_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.ann_topk_filtered(SF)
+    _assert_match(mine, simsearch.ANN_TOPK_FILTERED_SQL, con)
+    # every neighbor shares the query's label
+    lbl = dict(con.execute(
+        "SELECT vec_id, label FROM embeddings").fetchall())
+    for _, r in mine.iterrows():
+        assert lbl[r["neighbor_id"]] == lbl[r["query_id"]]
