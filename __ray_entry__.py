@@ -246,6 +246,18 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_adjacency(sf_dir: str):
+    """Border adjacency matrix; self-verified exactly against the
+    sequential whole-grid oracle (same lowest-feature resolution)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import assign
+    mine = assign.admin_adjacency(_world())
+    oracle = assign.admin_adjacency_oracle(fixtures.TINY)
+    if not mine.equals(oracle):
+        raise AssertionError("adjacency != sequential oracle")
+    return mine
+
+
 def _spatial_warp(sf_dir: str):
     """Web-Mercator warp (gdalwarp analog): distributed per-output-
     tile gather, self-verified bit-exact against the sequential
@@ -943,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,
         "spatial_warp": _spatial_warp,
+        "spatial_adjacency": _spatial_adjacency,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -360,3 +360,141 @@ def admin_spatial_summary(world_path: str) -> "pd.DataFrame":
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out.sort_values("admin").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# admin adjacency — border extraction (who borders whom, and how much)
+# ---------------------------------------------------------------------------
+
+def _tile_admin_codes(index: PolygonIndex, grid: GridSpec, ty: int,
+                      tx: int, code_of: dict) -> np.ndarray:
+    """(nrows, ncols) int16 admin-code raster for one tile: claims
+    resolve LOWEST-feature_idx-first (explicit, order-independent of
+    how the index enumerates candidates; double-claimed pixels take
+    the lowest feature), -1 = unclaimed."""
+    x_off, y_off, ncols, nrows = grid.tile_window(ty, tx)
+    out = np.full((nrows, ncols), -1, dtype=np.int16)
+    for fidx, admin, mask in sorted(index.assign_tile(grid, ty, tx),
+                                    key=lambda c: c[0]):
+        if admin is None:
+            continue
+        put = mask & (out == -1)
+        out[put] = code_of[admin]
+    return out
+
+
+def admin_adjacency(world_path: str, *,
+                    concurrency: int | tuple = (1, 4)) -> "pd.DataFrame":
+    """Border adjacency matrix: (admin_a, admin_b, shared_edges) for
+    admin_a < admin_b, where shared_edges counts 4-neighbor pixel
+    pairs with different admins — the who-borders-whom product GIS
+    derives from rasterized boundaries.
+
+    Shuffle-free: each tile scores its interior edges plus ONLY its
+    right/bottom cross-tile seams (the left/top belong to the
+    neighbor), so every edge counts exactly once; the neighbor strip
+    comes from the same PolygonIndex (computable anywhere — no fetch,
+    same per-actor claims LRU as zonal). Partials are pair-count rows
+    (at most admins² per block) into a tiny grouped sum.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .extract import build_zonal_index
+
+    index = build_zonal_index(world_path)
+    grid = world_grid(world_path, "g1")
+    admins = sorted({f.admin for f in index.features
+                     if f.admin is not None})
+    code_of = {a: i for i, a in enumerate(admins)}
+
+    class Borders:
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pairs: dict[tuple[int, int], int] = {}
+
+            def count(a: np.ndarray, bb: np.ndarray) -> None:
+                ok = (a != -1) & (bb != -1) & (a != bb)
+                if not ok.any():
+                    return
+                lo = np.minimum(a[ok], bb[ok])
+                hi = np.maximum(a[ok], bb[ok])
+                key = lo.astype(np.int64) * len(admins) + hi
+                for kk, cc in zip(*np.unique(key, return_counts=True)):
+                    pairs[int(kk)] = pairs.get(int(kk), 0) + int(cc)
+
+            for pid in b["id"].to_numpy(zero_copy_only=False):
+                ty, tx = int(pid) // grid.tiles_x, int(pid) % grid.tiles_x
+                arr = _tile_admin_codes(index, grid, ty, tx, code_of)
+                count(arr[:, :-1], arr[:, 1:])     # horizontal interior
+                count(arr[:-1, :], arr[1:, :])     # vertical interior
+                if tx + 1 < grid.tiles_x:          # right seam
+                    nb = _tile_admin_codes(index, grid, ty, tx + 1,
+                                           code_of)
+                    n = min(arr.shape[0], nb.shape[0])
+                    count(arr[:n, -1], nb[:n, 0])
+                if ty + 1 < grid.tiles_y:          # bottom seam
+                    nb = _tile_admin_codes(index, grid, ty + 1, tx,
+                                           code_of)
+                    n = min(arr.shape[1], nb.shape[1])
+                    count(arr[-1, :n], nb[0, :n])
+            keys = np.array(sorted(pairs), dtype=np.int64)
+            return pa.table({
+                "pair": pa.array(keys),
+                "n": pa.array([pairs[int(k)] for k in keys], pa.int64())})
+
+        # one index instance per actor would be ideal; the closure
+        # keeps this simple — ray serializes the prebuilt index once
+        # per worker (same cost as the zonal kernels' constructor).
+
+    import ray.data
+    agg = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(Borders, batch_format="pyarrow", batch_size=8,
+                        concurrency=concurrency)
+           .groupby("pair")
+           .aggregate(Sum("n", alias_name="shared_edges"))
+           .to_pandas())
+    out = pd.DataFrame({
+        "admin_a": [admins[int(p) // len(admins)] for p in agg["pair"]],
+        "admin_b": [admins[int(p) % len(admins)] for p in agg["pair"]],
+        "shared_edges": agg["shared_edges"].astype(np.int64)})
+    return (out.sort_values(["admin_a", "admin_b"])
+            .reset_index(drop=True))
+
+
+def admin_adjacency_oracle(spec) -> "pd.DataFrame":
+    """Sequential oracle: whole-grid admin raster resolved in the SAME
+    first-claim order, then two vectorized shift comparisons."""
+    import pandas as pd
+
+    from .. import fixtures, oracle
+
+    grid = spec.grid("g1")
+    full = np.full((grid.height, grid.width), -1, dtype=np.int16)
+    admins = sorted({a for _, a, _ in
+                     oracle.feature_masks(spec, grid) if a is not None})
+    code_of = {a: i for i, a in enumerate(admins)}
+    for fidx, admin, mask in sorted(oracle.feature_masks(spec, grid),
+                                    key=lambda c: c[0]):
+        if admin is None:
+            continue
+        put = mask & (full == -1)
+        full[put] = code_of[admin]
+    pairs: dict[tuple[str, str], int] = {}
+
+    def count(a, b):
+        ok = (a != -1) & (b != -1) & (a != b)
+        lo = np.minimum(a[ok], b[ok])
+        hi = np.maximum(a[ok], b[ok])
+        for kk, cc in zip(*np.unique(lo.astype(np.int64) * len(admins)
+                                     + hi, return_counts=True)):
+            key = (admins[int(kk) // len(admins)],
+                   admins[int(kk) % len(admins)])
+            pairs[key] = pairs.get(key, 0) + int(cc)
+
+    count(full[:, :-1], full[:, 1:])
+    count(full[:-1, :], full[1:, :])
+    out = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(pairs.items())],
+        columns=["admin_a", "admin_b", "shared_edges"])
+    out["shared_edges"] = out["shared_edges"].astype(np.int64)
+    return out

@@ -352,3 +352,13 @@ def test_warp_mercator_bit_exact(tiny_world, tmp_path):
     rn, _ = wp.mercator_src_index(grid, n, np.array([float(n - 1)]),
                                   np.array([0.0]))
     assert 0 <= int(r0[0]) < int(rn[0]) <= grid.height - 1
+
+
+def test_admin_adjacency_matches_oracle(tiny_world):
+    from spatial_aez_ray.pipelines import assign as asg
+    mine = asg.admin_adjacency(tiny_world)
+    odf = asg.admin_adjacency_oracle(SPEC)
+    assert mine.equals(odf)
+    # symmetric-free canonical form: a < b everywhere, counts positive
+    assert (mine["admin_a"] < mine["admin_b"]).all()
+    assert (mine["shared_edges"] > 0).all()
