@@ -246,6 +246,65 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
+def _spatial_zonal_incremental(sf_dir: str):
+    """Incremental zonal maintenance: flip one pixel in a copied
+    world; the delta path must recompute exactly ONE tile and produce
+    a view BIT-IDENTICAL to the full recompute on the new world —
+    both asserted in-query. The flip crosses a class boundary so the
+    view genuinely changes vs the old world."""
+    import shutil
+    import pyarrow.parquet as pq
+    import pyarrow as pa_mod
+    from spatial_aez_ray.pipelines import extract
+
+    w = _world()
+    w2 = os.path.join(_TMP, "world_zinc")
+    shutil.rmtree(w2, ignore_errors=True)
+    shutil.copytree(w, w2)
+    # pick a tile the oracle says holds CLAIMED pixels (an all-ocean
+    # tile would make the mutation invisible to the zonal view)
+    import numpy as np
+    from spatial_aez_ray import fixtures, oracle
+    grid = fixtures.TINY.grid("g1")
+    odf = oracle.cell_country(fixtures.TINY, grid)
+    ty0 = int(odf["cell_row"].iloc[0]) // grid.tile
+    tx0 = int(odf["cell_col"].iloc[0]) // grid.tile
+    want_ref = f"mem://kg/g1/{ty0:05d}/{tx0:05d}/b1"
+    d = os.path.join(w2, "media", "dataset=kg")
+    done = False
+    for part in sorted(f for f in os.listdir(d)
+                       if f.endswith(".parquet")):
+        t = pq.read_table(os.path.join(d, part))
+        refs = t["media_ref"].to_pylist()
+        if want_ref not in refs:
+            continue
+        payloads = t["payload"].to_pylist()
+        i = refs.index(want_ref)
+        # repaint the whole tile to one valid KG class: guaranteed to
+        # move at least the claimed pixels' class areas
+        payloads[i] = bytes([5]) * len(payloads[i])
+        pq.write_table(
+            pa_mod.table({"media_ref": refs, "payload": payloads},
+                         schema=t.schema), os.path.join(d, part))
+        done = True
+        break
+    if not done:
+        raise AssertionError(f"tile ref {want_ref} not found in media")
+
+    view, rep = extract.zonal_stats_incremental(w, w2, "kg")
+    if rep["tiles_recomputed"] != 1:
+        raise AssertionError(f"expected 1 recomputed tile: {rep}")
+    full = extract.zonal_stats(w2, "kg")
+    if not (list(view.index) == list(full.index)
+            and list(view.columns) == list(full.columns)
+            and (view.values == full.values).all()):
+        raise AssertionError("incremental view != full recompute")
+    old = extract.zonal_stats(w, "kg")
+    if (view.values == old.values).all():
+        raise AssertionError("mutation did not change the view")
+    return view.reset_index()
+
+
 def _spatial_adjacency(sf_dir: str):
     """Border adjacency matrix; self-verified exactly against the
     sequential whole-grid oracle (same lowest-feature resolution)."""
@@ -956,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cog_export": _spatial_cog_export,
         "spatial_warp": _spatial_warp,
         "spatial_adjacency": _spatial_adjacency,
+        "spatial_zonal_incremental": _spatial_zonal_incremental,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

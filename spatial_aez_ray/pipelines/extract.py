@@ -352,3 +352,57 @@ def extract_all(world_path: str, out_dir: str, *,
                          os.path.join(out_dir, f"{names[ds_name]}-by-region.csv"))
         out[ds_name] = df
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental zonal stats — change detection feeding partial recompute
+# ---------------------------------------------------------------------------
+
+def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
+                            *, old_partials: "pd.DataFrame | None" = None
+                            ) -> tuple[pd.DataFrame, dict]:
+    """Maintain the zonal view across a world update WITHOUT a full
+    recompute: diff the two worlds (shuffle-free per-tile compare),
+    recompute partial rows ONLY for changed/added tiles (each a
+    pushed-down single-tile read), splice them over the stored partial
+    table, and re-run the deterministic combine — bit-identical to
+    ``zonal_stats(world_new)`` because the combine orders by (feature,
+    tile, seq) regardless of which run emitted each row.
+
+    Returns (view, report) where report counts the tiles actually
+    recomputed — the 100 TB claim: a quarterly delta touches the delta,
+    never the archive. ``old_partials`` lets a caller keep the partial
+    table as its stored view state; by default it is computed from
+    ``world_old`` (the "previous run")."""
+    import ray.data
+
+    from ..stages.zonal import combine_partials_deterministic
+    from .pyramid import diff_worlds
+
+    if old_partials is None:
+        old_partials = zonal_partials_ds(world_old, dataset).to_pandas()
+    diff = diff_worlds(world_old, world_new, dataset)
+    changed = {(int(r.tile_y), int(r.tile_x))
+               for r in diff.itertuples() if r.status != "removed"}
+    dropped = {(int(r.tile_y), int(r.tile_x)) for r in diff.itertuples()}
+
+    keep = old_partials[~old_partials.apply(
+        lambda r: (int(r["tile_y"]), int(r["tile_x"])) in dropped,
+        axis=1)]
+    fresh = []
+    for ty, tx in sorted(changed):
+        fresh.append(zonal_partials_ds(
+            world_new, dataset,
+            tile_window=(ty, ty, tx, tx)).to_pandas())
+    merged = pd.concat([keep] + fresh, ignore_index=True)
+
+    combined = (ray.data.from_pandas(merged)
+                .groupby("admin")
+                .map_groups(combine_partials_deterministic,
+                            batch_format="pandas")
+                .to_pandas())
+    classifier = CLASSIFIERS[dataset]()
+    view = pivot_zonal(combined, classifier.columns(), world_new)
+    return view, {"tiles_recomputed": len(changed),
+                  "tiles_dropped": len(dropped - changed),
+                  "partial_rows_kept": len(keep)}

@@ -362,3 +362,16 @@ def test_admin_adjacency_matches_oracle(tiny_world):
     # symmetric-free canonical form: a < b everywhere, counts positive
     assert (mine["admin_a"] < mine["admin_b"]).all()
     assert (mine["shared_edges"] > 0).all()
+
+
+def test_zonal_incremental_no_change_is_identity(tiny_world, tmp_path):
+    import shutil
+    from spatial_aez_ray.pipelines import extract as ex
+    w2 = str(tmp_path / "w2")
+    shutil.copytree(tiny_world, w2)
+    view, rep = ex.zonal_stats_incremental(tiny_world, w2, "kg")
+    assert rep["tiles_recomputed"] == 0
+    full = ex.zonal_stats(w2, "kg")
+    assert list(view.index) == list(full.index)
+    assert list(view.columns) == list(full.columns)
+    assert (view.values == full.values).all()
