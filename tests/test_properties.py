@@ -265,3 +265,69 @@ def test_bloom_no_false_negatives_property(seed, n):
     np.bitwise_or.at(words, pos >> np.uint64(6),
                      np.uint64(1) << (pos & np.uint64(63)))
     assert relational._bloom_test(words, keys).all()
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1))
+def test_zorder_interleave_bijective(a, b):
+    from spatial_aez_ray.datapipe.relational import ZORDER_BITS, _z_interleave
+    x = np.array([a & 0xFFFF], dtype=np.int64)
+    y = np.array([b & 0xFFFF], dtype=np.int64)
+    z = int(_z_interleave(x, y)[0])
+    xa = sum(((z >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+    ya = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
+    assert (xa, ya) == (int(x[0]), int(y[0]))
+
+
+@given(st.integers(0, 10**6))
+def test_mode_reduce2_window_properties(seed):
+    from spatial_aez_ray.pipelines.pyramid import mode_reduce2
+    rng = np.random.RandomState(seed % (2**32))
+    m = rng.randint(0, 5, size=(8, 8)).astype(np.uint8)
+    out = mode_reduce2(m, nodata=0)
+    for i in range(4):
+        for j in range(4):
+            win = m[2*i:2*i+2, 2*j:2*j+2].ravel()
+            got = out[i, j]
+            nz = win[win != 0]
+            if len(nz) == 0:
+                assert got == 0
+            else:
+                # winner must be a most-frequent nonzero value, and
+                # the smallest among equally-frequent winners
+                vals, cnts = np.unique(nz, return_counts=True)
+                best = vals[cnts == cnts.max()].min()
+                assert got == best
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=12, unique=True),
+       st.integers(1, 1000))
+def test_equalize_lut_monotone(bins, scale):
+    from spatial_aez_ray.pipelines.downsample import equalize_lut
+    h = np.zeros(256, dtype=np.int64)
+    for i, b in enumerate(bins):
+        h[b] = (i + 1) * scale
+    lut = equalize_lut(h, nodata=0)
+    occ = sorted(b for b in bins if b != 0)
+    vals = [int(lut[b]) for b in occ]
+    assert vals == sorted(vals)           # monotone over occupied bins
+    if len(occ) > 1:
+        # top of the stretch; a single-distinct-value histogram is
+        # degenerate (den = 0) and maps to 0 by convention
+        assert vals[-1] == 255
+    assert lut[0] == 0                    # nodata preserved
+
+
+@given(st.integers(0, 10**6))
+def test_mercator_index_in_bounds_and_monotone(seed):
+    from spatial_aez_ray.geo import GridSpec
+    from spatial_aez_ray.pipelines.warp import mercator_src_index
+    rng = np.random.RandomState(seed % (2**32))
+    grid = GridSpec("g", 720, 360, 64)
+    n = 256
+    rows = np.sort(rng.uniform(0, n - 1, size=16))
+    cols = rng.uniform(0, n - 1, size=16)
+    r, c = mercator_src_index(grid, n, rows, cols)
+    assert ((r >= 0) & (r < grid.height)).all()
+    assert ((c >= 0) & (c < grid.width)).all()
+    # Mercator y grows south: source rows are nondecreasing in out row
+    assert (np.diff(r) >= 0).all()
