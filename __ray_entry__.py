@@ -727,6 +727,49 @@ def _spatial_geotiff_export(sf_dir: str):
     return pd.DataFrame(rows).sort_values("product").reset_index(drop=True)
 
 
+def _pii_redaction(sf_dir: str):
+    """PII scrub over a corpus with PLANTED synthetic PII (the sf
+    documents are clean, so the gate injects known emails/phones/SSNs
+    into a copy): asserts in-query that every planted pattern is
+    gone after redaction, untouched docs are byte-identical, and the
+    audit counts equal exactly what was planted."""
+    import shutil
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+    from spatial_aez_ray.datapipe import text as text_ops
+
+    d = os.path.join(_TMP, "pii_docs")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    texts = t["text"].to_pylist()
+    planted = {"email": 3, "phone": 2, "ssn": 1}
+    texts[0] += " contact alice@example.com or bob@test.org now"
+    texts[1] += " mail carol@dev.example.net or call +1 555-010-7788"
+    texts[2] += " phone 020-7946-0018 ssn 123-45-6789"
+    t = t.set_column(t.schema.get_field_index("text"), "text",
+                     __import__("pyarrow").array(texts))
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"))
+    counts = text_ops.redaction_counts(ds)
+    got = dict(zip(counts["pattern"], counts["n"]))
+    if got != planted:
+        raise AssertionError(f"audit counts {got} != planted {planted}")
+    red = text_ops.redact_documents_ds(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    import re
+    for name, pat in text_ops.PII_PATTERNS.items():
+        if red["text"].str.contains(pat, regex=True).any():
+            raise AssertionError(f"pattern {name} survived redaction")
+    orig = pd.Series(texts[3:])
+    if not (red["text"].iloc[3:].reset_index(drop=True) == orig
+            .reset_index(drop=True)).all():
+        raise AssertionError("clean docs were modified")
+    return counts
+
+
 def _compact_parts(sf_dir: str):
     """Small-file compaction over a deliberately over-partitioned copy
     of the token-stats table; the op SELF-VERIFIES content equality
@@ -946,6 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.incremental_revenue_by_nation,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
+        "pii_redaction": _pii_redaction,
+        "doc_surprisal": text.doc_surprisal,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis
         "token_stats": text.token_stats,
@@ -1098,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": text.LANG_COUNTS_SQL,
         "lang_id": text.LANG_ID_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
+        "doc_surprisal": text.DOC_SURPRISAL_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ingest_precedence": dedup.INGEST_PRECEDENCE_DEDUP_SQL,
         "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,

@@ -27,6 +27,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
@@ -742,3 +743,150 @@ SELECT source,
          / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal — the LM-style rarity score, all-integer exact
+# ---------------------------------------------------------------------------
+
+def doc_surprisal(sf_dir: str, top_k: int = 20) -> pd.DataFrame:
+    """Top-``top_k`` docs by mean token surprisal, where a token's
+    surprisal is the INTEGER inverse frequency total_tokens // count —
+    the unigram-LM-style rarity signal (CCNet uses a real LM; the
+    integer form keeps the two-pass distributed result bit-exact and
+    SQL-checkable). Output (doc_id, n_tokens, surprisal_sum) ordered
+    by surprisal_sum DESC then doc_id, rank-stable.
+
+    Two passes, the tf-idf discipline: pass 1 reduces each block to
+    (token, count) partials — vocab-sized, never corpus-sized — and
+    the aggregated vocab broadcasts via closure arrays (sorted token
+    hashes + searchsorted, no per-row dict probes); pass 2 is one
+    vectorized lookup + per-doc sum, with a per-batch top-k partial so
+    only k rows per block reach the final sort."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch["text"].to_pylist():
+            toks.extend(t.split(" "))
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(list(u), pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    vocab = (ds.map_batches(counts, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    total = int(vocab["cnt"].sum())
+    vocab = vocab.sort_values("token").reset_index(drop=True)
+    v_tokens = vocab["token"].to_numpy()
+    v_surp = (total // vocab["cnt"].to_numpy(dtype=np.int64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, n_out, s_out = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = np.asarray(t.split(" "), dtype=object)
+            pos = np.searchsorted(v_tokens, toks)
+            ids.append(did)
+            n_out.append(len(toks))
+            s_out.append(int(v_surp[pos].sum()))
+        df = pd.DataFrame({"doc_id": ids, "n_tokens": n_out,
+                           "surprisal_sum": s_out})
+        df = df.sort_values(["surprisal_sum", "doc_id"],
+                            ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(score, batch_format="pyarrow").to_pandas()
+           .sort_values(["surprisal_sum", "doc_id"],
+                        ascending=[False, True])
+           .head(top_k).reset_index(drop=True))
+    for c in ("doc_id", "n_tokens", "surprisal_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+DOC_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT SUM(cnt) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((SELECT n FROM total) // v.cnt) AS BIGINT)
+             AS surprisal_sum
+  FROM toks t JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, surprisal_sum
+FROM scored ORDER BY surprisal_sum DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrubbing with per-pattern accounting
+# ---------------------------------------------------------------------------
+
+#: RE2-safe patterns (no backrefs/lookaround): the canonical scrub set
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9\-\s]{7,14}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+#: application order: SPECIFIC before general — the broad phone
+#: pattern would otherwise consume SSNs before the ssn pass sees them
+PII_ORDER = ("email", "ssn", "phone")
+
+
+def redact_batch(batch: pa.Table,
+                 patterns: dict[str, str] = PII_PATTERNS) -> pa.Table:
+    """Vectorized scrub of ``text``: each pattern replaces with
+    ``[PII:<name>]`` via one ``pc.replace_substring_regex`` pass (RE2,
+    compiled once inside Arrow); emits per-pattern match counts so the
+    pipeline can account for what it removed. Application follows
+    PII_ORDER (specific before general: the broad phone pattern would
+    otherwise consume SSNs first) — deterministic."""
+    col = batch["text"]
+    counts = {}
+    order = [n for n in PII_ORDER if n in patterns] + \
+        sorted(set(patterns) - set(PII_ORDER))
+    for name in order:
+        pat = patterns[name]
+        counts[name] = pc.sum(
+            pc.count_substring_regex(col, pat)).as_py() or 0
+        col = pc.replace_substring_regex(col, pat, f"[PII:{name}]")
+    out = batch.set_column(batch.schema.get_field_index("text"),
+                           "text", col)
+    meta = pa.table({
+        "pattern": pa.array(sorted(patterns), pa.string()),
+        "n": pa.array([counts[k] for k in sorted(patterns)], pa.int64())})
+    return out, meta
+
+
+def redact_documents_ds(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Lazy redaction of a documents Dataset (text column scrubbed in
+    place, one streaming pass)."""
+    def apply(b: pa.Table) -> pa.Table:
+        out, _ = redact_batch(b)
+        return out
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def redaction_counts(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-pattern match counts over a documents Dataset — per-batch
+    partial rows into a tiny grouped sum (the audit record a PII scrub
+    must produce)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, meta = redact_batch(b)
+        return meta
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pattern").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("pattern").reset_index(drop=True)

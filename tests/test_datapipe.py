@@ -1303,3 +1303,31 @@ def test_ann_topk_filtered_match_sql(con, ray_session):
         "SELECT vec_id, label FROM embeddings").fetchall())
     for _, r in mine.iterrows():
         assert lbl[r["neighbor_id"]] == lbl[r["query_id"]]
+
+
+def test_doc_surprisal_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text
+    mine = text.doc_surprisal(SF)
+    _assert_match(mine, text.DOC_SURPRISAL_SQL, con)
+    # rarity ordering: strictly non-increasing surprisal
+    s = mine["surprisal_sum"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+
+def test_pii_redaction_plants_and_scrubs(ray_session):
+    import pyarrow as pa
+    from spatial_aez_ray.datapipe import text
+    batch = pa.table({
+        "doc_id": [0, 1],
+        "text": ["mail a.b@x.io or 555-123-4567 x", "clean text here"]})
+    out, meta = text.redact_batch(batch)
+    got = dict(zip(meta["pattern"].to_pylist(), meta["n"].to_pylist()))
+    assert got["email"] == 1 and got["phone"] == 1 and got["ssn"] == 0
+    assert "[PII:email]" in out["text"][0].as_py()
+    assert "[PII:phone]" in out["text"][0].as_py()
+    assert out["text"][1].as_py() == "clean text here"
+    # ssn takes precedence over the broader phone pattern
+    b2 = pa.table({"doc_id": [0], "text": ["ssn 123-45-6789 ok"]})
+    _, m2 = text.redact_batch(b2)
+    g2 = dict(zip(m2["pattern"].to_pylist(), m2["n"].to_pylist()))
+    assert g2["ssn"] == 1 and g2["phone"] == 0
