@@ -727,6 +727,17 @@ def _spatial_geotiff_export(sf_dir: str):
     return pd.DataFrame(rows).sort_values("product").reset_index(drop=True)
 
 
+def _jsonl_roundtrip(sf_dir: str):
+    """JSONL export + re-ingest; content equality enforced in-query by
+    the distributed order-free checksum (raises on drift)."""
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.datapipe.util import jsonl_roundtrip_check
+    d = os.path.join(_TMP, "jsonl")
+    shutil.rmtree(d, ignore_errors=True)
+    return pd.DataFrame([jsonl_roundtrip_check(sf_dir, d)])
+
+
 def _pii_redaction(sf_dir: str):
     """PII scrub over a corpus with PLANTED synthetic PII (the sf
     documents are clean, so the gate injects known emails/phones/SSNs
@@ -990,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "pii_redaction": _pii_redaction,
+        "jsonl_roundtrip": _jsonl_roundtrip,
         "doc_surprisal": text.doc_surprisal,
         "decontaminate_stats": corpus.decontaminate_stats,
         # text analysis

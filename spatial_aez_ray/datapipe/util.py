@@ -169,3 +169,31 @@ def snapshot_diff(snap_a: str, snap_b: str) -> "pd.DataFrame":
               != b.loc[f, ["bytes", "rows"]].tolist()):
             rows.append((f, "changed"))
     return pd.DataFrame(rows, columns=["file", "status"])
+
+
+def jsonl_roundtrip_check(sf_dir: str, out_dir: str) -> dict:
+    """JSONL export + re-ingest of the documents table (the interchange
+    format half the corpus world ships): write via Ray's streaming
+    JSON sink (one part per block — resumable layout), read back via
+    ``read_json``, and verify content equality with the distributed
+    order-free checksum. Raises on any drift; returns the summary.
+    All document columns are JSON-safe types (ints + strings), so the
+    roundtrip is exact by construction — the check enforces it."""
+    import os
+
+    import ray.data
+
+    src = ray.data.read_parquet(os.path.join(sf_dir,
+                                             "documents.parquet"))
+    cols = sorted(src.schema().names)
+    rows_in, sum_in = _content_checksum(src.select_columns(cols))
+    os.makedirs(out_dir, exist_ok=True)
+    src.write_json(out_dir)
+    back = ray.data.read_json(out_dir)
+    rows_out, sum_out = _content_checksum(back.select_columns(cols))
+    if (rows_in, sum_in) != (rows_out, sum_out):
+        raise AssertionError(
+            f"jsonl roundtrip drift: {rows_in, sum_in} != "
+            f"{rows_out, sum_out}")
+    files = sum(1 for f in os.listdir(out_dir) if f.endswith(".json"))
+    return {"rows": rows_in, "files": files, "checksum_ok": True}

@@ -1331,3 +1331,17 @@ def test_pii_redaction_plants_and_scrubs(ray_session):
     _, m2 = text.redact_batch(b2)
     g2 = dict(zip(m2["pattern"].to_pylist(), m2["n"].to_pylist()))
     assert g2["ssn"] == 1 and g2["phone"] == 0
+
+
+def test_jsonl_roundtrip_exact(ray_session, tmp_path):
+    import duckdb
+    from spatial_aez_ray.datapipe.util import jsonl_roundtrip_check
+    rep = jsonl_roundtrip_check(SF, str(tmp_path / "jl"))
+    assert rep["checksum_ok"] and rep["rows"] == 500
+    # independent check: DuckDB reads the jsonl identically
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT doc_id, text FROM "
+        f"read_json_auto('{tmp_path}/jl/*.json') EXCEPT "
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet'))").fetchone()[0]
+    assert n == 0
