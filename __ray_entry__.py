@@ -835,6 +835,22 @@ def _snapshot_diff(sf_dir: str):
                           "n_added": 1, "n_removed": 1}])
 
 
+def _ann_quantized_table(sf_dir: str):
+    """Write the int8 table, serve ANN from it, and require equality
+    with the on-the-fly quantized path in-query; the SAME SQL oracle
+    as ann_quantized then hash-verifies the scores."""
+    import shutil
+    from spatial_aez_ray.datapipe import simsearch
+    from spatial_aez_ray.datapipe.util import write_doc_output
+    d = os.path.join(_TMP, "q8_table")
+    shutil.rmtree(d, ignore_errors=True)
+    write_doc_output(simsearch.quantize_embeddings_ds(sf_dir), d)
+    got = simsearch.ann_quantized_from_table(d, sf_dir)
+    if not got.equals(simsearch.ann_quantized(sf_dir)):
+        raise AssertionError("table-served != on-the-fly quantized ANN")
+    return got
+
+
 def _ann_pq(sf_dir: str):
     """PQ+re-rank ANN; self-verifies recall@10 >= 0.8 vs the exact
     brute-force ranking in-query (PQ is lossy by design — the bound,
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": simsearch.ann_ivf,
         "ann_ivf_persistent": _ann_ivf_persistent,
         "ann_pq": _ann_pq,
+        "ann_quantized_table": _ann_quantized_table,
         "embed_documents": multimodal.embed_documents,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal
@@ -1169,6 +1186,10 @@ def oracle_sql() -> dict[str, str]:
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_TOPK_FILTERED_SQL"]).ANN_TOPK_FILTERED_SQL,
         "ann_quantized": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["ANN_QUANTIZED_SQL"]).ANN_QUANTIZED_SQL,
+        # the stored-int8 path produces the SAME integer scores
+        "ann_quantized_table": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_QUANTIZED_SQL"]).ANN_QUANTIZED_SQL,
         "knn_label_vote": __import__(

@@ -1278,3 +1278,72 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
+
+
+def ann_quantized_from_table(qtable_dir: str, sf_dir: str, *,
+                             n_queries: int = 4,
+                             k: int = 10) -> pd.DataFrame:
+    """Quantized ANN served from the STORED int8 table (the deployment
+    composition ``quantize_embeddings_ds`` promises): vectors never
+    re-quantize — the 4×-smaller codes stream straight into the
+    integer matmul. Scores are the same int64 dot products as
+    ``ann_quantized``'s on-the-fly path, so BOTH satisfy the same SQL
+    oracle bit-for-bit."""
+    import heapq
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    files = sorted(os.path.join(qtable_dir, f)
+                   for f in os.listdir(qtable_dir)
+                   if f.endswith(".parquet"))
+    scale = float(pq.read_table(files[0], columns=["scale"])
+                  ["scale"][0].as_py())
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    qq = _symmetric_quantize(q, scale)
+    q_ref = ray.put((q_ids, qq))
+
+    class TableTopK:
+        def __init__(self):
+            self.q_ids, self.qq = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch["qembedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.int64).reshape(len(col), -1)
+            ids = np.asarray(
+                batch["vec_id"].to_numpy(zero_copy_only=False))
+            scores = m @ self.qq.T
+            qo, no, so = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = ids != qid
+                cid = ids[mask]
+                sc = scores[mask, qi]
+                kk = min(k, len(cid))
+                if kk == 0:
+                    continue
+                part = np.lexsort((cid, -sc))[:kk]
+                qo.extend([qid] * kk)
+                no.extend(cid[part].tolist())
+                so.extend(sc[part].tolist())
+            return pa.table({"query_id": pa.array(qo, pa.int64()),
+                             "neighbor_id": pa.array(no, pa.int64()),
+                             "score": pa.array(so, pa.int64())})
+
+    partials = (ray.data.read_parquet(files)
+                .map_batches(TableTopK, batch_format="pyarrow",
+                             concurrency=(1, 4)).to_pandas())
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, zip(-grp["score"].values, grp["neighbor_id"].values))
+        for rank, (neg, nid) in enumerate(sorted(best), start=1):
+            rows.append((int(qid), int(nid), rank, int(-neg)))
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                      "rank", "score"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1345,3 +1345,12 @@ def test_jsonl_roundtrip_exact(ray_session, tmp_path):
         f"SELECT doc_id, text FROM "
         f"read_parquet('{SF}/documents.parquet'))").fetchone()[0]
     assert n == 0
+
+
+def test_ann_quantized_table_equals_inline(ray_session, tmp_path):
+    from spatial_aez_ray.datapipe import simsearch
+    from spatial_aez_ray.datapipe.util import write_doc_output
+    d = str(tmp_path / "q8t")
+    write_doc_output(simsearch.quantize_embeddings_ds(SF), d)
+    got = simsearch.ann_quantized_from_table(d, SF)
+    assert got.equals(simsearch.ann_quantized(SF))
