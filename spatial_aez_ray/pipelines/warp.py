@@ -145,6 +145,29 @@ def warp_to_mercator(world_path: str, dataset: str, out_dir: str, *,
                 [_md5_int(p) for p in payloads], dtype=np.int64)
                 .sum(dtype=np.int64))], pa.int64())})
 
+    # the warped output is a first-class, self-describing world:
+    # declare its own grid + layout so pyramid/read_window/diff work
+    # on it unchanged (the imported-world marker contract)
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_WORLD.json")
+    meta = {"name": os.path.basename(out_dir.rstrip("/")), "scale": 0,
+            "seed": 0, "datasets": [], "layout": {}, "grids": {}}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta.update(json.load(f))
+    out_ds = f"{dataset}_merc"
+    if out_ds not in meta.setdefault("datasets", []):
+        meta["datasets"].append(out_ds)
+    meta.setdefault("layout", {})[out_ds] = {
+        "grid": "merc", "bands": 1, "nodata": nodata}
+    meta.setdefault("grids", {})["merc"] = {
+        "width": out_n, "height": out_n, "tile": t}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+
     parts = (ray.data.range(per_tile * per_tile)
              .map_batches(_WarpKernel, fn_constructor_kwargs={
                  "world_path": world_path, "dataset": dataset,

@@ -375,3 +375,17 @@ def test_zonal_incremental_no_change_is_identity(tiny_world, tmp_path):
     assert list(view.index) == list(full.index)
     assert list(view.columns) == list(full.columns)
     assert (view.values == full.values).all()
+
+
+def test_warp_output_is_first_class_world(tiny_world, tmp_path):
+    """The warped world's marker makes it consumable by downstream
+    derived-ref ops unchanged: build a pyramid OVER the warped world."""
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    from spatial_aez_ray.pipelines import warp as wp
+    w2 = str(tmp_path / "merc_world")
+    rep = wp.warp_to_mercator(tiny_world, "kg", w2)
+    levels = pyr.build_pyramid(w2, "kg_merc", str(tmp_path / "merc_pyr"))
+    assert len(levels) >= 2
+    # level 1 holds <= 1/4 + edge of the warped tiles, none empty
+    assert levels["n_tiles"].iloc[0] <= int(rep["n_tiles"][0])
+    assert (levels["n_tiles"] > 0).all()
