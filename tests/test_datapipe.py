@@ -1354,3 +1354,27 @@ def test_ann_quantized_table_equals_inline(ray_session, tmp_path):
     write_doc_output(simsearch.quantize_embeddings_ds(SF), d)
     got = simsearch.ann_quantized_from_table(d, SF)
     assert got.equals(simsearch.ann_quantized(SF))
+
+
+def test_query_registry_consistent(ray_session):
+    """Every oracle key must name a registered query (no orphans), and
+    all callables/SQL are well-formed non-empty."""
+    import __ray_entry__ as e
+    q = e.queries()
+    s = e.oracle_sql()
+    orphans = set(s) - set(q)
+    assert not orphans, f"oracle entries without queries: {orphans}"
+    assert all(callable(v) for v in q.values())
+    assert all(isinstance(v, str) and "SELECT" in v.upper()
+               for v in s.values())
+
+
+def test_cli_help_smoke():
+    import subprocess
+    import sys
+    r = subprocess.run([sys.executable, "-m", "spatial_aez_ray",
+                        "--help"], capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 0
+    for cmd in ("extract", "pyramid", "export-cog", "warp"):
+        assert cmd in r.stdout

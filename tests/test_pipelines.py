@@ -389,3 +389,11 @@ def test_warp_output_is_first_class_world(tiny_world, tmp_path):
     # level 1 holds <= 1/4 + edge of the warped tiles, none empty
     assert levels["n_tiles"].iloc[0] <= int(rep["n_tiles"][0])
     assert (levels["n_tiles"] > 0).all()
+
+
+def test_pyramid_rerun_idempotent(tiny_world, tmp_path):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    out = str(tmp_path / "pyr")
+    first = pyr.build_pyramid(tiny_world, "kg", out)
+    again = pyr.build_pyramid(tiny_world, "kg", out)
+    assert first.equals(again)
