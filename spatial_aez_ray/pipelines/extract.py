@@ -386,9 +386,15 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
                for r in diff.itertuples() if r.status != "removed"}
     dropped = {(int(r.tile_y), int(r.tile_x)) for r in diff.itertuples()}
 
-    keep = old_partials[~old_partials.apply(
-        lambda r: (int(r["tile_y"]), int(r["tile_x"])) in dropped,
-        axis=1)]
+    # vectorized membership: encode (ty, tx) as one int64 key — the
+    # partials table is tiles-sized, a row-wise apply would crawl
+    import numpy as np
+
+    key = (old_partials["tile_y"].to_numpy(dtype=np.int64) << 32) \
+        | old_partials["tile_x"].to_numpy(dtype=np.int64)
+    drop_keys = np.array([(ty << 32) | tx for ty, tx in dropped],
+                         dtype=np.int64)
+    keep = old_partials[~np.isin(key, drop_keys)]
     fresh = []
     for ty, tx in sorted(changed):
         fresh.append(zonal_partials_ds(
