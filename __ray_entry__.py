@@ -418,6 +418,40 @@ def _spatial_admin_summary(sf_dir: str):
     return got
 
 
+def _spatial_transcode(sf_dir: str):
+    """PNG format migration of the KG dataset: every tile is decode-
+    verified lossless in the worker; the gate additionally re-reads a
+    written payload through the PNG decoder and compares to the source
+    tile byte-for-byte."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray import model
+    from spatial_aez_ray.functions.png import decode_png
+    from spatial_aez_ray.pipelines import docops
+    from spatial_aez_ray.sources.documents import MediaStore
+
+    out_dir = os.path.join(_TMP, "transcoded")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rep = docops.transcode_media(_world(), "kg", out_dir)
+    if not (rep["n_tiles"][0] > 0
+            and rep["bytes_out"][0] < rep["bytes_in"][0]):
+        raise AssertionError(f"transcode summary off: {rep.to_dict()}")
+    # spot re-read: first tile of the new dataset == the source tile
+    src = MediaStore(_world())
+    dst = MediaStore(out_dir)
+    idx = dst._index_for("kg_png")
+    import pyarrow.parquet as pq
+    t = pq.read_table(idx[0][0])
+    ref_png = t["media_ref"][0].as_py()
+    arr, _ = decode_png(t["payload"][0].as_py())
+    raw_ref = ref_png.replace("kg_png", "kg", 1)
+    raw = src.fetch([raw_ref])[raw_ref]
+    if bytes(arr.tobytes()) != raw:
+        raise AssertionError("transcoded tile != source tile")
+    return rep
+
+
 def _spatial_media_integrity(sf_dir: str):
     """Media integrity scan: the pristine world must scan clean, and a
     copy with one truncated payload must report exactly that doc —
@@ -1084,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_s2_rollup": _spatial_s2_rollup,
         "spatial_diff_worlds": _spatial_diff_worlds,
         "spatial_media_integrity": _spatial_media_integrity,
+        "spatial_transcode": _spatial_transcode,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

@@ -397,3 +397,10 @@ def test_pyramid_rerun_idempotent(tiny_world, tmp_path):
     first = pyr.build_pyramid(tiny_world, "kg", out)
     again = pyr.build_pyramid(tiny_world, "kg", out)
     assert first.equals(again)
+
+
+def test_transcode_media_lossless_and_smaller(tiny_world, tmp_path):
+    from spatial_aez_ray.pipelines import docops as dops
+    rep = dops.transcode_media(tiny_world, "kg", str(tmp_path / "png"))
+    assert int(rep["n_tiles"][0]) > 0
+    assert int(rep["bytes_out"][0]) < int(rep["bytes_in"][0])
