@@ -12,6 +12,18 @@
                        exact cosine only on candidates.
 * ``knn_label_vote`` — k-NN classification of held-out vectors by
                        majority label vote (top-k + mode per query).
+* ``ann_quantized`` / ``ann_quantized_from_table`` — symmetric int8
+                       quantization (4× smaller vectors, exact integer
+                       scores) inline or served from the stored table.
+* ``ann_ivf`` / ``build_ivf_index``+``ann_ivf_query`` — k-means
+                       inverted lists, in-memory or disk-backed
+                       (probed-list-only reads).
+* ``ann_pq``        — product quantization (8-byte codes) + exact
+                       re-rank of the ADC shortlist.
+* ``ann_topk_filtered`` — hybrid metadata-filtered search.
+* ``embedding_gram`` / ``embedding_top_pc`` — exact distributed Gram
+                       matrix + driver-side power iteration (PCA).
+* ``centroid_outliers`` / ``embedding_neardup*`` — grouped vector QA.
 
 Scale notes: brute force is O(N·q·d) flops streamed batch-by-batch —
 the dataset is never materialized, each batch sees one (B×d)·(d×q)

@@ -1,13 +1,19 @@
-"""Temporal operators over the ``events`` stream table: sessionization
-(gap-based windowing) and as-of joins — the windowed/ordered operators
-Ray Data lacks natively, built from groupby().map_groups over
-key-partitioned, time-sorted groups.
+"""Temporal operators over the ``events`` stream table: sessionize,
+as-of + trailing-window range joins, rolling windows, funnel analysis,
+event transitions, debounce (burst filter), cohort retention, CUBE
+grouping sets, hourly OHLC resampling, JSON props extraction, daily
+pivot, stream union — the windowed/ordered operators Ray Data lacks
+natively, built from groupby().map_groups over key-partitioned,
+time-sorted groups (or pure per-batch partials where no ordering is
+needed).
 
 Partitioning assumption (documented per SURVEY.md custom-operator
-rule): both operators shuffle on the entity key (user_id / customer
-key), so each group holds one entity's full ordered history. Skewed
-entities are bounded by per-user event counts (no quadratic work:
-both kernels are O(n log n) sorts + vectorized scans).
+rule): ordered operators shuffle ONCE on a coarse fold of the entity
+key (user_id / customer key), so each partition holds its entities'
+full ordered history; inside a partition everything is vectorized
+(lexsort + boundary masks — no per-entity Python loops, no quadratic
+work). Aggregation-only operators skip the entity shuffle entirely:
+per-batch partial rows into a tiny grouped combine.
 """
 
 from __future__ import annotations
