@@ -418,6 +418,18 @@ def _spatial_admin_summary(sf_dir: str):
     return got
 
 
+def _spatial_focal(sf_dir: str):
+    """Focal (3×3 Sobel) gradient with cross-tile halos; self-verified
+    bit-exact (all-integer) vs the whole-array oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    mine = pyramid.focal_gradient(_world(), "kg")
+    oracle = pyramid.focal_gradient_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("focal gradient != whole-array oracle")
+    return mine
+
+
 def _spatial_transcode(sf_dir: str):
     """PNG format migration of the KG dataset: every tile is decode-
     verified lossless in the worker; the gate additionally re-reads a
@@ -1119,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_diff_worlds": _spatial_diff_worlds,
         "spatial_media_integrity": _spatial_media_integrity,
         "spatial_transcode": _spatial_transcode,
+        "spatial_focal": _spatial_focal,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

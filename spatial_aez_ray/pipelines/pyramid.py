@@ -414,3 +414,154 @@ def export_cog(world_path: str, dataset: str, pyramid_dir: str,
     return {"pages": 1 + len(overviews),
             "base_shape": list(base.shape),
             "bytes": os.path.getsize(tiff_path)}
+
+
+# ---------------------------------------------------------------------------
+# focal gradient — the neighborhood (3×3) raster operator family
+# ---------------------------------------------------------------------------
+
+def sobel_mag_int(padded: np.ndarray) -> np.ndarray:
+    """|gx| + |gy| of the integer Sobel operator over a (+1)-padded
+    array: all-int64 arithmetic, so the distributed tile pass and the
+    sequential whole-array oracle agree exactly. Input (H+2, W+2) ->
+    output (H, W)."""
+    a = padded.astype(np.int64)
+    gx = (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]
+          - a[:-2, :-2] - 2 * a[1:-1, :-2] - a[2:, :-2])
+    gy = (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]
+          - a[:-2, :-2] - 2 * a[:-2, 1:-1] - a[:-2, 2:])
+    return np.abs(gx) + np.abs(gy)
+
+
+def focal_gradient(world_path: str, dataset: str, *,
+                   hole_value: int | None = None,
+                   concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Focal (3×3 neighborhood) Sobel gradient over a dataset's band 1
+    — the raster-algebra family zonal/local/global ops don't cover:
+    every output pixel needs its 8 neighbors, so tiles carry a 1-pixel
+    HALO. The halo rows/cols come from the (up to) 8 neighbor tiles by
+    DERIVED ref — one batched footer-pruned fetch per batch, no
+    shuffle; absent neighbors (ocean holes / world edge) pad with the
+    dataset's hole value (default: its nodata code — what
+    ``full_raster`` gives holes; LC worlds pass ``hole_value=210``,
+    their ocean-water convention), so the whole-array oracle
+    convolution sees identical inputs.
+
+    Returns the per-dataset summary (n_tiles, grad_sum, grad_max) —
+    all integer, bit-equal to the sequential oracle.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    t = grid.tile
+    tiles_y, tiles_x = grid.tiles_y, grid.tiles_x
+    width, height = grid.width, grid.height
+
+    class Focal:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+            return (min(t, height - ty * t), min(t, width - tx * t))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            plans = []
+            want = set()
+            for pid in ids:
+                ty, tx = int(pid) // tiles_x, int(pid) % tiles_x
+                nbrs = {}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < tiles_y and 0 <= nx < tiles_x:
+                            r = model.media_ref(dataset, grid.name,
+                                                ny, nx, 1)
+                            nbrs[(dy, dx)] = (ny, nx, r)
+                            want.add(r)
+                plans.append((ty, tx, nbrs))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            n_out, s_out, m_out = 0, 0, 0
+            for ty, tx, nbrs in plans:
+                me = payloads.get(nbrs[(0, 0)][2])
+                if me is None:
+                    continue   # hole tiles have no gradient rows
+                nr, nc = self._dims(ty, tx)
+                pad = np.full((nr + 2, nc + 2), hole, dtype=np.uint8)
+                for (dy, dx), (ny, nx, r) in nbrs.items():
+                    p = payloads.get(r)
+                    if p is None:
+                        continue
+                    hh, ww = self._dims(ny, nx)
+                    arr = np.frombuffer(p, np.uint8,
+                                        count=hh * ww).reshape(hh, ww)
+                    # the strip of the neighbor facing us
+                    if dy == 0 and dx == 0:
+                        pad[1:1 + nr, 1:1 + nc] = arr
+                    else:
+                        rs = (slice(hh - 1, hh) if dy < 0
+                              else slice(0, 1) if dy > 0
+                              else slice(0, hh))
+                        cs = (slice(ww - 1, ww) if dx < 0
+                              else slice(0, 1) if dx > 0
+                              else slice(0, ww))
+                        sub = arr[rs, cs]
+                        pr = (slice(0, 1) if dy < 0
+                              else slice(nr + 1, nr + 2) if dy > 0
+                              else slice(1, 1 + sub.shape[0]))
+                        pc_ = (slice(0, 1) if dx < 0
+                               else slice(nc + 1, nc + 2) if dx > 0
+                               else slice(1, 1 + sub.shape[1]))
+                        pad[pr, pc_] = sub
+                g = sobel_mag_int(pad)
+                n_out += 1
+                s_out += int(g.sum())
+                m_out = max(m_out, int(g.max()))
+            return pa.table({"n_tiles": pa.array([n_out], pa.int64()),
+                             "grad_sum": pa.array([s_out], pa.int64()),
+                             "grad_max": pa.array([m_out], pa.int64())})
+
+    parts = (ray.data.range(tiles_y * tiles_x)
+             .map_batches(Focal, batch_format="pyarrow", batch_size=8,
+                          concurrency=concurrency)
+             .to_pandas())
+    return pd.DataFrame([{
+        "n_tiles": np.int64(parts["n_tiles"].sum()),
+        "grad_sum": np.int64(parts["grad_sum"].sum()),
+        "grad_max": np.int64(parts["grad_max"].max())}])
+
+
+def focal_gradient_oracle(spec, dataset: str,
+                          hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential oracle: zero-padded whole-array Sobel; per-tile
+    summary restricted to tiles that exist in the world (holes carry
+    no gradient rows in the distributed pass)."""
+    from .. import fixtures, oracle
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    t = grid.tile
+    base = oracle.full_raster(spec, dataset)[0]
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    pad = np.full((grid.height + 2, grid.width + 2), hole,
+                  dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    g = sobel_mag_int(pad)
+    land_idx = fixtures.land_index(spec.seed)
+    n, s, m = 0, 0, 0
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            sub = g[y:y + nr, x:x + nc]
+            n += 1
+            s += int(sub.sum())
+            m = max(m, int(sub.max()))
+    return pd.DataFrame([{"n_tiles": np.int64(n),
+                          "grad_sum": np.int64(s),
+                          "grad_max": np.int64(m)}])

@@ -404,3 +404,11 @@ def test_transcode_media_lossless_and_smaller(tiny_world, tmp_path):
     rep = dops.transcode_media(tiny_world, "kg", str(tmp_path / "png"))
     assert int(rep["n_tiles"][0]) > 0
     assert int(rep["bytes_out"][0]) < int(rep["bytes_in"][0])
+
+
+def test_focal_gradient_bit_exact_both_grids(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    for ds, hv in (("kg", None), ("lc", 210)):
+        mine = pyr.focal_gradient(tiny_world, ds, hole_value=hv)
+        odf = pyr.focal_gradient_oracle(SPEC, ds, hole_value=hv)
+        assert mine.equals(odf), ds
