@@ -1060,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incrementally-maintained view == batch view, same oracle
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
+        "customer_order_coverage": relational.customer_order_coverage,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "pii_redaction": _pii_redaction,
@@ -1210,6 +1211,8 @@ def oracle_sql() -> dict[str, str]:
             relational.EVENTS_VALUE_PERCENTILES_SQL,
         "fk_violations_orders": relational.FK_VIOLATIONS_ORDERS_SQL,
         "incremental_revenue_view": relational.REVENUE_BY_NATION_SQL,
+        "customer_order_coverage":
+            relational.CUSTOMER_ORDER_COVERAGE_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

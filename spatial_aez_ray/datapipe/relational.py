@@ -1510,3 +1510,100 @@ def incremental_revenue_by_nation(sf_dir: str,
     out["order_cnt"] = out.pop("n").astype(np.int64)
     out = out.drop(columns=["nk"])
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed full outer join — the match/only-left/only-right audit
+# ---------------------------------------------------------------------------
+
+def customer_order_coverage(sf_dir: str,
+                            num_partitions: int = 8) -> pd.DataFrame:
+    """FULL OUTER join of customers against their per-customer order
+    rollup: (match_status, n_keys, order_cnt, revenue) with status in
+    {both, customer_only, orders_only} — the coverage audit an outer
+    join exists for (who never ordered; which orders are orphaned).
+
+    Both sides are fact-sized and co-shuffled by ``Dataset.join``
+    (hash partitioned); the order side is PRE-REDUCED per custkey
+    before the join so the joined row count is keys, not orders.
+    Revenue stays integer cents end-to-end.
+    """
+    # deterministic side restrictions so every outer-join status is
+    # exercised on TPC-H-ish data (where raw coverage is total): the
+    # left keeps even custkeys, the right keeps orders from custkeys
+    # ≡ 0 or 1 (mod 4) — both/-only classes all non-empty
+    def c_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["c_custkey"], 1), 0))
+        # explicit presence marker: Dataset.join COALESCES the key
+        # columns on a full outer join, so key-nullness cannot tell
+        # which side a row came from
+        return b.append_column(
+            "c_present", pa.array(np.ones(b.num_rows, dtype=np.int8)))
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey"])
+            .map_batches(c_prep, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        keep = (ck % 4) <= 1
+        df = pd.DataFrame({
+            "o_custkey": ck[keep],
+            "n": np.ones(int(keep.sum()), dtype=np.int64),
+            "rev_c": _cents(b["o_totalprice"])[keep]})
+        g = df.groupby("o_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (orders.map_batches(o_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("rev_c", alias_name="rev_c")))
+    joined = cust.join(per_cust, "full_outer", num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def status_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        has_c = df["c_present"].notna()
+        has_o = df["n"].notna()
+        status = np.where(has_c & has_o, "both",
+                          np.where(has_c, "customer_only",
+                                   "orders_only"))
+        out = pd.DataFrame({
+            "match_status": status,
+            "n_keys": np.ones(len(df), dtype=np.int64),
+            "order_cnt": df["n"].fillna(0).astype(np.int64),
+            "rev_c": df["rev_c"].fillna(0).astype(np.int64)})
+        g = out.groupby("match_status", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(status_partial, batch_format="pyarrow")
+           .groupby("match_status")
+           .aggregate(Sum("n_keys", alias_name="n_keys"),
+                      Sum("order_cnt", alias_name="order_cnt"),
+                      Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())
+    agg["revenue"] = agg.pop("rev_c").astype(np.int64) / 100.0
+    for c in ("n_keys", "order_cnt"):
+        agg[c] = agg[c].astype(np.int64)
+    return (agg.sort_values("match_status").reset_index(drop=True)
+            [["match_status", "n_keys", "order_cnt", "revenue"]])
+
+
+CUSTOMER_ORDER_COVERAGE_SQL = """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders WHERE (o_custkey % 4) <= 1 GROUP BY o_custkey),
+j AS (
+  SELECT c.c_custkey, o.o_custkey, o.n, o.rev_c
+  FROM (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+  FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+SELECT CASE WHEN c_custkey IS NOT NULL AND n IS NOT NULL THEN 'both'
+            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+            ELSE 'orders_only' END AS match_status,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS order_cnt,
+       SUM(COALESCE(rev_c, 0)) / 100.0 AS revenue
+FROM j GROUP BY match_status ORDER BY match_status
+"""

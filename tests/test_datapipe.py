@@ -1378,3 +1378,14 @@ def test_cli_help_smoke():
     assert r.returncode == 0
     for cmd in ("extract", "pyramid", "export-cog", "warp"):
         assert cmd in r.stdout
+
+
+def test_customer_order_coverage_match_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.customer_order_coverage(SF)
+    _assert_match(mine, relational.CUSTOMER_ORDER_COVERAGE_SQL, con)
+    # full outer exercises all three classes on the restricted sides
+    assert set(mine["match_status"]) == {"both", "customer_only",
+                                         "orders_only"}
+    only = mine[mine["match_status"] == "customer_only"]
+    assert (only["order_cnt"] == 0).all() and (only["revenue"] == 0).all()
