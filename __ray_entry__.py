@@ -1061,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
         "customer_order_coverage": relational.customer_order_coverage,
+        # incrementally-merged sketch == one-shot sketch, same oracle
+        "incremental_hll": sketch.incremental_hll_registers,
         "compact_parts": _compact_parts,
         "snapshot_diff": _snapshot_diff,
         "pii_redaction": _pii_redaction,
@@ -1213,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_revenue_view": relational.REVENUE_BY_NATION_SQL,
         "customer_order_coverage":
             relational.CUSTOMER_ORDER_COVERAGE_SQL,
+        "incremental_hll": sketch.HLL_USER_REGISTERS_SQL,
         "decontaminate_stats": corpus.DECONTAMINATE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "source_quality_report": text.SOURCE_QUALITY_REPORT_SQL,

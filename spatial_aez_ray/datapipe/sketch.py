@@ -175,7 +175,13 @@ def hll_user_registers(sf_dir: str) -> pd.DataFrame:
     itself is integer-exact vs the DuckDB oracle.
     """
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return _hll_register_table(ds)
 
+
+def _hll_register_table(ds) -> pd.DataFrame:
+    """Shared register-table pipeline over any (event_type, user_id)
+    Dataset — the one-shot sketch and the incremental chunk deltas run
+    the identical code path."""
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_pylist(),
@@ -358,3 +364,38 @@ SELECT sketch_row, bucket, cnt FROM cells ORDER BY sketch_row, bucket
 
 
 CMS_TOKEN_COUNTERS_SQL = _cms_sql()
+
+
+def incremental_hll_registers(sf_dir: str,
+                              n_chunks: int = 4) -> pd.DataFrame:
+    """The HLL register table maintained INCREMENTALLY across
+    ``n_chunks`` simulated arrival batches (event_id hash split): each
+    arrival sketches ONLY its chunk and MAX-merges into the stored
+    register table — the non-additive complement to the additive
+    incremental view (revenue): sketches make "merge the new data in"
+    exact for distinct-count state too. The final table is identical
+    to the one-shot sketch, which is exactly what the shared SQL
+    oracle verifies."""
+    view: pd.DataFrame | None = None
+    for chunk in range(n_chunks):
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "user_id"])
+
+        def pick(b: pa.Table, chunk=chunk) -> pa.Table:
+            keys = np.asarray(
+                b["event_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            return b.filter(pa.array(keys % n_chunks == chunk))
+
+        delta = _hll_register_table(
+            ds.map_batches(pick, batch_format="pyarrow"))
+        if view is None:
+            view = delta
+        else:
+            view = (pd.concat([view, delta], ignore_index=True)
+                    .groupby(["event_type", "register"], as_index=False)
+                    ["max_rho"].max())
+    view["register"] = view["register"].astype(np.int64)
+    view["max_rho"] = view["max_rho"].astype(np.int64)
+    return (view.sort_values(["event_type", "register"])
+            .reset_index(drop=True))

@@ -1389,3 +1389,10 @@ def test_customer_order_coverage_match_sql(con, ray_session):
                                          "orders_only"}
     only = mine[mine["match_status"] == "customer_only"]
     assert (only["order_cnt"] == 0).all() and (only["revenue"] == 0).all()
+
+
+def test_incremental_hll_equals_batch(con, ray_session):
+    from spatial_aez_ray.datapipe import sketch
+    inc = sketch.incremental_hll_registers(SF)
+    assert inc.equals(sketch.hll_user_registers(SF))
+    _assert_match(inc, sketch.HLL_USER_REGISTERS_SQL, con)
