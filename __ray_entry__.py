@@ -881,6 +881,41 @@ def _snapshot_diff(sf_dir: str):
                           "n_added": 1, "n_removed": 1}])
 
 
+def _ann_ivf_maintenance(sf_dir: str):
+    """Persistent-index maintenance: an index UPSERTED from an 80/20
+    split under a shared quantizer must answer identically to one
+    built whole; a tombstoned id must never be returned — both
+    asserted in-query. Returns the post-delete top-k."""
+    import shutil
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from spatial_aez_ray.datapipe import simsearch
+
+    full_idx = os.path.join(_TMP, "ivf_full")
+    up_idx = os.path.join(_TMP, "ivf_up")
+    for d in (full_idx, up_idx):
+        shutil.rmtree(d, ignore_errors=True)
+    simsearch.build_ivf_index(sf_dir, full_idx, n_lists=32)
+    os.makedirs(up_idx)
+    shutil.copy(os.path.join(full_idx, "_CENTROIDS.parquet"),
+                os.path.join(up_idx, "_CENTROIDS.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    n_head = (t.num_rows * 4) // 5
+    simsearch.ivf_upsert(up_idx, ray.data.from_arrow(t.slice(0, n_head)))
+    simsearch.ivf_upsert(up_idx, ray.data.from_arrow(t.slice(n_head)))
+    want = simsearch.ann_ivf_query(full_idx, sf_dir, n_probe=4)
+    got = simsearch.ann_ivf_query(up_idx, sf_dir, n_probe=4)
+    if not got.equals(want):
+        raise AssertionError("upserted index != whole-built index")
+    victim = int(want["neighbor_id"].iloc[0])
+    simsearch.ivf_delete(up_idx, np.array([victim]))
+    after = simsearch.ann_ivf_query(up_idx, sf_dir, n_probe=4)
+    if victim in set(after["neighbor_id"]):
+        raise AssertionError("tombstoned id returned by query")
+    return after
+
+
 def _ann_quantized_table(sf_dir: str):
     """Write the int8 table, serve ANN from it, and require equality
     with the on-the-fly quantized path in-query; the SAME SQL oracle
@@ -1105,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persistent": _ann_ivf_persistent,
         "ann_pq": _ann_pq,
         "ann_quantized_table": _ann_quantized_table,
+        "ann_ivf_maintenance": _ann_ivf_maintenance,
         "embed_documents": multimodal.embed_documents,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal

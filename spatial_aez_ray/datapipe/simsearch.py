@@ -1071,6 +1071,14 @@ def ann_ivf_query(index_dir: str, sf_dir: str, *, n_queries: int = 4,
              if f.endswith(".parquet")]
     q_ref = ray.put((q_ids, q, (cent, q_lists)))
     ds = ray.data.read_parquet(files)
+    tomb = _load_tombstones(index_dir)
+    if len(tomb):
+        def drop(b: pa.Table, tomb=tomb) -> pa.Table:
+            ids = np.asarray(
+                b["vec_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            return b.filter(pa.array(~np.isin(ids, tomb)))
+        ds = ds.map_batches(drop, batch_format="pyarrow")
     partials = ds.map_batches(
         _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
@@ -1359,3 +1367,83 @@ def ann_quantized_from_table(qtable_dir: str, sf_dir: str, *,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# persistent-IVF maintenance — upsert + tombstone delete, no rebuild
+# ---------------------------------------------------------------------------
+
+def ivf_upsert(index_dir: str, new_vecs: "ray.data.Dataset") -> int:
+    """Append new vectors to the persistent IVF index WITHOUT a
+    rebuild: each batch assigns against the sidecar centroids (read
+    once per actor) and appends one part file per touched list dir —
+    the atomic-part contract, so concurrent queries see either the old
+    or the new complete parts. Because assignment is deterministic
+    given the frozen quantizer, an upserted index answers queries
+    IDENTICALLY to one rebuilt from the union. Returns rows added."""
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cdf = pd.read_parquet(os.path.join(index_dir, "_CENTROIDS.parquet"))
+    n_lists = int(cdf["list_id"].max()) + 1
+    dim = int(cdf["dim"].max()) + 1
+    cent = np.zeros((n_lists, dim))
+    cent[cdf["list_id"], cdf["dim"]] = cdf["val"]
+    cent_ref = ray.put(cent)
+
+    class Append:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _emb_matrix(b)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            mn = m / np.where(norms == 0, 1.0, norms)
+            lists = np.argmax(mn @ self.cent.T, axis=1)
+            n = 0
+            for lv in np.unique(lists):
+                sel = lists == lv
+                sub = b.filter(pa.array(sel))
+                d = os.path.join(index_dir, f"list_id={int(lv)}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(
+                    d, f"upsert-{uuid.uuid4().hex[:12]}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, final)
+                n += sub.num_rows
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = new_vecs.map_batches(Append, batch_format="pyarrow",
+                                 concurrency=(1, 4)).to_pandas()
+    return int(parts["n"].sum())
+
+
+def ivf_delete(index_dir: str, vec_ids: "np.ndarray") -> None:
+    """Tombstone vectors: record ids in ``_TOMBSTONES.parquet``
+    (append-merge). Queries exclude tombstoned ids with one broadcast
+    ``np.isin`` per batch — deletion is O(delete set), the physical
+    purge happens at the next compaction, the LSM discipline."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "_TOMBSTONES.parquet")
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    if os.path.exists(path):
+        old = pq.read_table(path)["vec_id"].to_numpy(
+            zero_copy_only=False)
+        ids = np.union1d(ids, old)
+    pq.write_table(pa.table({"vec_id": pa.array(np.sort(ids))}),
+                   path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+def _load_tombstones(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "_TOMBSTONES.parquet")
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(pq.read_table(path)["vec_id"].to_numpy(
+        zero_copy_only=False), dtype=np.int64)

@@ -1396,3 +1396,49 @@ def test_incremental_hll_equals_batch(con, ray_session):
     inc = sketch.incremental_hll_registers(SF)
     assert inc.equals(sketch.hll_user_registers(SF))
     _assert_match(inc, sketch.HLL_USER_REGISTERS_SQL, con)
+
+
+def test_ivf_upsert_and_delete_maintenance(ray_session, tmp_path):
+    """Index maintenance without rebuild: an index built on 80% of the
+    vectors then UPSERTED with the rest answers identically to an
+    index built on 100%; tombstoned ids never come back."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from spatial_aez_ray.datapipe import simsearch
+
+    full_idx = str(tmp_path / "full")
+    part_idx = str(tmp_path / "part")
+    simsearch.build_ivf_index(SF, full_idx, n_lists=32)
+    # partial world: first 400 vectors only (deterministic split)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    head, tail = t.slice(0, 400), t.slice(400)
+    part_sf = str(tmp_path / "sf")
+    import os as _os
+    _os.makedirs(part_sf)
+    pq.write_table(head, f"{part_sf}/embeddings.parquet")
+    simsearch.build_ivf_index(part_sf, part_idx, n_lists=32)
+    # NOTE: quantizer trains on a 2048-head sample — identical for
+    # both indexes here (400 >= all sampled rows? no: sample is
+    # min(2048, n)); rebuild part quantizer differs, so overwrite the
+    # sidecar with the full index's centroids and re-assign by upsert
+    import shutil
+    shutil.copy(f"{full_idx}/_CENTROIDS.parquet",
+                f"{part_idx}/_CENTROIDS.parquet")
+    # rebuild the partial lists under the SHARED quantizer: wipe and
+    # upsert all 400 head vectors, then upsert the 100 tail vectors
+    for d in list(_os.listdir(part_idx)):
+        if d.startswith("list_id="):
+            shutil.rmtree(_os.path.join(part_idx, d))
+    n1 = simsearch.ivf_upsert(part_idx, ray.data.from_arrow(head))
+    n2 = simsearch.ivf_upsert(part_idx, ray.data.from_arrow(tail))
+    assert n1 == 400 and n2 == 100
+    got = simsearch.ann_ivf_query(part_idx, SF, n_probe=4)
+    want = simsearch.ann_ivf_query(full_idx, SF, n_probe=4)
+    assert got.equals(want)
+    # tombstone the current top neighbor of query 0 — it must vanish
+    victim = int(want[want["query_id"] == want["query_id"].min()]
+                 ["neighbor_id"].iloc[0])
+    simsearch.ivf_delete(part_idx, np.array([victim]))
+    after = simsearch.ann_ivf_query(part_idx, SF, n_probe=4)
+    assert victim not in set(after["neighbor_id"])
