@@ -1447,3 +1447,43 @@ def _load_tombstones(index_dir: str) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     return np.asarray(pq.read_table(path)["vec_id"].to_numpy(
         zero_copy_only=False), dtype=np.int64)
+
+
+def ivf_compact(index_dir: str) -> dict:
+    """Physical purge: rewrite each list directory without tombstoned
+    rows (one compacted part per list, atomic swap) and clear the
+    tombstone file — the compaction ``ivf_delete`` defers to. Queries
+    before/after return identical results (tombstones were already
+    excluded logically). Returns rows kept/purged."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tomb = _load_tombstones(index_dir)
+    kept = purged = 0
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith("list_id="):
+            continue
+        full = os.path.join(index_dir, d)
+        files = [os.path.join(full, f) for f in sorted(os.listdir(full))
+                 if f.endswith(".parquet")]
+        if not files:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        if len(tomb):
+            ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            keep = ~np.isin(ids, tomb)
+            purged += int((~keep).sum())
+            t = t.filter(pa.array(keep))
+        kept += t.num_rows
+        final = os.path.join(full,
+                             f"compact-{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(t, final + ".tmp")
+        os.replace(final + ".tmp", final)
+        for f in files:
+            os.remove(f)
+    tpath = os.path.join(index_dir, "_TOMBSTONES.parquet")
+    if os.path.exists(tpath):
+        os.remove(tpath)
+    return {"rows_kept": kept, "rows_purged": purged}

@@ -1442,3 +1442,21 @@ def test_ivf_upsert_and_delete_maintenance(ray_session, tmp_path):
     simsearch.ivf_delete(part_idx, np.array([victim]))
     after = simsearch.ann_ivf_query(part_idx, SF, n_probe=4)
     assert victim not in set(after["neighbor_id"])
+
+
+def test_ivf_compact_purges_tombstones(ray_session, tmp_path):
+    import numpy as np
+    import os as _os
+    from spatial_aez_ray.datapipe import simsearch
+    idx = str(tmp_path / "ivf")
+    simsearch.build_ivf_index(SF, idx, n_lists=32)
+    before = simsearch.ann_ivf_query(idx, SF, n_probe=4)
+    victim = int(before["neighbor_id"].iloc[0])
+    simsearch.ivf_delete(idx, np.array([victim]))
+    logical = simsearch.ann_ivf_query(idx, SF, n_probe=4)
+    rep = simsearch.ivf_compact(idx)
+    assert rep["rows_purged"] == 1 and rep["rows_kept"] == 499
+    assert not _os.path.exists(f"{idx}/_TOMBSTONES.parquet")
+    physical = simsearch.ann_ivf_query(idx, SF, n_probe=4)
+    assert physical.equals(logical)
+    assert victim not in set(physical["neighbor_id"])
