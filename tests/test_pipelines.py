@@ -412,3 +412,24 @@ def test_focal_gradient_bit_exact_both_grids(tiny_world):
         mine = pyr.focal_gradient(tiny_world, ds, hole_value=hv)
         odf = pyr.focal_gradient_oracle(SPEC, ds, hole_value=hv)
         assert mine.equals(odf), ds
+
+
+def test_derived_ref_kernels_deterministic_across_runs(tiny_world,
+                                                       tmp_path):
+    """Two independent runs of the derived-ref kernels produce
+    IDENTICAL summaries (goldens and incremental maintenance rely on
+    payload determinism under arbitrary scheduling)."""
+    from spatial_aez_ray.pipelines import downsample as dsm
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    from spatial_aez_ray.pipelines import warp as wp
+    a = pyr.build_pyramid(tiny_world, "kg", str(tmp_path / "p1"))
+    b = pyr.build_pyramid(tiny_world, "kg", str(tmp_path / "p2"))
+    assert a.equals(b)
+    a = wp.warp_to_mercator(tiny_world, "kg", str(tmp_path / "w1"))
+    b = wp.warp_to_mercator(tiny_world, "kg", str(tmp_path / "w2"))
+    assert a.equals(b)
+    a = dsm.equalize_tiles(tiny_world, "kg", str(tmp_path / "e1"))
+    b = dsm.equalize_tiles(tiny_world, "kg", str(tmp_path / "e2"))
+    assert a.equals(b)
+    assert pyr.focal_gradient(tiny_world, "kg").equals(
+        pyr.focal_gradient(tiny_world, "kg"))
