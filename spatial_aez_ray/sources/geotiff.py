@@ -65,15 +65,38 @@ _COMPRESS_NAMES = {"none": _C_NONE, "deflate": _C_DEFLATE,
                    "zstd": _C_ZSTD}
 
 
-def _zstd_ctx(decompress: bool):
-    try:
+def _zstd_decompress(raw: bytes, expected: int) -> bytes:
+    """ZSTD tile decode chain: `zstandard` if installed, else pyarrow's
+    bundled zstd (needs the exact decompressed size, which TIFF gives us),
+    else the from-scratch RFC 8878 decoder in ``functions/zstd.py``.
+    All three are bit-equivalent (fuzz-verified in tests/test_zstd.py)."""
+    try:  # pragma: no cover - lib absent in sandbox
         import zstandard
-    except ImportError as e:  # pragma: no cover - lib absent in sandbox
-        raise ValueError(
-            "ZSTD-compressed TIFF (compression 50000) needs the "
-            "'zstandard' package, which is not installed") from e
-    return (zstandard.ZstdDecompressor() if decompress
-            else zstandard.ZstdCompressor())
+        return zstandard.ZstdDecompressor().decompress(
+            raw, max_output_size=expected)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as _pa
+        return bytes(_pa.Codec("zstd").decompress(
+            raw, decompressed_size=expected))
+    except Exception:
+        from spatial_aez_ray.functions import zstd as _pyzstd
+        return _pyzstd.decompress(raw, max_output_size=expected)
+
+
+def _zstd_compress(raw: bytes) -> bytes:
+    try:  # pragma: no cover - lib absent in sandbox
+        import zstandard
+        return zstandard.ZstdCompressor().compress(raw)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as _pa
+        return bytes(_pa.Codec("zstd").compress(raw))
+    except Exception:
+        from spatial_aez_ray.functions import zstd as _pyzstd
+        return _pyzstd.compress(raw)
 
 
 def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
@@ -81,8 +104,8 @@ def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
         return raw
     if compression in (_C_DEFLATE, _C_DEFLATE_OLD):
         return zlib.decompress(raw)
-    if compression == _C_ZSTD:  # pragma: no cover - needs zstandard
-        return _zstd_ctx(True).decompress(raw, max_output_size=expected)
+    if compression == _C_ZSTD:
+        return _zstd_decompress(raw, expected)
     raise ValueError(f"unsupported TIFF compression code {compression}")
 
 
@@ -91,8 +114,8 @@ def _compress(raw: bytes, compression: int) -> bytes:
         return raw
     if compression == _C_DEFLATE:
         return zlib.compress(raw, 6)
-    if compression == _C_ZSTD:  # pragma: no cover - needs zstandard
-        return _zstd_ctx(False).compress(raw)
+    if compression == _C_ZSTD:
+        return _zstd_compress(raw)
     raise ValueError(f"unsupported TIFF compression code {compression}")
 
 

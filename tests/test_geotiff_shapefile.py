@@ -320,12 +320,11 @@ def test_reader_parses_real_gdal_mask_structure():
     r.close()
 
 
-@pytest.mark.skipif(
-    __import__("importlib").util.find_spec("zstandard") is None,
-    reason="zstandard not installed in this sandbox")
-def test_tiff_zstd_roundtrip(tmp_path):  # pragma: no cover - needs lib
+def test_tiff_zstd_roundtrip(tmp_path):
     """ZSTD (code 50000) round trip — the reference masks' codec
-    (prepare_feature_masks.py:44). Runs wherever zstandard exists."""
+    (prepare_feature_masks.py:44). Runs everywhere now: the codec chain is
+    zstandard -> pyarrow's bundled zstd -> the from-scratch RFC 8878
+    decoder (functions/zstd.py)."""
     rng = np.random.RandomState(9)
     arr = rng.randint(0, 2, size=(64, 80), dtype=np.uint8)
     p = str(tmp_path / "z.tif")
