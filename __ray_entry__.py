@@ -1032,6 +1032,18 @@ def _spatial_checkpoint_resume(sf_dir: str):
     return df.reset_index()
 
 
+def _spatial_real_mask_areas(sf_dir: str):
+    """Real-reference-data parity leg: per-country km2 summed over the
+    255 real GDAL-written ZSTD 1 km feature masks, checked against the
+    CIA World Factbook area table with the reference's own tolerance
+    bands (test_extract_country_data.py:15-50).  The only gate whose
+    input is real data with an independent published oracle; skipped
+    gracefully when the reference masks are not present."""
+    from spatial_aez_ray.pipelines import realmask
+    df = realmask.real_mask_areas()
+    return realmask.check_real_mask_areas(df)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
         corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
@@ -1182,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_s2_cells": _spatial_s2_cells,
         "spatial_s2_partition": _spatial_s2_partition,
         "spatial_geotiff_import": _spatial_geotiff_import,
+        "spatial_real_mask_areas": _spatial_real_mask_areas,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }

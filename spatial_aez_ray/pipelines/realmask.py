@@ -1,0 +1,204 @@
+"""Real-reference-data parity leg: per-country area over the REAL masks.
+
+The reference ships 255 real GDAL-written 1 km feature masks
+(``masks/{SOV_A3}_{feature_idx}_1km_mask._tif``, written by
+``prepare_feature_masks.py:73-76`` with COMPRESS=ZSTD TILED=YES NBITS=1
+SPARSE_OK=TRUE on the global 43200x21600 grid).  Its own independent
+correctness oracle is the CIA World Factbook area table with tolerance
+bands (``test_extract_country_data.py:15-50`` + the table at 304-562).
+
+This pipeline reproduces that check against OUR from-scratch stack:
+filename -> Natural Earth .dbf ADMIN (sources.shapefile, UTF-8) ->
+admin_normalize -> ZSTD tile decode (sources.geotiff codec chain) ->
+M1 per-row km2 kernel (geo.km2_rows) -> per-country sum -> CIA band.
+It is the only correctness axis that involves no synthetic data and no
+DuckDB: real rasters, an independent published oracle.
+
+Ray Data shape (scale notes):
+- one input row per mask file; a task-pool ``map_batches`` expands each
+  file to its non-sparse tiles with zero data I/O (offset-table scan);
+- an actor-pool ``map_batches`` decodes tiles and reduces each to ONE
+  partial (admin, ty, tx, km2) row -- the shuffled volume is ~16 B/tile
+  regardless of raster size, the same partials-before-shuffle design as
+  stages/zonal.py;
+- the tiny partial set is combined deterministically in sorted
+  (admin, ty, tx) order (numpy pairwise sums), so results are bit-stable
+  across runs and executor schedules.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..admin_normalize import normalize
+from ..cia_areas import EXPECTED_AREA_KM2
+from ..geo import GridSpec, km2_rows
+from ..sources.geotiff import GeoTiffReader
+from ..sources.shapefile import read_dbf
+
+REFERENCE_MASKS_DIR = "/root/reference/masks"
+REFERENCE_DBF = ("/root/reference/data/ne_10m_admin_0_countries/"
+                 "ne_10m_admin_0_countries.dbf")
+
+# the masks' global grid (verified identical across all 255 files)
+MASK_GRID = GridSpec("mask1km", 43200, 21600, 256)
+
+
+def mask_inventory(masks_dir: str = REFERENCE_MASKS_DIR,
+                   dbf_path: str = REFERENCE_DBF,
+                   resolution: str = "1km") -> list[dict]:
+    """One item per mask file: path + normalized country name.
+
+    Names follow prepare_feature_masks.py:75: ``{SOV_A3}_{idx}_{res}``
+    where idx is the feature's position in the Natural Earth layer; the
+    country is that feature's ADMIN attribute run through the reference's
+    admin translation (None-mapped admins are dropped, exactly like
+    extract_country_data.py:223-225 drops them from the CSVs)."""
+    recs = read_dbf(dbf_path, encoding="utf-8")
+    pat = re.compile(r"(.+)_(\d+)_" + re.escape(resolution) + r"_mask\._tif$")
+    items = []
+    for path in sorted(glob.glob(os.path.join(
+            masks_dir, f"*_{resolution}_mask._tif"))):
+        m = pat.match(os.path.basename(path))
+        if not m:
+            continue
+        idx = int(m.group(2))
+        admin = normalize(recs[idx]["ADMIN"])
+        if admin is None:
+            continue
+        items.append({"path": path, "feature_idx": idx, "admin": admin})
+    return items
+
+
+class _IndexTiles:
+    """File row -> one row per non-sparse tile (offset-table scan only)."""
+
+    def __call__(self, batch: dict) -> dict:
+        paths, admins, tys, txs = [], [], [], []
+        for path, admin in zip(batch["path"], batch["admin"]):
+            path = str(path)
+            r = GeoTiffReader(path)
+            try:
+                if (r.width, r.height) != (MASK_GRID.width, MASK_GRID.height):
+                    raise ValueError(
+                        f"{path}: unexpected grid {r.width}x{r.height}")
+                tiles = r.nonsparse_tiles()
+            finally:
+                r.close()
+            n = len(tiles)
+            paths.extend([path] * n)
+            admins.extend([str(admin)] * n)
+            tys.extend(tiles[:, 0].tolist())
+            txs.extend(tiles[:, 1].tolist())
+        return {"path": np.array(paths, dtype=object),
+                "admin": np.array(admins, dtype=object),
+                "ty": np.array(tys, dtype=np.int32),
+                "tx": np.array(txs, dtype=np.int32)}
+
+
+class _TileArea:
+    """Decode each tile and reduce it to one (admin, ty, tx, km2) partial.
+
+    Stateful actor: an open-reader cache (files are revisited across
+    batches) and a per-row-band km2 vector cache (tiles in the same tile
+    row share it).  Decode runs through the geotiff ZSTD codec chain."""
+
+    _MAX_OPEN = 16
+
+    def __init__(self):
+        self._readers: dict[str, GeoTiffReader] = {}
+        self._km2: dict[tuple[int, int], np.ndarray] = {}
+
+    def _reader(self, path: str) -> GeoTiffReader:
+        r = self._readers.get(path)
+        if r is None:
+            if len(self._readers) >= self._MAX_OPEN:
+                _, old = self._readers.popitem()
+                old.close()
+            r = GeoTiffReader(path)
+            self._readers[path] = r
+        return r
+
+    def _km2_rows(self, y_off: int, nrows: int) -> np.ndarray:
+        key = (y_off, nrows)
+        v = self._km2.get(key)
+        if v is None:
+            v = km2_rows(nrows, y_off, MASK_GRID)
+            self._km2[key] = v
+        return v
+
+    def __call__(self, batch: dict) -> dict:
+        paths = batch["path"]
+        tys = batch["ty"]
+        txs = batch["tx"]
+        out = np.empty(len(paths), dtype=np.float64)
+        for i in range(len(paths)):
+            r = self._reader(str(paths[i]))
+            ty = int(tys[i])
+            arr = r.read_tile(ty, int(txs[i]))
+            counts = arr.sum(axis=1, dtype=np.int64).astype(np.float64)
+            out[i] = float(counts @ self._km2_rows(ty * MASK_GRID.tile,
+                                                   arr.shape[0]))
+        return {"admin": batch["admin"], "ty": tys, "tx": txs, "km2": out}
+
+
+def real_mask_areas(masks_dir: str = REFERENCE_MASKS_DIR,
+                    dbf_path: str = REFERENCE_DBF,
+                    resolution: str = "1km") -> pd.DataFrame:
+    """Per-country km2 over the real masks, with the CIA band verdicts.
+
+    Columns: country, area_km2, expected_km2 (CIA; -1 when the table has
+    no entry), ratio, checked (band applies), in_band."""
+    items = mask_inventory(masks_dir, dbf_path, resolution)
+    if not items:
+        raise FileNotFoundError(f"no {resolution} masks under {masks_dir}")
+    ds = (ray.data.from_items(items)
+          .map_batches(_IndexTiles, batch_size=8, concurrency=(1, 8))
+          .map_batches(_TileArea, concurrency=(1, 8), batch_size=256,
+                       batch_format="numpy"))
+    part = ds.to_pandas()  # ~1 partial row per stored tile: tiny
+    # deterministic combine: numpy pairwise sums in sorted partial order
+    part = part.sort_values(["admin", "ty", "tx"], kind="mergesort")
+    rows = []
+    for admin, grp in part.groupby("admin", sort=True):
+        area = float(np.sum(grp["km2"].to_numpy()))
+        exp = EXPECTED_AREA_KM2.get(admin.upper())
+        checked = admin != "Antarctica" and exp is not None \
+            and not (exp < 5000 and area < 5000)
+        if exp is None:
+            ratio, in_band = float("nan"), False
+        else:
+            ratio = area / exp
+            if exp < 35000 and area < 35000:
+                in_band = exp * 0.45 < area < exp * 1.20
+            else:
+                in_band = exp * 0.76 < area < exp * 1.07
+        rows.append({"country": admin, "area_km2": area,
+                     "expected_km2": float(exp if exp is not None else -1),
+                     "ratio": float(ratio), "checked": bool(checked),
+                     "in_band": bool(in_band)})
+    return pd.DataFrame(rows)
+
+
+def check_real_mask_areas(df: pd.DataFrame) -> pd.DataFrame:
+    """Assert the reference's tolerance rule over every checked country
+    (test_extract_country_data.py:15-50); returns df unchanged."""
+    checked = df[df["checked"]]
+    if len(checked) < 100:
+        raise AssertionError(
+            f"only {len(checked)} countries under the CIA band check")
+    bad = checked[~checked["in_band"]]
+    if len(bad):
+        raise AssertionError(
+            "real-mask areas outside the CIA tolerance bands:\n"
+            + bad.to_string(index=False))
+    missing = df[df["expected_km2"] < 0]
+    if len(missing):
+        raise AssertionError(
+            "countries with no CIA table entry:\n" + missing.to_string())
+    return df

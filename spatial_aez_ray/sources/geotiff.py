@@ -466,6 +466,17 @@ class GeoTiffReader:
         i = ty * self.tiles_across + tx
         return self._offsets[i] == 0 or self._counts[i] == 0
 
+    def nonsparse_tiles(self) -> np.ndarray:
+        """(n, 2) int array of (ty, tx) for every tile that has stored
+        data — a zero-I/O sparse scan over the offset/count arrays."""
+        if not self.tiled:
+            raise ValueError("nonsparse_tiles needs a tiled TIFF")
+        off = np.asarray(self._offsets, dtype=np.int64)
+        cnt = np.asarray(self._counts, dtype=np.int64)
+        idx = np.nonzero((off != 0) & (cnt != 0))[0]
+        return np.stack([idx // self.tiles_across,
+                         idx % self.tiles_across], axis=1)
+
     def read_tile(self, ty: int, tx: int) -> np.ndarray:
         """Decode one tile, cropped to the raster bounds (edge tiles
         are stored padded; the pad is stripped here)."""

@@ -1,0 +1,46 @@
+"""Real-reference-data parity: per-country areas over the real ZSTD
+masks vs the CIA World Factbook tolerance bands (the reference's own
+independent oracle, test_extract_country_data.py:15-50)."""
+import os
+
+import numpy as np
+import pytest
+
+from spatial_aez_ray.pipelines import realmask
+
+HAVE_MASKS = os.path.isdir(realmask.REFERENCE_MASKS_DIR) and \
+    os.path.exists(realmask.REFERENCE_DBF)
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_MASKS, reason="reference masks/shapefile not present")
+
+
+def test_mask_inventory():
+    items = realmask.mask_inventory()
+    # 255 Natural Earth features; the reference's admin translation
+    # drops the None-mapped territories (admin_names.py adminmap)
+    assert 230 <= len(items) <= 255
+    afg = [i for i in items if i["feature_idx"] == 129]
+    assert afg and afg[0]["admin"] == "Afghanistan"
+    assert afg[0]["path"].endswith("AFG_129_1km_mask._tif")
+
+
+def test_real_mask_areas_within_cia_bands(ray_session):
+    df = realmask.real_mask_areas()
+    realmask.check_real_mask_areas(df)  # raises on any out-of-band country
+    assert len(df) >= 200
+    assert int(df["checked"].sum()) >= 150
+    # spot values: Afghanistan's area derives from the 901345-pixel
+    # popcount (independently verified against the C zstd decoder)
+    afg = df[df["country"] == "Afghanistan"].iloc[0]
+    assert afg["expected_km2"] == 652230.0
+    assert 0.95 < afg["ratio"] < 1.02
+    # multi-feature sovereigns fold into one row (adminmap semantics)
+    assert (df["country"] == "United States of America").sum() == 1
+    assert (df["country"] == "France").sum() == 1
+
+
+def test_real_mask_areas_deterministic(ray_session):
+    a = realmask.real_mask_areas()
+    b = realmask.real_mask_areas()
+    assert a.equals(b)  # bit-identical: sorted-partial pairwise combine
