@@ -258,30 +258,74 @@ def export_render_geotiff(render_world: str, product: str, tiff_path: str,
     the reference's color table + geotransform + creation options (the
     S6 classified-raster sink, process_imagery.py:300-395: DEFLATE
     compression, TILED layout, sub-byte NBITS for the small-vocabulary
-    products). Tiles stream in doc_id (row-major) order; at planetary
-    scale the sink would emit one tile run per tile row — here the
-    mosaic is assembled in memory, which covers every sandbox-scale
-    world."""
-    from ..sources.geotiff import write_geotiff
+    products).
+
+    Streaming sink: tile docs are reduced to (y_off, x_off, ref) rows,
+    sorted row-major, and consumed band by band — the writer holds one
+    tile_size-row band buffer plus the offset tables, so driver memory
+    is independent of world height (a planet-scale mosaic streams; the
+    old form materialized the full array). A single-file GeoTIFF is
+    inherently a one-writer sink; sharded alternatives are the COG /
+    S2-partitioned exports."""
+    from ..sources.geotiff import GeoTiffStreamWriter
 
     opts = RENDER_EXPORT_OPTS[product]
-    docs = read_documents(render_world, [product]).take_all()
+
+    def _locate(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for spans in batch["spans"]:
+            meta = model.parse_meta(spans)
+            rows.append((meta["y_off"], meta["x_off"], meta["nrows"],
+                         meta["ncols"], model.media_refs(spans)[0]))
+        return pd.DataFrame(rows, columns=["y_off", "x_off", "nrows",
+                                           "ncols", "ref"])
+
+    ds = (read_documents(render_world, [product])
+          .map_batches(_locate, batch_format="pandas")
+          .sort(["y_off", "x_off"]))
+
     media = MediaStore(render_world)
-    arr = np.full((grid.height, grid.width), opts["fill"], dtype=np.uint8)
-    refs = [model.media_refs(d["spans"])[0] for d in docs]
-    payloads = media.fetch(refs)
-    for d, ref in zip(docs, refs):
-        meta = model.parse_meta(d["spans"])
-        tile = model.decode_tile(payloads[ref], meta["nrows"], meta["ncols"])
-        arr[meta["y_off"]:meta["y_off"] + meta["nrows"],
-            meta["x_off"]:meta["x_off"] + meta["ncols"]] = tile
-    write_geotiff(tiff_path, arr, color_map=render_color_table(product),
-                  pixel_scale=(grid.x_size, -grid.y_size, 0.0),
-                  tiepoint=(0, 0, 0, grid.x_min, grid.y_min, 0.0),
-                  compress=compress, tiled=tiled,
-                  tile_size=tile_size if tiled else 256,
-                  nbits=opts["nbits"])
-    return {"shape": arr.shape, "tiles": len(docs), "path": tiff_path}
+    writer = GeoTiffStreamWriter(
+        tiff_path, grid.width, grid.height,
+        tile_size=tile_size if tiled else 256, nbits=opts["nbits"],
+        compress=compress, fill=opts["fill"],
+        color_map=render_color_table(product),
+        pixel_scale=(grid.x_size, -grid.y_size, 0.0),
+        tiepoint=(0, 0, 0, grid.x_min, grid.y_min, 0.0))
+    ts = writer.tile_size
+    # band buffers keyed by TIFF tile row; rows arrive y_off-sorted, so a
+    # band is complete (and flushed) once y_off passes its last row
+    bands: dict[int, np.ndarray] = {}
+    ntiles = 0
+
+    def _flush_below(y: int) -> None:
+        for ty in sorted(bands):
+            if ty * ts + ts <= y:
+                writer.write_band(ty, bands.pop(ty))
+
+    for batch in ds.iter_batches(batch_size=1024, batch_format="pandas"):
+        refs = batch["ref"].tolist()
+        payloads = media.fetch(refs)
+        for y0, x0, nr, nc, ref in zip(batch["y_off"], batch["x_off"],
+                                       batch["nrows"], batch["ncols"], refs):
+            y0, x0, nr, nc = int(y0), int(x0), int(nr), int(nc)
+            _flush_below(y0)
+            tile = model.decode_tile(payloads[ref], nr, nc)
+            ntiles += 1
+            for ty in range(y0 // ts, (y0 + nr - 1) // ts + 1):
+                band = bands.get(ty)
+                if band is None:
+                    h = min(ts, grid.height - ty * ts)
+                    band = np.full((h, grid.width), opts["fill"], np.uint8)
+                    bands[ty] = band
+                b0 = ty * ts
+                s = slice(max(y0, b0) - b0, min(y0 + nr, b0 + band.shape[0]) - b0)
+                t = slice(max(y0, b0) - y0, min(y0 + nr, b0 + band.shape[0]) - y0)
+                band[s, x0:x0 + nc] = tile[t]
+    _flush_below(grid.height)
+    writer.close()
+    return {"shape": (grid.height, grid.width), "tiles": ntiles,
+            "path": tiff_path}
 
 
 def produce_render_tiles(world_path: str, out_dir: str, *,

@@ -12,9 +12,10 @@ COMPRESS=ZSTD, TILED=YES, SPARSE_OK=TRUE`` for the feature masks,
 prepare_feature_masks.py:44-45), so this codec now speaks:
 
 * Compression: none (1), DEFLATE/Adobe-deflate (8) and the legacy
-  deflate code (32946) via stdlib zlib, and ZSTD (50000) gated behind
-  an import-try of the ``zstandard`` package (absent in this sandbox;
-  the DEFLATE path is the tested one).
+  deflate code (32946) via stdlib zlib, and ZSTD (50000) through a
+  codec chain (zstandard -> pyarrow's bundled zstd -> the from-scratch
+  RFC 8878 decoder in functions/zstd.py) so the real reference masks
+  decode in any environment.
 * Layout: classic strips (RowsPerStrip 278) AND tiles (TileWidth 322 /
   TileLength 323 / TileOffsets 324 / TileByteCounts 325, edge tiles
   padded to full tile size per TIFF 6.0 §15).
@@ -280,6 +281,18 @@ def _encode_page(arr: np.ndarray, base: int, *,
         off_tag, _TYPE_LONG, len(chunks),
         b"".join(struct.pack("<I", o) for o in offsets))
 
+    ifd, next_in_ifd = _serialize_ifd(entries, ifd_off)
+    next_ptr_pos = (ifd_off - base) + next_in_ifd  # within the blob
+
+    blob = b"".join(chunks) + ifd
+    return blob, ifd_off, next_ptr_pos
+
+
+def _serialize_ifd(entries, ifd_off: int) -> tuple[bytes, int]:
+    """Entries -> IFD bytes (directory + next-IFD pointer + overflow
+    values); returns (bytes, position of the next-IFD pointer within
+    them). ``ifd_off`` is the absolute file offset the IFD lands at
+    (overflow value offsets are absolute)."""
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_pos = ifd_off + ifd_size
     ifd = struct.pack("<H", len(entries))
@@ -291,11 +304,9 @@ def _encode_page(arr: np.ndarray, base: int, *,
             val = struct.pack("<I", overflow_pos + len(overflow))
             overflow += raw
         ifd += struct.pack("<HHI", tag, typ, cnt) + val
-    next_ptr_pos = (ifd_off - base) + len(ifd)  # within the blob
+    next_ptr_pos = len(ifd)
     ifd += struct.pack("<I", 0)  # next-IFD pointer (patched for COGs)
-
-    blob = b"".join(chunks) + ifd + overflow
-    return blob, ifd_off, next_ptr_pos
+    return ifd + overflow, next_ptr_pos
 
 
 def write_geotiff(path: str, arr: np.ndarray, **opts) -> None:
@@ -331,6 +342,142 @@ def write_cog(path: str, base_arr: np.ndarray,
         f.write(b"II*\0" + struct.pack("<I", pages[0][1]))
         for blob, _, _, _ in pages:
             f.write(blob)
+
+
+class GeoTiffStreamWriter:
+    """Incremental tiled single-page writer: tiles (or whole tile-row
+    bands) arrive in any order and are compressed + appended to the file
+    immediately, so driver memory is O(one band), independent of raster
+    size. The IFD is written at close and the header patched — the
+    standard streaming-TIFF layout (data first, directory last).
+
+    Tiles never written are holes: with ``fill == 0`` and ``sparse_ok``
+    they become GDAL SPARSE_OK holes (offset 0, no data); otherwise one
+    shared fill-tile payload is written ONCE and every missing tile's
+    offset points at it (constant cost no matter how many holes).
+
+    This is the planetary-scale form of the S6 classified-raster sink
+    (process_imagery.py:300-395): ``write_geotiff`` keeps the whole
+    array; this writer never does.
+    """
+
+    def __init__(self, path: str, width: int, height: int, *,
+                 tile_size: int = 256, nbits: int = 8,
+                 compress: str | None = "deflate", fill: int = 0,
+                 sparse_ok: bool = False,
+                 color_map: np.ndarray | None = None,
+                 pixel_scale: tuple | None = None,
+                 tiepoint: tuple | None = None):
+        if tile_size % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        if not 1 <= nbits <= 8:
+            raise ValueError("nbits must be in 1..8")
+        if not 0 <= fill < (1 << nbits):
+            raise ValueError(f"fill {fill} exceeds {nbits}-bit range")
+        self.width, self.height = width, height
+        self.tile_size, self.nbits = tile_size, nbits
+        self._comp = _COMPRESS_NAMES[compress or "none"]
+        self.fill, self.sparse_ok = fill, sparse_ok
+        self._color_map, self._pixel_scale = color_map, pixel_scale
+        self._tiepoint = tiepoint
+        self.tiles_across = (width + tile_size - 1) // tile_size
+        self.tiles_down = (height + tile_size - 1) // tile_size
+        n = self.tiles_across * self.tiles_down
+        self._offsets = np.zeros(n, np.int64)
+        self._counts = np.zeros(n, np.int64)
+        self._f = open(path, "wb")
+        self._f.write(b"II*\0" + struct.pack("<I", 0))  # IFD off patched
+        self._pos = 8
+        self._closed = False
+
+    def write_tile(self, ty: int, tx: int, tile: np.ndarray) -> None:
+        """Accepts full or edge-cropped tiles; pads with ``fill``."""
+        if not (0 <= ty < self.tiles_down and 0 <= tx < self.tiles_across):
+            raise ValueError(f"tile ({ty}, {tx}) outside the grid")
+        i = ty * self.tiles_across + tx
+        if self._counts[i] or self._offsets[i]:
+            raise ValueError(f"tile ({ty}, {tx}) written twice")
+        tile = np.asarray(tile, dtype=np.uint8)
+        if self.nbits < 8 and tile.max(initial=0) >= (1 << self.nbits):
+            raise ValueError(f"values exceed {self.nbits}-bit range")
+        ts = self.tile_size
+        if tile.shape != (ts, ts):
+            pad = np.full((ts, ts), self.fill, np.uint8)
+            pad[:tile.shape[0], :tile.shape[1]] = tile
+            tile = pad
+        if self.sparse_ok and self.fill == 0 and not tile.any():
+            return  # SPARSE_OK hole: offset/count stay 0
+        payload = _compress(_pack_rows(tile, self.nbits), self._comp)
+        self._offsets[i] = self._pos
+        self._counts[i] = len(payload)
+        self._f.write(payload)
+        self._pos += len(payload)
+
+    def write_band(self, ty: int, band: np.ndarray) -> None:
+        """One full tile row: ``band`` covers rows [ty*tile_size, ...)
+        across the full width (edge-cropped at the bottom is fine)."""
+        ts = self.tile_size
+        if band.shape[1] != self.width:
+            raise ValueError("band must span the full raster width")
+        for tx in range(self.tiles_across):
+            self.write_tile(ty, tx, band[:, tx * ts:(tx + 1) * ts])
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        missing = np.nonzero((self._offsets == 0) & (self._counts == 0))[0]
+        if len(missing) and not (self.sparse_ok and self.fill == 0):
+            # one shared fill payload; every hole points at it
+            ts = self.tile_size
+            payload = _compress(_pack_rows(
+                np.full((ts, ts), self.fill, np.uint8), self.nbits),
+                self._comp)
+            self._f.write(payload)
+            self._offsets[missing] = self._pos
+            self._counts[missing] = len(payload)
+            self._pos += len(payload)
+
+        entries: list[tuple[int, int, int, bytes]] = []
+
+        def add(tag: int, typ: int, values) -> None:
+            fmt = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I",
+                   _TYPE_DOUBLE: "<d"}[typ]
+            entries.append((tag, typ, len(values),
+                            b"".join(struct.pack(fmt, v) for v in values)))
+
+        add(_T_WIDTH, _TYPE_LONG, [self.width])
+        add(_T_HEIGHT, _TYPE_LONG, [self.height])
+        add(_T_BITS, _TYPE_SHORT, [self.nbits])
+        add(_T_COMPRESSION, _TYPE_SHORT, [self._comp])
+        add(_T_PHOTOMETRIC, _TYPE_SHORT,
+            [3 if self._color_map is not None else 1])
+        add(_T_SAMPLES, _TYPE_SHORT, [1])
+        add(_T_TILE_WIDTH, _TYPE_LONG, [self.tile_size])
+        add(_T_TILE_LENGTH, _TYPE_LONG, [self.tile_size])
+        add(_T_TILE_OFFSETS, _TYPE_LONG, self._offsets.tolist())
+        add(_T_TILE_COUNTS, _TYPE_LONG, self._counts.tolist())
+        if self._color_map is not None:
+            cm = np.asarray(self._color_map, dtype=np.uint16)
+            if cm.shape != (256, 3):
+                raise ValueError("color_map must be (256, 3)")
+            vals = np.concatenate([cm[:, 0], cm[:, 1], cm[:, 2]]) * 257
+            add(_T_COLOR_MAP, _TYPE_SHORT, vals.tolist())
+        if self._pixel_scale is not None:
+            add(_T_PIXEL_SCALE, _TYPE_DOUBLE, list(self._pixel_scale))
+        if self._tiepoint is not None:
+            add(_T_TIEPOINT, _TYPE_DOUBLE, list(self._tiepoint))
+        ifd, _ = _serialize_ifd(entries, self._pos)
+        self._f.write(ifd)
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", self._pos))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 # ---------------------------------------------------------------------------

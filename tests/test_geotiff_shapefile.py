@@ -334,6 +334,51 @@ def test_tiff_zstd_roundtrip(tmp_path):
     assert (gt.array == arr).all()
 
 
+def test_stream_writer_matches_batch_writer(tmp_path):
+    """GeoTiffStreamWriter (incremental band/tile feed, IFD-at-end)
+    decodes identically to write_geotiff, including fill holes via the
+    shared-payload trick and SPARSE_OK holes."""
+    from spatial_aez_ray.sources import geotiff as gt
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 4, size=(300, 500)).astype(np.uint8)
+    a_path, b_path = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    geo = dict(pixel_scale=(0.1, 0.1, 0), tiepoint=(0, 0, 0, -180, 90, 0))
+    gt.write_geotiff(a_path, arr, compress="deflate", tiled=True,
+                     tile_size=64, nbits=2, **geo)
+    with gt.GeoTiffStreamWriter(b_path, 500, 300, tile_size=64, nbits=2,
+                                compress="deflate", **geo) as w:
+        for ty in range(w.tiles_down):        # band-at-a-time feed
+            w.write_band(ty, arr[ty * 64:(ty + 1) * 64])
+    a, b = gt.read_geotiff(a_path), gt.read_geotiff(b_path)
+    assert (a.array == b.array).all()
+    assert a.geotransform == b.geotransform
+    # nonzero fill: unwritten tiles come back as fill, one shared payload
+    c_path = str(tmp_path / "c.tif")
+    with gt.GeoTiffStreamWriter(c_path, 500, 300, tile_size=64, nbits=2,
+                                fill=3) as w:
+        w.write_tile(1, 2, arr[64:128, 128:192])
+    c = gt.read_geotiff(c_path).array
+    want = np.full((300, 500), 3, np.uint8)
+    want[64:128, 128:192] = arr[64:128, 128:192]
+    assert (c == want).all()
+    r = gt.GeoTiffReader(c_path)
+    hole_idx = [i for i in range(r.tiles_down * r.tiles_across)
+                if i != 1 * r.tiles_across + 2]
+    assert len({r._offsets[i] for i in hole_idx}) == 1  # shared payload
+    r.close()
+    # sparse_ok + fill 0: unwritten tiles are real SPARSE_OK holes
+    d_path = str(tmp_path / "d.tif")
+    with gt.GeoTiffStreamWriter(d_path, 500, 300, tile_size=64, nbits=2,
+                                sparse_ok=True) as w:
+        w.write_tile(0, 0, arr[:64, :64])
+    r = gt.GeoTiffReader(d_path)
+    assert r.tile_is_sparse(2, 2) and not r.tile_is_sparse(0, 0)
+    want = np.zeros((300, 500), np.uint8)
+    want[:64, :64] = arr[:64, :64]
+    assert (r.read_all() == want).all()
+    r.close()
+
+
 def test_cog_multipage_roundtrip(tmp_path):
     import numpy as np
     from spatial_aez_ray.sources import geotiff as gt
