@@ -88,7 +88,7 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
                       index: PolygonIndex | None = None,
                       grid: GridSpec | None = None,
                       concurrency: int | tuple = (1, 4), batch_size: int = 16,
-                      tile_window=None):
+                      tile_window=None, tiles=None):
     """Lazy Dataset of (admin, cls, km2, ...) partial rows for a dataset.
 
     ``grid`` overrides the world-marker GridSpec — the path for worlds
@@ -98,7 +98,12 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
     an inclusive tile rectangle — the spatial range-aggregation form:
     the window becomes a lexicographic doc_id range filter pushed into
     the read (row groups outside the window never leave storage), plus
-    one exact vectorized predicate before the kernel."""
+    one exact vectorized predicate before the kernel.
+    ``tiles`` (a set of (ty, tx)) restricts to an arbitrary tile SET in
+    ONE dataset launch: doc_ids are exact tile keys, so the set becomes
+    a bounding doc_id range (row-group stats pruning) AND an ``isin``
+    on the exact ids, both pushed into the read — the incremental-delta
+    path, where changed tiles are scattered, never a rectangle."""
     classifier = CLASSIFIERS[dataset]()
     if grid is None:
         grid = world_grid(world_path, classifier.grid)
@@ -106,12 +111,23 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
         index = build_zonal_index(world_path)
     from ..sources.documents import blocks_for
     doc_filter = None
+    if tile_window is not None and tiles is not None:
+        raise ValueError("pass tile_window or tiles, not both")
     if tile_window is not None:
         import pyarrow.compute as pc
         ty0, ty1, tx0, tx1 = tile_window
         lo = f"{dataset}/{classifier.grid}/{ty0:05d}/{tx0:05d}"
         hi = f"{dataset}/{classifier.grid}/{ty1:05d}/{tx1:05d}"
         doc_filter = (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi)
+    elif tiles is not None:
+        import pyarrow.compute as pc
+        ids = sorted(f"{dataset}/{classifier.grid}/{ty:05d}/{tx:05d}"
+                     for ty, tx in tiles)
+        if not ids:
+            raise ValueError("tiles must be non-empty")
+        doc_filter = ((pc.field("doc_id") >= ids[0])
+                      & (pc.field("doc_id") <= ids[-1])
+                      & pc.field("doc_id").isin(ids))
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency),
                           doc_filter=doc_filter)
@@ -395,11 +411,14 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
     drop_keys = np.array([(ty << 32) | tx for ty, tx in dropped],
                          dtype=np.int64)
     keep = old_partials[~np.isin(key, drop_keys)]
-    fresh = []
-    for ty, tx in sorted(changed):
-        fresh.append(zonal_partials_ds(
-            world_new, dataset,
-            tile_window=(ty, ty, tx, tx)).to_pandas())
+    if changed:
+        # ONE pushed-down dataset launch covering every changed tile —
+        # a 10k-tile quarterly delta pays one read + one actor-pool
+        # spin-up, not 10k serial ones
+        fresh = [zonal_partials_ds(world_new, dataset,
+                                   tiles=changed).to_pandas()]
+    else:
+        fresh = []
     merged = pd.concat([keep] + fresh, ignore_index=True)
 
     combined = (ray.data.from_pandas(merged)

@@ -377,6 +377,65 @@ def test_zonal_incremental_no_change_is_identity(tiny_world, tmp_path):
     assert (view.values == full.values).all()
 
 
+def test_zonal_incremental_many_tiles_single_launch(tmp_path):
+    """A scattered 100+-tile delta is recomputed in ONE pushed-down
+    dataset launch (the tiles= set filter), and the maintained view is
+    bit-identical to the full recompute on the new world."""
+    import shutil
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import extract as ex
+
+    world = fixtures.generate_world(fixtures.SMALL)
+    w2 = str(tmp_path / "w2")
+    shutil.copytree(world, w2)
+    # repaint >=100 scattered kg tiles to one valid class
+    grid = fixtures.SMALL.grid("g1")
+    want = set()
+    for ty in range(0, grid.tiles_y, 2):
+        for tx in range(0, grid.tiles_x, 2):
+            want.add(f"mem://kg/g1/{ty:05d}/{tx:05d}/b1")
+    changed = set()
+    d = os.path.join(w2, "media", "dataset=kg")
+    for part in sorted(f for f in os.listdir(d) if f.endswith(".parquet")):
+        p = os.path.join(d, part)
+        t = pq.read_table(p)
+        refs = t["media_ref"].to_pylist()
+        hit = [i for i, r in enumerate(refs) if r in want]
+        if not hit:
+            continue
+        payloads = t["payload"].to_pylist()
+        for i in hit:
+            payloads[i] = bytes([5]) * len(payloads[i])
+            changed.add(refs[i])
+        pq.write_table(pa.table({"media_ref": refs, "payload": payloads},
+                                schema=t.schema), p)
+    assert len(changed) >= 100
+
+    launches = 0
+    orig = ex.zonal_partials_ds
+
+    def counting(*a, **k):
+        nonlocal launches
+        launches += 1
+        return orig(*a, **k)
+
+    ex.zonal_partials_ds = counting
+    try:
+        view, rep = ex.zonal_stats_incremental(world, w2, "kg")
+    finally:
+        ex.zonal_partials_ds = orig
+    assert rep["tiles_recomputed"] == len(changed)
+    # one launch for the old partials + ONE for the whole delta set
+    assert launches == 2
+    full = ex.zonal_stats(w2, "kg")
+    assert list(view.index) == list(full.index)
+    assert list(view.columns) == list(full.columns)
+    assert (view.values == full.values).all()
+
+
 def test_warp_output_is_first_class_world(tiny_world, tmp_path):
     """The warped world's marker makes it consumable by downstream
     derived-ref ops unchanged: build a pyramid OVER the warped world."""
