@@ -58,6 +58,11 @@ def entry() -> Any:
 # is the synthetic interleaved-document world, same at every sf)
 # --------------------------------------------------------------------------
 
+def _oracle_mod():
+    from spatial_aez_ray import oracle
+    return oracle
+
+
 def _assert_oracle(df, odf, what: str):
     """Self-verification: the driver's check for spatial queries is
     rows-only, so each query asserts bit-exact equality against the
@@ -240,7 +245,7 @@ def _spatial_pyramid(sf_dir: str):
     out_dir = os.path.join(_TMP, "pyramid")
     shutil.rmtree(out_dir, ignore_errors=True)
     mine = pyramid.build_pyramid(_world(), "kg", out_dir)
-    oracle = pyramid.pyramid_oracle(fixtures.TINY, "kg")
+    oracle = _oracle_mod().pyramid_oracle(fixtures.TINY, "kg")
     if not mine.equals(oracle):
         raise AssertionError("pyramid summary != sequential oracle")
     return mine
@@ -311,7 +316,7 @@ def _spatial_adjacency(sf_dir: str):
     from spatial_aez_ray import fixtures
     from spatial_aez_ray.pipelines import assign
     mine = assign.admin_adjacency(_world())
-    oracle = assign.admin_adjacency_oracle(fixtures.TINY)
+    oracle = _oracle_mod().admin_adjacency_oracle(fixtures.TINY)
     if not mine.equals(oracle):
         raise AssertionError("adjacency != sequential oracle")
     return mine
@@ -327,7 +332,7 @@ def _spatial_warp(sf_dir: str):
     out_dir = os.path.join(_TMP, "warped")
     shutil.rmtree(out_dir, ignore_errors=True)
     mine = warp.warp_to_mercator(_world(), "kg", out_dir)
-    oracle = warp.warp_oracle(fixtures.TINY, "kg",
+    oracle = _oracle_mod().warp_oracle(fixtures.TINY, "kg",
                               int(mine["out_n"][0]))
     if not mine.equals(oracle):
         raise AssertionError("warp != sequential oracle")
@@ -387,7 +392,7 @@ def _spatial_equalize(sf_dir: str):
     out_dir = os.path.join(_TMP, "equalized")
     shutil.rmtree(out_dir, ignore_errors=True)
     mine = downsample.equalize_tiles(_world(), "kg", out_dir)
-    oracle = downsample.equalize_oracle(fixtures.TINY, "kg")
+    oracle = _oracle_mod().equalize_oracle(fixtures.TINY, "kg")
     if not mine.equals(oracle):
         raise AssertionError("equalize != sequential oracle")
     return mine
@@ -424,7 +429,7 @@ def _spatial_focal(sf_dir: str):
     from spatial_aez_ray import fixtures
     from spatial_aez_ray.pipelines import pyramid
     mine = pyramid.focal_gradient(_world(), "kg")
-    oracle = pyramid.focal_gradient_oracle(fixtures.TINY, "kg")
+    oracle = _oracle_mod().focal_gradient_oracle(fixtures.TINY, "kg")
     if not mine.equals(oracle):
         raise AssertionError("focal gradient != whole-array oracle")
     return mine

@@ -427,3 +427,187 @@ def render_tiles(spec: fixtures.WorldSpec) -> dict[tuple[int, int], dict[str, np
                              "land_use": lu_arr.astype(np.uint8),
                              "soil_health": sh_arr.astype(np.uint8)}
     return out
+
+# ---------------------------------------------------------------------------
+# derived-kernel oracles (moved here from the pipeline modules so that
+# pipelines/ carries NO fixtures dependency: production kernels read
+# layout via model.world_layout(world_path); these sequential oracles
+# regenerate fixture tiles from the WorldSpec by construction)
+# ---------------------------------------------------------------------------
+
+def warp_oracle(spec, dataset: str, out_n: int) -> pd.DataFrame:
+    """Sequential oracle: one whole-array gather through the SAME
+    index function, summarized per output tile."""
+    from . import model
+    from .pipelines.pyramid import _md5_int
+    from .pipelines.warp import mercator_src_index
+
+    
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    t = grid.tile
+    base = full_raster(spec, dataset)[0]
+    rr, cc = np.meshgrid(np.arange(out_n, dtype=np.float64),
+                         np.arange(out_n, dtype=np.float64),
+                         indexing="ij")
+    src_r, src_c = mercator_src_index(grid, out_n, rr.ravel(), cc.ravel())
+    out = base[src_r, src_c].reshape(out_n, out_n)
+    psum, md5s = 0, []
+    for ty in range(out_n // t):
+        for tx in range(out_n // t):
+            tile = out[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            psum += int(tile.astype(np.int64).sum())
+            md5s.append(_md5_int(model.encode_tile(tile)))
+    return pd.DataFrame([{
+        "out_n": np.int64(out_n),
+        "n_tiles": np.int64(len(md5s)),
+        "payload_sum": np.int64(psum),
+        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
+                            .sum(dtype=np.int64))}])
+
+
+def pyramid_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential numpy reimplementation: pad the full base raster to
+    the tile lattice, repeatedly pad-to-even-tiles + 2×2 plurality
+    vote; summaries computed per tile in the same order-free form."""
+    from . import model
+    from .pipelines.pyramid import _md5_int, mode_reduce2
+
+    
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    t = grid.tile
+    base = full_raster(spec, dataset)[0]
+    ty, tx = grid.tiles_y, grid.tiles_x
+    arr = np.full((ty * t, tx * t), nodata, dtype=np.uint8)
+    arr[:grid.height, :grid.width] = base
+    rows = []
+    level = 0
+    while ty > 1 or tx > 1:
+        level += 1
+        pty, ptx = (ty + 1) // 2, (tx + 1) // 2
+        padded = np.full((pty * 2 * t, ptx * 2 * t), nodata, dtype=np.uint8)
+        padded[:arr.shape[0], :arr.shape[1]] = arr
+        arr = mode_reduce2(padded, nodata)
+        ty, tx = pty, ptx
+        # sparse semantics: all-nodata tiles are holes, never written
+        psum, md5s = 0, []
+        for yy in range(ty):
+            for xx in range(tx):
+                tile = arr[yy * t:(yy + 1) * t, xx * t:(xx + 1) * t]
+                if (tile == nodata).all():
+                    continue
+                psum += int(tile.astype(np.int64).sum())
+                md5s.append(_md5_int(model.encode_tile(tile)))
+        rows.append((level, len(md5s), psum,
+                     int(np.array(md5s, dtype=np.int64)
+                         .sum(dtype=np.int64))))
+    out = pd.DataFrame(rows, columns=["level", "n_tiles",
+                                      "payload_sum", "md5_sum"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+
+
+def focal_gradient_oracle(spec, dataset: str,
+                          hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential oracle: zero-padded whole-array Sobel; per-tile
+    summary restricted to tiles that exist in the world (holes carry
+    no gradient rows in the distributed pass)."""
+    from .pipelines.pyramid import sobel_mag_int
+
+    
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    t = grid.tile
+    base = full_raster(spec, dataset)[0]
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    pad = np.full((grid.height + 2, grid.width + 2), hole,
+                  dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    g = sobel_mag_int(pad)
+    land_idx = fixtures.land_index(spec.seed)
+    n, s, m = 0, 0, 0
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            sub = g[y:y + nr, x:x + nc]
+            n += 1
+            s += int(sub.sum())
+            m = max(m, int(sub.max()))
+    return pd.DataFrame([{"n_tiles": np.int64(n),
+                          "grad_sum": np.int64(s),
+                          "grad_max": np.int64(m)}])
+
+
+def equalize_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential reimplementation over the fixture tiles (absent
+    tiles skipped exactly like the pipeline's doc scan)."""
+    from . import model
+    from .pipelines.downsample import equalize_lut
+    from .pipelines.pyramid import _md5_int
+
+        
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    tiles = []
+    hist = np.zeros(256, dtype=np.int64)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            tiles.append(arrs[0])
+            hist += np.bincount(arrs[0].ravel(), minlength=256)
+    lut = equalize_lut(hist, nodata)
+    psum, md5s = 0, []
+    for t in tiles:
+        eq = lut[t]
+        psum += int(eq.astype(np.int64).sum())
+        md5s.append(_md5_int(model.encode_tile(eq)))
+    return pd.DataFrame([{
+        "n_tiles": np.int64(len(tiles)),
+        "payload_sum": np.int64(psum),
+        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
+                            .sum(dtype=np.int64))}])
+
+
+def admin_adjacency_oracle(spec) -> "pd.DataFrame":
+    """Sequential oracle: whole-grid admin raster resolved in the SAME
+    first-claim order, then two vectorized shift comparisons."""
+    
+    grid = spec.grid("g1")
+    full = np.full((grid.height, grid.width), -1, dtype=np.int16)
+    admins = sorted({a for _, a, _ in
+                     feature_masks(spec, grid) if a is not None})
+    code_of = {a: i for i, a in enumerate(admins)}
+    for fidx, admin, mask in sorted(feature_masks(spec, grid),
+                                    key=lambda c: c[0]):
+        if admin is None:
+            continue
+        put = mask & (full == -1)
+        full[put] = code_of[admin]
+    pairs: dict[tuple[str, str], int] = {}
+
+    def count(a, b):
+        ok = (a != -1) & (b != -1) & (a != b)
+        lo = np.minimum(a[ok], b[ok])
+        hi = np.maximum(a[ok], b[ok])
+        for kk, cc in zip(*np.unique(lo.astype(np.int64) * len(admins)
+                                     + hi, return_counts=True)):
+            key = (admins[int(kk) // len(admins)],
+                   admins[int(kk) % len(admins)])
+            pairs[key] = pairs.get(key, 0) + int(cc)
+
+    count(full[:, :-1], full[:, 1:])
+    count(full[:-1, :], full[1:, :])
+    out = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(pairs.items())],
+        columns=["admin_a", "admin_b", "shared_edges"])
+    out["shared_edges"] = out["shared_edges"].astype(np.int64)
+    return out

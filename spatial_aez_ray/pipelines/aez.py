@@ -1,12 +1,13 @@
 """AEZ cross-classification pipeline (process_imagery.py produce_CSV).
 
 Ray-Data-first expression of the reference's 4-raster align-join
-(SURVEY.md §2.4 J4): the four datasets' interleaved documents are
-co-keyed by their G1 tile coordinate (doc_id embeds it), grouped with
-``groupby(tile_key)`` — a shuffle of *span metadata only*, the tile
-payloads stay in the media store and are fetched by the group kernel —
-and each group is classified by an actor-pool kernel that reproduces
-the reference block loop exactly:
+(SURVEY.md §2.4 J4), SHUFFLE-FREE: the driver iterates the mask tile
+lattice only; every sibling raster ref is DERIVED from the tile key
+(``model.media_ref(ds, grid, ty, tx, band)``) and fetched in one
+batched footer-pruned MediaStore read per map_batches call — no
+``groupby(tile_key)`` exchange ever happens, tile payloads never
+transit the object store twice. Each tile group is then classified by
+an actor-pool kernel that reproduces the reference block loop exactly:
 
   mask → km² (zeroed off-mask) → 3×3 upsample ÷9 → TMR / slope /
   land-use / soil-health → 8 TMR × 29 AEZ weighted sums

@@ -461,40 +461,3 @@ def admin_adjacency(world_path: str, *,
             .reset_index(drop=True))
 
 
-def admin_adjacency_oracle(spec) -> "pd.DataFrame":
-    """Sequential oracle: whole-grid admin raster resolved in the SAME
-    first-claim order, then two vectorized shift comparisons."""
-    import pandas as pd
-
-    from .. import fixtures, oracle
-
-    grid = spec.grid("g1")
-    full = np.full((grid.height, grid.width), -1, dtype=np.int16)
-    admins = sorted({a for _, a, _ in
-                     oracle.feature_masks(spec, grid) if a is not None})
-    code_of = {a: i for i, a in enumerate(admins)}
-    for fidx, admin, mask in sorted(oracle.feature_masks(spec, grid),
-                                    key=lambda c: c[0]):
-        if admin is None:
-            continue
-        put = mask & (full == -1)
-        full[put] = code_of[admin]
-    pairs: dict[tuple[str, str], int] = {}
-
-    def count(a, b):
-        ok = (a != -1) & (b != -1) & (a != b)
-        lo = np.minimum(a[ok], b[ok])
-        hi = np.maximum(a[ok], b[ok])
-        for kk, cc in zip(*np.unique(lo.astype(np.int64) * len(admins)
-                                     + hi, return_counts=True)):
-            key = (admins[int(kk) // len(admins)],
-                   admins[int(kk) % len(admins)])
-            pairs[key] = pairs.get(key, 0) + int(cc)
-
-    count(full[:, :-1], full[:, 1:])
-    count(full[:-1, :], full[1:, :])
-    out = pd.DataFrame(
-        [(a, b, n) for (a, b), n in sorted(pairs.items())],
-        columns=["admin_a", "admin_b", "shared_edges"])
-    out["shared_edges"] = out["shared_edges"].astype(np.int64)
-    return out

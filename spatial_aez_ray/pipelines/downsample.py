@@ -324,32 +324,3 @@ def equalize_tiles(world_path: str, dataset: str, out_dir: str, *,
     return out
 
 
-def equalize_oracle(spec, dataset: str) -> pd.DataFrame:
-    """Sequential reimplementation over the fixture tiles (absent
-    tiles skipped exactly like the pipeline's doc scan)."""
-    from .. import fixtures
-    from .pyramid import _md5_int
-
-    grid = spec.grid(fixtures.DATASET_GRID[dataset])
-    nodata = fixtures.DATASET_NODATA[dataset]
-    land_idx = fixtures.land_index(spec.seed)
-    tiles = []
-    hist = np.zeros(256, dtype=np.int64)
-    for ty in range(grid.tiles_y):
-        for tx in range(grid.tiles_x):
-            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
-            if arrs is None:
-                continue
-            tiles.append(arrs[0])
-            hist += np.bincount(arrs[0].ravel(), minlength=256)
-    lut = equalize_lut(hist, nodata)
-    psum, md5s = 0, []
-    for t in tiles:
-        eq = lut[t]
-        psum += int(eq.astype(np.int64).sum())
-        md5s.append(_md5_int(model.encode_tile(eq)))
-    return pd.DataFrame([{
-        "n_tiles": np.int64(len(tiles)),
-        "payload_sum": np.int64(psum),
-        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
-                            .sum(dtype=np.int64))}])

@@ -223,47 +223,6 @@ def _write_and_summarize(batch: pa.Table, out_dir: str) -> pa.Table:
     return _summary_partial(batch)
 
 
-def pyramid_oracle(spec, dataset: str) -> pd.DataFrame:
-    """Sequential numpy reimplementation: pad the full base raster to
-    the tile lattice, repeatedly pad-to-even-tiles + 2×2 plurality
-    vote; summaries computed per tile in the same order-free form."""
-    from .. import fixtures, oracle
-
-    grid = spec.grid(fixtures.DATASET_GRID[dataset])
-    nodata = fixtures.DATASET_NODATA[dataset]
-    t = grid.tile
-    base = oracle.full_raster(spec, dataset)[0]
-    ty, tx = grid.tiles_y, grid.tiles_x
-    arr = np.full((ty * t, tx * t), nodata, dtype=np.uint8)
-    arr[:grid.height, :grid.width] = base
-    rows = []
-    level = 0
-    while ty > 1 or tx > 1:
-        level += 1
-        pty, ptx = (ty + 1) // 2, (tx + 1) // 2
-        padded = np.full((pty * 2 * t, ptx * 2 * t), nodata, dtype=np.uint8)
-        padded[:arr.shape[0], :arr.shape[1]] = arr
-        arr = mode_reduce2(padded, nodata)
-        ty, tx = pty, ptx
-        # sparse semantics: all-nodata tiles are holes, never written
-        psum, md5s = 0, []
-        for yy in range(ty):
-            for xx in range(tx):
-                tile = arr[yy * t:(yy + 1) * t, xx * t:(xx + 1) * t]
-                if (tile == nodata).all():
-                    continue
-                psum += int(tile.astype(np.int64).sum())
-                md5s.append(_md5_int(model.encode_tile(tile)))
-        rows.append((level, len(md5s), psum,
-                     int(np.array(md5s, dtype=np.int64)
-                         .sum(dtype=np.int64))))
-    out = pd.DataFrame(rows, columns=["level", "n_tiles",
-                                      "payload_sum", "md5_sum"])
-    for c in out.columns:
-        out[c] = out[c].astype(np.int64)
-    return out
-
-
 def read_window(src_root: str, dataset: str, grid_name: str,
                 tile: int, lattice_ty: int, lattice_tx: int,
                 window: tuple[int, int, int, int], nodata: int,
@@ -534,34 +493,3 @@ def focal_gradient(world_path: str, dataset: str, *,
         "grad_max": np.int64(parts["grad_max"].max())}])
 
 
-def focal_gradient_oracle(spec, dataset: str,
-                          hole_value: int | None = None) -> pd.DataFrame:
-    """Sequential oracle: zero-padded whole-array Sobel; per-tile
-    summary restricted to tiles that exist in the world (holes carry
-    no gradient rows in the distributed pass)."""
-    from .. import fixtures, oracle
-
-    grid = spec.grid(fixtures.DATASET_GRID[dataset])
-    t = grid.tile
-    base = oracle.full_raster(spec, dataset)[0]
-    nodata = fixtures.DATASET_NODATA[dataset]
-    hole = nodata if hole_value is None else int(hole_value)
-    pad = np.full((grid.height + 2, grid.width + 2), hole,
-                  dtype=np.uint8)
-    pad[1:-1, 1:-1] = base
-    g = sobel_mag_int(pad)
-    land_idx = fixtures.land_index(spec.seed)
-    n, s, m = 0, 0, 0
-    for ty in range(grid.tiles_y):
-        for tx in range(grid.tiles_x):
-            if fixtures.tile_arrays(spec, dataset, ty, tx,
-                                    land_idx) is None:
-                continue
-            x, y, nc, nr = grid.tile_window(ty, tx)
-            sub = g[y:y + nr, x:x + nc]
-            n += 1
-            s += int(sub.sum())
-            m = max(m, int(sub.max()))
-    return pd.DataFrame([{"n_tiles": np.int64(n),
-                          "grad_sum": np.int64(s),
-                          "grad_max": np.int64(m)}])

@@ -186,28 +186,3 @@ def warp_to_mercator(world_path: str, dataset: str, out_dir: str, *,
                             .sum(dtype=np.int64))}])
 
 
-def warp_oracle(spec, dataset: str, out_n: int) -> pd.DataFrame:
-    """Sequential oracle: one whole-array gather through the SAME
-    index function, summarized per output tile."""
-    from .. import fixtures, oracle
-
-    grid = spec.grid(fixtures.DATASET_GRID[dataset])
-    t = grid.tile
-    base = oracle.full_raster(spec, dataset)[0]
-    rr, cc = np.meshgrid(np.arange(out_n, dtype=np.float64),
-                         np.arange(out_n, dtype=np.float64),
-                         indexing="ij")
-    src_r, src_c = mercator_src_index(grid, out_n, rr.ravel(), cc.ravel())
-    out = base[src_r, src_c].reshape(out_n, out_n)
-    psum, md5s = 0, []
-    for ty in range(out_n // t):
-        for tx in range(out_n // t):
-            tile = out[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
-            psum += int(tile.astype(np.int64).sum())
-            md5s.append(_md5_int(model.encode_tile(tile)))
-    return pd.DataFrame([{
-        "out_n": np.int64(out_n),
-        "n_tiles": np.int64(len(md5s)),
-        "payload_sum": np.int64(psum),
-        "md5_sum": np.int64(np.array(md5s, dtype=np.int64)
-                            .sum(dtype=np.int64))}])

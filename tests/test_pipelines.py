@@ -196,7 +196,7 @@ def test_pyramid_bit_exact_and_resumable_layout(tiny_world, tmp_path):
     from spatial_aez_ray.pipelines import pyramid
     out = str(tmp_path / "pyr")
     mine = pyramid.build_pyramid(tiny_world, "kg", out)
-    odf = pyramid.pyramid_oracle(SPEC, "kg")
+    odf = oracle.pyramid_oracle(SPEC, "kg")
     assert mine.equals(odf)
     # every level is a valid media world (documents/ + media/ parts)
     for lvl in mine["level"]:
@@ -326,7 +326,7 @@ def test_equalize_bit_exact_and_lut_properties(tiny_world, tmp_path):
     import numpy as np
     from spatial_aez_ray.pipelines import downsample as dsm
     mine = dsm.equalize_tiles(tiny_world, "kg", str(tmp_path / "eq"))
-    assert mine.equals(dsm.equalize_oracle(SPEC, "kg"))
+    assert mine.equals(oracle.equalize_oracle(SPEC, "kg"))
     # LUT is monotone over occupied bins and nodata-preserving
     h = np.zeros(256, dtype=np.int64)
     h[[3, 10, 200]] = [5, 10, 5]
@@ -339,7 +339,7 @@ def test_warp_mercator_bit_exact(tiny_world, tmp_path):
     import numpy as np
     from spatial_aez_ray.pipelines import warp as wp
     mine = wp.warp_to_mercator(tiny_world, "kg", str(tmp_path / "w"))
-    assert mine.equals(wp.warp_oracle(SPEC, "kg", int(mine["out_n"][0])))
+    assert mine.equals(oracle.warp_oracle(SPEC, "kg", int(mine["out_n"][0])))
     # index function sanity: equator maps near the grid's middle row,
     # and the poles clamp inside bounds
     grid = SPEC.grid("g1")
@@ -357,7 +357,7 @@ def test_warp_mercator_bit_exact(tiny_world, tmp_path):
 def test_admin_adjacency_matches_oracle(tiny_world):
     from spatial_aez_ray.pipelines import assign as asg
     mine = asg.admin_adjacency(tiny_world)
-    odf = asg.admin_adjacency_oracle(SPEC)
+    odf = oracle.admin_adjacency_oracle(SPEC)
     assert mine.equals(odf)
     # symmetric-free canonical form: a < b everywhere, counts positive
     assert (mine["admin_a"] < mine["admin_b"]).all()
@@ -469,7 +469,7 @@ def test_focal_gradient_bit_exact_both_grids(tiny_world):
     from spatial_aez_ray.pipelines import pyramid as pyr
     for ds, hv in (("kg", None), ("lc", 210)):
         mine = pyr.focal_gradient(tiny_world, ds, hole_value=hv)
-        odf = pyr.focal_gradient_oracle(SPEC, ds, hole_value=hv)
+        odf = oracle.focal_gradient_oracle(SPEC, ds, hole_value=hv)
         assert mine.equals(odf), ds
 
 
