@@ -855,12 +855,24 @@ class _CharJaccard:
                          "char_jaccard": pa.array(sim, pa.float64())})
 
 
+#: jaccard_pairs is the labeled O(N^2) oracle twin of the bucketed
+#: ngram_jaccard_dedup — it broadcasts the WHOLE corpus and walks every
+#: pair, so it is hard-capped instead of silently OOMing at real scale
+_JACCARD_PAIRS_MAX_DOCS = 200_000
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     """Per-doc count of high-char-Jaccard partners (the all-pairs
     similarity matrix, reduced to a per-doc row so the verified result
     stays small)."""
     import ray
     docs = _read_docs(sf_dir, columns=["doc_id", "text"]).to_pandas()
+    if len(docs) > _JACCARD_PAIRS_MAX_DOCS:
+        raise ValueError(
+            f"jaccard_pairs is the all-pairs oracle twin (full-corpus "
+            f"broadcast, O(N^2) compare): {len(docs)} docs exceeds the "
+            f"{_JACCARD_PAIRS_MAX_DOCS} cap. Use ngram_jaccard_dedup "
+            f"(shingle-bucketed) at corpus scale.")
     docs_ref = ray.put((list(docs["doc_id"]), list(docs["text"])))
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     pairs = ds.map_batches(_CharJaccard,

@@ -332,6 +332,12 @@ class _CosinePairCounter:
                          "hi_checksum": pa.array(chk)})
 
 
+#: embedding_neardup is the labeled brute-force oracle twin of
+#: embedding_neardup_lsh — it broadcasts the FULL vector matrix to every
+#: actor, so it is hard-capped instead of silently OOMing at real scale
+_EMB_NEARDUP_MAX_VECS = 500_000
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Per-vector count of near-duplicate partners (cosine >= threshold,
     partner vec_id greater) + partner-id checksum."""
@@ -339,6 +345,12 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     import ray
     full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
+    if len(full) > _EMB_NEARDUP_MAX_VECS:
+        raise ValueError(
+            f"embedding_neardup is the brute-force oracle twin "
+            f"(full-matrix broadcast): {len(full)} vectors exceeds the "
+            f"{_EMB_NEARDUP_MAX_VECS} cap. Use embedding_neardup_lsh "
+            f"(LSH-bucketed) at corpus scale.")
     m = _emb_matrix(full)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     m = m / np.where(norms == 0, 1.0, norms)
