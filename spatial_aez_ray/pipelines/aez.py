@@ -315,10 +315,15 @@ def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
 
 def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
               concurrency: int | tuple = (1, 4),
-              coalesce: int | None = 16) -> pd.DataFrame:
+              coalesce: int | str | None = "auto") -> pd.DataFrame:
     """Country × 232 (tmr|AEZn) km² table, bit-exact vs the oracle.
-    ``coalesce``: see extract.zonal_stats (tiny-partials repartition)."""
+    ``coalesce``: see extract.zonal_stats (tiny-partials repartition;
+    "auto" derives the width from the G1 tile count)."""
     partials = aez_partials_ds(world_path, index=index, concurrency=concurrency)
+    if coalesce == "auto":
+        from .extract import partials_coalesce_width, world_grid
+        g1 = world_grid(world_path, "g1")
+        coalesce = partials_coalesce_width(g1.tiles_x * g1.tiles_y)
     if coalesce:
         partials = partials.repartition(coalesce)
     combined = partials.groupby("admin").map_groups(

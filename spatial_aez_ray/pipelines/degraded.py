@@ -145,7 +145,10 @@ def degraded_stats(world_path: str, *, index: PolygonIndex | None = None,
         fn_constructor_kwargs={"world_path": world_path, "index": index,
                                "g1": g1},
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
-    partials = partials.repartition(16)  # tiny-partials coalesce, see zonal_stats
+    from .extract import partials_coalesce_width
+    # tiny-partials coalesce, see zonal_stats ("auto" width from tiles)
+    partials = partials.repartition(
+        partials_coalesce_width(g1.tiles_x * g1.tiles_y))
     combined = partials.groupby("admin").map_groups(
         combine_partials_deterministic, batch_format="pandas")
     return pivot_zonal(combined.to_pandas(), DEGRADED_COLUMNS, world_path)

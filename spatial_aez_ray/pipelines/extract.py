@@ -144,25 +144,49 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
     )
 
 
+def partials_coalesce_width(n_tiles: int) -> int:
+    """Partition count for the tiny pre-reduced partials before the
+    combine groupby: 16 at test scale (halves the sort's fixed
+    per-block cost, measured 6.4s -> 2.5s), growing ~1 partition per
+    256 tiles, capped at 4 x cluster CPUs — the same clamp shape as
+    datapipe.util.shuffle_width, keyed on tile count because partials
+    are a fixed few dozen rows per tile."""
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no ray session
+        cpus = 8
+    return int(min(max(16, n_tiles // 256), max(16, 4 * cpus)))
+
+
 def zonal_stats(world_path: str, dataset: str, *,
                 index: PolygonIndex | None = None,
                 grid: GridSpec | None = None,
                 concurrency: int | tuple = (1, 4), batch_size: int = 16,
                 deterministic: bool = True,
-                coalesce: int | None = 16,
+                coalesce: int | str | None = "auto",
                 tile_window=None) -> pd.DataFrame:
     """Country × class km² table for one dataset (process_map analog).
 
     ``coalesce``: partials are pre-reduced (a few dozen rows per tile),
     so the many tiny map-stage blocks are repartitioned down before the
-    groupby shuffle — at test scale this halves the sort's fixed
-    per-block cost (measured 6.4s → 2.5s). At 100 TB scale set it to
-    ~total_partial_rows / 1e6 or None to keep the map-stage layout.
+    groupby shuffle. "auto" (default) derives the width from the grid's
+    tile count via ``partials_coalesce_width`` — identical results at
+    any width (the deterministic combine orders within groups), only
+    the shuffle fixed cost changes. Pass an int to pin it or None to
+    keep the map-stage layout.
     """
+    classifier_grid = grid
     partials = zonal_partials_ds(world_path, dataset, index=index, grid=grid,
                                  concurrency=concurrency,
                                  batch_size=batch_size,
                                  tile_window=tile_window)
+    if coalesce == "auto":
+        if classifier_grid is None:
+            classifier_grid = world_grid(world_path,
+                                         CLASSIFIERS[dataset]().grid)
+        coalesce = partials_coalesce_width(
+            classifier_grid.tiles_x * classifier_grid.tiles_y)
     if coalesce:
         partials = partials.repartition(coalesce)
     if deterministic:
