@@ -1049,6 +1049,30 @@ def _spatial_real_mask_areas(sf_dir: str):
     return realmask.check_real_mask_areas(df)
 
 
+def _spatial_real_mask_import(sf_dir: str):
+    """S1 ingestion on REAL data: stream a real ZSTD reference mask
+    through import_geotiff into the interleaved world layout, then
+    recompute its km2 via the world path (batched MediaStore fetches);
+    must be bit-identical to the direct file walk."""
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.pipelines import realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "AFG_129_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_world")
+    shutil.rmtree(w, ignore_errors=True)
+    rep = realmask.import_real_mask(path, w)
+    world_km2 = realmask.imported_mask_area(w)
+    direct_km2 = realmask.mask_file_area(path)
+    if world_km2 != direct_km2:
+        raise AssertionError(
+            f"imported-world area {world_km2!r} != direct {direct_km2!r}")
+    return pd.DataFrame([{"tiles": rep["tiles"],
+                          "area_km2": world_km2,
+                          "direct_km2": direct_km2,
+                          "equal": world_km2 == direct_km2}])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
         corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
@@ -1200,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_s2_partition": _spatial_s2_partition,
         "spatial_geotiff_import": _spatial_geotiff_import,
         "spatial_real_mask_areas": _spatial_real_mask_areas,
+        "spatial_real_mask_import": _spatial_real_mask_import,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }

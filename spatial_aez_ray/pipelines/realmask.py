@@ -185,6 +185,84 @@ def real_mask_areas(masks_dir: str = REFERENCE_MASKS_DIR,
     return pd.DataFrame(rows)
 
 
+def mask_file_area(path: str) -> float:
+    """Direct (sequential) Σ km² over one mask file — the per-tile
+    partials in (ty, tx) order, exactly the distributed kernel's
+    arithmetic, so the two paths are comparable bit-for-bit."""
+    r = GeoTiffReader(path)
+    try:
+        partials = []
+        for ty, tx in r.nonsparse_tiles():
+            arr = r.read_tile(int(ty), int(tx))
+            counts = arr.sum(axis=1, dtype=np.int64).astype(np.float64)
+            partials.append(float(counts @ km2_rows(
+                arr.shape[0], int(ty) * MASK_GRID.tile, MASK_GRID)))
+    finally:
+        r.close()
+    return float(np.sum(np.array(partials, dtype=np.float64)))
+
+
+class _WorldTileArea:
+    """Per-doc area partials over an IMPORTED world: one batched
+    footer-pruned MediaStore fetch per map_batches call."""
+
+    def __init__(self, world_path: str):
+        from ..sources.documents import MediaStore
+        self._media = MediaStore(world_path)
+        self._km2: dict[tuple[int, int], np.ndarray] = {}
+
+    def __call__(self, batch: dict) -> dict:
+        from .. import model
+        spans_col = batch["spans"]
+        metas = [model.parse_meta(s) for s in spans_col]
+        refs = [model.media_refs(s)[0] for s in spans_col]
+        payloads = self._media.fetch(refs)
+        tys = np.empty(len(refs), np.int32)
+        txs = np.empty(len(refs), np.int32)
+        out = np.empty(len(refs), np.float64)
+        for i, (meta, ref) in enumerate(zip(metas, refs)):
+            tile = model.decode_tile(payloads[ref], meta["nrows"],
+                                     meta["ncols"])
+            counts = tile.sum(axis=1, dtype=np.int64).astype(np.float64)
+            y_off = int(meta["y_off"])
+            key = (y_off, tile.shape[0])
+            km2 = self._km2.get(key)
+            if km2 is None:
+                km2 = km2_rows(tile.shape[0], y_off, MASK_GRID)
+                self._km2[key] = km2
+            tys[i] = y_off // MASK_GRID.tile
+            txs[i] = int(meta["x_off"]) // MASK_GRID.tile
+            out[i] = float(counts @ km2)
+        return {"ty": tys, "tx": txs, "km2": out}
+
+
+def import_real_mask(tiff_path: str, world_path: str,
+                     dataset: str = "realmask") -> dict:
+    """S1 ingestion of a REAL reference mask: windowed streaming read
+    over the sparse ZSTD source into the engine's interleaved
+    tile-document world layout (sparse tiles pruned at import)."""
+    from ..sources.geotiff import import_geotiff
+    return import_geotiff(tiff_path, world_path, dataset,
+                          MASK_GRID.name, MASK_GRID.tile,
+                          skip_empty_tiles=True)
+
+
+def imported_mask_area(world_path: str, dataset: str = "realmask") -> float:
+    """Σ km² over an imported mask world — the distributed twin of
+    ``mask_file_area``: per-tile partials via batched MediaStore
+    fetches, combined in sorted (ty, tx) order, bit-identical to the
+    direct file walk."""
+    from ..sources.documents import read_documents
+    part = (read_documents(world_path, [dataset],
+                           columns=["doc_id", "spans"])
+            .map_batches(_WorldTileArea,
+                         fn_constructor_kwargs={"world_path": world_path},
+                         batch_size=64, concurrency=(1, 4))
+            .to_pandas())
+    part = part.sort_values(["ty", "tx"], kind="mergesort")
+    return float(np.sum(part["km2"].to_numpy()))
+
+
 def check_real_mask_areas(df: pd.DataFrame) -> pd.DataFrame:
     """Assert the reference's tolerance rule over every checked country
     (test_extract_country_data.py:15-50); returns df unchanged."""

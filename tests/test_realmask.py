@@ -44,3 +44,17 @@ def test_real_mask_areas_deterministic(ray_session):
     a = realmask.real_mask_areas()
     b = realmask.real_mask_areas()
     assert a.equals(b)  # bit-identical: sorted-partial pairwise combine
+
+
+def test_real_mask_import_roundtrip(ray_session, tmp_path):
+    """S1 import of a real ZSTD mask into the world layout; the
+    world-path area (batched MediaStore fetches) is bit-identical to
+    the direct file walk."""
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "AFG_129_1km_mask._tif")
+    w = str(tmp_path / "afg_world")
+    rep = realmask.import_real_mask(path, w)
+    assert rep["tiles"] == 28  # non-sparse tiles only (S4 pruning)
+    a = realmask.imported_mask_area(w)
+    assert a == realmask.mask_file_area(path)
+    assert abs(a - 642199.1765113731) < 1e-6
