@@ -1037,6 +1037,52 @@ def _spatial_checkpoint_resume(sf_dir: str):
     return df.reset_index()
 
 
+def _spatial_aez_incremental(sf_dir: str):
+    """Incremental AEZ maintenance: mutate one tile in TWO of the four
+    co-keyed rasters (kg on G1, lc on the 3x G3 grid) in a copied
+    world; the delta path must recompute exactly the 2-tile union in
+    one pushed-down read and match the full recompute BIT-IDENTICALLY."""
+    import shutil
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.pipelines import aez as az
+
+    w = _world()
+    w2 = os.path.join(_TMP, "world_aezinc")
+    shutil.rmtree(w2, ignore_errors=True)
+    shutil.copytree(w, w2)
+    for ds_name, want in (("kg", "mem://kg/g1/00004/00003/b1"),
+                          ("lc", "mem://lc/g3/00004/00005/b1")):
+        d = os.path.join(w2, "media", f"dataset={ds_name}")
+        done = False
+        for part in sorted(f for f in os.listdir(d)
+                           if f.endswith(".parquet")):
+            p = os.path.join(d, part)
+            t = pq.read_table(p)
+            refs = t["media_ref"].to_pylist()
+            if want not in refs:
+                continue
+            payloads = t["payload"].to_pylist()
+            i = refs.index(want)
+            payloads[i] = bytes([5]) * len(payloads[i])
+            pq.write_table(pa_mod.table(
+                {"media_ref": refs, "payload": payloads},
+                schema=t.schema), p)
+            done = True
+            break
+        if not done:
+            raise AssertionError(f"tile ref {want} not found")
+    view, rep = az.aez_stats_incremental(w, w2)
+    if rep["tiles_recomputed"] != 2:
+        raise AssertionError(f"expected 2 recomputed tiles: {rep}")
+    full = az.aez_stats(w2)
+    if not (list(view.index) == list(full.index)
+            and list(view.columns) == list(full.columns)
+            and (view.values == full.values).all()):
+        raise AssertionError("incremental AEZ view != full recompute")
+    return view.reset_index()
+
+
 def _spatial_real_mask_areas(sf_dir: str):
     """Real-reference-data parity leg: per-country km2 summed over the
     255 real GDAL-written ZSTD 1 km feature masks, checked against the
@@ -1218,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_warp": _spatial_warp,
         "spatial_adjacency": _spatial_adjacency,
         "spatial_zonal_incremental": _spatial_zonal_incremental,
+        "spatial_aez_incremental": _spatial_aez_incremental,
         "spatial_normalize_docs": _spatial_normalize_docs,
         "spatial_checkpoint_resume": _spatial_checkpoint_resume,
         "spatial_s2_cells": _spatial_s2_cells,

@@ -297,14 +297,30 @@ class AezTileKernel:
 
 
 def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
-                    concurrency: int | tuple = (1, 4), batch_size: int = 8):
+                    concurrency: int | tuple = (1, 4), batch_size: int = 8,
+                    tiles=None):
+    """``tiles`` (set of (ty, tx)) restricts the pass to a tile SET in
+    one launch: the kg ANCHOR docs carry exact tile-key doc_ids, so the
+    set pushes down as a bounding doc_id range + isin — the incremental
+    AEZ delta path (changed sibling rasters recompute via their
+    tile-key-aligned kg anchor)."""
     if index is None:
         index = build_zonal_index(world_path)
     g1 = world_grid(world_path, "g1")
     g3 = world_grid(world_path, "g3")
     from ..sources.documents import blocks_for
+    doc_filter = None
+    if tiles is not None:
+        import pyarrow.compute as pc
+        ids = sorted(f"kg/g1/{ty:05d}/{tx:05d}" for ty, tx in tiles)
+        if not ids:
+            raise ValueError("tiles must be non-empty")
+        doc_filter = ((pc.field("doc_id") >= ids[0])
+                      & (pc.field("doc_id") <= ids[-1])
+                      & pc.field("doc_id").isin(ids))
     docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"],
-                          override_num_blocks=blocks_for(concurrency))
+                          override_num_blocks=blocks_for(concurrency),
+                          doc_filter=doc_filter)
     return docs.map_batches(
         AezTileKernel,
         fn_constructor_kwargs={"world_path": world_path, "index": index,
@@ -329,6 +345,62 @@ def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
     combined = partials.groupby("admin").map_groups(
         combine_partials_deterministic, batch_format="pandas")
     return pivot_zonal(combined.to_pandas(), AEZ_COLUMNS, world_path)
+
+
+def aez_stats_incremental(world_old: str, world_new: str, *,
+                          old_partials: "pd.DataFrame | None" = None
+                          ) -> tuple[pd.DataFrame, dict]:
+    """Maintain the AEZ view across a world update without a full
+    recompute — the 4-raster form of extract.zonal_stats_incremental.
+
+    A G1 tile's AEZ partial depends on all four co-keyed rasters
+    (kg/slope/wk on G1 + lc on the 3x G3 grid, whose tile lattice is
+    index-aligned with G1's), so the changed set is the UNION of the
+    four per-dataset diffs; those tiles recompute through their kg
+    anchor docs in ONE pushed-down read. Bit-identical to
+    ``aez_stats(world_new)`` because the combine orders by (feature,
+    tile, seq) regardless of which run emitted each row."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.zonal import combine_partials_deterministic
+    from .extract import partials_coalesce_width
+    from .pyramid import diff_worlds
+
+    if old_partials is None:
+        old_partials = aez_partials_ds(world_old).to_pandas()
+    changed: set[tuple[int, int]] = set()
+    dropped: set[tuple[int, int]] = set()
+    per_ds = {}
+    for ds_name in ("kg", "slope", "wk", "lc"):
+        diff = diff_worlds(world_old, world_new, ds_name)
+        per_ds[ds_name] = len(diff)
+        for r in diff.itertuples():
+            key = (int(r.tile_y), int(r.tile_x))
+            dropped.add(key)
+            if not (ds_name == "kg" and r.status == "removed"):
+                changed.add(key)
+
+    key = (old_partials["tile_y"].to_numpy(dtype=np.int64) << 32)         | old_partials["tile_x"].to_numpy(dtype=np.int64)
+    drop_keys = np.array([(ty << 32) | tx for ty, tx in dropped],
+                         dtype=np.int64)
+    keep = old_partials[~np.isin(key, drop_keys)]
+    fresh = ([aez_partials_ds(world_new, tiles=changed).to_pandas()]
+             if changed else [])
+    merged = pd.concat([keep] + fresh, ignore_index=True)
+    g1 = world_grid(world_new, "g1")
+    combined = (ray.data.from_pandas(merged)
+                .repartition(partials_coalesce_width(
+                    g1.tiles_x * g1.tiles_y))
+                .groupby("admin")
+                .map_groups(combine_partials_deterministic,
+                            batch_format="pandas")
+                .to_pandas())
+    view = pivot_zonal(combined, AEZ_COLUMNS, world_new)
+    return view, {"tiles_recomputed": len(changed),
+                  "tiles_dropped": len(dropped - changed),
+                  "partial_rows_kept": len(keep),
+                  "diff_tiles_per_dataset": per_ds}
 
 
 TMR_TITLE = ["Tropical-Humid", "Arid", "Tropical-Semiarid", "Temperate-Humid",

@@ -436,6 +436,45 @@ def test_zonal_incremental_many_tiles_single_launch(tmp_path):
     assert (view.values == full.values).all()
 
 
+def test_aez_incremental_bit_equal(tiny_world, tmp_path):
+    """Mutate tiles in TWO of the four co-keyed rasters (kg on G1, lc
+    on G3); the incremental AEZ view recomputes only the union of
+    changed tiles and is bit-identical to the full recompute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_aez_ray.pipelines import aez as az
+
+    w2 = str(tmp_path / "w2aez")
+    shutil.copytree(tiny_world, w2)
+    mutate = {"kg": "mem://kg/g1/00004/00003/b1",
+              "lc": "mem://lc/g3/00004/00005/b1"}
+    for ds_name, want in mutate.items():
+        d = os.path.join(w2, "media", f"dataset={ds_name}")
+        hitfound = False
+        for part in sorted(f for f in os.listdir(d)
+                           if f.endswith(".parquet")):
+            p = os.path.join(d, part)
+            t = pq.read_table(p)
+            refs = t["media_ref"].to_pylist()
+            if want not in refs:
+                continue
+            payloads = t["payload"].to_pylist()
+            i = refs.index(want)
+            payloads[i] = bytes([5]) * len(payloads[i])
+            pq.write_table(pa.table({"media_ref": refs,
+                                     "payload": payloads},
+                                    schema=t.schema), p)
+            hitfound = True
+            break
+        assert hitfound, want
+    view, rep = az.aez_stats_incremental(tiny_world, w2)
+    assert rep["tiles_recomputed"] == 2  # (4,3) from kg + (4,5) from lc
+    full = az.aez_stats(w2)
+    assert list(view.index) == list(full.index)
+    assert list(view.columns) == list(full.columns)
+    assert (view.values == full.values).all()
+
+
 def test_warp_output_is_first_class_world(tiny_world, tmp_path):
     """The warped world's marker makes it consumable by downstream
     derived-ref ops unchanged: build a pyramid OVER the warped world."""
