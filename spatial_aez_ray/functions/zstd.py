@@ -11,8 +11,9 @@ and sequence execution with the three-slot repeat-offset history.
 
 Decode supports every feature a GDAL-written tile can use:
   raw / RLE / compressed blocks; raw / RLE / Huffman / treeless literals;
-  predefined / RLE / FSE-compressed / repeat sequence tables; checksum flag
-  (consumed, not verified); multi-frame concatenation; skippable frames.
+  predefined / RLE / FSE-compressed / repeat sequence tables; content
+  checksums (XXH64 low-32, verified); multi-frame concatenation;
+  skippable frames.
 Not supported (never produced by GDAL's tile writer): dictionaries.
 
 ``compress`` emits spec-valid *store-mode* frames (raw blocks, with an RLE
@@ -492,6 +493,68 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
 
 
 # --------------------------------------------------------------------------
+# XXH64 (public xxHash spec; RFC 8878 frames store the low 32 bits of
+# the seed-0 digest of the decoded content when the checksum flag is set)
+# --------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxround(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            v1 = _xxround(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxround(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxround(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxround(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ _xxround(0, v)) * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h = ((_rotl(h ^ _xxround(0, int.from_bytes(data[i:i + 8],
+                                                   "little")), 27)
+              * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little")
+                          * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# --------------------------------------------------------------------------
 # Frame decode
 # --------------------------------------------------------------------------
 
@@ -537,6 +600,7 @@ def decompress(data: bytes, max_output_size: int | None = None) -> bytes:
                 fcs += 256
             pos += fcs_size
         ctx = _FrameCtx()
+        frame_start = len(out)
         while True:
             bh = int.from_bytes(data[pos:pos + 3], "little")
             pos += 3
@@ -557,7 +621,12 @@ def decompress(data: bytes, max_output_size: int | None = None) -> bytes:
             if last:
                 break
         if checksum:
-            pos += 4  # xxh64 low 32 bits; consumed, not verified
+            want = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError(
+                    f"content checksum mismatch: {got:#x} != {want:#x}")
     return bytes(out)
 
 

@@ -498,6 +498,10 @@ class GeoTiffReader:
                 e = "<"
             elif head[:2] == b"MM":
                 e = ">"
+            elif head.startswith(b"version "):
+                raise ValueError(
+                    f"{path} is a Git LFS pointer stub, not raster data "
+                    "(the real file was not fetched)")
             else:
                 raise ValueError("not a TIFF file")
             magic, ifd_off = struct.unpack(e + "HI", head[2:8])

@@ -109,3 +109,28 @@ def test_real_mask_reads_end_to_end():
     assert arr.shape == (r.height, r.width)
     assert int(arr.sum()) == 901345  # pyarrow-zstd-verified popcount
     r.close()
+
+
+def test_content_checksum_verified():
+    """Frames with the checksum flag carry XXH64 low-32 of the decoded
+    content; the decoder verifies it and rejects corruption."""
+    import struct
+    payload = bytes(range(256)) * 5  # > 32 bytes: exercises the lane path
+    # single-segment frame with the checksum flag: FHD 0x64 = FCS code 1
+    # (2-byte content size, value+256) | single_segment | checksum
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x60 | 0x04])
+    frame += struct.pack("<H", len(payload) - 256)
+    frame += (1 | (0 << 1) | (len(payload) << 3)).to_bytes(3, "little")
+    frame += payload
+    frame += struct.pack("<I", zstd.xxh64(payload) & 0xFFFFFFFF)
+    assert zstd.decompress(frame) == payload
+    bad = bytearray(frame)
+    bad[20] ^= 0xFF  # flip a payload byte
+    with pytest.raises(zstd.ZstdError, match="checksum"):
+        zstd.decompress(bytes(bad))
+
+
+def test_xxh64_known_vectors():
+    # public xxHash reference vectors, seed 0
+    assert zstd.xxh64(b"") == 0xEF46DB3751D8E999
+    assert zstd.xxh64(b"a") == 0xD24EC4F1A98C6E5B
