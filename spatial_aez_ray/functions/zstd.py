@@ -417,7 +417,8 @@ def _decode_sequences_header(block: bytes, pos: int):
     return block[pos + 1] | (block[pos + 2] << 8) | 0x7F00, pos + 3
 
 
-def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
+def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray,
+                  limit: int | None = None) -> None:
     lits, pos = _decode_literals(block, ctx)
     nseq, pos = _decode_sequences_header(block, pos)
     if nseq == 0:
@@ -475,6 +476,8 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
             out += lits[lit_pos:lit_pos + ll]
             lit_pos += ll
         if ml:
+            if limit is not None and len(out) + ml > limit:
+                raise ZstdError("output exceeds max_output_size")
             if offset > len(out):
                 raise ZstdError("match offset beyond window")
             if offset >= ml:
@@ -559,7 +562,20 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 # --------------------------------------------------------------------------
 
 def decompress(data: bytes, max_output_size: int | None = None) -> bytes:
-    """Decode one or more concatenated zstd frames."""
+    """Decode one or more concatenated zstd frames.
+
+    Corrupt input raises ``ZstdError`` (never a bare IndexError or a
+    runaway allocation: in-block output is capped by
+    ``max_output_size`` when given)."""
+    try:
+        return _decompress_frames(data, max_output_size)
+    except ZstdError:
+        raise
+    except (IndexError, struct.error, OverflowError, MemoryError) as e:
+        raise ZstdError(f"corrupt frame: {type(e).__name__}: {e}") from e
+
+
+def _decompress_frames(data: bytes, max_output_size: int | None) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)
@@ -612,7 +628,8 @@ def decompress(data: bytes, max_output_size: int | None = None) -> bytes:
                 out += data[pos:pos + 1] * bsize
                 pos += 1
             elif btype == 2:
-                _decode_block(data[pos:pos + bsize], ctx, out)
+                _decode_block(data[pos:pos + bsize], ctx, out,
+                              limit=max_output_size)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")

@@ -134,3 +134,29 @@ def test_xxh64_known_vectors():
     # public xxHash reference vectors, seed 0
     assert zstd.xxh64(b"") == 0xEF46DB3751D8E999
     assert zstd.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+
+
+def test_corrupt_input_raises_zstd_error_only():
+    """Truncations and random byte corruptions of valid frames either
+    decode (a flip can land in don't-care bits) or raise ZstdError —
+    never a bare IndexError/struct.error, never an unbounded allocation
+    (output capped by max_output_size)."""
+    rng = random.Random(11)
+    nprng = np.random.RandomState(11)
+    a = np.zeros(30000, np.uint8)
+    a[nprng.randint(0, 30000, 2000)] = nprng.randint(1, 255)
+    data = a.tobytes()
+    comp = bytearray(pa.Codec("zstd", compression_level=3).compress(data))
+    for trial in range(300):
+        bad = bytearray(comp)
+        if trial % 2:
+            bad = bad[:rng.randrange(1, len(bad))]          # truncate
+        else:
+            for _ in range(rng.randrange(1, 4)):            # corrupt
+                bad[rng.randrange(len(bad))] ^= rng.randrange(1, 256)
+        try:
+            out = zstd.decompress(bytes(bad),
+                                  max_output_size=len(data) + 1024)
+            assert len(out) <= len(data) + 1024
+        except zstd.ZstdError:
+            pass
