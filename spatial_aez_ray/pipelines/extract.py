@@ -146,17 +146,24 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
 
 def partials_coalesce_width(n_tiles: int) -> int:
     """Partition count for the tiny pre-reduced partials before the
-    combine groupby: 16 at test scale (halves the sort's fixed
-    per-block cost, measured 6.4s -> 2.5s), growing ~1 partition per
-    256 tiles, capped at 4 x cluster CPUs — the same clamp shape as
-    datapipe.util.shuffle_width, keyed on tile count because partials
-    are a fixed few dozen rows per tile."""
+    combine groupby: 16 (halves the sort's fixed per-block cost at
+    test scale, measured 6.4s -> 2.5s) until the partial table itself
+    gets heavy, then ~1 partition per 25k tiles (~1M partial rows /
+    ~50 MB), capped at 4 x cluster CPUs.
+
+    Width is sized by partial-table VOLUME, not CPU count: partials
+    are a few dozen ~50 B rows per tile, so 16 partitions stay small
+    (hundreds of MB) up to millions of tiles. Measured warm A/B/A/B at
+    the scale-40 world (101k tiles, 32 CPUs): width 16 = 12.3/12.4 s,
+    width 128 = 14.5/15.9 s — wider is strictly per-block overhead
+    until partitions approach GB size, which is the only thing the
+    growth term guards against."""
     import ray as _ray
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - no ray session
         cpus = 8
-    return int(min(max(16, n_tiles // 256), max(16, 4 * cpus)))
+    return int(min(max(16, n_tiles // 25_000), max(16, 4 * cpus)))
 
 
 def zonal_stats(world_path: str, dataset: str, *,
