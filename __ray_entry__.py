@@ -1119,6 +1119,17 @@ def _spatial_real_mask_import(sf_dir: str):
                           "equal": world_km2 == direct_km2}])
 
 
+def _spatial_real_png_palette(sf_dir: str):
+    """M15 parity on REAL published output: decode the reference's
+    results/*_small.png thumbnails (written by gdal_translate,
+    process_imagery.py:500-508) with our from-scratch PNG codec and
+    assert every pixel color is an exact entry of our mirror of that
+    product's GDAL color table.  Caught the CreateColorRamp
+    truncate-vs-round interpolation bug."""
+    from spatial_aez_ray.pipelines import realmask
+    return realmask.check_real_png_palette(realmask.real_png_palette())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
         corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
@@ -1272,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_geotiff_import": _spatial_geotiff_import,
         "spatial_real_mask_areas": _spatial_real_mask_areas,
         "spatial_real_mask_import": _spatial_real_mask_import,
+        "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }

@@ -263,6 +263,76 @@ def imported_mask_area(world_path: str, dataset: str = "realmask") -> float:
     return float(np.sum(part["km2"].to_numpy()))
 
 
+REFERENCE_RESULTS_DIR = "/root/reference/results"
+
+#: published thumbnail -> our render product whose palette it must use
+#: (process_imagery.py:500-508 converts each classified GeoTIFF with
+#: ``gdal_translate -of png -expand rgb -outsize 1% 0`` — nearest
+#: resampling of a paletted raster, so EVERY pixel is an exact color
+#: from the product's GDAL color table).
+REAL_PNG_PRODUCTS = {
+    "AEZ_small.png": "render_aez",
+    "Slope_small.png": "render_slope",
+    "LandUse_small.png": "render_landuse",
+    "SoilHealth_small.png": "render_soilhealth",
+}
+
+
+def _png_palette_row(name: str, product: str, results_dir: str) -> dict:
+    from ..functions.png import decode_png
+    from .render import render_color_table
+    with open(os.path.join(results_dir, name), "rb") as f:
+        arr, _ = decode_png(f.read())
+    if arr.ndim != 3:
+        raise ValueError(f"{name}: expected truecolor RGB, got {arr.shape}")
+    cols = np.unique(arr.reshape(-1, 3), axis=0)
+    pal = {tuple(int(v) for v in c) for c in render_color_table(product)}
+    in_pal = sum(1 for c in cols if tuple(int(v) for v in c) in pal)
+    return {"png": name, "product": product,
+            "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+            "distinct_colors": int(len(cols)),
+            "colors_in_palette": int(in_pal)}
+
+
+def real_png_palette(results_dir: str = REFERENCE_RESULTS_DIR
+                     ) -> pd.DataFrame:
+    """Decode the reference's PUBLISHED result thumbnails with our
+    from-scratch PNG codec and check every pixel color against our
+    mirror of its GDAL color table (M15 parity on real output data).
+
+    This is the check that caught render_color_table's round-vs-
+    truncate ramp bug: GDAL CreateColorRamp interpolates with
+    truncating integer division, and only that form covers all 222
+    colors in the published AEZ thumbnail."""
+    items = [{"png": k, "product": v} for k, v in
+             sorted(REAL_PNG_PRODUCTS.items())]
+
+    def one(batch: dict) -> pd.DataFrame:
+        rows = [_png_palette_row(str(n), str(p), results_dir)
+                for n, p in zip(batch["png"], batch["product"])]
+        return pd.DataFrame(rows)
+
+    df = (ray.data.from_items(items)
+          .map_batches(one, batch_size=1, batch_format="numpy")
+          .to_pandas())
+    return df.sort_values("png", kind="mergesort").reset_index(drop=True)
+
+
+def check_real_png_palette(df: pd.DataFrame) -> pd.DataFrame:
+    """Every published thumbnail: all colors in OUR palette, the
+    reference's 1%-of-129600x64800 frame, and a non-trivial legend."""
+    if len(df) != len(REAL_PNG_PRODUCTS):
+        raise AssertionError(f"expected {len(REAL_PNG_PRODUCTS)} PNGs:\n"
+                             + df.to_string(index=False))
+    bad = df[(df["distinct_colors"] != df["colors_in_palette"])
+             | (df["width"] != 1296) | (df["height"] != 648)
+             | (df["distinct_colors"] < 3)]
+    if len(bad):
+        raise AssertionError("published PNGs off-palette or off-frame:\n"
+                             + bad.to_string(index=False))
+    return df
+
+
 def check_real_mask_areas(df: pd.DataFrame) -> pd.DataFrame:
     """Assert the reference's tolerance rule over every checked country
     (test_extract_country_data.py:15-50); returns df unchanged."""

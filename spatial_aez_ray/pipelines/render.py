@@ -202,7 +202,13 @@ def render_color_table(product: str) -> np.ndarray:
     """(256, 3) uint8 palette for a render product, mirroring the
     reference's GDAL color tables (process_imagery.py:300-395): AEZ
     gets a 30-entry linear ramp per TMR base code, the other products
-    fixed entries; every blank code is black."""
+    fixed entries; every blank code is black.
+
+    Ramp interpolation is GDAL ``ColorTable.CreateColorRamp``'s
+    TRUNCATING integer form ``lo + (i * (hi - lo)) // span`` — NOT
+    round(): every one of the 222 distinct colors in the published
+    results/AEZ_small.png is exactly this table (the rounded form
+    mismatches 107 of them)."""
     cm = np.zeros((256, 3), dtype=np.uint8)
     if product == "render_aez":
         ramps = {  # base code -> (start RGB, end RGB), :311-321
@@ -218,8 +224,7 @@ def render_color_table(product: str) -> np.ndarray:
         for tmr, (lo, hi) in ramps.items():
             base = TMR_BASE_COLOR[tmr]
             for i in range(30):
-                f = i / 29.0
-                cm[base + i] = [round(a + (b - a) * f)
+                cm[base + i] = [a + (i * (b - a)) // 29
                                 for a, b in zip(lo, hi)]
     elif product == "render_slope":
         cm[0], cm[1], cm[2] = (32, 64, 32), (32, 64, 96), (32, 64, 240)

@@ -58,3 +58,16 @@ def test_real_mask_import_roundtrip(ray_session, tmp_path):
     a = realmask.imported_mask_area(w)
     assert a == realmask.mask_file_area(path)
     assert abs(a - 642199.1765113731) < 1e-6
+
+HAVE_PNGS = os.path.isdir(realmask.REFERENCE_RESULTS_DIR)
+
+
+@pytest.mark.skipif(not HAVE_PNGS, reason="reference results not present")
+def test_real_published_png_palette(ray_session):
+    """M15 parity on real published output: every pixel color of the
+    reference's results/*_small.png is an exact entry of our mirror of
+    that product's GDAL color table (truncating CreateColorRamp)."""
+    df = realmask.check_real_png_palette(realmask.real_png_palette())
+    aez = df[df["png"] == "AEZ_small.png"].iloc[0]
+    assert aez["distinct_colors"] == 222  # 29 zones' worth of ramp colors
+    assert (df["distinct_colors"] == df["colors_in_palette"]).all()

@@ -71,3 +71,65 @@ def test_aez_color_ramp_endpoints():
     assert tuple(cm[0]) == (0, 192, 0) and tuple(cm[29]) == (0, 255, 0)
     assert tuple(cm[210]) == (64, 64, 64) and tuple(cm[239]) == (192, 192, 192)
     assert tuple(cm[255]) == (0, 0, 0)
+
+def _filter_rows(img: np.ndarray, filters: list, bpp: int) -> bytes:
+    """Forward-apply RFC 2083 filters (independent reimplementation,
+    per-byte from the spec) to build decoder test vectors."""
+    h, n = img.shape[0], img.shape[1] * bpp
+    flat = img.reshape(h, n).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(n, dtype=np.int32)
+    for r, f in zip(range(h), filters):
+        cur = flat[r]
+        row = bytearray([f])
+        for x in range(n):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else ul)
+            row.append((int(cur[x]) - pred) & 0xFF)
+        out += row
+        prev = cur
+    return bytes(out)
+
+
+def _wrap_png(w, h, ctype, raw):
+    import struct
+    import zlib
+    from spatial_aez_ray.functions import png as P
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(raw))
+            + P._chunk(b"IEND", b""))
+
+
+def test_png_decode_adaptive_filters_gray():
+    """Decoder handles all five filter types (libpng writes adaptive
+    streams the filter-0-only encoder never produces)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 23), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    data = _wrap_png(23, 10, 0, _filter_rows(img[..., None], filters, 1))
+    arr, pal = decode_png(data)
+    assert (arr == img).all() and pal is None
+
+
+def test_png_decode_adaptive_filters_rgb():
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, size=(9, 17, 3), dtype=np.uint8)
+    filters = [4, 3, 2, 1, 0, 1, 2, 3, 4]
+    data = _wrap_png(17, 9, 2, _filter_rows(img, filters, 3))
+    arr, pal = decode_png(data)
+    assert arr.shape == (9, 17, 3) and (arr == img).all() and pal is None
