@@ -1130,6 +1130,16 @@ def _spatial_real_png_palette(sf_dir: str):
     return realmask.check_real_png_palette(realmask.real_png_palette())
 
 
+def _spatial_real_region_rollup(sf_dir: str):
+    """J3/A4 parity on REAL published output: re-roll the reference's
+    published by-country CSVs through our region_rollup_mapping kernel
+    (mirrored Drawdown region table) and assert every cell of all nine
+    published by-region files matches within the strict %.2f rounding
+    bound 0.005*(n_countries+1) — mapping errors are km2-sized."""
+    from spatial_aez_ray.pipelines import realcsv
+    return realcsv.check_real_region_rollup(realcsv.real_region_rollup())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
         corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
@@ -1284,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_areas": _spatial_real_mask_areas,
         "spatial_real_mask_import": _spatial_real_mask_import,
         "spatial_real_png_palette": _spatial_real_png_palette,
+        "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }

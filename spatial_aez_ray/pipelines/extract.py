@@ -222,11 +222,14 @@ def pivot_zonal(pdf: pd.DataFrame, columns: list[str],
     return df.sort_index(axis="index")
 
 
-def region_rollup(df: pd.DataFrame, world_path: str) -> pd.DataFrame:
-    """Country rows -> fixed-order region rows; a country may roll into
-    several regions (list values, admin_names.py:81-408; accumulation
-    per extract_country_data.py:254-263)."""
-    region_of = load_regions(world_path)
+def region_rollup_mapping(df: pd.DataFrame,
+                          region_of: dict) -> pd.DataFrame:
+    """Country rows -> fixed-order region rows under an explicit
+    country->regions mapping; a country may roll into several regions
+    (list values, admin_names.py:81-408; accumulation per
+    extract_country_data.py:254-263). Shared kernel for the synthetic
+    worlds (mapping from _WORLD.json) and the REAL published-CSV
+    parity gate (mapping from region_mapping.REGION_MAPPING)."""
     df_region = pd.DataFrame(0.0, index=REGIONS, columns=df.columns.copy())
     df_region.index.name = "Region"
     for country, row in df.iterrows():
@@ -234,6 +237,11 @@ def region_rollup(df: pd.DataFrame, world_path: str) -> pd.DataFrame:
         if regions is not None and len(regions):
             df_region.loc[list(regions), :] += row
     return df_region
+
+
+def region_rollup(df: pd.DataFrame, world_path: str) -> pd.DataFrame:
+    """Country rows -> region rows using the world's own mapping."""
+    return region_rollup_mapping(df, load_regions(world_path))
 
 
 def write_csv(df: pd.DataFrame, path: str) -> None:

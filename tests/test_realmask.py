@@ -71,3 +71,44 @@ def test_real_published_png_palette(ray_session):
     aez = df[df["png"] == "AEZ_small.png"].iloc[0]
     assert aez["distinct_colors"] == 222  # 29 zones' worth of ramp colors
     assert (df["distinct_colors"] == df["colors_in_palette"]).all()
+
+
+HAVE_CSVS = os.path.isdir("/root/reference/results")
+
+
+@pytest.mark.skipif(not HAVE_CSVS, reason="reference results not present")
+class TestRealRegionRollup:
+    def test_published_rollups_within_rounding_bound(self, ray_session):
+        from spatial_aez_ray.pipelines import realcsv
+        df = realcsv.check_real_region_rollup(realcsv.real_region_rollup())
+        assert len(df) == 9 * 9  # 9 files x 9 regions
+        # measured headroom: worst AEZ cell 0.05 km2, Land-Cover exact
+        assert df["max_abs_diff"].max() <= 0.06
+        lc = df[df["file"] == "Land-Cover-by-region.csv"]
+        assert (lc["max_abs_diff"] == 0.0).all()
+
+    def test_mapping_mutation_is_km2_sized(self):
+        """Dropping ONE country from a region must blow the bound by
+        orders of magnitude — the check is sharp, not vacuous."""
+        from unittest import mock
+        from spatial_aez_ray.pipelines import realcsv
+        broken = dict(realcsv.REGION_MAPPING)
+        assert broken["Brazil"] == ["Latin America"]
+        broken["Brazil"] = None
+        with mock.patch.object(realcsv, "REGION_MAPPING", broken):
+            rows = realcsv._compare_one(
+                "Land-Cover-by-region.csv", "Land-Cover-by-country.csv",
+                None, realcsv.REFERENCE_RESULTS_DIR)
+        worst = max(r["max_abs_diff"] for r in rows
+                    if r["region"] == "Latin America")
+        assert worst > 1000  # Brazil-sized, vs a 0.15 km2 bound
+
+    def test_mapping_covers_published_countries(self):
+        import pandas as pd
+        from spatial_aez_ray.region_mapping import REGION_MAPPING
+        from spatial_aez_ray.constants import REGIONS
+        for f in ("AEZ-by-country.csv", "Land-Cover-by-country.csv"):
+            bc = pd.read_csv(f"/root/reference/results/{f}", index_col=0)
+            assert all(c in REGION_MAPPING for c in bc.index)
+        vals = [v for v in REGION_MAPPING.values() if v]
+        assert {r for rs in vals for r in rs} == set(REGIONS)
