@@ -1140,6 +1140,15 @@ def _spatial_real_region_rollup(sf_dir: str):
     return realcsv.check_real_region_rollup(realcsv.real_region_rollup())
 
 
+def _spatial_real_csv_areas(sf_dir: str):
+    """The reference's own `test_country_areas_reasonable`
+    (test_extract_country_data.py:15-50) reproduced over its PUBLISHED
+    by-country CSVs with OUR CIA table + band kernel: every country
+    row-sum of all 7 published products inside the tolerance band."""
+    from spatial_aez_ray.pipelines import realcsv
+    return realcsv.check_real_csv_areas(realcsv.real_csv_areas())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
         corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
@@ -1295,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_import": _spatial_real_mask_import,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
+        "spatial_real_csv_areas": _spatial_real_csv_areas,
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }

@@ -117,6 +117,100 @@ def real_region_rollup(results_dir: str = REFERENCE_RESULTS_DIR
                           kind="mergesort").reset_index(drop=True)
 
 
+#: countries exempt from the large-country band in FAO-Slope (the FAO
+#: data predates the 2010 Norway/Russia Arctic boundary resolution and
+#: under-covers the high north; test_extract_country_data.py:44-46)
+_FAO_SLOPE_SKIPS = frozenset({
+    "Canada", "Finland", "Greenland", "Iceland", "Norway",
+    "Russian Federation", "Sweden"})
+
+
+def _csv_area_rows(name: str, results_dir: str) -> list[dict]:
+    """One published by-country CSV -> per-country CIA band verdicts,
+    the reference's own rule incl. its product-specific exemptions
+    (test_extract_country_data.py:15-50)."""
+    from ..cia_areas import EXPECTED_AREA_KM2
+    low = name.lower()
+    df = pd.read_csv(os.path.join(results_dir, name), index_col=0)
+    rows = []
+    for country, row in df.iterrows():
+        area = float(row.sum())
+        exp = EXPECTED_AREA_KM2.get(country.upper())
+        checked, in_band = True, True
+        if country == "Antarctica" or exp is None:
+            checked = False
+        elif exp < 5000 and area < 5000:
+            checked = False
+        elif exp < 35000 and area < 35000:
+            if "workability" in low:
+                checked = False  # FAO omits/overestimates small states
+            else:
+                in_band = exp * 0.45 < area < exp * 1.20
+        else:
+            if ("workability" in low and country == "Norway") or \
+                    ("fao-slope" in low and country in _FAO_SLOPE_SKIPS):
+                checked = False
+            else:
+                in_band = exp * 0.76 < area < exp * 1.07
+        rows.append({"file": name, "country": str(country),
+                     "area_km2": area,
+                     "expected_km2": float(-1 if exp is None else exp),
+                     "checked": bool(checked),
+                     "in_band": bool(in_band if checked else False),
+                     "no_table_entry": bool(exp is None
+                                            and country != "Antarctica")})
+    return rows
+
+
+def real_csv_areas(results_dir: str = REFERENCE_RESULTS_DIR
+                   ) -> pd.DataFrame:
+    """The reference's `test_country_areas_reasonable` reproduced over
+    its PUBLISHED outputs with OUR CIA table and band kernel: every
+    country row-sum of every published ``*-by-country.csv`` inside the
+    tolerance band (product-specific exemptions mirrored)."""
+    import glob as _glob
+    names = sorted(os.path.basename(p) for p in
+                   _glob.glob(os.path.join(results_dir,
+                                           "*-by-country.csv")))
+    if not names:
+        raise FileNotFoundError(f"no by-country CSVs in {results_dir}")
+
+    def one(batch: dict) -> pd.DataFrame:
+        rows = []
+        for n in batch["name"]:
+            rows += _csv_area_rows(str(n), results_dir)
+        return pd.DataFrame(rows)
+
+    df = (ray.data.from_items([{"name": n} for n in names])
+          .map_batches(one, batch_size=1, batch_format="numpy")
+          .to_pandas())
+    return df.sort_values(["file", "country"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+def check_real_csv_areas(df: pd.DataFrame) -> pd.DataFrame:
+    """>=7 published files, >=100 banded countries each (Workability's
+    extra exemptions allow fewer), no country missing from our CIA
+    table, zero band violations."""
+    files = df["file"].unique()
+    if len(files) < 7:
+        raise AssertionError(f"only {len(files)} published by-country "
+                             f"CSVs: {list(files)}")
+    checked = df[df["checked"]]
+    per_file = checked.groupby("file").size()
+    if (per_file < 100).any():
+        raise AssertionError("too few banded countries:\n"
+                             + per_file.to_string())
+    if df["no_table_entry"].any():
+        raise AssertionError("countries missing from the CIA table:\n"
+                             + df[df["no_table_entry"]].to_string())
+    bad = checked[~checked["in_band"]]
+    if len(bad):
+        raise AssertionError("published CSV areas out of CIA band:\n"
+                             + bad.to_string(index=False))
+    return df
+
+
 def check_real_region_rollup(df: pd.DataFrame) -> pd.DataFrame:
     """Every cell of every published by-region file within the
     rounding bound, all nine regions present per file, and the tables

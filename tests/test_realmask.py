@@ -156,3 +156,31 @@ class TestRealCsvFormatParity:
         assert list(bc.index) == sorted(bc.index)
         mask_admins = {i["admin"] for i in realmask.mask_inventory()}
         assert set(bc.index) == mask_admins
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/results"),
+                    reason="reference results not present")
+class TestRealCsvAreas:
+    def test_published_csv_areas_in_cia_band(self, ray_session):
+        from spatial_aez_ray.pipelines import realcsv
+        df = realcsv.check_real_csv_areas(realcsv.real_csv_areas())
+        assert df["file"].nunique() == 7
+        # AEZ checks the full 168-country set the reference's test does
+        aez = df[(df["file"] == "AEZ-by-country.csv") & df["checked"]]
+        assert len(aez) == 168
+        ru = df[(df["file"] == "AEZ-by-country.csv")
+                & (df["country"] == "Russian Federation")].iloc[0]
+        assert ru["expected_km2"] == 17098242.0
+
+    def test_band_rule_rejects_shrunk_area(self):
+        """Halving one large country's row must trip the band."""
+        import pandas as pd
+        from spatial_aez_ray.pipelines import realcsv
+        rows = realcsv._csv_area_rows("AEZ-by-country.csv",
+                                      realcsv.REFERENCE_RESULTS_DIR)
+        df = pd.DataFrame(rows)
+        fr = df[df["country"] == "France"].iloc[0]
+        assert fr["checked"] and fr["in_band"]
+        assert not (fr["expected_km2"] * 0.76
+                    < fr["area_km2"] * 0.5
+                    < fr["expected_km2"] * 1.07)
