@@ -24,6 +24,11 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 #: channels per pixel by PNG color type (8-bit depths we accept)
 _CHANNELS = {0: 1, 2: 3, 3: 1}
 
+#: decoded-pixel budget: a crafted IHDR must not drive allocation; the
+#: biggest legitimate client is a render-tile mosaic thumbnail, far
+#: below this. Same bounded-decode posture as functions/zstd.py.
+MAX_DECODE_BYTES = 1 << 28  # 256 MiB
+
 
 def _chunk(typ: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + typ + data
@@ -123,6 +128,10 @@ def decode_png(data: bytes) -> tuple[np.ndarray, np.ndarray | None]:
             if depth != 8 or ctype not in _CHANNELS or ilace:
                 raise ValueError(
                     "decoder supports 8-bit ctype 0/2/3, no interlace")
+            if w == 0 or h == 0 or \
+                    h * (w * _CHANNELS[ctype] + 1) > MAX_DECODE_BYTES:
+                raise ValueError(
+                    f"PNG dimensions {w}x{h} outside decoder budget")
         elif typ == b"PLTE":
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3).copy()
         elif typ == b"IDAT":
@@ -133,6 +142,10 @@ def decode_png(data: bytes) -> tuple[np.ndarray, np.ndarray | None]:
     if w is None:
         raise ValueError("PNG has no IHDR")
     bpp = _CHANNELS[ctype]
-    flat = _unfilter(zlib.decompress(b"".join(idat)), h, w, bpp)
+    # bound inflation by the image's own raw size: a zlib bomb in IDAT
+    # cannot allocate past the (already-capped) IHDR geometry
+    want = h * (w * bpp + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), want)
+    flat = _unfilter(raw, h, w, bpp)
     arr = flat.reshape(h, w, 3) if ctype == 2 else flat.reshape(h, w)
     return arr, palette

@@ -133,3 +133,31 @@ def test_png_decode_adaptive_filters_rgb():
     data = _wrap_png(17, 9, 2, _filter_rows(img, filters, 3))
     arr, pal = decode_png(data)
     assert arr.shape == (9, 17, 3) and (arr == img).all() and pal is None
+
+
+def test_png_decode_bounded_against_crafted_input():
+    """Typed errors, capped allocation (same posture as the zstd
+    decoder): huge-IHDR and zlib-bomb inputs must fail cheaply."""
+    import pytest
+    from spatial_aez_ray.functions import png as P
+    import struct, zlib
+    # IHDR claiming ~4 Tpx: rejected before any allocation
+    huge = _wrap_png(2_000_000, 2_000_000, 0, b"")
+    with pytest.raises(ValueError, match="decoder budget"):
+        decode_png(huge)
+    with pytest.raises(ValueError, match="decoder budget"):
+        decode_png(_wrap_png(0, 5, 0, b""))
+    # zlib bomb: tiny IDAT inflating past the declared 4x4 geometry
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    data = (b"\x89PNG\r\n\x1a\n"
+            + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + P._chunk(b"IDAT", bomb) + P._chunk(b"IEND", b""))
+    arr, _ = decode_png(data)  # decompression stops at 4x(4+1) bytes
+    assert arr.shape == (4, 4) and (arr == 0).all()
+    # truncated pixel data is a typed error, not an exception from numpy
+    short = zlib.compress(b"\x00" * 7)
+    data = (b"\x89PNG\r\n\x1a\n"
+            + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + P._chunk(b"IDAT", short) + P._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(data)
