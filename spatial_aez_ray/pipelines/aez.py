@@ -335,11 +335,20 @@ def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
     """Country × 232 (tmr|AEZn) km² table, bit-exact vs the oracle.
     ``coalesce``: see extract.zonal_stats (tiny-partials repartition;
     "auto" derives the width from the G1 tile count)."""
+    from .extract import (DRIVER_COMBINE_MAX_TILES, combine_partials_table,
+                          partials_coalesce_width, world_grid)
     partials = aez_partials_ds(world_path, index=index, concurrency=concurrency)
+    g1 = world_grid(world_path, "g1")
+    n_tiles = g1.tiles_x * g1.tiles_y
+    if n_tiles <= DRIVER_COMBINE_MAX_TILES:
+        # size-adaptive deterministic combine — see zonal_stats: below
+        # the threshold the pre-reduced partial table is MBs, so the
+        # driver combine (bit-identical ordering) skips the sort
+        # shuffle's warm fixed floor entirely.
+        return pivot_zonal(combine_partials_table(partials.to_pandas()),
+                           AEZ_COLUMNS, world_path)
     if coalesce == "auto":
-        from .extract import partials_coalesce_width, world_grid
-        g1 = world_grid(world_path, "g1")
-        coalesce = partials_coalesce_width(g1.tiles_x * g1.tiles_y)
+        coalesce = partials_coalesce_width(n_tiles)
     if coalesce:
         partials = partials.repartition(coalesce)
     combined = partials.groupby("admin").map_groups(

@@ -144,6 +144,15 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
     )
 
 
+#: below this tile count the deterministic combine runs on the driver
+#: over the pulled partial table (~50 B x a few dozen rows per tile ->
+#: low tens of MB at the threshold) instead of the sort-shuffled
+#: map_groups, whose warm fixed floor is ~2.3 s regardless of width.
+#: Above it — e.g. the scale-40 world's 101k tiles, or any planetary
+#: grid — the distributed path runs unchanged.
+DRIVER_COMBINE_MAX_TILES = 20_000
+
+
 def partials_coalesce_width(n_tiles: int) -> int:
     """Partition count for the tiny pre-reduced partials before the
     combine groupby: 16 (halves the sort's fixed per-block cost at
@@ -188,19 +197,31 @@ def zonal_stats(world_path: str, dataset: str, *,
                                  concurrency=concurrency,
                                  batch_size=batch_size,
                                  tile_window=tile_window)
+    if classifier_grid is None:
+        classifier_grid = world_grid(world_path,
+                                     CLASSIFIERS[dataset]().grid)
+    n_tiles = classifier_grid.tiles_x * classifier_grid.tiles_y
     if coalesce == "auto":
-        if classifier_grid is None:
-            classifier_grid = world_grid(world_path,
-                                         CLASSIFIERS[dataset]().grid)
-        coalesce = partials_coalesce_width(
-            classifier_grid.tiles_x * classifier_grid.tiles_y)
-    if coalesce:
-        partials = partials.repartition(coalesce)
-    if deterministic:
+        coalesce = partials_coalesce_width(n_tiles)
+    if deterministic and n_tiles <= DRIVER_COMBINE_MAX_TILES:
+        # size-adaptive combine (same design as dedup's survivor
+        # resolution): the pre-reduced partial table is a few dozen
+        # ~50 B rows per tile, so below the threshold it is MBs —
+        # pull it once and run the driver-side deterministic combine,
+        # skipping the sort shuffle's ~2.3 s warm fixed floor. The
+        # two combines are bit-identical (same per-admin order, same
+        # sequential accumulation; asserted by the checkpointed-vs-
+        # regular golden tests), so results do not depend on the path.
+        pdf = combine_partials_table(partials.to_pandas())
+    elif deterministic:
+        if coalesce:
+            partials = partials.repartition(coalesce)
         combined = partials.groupby("admin").map_groups(
             combine_partials_deterministic, batch_format="pandas")
         pdf = combined.to_pandas()
     else:
+        if coalesce:
+            partials = partials.repartition(coalesce)
         from ray.data.aggregate import Sum
         pdf = (partials.groupby(["admin", "cls"])
                .aggregate(Sum("km2", alias_name="km2")).to_pandas())

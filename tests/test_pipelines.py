@@ -531,3 +531,19 @@ def test_derived_ref_kernels_deterministic_across_runs(tiny_world,
     assert a.equals(b)
     assert pyr.focal_gradient(tiny_world, "kg").equals(
         pyr.focal_gradient(tiny_world, "kg"))
+
+
+def test_driver_and_distributed_combine_bit_identical(tiny_world, monkeypatch):
+    """The size-adaptive combine switch must be invisible: forcing the
+    distributed sort+map_groups path yields the EXACT frame the driver
+    combine produces (same per-admin order, same sequential float
+    accumulation)."""
+    from spatial_aez_ray.pipelines import aez as aezmod
+    index = extract.build_zonal_index(tiny_world)
+    a = extract.zonal_stats(tiny_world, "kg", index=index)
+    b_aez = aezmod.aez_stats(tiny_world, index=index)
+    monkeypatch.setattr(extract, "DRIVER_COMBINE_MAX_TILES", 0)
+    b = extract.zonal_stats(tiny_world, "kg", index=index)
+    assert a.equals(b)
+    a_aez = aezmod.aez_stats(tiny_world, index=index)
+    assert a_aez.equals(b_aez)
