@@ -398,13 +398,19 @@ def aez_stats_incremental(world_old: str, world_new: str, *,
              if changed else [])
     merged = pd.concat([keep] + fresh, ignore_index=True)
     g1 = world_grid(world_new, "g1")
-    combined = (ray.data.from_pandas(merged)
-                .repartition(partials_coalesce_width(
-                    g1.tiles_x * g1.tiles_y))
-                .groupby("admin")
-                .map_groups(combine_partials_deterministic,
-                            batch_format="pandas")
-                .to_pandas())
+    from .extract import DRIVER_COMBINE_MAX_TILES, combine_partials_table
+    # merged is already on the driver; below the size-adaptive
+    # threshold re-shipping it through a sort shuffle is pure overhead
+    if len(merged) <= DRIVER_COMBINE_MAX_TILES * 64:
+        combined = combine_partials_table(merged)
+    else:
+        combined = (ray.data.from_pandas(merged)
+                    .repartition(partials_coalesce_width(
+                        g1.tiles_x * g1.tiles_y))
+                    .groupby("admin")
+                    .map_groups(combine_partials_deterministic,
+                                batch_format="pandas")
+                    .to_pandas())
     view = pivot_zonal(combined, AEZ_COLUMNS, world_new)
     return view, {"tiles_recomputed": len(changed),
                   "tiles_dropped": len(dropped - changed),

@@ -145,10 +145,15 @@ def degraded_stats(world_path: str, *, index: PolygonIndex | None = None,
         fn_constructor_kwargs={"world_path": world_path, "index": index,
                                "g1": g1},
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
-    from .extract import partials_coalesce_width
+    from .extract import (DRIVER_COMBINE_MAX_TILES, combine_partials_table,
+                          partials_coalesce_width)
+    n_tiles = g1.tiles_x * g1.tiles_y
+    if n_tiles <= DRIVER_COMBINE_MAX_TILES:
+        # size-adaptive deterministic combine — see zonal_stats
+        return pivot_zonal(combine_partials_table(partials.to_pandas()),
+                           DEGRADED_COLUMNS, world_path)
     # tiny-partials coalesce, see zonal_stats ("auto" width from tiles)
-    partials = partials.repartition(
-        partials_coalesce_width(g1.tiles_x * g1.tiles_y))
+    partials = partials.repartition(partials_coalesce_width(n_tiles))
     combined = partials.groupby("admin").map_groups(
         combine_partials_deterministic, batch_format="pandas")
     return pivot_zonal(combined.to_pandas(), DEGRADED_COLUMNS, world_path)

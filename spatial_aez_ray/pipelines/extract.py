@@ -481,11 +481,16 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
         fresh = []
     merged = pd.concat([keep] + fresh, ignore_index=True)
 
-    combined = (ray.data.from_pandas(merged)
-                .groupby("admin")
-                .map_groups(combine_partials_deterministic,
-                            batch_format="pandas")
-                .to_pandas())
+    # merged is already on the driver; below the size-adaptive
+    # threshold re-shipping it through a sort shuffle is pure overhead
+    if len(merged) <= DRIVER_COMBINE_MAX_TILES * 64:
+        combined = combine_partials_table(merged)
+    else:
+        combined = (ray.data.from_pandas(merged)
+                    .groupby("admin")
+                    .map_groups(combine_partials_deterministic,
+                                batch_format="pandas")
+                    .to_pandas())
     classifier = CLASSIFIERS[dataset]()
     view = pivot_zonal(combined, classifier.columns(), world_new)
     return view, {"tiles_recomputed": len(changed),
