@@ -12,10 +12,15 @@ The heart of the engine (SURVEY.md §2.5 A1): an actor-pool
    kernel — pixels never leave the task; only tiny partial rows hit
    the shuffle (partial-aggregate-before-shuffle, SURVEY.md §4).
 
-The combine is ``groupby(admin).map_groups`` with an in-group sort by
-(feature_idx, tile_y, tile_x, seq): float additions then happen in
-exactly the sequential order of the reference's feature×block loops,
-making the distributed result bit-identical to the oracle.
+The combine sorts partials by (feature_idx, tile_y, tile_x, seq) and
+accumulates sequentially in that order — exactly the reference's
+feature×block loop order, so results are bit-identical to the oracle
+regardless of executor schedule. It is size-adaptive (see
+``extract.zonal_stats``): below ``DRIVER_COMBINE_MAX_TILES`` the tiny
+pre-reduced table is pulled and combined on the driver
+(``combine_partials_table``); above, ``groupby(admin).map_groups``
+runs the same rule distributed. The two paths share the ordering and
+accumulation, asserted equal by the both-paths golden test.
 """
 
 from __future__ import annotations
