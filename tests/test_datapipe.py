@@ -1369,6 +1369,20 @@ def test_query_registry_consistent(ray_session):
                for v in s.values())
 
 
+def test_entry_smoke(ray_session):
+    """The driver's first gate: entry() must run on sf0.001 and return
+    rows with a stable schema. Pin the column set so a refactor that
+    drifts the flagship's output shape fails here, not at grade time."""
+    import __ray_entry__ as e
+    out = e.entry()
+    assert len(out) > 0
+    assert list(out.columns) == [
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_bytes", "n_chars_m",
+        "stopword_ratio", "mean_token_len", "dup_cnt"]
+    assert out["doc_id"].is_monotonic_increasing
+    assert not out["doc_id"].duplicated().any()
+
+
 def test_cli_help_smoke():
     import subprocess
     import sys
