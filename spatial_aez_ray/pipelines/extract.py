@@ -155,24 +155,26 @@ DRIVER_COMBINE_MAX_TILES = 20_000
 
 def partials_coalesce_width(n_tiles: int) -> int:
     """Partition count for the tiny pre-reduced partials before the
-    combine groupby: 16 (halves the sort's fixed per-block cost at
-    test scale, measured 6.4s -> 2.5s) until the partial table itself
-    gets heavy, then ~1 partition per 25k tiles (~1M partial rows /
-    ~50 MB), capped at 4 x cluster CPUs.
+    combine groupby: 16 at test scale (halves the sort's fixed
+    per-block cost, measured 6.4s -> 2.5s), growing ~1 partition per
+    256 tiles, capped at 4 x cluster CPUs — the same clamp shape as
+    datapipe.util.shuffle_width.
 
-    Width is sized by partial-table VOLUME, not CPU count: partials
-    are a few dozen ~50 B rows per tile, so 16 partitions stay small
-    (hundreds of MB) up to millions of tiles. Measured warm A/B/A/B at
-    the scale-40 world (101k tiles, 32 CPUs): width 16 = 12.3/12.4 s,
-    width 128 = 14.5/15.9 s — wider is strictly per-block overhead
-    until partitions approach GB size, which is the only thing the
-    growth term guards against."""
+    The width MUST stay CPU-aware, not volume-based. A volume-only
+    width (1 partition per 25k tiles, i.e. 16 at the 101k-tile world)
+    measured faster in a warm, single-pipeline A/B (12.3 vs 14.5 s)
+    but regressed the cold CONCURRENT zonal+aez leg at 32 CPUs from
+    74 to 122 s: when another pipeline is competing for the pool, a
+    16-way combine serializes the sort behind it, while a 4xCPU-wide
+    combine overlaps. The concurrent regime is the realistic one (a
+    multi-job cluster), so that is the one this function is sized
+    for."""
     import ray as _ray
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - no ray session
         cpus = 8
-    return int(min(max(16, n_tiles // 25_000), max(16, 4 * cpus)))
+    return int(min(max(16, n_tiles // 256), max(16, 4 * cpus)))
 
 
 def zonal_stats(world_path: str, dataset: str, *,
