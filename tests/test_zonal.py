@@ -144,3 +144,22 @@ def test_s2_partitioned_write_covers_assignment(ray_session, tiny_world,
     sub = _ray.data.read_parquet(
         os.path.join(out, f"s2_prefix={p0['s2_prefix']}")).count()
     assert sub == p0["n_cells"]
+
+
+def test_partials_coalesce_width_is_cpu_aware(ray_session, monkeypatch):
+    """The combine width must grow with both tile count AND cluster
+    CPUs (min(max(16, tiles/256), 4*CPUs)). A volume-only width (16 at
+    the 101k-tile world on every cluster size) measured faster in a
+    warm solo A/B but regressed the cold concurrent zonal+aez leg at
+    32 CPUs from 74 s to 122 s — a narrow combine serializes its sort
+    behind the competing pipeline. Pin the shape so a re-"optimization"
+    from an isolated A/B fails here."""
+    import ray as _ray
+    from spatial_aez_ray.pipelines.extract import partials_coalesce_width
+
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 32})
+    assert partials_coalesce_width(496) == 16          # test scale: floor
+    assert partials_coalesce_width(101_000) == 128     # scale-40: 4xCPU cap
+    assert partials_coalesce_width(20_000) == 78       # grows ~tiles/256
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 8})
+    assert partials_coalesce_width(101_000) == 32      # smaller cluster
