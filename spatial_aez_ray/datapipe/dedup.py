@@ -205,7 +205,15 @@ class MinHasher:
 
 
 _MAX_BUCKET = 256  # block edge for bounded-memory bucket pair generation
-_N_COARSE = 64     # coarse partitions for the bucket shuffle
+
+
+def _n_coarse() -> int:
+    """Cluster-aware coarse-fold width for the bucket shuffle — see
+    ``datapipe.util.coarse_fold_width`` (64 on this box, grows with
+    cluster CPUs; the emitted pair SET is width-invariant because
+    pairs are generated per real band bucket inside each partition)."""
+    from .util import coarse_fold_width
+    return coarse_fold_width()
 
 #: absolute guard for adversarial boilerplate: a bucket beyond this is
 #: truncated (with a warning) — ~33 M pairs. Below it, oversized
@@ -243,10 +251,10 @@ def _block_pair_indices(r0: int, r1: int, c0: int,
 def _add_coarse_part(batch: pa.Table) -> pa.Table:
     """Coarse shuffle key: LSH bucket count is O(docs × bands), far too
     many for one map_groups group each (measured 76k groups = pure
-    per-group overhead). Buckets are hash-folded into _N_COARSE
+    per-group overhead). Buckets are hash-folded into ``_n_coarse()``
     partitions; pair generation then runs vectorized per partition."""
     part = (np.asarray(batch["band_key"].to_numpy(zero_copy_only=False))
-            .astype(np.uint64) % np.uint64(_N_COARSE)).astype(np.int32)
+            .astype(np.uint64) % np.uint64(_n_coarse())).astype(np.int32)
     return batch.append_column("part", pa.array(part))
 
 

@@ -473,9 +473,10 @@ GROUP BY e.label, d.lang ORDER BY label, lang
 # group_topk_orders — per-key top-k with a per-batch combiner
 # ---------------------------------------------------------------------------
 
-#: coarse fold width for the per-key finish (the tiny-groups rule:
-#: never one Ray group per customer)
-_TOPK_N_PARTS = 64
+# coarse fold width for the per-key finish (the tiny-groups rule:
+# never one Ray group per customer); cluster-aware — a fixed 64 caps
+# the finish stage's parallelism on a big cluster. Results are
+# width-invariant: the finish groups by the real key inside each fold.
 
 
 def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
@@ -486,6 +487,7 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
     finish runs per coarse key-fold partition with a vectorized pandas
     groupby inside. Prices pass through unchanged (no arithmetic), so
     doubles are bit-identical to the oracle's."""
+    from .util import coarse_fold_width
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
@@ -503,7 +505,8 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
         df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True], kind="mergesort")
         df = df.groupby("o_custkey", as_index=False).head(k)
-        df["part"] = (df["o_custkey"] % _TOPK_N_PARTS).astype(np.int32)
+        df["part"] = (df["o_custkey"]
+                      % coarse_fold_width()).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:

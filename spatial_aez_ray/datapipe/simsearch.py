@@ -379,12 +379,15 @@ class _NeardupBucketer:
     """Stage 1 of the LSH near-dup scale path: emit one row per
     (vector, table) carrying the normalized embedding, keyed by the
     LSH bucket hash folded into coarse partitions (the dedup
-    coarse-partition pattern — never one Ray group per bucket)."""
-
-    N_COARSE = 64
+    coarse-partition pattern — never one Ray group per bucket; width
+    is cluster-aware via ``util.coarse_fold_width``, and the pair SET
+    is width-invariant because stage 2 groups by the real band
+    key)."""
 
     def __init__(self, dim: int, n_tables: int = 16, n_bits: int = 8,
                  seed: int = 13):
+        from .util import coarse_fold_width
+        self.n_coarse = coarse_fold_width()
         self.bucketer = _LshBucketer(dim, n_tables=n_tables,
                                      n_bits=n_bits, seed=seed)
 
@@ -397,7 +400,7 @@ class _NeardupBucketer:
         n, t = b.shape
         band_key = (b + (np.arange(t, dtype=np.int64) << 32)[None, :])
         band_key = band_key.T.reshape(-1)
-        part = (band_key % self.N_COARSE).astype(np.int32)
+        part = (band_key % self.n_coarse).astype(np.int32)
         emb = np.tile(m, (t, 1))
         return pa.table({
             "part": pa.array(part),

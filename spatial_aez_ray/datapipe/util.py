@@ -42,6 +42,33 @@ def shuffle_width(ds=None, *, floor: int = 8, files_per_partition: int = 4,
     return int(min(max(floor, 4 * cpus), max(floor, n or floor)))
 
 
+_COARSE_FOLD_WIDTH: int | None = None
+
+
+def coarse_fold_width(*, floor: int = 64, per_cpu: int = 2,
+                      cap: int = 4096) -> int:
+    """Modulus for hash-folding many tiny groups (LSH band buckets,
+    content hashes) into coarse partitions before ``map_groups``.
+
+    64 saturates a 32-CPU box (measured best vs one Ray group per
+    bucket — 76k groups was pure per-group overhead), but a FIXED 64
+    caps the fold stage's parallelism on a multi-hundred-node cluster:
+    grow ``per_cpu`` partitions per cluster CPU beyond the floor,
+    clamped well below the tiny-groups pathology. The modulus only
+    CO-LOCATES buckets — downstream logic still groups by the real
+    bucket key inside each partition, so emitted results are identical
+    at every width. Cached per process: the modulus must be constant
+    across all batches of one run."""
+    global _COARSE_FOLD_WIDTH
+    if _COARSE_FOLD_WIDTH is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover - no ray session
+            cpus = 8
+        _COARSE_FOLD_WIDTH = int(min(max(floor, per_cpu * cpus), cap))
+    return _COARSE_FOLD_WIDTH
+
+
 def write_doc_output(ds, out_dir: str) -> dict:
     """Sink a corpus-sized per-doc result as partitioned parquet.
 
