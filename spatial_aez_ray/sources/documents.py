@@ -132,8 +132,8 @@ class MediaStore:
 
     # process-global footer-index cache: survives kernel re-instantiation
     # (groupby().map_groups may construct the callable per group) —
-    # dir path -> list of (path, min_ref, max_ref)
-    _FILE_INDEX: dict[str, list[tuple[str, str, str]]] = {}
+    # dir path -> list of (path, min_ref, max_ref, [(rg, lo, hi), ...])
+    _FILE_INDEX: dict[str, list[tuple[str, str, str, list]]] = {}
 
     def __init__(self, world_path: str):
         self._root = os.path.join(world_path, "media")
@@ -156,36 +156,51 @@ class MediaStore:
                 md = pq.read_metadata(path)
                 ref_i = md.schema.to_arrow_schema().get_field_index("media_ref")
                 lo, hi = None, None
+                rgs: list = []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ref_i).statistics
                     if st is None:  # no stats: conservative whole-range
                         lo, hi = "", "\U0010ffff"
+                        rgs = [(rg, "", "\U0010ffff")
+                               for rg in range(md.num_row_groups)]
                         break
+                    rgs.append((rg, st.min, st.max))
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                idx.append((path, lo or "", hi or "\U0010ffff"))
+                idx.append((path, lo or "", hi or "\U0010ffff", rgs))
             MediaStore._FILE_INDEX[cache_key] = idx
         return idx
 
     def fetch(self, refs: list[str], strict: bool = True) -> dict[str, bytes]:
         """Batch point-lookup of payloads: refs grouped by dataset, then
-        by candidate part file via the interval index; one filtered
-        single-file read per touched file. ``strict=False`` returns only
-        the refs that exist (callers fill nodata for the rest)."""
+        by candidate part file AND row group via the interval index;
+        one ``read_row_groups`` per touched file + an exact ``is_in``
+        filter. (The ``pq.read_table(filters=...)`` dataset-API path
+        measured ~6× slower per call — expression compilation and
+        fragment scanning dominate point lookups, and fetch dominates
+        the zonal/AEZ kernels.) ``strict=False`` returns only the refs
+        that exist (callers fill nodata for the rest)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         by_ds: dict[str, list[str]] = {}
         for r in refs:
             by_ds.setdefault(self._dataset_for(r), []).append(r)
         out: dict[str, bytes] = {}
         for ds_name, ds_refs in by_ds.items():
-            by_file: dict[str, list[str]] = {}
-            for path, lo, hi in self._index_for(ds_name):
+            by_file: dict[str, tuple[list[str], list]] = {}
+            for path, lo, hi, rgs in self._index_for(ds_name):
                 wanted = [r for r in ds_refs if lo <= r <= hi]
                 if wanted:
-                    by_file[path] = wanted
-            for path, wanted in by_file.items():
-                t = pq.read_table(
-                    path, filters=[("media_ref", "in", wanted)])
+                    hit_rgs = [rg for rg, rlo, rhi in rgs
+                               if any(rlo <= r <= rhi for r in wanted)]
+                    if hit_rgs:
+                        by_file[path] = (wanted, hit_rgs)
+            for path, (wanted, hit_rgs) in by_file.items():
+                t = pq.ParquetFile(path).read_row_groups(
+                    hit_rgs, columns=["media_ref", "payload"])
+                t = t.filter(pc.is_in(t["media_ref"],
+                                      value_set=pa.array(wanted)))
                 for ref, payload in zip(t.column("media_ref").to_pylist(),
                                         t.column("payload").to_pylist()):
                     out[ref] = payload
