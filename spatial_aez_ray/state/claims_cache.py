@@ -152,29 +152,42 @@ class ClaimsStore:
                 md = pq.read_metadata(path)
                 ki = md.schema.to_arrow_schema().get_field_index("tile_key")
                 lo, hi = None, None
+                rgs: list = []
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ki).statistics
                     if st is None:
                         lo, hi = "", "\U0010ffff"
+                        rgs = [(rg, "", "\U0010ffff")
+                               for rg in range(md.num_row_groups)]
                         break
+                    rgs.append((rg, st.min, st.max))
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                idx.append((path, lo or "", hi or "\U0010ffff"))
+                idx.append((path, lo or "", hi or "\U0010ffff", rgs))
             ClaimsStore._FILE_INDEX[self._dir] = idx
         return idx
 
     def fetch(self, keys: list[str]) -> dict[str, list]:
         """Batched fetch: key -> [(feature_idx, admin, bool mask)].
         Keys absent from the cache (tiles with no claims) map to []."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         out: dict[str, list] = {k: [] for k in keys}
         want = set(keys)
-        by_file: dict[str, list[str]] = {}
-        for path, lo, hi in self._index():
+        by_file: dict[str, tuple[list[str], list]] = {}
+        for path, lo, hi, rgs in self._index():
             sel = [k for k in want if lo <= k <= hi]
             if sel:
-                by_file[path] = sel
-        for path, sel in by_file.items():
-            t = pq.read_table(path, filters=[("tile_key", "in", sel)])
+                hit = [rg for rg, rlo, rhi in rgs
+                       if any(rlo <= k <= rhi for k in sel)]
+                if hit:
+                    by_file[path] = (sel, hit)
+        for path, (sel, hit) in by_file.items():
+            # row-group-targeted point lookup — same rationale as
+            # MediaStore.fetch (the filters= dataset path is ~6x
+            # slower per call on point lookups)
+            t = pq.ParquetFile(path).read_row_groups(hit)
+            t = t.filter(pc.is_in(t["tile_key"], value_set=pa.array(sel)))
             for k, fi, admin, nr, nc, buf in zip(
                     t["tile_key"].to_pylist(),
                     t["feature_idx"].to_pylist(),
