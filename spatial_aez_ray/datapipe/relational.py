@@ -155,10 +155,10 @@ def _dim_refs(sf_dir: str):
 def _revenue_by_nationkey(sf_dir: str) -> pd.DataFrame:
     cust_ref, nation_ref, _ = _dim_refs(sf_dir)
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (ds.map_batches(_RevenueJoiner,
-                          fn_constructor_kwargs={"cust_ref": cust_ref,
-                                                 "nation_ref": nation_ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
+    from .util import as_task_fn
+    agg = (ds.map_batches(as_task_fn(_RevenueJoiner, cust_ref=cust_ref,
+                                     nation_ref=nation_ref),
+                          batch_format="pyarrow")
              .groupby(["nk", "n_name"])
              .aggregate(Sum("rev_c", alias_name="rev_c"),
                         Sum("n", alias_name="n")))
@@ -1480,6 +1480,7 @@ def incremental_revenue_by_nation(sf_dir: str,
     batch view). A non-additive view would store its mergeable partial
     (the sketch module's discipline) instead.
     """
+    from .util import as_task_fn
     cust_ref, nation_ref, _ = _dim_refs(sf_dir)
     view: pd.DataFrame | None = None
     for chunk in range(n_chunks):
@@ -1493,11 +1494,10 @@ def incremental_revenue_by_nation(sf_dir: str,
             return b.filter(pa.array(keys % n_chunks == chunk))
 
         delta = (ds.map_batches(pick, batch_format="pyarrow")
-                 .map_batches(_RevenueJoiner,
-                              fn_constructor_kwargs={
-                                  "cust_ref": cust_ref,
-                                  "nation_ref": nation_ref},
-                              batch_format="pyarrow", concurrency=(1, 4))
+                 .map_batches(as_task_fn(_RevenueJoiner,
+                                         cust_ref=cust_ref,
+                                         nation_ref=nation_ref),
+                              batch_format="pyarrow")
                  .groupby(["nk", "n_name"])
                  .aggregate(Sum("rev_c", alias_name="rev_c"),
                             Sum("n", alias_name="n"))

@@ -42,6 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .util import as_task_fn as _as_task_fn
 from .util import shuffle_width as _shuffle_width
 
 
@@ -92,8 +93,10 @@ def _load_queries(sf_dir: str, n_queries: int):
 
 
 class _BruteTopK:
-    """Actor-pool stage: query matrix fetched from the object store
-    ONCE per actor; per batch one matmul + argpartition top-k."""
+    """Broadcast-holding stage: query matrix fetched from the object
+    store (zero-copy); per batch one matmul + tie-broken top-k.
+    Dispatched as tasks via ``_as_task_fn`` — see there for why not an
+    actor pool."""
 
     def __init__(self, q_ref, k: int):
         import ray
@@ -137,8 +140,8 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
     q_ref = ray.put((q_ids, q))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _BruteTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_BruteTopK, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     out_rows = []
     for qid, grp in partials.groupby("query_id"):
         best = heapq.nsmallest(
@@ -298,8 +301,8 @@ def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10,
     q_ref = ray.put((q_ids, q, (dim, qb)))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _LshScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_LshScorer, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     return _merge_topk_partials(partials, k)
 
 
@@ -358,9 +361,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     mat_ref = ray.put((ids, m))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     out = ds.map_batches(
-        _CosinePairCounter,
-        fn_constructor_kwargs={"mat_ref": mat_ref, "threshold": threshold},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_CosinePairCounter, mat_ref=mat_ref,
+                    threshold=threshold),
+        batch_format="pyarrow").to_pandas()
     out = out[out["pair_cnt"] > 0]
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -484,10 +487,9 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.9,
 
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     pairs = (ds.map_batches(
-                _NeardupBucketer,
-                fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
-                                       "n_bits": n_bits},
-                batch_format="pyarrow", concurrency=(1, 4))
+                _as_task_fn(_NeardupBucketer, dim=dim,
+                            n_tables=n_tables, n_bits=n_bits),
+                batch_format="pyarrow")
                .repartition(_shuffle_width(ds))
                .groupby("part")
                .map_groups(
@@ -536,8 +538,8 @@ def knn_label_vote(sf_dir: str, n_queries: int = 20,
             return out.append_column("label", pa.array(labels))
 
     partials = ds.map_batches(
-        TopKWithLabel, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(TopKWithLabel, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     rows = []
     for qid, grp in partials.groupby("query_id"):
         top = grp.sort_values(["cos", "neighbor_id"],
@@ -629,8 +631,8 @@ def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10,
     q_ref = ray.put((q_ids, q, (cent, q_lists)))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_IvfScorer, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     return _merge_topk_partials(partials, k)
 
 
@@ -837,8 +839,8 @@ def ann_quantized(sf_dir: str, n_queries: int = 4,
     qq = _symmetric_quantize(q, scale)
     q_ref = ray.put((q_ids, qq, scale))
     partials = ds.map_batches(
-        _QuantTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_QuantTopK, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     out_rows = []
     for qid, grp in partials.groupby("query_id"):
         best = heapq.nsmallest(
@@ -1095,8 +1097,8 @@ def ann_ivf_query(index_dir: str, sf_dir: str, *, n_queries: int = 4,
             return b.filter(pa.array(~np.isin(ids, tomb)))
         ds = ds.map_batches(drop, batch_format="pyarrow")
     partials = ds.map_batches(
-        _IvfScorer, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_IvfScorer, q_ref=q_ref, k=k),
+        batch_format="pyarrow").to_pandas()
     return _merge_topk_partials(partials, k)
 
 
@@ -1209,8 +1211,8 @@ def ann_pq(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
     q_ref = ray.put((q_ids, q, tables, books))
     ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _PqScorer, fn_constructor_kwargs={"q_ref": q_ref, "k_top": k},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        _as_task_fn(_PqScorer, q_ref=q_ref, k_top=k),
+        batch_format="pyarrow").to_pandas()
     rows = []
     for qid, grp in partials.groupby("query_id"):
         best = heapq.nsmallest(
