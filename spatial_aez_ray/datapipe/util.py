@@ -86,17 +86,22 @@ def as_task_fn(cls, **ctor_kwargs):
     stable across tasks of one run, giving actor-style
     setup-once-per-process without the spin-up. Use a real actor pool
     only when the per-batch state must mutate or setup is too big to
-    hold once per worker."""
-    key = (cls.__module__, cls.__qualname__,
-           tuple(sorted(ctor_kwargs.items())))
+    hold once per worker.
 
-    def run(batch, _cls=cls, _kw=ctor_kwargs, _key=key):
-        inst = _TASK_FN_CACHE.get(_key)
-        if inst is None:
+    The cache key is the IDENTITY of the deserialized kwargs dict:
+    Ray deserializes the task closure once per worker process and
+    reuses it, so the dict object is stable across that launch's
+    batches; the ``is`` check makes id-recycling across launches
+    harmless (a recycled id just replaces the entry). This also
+    sidesteps hashability of kwarg values (lists, index objects)."""
+    def run(batch, _cls=cls, _kw=ctor_kwargs):
+        key = id(_kw)
+        hit = _TASK_FN_CACHE.get(key)
+        if hit is None or hit[0] is not _kw:
             if len(_TASK_FN_CACHE) >= 32:  # bound stale-broadcast pins
                 _TASK_FN_CACHE.clear()
-            inst = _TASK_FN_CACHE[_key] = _cls(**_kw)
-        return inst(batch)
+            hit = _TASK_FN_CACHE[key] = (_kw, _cls(**_kw))
+        return hit[1](batch)
     return run
 
 

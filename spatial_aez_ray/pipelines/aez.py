@@ -321,12 +321,11 @@ def aez_partials_ds(world_path: str, *, index: PolygonIndex | None = None,
     docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency),
                           doc_filter=doc_filter)
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        AezTileKernel,
-        fn_constructor_kwargs={"world_path": world_path, "index": index,
-                               "g1": g1, "g3": g3},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        as_task_fn(AezTileKernel, world_path=world_path, index=index,
+                   g1=g1, g3=g3),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def aez_stats(world_path: str, *, index: PolygonIndex | None = None,

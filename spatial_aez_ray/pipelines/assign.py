@@ -132,15 +132,13 @@ def cell_country(world_path: str, *, dataset: str = "kg", snap_tol: float = 0.0,
     from ..sources.documents import blocks_for
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency))
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        CellAssign,
-        fn_constructor_kwargs={
-            "world_path": world_path, "index": index,
-            "dropped": build_dropped_index(world_path),
-            "grid_spec": grid, "snap_tol": snap_tol,
-            "nodata": layout[dataset]["nodata"]},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        as_task_fn(CellAssign, world_path=world_path, index=index,
+                   dropped=build_dropped_index(world_path),
+                   grid_spec=grid, snap_tol=snap_tol,
+                   nodata=layout[dataset]["nodata"]),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def write_cells_s2_partitioned(world_path: str, out_dir: str, *,

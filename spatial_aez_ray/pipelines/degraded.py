@@ -140,11 +140,11 @@ def degraded_stats(world_path: str, *, index: PolygonIndex | None = None,
     from ..sources.documents import blocks_for
     docs = read_documents(world_path, ["lpd"], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency))
+    from ..datapipe.util import as_task_fn
     partials = docs.map_batches(
-        DegradedTileKernel,
-        fn_constructor_kwargs={"world_path": world_path, "index": index,
-                               "g1": g1},
-        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        as_task_fn(DegradedTileKernel, world_path=world_path, index=index,
+                   g1=g1),
+        batch_format="pyarrow", batch_size=8)
     from .extract import (DRIVER_COMBINE_MAX_TILES, combine_partials_table,
                           partials_coalesce_width)
     n_tiles = g1.tiles_x * g1.tiles_y

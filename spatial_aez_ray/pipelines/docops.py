@@ -58,12 +58,12 @@ def normalize_documents(world_path: str, out_dir: str, *,
     """Sort by doc_id (cell-prefix order) → enriched, range-partitioned
     document parts under out_dir. Returns the write report DataFrame."""
     docs = read_documents(world_path, datasets, columns=["doc_id", "spans"])
+    from ..datapipe.util import as_task_fn
     out = (docs.map_batches(enrich, batch_format="pyarrow")
                .sort("doc_id")
-               .map_batches(_DocWriter,
-                            fn_constructor_kwargs={"out_dir": out_dir},
-                            batch_format="pyarrow", batch_size=rows_per_part,
-                            concurrency=(1, 2)))
+               .map_batches(as_task_fn(_DocWriter, out_dir=out_dir),
+                            batch_format="pyarrow",
+                            batch_size=rows_per_part))
     return out.to_pandas()
 
 

@@ -102,11 +102,11 @@ def downsample_histogram(world_path: str, dataset: str = "lc", *,
     """Lazy Dataset of parent-tile histogram documents (one row per
     output band, sibling media rows inline)."""
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        HistogramDownsampler,
-        fn_constructor_kwargs={"world_path": world_path, "dataset": dataset,
-                               "factor": factor, "bins": bins},
-        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        as_task_fn(HistogramDownsampler, world_path=world_path,
+                   dataset=dataset, factor=factor, bins=bins),
+        batch_format="pyarrow", batch_size=8)
 
 
 def _summary_partial(batch: pa.Table) -> pa.Table:
@@ -193,11 +193,11 @@ def thumbnail_tiles(world_path: str, dataset: str, *, stride: int = 8,
                     encode: str = "raw", palette=None,
                     concurrency: int | tuple = (1, 4)):
     docs = read_documents(world_path, [dataset], columns=["doc_id", "spans"])
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        Thumbnailer,
-        fn_constructor_kwargs={"world_path": world_path, "stride": stride,
-                               "encode": encode, "palette": palette},
-        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        as_task_fn(Thumbnailer, world_path=world_path, stride=stride,
+                   encode=encode, palette=palette),
+        batch_format="pyarrow", batch_size=8)
 
 
 # ---------------------------------------------------------------------------

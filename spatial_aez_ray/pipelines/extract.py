@@ -134,13 +134,11 @@ def zonal_partials_ds(world_path: str, dataset: str, *,
     if tile_window is not None:
         docs = docs.map_batches(_tile_window_filter(tile_window),
                                 batch_format="pyarrow")
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        ZonalPartials,
-        fn_constructor_kwargs={"world_path": world_path,
-                               "classifier": classifier,
-                               "index": index, "grid_spec": grid},
+        as_task_fn(ZonalPartials, world_path=world_path,
+                   classifier=classifier, index=index, grid_spec=grid),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -350,10 +348,10 @@ def run_checkpointed_partials(world_path: str, driver_dataset: str,
                 paths, columns=["doc_id", "spans"],
                 filter=(pc.field("doc_id") >= lo)
                        & (pc.field("doc_id") <= hi))
+        from ..datapipe.util import as_task_fn
         partials = ds.map_batches(
-            kernel_cls, fn_constructor_kwargs=kernel_kwargs,
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency)
+            as_task_fn(kernel_cls, **kernel_kwargs),
+            batch_format="pyarrow", batch_size=batch_size)
         table = pa_concat(partials.to_arrow_refs())
         with manifest_lock:
             man.write_part(

@@ -49,6 +49,7 @@ from .. import model
 from ..sources.documents import MediaStore
 from .extract import world_grid
 from .render import _RenderWriter
+from ..datapipe.util import as_task_fn
 
 
 def _md5_int(payload: bytes) -> int:
@@ -187,14 +188,14 @@ def build_pyramid(world_path: str, dataset: str, out_dir: str, *,
         out_dataset = f"{dataset}_ov{level}"
         keys = ray.data.range(par_ty * par_tx)
         tiles = keys.map_batches(
-            PyramidKernel,
-            fn_constructor_kwargs={
-                "src_root": src_root, "src_dataset": src_dataset,
-                "out_dataset": out_dataset, "grid_name": grid.name,
-                "tile": t, "src_ty": src_ty, "src_tx": src_tx,
-                "src_width": src_width, "src_height": src_height,
-                "par_tx": par_tx, "nodata": nodata},
-            batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+            as_task_fn(
+                PyramidKernel,
+                src_root=src_root, src_dataset=src_dataset,
+                out_dataset=out_dataset, grid_name=grid.name,
+                tile=t, src_ty=src_ty, src_tx=src_tx,
+                src_width=src_width, src_height=src_height,
+                par_tx=par_tx, nodata=nodata),
+            batch_format="pyarrow", batch_size=8)
         summary = (tiles.map_batches(
             functools.partial(_write_and_summarize, out_dir=out_dir),
             batch_format="pyarrow").to_pandas())

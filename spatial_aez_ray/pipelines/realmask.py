@@ -40,6 +40,7 @@ from ..cia_areas import EXPECTED_AREA_KM2
 from ..geo import GridSpec, km2_rows
 from ..sources.geotiff import GeoTiffReader
 from ..sources.shapefile import read_dbf
+from ..datapipe.util import as_task_fn
 
 REFERENCE_MASKS_DIR = "/root/reference/masks"
 REFERENCE_DBF = ("/root/reference/data/ne_10m_admin_0_countries/"
@@ -255,9 +256,9 @@ def imported_mask_area(world_path: str, dataset: str = "realmask") -> float:
     from ..sources.documents import read_documents
     part = (read_documents(world_path, [dataset],
                            columns=["doc_id", "spans"])
-            .map_batches(_WorldTileArea,
-                         fn_constructor_kwargs={"world_path": world_path},
-                         batch_size=64, concurrency=(1, 4))
+            .map_batches(as_task_fn(_WorldTileArea,
+                                     world_path=world_path),
+                         batch_size=64)
             .to_pandas())
     part = part.sort_values(["ty", "tx"], kind="mergesort")
     return float(np.sum(part["km2"].to_numpy()))

@@ -160,10 +160,10 @@ def render_tiles_ds(world_path: str, *, concurrency: int | tuple = (1, 4)):
     from ..sources.documents import blocks_for
     docs = read_documents(world_path, ["kg"], columns=["doc_id", "spans"],
                           override_num_blocks=blocks_for(concurrency))
+    from ..datapipe.util import as_task_fn
     return docs.map_batches(
-        RenderTileKernel,
-        fn_constructor_kwargs={"world_path": world_path, "g1": g1, "g3": g3},
-        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        as_task_fn(RenderTileKernel, world_path=world_path, g1=g1, g3=g3),
+        batch_format="pyarrow", batch_size=8)
 
 
 class _RenderWriter:
@@ -337,10 +337,9 @@ def produce_render_tiles(world_path: str, out_dir: str, *,
                          concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
     """Run the render pass and persist a world-shaped output directory."""
     ds = render_tiles_ds(world_path, concurrency=concurrency)
-    res = ds.map_batches(_RenderWriter,
-                         fn_constructor_kwargs={"out_dir": out_dir},
-                         batch_format="pyarrow",
-                         concurrency=(1, 2)).to_pandas()
+    from ..datapipe.util import as_task_fn
+    res = ds.map_batches(as_task_fn(_RenderWriter, out_dir=out_dir),
+                         batch_format="pyarrow").to_pandas()
     with open(os.path.join(out_dir, "_WORLD.json"), "w") as f:
         import json as _json
         with open(os.path.join(world_path, "_WORLD.json")) as src:

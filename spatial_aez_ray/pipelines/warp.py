@@ -29,6 +29,7 @@ from ..sources.documents import MediaStore
 from .extract import world_grid
 from .pyramid import _md5_int
 from .render import _RenderWriter
+from ..datapipe.util import as_task_fn
 
 
 def mercator_src_index(grid, out_n: int, rows: np.ndarray,
@@ -169,12 +170,11 @@ def warp_to_mercator(world_path: str, dataset: str, out_dir: str, *,
         json.dump(meta, f)
 
     parts = (ray.data.range(per_tile * per_tile)
-             .map_batches(_WarpKernel, fn_constructor_kwargs={
-                 "world_path": world_path, "dataset": dataset,
-                 "grid": grid, "out_n": out_n, "tile": t,
-                 "out_dataset": f"{dataset}_merc", "nodata": nodata},
-                 batch_format="pyarrow", batch_size=8,
-                 concurrency=concurrency)
+             .map_batches(as_task_fn(
+                 _WarpKernel, world_path=world_path, dataset=dataset,
+                 grid=grid, out_n=out_n, tile=t,
+                 out_dataset=f"{dataset}_merc", nodata=nodata),
+                 batch_format="pyarrow", batch_size=8)
              .map_batches(functools.partial(write_sum, out_dir=out_dir),
                           batch_format="pyarrow")
              .to_pandas())

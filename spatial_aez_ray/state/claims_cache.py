@@ -110,13 +110,11 @@ def prepare_claims(world_path: str, grid, *, index=None,
     os.makedirs(tmp_dir)
     tiles = [{"ty": ty, "tx": tx}
              for ty in range(grid.tiles_y) for tx in range(grid.tiles_x)]
+    from ..datapipe.util import as_task_fn
     summary = (rd.from_items(tiles)
-               .map_batches(_ClaimsComputer,
-                            fn_constructor_kwargs={
-                                "index": index, "grid": grid,
-                                "out_dir": tmp_dir},
-                            batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=concurrency)
+               .map_batches(as_task_fn(_ClaimsComputer, index=index,
+                                       grid=grid, out_dir=tmp_dir),
+                            batch_format="pyarrow", batch_size=batch_size)
                .to_pandas())
     with open(os.path.join(tmp_dir, "_CLAIMS.json"), "w") as f:
         json.dump({"grid": grid.name, "tiles": len(tiles),
