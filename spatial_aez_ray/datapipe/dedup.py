@@ -109,8 +109,8 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 class MinHasher:
-    """Actor-pool minhash stage: the permutation coefficients are drawn
-    ONCE per actor in __init__ from a fixed seed (identical across
+    """Minhash sign stage: the permutation coefficients are drawn
+    ONCE per worker in __init__ from a fixed seed (identical across
     actors — a broadcast-free broadcast), batches are signed in
     __call__. num_perm=64, bands=16, rows_per_band=4 by default."""
 

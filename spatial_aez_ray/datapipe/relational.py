@@ -113,8 +113,8 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 class _RevenueJoiner:
-    """Actor-pool stage holding the broadcast dimension maps
-    (custkey->nationkey, nationkey->name) built ONCE per actor from
+    """Task-based stage holding the broadcast dimension maps
+    (custkey->nationkey, nationkey->name) built ONCE per worker from
     object-store refs — the J2 broadcast-small-side pattern
     (SURVEY.md §2.4; the reference's analog is admin_names.py lookup)."""
 

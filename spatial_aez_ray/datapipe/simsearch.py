@@ -308,7 +308,8 @@ def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10,
 
 class _CosinePairCounter:
     """Brute-force embedding near-dup: the full (small) normalized
-    matrix is broadcast once per actor; each batch does one matmul and
+    matrix is broadcast once per worker process; each batch does one
+    matmul and
     counts partners with cosine >= threshold. At scale the candidate
     generation swaps to _LshBucketer buckets (same verify kernel) —
     this brute-force form is the exact oracle-matched baseline."""
@@ -771,7 +772,7 @@ def _symmetric_quantize(m: np.ndarray, scale: float) -> np.ndarray:
 
 
 class _QuantTopK:
-    """Actor-pool stage for quantized ANN: the int-quantized query
+    """Task-based stage for quantized ANN: the int-quantized query
     matrix + global scale are fetched from the object store once per
     actor; per batch one int64 matmul over the freshly-quantized
     vectors, then the same (score DESC, neighbor_id) top-k partial as
@@ -1393,7 +1394,7 @@ def ann_quantized_from_table(qtable_dir: str, sf_dir: str, *,
 def ivf_upsert(index_dir: str, new_vecs: "ray.data.Dataset") -> int:
     """Append new vectors to the persistent IVF index WITHOUT a
     rebuild: each batch assigns against the sidecar centroids (read
-    once per actor) and appends one part file per touched list dir —
+    once per worker) and appends one part file per touched list dir —
     the atomic-part contract, so concurrent queries see either the old
     or the new complete parts. Because assignment is deterministic
     given the frozen quantizer, an upserted index answers queries

@@ -7,7 +7,7 @@ lattice only; every sibling raster ref is DERIVED from the tile key
 batched footer-pruned MediaStore read per map_batches call — no
 ``groupby(tile_key)`` exchange ever happens, tile payloads never
 transit the object store twice. Each tile group is then classified by
-an actor-pool kernel that reproduces the reference block loop exactly:
+a task-based kernel that reproduces the reference block loop exactly:
 
   mask → km² (zeroed off-mask) → 3×3 upsample ÷9 → TMR / slope /
   land-use / soil-health → 8 TMR × 29 AEZ weighted sums

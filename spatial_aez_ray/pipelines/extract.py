@@ -2,7 +2,7 @@
 
 ``zonal_stats`` is the generic pipeline builder
 (SURVEY.md §2.9): read the dataset's interleaved documents →
-actor-pool ZonalPartials (decode + broadcast PIP join + partial sums)
+task-based ZonalPartials (decode + broadcast PIP join + partial sums)
 → deterministic grouped combine → driver-side pivot into the
 Country × class table → CSV with the reference's exact output shape
 (sorted countries, ``%.2f``, extract_country_data.py:249-250).
@@ -10,7 +10,7 @@ Country × class table → CSV with the reference's exact output shape
 The input side table (countries.parquet) is read once on the driver,
 normalized (admin=None features dropped,
 extract_country_data.py:223-225), built into a PolygonIndex and
-broadcast to the actor pool via constructor args — never shuffled.
+held once per worker process via as_task_fn — never shuffled.
 """
 
 from __future__ import annotations
@@ -473,7 +473,7 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
     keep = old_partials[~np.isin(key, drop_keys)]
     if changed:
         # ONE pushed-down dataset launch covering every changed tile —
-        # a 10k-tile quarterly delta pays one read + one actor-pool
+        # a 10k-tile quarterly delta pays one read + one kernel-stage
         # spin-up, not 10k serial ones
         fresh = [zonal_partials_ds(world_new, dataset,
                                    tiles=changed).to_pandas()]

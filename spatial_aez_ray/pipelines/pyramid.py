@@ -77,7 +77,8 @@ def mode_reduce2(mosaic: np.ndarray, nodata: int) -> np.ndarray:
 
 
 class PyramidKernel:
-    """Actor-pool stage for one pyramid level: per parent tile, fetch
+    """Kernel stage for one pyramid level (task-based, one instance
+    per worker process): per parent tile, fetch
     the (up to) four derived child refs in one batched read, mosaic
     with nodata fill, 2×2 plurality-reduce, emit the parent doc+media
     rows."""

@@ -17,7 +17,7 @@ DuckDB: real rasters, an independent published oracle.
 Ray Data shape (scale notes):
 - one input row per mask file; a task-pool ``map_batches`` expands each
   file to its non-sparse tiles with zero data I/O (offset-table scan);
-- an actor-pool ``map_batches`` decodes tiles and reduces each to ONE
+- a task-based ``map_batches`` decodes tiles and reduces each to ONE
   partial (admin, ty, tx, km2) row -- the shuffled volume is ~16 B/tile
   regardless of raster size, the same partials-before-shuffle design as
   stages/zonal.py;

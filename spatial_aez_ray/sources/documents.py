@@ -12,9 +12,10 @@ table format; Parquet is the tested stand-in with identical schema).
 Scale notes:
 * ``read_documents`` prunes at the source — only requested datasets'
   directories are listed, only requested columns leave storage.
-* ``MediaStore`` is per-actor state (opened once in ``__init__`` of a
-  stage actor): payload fetches are filtered parquet reads pruned by
-  row-group statistics on media_ref, the stand-in for Lance blob takes.
+* ``MediaStore`` is per-worker state (opened once per worker process
+  by the kernel stage): payload fetches are row-group-targeted parquet
+  reads pruned by footer statistics on media_ref, the stand-in for
+  Lance blob takes.
   Because document batches arrive in doc_id (cell-prefix) order, each
   batch touches a handful of adjacent row groups, not the whole table.
 """
@@ -65,11 +66,12 @@ def lance_uris(world_path: str, datasets: list[str] | None = None,
 
 
 def blocks_for(concurrency) -> int:
-    """Read-block override matched to an actor pool: Ray's default
-    block planning merges many small part files into a handful of read
-    blocks, capping map parallelism far below the pool (measured 8
-    tasks on 31 actors = 1.7x slower zonal). ~2 blocks per max actor
-    keeps every actor fed without shrinking batches below the media-
+    """Read-block override matched to a kernel stage's parallelism:
+    Ray's default block planning merges many small part files into a
+    handful of read blocks, capping map parallelism far below the
+    worker pool (measured 8 tasks on 31 workers = 1.7x slower zonal).
+    ~2 blocks per max worker keeps every CPU fed without shrinking
+    batches below the media-
     fetch batching sweet spot. Irrelevant at 100 TB where files exceed
     the target block size — but that regime sets its own parallelism."""
     cmax = concurrency if isinstance(concurrency, int) else concurrency[1]
@@ -120,9 +122,9 @@ def read_documents_table(world_path: str, datasets: list[str] | None = None):
 
 
 class MediaStore:
-    """Payload fetch by media_ref, one instance per actor (ST1 analog:
+    """Payload fetch by media_ref, one instance per worker (ST1 analog:
     the reference keeps GDAL datasets open per process,
-    process_imagery.py:218-227; we keep per-actor state: a per-file
+    process_imagery.py:218-227; we keep per-worker state: a per-file
     min/max(media_ref) interval index built from parquet footers ONCE,
     so a fetch touches only the part files that can contain its refs —
     never a full-table scan. Kernels MUST batch all their refs into one

@@ -1,12 +1,12 @@
 """Zonal-statistics stage: decode tile docs → PIP join → partial sums.
 
-The heart of the engine (SURVEY.md §2.5 A1): an actor-pool
+The heart of the engine (SURVEY.md §2.5 A1): a task-based
 ``map_batches`` stage that, per interleaved document (one raster tile),
 
 1. parses the meta span and fetches the media payload(s) (MediaStore,
-   opened once per actor),
+   opened once per worker process),
 2. assigns pixels to country features via the broadcast PolygonIndex
-   (built once per actor; per-tile claims LRU-cached so the 5-dataset
+   (built once per worker process; per-tile claims LRU-cached so the 5-dataset
    runs over the same grid reuse the geometry work),
 3. computes per-(feature, class) partial km² sums with the classifier
    kernel — pixels never leave the task; only tiny partial rows hit
@@ -49,7 +49,8 @@ PARTIAL_SCHEMA = pa.schema([
 
 class ZonalPartials:
     """Callable class for ``map_batches(..., concurrency=N)`` — one
-    MediaStore + one PolygonIndex + one claims cache per actor."""
+    MediaStore + one PolygonIndex + one claims cache per worker
+    process (dispatched as tasks via ``as_task_fn``)."""
 
     def __init__(self, world_path: str, classifier, index: PolygonIndex,
                  grid_spec, cache_tiles: int = 256,

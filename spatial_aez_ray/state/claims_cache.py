@@ -44,7 +44,8 @@ def claims_dir(world_path: str, grid_name: str) -> str:
 
 
 class _ClaimsComputer:
-    """Actor-pool stage: PolygonIndex broadcast once per actor; each
+    """Kernel stage (task-based): PolygonIndex held once per worker
+    process; each
     batch of (ty, tx) tiles computes claims and writes ONE atomic
     parquet part covering a contiguous tile range."""
 
@@ -127,7 +128,7 @@ def prepare_claims(world_path: str, grid, *, index=None,
 
 
 class ClaimsStore:
-    """Per-actor batched claims reader with a footer interval index
+    """Per-worker batched claims reader with a footer interval index
     (tile_key is zero-padded, so part min/max stats form tight
     ranges). A world without a cache yields ``available == False`` and
     kernels run inline PIP."""

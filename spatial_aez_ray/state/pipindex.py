@@ -2,7 +2,7 @@
 
 This replaces the reference's 766 rasterized per-feature mask files
 (/root/reference/prepare_feature_masks.py:9-63) with one in-memory
-index built once per actor (SURVEY.md §2.3 ST2, §2.4 J1). Geometry
+index built once per worker process (SURVEY.md §2.3 ST2, §2.4 J1). Geometry
 tests are from-scratch numpy (no GEOS in this environment):
 
 * ``covers`` = even-odd ray crossing, boundary-inclusive. The fixture
@@ -92,7 +92,7 @@ class PolygonIndex:
 
     Construction cost is O(features); query cost per tile is bbox
     candidate lookup + vectorized per-point tests against the few
-    candidates. Pickles cleanly for broadcast into actor pools.
+    candidates. Pickles cleanly for broadcast into kernel stages.
     """
 
     def __init__(self, features: list[tuple[int, str, bytes]], cell_deg: float = 2.0):
