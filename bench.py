@@ -159,7 +159,11 @@ def _scaling_world():
     skips), so the default world tracks engine speed: scale 40 ≈
     300+ s at 8 CPUs."""
     from spatial_aez_ray import fixtures
-    spec = fixtures.PRESETS[os.environ.get("AEZRAY_SCALING_WORLD", "huge")]
+    # scale 40 -> 80 after the round-4 fetch/task-dispatch speedups:
+    # the 32-CPU leg dropped to ~35 s at scale 40, re-exposing per-leg
+    # fixed overhead (the documented pattern — the world tracks engine
+    # speed so compute dominates both legs).
+    spec = fixtures.PRESETS[os.environ.get("AEZRAY_SCALING_WORLD", "giant")]
     return spec, fixtures.generate_world(spec, use_ray=True)
 
 

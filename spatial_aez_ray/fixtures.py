@@ -86,7 +86,8 @@ MID = WorldSpec("mid", 8)
 BENCH = WorldSpec("bench", 16)
 BIG = WorldSpec("big", 24)
 HUGE = WorldSpec("huge", 40)
-PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH, BIG, HUGE)}
+GIANT = WorldSpec("giant", 80)
+PRESETS = {w.name: w for w in (TINY, SMALL, MID, BENCH, BIG, HUGE, GIANT)}
 
 
 # ---------------------------------------------------------------------------
