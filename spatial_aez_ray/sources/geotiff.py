@@ -535,8 +535,18 @@ class GeoTiffReader:
                 f.seek(voff)
                 fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I",
                        _TYPE_DOUBLE: "d"}[typ]
-                tags[tag] = list(struct.unpack(
-                    e + fmt * cnt, f.read(_TYPE_SIZE[typ] * cnt)))
+                # counted format ("123H"), never fmt * cnt: cnt is an
+                # untrusted uint32 and a repeated-char format string
+                # would allocate cnt bytes before any file I/O. The
+                # file read itself is bounded by the actual file size,
+                # so a lying cnt surfaces as a truncation error here.
+                size = _TYPE_SIZE[typ] * cnt
+                data = f.read(size)
+                if len(data) != size:
+                    raise ValueError(
+                        f"TIFF tag {tag} declares {cnt} values beyond "
+                        "the file's extent")
+                tags[tag] = list(struct.unpack(e + f"{cnt}{fmt}", data))
 
         def one(tag: int, default=None):
             v = tags.get(tag)
@@ -823,6 +833,15 @@ def read_cog_pages(path: str) -> list[GeoTiffReader]:
     return one streaming reader per page (page 0 = full resolution,
     later pages = overview levels)."""
     pages = [GeoTiffReader(path)]
+    seen = {0}
     while pages[-1].next_ifd:
-        pages.append(GeoTiffReader(path, ifd_offset=pages[-1].next_ifd))
+        off = pages[-1].next_ifd
+        # a crafted next-IFD pointer can form a cycle (self- or
+        # back-reference); the chain in any real COG is a short
+        # strictly-forward overview ladder.
+        if off in seen or len(pages) >= 64:
+            raise ValueError(f"TIFF IFD chain cycles or exceeds 64 pages "
+                             f"(next offset {off})")
+        seen.add(off)
+        pages.append(GeoTiffReader(path, ifd_offset=off))
     return pages

@@ -57,7 +57,14 @@ def read_shp(path: str) -> list[wkb.Geometry]:
     while pos < len(buf):
         _, content_words = struct.unpack_from(">ii", buf, pos)
         pos += 8
+        # framing bounds: a record holds at least its 4-byte shape type
+        # and must end inside the buffer, strictly after it starts —
+        # a negative/lying length would otherwise loop forever or read
+        # out of frame (crafted-input guard, like functions/png.py).
         rec_end = pos + content_words * 2
+        if content_words < 2 or rec_end > len(buf):
+            raise ValueError(f"shapefile record at {pos - 8} has invalid "
+                             f"content length {content_words}")
         rtype, = struct.unpack_from("<i", buf, pos)
         if rtype == 0:  # null shape
             geoms.append([])
@@ -66,11 +73,20 @@ def read_shp(path: str) -> list[wkb.Geometry]:
         if rtype != _SHP_POLYGON:
             raise ValueError(f"record shape type {rtype} != polygon")
         n_parts, n_points = struct.unpack_from("<ii", buf, pos + 36)
-        parts = list(struct.unpack_from(f"<{n_parts}i", buf, pos + 44))
         pts_off = pos + 44 + 4 * n_parts
+        if (n_parts < 0 or n_points < 0 or pts_off > rec_end
+                or pts_off + 16 * n_points > rec_end):
+            raise ValueError(f"shapefile record at {pos - 8} declares "
+                             f"{n_parts} parts / {n_points} points beyond "
+                             "its content")
+        parts = list(struct.unpack_from(f"<{n_parts}i", buf, pos + 44))
         pts = np.frombuffer(buf, "<f8", count=n_points * 2,
                             offset=pts_off).reshape(n_points, 2)
         parts.append(n_points)
+        if any(parts[i] < 0 or parts[i] > parts[i + 1]
+               for i in range(n_parts)):
+            raise ValueError(f"shapefile record at {pos - 8} has "
+                             "non-monotone part offsets")
         polys: wkb.Geometry = []
         for i in range(n_parts):
             ring = pts[parts[i]:parts[i + 1]].copy()
@@ -138,9 +154,20 @@ def read_dbf(path: str, encoding: str = "latin-1") -> list[dict[str, str]]:
     with open(path, "rb") as f:
         buf = f.read()
     n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
+    # crafted-input guards: rec_size 0 would stall the record loop on a
+    # huge n_rec; an unterminated field directory would walk off the
+    # buffer; more records than the buffer can hold is a lying header.
+    if rec_size < 1 or hdr_size > len(buf):
+        raise ValueError(f".dbf header declares rec_size={rec_size}, "
+                         f"hdr_size={hdr_size} for a {len(buf)}-byte file")
+    if n_rec > (len(buf) - hdr_size) // rec_size + 1:
+        raise ValueError(f".dbf header declares {n_rec} records beyond "
+                         "the file's extent")
     fields = []
     pos = 32
     while buf[pos] != 0x0D:
+        if pos + 32 > hdr_size:
+            raise ValueError(".dbf field directory is unterminated")
         name = buf[pos:pos + 11].split(b"\0")[0].decode("ascii")
         ftype = chr(buf[pos + 11])
         flen = buf[pos + 16]
@@ -149,6 +176,8 @@ def read_dbf(path: str, encoding: str = "latin-1") -> list[dict[str, str]]:
     out = []
     pos = hdr_size
     for _ in range(n_rec):
+        if pos + rec_size > len(buf):
+            break  # trailing EOF byte / truncated tail
         if buf[pos:pos + 1] == b"*":  # deleted
             pos += rec_size
             continue
