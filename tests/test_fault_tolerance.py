@@ -16,7 +16,13 @@ real kernel task chain is in flight and the whole chain re-executes.
 import os
 import signal
 
+import numpy as np
+import ray.data
+
+from spatial_aez_ray.datapipe import multimodal
 from spatial_aez_ray.pipelines import extract
+
+SF_TINY = "/root/testdata/sf0.001"
 
 
 def _kill_once_fn(marker: str):
@@ -74,6 +80,57 @@ def test_bit_exact_after_worker_kill(tiny_world, tmp_path):
     assert list(got.index) == list(clean.index)
     assert list(got.columns) == list(clean.columns)
     assert (got.values == clean.values).all()
+
+
+def _make_kill_once_embedder():
+    """StubEmbedder subclass whose first-constructed actor SIGKILLs
+    itself mid batch — the actor-pool recovery path (actor restart +
+    task retry), distinct from the task-pool lineage path above.
+
+    Defined at function scope ON PURPOSE: cloudpickle ships a locally
+    defined class by VALUE. A module-level class in a pytest test file
+    pickles by reference to the bare module name pytest imported it
+    under, which a RESTARTED actor's fresh worker cannot import — the
+    restart then fails and the pool retries it forever (observed as a
+    hang; ray issue 53727 is adjacent)."""
+
+    class KillOnceEmbedder(multimodal.StubEmbedder):
+        def __init__(self, marker: str):
+            super().__init__()
+            self._marker = marker
+
+        def __call__(self, batch):
+            try:
+                fd = os.open(self._marker,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os.kill(os.getpid(), signal.SIGKILL)
+            except FileExistsError:
+                pass
+            return super().__call__(batch)
+
+    return KillOnceEmbedder
+
+
+def _embed_frame(stage_cls, **ctor) -> "np.ndarray":
+    docs = ray.data.read_parquet(
+        os.path.join(SF_TINY, "documents.parquet"),
+        columns=["doc_id", "text"])
+    df = docs.map_batches(stage_cls, fn_constructor_kwargs=ctor,
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=(1, 2)).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return df["doc_id"].to_numpy(), np.stack(df[df.columns[-1]].to_numpy())
+
+
+def test_actor_pool_bit_exact_after_actor_kill(tmp_path):
+    clean_ids, clean_emb = _embed_frame(multimodal.StubEmbedder)
+    marker = str(tmp_path / "actor_killed")
+    got_ids, got_emb = _embed_frame(_make_kill_once_embedder(),
+                                    marker=marker)
+    assert os.path.exists(marker), "kill never fired"
+    assert (got_ids == clean_ids).all()
+    assert (got_emb == clean_emb).all()
 
 
 def test_bit_exact_after_transient_exception(tiny_world, tmp_path):
