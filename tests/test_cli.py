@@ -1,0 +1,32 @@
+"""End-to-end CLI run: the `extract` subcommand in a real subprocess
+(fresh Ray session, arg plumbing, CSV sink) must write byte-identical
+output to the in-session pipeline — the reference's script surface,
+driven the way a user drives it.
+"""
+
+import os
+import subprocess
+import sys
+
+from spatial_aez_ray.pipelines import extract
+
+
+def test_cli_extract_end_to_end(tiny_world, tmp_path):
+    out = tmp_path / "cli_out"
+    out.mkdir()
+    r = subprocess.run(
+        [sys.executable, "-m", "spatial_aez_ray", "--num-cpus", "2",
+         "extract", "--world", tiny_world, "--out", str(out),
+         "--datasets", "kg"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote 2 CSVs" in r.stdout
+
+    got = (out / "Koppen-Geiger-by-country.csv").read_bytes()
+    df = extract.zonal_stats(tiny_world, "kg")
+    want_path = tmp_path / "want.csv"
+    extract.write_csv(df, str(want_path))
+    assert got == want_path.read_bytes()
+
+    region = (out / "Koppen-Geiger-by-region.csv").read_bytes()
+    assert region.startswith(b"Region,")
