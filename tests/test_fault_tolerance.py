@@ -133,6 +133,59 @@ def test_actor_pool_bit_exact_after_actor_kill(tmp_path):
     assert (got_emb == clean_emb).all()
 
 
+_DYING_JOB = """
+import os, sys
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from spatial_aez_ray.state import checkpoint
+
+orig = checkpoint.CheckpointManifest.write_part
+state = {"n": 0}
+
+def dying(self, shard_id, table, lineage, result):
+    state["n"] += 1
+    if state["n"] == 3:
+        # torn mid-write: tmp file on disk, no final part, no manifest
+        import pyarrow.parquet as pq
+        pq.write_table(table, self.part_path(shard_id) + ".tmp-dead")
+        os._exit(9)
+    orig(self, shard_id, table, lineage, result)
+
+checkpoint.CheckpointManifest.write_part = dying
+from spatial_aez_ray.pipelines import extract
+extract.zonal_stats_checkpointed(sys.argv[1], "wk", sys.argv[2],
+                                 num_shards=4)
+"""
+
+
+def test_checkpointed_job_resumes_after_mid_run_kill(tiny_world, tmp_path):
+    """A job process dying MID write_part leaves a torn .tmp file and
+    an unmanifested shard; resume must ignore the orphan, redo exactly
+    the missing shards, and land on the bit-exact full result."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "ckpt")
+    r = subprocess.run(
+        [sys.executable, "-c", _DYING_JOB, tiny_world, out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 9, r.stderr[-2000:]
+    parts = sorted(os.listdir(os.path.join(out, "parts")))
+    assert sum(p.endswith(".parquet") for p in parts) == 2
+    assert any(".tmp-dead" in p for p in parts)  # the torn write
+    manifest = os.path.join(out, "MANIFEST.jsonl")
+    assert len(open(manifest).read().splitlines()) == 2
+
+    df = extract.zonal_stats_checkpointed(tiny_world, "wk", out,
+                                          num_shards=4)
+    want = extract.zonal_stats(tiny_world, "wk")
+    assert (df.values == want.values).all()
+    assert list(df.index) == list(want.index)
+    # 2 survived + 2 redone (the torn shard and the never-started one)
+    assert len(open(manifest).read().splitlines()) == 4
+
+
 def test_bit_exact_after_transient_exception(tiny_world, tmp_path):
     zindex = extract.build_zonal_index(tiny_world)
     clean = _zonal_with_stage(tiny_world, zindex, lambda b: b)
