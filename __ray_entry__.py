@@ -1158,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational primitives (SQL-verified)
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "region_rollup_revenue": relational.region_rollup_revenue,
         "top_orders": relational.top_orders,
         "events_daily": relational.events_daily,
@@ -1334,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_union_daily": temporal.ACTIVITY_UNION_DAILY_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_BY_NATION_SQL,
         "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "events_daily": relational.EVENTS_DAILY_SQL,

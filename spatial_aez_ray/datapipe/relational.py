@@ -205,6 +205,77 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# supplier_balance_by_nation — broadcast dim join + min/max/sum partials
+# ---------------------------------------------------------------------------
+
+class _SupplierBalance:
+    """Broadcast nationkey->name map; per-batch (nation) partials carry
+    count + sum + min + max account balance in exact integer cents, so
+    the distributed combine (Sum/Min/Max) is order-free and bit-equal
+    to DuckDB."""
+
+    def __init__(self, nation_ref):
+        import ray
+        nkey, nname = ray.get(nation_ref)
+        self.nat_name = dict(zip(nkey, nname))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy()
+        bal = _cents(batch["s_acctbal"])
+        df = pd.DataFrame({"nk": nk, "bal_c": bal})
+        g = df.groupby("nk", as_index=False).agg(
+            n=("bal_c", "size"), bal_c=("bal_c", "sum"),
+            min_c=("bal_c", "min"), max_c=("bal_c", "max"))
+        g = g[g["nk"].map(self.nat_name.__contains__)]
+        g["n_name"] = [self.nat_name[int(k)] for k in g["nk"]]
+        return pa.Table.from_pandas(
+            g[["n_name", "n", "bal_c", "min_c", "max_c"]],
+            preserve_index=False)
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Supplier account-balance stats per nation (count / total / min /
+    max) — the dimension ships once via ``ray.put``; only <=nations
+    partial rows per block reach the combine."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nation_ref = _ray.put((nation["n_nationkey"].to_pylist(),
+                           nation["n_name"].to_pylist()))
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    from .util import as_task_fn
+    agg = (ds.map_batches(as_task_fn(_SupplierBalance,
+                                     nation_ref=nation_ref),
+                          batch_format="pyarrow")
+             .groupby("n_name")
+             .aggregate(Sum("n", alias_name="supplier_cnt"),
+                        Sum("bal_c", alias_name="bal_c"),
+                        Min("min_c", alias_name="min_c"),
+                        Max("max_c", alias_name="max_c")))
+    out = agg.to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out["total_acctbal"] = out.pop("bal_c").astype(np.int64) / 100.0
+    out["min_acctbal"] = out.pop("min_c").astype(np.int64) / 100.0
+    out["max_acctbal"] = out.pop("max_c").astype(np.int64) / 100.0
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SUPPLIER_BALANCE_BY_NATION_SQL = """
+SELECT n_name,
+       COUNT(*) AS supplier_cnt,
+       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0
+           AS total_acctbal,
+       MIN(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0
+           AS min_acctbal,
+       MAX(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0
+           AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # region_rollup_revenue — one-to-many rollup (A4 region pattern)
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,12 @@ def test_revenue_by_nation_exact(con):
                   relational.REVENUE_BY_NATION_SQL, con)
 
 
+def test_supplier_balance_by_nation_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.supplier_balance_by_nation(SF),
+                  relational.SUPPLIER_BALANCE_BY_NATION_SQL, con)
+
+
 def test_events_daily_exact(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.events_daily(SF),
