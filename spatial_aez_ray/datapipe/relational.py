@@ -276,6 +276,142 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# local_supplier_revenue — TPC-H-Q5-shaped fact-fact equi-join
+# ---------------------------------------------------------------------------
+
+def local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue from lineitems whose supplier and ordering customer
+    share a nation (TPC-H Q5 shape), grouped by that nation.
+
+    Scale shape: lineitem ⋈ orders is FACT-FACT at 100 TB, so the
+    equi-join runs on a coarse hash co-partition of the order key
+    (the anti-join's fold); supplier and customer are dimension-side
+    and ship once via ``ray.put``. Lineitem pre-reduces per batch to
+    (orderkey, supplier-nation) cent sums before the shuffle; inside
+    each partition the probe is one sorted ``np.searchsorted`` against
+    the orders side, and only per-nation cent partials leave the
+    groups. Revenue is exact integer cents×(100-disc) on both sides.
+    """
+    import pyarrow.parquet as pq
+    import ray as _ray
+    from .util import shuffle_width
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp_ref = _ray.put((supp["s_suppkey"].to_pylist(),
+                         supp["s_nationkey"].to_pylist()))
+    cust_ref = _ray.put((cust["c_custkey"].to_pylist(),
+                         cust["c_nationkey"].to_pylist()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_parts = shuffle_width(li)
+
+    class _LiPrep:
+        def __init__(self, supp_ref):
+            skey, snat = _ray.get(supp_ref)
+            self.s2n = dict(zip(skey, snat))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            key = b["l_orderkey"].to_numpy().astype(np.int64)
+            snk = np.array([self.s2n.get(int(k), -1)
+                            for k in b["l_suppkey"].to_numpy()],
+                           dtype=np.int64)
+            rev = _cents(b["l_extendedprice"]) \
+                * (100 - _cents(b["l_discount"]))
+            df = pd.DataFrame({"key": key, "nk": snk, "rev_c": rev,
+                               "n": np.ones(len(key), dtype=np.int64)})
+            g = df.groupby(["key", "nk"], as_index=False).sum()
+            g["part"] = (g["key"] % n_parts).astype(np.int32)
+            g["side"] = np.ones(len(g), dtype=np.int8)
+            return pa.Table.from_pandas(
+                g[["part", "key", "nk", "rev_c", "n", "side"]],
+                preserve_index=False)
+
+    class _OrdPrep:
+        def __init__(self, cust_ref):
+            ckey, cnat = _ray.get(cust_ref)
+            self.c2n = dict(zip(ckey, cnat))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            key = b["o_orderkey"].to_numpy().astype(np.int64)
+            cnk = np.array([self.c2n.get(int(k), -2)
+                            for k in b["o_custkey"].to_numpy()],
+                           dtype=np.int64)
+            return pa.table({
+                "part": pa.array((key % n_parts).astype(np.int32)),
+                "key": pa.array(key),
+                "nk": pa.array(cnk),
+                "rev_c": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "n": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8))})
+
+    from .util import as_task_fn
+    both = (li.map_batches(as_task_fn(_LiPrep, supp_ref=supp_ref),
+                           batch_format="pyarrow")
+              .union(orders.map_batches(
+                  as_task_fn(_OrdPrep, cust_ref=cust_ref),
+                  batch_format="pyarrow")))
+
+    def q5_join(g: pd.DataFrame) -> pd.DataFrame:
+        is_li = g["side"].to_numpy() == 1
+        o = g.loc[~is_li]
+        okey = o["key"].to_numpy()
+        order = np.argsort(okey, kind="stable")
+        okey = okey[order]
+        onk = o["nk"].to_numpy()[order]
+        li_rows = g.loc[is_li]
+        lkey = li_rows["key"].to_numpy()
+        pos = np.searchsorted(okey, lkey)
+        pos = np.clip(pos, 0, max(len(okey) - 1, 0))
+        cust_nk = np.full(len(lkey), -2, dtype=np.int64)
+        if len(okey):
+            found = okey[pos] == lkey
+            cust_nk[found] = onk[pos[found]]
+        keep = cust_nk == li_rows["nk"].to_numpy()
+        kept = li_rows.loc[keep]
+        out = kept.groupby("nk", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n=("n", "sum"))
+        out["nk"] = out["nk"].astype(np.int64)
+        return out[["nk", "rev_c", "n"]]
+
+    agg = (both.groupby("part")
+               .map_groups(q5_join, batch_format="pandas")
+               .groupby("nk")
+               .aggregate(Sum("rev_c", alias_name="rev_c"),
+                          Sum("n", alias_name="n"))
+               .to_pandas())
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="nk", right_on="n_nationkey")
+    out["revenue"] = out.pop("rev_c").astype(np.int64) / 10000.0
+    out["lineitem_cnt"] = out.pop("n").astype(np.int64)
+    return (out[["n_name", "revenue", "lineitem_cnt"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue,
+       COUNT(*) AS lineitem_cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # region_rollup_revenue — one-to-many rollup (A4 region pattern)
 # ---------------------------------------------------------------------------
 

@@ -64,6 +64,17 @@ def test_supplier_balance_by_nation_exact(con):
                   relational.SUPPLIER_BALANCE_BY_NATION_SQL, con)
 
 
+def test_local_supplier_revenue_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    out = relational.local_supplier_revenue(SF)
+    _assert_match(out, relational.LOCAL_SUPPLIER_REVENUE_SQL, con)
+    # the co-nation predicate is selective: strictly fewer lineitems
+    # than the unfiltered fact table
+    import duckdb  # noqa: F401 (con fixture owns the connection)
+    total = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert 0 < out["lineitem_cnt"].sum() < total
+
+
 def test_events_daily_exact(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.events_daily(SF),
