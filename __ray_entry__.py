@@ -1160,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "local_supplier_revenue": relational.local_supplier_revenue,
+        "price_histogram": relational.price_histogram,
         "region_rollup_revenue": relational.region_rollup_revenue,
         "top_orders": relational.top_orders,
         "events_daily": relational.events_daily,
@@ -1338,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_BY_NATION_SQL,
         "local_supplier_revenue": relational.LOCAL_SUPPLIER_REVENUE_SQL,
+        "price_histogram": relational.PRICE_HISTOGRAM_SQL,
         "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "events_daily": relational.EVENTS_DAILY_SQL,

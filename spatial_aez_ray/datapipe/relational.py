@@ -412,6 +412,50 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# price_histogram — fixed-width value distribution, bins-sized shuffle
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH_CENTS = 500_00  # $500 bins
+
+
+def price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equal-width histogram of lineitem extended prices — the
+    distribution scan every ingestion runs over a numeric column.
+
+    Scale shape: each batch reduces to at most #bins (bin, n) partial
+    rows via one integer floor-divide + groupby count, so the shuffle
+    carries bins×blocks tiny rows regardless of table size. Binning is
+    exact integer cents (floor division), mirrored by FLOOR() in the
+    oracle, so counts are bit-equal."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        bins = _cents(b["l_extendedprice"]) // _HIST_WIDTH_CENTS
+        uniq, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("bin").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    agg["bin_lo"] = agg.pop("bin").astype(np.int64) \
+        * (_HIST_WIDTH_CENTS / 100.0)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg[["bin_lo", "n"]].sort_values("bin_lo")
+            .reset_index(drop=True))
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  / 50000.0) AS BIGINT) * 500.0 AS bin_lo,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # region_rollup_revenue — one-to-many rollup (A4 region pattern)
 # ---------------------------------------------------------------------------
 

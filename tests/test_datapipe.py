@@ -64,6 +64,14 @@ def test_supplier_balance_by_nation_exact(con):
                   relational.SUPPLIER_BALANCE_BY_NATION_SQL, con)
 
 
+def test_price_histogram_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    out = relational.price_histogram(SF)
+    _assert_match(out, relational.PRICE_HISTOGRAM_SQL, con)
+    total = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert out["n"].sum() == total  # every row lands in exactly one bin
+
+
 def test_local_supplier_revenue_exact(con):
     from spatial_aez_ray.datapipe import relational
     out = relational.local_supplier_revenue(SF)
