@@ -1173,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": temporal.funnel_stages,
         "events_props_stats": temporal.events_props_stats,
         "event_transitions": temporal.event_transitions,
+        "user_journey_paths": temporal.user_journey_paths,
         "event_debounce_stats": temporal.event_debounce_stats,
         "events_cube": temporal.events_cube,
         "events_hourly_ohlc": temporal.events_hourly_ohlc,
@@ -1326,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": temporal.FUNNEL_STAGES_SQL,
         "events_props_stats": temporal.EVENTS_PROPS_STATS_SQL,
         "event_transitions": temporal.EVENT_TRANSITIONS_SQL,
+        "user_journey_paths": temporal.USER_JOURNEY_PATHS_SQL,
         "event_debounce_stats": temporal.EVENT_DEBOUNCE_STATS_SQL,
         "events_cube": temporal.EVENTS_CUBE_SQL,
         "events_hourly_ohlc": temporal.EVENTS_HOURLY_OHLC_SQL,

@@ -759,6 +759,93 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type
 
 
 # ---------------------------------------------------------------------------
+# user journey paths — grouped ORDERED string aggregation (clickstream
+# paths; the transition matrix's full-sequence complement)
+# ---------------------------------------------------------------------------
+
+_JOURNEY_MAX_STEPS = 8
+
+
+def user_journey_paths(sf_dir: str) -> pd.DataFrame:
+    """Count users per time-ordered event-type path, truncated to the
+    first ``_JOURNEY_MAX_STEPS`` events (the standard journey-analysis
+    bound, which also keeps path strings O(1)): (path, n_users).
+    Ordering ties on equal timestamps break by event_id — mirrored in
+    the oracle's window ORDER BY.
+
+    Scale shape: ONE shuffle on the coarse user fold (each user's
+    events must co-locate to form its sequence); inside a partition
+    the ordering + step-rank is vectorized (lexsort + boundary-anchored
+    rank, no per-user loop) and only (path, count) partials — at most
+    distinct-paths rows per partition — reach the final aggregate.
+    Output is result-sized by nature (one row per distinct path).
+    """
+    from ray.data.aggregate import Sum
+
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "event_type": b["event_type"],
+            "ts_us": pa.array(ts),
+            "event_id": b["event_id"].cast(pa.int64())})
+
+    def fold_paths(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(), uid))
+        uid = uid[order]
+        et = g["event_type"].to_numpy()[order]
+        new_user = np.ones(len(uid), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # step rank within user: arange minus the user's start offset
+        idx = np.arange(len(uid))
+        start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rank = idx - start
+        keep = rank < _JOURNEY_MAX_STEPS
+        df = pd.DataFrame({"user_id": uid[keep], "event_type": et[keep]})
+        paths = (df.groupby("user_id", sort=False)["event_type"]
+                   .agg("->".join))
+        out = paths.value_counts().rename_axis("path").reset_index(
+            name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out[["path", "n_users"]]
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(fold_paths, batch_format="pandas")
+             .groupby("path")
+             .aggregate(Sum("n_users", alias_name="n_users"))
+             .to_pandas())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("path").reset_index(drop=True)
+
+
+USER_JOURNEY_PATHS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r
+  FROM events),
+paths AS (
+  SELECT user_id, STRING_AGG(event_type, '->' ORDER BY r) AS path
+  FROM ranked WHERE r <= 8 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path ORDER BY path
+"""
+
+
+# ---------------------------------------------------------------------------
 # cohort retention — customers bucketed by first-order month, counted
 # at each later month they ordered again (the classic retention matrix)
 # ---------------------------------------------------------------------------

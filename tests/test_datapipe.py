@@ -64,6 +64,16 @@ def test_supplier_balance_by_nation_exact(con):
                   relational.SUPPLIER_BALANCE_BY_NATION_SQL, con)
 
 
+def test_user_journey_paths_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.user_journey_paths(SF)
+    _assert_match(out, temporal.USER_JOURNEY_PATHS_SQL, con)
+    users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert out["n_users"].sum() == users  # one path per user
+    assert (out["path"].str.count("->") <= 7).all()  # 8-step truncation
+
+
 def test_price_histogram_exact(con):
     from spatial_aez_ray.datapipe import relational
     out = relational.price_histogram(SF)
