@@ -1161,6 +1161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "price_histogram": relational.price_histogram,
+        "users_intersect_customers": relational.users_intersect_customers,
+        "customers_except_users": relational.customers_except_users,
         "region_rollup_revenue": relational.region_rollup_revenue,
         "top_orders": relational.top_orders,
         "events_daily": relational.events_daily,
@@ -1342,6 +1344,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_BY_NATION_SQL,
         "local_supplier_revenue": relational.LOCAL_SUPPLIER_REVENUE_SQL,
         "price_histogram": relational.PRICE_HISTOGRAM_SQL,
+        "users_intersect_customers": relational.USERS_INTERSECT_CUSTOMERS_SQL,
+        "customers_except_users": relational.CUSTOMERS_EXCEPT_USERS_SQL,
         "region_rollup_revenue": relational.REGION_ROLLUP_REVENUE_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "events_daily": relational.EVENTS_DAILY_SQL,

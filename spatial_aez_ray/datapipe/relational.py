@@ -456,6 +456,84 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# distributed INTERSECT / EXCEPT — distinct key-set operations between
+# two fact-sized sides (O5 set-op family; the semi/anti JOINS above
+# return rollups, these return the literal distinct sets)
+# ---------------------------------------------------------------------------
+
+def _key_setop(sf_dir: str, op: str) -> pd.DataFrame:
+    """DISTINCT set op between events.user_id and customer.c_custkey.
+
+    Scale shape: both sides pre-dedupe per batch (only distinct 8-byte
+    keys shuffle), land on the same coarse hash fold, and the set op is
+    one vectorized ``np.intersect1d`` / ``np.setdiff1d`` per partition
+    — correct because hash partitioning sends every copy of a key to
+    the same fold. Output is result-sized by nature (the set itself).
+    """
+    from .util import shuffle_width
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    n_parts = shuffle_width(ev)
+
+    def prep(col: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            key = np.unique(np.asarray(
+                b[col].to_numpy(zero_copy_only=False), dtype=np.int64))
+            return pa.table({
+                "part": pa.array((key % n_parts).astype(np.int32)),
+                "key": pa.array(key),
+                "side": pa.array(np.full(len(key), side, dtype=np.int8))})
+        return f
+
+    both = (ev.map_batches(prep("user_id", 0), batch_format="pyarrow")
+              .union(cust.map_batches(prep("c_custkey", 1),
+                                      batch_format="pyarrow")))
+
+    def setop(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["side"].to_numpy()
+        a = np.unique(g.loc[s == 0, "key"].to_numpy())
+        b = np.unique(g.loc[s == 1, "key"].to_numpy())
+        if op == "intersect":
+            keys = np.intersect1d(a, b, assume_unique=True)
+        elif op == "except_users":
+            keys = np.setdiff1d(a, b, assume_unique=True)
+        else:  # except_customers
+            keys = np.setdiff1d(b, a, assume_unique=True)
+        return pd.DataFrame({"user_id": keys.astype(np.int64)})
+
+    out = (both.groupby("part")
+               .map_groups(setop, batch_format="pandas")
+               .to_pandas())
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def users_intersect_customers(sf_dir: str) -> pd.DataFrame:
+    return _key_setop(sf_dir, "intersect")
+
+
+def customers_except_users(sf_dir: str) -> pd.DataFrame:
+    out = _key_setop(sf_dir, "except_customers")
+    return out.rename(columns={"user_id": "c_custkey"})
+
+
+USERS_INTERSECT_CUSTOMERS_SQL = """
+SELECT user_id FROM events
+INTERSECT
+SELECT c_custkey FROM customer
+ORDER BY user_id
+"""
+
+CUSTOMERS_EXCEPT_USERS_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # region_rollup_revenue — one-to-many rollup (A4 region pattern)
 # ---------------------------------------------------------------------------
 

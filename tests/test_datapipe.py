@@ -64,6 +64,19 @@ def test_supplier_balance_by_nation_exact(con):
                   relational.SUPPLIER_BALANCE_BY_NATION_SQL, con)
 
 
+def test_set_ops_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    inter = relational.users_intersect_customers(SF)
+    _assert_match(inter, relational.USERS_INTERSECT_CUSTOMERS_SQL, con)
+    exc = relational.customers_except_users(SF)
+    _assert_match(exc, relational.CUSTOMERS_EXCEPT_USERS_SQL, con)
+    # partition: intersect + except_customers == all customers
+    n_cust = con.execute(
+        "SELECT COUNT(DISTINCT c_custkey) FROM customer").fetchone()[0]
+    assert len(inter) + len(exc) == n_cust
+    assert not inter["user_id"].duplicated().any()
+
+
 def test_user_journey_paths_exact(con):
     from spatial_aez_ray.datapipe import temporal
     out = temporal.user_journey_paths(SF)
