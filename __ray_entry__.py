@@ -1151,8 +1151,8 @@ def _spatial_real_csv_areas(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spatial_aez_ray.datapipe import (
-        corpus, dedup, multimodal, relational, simsearch, sketch, temporal,
-        text,
+        corpus, dedup, graph, multimodal, relational, simsearch, sketch,
+        temporal, text,
     )
     q: dict[str, Callable[[str], Any]] = {
         # relational primitives (SQL-verified)
@@ -1246,6 +1246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
+        "dup_ngram_spans": dedup.dup_ngram_spans,
+        "textrank_tokens": graph.textrank_tokens,
+        "theta_user_overlap": sketch.theta_user_overlap,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
@@ -1319,7 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from spatial_aez_ray.datapipe import (
-        corpus, dedup, multimodal, relational, sketch, temporal, text,
+        corpus, dedup, graph, multimodal, relational, sketch, temporal,
+        text,
     )
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
@@ -1406,6 +1410,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
+        "dup_ngram_spans": dedup.DUP_NGRAM_SPANS_SQL,
+        "textrank_tokens": graph.TEXTRANK_TOKENS_SQL,
+        "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(
             "spatial_aez_ray.datapipe.simsearch",

@@ -1072,3 +1072,174 @@ GROUP BY array_to_string(
 HAVING COUNT(*) >= 2
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_spans — span-level duplicate-text measurement (the
+# distributed analog of suffix-array exact-substring dedup, Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better":
+# instead of whole-document or shingle-set similarity, find every
+# token n-gram that occurs MORE THAN ONCE corpus-wide and measure, per
+# document, how many of its tokens are covered by at least one such
+# duplicated span)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 8   # token n-gram width (Lee et al. use 50 BPE tokens;
+                 # 8 keeps the synthetic corpus's dup fraction in the
+                 # informative 0<f<1 range)
+
+
+def _flat_ngrams(texts: list[str], n: int):
+    """Whole-batch n-gram construction, no per-doc loop: returns
+    (grams, gram_doc, flat_len, doc_idx, doc_starts) where ``grams``
+    are the space-joined n-gram strings whose window lies inside one
+    document, ``gram_doc`` their doc index, and ``gram_pos`` their
+    global start offset in the flattened token array."""
+    from .corpus import _flatten_tokens
+    flat, doc_idx = _flatten_tokens(texts)
+    T = len(flat)
+    lens = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    if T < n:
+        empty = np.array([], dtype=np.int64)
+        return (np.array([], dtype=object), empty, empty,
+                T, doc_idx, starts)
+    g = flat[:T - n + 1].copy()
+    for j in range(1, n):
+        g = g + " "
+        g = g + flat[j:T - n + 1 + j]
+    same_doc = doc_idx[:T - n + 1] == doc_idx[n - 1:]
+    pos = np.arange(T - n + 1, dtype=np.int64)
+    return (g[same_doc], doc_idx[:T - n + 1][same_doc], pos[same_doc],
+            T, doc_idx, starts)
+
+
+def dup_ngram_spans(sf_dir: str, n: int = DUP_SPAN_N) -> pd.DataFrame:
+    """Per-document duplicated-span coverage: of the doc's tokens, how
+    many lie inside at least one token ``n``-gram that occurs >= 2
+    times anywhere in the corpus (including elsewhere in the SAME
+    doc — self-repetition is duplication too, exactly Lee et al.'s
+    suffix-array criterion at n-gram granularity)?
+
+    Returns one row per document: (doc_id, n_tokens, n_grams,
+    dup_grams, covered_tokens), all exact int64 — the caller derives
+    the cut fraction; no float crosses the oracle boundary.
+
+    Two passes, both shuffle-light:
+
+    * pass 1 — gram occurrence counts: per-batch pre-count (factorize
+      + bincount) so the groupby shuffle carries one row per DISTINCT
+      gram per block, never per occurrence; the >= 2 filter runs
+      distributed, and only duplicated grams reach the driver.
+    * pass 2 — stateless re-scan: the dup-gram set is broadcast ONCE
+      as a sorted array via ``ray.put`` (plasma zero-copy, the
+      boilerplate_ngrams discipline); membership is one searchsorted
+      per batch, and span coverage (the union of ``[pos, pos+n)``
+      intervals) is a prefix-sum window test over the flattened batch
+      — no per-doc loop, no interval merge.
+
+    Scale shape (100 TB): the pass-1 shuffle is gram-vocabulary-sized
+    (duplicated text collapses to few distinct grams — the reason
+    dedup pays off at all). The broadcast dup set is the one
+    size-governed piece: beyond plasma scale, swap the broadcast for
+    a hash semi-join of (gram_hash) back onto pass 2's gram stream —
+    same two-pass shape, one extra 16 B/gram shuffle
+    (``bloom_semi_join`` is the in-repo template)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        grams, _, _, _, _, _ = _flat_ngrams(batch["text"].to_pylist(), n)
+        if not len(grams):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(grams)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"gram": pa.array(uniq, pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    dup = (ds.map_batches(count_partial, batch_format="pyarrow")
+             .groupby("gram")
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .filter(expr="cnt >= 2")
+             .to_pandas())
+    # an empty filtered Dataset drops its schema -> guard the column
+    dup_set = (dup["gram"].to_numpy(dtype=object) if "gram" in dup
+               else np.array([], dtype=object))
+    dup_set.sort()
+    broadcast = ray.put(dup_set)
+
+    def span_cover(batch: pa.Table) -> pa.Table:
+        dset = ray.get(broadcast)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        grams, gdoc, gpos, T, doc_idx, starts = _flat_ngrams(
+            batch["text"].to_pylist(), n)
+        n_docs = len(ids)
+        n_tokens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        n_grams = np.maximum(n_tokens - n + 1, 0)
+        if len(grams) and len(dset):
+            loc = np.searchsorted(dset, grams)
+            is_dup = ((loc < len(dset))
+                      & (dset[np.minimum(loc, len(dset) - 1)] == grams))
+        else:
+            is_dup = np.zeros(len(grams), dtype=bool)
+        dup_grams = np.bincount(gdoc[is_dup], minlength=n_docs)
+        # coverage: token at global offset p (doc d starting at s_d)
+        # is covered iff some dup gram starts in [max(p-n+1, s_d), p]
+        mask = np.zeros(T, dtype=np.int64)
+        mask[gpos[is_dup]] = 1
+        pref = np.concatenate(([0], np.cumsum(mask)))
+        p = np.arange(T, dtype=np.int64)
+        lo = np.maximum(p - n + 1, starts[doc_idx])
+        covered = (pref[p + 1] - pref[lo]) > 0
+        cov = np.bincount(doc_idx[covered], minlength=n_docs)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tokens),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "dup_grams": pa.array(dup_grams.astype(np.int64)),
+            "covered_tokens": pa.array(cov.astype(np.int64)),
+        })
+
+    out = ds.map_batches(span_cover, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dup_span_sql(n: int = DUP_SPAN_N) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, s AS pos,
+         array_to_string(list_slice(toks, s, s + {n} - 1), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {n} + 1)) AS s
+        FROM t)),
+c AS (
+  SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (
+  SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM c)),
+dg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS dup_grams FROM d GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p)::BIGINT AS covered_tokens
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + {n} - 1)) AS p
+        FROM d)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens,
+       GREATEST(len(t.toks) - {n} + 1, 0)::BIGINT AS n_grams,
+       COALESCE(dg.dup_grams, 0)::BIGINT AS dup_grams,
+       COALESCE(cov.covered_tokens, 0)::BIGINT AS covered_tokens
+FROM t
+LEFT JOIN dg USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+DUP_NGRAM_SPANS_SQL = _dup_span_sql()

@@ -1,0 +1,177 @@
+"""Distributed graph analytics over corpus-derived graphs.
+
+``textrank_tokens`` — PageRank over the token co-occurrence graph
+(TextRank, Mihalcea & Tarau 2004): nodes are tokens, edges are
+adjacent-token pairs within a document (undirected, multiplicity =
+co-occurrence count), rank is the damped stationary iteration
+r(v) = (1-d)/N + d * sum_u w(u,v) * r(u) / deg(u).
+
+Ray-Data shape (the generic distributed-PageRank recipe):
+
+* the EDGE table is built once from the corpus — per-batch pre-reduced
+  (u, v, w) partials (factorize + bincount, no Python pair loops), then
+  ONE ``groupby(u, v)`` shuffle to the globally-reduced edge table,
+  which is vocabulary²-bounded no matter the corpus size. Degrees are
+  one more tiny groupby over it.
+* each power iteration maps over the (materialized) edge table with the
+  current rank vector BROADCAST via ``ray.put`` (node-sized — the rank
+  vector of a token graph is vocabulary-sized, the legitimate small
+  side; a node set too big to broadcast swaps the lookup for a hash
+  join of ranks onto edges, same iteration shape), emitting per-batch
+  per-destination partial sums; one destination-keyed groupby per
+  iteration closes the step. 5 iterations = 5 tiny shuffles over the
+  reduced edge table; the corpus itself is read ONCE.
+
+Determinism contract: ranks live in integer micro-units (SCALE = 1e12)
+with floor division at every step — contribution of u is
+``r(u) // deg(u)``, the damped update is ``BASE + (85 * S) // 100`` —
+so partial sums are order-free exact int64 and the DuckDB oracle
+(five unrolled CTE iterations of the same integer expressions)
+reproduces every rank bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+TEXTRANK_ITERS = 5
+TEXTRANK_SCALE = 10 ** 12   # integer rank micro-units
+TEXTRANK_TOPK = 20
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch reduced directed-edge partials: every adjacent token
+    pair contributes (u, v, 1) AND (v, u, 1); reduced to distinct
+    (u, v, w) within the batch — the combiner before the edge shuffle."""
+    from .corpus import _flatten_tokens
+    flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+    T = len(flat)
+    if T < 2:
+        return pa.table({"u": pa.array([], pa.string()),
+                         "v": pa.array([], pa.string()),
+                         "w": pa.array([], pa.int64())})
+    same_doc = doc_idx[:-1] == doc_idx[1:]
+    left = flat[:-1][same_doc]
+    right = flat[1:][same_doc]
+    u = np.concatenate([left, right])
+    v = np.concatenate([right, left])
+    # reduce (u, v) pairs: one factorize over the joined key (space
+    # is a safe separator — tokens are split on single spaces, so no
+    # token ever contains one; numpy U-dtype would silently drop \x00)
+    key = np.char.add(np.char.add(u.astype(str), " "), v.astype(str))
+    codes, uniq = pd.factorize(key)
+    w = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    split = np.char.partition(uniq.astype(str), " ")
+    return pa.table({"u": pa.array(split[:, 0], pa.string()),
+                     "v": pa.array(split[:, 2], pa.string()),
+                     "w": pa.array(w)})
+
+
+def textrank_tokens(sf_dir: str, iters: int = TEXTRANK_ITERS,
+                    topk: int = TEXTRANK_TOPK) -> pd.DataFrame:
+    """Top-``topk`` tokens of the corpus co-occurrence graph by
+    ``iters`` damped PageRank iterations (d = 0.85), exact integer
+    micro-unit arithmetic. Returns (token, rank_units) ordered by
+    (rank_units DESC, token ASC).
+
+    The co-occurrence graph is undirected, so every node has at least
+    one incoming edge and the dangling-mass term vanishes — the reason
+    the update needs no global leak correction."""
+    import ray
+
+    edges = (_read_docs(sf_dir, columns=["text"])
+             .map_batches(_edge_partial, batch_format="pyarrow")
+             .groupby(["u", "v"])
+             .aggregate(Sum("w", alias_name="w"))
+             .materialize())   # vocab^2-bounded; iterated over 5x
+
+    deg = edges.groupby("u").aggregate(Sum("w", alias_name="d")).to_pandas()
+    deg = deg.sort_values("u").reset_index(drop=True)
+    nodes = deg["u"].to_numpy(dtype=object)
+    degs = deg["d"].to_numpy(dtype=np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "rank_units": pd.Series([], dtype=np.int64)})
+    base = (15 * (TEXTRANK_SCALE // n)) // 100
+    rank = np.full(n, TEXTRANK_SCALE // n, dtype=np.int64)
+
+    for _ in range(iters):
+        contrib = rank // degs               # r(u) // deg(u), exact
+        bc = ray.put((nodes, contrib))
+
+        def step(batch: pa.Table, _bc=bc) -> pa.Table:
+            nds, ctr = ray.get(_bc)
+            uu = batch["u"].to_numpy(zero_copy_only=False).astype(object)
+            vv = batch["v"].to_numpy(zero_copy_only=False).astype(object)
+            ww = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iu = np.searchsorted(nds, uu)
+            s = ww * ctr[iu]
+            codes, uniq = pd.factorize(vv)
+            sv = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sv, codes, s)
+            return pa.table({"v": pa.array(uniq, pa.string()),
+                             "s": pa.array(sv)})
+
+        st = (edges.map_batches(step, batch_format="pyarrow")
+                   .groupby("v").aggregate(Sum("s", alias_name="s"))
+                   .to_pandas().sort_values("v").reset_index(drop=True))
+        # undirected graph: every node receives mass, so st covers nodes
+        assert len(st) == n and (st["v"].to_numpy(dtype=object)
+                                 == nodes).all()
+        rank = base + (85 * st["s"].to_numpy(dtype=np.int64)) // 100
+
+    out = pd.DataFrame({"token": nodes, "rank_units": rank})
+    out = out.sort_values(["rank_units", "token"],
+                          ascending=[False, True]).head(topk)
+    out["rank_units"] = out["rank_units"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _textrank_sql(iters: int = TEXTRANK_ITERS,
+                  topk: int = TEXTRANK_TOPK) -> str:
+    scale = TEXTRANK_SCALE
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT e.v AS u,
+         ((15 * ({scale} // nn.n)) // 100
+          + (85 * SUM(e.w * ({prev}.r // deg.d))) // 100)::BIGINT AS r
+  FROM e JOIN {prev} ON e.u = {prev}.u JOIN deg ON e.u = deg.u
+  CROSS JOIN nn GROUP BY e.v, nn.n)""")
+        prev = f"r{i}"
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT toks[s] AS u, toks[s + 1] AS v
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS s
+        FROM t)),
+e AS (
+  SELECT u, v, COUNT(*)::BIGINT AS w
+  FROM (SELECT p.u AS u, p.v AS v FROM p
+        UNION ALL SELECT p.v AS u, p.u AS v FROM p)
+  GROUP BY u, v),
+deg AS (SELECT u, SUM(w)::BIGINT AS d FROM e GROUP BY u),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
+r0 AS (SELECT u, ({scale} // n)::BIGINT AS r FROM deg CROSS JOIN nn),
+{",".join(steps)}
+SELECT u AS token, r AS rank_units FROM {prev}
+ORDER BY rank_units DESC, token ASC LIMIT {topk}
+"""
+
+
+TEXTRANK_TOKENS_SQL = _textrank_sql()

@@ -399,3 +399,124 @@ def incremental_hll_registers(sf_dir: str,
     view["max_rho"] = view["max_rho"].astype(np.int64)
     return (view.sort_values(["event_type", "register"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# theta-sketch set operations — sketched INTERSECTION of distinct-value
+# sets (Apache DataSketches' theta family / KMV with a shared theta):
+# which user populations overlap between event types, without ever
+# shuffling the value universe
+# ---------------------------------------------------------------------------
+
+THETA_K = 64
+
+
+def theta_user_overlap(sf_dir: str, k: int = THETA_K) -> pd.DataFrame:
+    """Estimated overlap |users(type_a) ∩ users(type_b)| for every
+    unordered event-type pair, from per-type KMV/theta sketches.
+
+    Returns (type_a, type_b, n_common, theta, est_overlap), exact
+    int64: ``theta`` = min of the two sketches' thresholds (the k-th
+    smallest distinct hash when the sketch filled, else the full hash
+    range M = 2^32), ``n_common`` = common sketch hashes below theta,
+    ``est_overlap`` = (n_common * M) // theta — which degrades to the
+    EXACT intersection count when neither sketch filled.
+
+    Distributed shape: the per-batch partial keeps at most k distinct
+    user hashes per type (the KMV combiner), the groupby merge keeps
+    the k smallest of the union, and only O(types × k) sketch rows
+    ever reach the driver — the pairwise set algebra runs on sketches,
+    never on the user universe. That is the whole point of the theta
+    family at 100 TB: set EXPRESSIONS (A∩B, A∪B, A∖B) over populations
+    too large to co-shuffle become tiny-sketch postprocessing.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "user_id": np.asarray(
+                batch["user_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)}).drop_duplicates()
+        uniq = df["user_id"].unique()
+        hmap = {int(v): _h64u(str(int(v))) >> 32 for v in uniq}
+        df["h32"] = df["user_id"].map(hmap).astype(np.int64)
+        df = (df[["event_type", "h32"]].drop_duplicates()
+              .sort_values(["event_type", "h32"], kind="mergesort"))
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).head(k),
+            preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gf in g.groupby("event_type", sort=False):
+            hs = np.unique(gf["h32"].to_numpy(dtype=np.int64))[:k]
+            rows.append(pd.DataFrame({"event_type": et, "h32": hs}))
+        return pd.concat(rows, ignore_index=True)
+
+    sk = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas())
+
+    types = sorted(sk["event_type"].unique())
+    kept = {t: np.sort(sk.loc[sk["event_type"] == t, "h32"]
+                       .to_numpy(dtype=np.int64)) for t in types}
+    theta = {t: (int(kept[t][k - 1]) if len(kept[t]) >= k
+                 else _HASH_RANGE) for t in types}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            th = min(theta[a], theta[b])
+            common = np.intersect1d(kept[a], kept[b])
+            c = int((common < th).sum())
+            rows.append((a, b, c, th, (c * _HASH_RANGE) // th))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_common", "theta", "est_overlap"])
+    for c in ("n_common", "theta", "est_overlap"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def _theta_sql(k: int = THETA_K) -> str:
+    le = " || ".join(f"substr(md5(user_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH hd AS (
+  SELECT DISTINCT event_type,
+         (('0x' || {le})::UBIGINT >> 32)::BIGINT AS h32
+  FROM events),
+r AS (
+  SELECT event_type, h32,
+         row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM hd),
+sk AS (SELECT event_type, h32, nd FROM r WHERE rnk <= {k}),
+th AS (
+  SELECT event_type,
+         CASE WHEN nd >= {k} THEN MAX(h32)
+              ELSE {_HASH_RANGE} END AS theta
+  FROM sk GROUP BY event_type, nd),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         LEAST(a.theta, b.theta)::BIGINT AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type),
+com AS (
+  SELECT p.type_a, p.type_b, COUNT(*)::BIGINT AS n_common
+  FROM pairs p
+  JOIN sk x ON x.event_type = p.type_a AND x.h32 < p.theta
+  JOIN sk y ON y.event_type = p.type_b AND y.h32 = x.h32
+  GROUP BY p.type_a, p.type_b)
+SELECT p.type_a, p.type_b,
+       COALESCE(c.n_common, 0)::BIGINT AS n_common,
+       p.theta,
+       ((COALESCE(c.n_common, 0) * {_HASH_RANGE}) // p.theta)::BIGINT
+         AS est_overlap
+FROM pairs p
+LEFT JOIN com c ON c.type_a = p.type_a AND c.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+THETA_USER_OVERLAP_SQL = _theta_sql()

@@ -1522,3 +1522,71 @@ def test_ivf_compact_purges_tombstones(ray_session, tmp_path):
     physical = simsearch.ann_ivf_query(idx, SF, n_probe=4)
     assert physical.equals(logical)
     assert victim not in set(physical["neighbor_id"])
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: span-level dedup, graph rank, theta sketches
+# ---------------------------------------------------------------------------
+
+def test_dup_ngram_spans_exact(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.dup_ngram_spans(SF),
+                  dedup.DUP_NGRAM_SPANS_SQL, con)
+
+
+def test_dup_ngram_spans_bounds(con):
+    from spatial_aez_ray.datapipe import dedup
+    out = dedup.dup_ngram_spans(SF)
+    n = dedup.DUP_SPAN_N
+    assert (out["covered_tokens"] <= out["n_tokens"]).all()
+    assert (out["dup_grams"] <= out["n_grams"]).all()
+    has = out["dup_grams"] > 0
+    # one dup gram covers exactly n tokens; coverage can only grow
+    assert (out.loc[has, "covered_tokens"] >= n).all()
+    assert (out.loc[~has, "covered_tokens"] == 0).all()
+    # the corpus is repetitive enough that SOME span duplication exists
+    assert has.any()
+
+
+def test_textrank_tokens_exact(con):
+    from spatial_aez_ray.datapipe import graph
+    _assert_match(graph.textrank_tokens(SF), graph.TEXTRANK_TOKENS_SQL, con)
+
+
+def test_textrank_rank_properties(con):
+    from spatial_aez_ray.datapipe import graph
+    out = graph.textrank_tokens(SF, topk=10_000)   # whole node set
+    # every node keeps at least the teleport mass and the list is
+    # sorted by (rank desc, token asc)
+    n = len(out)
+    base = (15 * (graph.TEXTRANK_SCALE // n)) // 100
+    assert (out["rank_units"] >= base).all()
+    r = out["rank_units"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+    # damped iteration keeps total mass below the unit scale
+    assert out["rank_units"].sum() <= graph.TEXTRANK_SCALE
+
+
+def test_theta_user_overlap_exact(con):
+    from spatial_aez_ray.datapipe import sketch
+    _assert_match(sketch.theta_user_overlap(SF),
+                  sketch.THETA_USER_OVERLAP_SQL, con)
+
+
+def test_theta_estimator_envelope(con):
+    from spatial_aez_ray.datapipe import sketch
+    out = sketch.theta_user_overlap(SF)
+    assert len(out) == 10   # 5 event types -> C(5,2) pairs
+    # est scales n_common up by M/theta, so it never undershoots it
+    assert (out["est_overlap"] >= out["n_common"]).all()
+    true = con.execute("""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(DISTINCT a.user_id)::BIGINT AS n_true
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2""").fetchdf()
+    m = out.merge(true, on=["type_a", "type_b"], how="left").fillna(0)
+    # KMV relative error ~1/sqrt(k-2) = 13% at k=64; allow 4 sigma
+    err = (m["est_overlap"] - m["n_true"]).abs()
+    assert (err <= 0.52 * m["n_true"] + 2).all()
