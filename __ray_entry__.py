@@ -435,6 +435,19 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_regions(sf_dir: str):
+    """Distributed raster connected-component labeling: per-tile
+    canonical min-pixel labels + seam-equivalence union — the FULL
+    region table must be bit-identical to whole-array labeling."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.label_regions(_world(), "kg")
+    oracle = _oracle_mod().regions_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("region table != whole-array labeling")
+    return regions.region_summary(mine)
+
+
 def _spatial_transcode(sf_dir: str):
     """PNG format migration of the KG dataset: every tile is decode-
     verified lossless in the worker; the gate additionally re-reads a
@@ -1297,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_media_integrity": _spatial_media_integrity,
         "spatial_transcode": _spatial_transcode,
         "spatial_focal": _spatial_focal,
+        "spatial_regions": _spatial_regions,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

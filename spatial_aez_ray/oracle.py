@@ -611,3 +611,32 @@ def admin_adjacency_oracle(spec) -> "pd.DataFrame":
         columns=["admin_a", "admin_b", "shared_edges"])
     out["shared_edges"] = out["shared_edges"].astype(np.int64)
     return out
+
+
+def regions_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential whole-array connected-component labeling (region
+    ids are canonical min-pixel indices, so this is comparable
+    bit-for-bit with the distributed two-level labeling): absent
+    tiles stay nodata = background, exactly the pixels the pipeline
+    never sees."""
+    from .pipelines.regions import label_components
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    lab = label_components(full, int(nodata))
+    fgv = lab[lab >= 0]
+    reps, counts = np.unique(fgv, return_counts=True)
+    return pd.DataFrame({
+        "region_id": reps.astype(np.int64),
+        "cls": full.ravel()[reps].astype(np.int64),
+        "n_px": counts.astype(np.int64),
+    }).sort_values("region_id").reset_index(drop=True)

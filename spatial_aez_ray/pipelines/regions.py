@@ -1,0 +1,273 @@
+"""Distributed raster connected-component labeling (region extraction).
+
+The "regional" member of the raster-algebra taxonomy the other
+pipelines cover (local = classify, focal = gradient, zonal = stats,
+global = histogram): group 4-connected pixels of EQUAL class into
+regions and measure them — the GDAL ``sieve``/``polygonize`` family
+(reference usage: polygonized country masks, prepare_feature_masks.py;
+we label the raster itself).
+
+Why this is the hard distributed raster op: a region may span any
+number of tiles, so no per-tile pass can finish the job. The classic
+two-level decomposition keeps it one scan + tiny metadata:
+
+1. per-tile labeling (one shuffle-free ``map_batches`` over the tile
+   lattice, payloads by derived ref): components of the tile get a
+   CANONICAL id — the global row-major index of their smallest pixel —
+   via vectorized min-label propagation + pointer jumping (no Python
+   pixel loops). Each tile emits one (comp, class, n_px) partial row
+   per local component, plus cross-tile EQUIVALENCE PAIRS for its
+   right/bottom seams only (each seam counted once, the
+   admin_adjacency discipline). Seam pairs need the neighbor's labels:
+   the neighbor tile is fetched by derived ref and labeled in-worker —
+   labeling is a deterministic function of the payload, so the ids
+   agree with the neighbor's own emission exactly (the recompute-don't-
+   shuffle trade the AEZ/pyramid kernels already make; a per-batch
+   memo de-duplicates the work for lattice-contiguous batches).
+2. the equivalence pairs — O(seam crossings), thousands at planet
+   scale, never pixels — resolve to region roots (driver union-find
+   here; ``datapipe.dedup.connected_components`` is the distributed
+   path when a world's seam graph outgrows the driver), and one
+   region-keyed groupby folds the per-tile partials into final region
+   sizes. Canonical ids make the merge order-free: the root of a
+   merged region is the min of its members' ids == the region's true
+   min pixel, bit-identical to a whole-array labeling.
+
+Oracle: ``oracle.regions_oracle`` labels the assembled whole-grid
+array with the SAME kernel (ids are canonical, so any correct labeling
+matches) — the independent thing it checks is the cross-tile seam
+algebra, which whole-array labeling gets for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .. import model
+from ..sources.documents import MediaStore
+
+_INF = np.iinfo(np.int64).max
+
+
+def label_components(arr: np.ndarray, bg: int) -> np.ndarray:
+    """4-connected components of equal value over ``arr`` (any int
+    dtype): returns int64 labels where label = the component's minimum
+    row-major flat index, and -1 on background (``arr == bg``).
+
+    Vectorized min-label propagation with pointer jumping (path
+    halving): labels only decrease and are bounded by the component
+    minimum, so the fixpoint is exact; jumping makes rounds
+    logarithmic in region diameter instead of linear."""
+    h, w = arr.shape
+    fg = arr != bg
+    cur = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w),
+                   _INF)
+    vmask = fg[1:, :] & fg[:-1, :] & (arr[1:, :] == arr[:-1, :])
+    hmask = fg[:, 1:] & fg[:, :-1] & (arr[:, 1:] == arr[:, :-1])
+    while True:
+        new = cur.copy()
+        np.minimum(new[1:, :], np.where(vmask, cur[:-1, :], _INF),
+                   out=new[1:, :])
+        np.minimum(new[:-1, :], np.where(vmask, cur[1:, :], _INF),
+                   out=new[:-1, :])
+        np.minimum(new[:, 1:], np.where(hmask, cur[:, :-1], _INF),
+                   out=new[:, 1:])
+        np.minimum(new[:, :-1], np.where(hmask, cur[:, 1:], _INF),
+                   out=new[:, :-1])
+        flat = new.ravel()
+        ok = flat != _INF
+        for _ in range(2):   # pointer jumping: label <- label(label)
+            flat[ok] = flat[flat[ok]]
+        new = flat.reshape(h, w)
+        if (new == cur).all():
+            break
+        cur = new
+    return np.where(fg, cur, np.int64(-1))
+
+
+class RegionKernel:
+    """Per-tile labeling + seam-equivalence emission (see module doc).
+
+    Emits a union table: kind=0 rows are (a=comp_id, cls, n_px)
+    component partials; kind=1 rows are (a, b) seam equivalences."""
+
+    def __init__(self, *, world_path: str, dataset: str,
+                 grid_name: str, nodata: int):
+        from ..pipelines.extract import world_grid
+        self.media = MediaStore(world_path)
+        self.dataset = dataset
+        self.grid = world_grid(world_path, grid_name)
+        self.nodata = int(nodata)
+
+    def _tile(self, ty: int, tx: int, payloads, memo):
+        """(arr, labels, nc) of one tile, labeled once per batch."""
+        key = (ty, tx)
+        if key in memo:
+            return memo[key]
+        ref = model.media_ref(self.dataset, self.grid.name, ty, tx, 1)
+        p = payloads.get(ref)
+        if p is None:
+            memo[key] = None
+            return None
+        _, _, nc, nr = self.grid.tile_window(ty, tx)
+        arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+        memo[key] = (arr, label_components(arr, self.nodata), nc)
+        return memo[key]
+
+    def _gids(self, labels: np.ndarray, ty: int, tx: int,
+              nc: int) -> np.ndarray:
+        """Local rep indices -> global row-major pixel ids (-1 kept).
+        Row-major order inside a tile matches global row-major order,
+        so the min-pixel rep stays the min-pixel rep globally."""
+        g = self.grid
+        yy = labels // nc
+        xx = labels % nc
+        out = (ty * g.tile + yy).astype(np.int64) * g.width \
+            + (tx * g.tile + xx)
+        out[labels < 0] = -1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x) for p in ids]
+        want = set()
+        for ty, tx in tiles:
+            for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx)):
+                if ny < g.tiles_y and nx < g.tiles_x:
+                    want.add(model.media_ref(self.dataset, g.name,
+                                             ny, nx, 1))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        memo: dict = {}
+        kind, a_o, b_o, cls_o, n_o = [], [], [], [], []
+
+        def seam(my, my_g, nb, nb_g):
+            m = (my != self.nodata) & (nb != self.nodata) & (my == nb)
+            if not m.any():
+                return
+            pairs = np.unique(
+                np.stack([my_g[m], nb_g[m]], axis=1), axis=0)
+            for pa_, pb_ in pairs:
+                kind.append(1)
+                a_o.append(int(pa_)); b_o.append(int(pb_))
+                cls_o.append(0); n_o.append(0)
+
+        for ty, tx in tiles:
+            me = self._tile(ty, tx, payloads, memo)
+            if me is None:
+                continue
+            arr, lab, nc = me
+            fgv = lab[lab >= 0]
+            reps, counts = np.unique(fgv, return_counts=True)
+            rep_g = self._gids(reps, ty, tx, nc)
+            rep_cls = arr.ravel()[reps]
+            for rg, rc, rn in zip(rep_g, rep_cls, counts):
+                kind.append(0)
+                a_o.append(int(rg)); b_o.append(-1)
+                cls_o.append(int(rc)); n_o.append(int(rn))
+            lab_g = self._gids(lab.copy(), ty, tx, nc)
+            if tx + 1 < g.tiles_x:
+                nb = self._tile(ty, tx + 1, payloads, memo)
+                if nb is not None:
+                    narr, nlab, nnc = nb
+                    nlab_g = self._gids(nlab.copy(), ty, tx + 1, nnc)
+                    n = min(arr.shape[0], narr.shape[0])
+                    seam(arr[:n, -1], lab_g[:n, -1],
+                         narr[:n, 0], nlab_g[:n, 0])
+            if ty + 1 < g.tiles_y:
+                nb = self._tile(ty + 1, tx, payloads, memo)
+                if nb is not None:
+                    narr, nlab, nnc = nb
+                    nlab_g = self._gids(nlab.copy(), ty + 1, tx, nnc)
+                    n = min(arr.shape[1], narr.shape[1])
+                    seam(arr[-1, :n], lab_g[-1, :n],
+                         narr[0, :n], nlab_g[0, :n])
+        return pa.table({
+            "kind": pa.array(kind, pa.int8()),
+            "a": pa.array(a_o, pa.int64()),
+            "b": pa.array(b_o, pa.int64()),
+            "cls": pa.array(cls_o, pa.int64()),
+            "n_px": pa.array(n_o, pa.int64())})
+
+
+def label_regions(world_path: str, dataset: str = "kg") -> pd.DataFrame:
+    """Full region table (region_id, cls, n_px) of a dataset's band 1,
+    region_id = the region's minimum global row-major pixel index —
+    bit-identical to whole-array labeling by construction."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    from .extract import world_grid
+    grid = world_grid(world_path, grid_name)
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(
+                 as_task_fn(RegionKernel, world_path=world_path,
+                            dataset=dataset, grid_name=grid_name,
+                            nodata=nodata),
+                 batch_format="pyarrow", batch_size=16)
+             .materialize())   # region+seam-sized, read twice below
+
+    pairs = parts.filter(expr="kind == 1").to_pandas()
+    # seam graph -> roots. Region-count-sized: driver union-find (the
+    # minhash survivor discipline); datapipe.dedup.connected_components
+    # is the distributed swap-in past ~2M pairs.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = {x: find(x) for x in list(parent)}
+    keys = np.array(sorted(roots), dtype=np.int64)
+    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    bc = ray.put((keys, vals))
+
+    def remap(b: pa.Table) -> pa.Table:
+        ks, vs = ray.get(bc)
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks):
+            loc = np.searchsorted(ks, a)
+            hit = (loc < len(ks)) & (ks[np.minimum(loc, len(ks) - 1)]
+                                     == a)
+            a = np.where(hit, vs[np.minimum(loc, len(ks) - 1)], a)
+        return pa.table({"region_id": pa.array(a),
+                         "cls": b["cls"], "n_px": b["n_px"]})
+
+    from ray.data.aggregate import Sum
+    out = (parts.filter(expr="kind == 0")
+           .map_batches(remap, batch_format="pyarrow")
+           .groupby(["region_id", "cls"])
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)
+
+
+def region_summary(regions: pd.DataFrame) -> pd.DataFrame:
+    """(cls, n_regions, largest_px, n_px) per class from the region
+    table — the gate's compact return value."""
+    g = regions.groupby("cls")
+    out = pd.DataFrame({
+        "cls": g.size().index.to_numpy(dtype=np.int64),
+        "n_regions": g.size().to_numpy(dtype=np.int64),
+        "largest_px": g["n_px"].max().to_numpy(dtype=np.int64),
+        "n_px": g["n_px"].sum().to_numpy(dtype=np.int64)})
+    return out.sort_values("cls").reset_index(drop=True)

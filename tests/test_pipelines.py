@@ -547,3 +547,33 @@ def test_driver_and_distributed_combine_bit_identical(tiny_world, monkeypatch):
     assert a.equals(b)
     a_aez = aezmod.aez_stats(tiny_world, index=index)
     assert a_aez.equals(b_aez)
+
+
+def test_label_regions_bit_exact_both_grids(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    for ds in ("kg", "lc"):
+        mine = rg.label_regions(tiny_world, ds)
+        odf = oracle.regions_oracle(SPEC, ds)
+        assert mine.equals(odf), ds
+        # region ids are canonical min pixels: the class at that pixel
+        # must be the region's class, and sizes conserve the fg pixels
+        summ = rg.region_summary(mine)
+        assert summ["n_px"].sum() == mine["n_px"].sum()
+
+
+def test_label_components_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.regions import label_components
+    arr = np.array([[1, 1, 0, 2],
+                    [0, 1, 0, 2],
+                    [1, 1, 0, 1],
+                    [1, 0, 0, 1]], dtype=np.uint8)
+    lab = label_components(arr, 0)
+    # the L-shaped 1-region (min pixel 0), the 2-column (min 3), the
+    # right 1-column (min 11); 4-connectivity keeps diagonals apart
+    assert lab[0, 0] == 0 and lab[1, 1] == 0 and lab[2, 0] == 0
+    assert lab[3, 0] == 0            # connected via (2,0)-(2,1)? no:
+    # (3,0)-(2,0) vertical neighbors, both class 1 -> same region
+    assert lab[0, 3] == 3 and lab[1, 3] == 3
+    assert lab[2, 3] == 11 and lab[3, 3] == 11   # 1 vs 2 above: split
+    assert (lab[arr == 0] == -1).all()
