@@ -1192,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce_stats": temporal.event_debounce_stats,
         "events_cube": temporal.events_cube,
         "events_hourly_ohlc": temporal.events_hourly_ohlc,
+        "windowed_counts_watermark": temporal.windowed_counts_watermark,
         "embedding_gram": simsearch.embedding_gram,
         "cohort_retention": temporal.cohort_retention,
         "events_pivot_daily": temporal.events_pivot_daily,
@@ -1351,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "event_debounce_stats": temporal.EVENT_DEBOUNCE_STATS_SQL,
         "events_cube": temporal.EVENTS_CUBE_SQL,
         "events_hourly_ohlc": temporal.EVENTS_HOURLY_OHLC_SQL,
+        "windowed_counts_watermark": temporal.WINDOWED_COUNTS_WATERMARK_SQL,
         "embedding_gram": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["EMBEDDING_GRAM_SQL"]).EMBEDDING_GRAM_SQL,

@@ -1179,3 +1179,125 @@ SELECT event_type, hour,
        MAX(CASE WHEN rn_d = 1 THEN v END) / 100.0 AS close
 FROM c GROUP BY event_type, hour ORDER BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed_counts_watermark — the dataflow-model streaming semantics
+# (Akidau et al. 2015, "The Dataflow Model"; Flink/Beam watermarks):
+# tumbling event-time windows closed by a watermark with allowed
+# lateness, arrivals that miss their closed window routed to a late
+# side count
+# ---------------------------------------------------------------------------
+
+WM_CHUNKS = 4                       # simulated arrival batches
+WM_WINDOW_US = 3_600_000_000        # 1 h tumbling event-time windows
+WM_LATENESS_US = 3_600_000_000      # 1 h allowed lateness
+
+
+def windowed_counts_watermark(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window event counts under streaming watermark
+    semantics: events arrive in ``WM_CHUNKS`` simulated batches
+    (arrival order = a hash of event_id — deterministic and
+    ADVERSARIALLY out-of-order, the watermark worst case); after each
+    batch the watermark advances to max(event time seen) − allowed
+    lateness and every window ending at or before it is FINALIZED.
+    An arrival whose window was finalized by a PREVIOUS batch is late:
+    it never reenters the pane and is counted in the window's late
+    side output instead (the Beam ``Never``-refinement discipline).
+
+    Returns (window_hour, n_events, n_late) per window, exact int64.
+
+    One scan at any scale: whether an arrival is late depends only on
+    its (arrival chunk, window) — not the row — so the pipeline
+    reduces every block to (chunk, window, n, max_us) partials inside
+    ``map_batches`` and the watermark simulation replays over the
+    aggregated chunks×windows table on the driver (KB-sized: the
+    stream state of the dataflow model is window metadata, never
+    events)."""
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _h64u
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["event_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        us = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        chunk = np.fromiter(
+            (_h64u(str(int(i))) % WM_CHUNKS for i in ids),
+            dtype=np.int64, count=len(ids))
+        w = us // WM_WINDOW_US
+        key = chunk * np.int64(1 << 40) + w   # windows << 2^40
+        uk, inv, cnt = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        mx = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(mx, inv, us)
+        return pa.table({
+            "chunk": pa.array(uk // (1 << 40)),
+            "w": pa.array(uk % (1 << 40)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "mx": pa.array(mx)})
+
+    t = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["chunk", "w"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas())
+    # driver replay over the tiny (chunk, window) table
+    on_time: dict[int, int] = {}
+    late: dict[int, int] = {}
+    prior_max: int | None = None
+    for c in range(WM_CHUNKS):
+        rows = t[t["chunk"] == c]
+        for w, nn in zip(rows["w"], rows["n"]):
+            w, nn = int(w), int(nn)
+            closed = (prior_max is not None
+                      and (w + 1) * WM_WINDOW_US
+                      <= prior_max - WM_LATENESS_US)
+            d = late if closed else on_time
+            d[w] = d.get(w, 0) + nn
+        if len(rows):
+            cm = int(rows["mx"].max())
+            prior_max = cm if prior_max is None else max(prior_max, cm)
+    wins = sorted(set(on_time) | set(late))
+    return pd.DataFrame({
+        "window_hour": np.array(wins, dtype=np.int64),
+        "n_events": np.array([on_time.get(w, 0) for w in wins],
+                             dtype=np.int64),
+        "n_late": np.array([late.get(w, 0) for w in wins],
+                           dtype=np.int64)})
+
+
+def _watermark_sql() -> str:
+    le = " || ".join(f"substr(md5(event_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    W, L, C = WM_WINDOW_US, WM_LATENESS_US, WM_CHUNKS
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         epoch_us(ts) // {W} AS w,
+         (('0x' || {le})::UBIGINT % {C})::BIGINT AS chunk
+  FROM events),
+cm AS (SELECT chunk, MAX(us) AS mx FROM e GROUP BY chunk),
+wb AS (
+  SELECT chunk,
+         MAX(mx) OVER (ORDER BY chunk
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prior_mx
+  FROM cm),
+x AS (
+  SELECT e.w,
+         CASE WHEN wb.prior_mx IS NOT NULL
+                   AND (e.w + 1) * {W} <= wb.prior_mx - {L}
+              THEN 1 ELSE 0 END AS late
+  FROM e JOIN wb ON e.chunk = wb.chunk)
+SELECT w AS window_hour,
+       COUNT(*) FILTER (WHERE late = 0)::BIGINT AS n_events,
+       COUNT(*) FILTER (WHERE late = 1)::BIGINT AS n_late
+FROM x GROUP BY w ORDER BY w
+"""
+
+
+WINDOWED_COUNTS_WATERMARK_SQL = _watermark_sql()

@@ -1590,3 +1590,21 @@ def test_theta_estimator_envelope(con):
     # KMV relative error ~1/sqrt(k-2) = 13% at k=64; allow 4 sigma
     err = (m["est_overlap"] - m["n_true"]).abs()
     assert (err <= 0.52 * m["n_true"] + 2).all()
+
+
+def test_windowed_counts_watermark_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.windowed_counts_watermark(SF),
+                  temporal.WINDOWED_COUNTS_WATERMARK_SQL, con)
+
+
+def test_watermark_conservation_and_lateness(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.windowed_counts_watermark(SF)
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    # every arrival lands exactly once: on-time pane or late side
+    assert int(out["n_events"].sum() + out["n_late"].sum()) == total
+    # the hash arrival order is adversarially out-of-order, so late
+    # arrivals exist; and the newest window can never be late
+    assert out["n_late"].sum() > 0
+    assert int(out.iloc[-1]["n_late"]) == 0
