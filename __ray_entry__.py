@@ -845,6 +845,17 @@ def _pii_redaction(sf_dir: str):
     return counts
 
 
+def _merge_upsert(sf_dir: str):
+    """Lakehouse MERGE INTO (copy-on-write upsert): self-verifies in
+    the op that untouched partitions stay byte-identical; the merged
+    table matches the SQL MERGE expansion exactly."""
+    import shutil
+    from spatial_aez_ray.datapipe import relational
+    wd = os.path.join(_TMP, "merge_upsert")
+    shutil.rmtree(wd, ignore_errors=True)
+    return relational.merge_upsert_orders(sf_dir, wd)
+
+
 def _compact_parts(sf_dir: str):
     """Small-file compaction over a deliberately over-partitioned copy
     of the token-stats table; the op SELF-VERIFIES content equality
@@ -1236,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incrementally-merged sketch == one-shot sketch, same oracle
         "incremental_hll": sketch.incremental_hll_registers,
         "compact_parts": _compact_parts,
+        "merge_upsert_orders": _merge_upsert,
         "snapshot_diff": _snapshot_diff,
         "pii_redaction": _pii_redaction,
         "jsonl_roundtrip": _jsonl_roundtrip,
@@ -1399,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
+        "merge_upsert_orders": relational.MERGE_UPSERT_ORDERS_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,

@@ -1958,3 +1958,191 @@ SELECT CASE WHEN c_custkey IS NOT NULL AND n IS NOT NULL THEN 'both'
        SUM(COALESCE(rev_c, 0)) / 100.0 AS revenue
 FROM j GROUP BY match_status ORDER BY match_status
 """
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_orders — lakehouse MERGE INTO (upsert) with copy-on-write
+# partitions: the Delta/Iceberg write path (the relational twin of the
+# IVF index's LSM maintenance)
+# ---------------------------------------------------------------------------
+
+MERGE_BUCKETS = 16      # hive partitions of the base snapshot
+MERGE_INSERTS = 50      # synthetic new keys appended by the delta
+
+
+def _merge_delta_tables(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic MERGE delta over orders: UPDATE rows — keys in
+    bucket 3 with o_orderkey % 5 == 0 get +1.00 — and INSERT rows —
+    ``MERGE_INSERTS`` fresh keys strictly above max(o_orderkey), all
+    congruent 5 (mod 16) so they land in bucket 5. Deltas carry FINAL
+    values (last-writer-wins), the shape a CDC feed delivers."""
+    import ray
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def upd(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cents = _cents(b["o_totalprice"])
+        m = (keys % MERGE_BUCKETS == 3) & (keys % 5 == 0)
+        return pa.table({
+            "o_orderkey": pa.array(keys[m]),
+            "price_cents": pa.array(cents[m] + 100),
+            "bucket": pa.array(keys[m] % MERGE_BUCKETS)})
+
+    mx = _read(sf_dir, "orders", columns=["o_orderkey"]).aggregate(
+        Max("o_orderkey"))["max(o_orderkey)"]
+    base = (int(mx) // MERGE_BUCKETS)
+    ins_keys = np.array(
+        [(base + i) * MERGE_BUCKETS + 5
+         for i in range(1, MERGE_INSERTS + 1)], dtype=np.int64)
+    ins = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array(ins_keys),
+        "price_cents": pa.array(ins_keys * 137),
+        "bucket": pa.array(ins_keys % MERGE_BUCKETS)}))
+    return ds.map_batches(upd, batch_format="pyarrow").union(ins)
+
+
+def apply_merge(base_dir: str, delta_dir: str) -> dict:
+    """COPY-ON-WRITE MERGE of a bucket-partitioned delta into the
+    bucket-partitioned base snapshot: only partitions named by the
+    delta are rewritten (read old part + bucket delta, drop updated
+    keys, append delta rows, ONE atomic tmp+rename part per bucket);
+    every other partition's files are not even opened. Returns
+    {touched, rewritten_rows} — and is idempotent: deltas carry final
+    values, so re-applying is a no-op on content.
+
+    Scale shape: a CDC batch names its touched partitions; rewrite
+    cost is O(touched partitions), each an independent task — the
+    Delta Lake / Iceberg copy-on-write contract."""
+    import glob
+    import uuid
+
+    import ray
+
+    touched = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(delta_dir, "bucket=*")))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        n_rows = []
+        for bucket in b["bucket"].to_pylist():
+            bdir = os.path.join(base_dir, f"bucket={bucket}")
+            ddir = os.path.join(delta_dir, f"bucket={bucket}")
+            delta = pq.read_table(ddir)
+            dkeys = np.asarray(delta["o_orderkey"].to_numpy(), np.int64)
+            cols = ["o_orderkey", "price_cents"]
+            if os.path.isdir(bdir):
+                old = pq.read_table(bdir, columns=cols)
+                okeys = np.asarray(old["o_orderkey"].to_numpy(), np.int64)
+                keep = old.filter(
+                    pa.array(~np.isin(okeys, dkeys)))
+                final = pa.concat_tables([keep, delta.select(cols)])
+            else:
+                os.makedirs(bdir, exist_ok=True)
+                final = delta.select(cols)
+            order = np.argsort(
+                np.asarray(final["o_orderkey"].to_numpy(), np.int64),
+                kind="stable")
+            final = final.take(pa.array(order))
+            tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(final, tmp)
+            stale = [p for p in glob.glob(os.path.join(bdir, "*"))
+                     if not os.path.basename(p).startswith(".tmp-")]
+            dst = os.path.join(bdir, "merged-0.parquet")
+            os.replace(tmp, dst)
+            for p in stale:
+                if p != dst:
+                    os.remove(p)
+            n_rows.append(final.num_rows)
+        return pa.table({"bucket": b["bucket"],
+                         "n_rows": pa.array(n_rows, pa.int64())})
+
+    rep = (ray.data.from_arrow(
+               pa.table({"bucket": pa.array(touched, pa.int64())}))
+           .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+           .to_pandas())
+    return {"touched": touched,
+            "rewritten_rows": int(rep["n_rows"].sum())}
+
+
+def merge_upsert_orders(sf_dir: str, workdir: str) -> pd.DataFrame:
+    """End-to-end MERGE INTO: snapshot orders hive-partitioned by
+    o_orderkey % 16, build the deterministic CDC delta, copy-on-write
+    apply, and return the merged (o_orderkey, price_cents) table.
+
+    Self-verifies the copy-on-write contract in-query: every
+    partition NOT named by the delta must be byte-identical after the
+    merge (md5 over its part files), and at least one such partition
+    must exist for the check to mean anything."""
+    import glob
+    import hashlib
+
+    import ray
+
+    base_dir = os.path.join(workdir, "base")
+    delta_dir = os.path.join(workdir, "delta")
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def snap(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(keys),
+            "price_cents": pa.array(_cents(b["o_totalprice"])),
+            "bucket": pa.array(keys % MERGE_BUCKETS)})
+
+    ds.map_batches(snap, batch_format="pyarrow").write_parquet(
+        base_dir, partition_cols=["bucket"])
+    _merge_delta_tables(sf_dir).write_parquet(
+        delta_dir, partition_cols=["bucket"])
+
+    def dir_md5(d: str) -> dict[str, str]:
+        out = {}
+        for p in sorted(glob.glob(os.path.join(d, "bucket=*", "*"))):
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, d)] = hashlib.md5(
+                    f.read()).hexdigest()
+        return out
+
+    before = dir_md5(base_dir)
+    rep = apply_merge(base_dir, delta_dir)
+    after = dir_md5(base_dir)
+    touched = {f"bucket={b}" for b in rep["touched"]}
+    untouched_files = {k: v for k, v in before.items()
+                       if k.split(os.sep)[0] not in touched}
+    if not untouched_files:
+        raise AssertionError("merge touched every partition")
+    for k, v in untouched_files.items():
+        if after.get(k) != v:
+            raise AssertionError(f"untouched partition changed: {k}")
+
+    out = (ray.data.read_parquet(base_dir,
+                                 columns=["o_orderkey", "price_cents"])
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+MERGE_UPSERT_ORDERS_SQL = f"""
+WITH mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+up AS (
+  SELECT o_orderkey,
+         ROUND(o_totalprice * 100)::BIGINT
+         + CASE WHEN o_orderkey % {MERGE_BUCKETS} = 3
+                 AND o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+           AS price_cents
+  FROM orders),
+ins AS (
+  SELECT ((mx // {MERGE_BUCKETS}) + i) * {MERGE_BUCKETS} + 5
+           AS o_orderkey,
+         (((mx // {MERGE_BUCKETS}) + i) * {MERGE_BUCKETS} + 5) * 137
+           AS price_cents
+  FROM mx, generate_series(1, {MERGE_INSERTS}) s(i))
+SELECT o_orderkey, price_cents FROM up
+UNION ALL
+SELECT o_orderkey::BIGINT, price_cents::BIGINT FROM ins
+ORDER BY o_orderkey
+"""
