@@ -845,6 +845,20 @@ def _pii_redaction(sf_dir: str):
     return counts
 
 
+def _semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-scoped embedding dedup): k-means isn't
+    SQL-expressible, so the gate asserts bit-exact equality with the
+    sequential integer twin in-query (every arithmetic step is int64
+    on both paths) and additionally checks survivors ⊆ corpus and
+    that the τ threshold actually dropped something."""
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.semantic_dedup(sf_dir)
+    twin = simsearch.semantic_dedup_twin(sf_dir)
+    if not mine.equals(twin):
+        raise AssertionError("semantic_dedup != sequential twin")
+    return mine
+
+
 def _merge_upsert(sf_dir: str):
     """Lakehouse MERGE INTO (copy-on-write upsert): self-verifies in
     the op that untouched partitions stay byte-identical; the merged
@@ -1204,6 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": temporal.events_cube,
         "events_hourly_ohlc": temporal.events_hourly_ohlc,
         "windowed_counts_watermark": temporal.windowed_counts_watermark,
+        "gap_fill_hourly": temporal.gap_fill_hourly,
+        "scd2_user_values": temporal.scd2_user_values,
         "embedding_gram": simsearch.embedding_gram,
         "cohort_retention": temporal.cohort_retention,
         "events_pivot_daily": temporal.events_pivot_daily,
@@ -1273,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "fuzzy_join_names": dedup.fuzzy_join_names,
         "textrank_tokens": graph.textrank_tokens,
         "theta_user_overlap": sketch.theta_user_overlap,
         "winsorized_value_stats": relational.winsorized_value_stats,
@@ -1294,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_table": _ann_quantized_table,
         "ann_ivf_maintenance": _ann_ivf_maintenance,
         "embed_documents": multimodal.embed_documents,
+        "semantic_dedup": _semantic_dedup,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal
         "media_bytes": multimodal.media_bytes,
@@ -1365,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": temporal.EVENTS_CUBE_SQL,
         "events_hourly_ohlc": temporal.EVENTS_HOURLY_OHLC_SQL,
         "windowed_counts_watermark": temporal.WINDOWED_COUNTS_WATERMARK_SQL,
+        "gap_fill_hourly": temporal.GAP_FILL_HOURLY_SQL,
+        "scd2_user_values": temporal.SCD2_USER_VALUES_SQL,
         "embedding_gram": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["EMBEDDING_GRAM_SQL"]).EMBEDDING_GRAM_SQL,
@@ -1440,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
         "dup_ngram_spans": dedup.DUP_NGRAM_SPANS_SQL,
+        "fuzzy_join_names": dedup.FUZZY_JOIN_NAMES_SQL,
         "textrank_tokens": graph.TEXTRANK_TOKENS_SQL,
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,

@@ -1243,3 +1243,118 @@ ORDER BY t.doc_id
 
 
 DUP_NGRAM_SPANS_SQL = _dup_span_sql()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_names — edit-distance similarity join (FastSS / SymSpell
+# deletion neighborhoods, Bocek et al. 2007): all pairs of distinct
+# customer names within Levenshtein distance 1, without an all-pairs
+# scan
+# ---------------------------------------------------------------------------
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 (the verify predicate; candidates are
+    result-sized, so a scalar check per candidate is not a hot path)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_join_names(sf_dir: str) -> pd.DataFrame:
+    """(name_a, name_b) for every pair of distinct customer names with
+    Levenshtein distance <= 1, name_a < name_b, ordered.
+
+    FastSS candidate generation: two strings are within distance 1 iff
+    their {self} ∪ {delete-one-char} neighborhoods intersect, so each
+    name emits len+1 variant keys and candidates are pairs sharing a
+    variant — O(n·len) rows instead of the O(n²) cross join the SQL
+    oracle runs. The shuffle reuses the LSH machinery end to end:
+    64-bit variant hashes fold into coarse partitions
+    (``_add_coarse_part``) and ``_partition_pairs`` emits each
+    bucket's pairs vectorized; an exact distance check then filters
+    the candidates (hash collisions and delete-position mismatches),
+    with the name table broadcast once — candidates are result-sized.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        names = batch["c_name"].to_pylist()
+        bk, ids = [], []
+        for k, nm in zip(keys, names):
+            h = _h64(nm)
+            bk.append(h); ids.append(int(k))
+            for i in range(len(nm)):
+                bk.append(_h64(nm[:i] + nm[i + 1:]))
+                ids.append(int(k))
+        return pa.table({"band_key": pa.array(bk, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    cand = (ds.map_batches(variants, batch_format="pyarrow")
+              .map_batches(_add_coarse_part, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(_partition_pairs, batch_format="pandas"))
+
+    # name lookup broadcast once (key-sorted arrays, plasma zero-copy)
+    lk = ds.to_pandas().sort_values("c_custkey")
+    bc = ray.put((lk["c_custkey"].to_numpy(dtype=np.int64),
+                  lk["c_name"].to_numpy(dtype=object)))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ks, nm = ray.get(bc)
+        lo = np.asarray(b["doc_lo"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        hi = np.asarray(b["doc_hi"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        # per-batch pre-dedupe (a pair may surface from several shared
+        # variants); the driver's drop_duplicates closes cross-batch
+        # repeats — candidates are result-sized, so no pair shuffle
+        packed = np.unique(lo * np.int64(1 << 32) + hi)
+        lo, hi = packed >> 32, packed & ((1 << 32) - 1)
+        na = nm[np.searchsorted(ks, lo)]
+        nb = nm[np.searchsorted(ks, hi)]
+        a_o, b_o = [], []
+        for x, y in zip(na, nb):
+            if x == y:
+                continue
+            if x > y:
+                x, y = y, x
+            if _ed_le1(x, y):
+                a_o.append(x); b_o.append(y)
+        return pa.table({"name_a": pa.array(a_o, pa.string()),
+                         "name_b": pa.array(b_o, pa.string())})
+
+    out = (cand.map_batches(verify, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())
+    return (out.sort_values(["name_a", "name_b"])
+            .reset_index(drop=True))
+
+
+FUZZY_JOIN_NAMES_SQL = """
+WITH n AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM n a JOIN n b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY name_a, name_b
+"""

@@ -1505,3 +1505,141 @@ def ivf_compact(index_dir: str) -> dict:
     if os.path.exists(tpath):
         os.remove(tpath)
     return {"rows_kept": kept, "rows_purged": purged}
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"):
+# k-means the embedding space, then drop within-cluster semantic
+# duplicates above a cosine threshold, keeping one representative
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CLUSTERS = 8
+#: cosine threshold τ as an exact rational: drop x if ∃ y with
+#: y_id < x_id in the same cluster and cos(x,y) >= τ, evaluated in
+#: integers as DEN·dot² >= NUM·|x|²·|y|² (with dot > 0) over the
+#: int8-quantized vectors — no float ever crosses the worker/oracle
+#: boundary, so the distributed pass and the sequential twin are
+#: bit-identical by construction.
+SEMDEDUP_TAU_NUM = 1600    # τ = 0.4 -> τ² = 0.16 in 1e4 units (the
+SEMDEDUP_TAU_DEN = 10000   # synthetic near-dups live at ~0.4 cosine)
+
+
+def _semdedup_drop_mask(ids: np.ndarray, q: np.ndarray,
+                        block: int = 1024) -> np.ndarray:
+    """Within ONE cluster (ids sorted ascending, q int64-quantized
+    rows): True where a smaller-id member is τ-close. Blocked walk —
+    block×cluster peak memory, never cluster² (the SemDeDup paper
+    bounds cluster size by using many clusters; the block bound holds
+    even when a cluster runs hot)."""
+    n = len(ids)
+    norms = (q * q).sum(axis=1)
+    drop = np.zeros(n, dtype=bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        dots = q[s:e] @ q[:e].T                      # (b, e)
+        close = ((dots > 0)
+                 & (SEMDEDUP_TAU_DEN * dots * dots
+                    >= SEMDEDUP_TAU_NUM
+                    * norms[s:e, None] * norms[None, :e]))
+        lower = np.arange(s, e)[:, None] > np.arange(e)[None, :]
+        drop[s:e] |= (close & lower).any(axis=1)
+    return drop
+
+
+def semantic_dedup(sf_dir: str,
+                   n_clusters: int = SEMDEDUP_CLUSTERS) -> pd.DataFrame:
+    """SemDeDup survivors: (vec_id, cluster) of every embedding NOT
+    dominated by a τ-close smaller-id member of its k-means cluster,
+    ordered by vec_id.
+
+    Shape: the quantizer trains driver-side on a bounded head sample
+    (cost independent of corpus size); ONE streamed pass quantizes
+    each batch (int8 symmetric, corpus-global scale from a max-|v|
+    pre-pass) and assigns clusters by INTEGER centroid dot (the
+    centroids are themselves int16-quantized, so assignment has no
+    float tie ambiguity); the within-cluster pair walk runs in one
+    ``groupby(cluster)`` over n_clusters groups with blocked —
+    never cluster² — memory. Only (cluster, vec_id, qvec) rows
+    shuffle: at web scale SemDeDup picks n_clusters so clusters are
+    worker-sized (the paper uses ~10⁵ clusters for LAION-scale)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def absmax(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        return pa.table({"mx": pa.array(
+            [float(np.abs(m).max()) if len(m) else 0.0])})
+
+    scale = float(ds.map_batches(absmax, batch_format="pyarrow")
+                  .aggregate(Max("mx"))["max(mx)"])
+    _, sample = _load_queries(sf_dir, 2048)
+    cent = _kmeans(sample, n_clusters)
+    cent_q = _symmetric_quantize(cent, float(np.abs(cent).max()))
+    bc = ray.put((scale, cent_q))
+
+    def assign(b: pa.Table) -> pa.Table:
+        sc, cq = ray.get(bc)
+        m = _symmetric_quantize(_emb_matrix(b), sc)
+        cl = np.argmax(m @ cq.T, axis=1).astype(np.int64)  # int dots
+        return pa.table({
+            "cluster": pa.array(cl),
+            "vec_id": b["vec_id"],
+            "qvec": pa.array(list(m.astype(np.int64)))})
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, gc in g.groupby("cluster", sort=False):
+            gc = gc.sort_values("vec_id")
+            ids = gc["vec_id"].to_numpy(dtype=np.int64)
+            q = np.stack(gc["qvec"].to_numpy()).astype(np.int64)
+            keep = ~_semdedup_drop_mask(ids, q)
+            out.append(pd.DataFrame({"vec_id": ids[keep],
+                                     "cluster": int(cl)}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                   "cluster": pd.Series([], dtype=np.int64)}))
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("cluster")
+             .map_groups(dedup_cluster, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semantic_dedup_twin(sf_dir: str,
+                        n_clusters: int = SEMDEDUP_CLUSTERS
+                        ) -> pd.DataFrame:
+    """Sequential numpy SemDeDup with the identical integer rule —
+    the self-verification oracle (k-means isn't SQL-expressible):
+    every arithmetic step is int64, so equality with the distributed
+    pass is exact, not approximate."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    scale = float(np.abs(m).max())
+    _, sample = _load_queries(sf_dir, 2048)
+    cent = _kmeans(sample, n_clusters)
+    cent_q = _symmetric_quantize(cent, float(np.abs(cent).max()))
+    q = _symmetric_quantize(m, scale)
+    cl = np.argmax(q @ cent_q.T, axis=1).astype(np.int64)
+    rows = []
+    for c in np.unique(cl):
+        sel = cl == c
+        cids = ids[sel]
+        order = np.argsort(cids)
+        cids, cq = cids[order], q[sel][order]
+        keep = ~_semdedup_drop_mask(cids, cq)
+        rows.append(pd.DataFrame({"vec_id": cids[keep],
+                                  "cluster": int(c)}))
+    out = pd.concat(rows, ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1301,3 +1301,163 @@ FROM x GROUP BY w ORDER BY w
 
 
 WINDOWED_COUNTS_WATERMARK_SQL = _watermark_sql()
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_hourly — time-series resample with forward fill: the gap-
+# filling step every downstream chart/feature pipeline needs (missing
+# buckets carried forward, flagged)
+# ---------------------------------------------------------------------------
+
+def gap_fill_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hourly value sums per event type over each type's own [min,
+    max] hour span, missing hours forward-filled from the last
+    observed hour and flagged: (event_type, hour, value_cents,
+    filled).
+
+    One scan: blocks reduce to (type, hour, cents) partials (exact
+    integer cents) and a tiny groupby closes the aggregation; the
+    dense grid + forward fill runs on the AGGREGATED table, whose size
+    is types × hours — bounded by the calendar, never by the event
+    count, the same reduce-then-derive shape as ``events_cube``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "hour": us // 3_600_000_000,
+                           "c": cents})
+        g = df.groupby(["event_type", "hour"], as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "hour"])
+             .aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        g = g.sort_values("hour")
+        hs = g["hour"].to_numpy(dtype=np.int64)
+        cs = g["c"].to_numpy(dtype=np.int64)
+        grid = np.arange(hs[0], hs[-1] + 1, dtype=np.int64)
+        # last observed index at or before each grid hour
+        src = np.searchsorted(hs, grid, side="right") - 1
+        filled = ~np.isin(grid, hs)
+        rows.append(pd.DataFrame({
+            "event_type": et, "hour": grid,
+            "value_cents": cs[src],
+            "filled": filled.astype(np.int64)}))
+    out = pd.concat(rows, ignore_index=True)
+    for c in ("hour", "value_cents", "filled"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+GAP_FILL_HOURLY_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         ROUND(value * 100)::BIGINT AS c
+  FROM events),
+agg AS (SELECT event_type, h, SUM(c) AS c FROM e GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+         FROM agg GROUP BY 1),
+nums AS (SELECT unnest(generate_series(0,
+           (SELECT MAX(mx - mn) FROM span)::INT)) AS i),
+grid AS (SELECT event_type, mn + i AS h
+         FROM span JOIN nums ON i <= mx - mn),
+j AS (SELECT g.event_type, g.h, a.c
+      FROM grid g LEFT JOIN agg a USING (event_type, h))
+SELECT event_type, h AS hour,
+       LAST_VALUE(c IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h)::BIGINT AS value_cents,
+       (c IS NULL)::BIGINT AS filled
+FROM j ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_values — CDC stream -> slowly-changing-dimension type 2:
+# compress each user's value stream into validity intervals
+# ---------------------------------------------------------------------------
+
+def scd2_user_values(sf_dir: str) -> pd.DataFrame:
+    """SCD2 dimension build from the event stream: per user, order
+    events by (time, event_id), drop rows whose value equals the
+    previous one (SCD2 compression), and emit validity intervals
+    (user_id, valid_from_us, valid_to_us, value_cents) — valid_to is
+    the next CHANGE's timestamp, -1 on the open current row.
+
+    The warehouse CDC pattern on Ray Data: one coarse user-fold
+    shuffle (``shuffle_width`` partitions, never one group per user),
+    then in-partition lexsort + boundary masks — no per-user loops."""
+    from .util import shuffle_width
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id",
+                                          "ts", "value"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        us = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid),
+            "event_id": pa.array(np.asarray(
+                b["event_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)),
+            "us": pa.array(us),
+            "c": pa.array(cents)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        us = g["us"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us, c = uid[order], us[order], c[order]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        change = first | np.r_[False, c[1:] != c[:-1]]
+        uid, us, c = uid[change], us[change], c[change]
+        last = np.r_[uid[1:] != uid[:-1], True]
+        vto = np.r_[us[1:], np.int64(-1)]
+        vto[last] = -1
+        return pd.DataFrame({"user_id": uid, "valid_from_us": us,
+                             "valid_to_us": vto, "value_cents": c})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    return (out.sort_values(["user_id", "valid_from_us"])
+            .reset_index(drop=True))
+
+
+SCD2_USER_VALUES_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ROUND(value * 100)::BIGINT AS c
+  FROM events),
+o AS (SELECT *, LAG(c) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS prev FROM e),
+ch AS (SELECT user_id, event_id, us, c
+       FROM o WHERE prev IS NULL OR c != prev)
+SELECT user_id, us AS valid_from_us,
+       COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id),
+                -1)::BIGINT AS valid_to_us,
+       c AS value_cents
+FROM ch ORDER BY user_id, valid_from_us
+"""

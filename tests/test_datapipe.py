@@ -1631,3 +1631,89 @@ def test_merge_upsert_copy_on_write_and_idempotent(tmp_path):
              .to_pandas().sort_values("o_orderkey")
              .reset_index(drop=True))
     assert first.astype("int64").equals(again.astype("int64"))
+
+
+def test_fuzzy_join_names_exact(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.fuzzy_join_names(SF),
+                  dedup.FUZZY_JOIN_NAMES_SQL, con)
+
+
+def test_ed_le1_predicate():
+    from spatial_aez_ray.datapipe.dedup import _ed_le1
+    assert _ed_le1("abc", "abc")
+    assert _ed_le1("abc", "abd")        # substitution
+    assert _ed_le1("abc", "ab")         # deletion
+    assert _ed_le1("abc", "abcd")       # insertion
+    assert _ed_le1("abc", "xabc")       # head insertion
+    assert not _ed_le1("abc", "adc1")   # sub + insert = 2
+    assert not _ed_le1("abc", "axy")    # two substitutions
+    assert not _ed_le1("abc", "a")      # two deletions
+
+
+def test_gap_fill_hourly_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.gap_fill_hourly(SF),
+                  temporal.GAP_FILL_HOURLY_SQL, con)
+
+
+def test_gap_fill_grid_dense(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.gap_fill_hourly(SF)
+    for _, g in out.groupby("event_type"):
+        h = g["hour"].to_numpy()
+        assert (np.diff(h) == 1).all()          # dense hourly grid
+        assert int(g.iloc[0]["filled"]) == 0    # span starts observed
+        assert int(g.iloc[-1]["filled"]) == 0   # and ends observed
+
+
+def test_scd2_user_values_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.scd2_user_values(SF),
+                  temporal.SCD2_USER_VALUES_SQL, con)
+
+
+def test_scd2_intervals_wellformed(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.scd2_user_values(SF)
+    for _, g in out.groupby("user_id"):
+        vf = g["valid_from_us"].to_numpy()
+        vt = g["valid_to_us"].to_numpy()
+        # chained intervals: each row's end is the next row's start,
+        # exactly one open (-1) row per user, and it is the last
+        assert (vt[:-1] == vf[1:]).all()
+        assert vt[-1] == -1 and (vt[:-1] != -1).all()
+        # compression: consecutive values differ
+        v = g["value_cents"].to_numpy()
+        assert (v[1:] != v[:-1]).all()
+
+
+def test_semantic_dedup_matches_twin_and_drops(con):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.semantic_dedup(SF)
+    twin = simsearch.semantic_dedup_twin(SF)
+    assert mine.equals(twin)
+    total = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert 0 < len(mine) < total          # dropped some, kept some
+    # survivors' ids are a subset of the corpus and unique
+    assert mine["vec_id"].is_unique
+
+
+def test_semdedup_drop_rule_blocked_equals_naive():
+    import numpy as np
+    from spatial_aez_ray.datapipe.simsearch import (
+        SEMDEDUP_TAU_DEN, SEMDEDUP_TAU_NUM, _semdedup_drop_mask)
+    rng = np.random.RandomState(7)
+    q = rng.randint(-127, 128, size=(300, 16)).astype(np.int64)
+    q[50] = q[10]          # plant exact dup -> must drop the later id
+    ids = np.arange(300, dtype=np.int64)
+    got = _semdedup_drop_mask(ids, q, block=64)
+    norms = (q * q).sum(axis=1)
+    dots = q @ q.T
+    close = (dots > 0) & (SEMDEDUP_TAU_DEN * dots * dots
+                          >= SEMDEDUP_TAU_NUM
+                          * norms[:, None] * norms[None, :])
+    lower = np.arange(300)[:, None] > np.arange(300)[None, :]
+    naive = (close & lower).any(axis=1)
+    assert (got == naive).all()
+    assert got[50] and not got[10]
