@@ -212,7 +212,7 @@ def label_regions(world_path: str, dataset: str = "kg") -> pd.DataFrame:
                  as_task_fn(RegionKernel, world_path=world_path,
                             dataset=dataset, grid_name=grid_name,
                             nodata=nodata),
-                 batch_format="pyarrow", batch_size=16)
+                 batch_format="pyarrow", batch_size=64)
              .materialize())   # region+seam-sized, read twice below
 
     pairs = parts.filter(expr="kind == 1").to_pandas()
