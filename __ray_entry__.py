@@ -1291,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "fuzzy_join_names": dedup.fuzzy_join_names,
         "textrank_tokens": graph.textrank_tokens,
+        "token_triangles": graph.token_triangles,
         "theta_user_overlap": sketch.theta_user_overlap,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
@@ -1462,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": dedup.DUP_NGRAM_SPANS_SQL,
         "fuzzy_join_names": dedup.FUZZY_JOIN_NAMES_SQL,
         "textrank_tokens": graph.TEXTRANK_TOKENS_SQL,
+        "token_triangles": graph.TOKEN_TRIANGLES_SQL,
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(

@@ -175,3 +175,102 @@ ORDER BY rank_units DESC, token ASC LIMIT {topk}
 
 
 TEXTRANK_TOKENS_SQL = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering structure — the third classic
+# distributed graph kernel beside PageRank (here) and connected
+# components (dedup.connected_components)
+# ---------------------------------------------------------------------------
+
+def token_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts of the (distinct, self-loop-free)
+    token co-occurrence graph: (token, n_triangles), every node
+    present, ordered by token.
+
+    Edge-iterator shape: the distinct edge table (vocab²-bounded, one
+    groupby) streams through ``map_batches`` while the adjacency
+    structure — CSR arrays over the node set, the legitimate small
+    side for a token graph — is broadcast once; each edge (u, v)
+    emits one partial row per common neighbor w (the apex of a
+    triangle through that edge), and a token-keyed groupby sums them.
+    Every triangle {a,b,c} is found exactly three times, once per
+    edge, each time crediting the OPPOSITE vertex — so the grouped
+    sums ARE the per-node triangle counts, no /3 correction. At
+    web scale the broadcast swaps for the degree-ordered node
+    iterator (adjacency shuffled with the edges); the emit-per-common-
+    neighbor partial shape is unchanged."""
+    import ray
+
+    edges = (_read_docs(sf_dir, columns=["text"])
+             .map_batches(_edge_partial, batch_format="pyarrow")
+             .groupby(["u", "v"])
+             .aggregate(Sum("w", alias_name="w")))
+
+    # adjacency CSR from the reduced edge table (node-sized driver
+    # pull, like the PageRank rank vector)
+    et = edges.to_pandas()
+    et = et[et["u"] != et["v"]]
+    nodes = np.unique(np.concatenate([et["u"].to_numpy(dtype=object),
+                                      et["v"].to_numpy(dtype=object)]))
+    iu = np.searchsorted(nodes, et["u"].to_numpy(dtype=object))
+    iv = np.searchsorted(nodes, et["v"].to_numpy(dtype=object))
+    order = np.lexsort((iv, iu))
+    iu, iv = iu[order], iv[order]
+    starts = np.searchsorted(iu, np.arange(len(nodes) + 1))
+    bc = ray.put((nodes, iu, iv, starts))
+
+    def tri_partial(b: pa.Table) -> pa.Table:
+        nds, su, sv, st = ray.get(bc)
+        uu = np.searchsorted(nds, b["u"].to_numpy(
+            zero_copy_only=False).astype(object))
+        vv = np.searchsorted(nds, b["v"].to_numpy(
+            zero_copy_only=False).astype(object))
+        cnt = np.zeros(len(nds), dtype=np.int64)
+        for x, y in zip(uu, vv):
+            if x >= y:          # one orientation per undirected edge
+                continue
+            common = np.intersect1d(sv[st[x]:st[x + 1]],
+                                    sv[st[y]:st[y + 1]],
+                                    assume_unique=True)
+            if len(common):
+                np.add.at(cnt, common, 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"token": pa.array(nds[nz], pa.string()),
+                         "n": pa.array(cnt[nz])})
+
+    got = (edges.map_batches(tri_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = pd.DataFrame({"token": nodes})
+    out = out.merge(got, on="token", how="left").fillna(0)
+    out["n_triangles"] = out["n"].astype(np.int64)
+    return (out[["token", "n_triangles"]]
+            .sort_values("token").reset_index(drop=True))
+
+
+TOKEN_TRIANGLES_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT toks[s] AS u, toks[s + 1] AS v
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS s
+        FROM t)),
+e AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM p WHERE u != v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+n AS (SELECT a AS token FROM e UNION SELECT b FROM e),
+c AS (
+  SELECT tok AS token, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT x AS tok FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY tok)
+SELECT n.token, COALESCE(c.cnt, 0)::BIGINT AS n_triangles
+FROM n LEFT JOIN c USING (token) ORDER BY n.token
+"""

@@ -1717,3 +1717,16 @@ def test_semdedup_drop_rule_blocked_equals_naive():
     naive = (close & lower).any(axis=1)
     assert (got == naive).all()
     assert got[50] and not got[10]
+
+
+def test_token_triangles_exact(con):
+    from spatial_aez_ray.datapipe import graph
+    _assert_match(graph.token_triangles(SF), graph.TOKEN_TRIANGLES_SQL, con)
+
+
+def test_token_triangles_handshake(con):
+    from spatial_aez_ray.datapipe import graph
+    out = graph.token_triangles(SF)
+    # per-node counts sum to 3x the number of distinct triangles
+    assert out["n_triangles"].sum() % 3 == 0
+    assert (out["n_triangles"] >= 0).all() and len(out) > 0
