@@ -193,10 +193,12 @@ class RegionKernel:
             "n_px": pa.array(n_o, pa.int64())})
 
 
-def label_regions(world_path: str, dataset: str = "kg") -> pd.DataFrame:
-    """Full region table (region_id, cls, n_px) of a dataset's band 1,
-    region_id = the region's minimum global row-major pixel index —
-    bit-identical to whole-array labeling by construction."""
+def region_parts(world_path: str, dataset: str = "kg"
+                 ) -> "ray.data.Dataset":
+    """The per-tile labeling pass as a lazy Dataset of union rows
+    (kind 0 = component partials, kind 1 = seam equivalences) —
+    exposed separately so callers/tests can compose extra stages
+    before the merge."""
     import ray
 
     from ..datapipe.util import as_task_fn
@@ -206,14 +208,24 @@ def label_regions(world_path: str, dataset: str = "kg") -> pd.DataFrame:
     nodata = int(layout[dataset]["nodata"])
     from .extract import world_grid
     grid = world_grid(world_path, grid_name)
+    return (ray.data.range(grid.tiles_y * grid.tiles_x)
+            .map_batches(
+                as_task_fn(RegionKernel, world_path=world_path,
+                           dataset=dataset, grid_name=grid_name,
+                           nodata=nodata),
+                batch_format="pyarrow", batch_size=64))
 
-    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
-             .map_batches(
-                 as_task_fn(RegionKernel, world_path=world_path,
-                            dataset=dataset, grid_name=grid_name,
-                            nodata=nodata),
-                 batch_format="pyarrow", batch_size=64)
-             .materialize())   # region+seam-sized, read twice below
+
+def label_regions(world_path: str, dataset: str = "kg",
+                  parts: "ray.data.Dataset | None" = None) -> pd.DataFrame:
+    """Full region table (region_id, cls, n_px) of a dataset's band 1,
+    region_id = the region's minimum global row-major pixel index —
+    bit-identical to whole-array labeling by construction."""
+    import ray
+
+    if parts is None:
+        parts = region_parts(world_path, dataset)
+    parts = parts.materialize()   # region+seam-sized, read twice below
 
     pairs = parts.filter(expr="kind == 1").to_pandas()
     # seam graph -> roots. Region-count-sized: driver union-find (the

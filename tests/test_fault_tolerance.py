@@ -197,3 +197,20 @@ def test_bit_exact_after_transient_exception(tiny_world, tmp_path):
     assert list(got.index) == list(clean.index)
     assert list(got.columns) == list(clean.columns)
     assert (got.values == clean.values).all()
+
+
+def test_regions_bit_exact_after_worker_kill(tiny_world, tmp_path):
+    """The newest derived-ref kernel (region labeling) under the same
+    node-failure simulation: the kill stage fuses onto the labeling
+    task chain, the whole chain re-executes from lineage, and the
+    seam-union + deterministic merge must deliver identical bytes —
+    a duplicated partial row would inflate a region's n_px."""
+    from spatial_aez_ray.pipelines import regions
+
+    clean = regions.label_regions(tiny_world, "kg")
+    marker = str(tmp_path / "killed_regions")
+    parts = regions.region_parts(tiny_world, "kg").map_batches(
+        _kill_once_fn(marker), batch_format="pyarrow")
+    got = regions.label_regions(tiny_world, "kg", parts=parts)
+    assert os.path.exists(marker), "kill stage never fired"
+    assert got.equals(clean)
