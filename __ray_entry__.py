@@ -845,6 +845,19 @@ def _pii_redaction(sf_dir: str):
     return counts
 
 
+def _bpe_doc_stats(sf_dir: str):
+    """BPE tokenizer trained on the distributed word-count table, then
+    applied corpus-wide; asserted equal to the sequential twin
+    in-query (same trainer on pandas-counted words — verifies the
+    count shuffle and the broadcast apply end to end)."""
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.bpe_doc_stats(sf_dir)
+    twin = corpus.bpe_doc_stats_twin(sf_dir)
+    if not mine.equals(twin):
+        raise AssertionError("bpe_doc_stats != sequential twin")
+    return mine
+
+
 def _semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-scoped embedding dedup): k-means isn't
     SQL-expressible, so the gate asserts bit-exact equality with the
@@ -1313,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_maintenance": _ann_ivf_maintenance,
         "embed_documents": multimodal.embed_documents,
         "semantic_dedup": _semantic_dedup,
+        "bpe_doc_stats": _bpe_doc_stats,
         "embed_ann_compose": _embed_ann_compose,
         # multimodal
         "media_bytes": multimodal.media_bytes,

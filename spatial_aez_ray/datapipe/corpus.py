@@ -1299,3 +1299,141 @@ def chunk_corpus_checkpointed(sf_dir: str, out_dir: str, *,
     for c in ("docs_kept", "chunks", "chunk_tokens", "resumed"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + distributed apply (Sennrich et al. 2016,
+# "Neural Machine Translation of Rare Words with Subword Units"): the
+# canonical corpus-scale tokenizer workflow
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 30
+
+
+def bpe_train_merges(word_counts: dict[str, int],
+                     n_merges: int = BPE_N_MERGES) -> list[tuple[str, str]]:
+    """Greedy BPE merge list from a word→count table (training runs on
+    the COUNT table, never the corpus — the HuggingFace/SentencePiece
+    discipline; the table is vocabulary-sized). Deterministic: the
+    winning pair maximizes (count, then lexicographically smallest
+    (left, right)); integer counts only."""
+    words = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        tgt = best[0] + best[1]
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(tgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenize one word with the learned merge list (rank order)."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _word_counts_distributed(sf_dir: str) -> dict[str, int]:
+    from ray.data.aggregate import Sum
+    ds = _read_docs(sf_dir, columns=["text"])
+    wc = (ds.map_batches(_token_count_partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    return dict(zip(wc["token"], wc["cnt"].astype(int)))
+
+
+def bpe_doc_stats(sf_dir: str,
+                  n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
+    """Train BPE on the corpus, then tokenize the corpus with it —
+    both phases distributed where the data is big: the train input is
+    ONE word-count shuffle (pre-counted per batch, vocabulary-sized
+    result), the trainer itself runs on the tiny count table on the
+    driver, and the apply pass broadcasts the merge list and maps the
+    corpus once with a per-worker word→len cache (apply cost is
+    O(distinct words per worker), not O(tokens)).
+
+    Returns (doc_id, n_words, n_bpe_tokens), ordered by doc_id."""
+    import ray
+
+    merges = bpe_train_merges(_word_counts_distributed(sf_dir), n_merges)
+    bc = ray.put(merges)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        mg = ray.get(bc)
+        cache: dict[str, int] = {}
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        n_words = np.zeros(len(ids), dtype=np.int64)
+        n_bpe = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = t.split(" ")
+            n_words[i] = len(toks)
+            s = 0
+            for w in toks:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = len(bpe_apply(w, mg))
+                s += hit
+            n_bpe[i] = s
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_words": pa.array(n_words),
+                         "n_bpe_tokens": pa.array(n_bpe)})
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_doc_stats_twin(sf_dir: str,
+                       n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
+    """Sequential oracle: identical trainer/apply over pandas-counted
+    words — verifies the distributed count shuffle (same merges) and
+    the distributed apply pass end to end, exactly."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    wc: dict[str, int] = {}
+    for x in texts:
+        for w in x.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    merges = bpe_train_merges(wc, n_merges)
+    cache = {w: len(bpe_apply(w, merges)) for w in wc}
+    ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+    rows = [(int(i), len(x.split(" ")),
+             sum(cache[w] for w in x.split(" ")))
+            for i, x in zip(ids, texts)]
+    out = pd.DataFrame(rows, columns=["doc_id", "n_words",
+                                      "n_bpe_tokens"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

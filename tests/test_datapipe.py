@@ -1730,3 +1730,24 @@ def test_token_triangles_handshake(con):
     # per-node counts sum to 3x the number of distinct triangles
     assert out["n_triangles"].sum() % 3 == 0
     assert (out["n_triangles"] >= 0).all() and len(out) > 0
+
+
+def test_bpe_doc_stats_matches_twin():
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.bpe_doc_stats(SF)
+    twin = corpus.bpe_doc_stats_twin(SF)
+    assert mine.equals(twin)
+    # merges compress: fewer BPE tokens than characters, more than words
+    assert (mine["n_bpe_tokens"] >= mine["n_words"]).all()
+
+
+def test_bpe_trainer_semantics():
+    from spatial_aez_ray.datapipe.corpus import bpe_apply, bpe_train_merges
+    merges = bpe_train_merges({"low": 5, "lower": 2, "newest": 6,
+                               "widest": 3}, n_merges=10)
+    # most frequent pair first: 'es' (count 9) beats 'lo' (7), 'st' (9)
+    # ties broken lexicographically -> ('e','s') before ('s','t')
+    assert merges[0] == ("e", "s")
+    toks = bpe_apply("newest", merges)
+    assert "".join(toks) == "newest"       # lossless
+    assert len(toks) < len("newest")       # actually merged
