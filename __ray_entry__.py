@@ -1303,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "fuzzy_join_names": dedup.fuzzy_join_names,
+        "entity_clusters": dedup.entity_clusters,
         "textrank_tokens": graph.textrank_tokens,
         "token_triangles": graph.token_triangles,
         "theta_user_overlap": sketch.theta_user_overlap,
@@ -1476,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
         "dup_ngram_spans": dedup.DUP_NGRAM_SPANS_SQL,
         "fuzzy_join_names": dedup.FUZZY_JOIN_NAMES_SQL,
+        "entity_clusters": dedup.ENTITY_CLUSTERS_SQL,
         "textrank_tokens": graph.TEXTRANK_TOKENS_SQL,
         "token_triangles": graph.TOKEN_TRIANGLES_SQL,
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,

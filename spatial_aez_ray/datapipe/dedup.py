@@ -1358,3 +1358,88 @@ FROM n a JOIN n b ON a.c_name < b.c_name
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY name_a, name_b
 """
+
+
+ENTITY_BLOCK_PREFIX = 16   # ER blocking key: first k chars must match
+
+
+def entity_clusters(sf_dir: str,
+                    block_prefix: int = ENTITY_BLOCK_PREFIX
+                    ) -> pd.DataFrame:
+    """Entity resolution (record linkage) over customer names: cluster
+    names transitively connected by (edit-distance <= 1 AND equal
+    ``block_prefix``-char prefix) and elect the lexicographically
+    smallest member as the canonical record. Returns (c_name,
+    canonical_name, cluster_size) for EVERY distinct name (singletons
+    canonicalize to themselves), ordered by c_name.
+
+    The prefix equality is the BLOCKING key every production ER system
+    applies before matching (Christen 2012): it bounds transitive
+    chains — without it, near-contiguous identifiers chain the whole
+    table into one component, which is both semantically useless and
+    quadratic for the closure (observed: the unblocked oracle takes
+    47 s where the blocked one takes under a second).
+
+    Composition of existing primitives: ``fuzzy_join_names`` emits the
+    verified pair graph (FastSS candidates, exact distance check);
+    components resolve driver-side (pairs are result-sized — the
+    minhash survivor discipline; ``connected_components`` is the
+    distributed swap-in past ~2M pairs); membership/size assembly is a
+    tiny grouped count."""
+    import ray
+
+    pairs = fuzzy_join_names(sf_dir)
+    same_block = [a[:block_prefix] == b[:block_prefix]
+                  for a, b in zip(pairs["name_a"], pairs["name_b"])]
+    pairs = pairs[np.asarray(same_block, dtype=bool)]
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["name_a"], pairs["name_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    names = (ray.data.read_parquet(
+                 os.path.join(sf_dir, "customer.parquet"),
+                 columns=["c_name"])
+             .to_pandas()["c_name"].drop_duplicates()
+             .sort_values().reset_index(drop=True))
+    canon = names.map(find)
+    out = pd.DataFrame({"c_name": names, "canonical_name": canon})
+    sizes = (out.groupby("canonical_name", as_index=False)
+             .size().rename(columns={"size": "cluster_size"}))
+    out = out.merge(sizes, on="canonical_name")
+    out["cluster_size"] = out["cluster_size"].astype(np.int64)
+    return out.sort_values("c_name").reset_index(drop=True)
+
+
+ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE n AS (SELECT DISTINCT c_name FROM customer),
+p AS (SELECT a.c_name AS u, b.c_name AS v
+      FROM n a JOIN n b ON a.c_name < b.c_name
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+        AND substr(a.c_name, 1, {ENTITY_BLOCK_PREFIX})
+            = substr(b.c_name, 1, {ENTITY_BLOCK_PREFIX})),
+edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+lab(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, l.label FROM edges e JOIN lab l ON l.node = e.u),
+roots AS (SELECT node, MIN(label) AS root FROM lab GROUP BY node),
+fr AS (SELECT n.c_name, COALESCE(r.root, n.c_name) AS canonical_name
+       FROM n LEFT JOIN roots r ON r.node = n.c_name),
+sizes AS (SELECT canonical_name, COUNT(*)::BIGINT AS cluster_size
+          FROM fr GROUP BY canonical_name)
+SELECT fr.c_name, fr.canonical_name, s.cluster_size
+FROM fr JOIN sizes s USING (canonical_name)
+ORDER BY fr.c_name
+"""

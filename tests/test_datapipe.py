@@ -1751,3 +1751,23 @@ def test_bpe_trainer_semantics():
     toks = bpe_apply("newest", merges)
     assert "".join(toks) == "newest"       # lossless
     assert len(toks) < len("newest")       # actually merged
+
+
+def test_entity_clusters_exact(con):
+    from spatial_aez_ray.datapipe import dedup
+    _assert_match(dedup.entity_clusters(SF),
+                  dedup.ENTITY_CLUSTERS_SQL, con)
+
+
+def test_entity_clusters_wellformed(con):
+    from spatial_aez_ray.datapipe import dedup
+    out = dedup.entity_clusters(SF)
+    # canonical is the min member; sizes count members exactly
+    g = out.groupby("canonical_name")
+    mins = g["c_name"].min()
+    assert (mins.values == mins.index.values).all()
+    sizes = g.size()
+    first_size = g["cluster_size"].first()
+    assert (first_size.values == sizes.values).all()
+    # blocking bounds components: never larger than one block
+    assert out["cluster_size"].max() <= 100
