@@ -1269,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": relational.events_value_trend,
         "events_value_percentiles": relational.events_value_percentiles,
         "fk_violations_orders": relational.fk_violations_orders,
+        "drift_report": relational.drift_report,
         # incrementally-maintained view == batch view, same oracle
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
@@ -1448,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
         "merge_upsert_orders": relational.MERGE_UPSERT_ORDERS_SQL,
+        "drift_report": relational.DRIFT_REPORT_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,

@@ -2146,3 +2146,102 @@ UNION ALL
 SELECT o_orderkey::BIGINT, price_cents::BIGINT FROM ins
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# drift_report — distribution drift detection between two periods of
+# the event stream (the data-quality monitor every production pipeline
+# runs between snapshots)
+# ---------------------------------------------------------------------------
+
+def drift_report(sf_dir: str) -> pd.DataFrame:
+    """Value-distribution drift per event type between the stream's
+    first and second half (split at the exact integer-microsecond
+    midpoint of [min ts, max ts]): per type, whole-dollar value bins
+    are counted in each period and compared by the total-variation
+    numerator  tv_num = Σ_bins |a·n2 − b·n1|  (a, b = bin counts,
+    n1, n2 = period totals) — all int64, so the oracle matches
+    bit-for-bit; TV distance itself is tv_num / (2·n1·n2), derivable
+    by the caller.
+
+    One scan: blocks reduce to (type, period, bin, n) partials; the
+    tiny groupby result (types × 2 × dollar-bins) is the only thing
+    the driver touches. The midpoint needs min/max ts first — a
+    second tiny aggregate pass, not a materialization."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def us_col(b: pa.Table) -> np.ndarray:
+        return (b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+
+    def span_partial(b: pa.Table) -> pa.Table:
+        us = us_col(b)
+        return pa.table({"mn": pa.array([int(us.min())]),
+                         "mx": pa.array([int(us.max())])})
+
+    span = (ds.map_batches(span_partial, batch_format="pyarrow")
+              .aggregate(Min("mn"), Max("mx")))
+    mid = (int(span["min(mn)"]) + int(span["max(mx)"])) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = us_col(b)
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "period": (us > mid).astype(np.int64),
+            "bin": cents // 100,
+            "n": np.ones(len(us), dtype=np.int64)})
+        g = df.groupby(["event_type", "period", "bin"],
+                       as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "period", "bin"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    rows = []
+    for et, g in t.groupby("event_type", sort=True):
+        p1 = g[g["period"] == 0].set_index("bin")["n"]
+        p2 = g[g["period"] == 1].set_index("bin")["n"]
+        n1, n2 = int(p1.sum()), int(p2.sum())
+        bins = sorted(set(p1.index) | set(p2.index))
+        tv = sum(abs(int(p1.get(b, 0)) * n2 - int(p2.get(b, 0)) * n1)
+                 for b in bins)
+        rows.append((et, n1, n2, tv))
+    out = pd.DataFrame(rows, columns=["event_type", "n1", "n2",
+                                      "tv_num"])
+    for c in ("n1", "n2", "tv_num"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DRIFT_REPORT_SQL = """
+WITH s AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+e AS (SELECT event_type,
+             (epoch_us(ts) > (SELECT mid FROM s))::BIGINT AS period,
+             ROUND(value * 100)::BIGINT // 100 AS bin
+      FROM events),
+c AS (SELECT event_type, period, bin, COUNT(*)::BIGINT AS n
+      FROM e GROUP BY 1, 2, 3),
+tot AS (SELECT event_type,
+               SUM(CASE WHEN period = 0 THEN n ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN period = 1 THEN n ELSE 0 END)::BIGINT AS n2
+        FROM c GROUP BY 1),
+bins AS (SELECT DISTINCT event_type, bin FROM c),
+ab AS (SELECT b.event_type, b.bin,
+              COALESCE(MAX(CASE WHEN c.period = 0 THEN c.n END), 0) AS a,
+              COALESCE(MAX(CASE WHEN c.period = 1 THEN c.n END), 0) AS bb
+       FROM bins b LEFT JOIN c
+         ON c.event_type = b.event_type AND c.bin = b.bin
+       GROUP BY b.event_type, b.bin)
+SELECT ab.event_type, tot.n1, tot.n2,
+       SUM(ABS(ab.a * tot.n2 - ab.bb * tot.n1))::BIGINT AS tv_num
+FROM ab JOIN tot USING (event_type)
+GROUP BY ab.event_type, tot.n1, tot.n2
+ORDER BY ab.event_type
+"""

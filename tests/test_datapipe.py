@@ -1771,3 +1771,18 @@ def test_entity_clusters_wellformed(con):
     assert (first_size.values == sizes.values).all()
     # blocking bounds components: never larger than one block
     assert out["cluster_size"].max() <= 100
+
+
+def test_drift_report_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.drift_report(SF),
+                  relational.DRIFT_REPORT_SQL, con)
+
+
+def test_drift_tv_bounds(con):
+    from spatial_aez_ray.datapipe import relational
+    out = relational.drift_report(SF)
+    # 0 <= TV distance <= 1, i.e. 0 <= tv_num <= 2*n1*n2
+    assert (out["tv_num"] >= 0).all()
+    assert (out["tv_num"] <= 2 * out["n1"] * out["n2"]).all()
+    assert (out["n1"] + out["n2"] > 0).all()
