@@ -331,3 +331,75 @@ def test_mercator_index_in_bounds_and_monotone(seed):
     assert ((c >= 0) & (c < grid.width)).all()
     # Mercator y grows south: source rows are nondecreasing in out row
     assert (np.diff(r) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: labeling + edit-distance kernels
+# ---------------------------------------------------------------------------
+
+def _flood_fill_labels(arr, bg):
+    """Brute-force reference: BFS flood fill, label = min flat index."""
+    h, w = arr.shape
+    lab = np.full((h, w), -1, dtype=np.int64)
+    seen = np.zeros((h, w), dtype=bool)
+    for sy in range(h):
+        for sx in range(w):
+            if seen[sy, sx] or arr[sy, sx] == bg:
+                continue
+            comp, stack = [], [(sy, sx)]
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                comp.append((y, x))
+                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                    if (0 <= ny < h and 0 <= nx < w and not seen[ny, nx]
+                            and arr[ny, nx] == arr[y, x]):
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            root = min(y * w + x for y, x in comp)
+            for y, x in comp:
+                lab[y, x] = root
+    return lab
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1))
+def test_label_components_matches_flood_fill(h, w, seed):
+    from spatial_aez_ray.pipelines.regions import label_components
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 4, size=(h, w)).astype(np.uint8)  # 0 = bg
+    got = label_components(arr, 0)
+    ref = _flood_fill_labels(arr, 0)
+    assert (got == ref).all()
+
+
+def _levenshtein_ref(a, b):
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abc", max_size=6), st.text(alphabet="abc", max_size=6))
+def test_ed_le1_matches_levenshtein(a, b):
+    from spatial_aez_ray.datapipe.dedup import _ed_le1
+    assert _ed_le1(a, b) == (_levenshtein_ref(a, b) <= 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.dictionaries(st.text(alphabet="ab", min_size=1, max_size=5),
+                       st.integers(1, 9), min_size=1, max_size=8),
+       st.integers(0, 6))
+def test_bpe_apply_lossless_any_merges(wc, n_merges):
+    from spatial_aez_ray.datapipe.corpus import bpe_apply, bpe_train_merges
+    merges = bpe_train_merges(wc, n_merges)
+    for w in wc:
+        toks = bpe_apply(w, merges)
+        assert "".join(toks) == w
+        assert all(t for t in toks)
