@@ -633,10 +633,21 @@ def regions_oracle(spec, dataset: str) -> pd.DataFrame:
             x, y, nc, nr = grid.tile_window(ty, tx)
             full[y:y + nr, x:x + nc] = arrs[0]
     lab = label_components(full, int(nodata))
-    fgv = lab[lab >= 0]
-    reps, counts = np.unique(fgv, return_counts=True)
+    fg = lab >= 0
+    reps, inv, counts = np.unique(lab[fg], return_inverse=True,
+                                  return_counts=True)
+    same = np.zeros(full.shape, dtype=np.int64)
+    m = fg[:, 1:] & fg[:, :-1] & (full[:, 1:] == full[:, :-1])
+    same[:, 1:] += m
+    same[:, :-1] += m
+    m = fg[1:, :] & fg[:-1, :] & (full[1:, :] == full[:-1, :])
+    same[1:, :] += m
+    same[:-1, :] += m
+    perim = np.zeros(len(reps), dtype=np.int64)
+    np.add.at(perim, inv, (4 - same)[fg])
     return pd.DataFrame({
         "region_id": reps.astype(np.int64),
         "cls": full.ravel()[reps].astype(np.int64),
         "n_px": counts.astype(np.int64),
+        "perim": perim,
     }).sort_values("region_id").reset_index(drop=True)

@@ -91,8 +91,13 @@ def label_components(arr: np.ndarray, bg: int) -> np.ndarray:
 class RegionKernel:
     """Per-tile labeling + seam-equivalence emission (see module doc).
 
-    Emits a union table: kind=0 rows are (a=comp_id, cls, n_px)
-    component partials; kind=1 rows are (a, b) seam equivalences."""
+    Emits a union table: kind=0 rows are (a=comp_id, cls, n_px,
+    perim) component partials — ``perim`` is the component's exposed
+    4-edge count (neighbor differs in class, is background, lies in an
+    absent/hole tile, or falls off the world), the FRAGSTATS edge
+    metric; kind=1 rows are (a, b) seam equivalences. Perimeter needs
+    the CLASS strips of all four neighbors (labels only for
+    right/bottom), fetched in the same batched read."""
 
     def __init__(self, *, world_path: str, dataset: str,
                  grid_name: str, nodata: int):
@@ -102,20 +107,66 @@ class RegionKernel:
         self.grid = world_grid(world_path, grid_name)
         self.nodata = int(nodata)
 
+    def _arr(self, ty: int, tx: int, payloads):
+        """Class array of one tile (no labeling) or None for holes."""
+        if not (0 <= ty < self.grid.tiles_y
+                and 0 <= tx < self.grid.tiles_x):
+            return None
+        ref = model.media_ref(self.dataset, self.grid.name, ty, tx, 1)
+        p = payloads.get(ref)
+        if p is None:
+            return None
+        _, _, nc, nr = self.grid.tile_window(ty, tx)
+        return np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+
     def _tile(self, ty: int, tx: int, payloads, memo):
         """(arr, labels, nc) of one tile, labeled once per batch."""
         key = (ty, tx)
         if key in memo:
             return memo[key]
-        ref = model.media_ref(self.dataset, self.grid.name, ty, tx, 1)
-        p = payloads.get(ref)
-        if p is None:
+        arr = self._arr(ty, tx, payloads)
+        if arr is None:
             memo[key] = None
             return None
-        _, _, nc, nr = self.grid.tile_window(ty, tx)
-        arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
-        memo[key] = (arr, label_components(arr, self.nodata), nc)
+        memo[key] = (arr, label_components(arr, self.nodata), arr.shape[1])
         return memo[key]
+
+    def _same_neighbors(self, arr: np.ndarray, ty: int, tx: int,
+                        payloads) -> np.ndarray:
+        """Per-pixel count of 4-neighbors with the SAME class —
+        including across seams via the four neighbor tiles' class
+        strips; absent neighbors / world edges contribute nothing
+        (those edges are exposed)."""
+        bg = self.nodata
+        fg = arr != bg
+        same = np.zeros(arr.shape, dtype=np.int64)
+        m = fg[:, 1:] & fg[:, :-1] & (arr[:, 1:] == arr[:, :-1])
+        same[:, 1:] += m
+        same[:, :-1] += m
+        m = fg[1:, :] & fg[:-1, :] & (arr[1:, :] == arr[:-1, :])
+        same[1:, :] += m
+        same[:-1, :] += m
+        nb = self._arr(ty, tx - 1, payloads)
+        if nb is not None:
+            n = min(arr.shape[0], nb.shape[0])
+            s = nb[:n, -1]
+            same[:n, 0] += (fg[:n, 0] & (s != bg) & (arr[:n, 0] == s))
+        nb = self._arr(ty, tx + 1, payloads)
+        if nb is not None:
+            n = min(arr.shape[0], nb.shape[0])
+            s = nb[:n, 0]
+            same[:n, -1] += (fg[:n, -1] & (s != bg) & (arr[:n, -1] == s))
+        nb = self._arr(ty - 1, tx, payloads)
+        if nb is not None:
+            n = min(arr.shape[1], nb.shape[1])
+            s = nb[-1, :n]
+            same[0, :n] += (fg[0, :n] & (s != bg) & (arr[0, :n] == s))
+        nb = self._arr(ty + 1, tx, payloads)
+        if nb is not None:
+            n = min(arr.shape[1], nb.shape[1])
+            s = nb[0, :n]
+            same[-1, :n] += (fg[-1, :n] & (s != bg) & (arr[-1, :n] == s))
+        return same
 
     def _gids(self, labels: np.ndarray, ty: int, tx: int,
               nc: int) -> np.ndarray:
@@ -136,13 +187,18 @@ class RegionKernel:
         tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x) for p in ids]
         want = set()
         for ty, tx in tiles:
-            for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx)):
-                if ny < g.tiles_y and nx < g.tiles_x:
+            # all four neighbors: right/bottom for seam labels, ALL
+            # strips for the perimeter metric (a left/top neighbor
+            # missing from the fetch would masquerade as a hole and
+            # inflate exposed edges at batch boundaries)
+            for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx),
+                           (ty, tx - 1), (ty - 1, tx)):
+                if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
                     want.add(model.media_ref(self.dataset, g.name,
                                              ny, nx, 1))
         payloads = self.media.fetch(sorted(want), strict=False)
         memo: dict = {}
-        kind, a_o, b_o, cls_o, n_o = [], [], [], [], []
+        kind, a_o, b_o, cls_o, n_o, p_o = [], [], [], [], [], []
 
         def seam(my, my_g, nb, nb_g):
             m = (my != self.nodata) & (nb != self.nodata) & (my == nb)
@@ -153,21 +209,27 @@ class RegionKernel:
             for pa_, pb_ in pairs:
                 kind.append(1)
                 a_o.append(int(pa_)); b_o.append(int(pb_))
-                cls_o.append(0); n_o.append(0)
+                cls_o.append(0); n_o.append(0); p_o.append(0)
 
         for ty, tx in tiles:
             me = self._tile(ty, tx, payloads, memo)
             if me is None:
                 continue
             arr, lab, nc = me
-            fgv = lab[lab >= 0]
-            reps, counts = np.unique(fgv, return_counts=True)
+            fg = lab >= 0
+            fgv = lab[fg]
+            reps, inv, counts = np.unique(fgv, return_inverse=True,
+                                          return_counts=True)
+            exposed = 4 - self._same_neighbors(arr, ty, tx, payloads)
+            perim = np.zeros(len(reps), dtype=np.int64)
+            np.add.at(perim, inv, exposed[fg])
             rep_g = self._gids(reps, ty, tx, nc)
             rep_cls = arr.ravel()[reps]
-            for rg, rc, rn in zip(rep_g, rep_cls, counts):
+            for rg, rc, rn, rp in zip(rep_g, rep_cls, counts, perim):
                 kind.append(0)
                 a_o.append(int(rg)); b_o.append(-1)
                 cls_o.append(int(rc)); n_o.append(int(rn))
+                p_o.append(int(rp))
             lab_g = self._gids(lab.copy(), ty, tx, nc)
             if tx + 1 < g.tiles_x:
                 nb = self._tile(ty, tx + 1, payloads, memo)
@@ -190,7 +252,8 @@ class RegionKernel:
             "a": pa.array(a_o, pa.int64()),
             "b": pa.array(b_o, pa.int64()),
             "cls": pa.array(cls_o, pa.int64()),
-            "n_px": pa.array(n_o, pa.int64())})
+            "n_px": pa.array(n_o, pa.int64()),
+            "perim": pa.array(p_o, pa.int64())})
 
 
 def region_parts(world_path: str, dataset: str = "kg"
@@ -218,9 +281,12 @@ def region_parts(world_path: str, dataset: str = "kg"
 
 def label_regions(world_path: str, dataset: str = "kg",
                   parts: "ray.data.Dataset | None" = None) -> pd.DataFrame:
-    """Full region table (region_id, cls, n_px) of a dataset's band 1,
-    region_id = the region's minimum global row-major pixel index —
-    bit-identical to whole-array labeling by construction."""
+    """Full region table (region_id, cls, n_px, perim) of a dataset's
+    band 1, region_id = the region's minimum global row-major pixel
+    index — bit-identical to whole-array labeling by construction.
+    ``perim`` is the region's exposed-edge count (FRAGSTATS edge
+    metric): 4-edges facing a different class, background, a hole
+    tile, or the world boundary."""
     import ray
 
     if parts is None:
@@ -260,13 +326,15 @@ def label_regions(world_path: str, dataset: str = "kg",
                                      == a)
             a = np.where(hit, vs[np.minimum(loc, len(ks) - 1)], a)
         return pa.table({"region_id": pa.array(a),
-                         "cls": b["cls"], "n_px": b["n_px"]})
+                         "cls": b["cls"], "n_px": b["n_px"],
+                         "perim": b["perim"]})
 
     from ray.data.aggregate import Sum
     out = (parts.filter(expr="kind == 0")
            .map_batches(remap, batch_format="pyarrow")
            .groupby(["region_id", "cls"])
-           .aggregate(Sum("n_px", alias_name="n_px"))
+           .aggregate(Sum("n_px", alias_name="n_px"),
+                      Sum("perim", alias_name="perim"))
            .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -281,5 +349,6 @@ def region_summary(regions: pd.DataFrame) -> pd.DataFrame:
         "cls": g.size().index.to_numpy(dtype=np.int64),
         "n_regions": g.size().to_numpy(dtype=np.int64),
         "largest_px": g["n_px"].max().to_numpy(dtype=np.int64),
-        "n_px": g["n_px"].sum().to_numpy(dtype=np.int64)})
+        "n_px": g["n_px"].sum().to_numpy(dtype=np.int64),
+        "perim": g["perim"].sum().to_numpy(dtype=np.int64)})
     return out.sort_values("cls").reset_index(drop=True)

@@ -577,3 +577,22 @@ def test_label_components_semantics():
     assert lab[0, 3] == 3 and lab[1, 3] == 3
     assert lab[2, 3] == 11 and lab[3, 3] == 11   # 1 vs 2 above: split
     assert (lab[arr == 0] == -1).all()
+
+
+def test_label_regions_perimeter_batch_boundaries(tiny_world):
+    """Perimeter counting needs ALL four neighbor strips in the fetch:
+    batch_size=2 makes nearly every neighbor cross-batch, so a missing
+    left/top ref would masquerade as a hole and inflate exposed edges."""
+    import ray.data
+    from spatial_aez_ray.datapipe.util import as_task_fn
+    from spatial_aez_ray.pipelines import regions as rg
+    from spatial_aez_ray.pipelines.extract import world_grid
+    layout = model.world_layout(tiny_world)
+    grid = world_grid(tiny_world, layout["kg"]["grid"])
+    parts = ray.data.range(grid.tiles_y * grid.tiles_x).map_batches(
+        as_task_fn(rg.RegionKernel, world_path=tiny_world, dataset="kg",
+                   grid_name=layout["kg"]["grid"],
+                   nodata=int(layout["kg"]["nodata"])),
+        batch_format="pyarrow", batch_size=2)
+    mine = rg.label_regions(tiny_world, "kg", parts=parts)
+    assert mine.equals(oracle.regions_oracle(SPEC, "kg"))
