@@ -1295,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
+        # incrementally-merged dedup state == one-shot, same oracle
+        "incremental_dedup": dedup.incremental_exact_dedup,
         "dedup_ingest_precedence": dedup.ingest_precedence_dedup,
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
@@ -1470,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": text.REPETITION_STATS_SQL,
         "doc_surprisal": text.DOC_SURPRISAL_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "incremental_dedup": dedup.EXACT_DEDUP_SQL,
         "dedup_ingest_precedence": dedup.INGEST_PRECEDENCE_DEDUP_SQL,
         "dedup_minhash_candidates": dedup.MINHASH_CANDIDATES_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,

@@ -1443,3 +1443,48 @@ SELECT fr.c_name, fr.canonical_name, s.cluster_size
 FROM fr JOIN sizes s USING (canonical_name)
 ORDER BY fr.c_name
 """
+
+
+def incremental_exact_dedup(sf_dir: str, n_chunks: int = 4) -> pd.DataFrame:
+    """Exact-dedup survivor state maintained INCREMENTALLY across
+    ``n_chunks`` simulated arrival batches (doc_id hash split): each
+    arrival hashes ONLY its chunk and MIN/SUM-merges into the stored
+    (content_hash → min doc_id, dup_cnt) table — the dedup analog of
+    the incremental view (additive counts) and the incremental HLL
+    (min-merge survivor election). The final table is identical to
+    the one-shot ``exact_dedup``, verified by the SAME SQL oracle.
+
+    Why it matters at 100 TB: a crawl never re-reads the corpus —
+    yesterday's survivor state is hash-partitioned on disk and each
+    arrival merges per partition; the merge operators (MIN, SUM) are
+    associative and commutative, so arrival order can't change the
+    final state."""
+    view: pd.DataFrame | None = None
+    for chunk in range(n_chunks):
+        ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+        def pick(b: pa.Table, chunk=chunk) -> pa.Table:
+            keys = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            sel = np.fromiter(
+                (_h64u(str(int(k))) % n_chunks == chunk for k in keys),
+                dtype=bool, count=len(keys))
+            return b.filter(pa.array(sel))
+
+        delta = (ds.map_batches(pick, batch_format="pyarrow")
+                 .map_batches(_content_hash_batch, batch_format="pyarrow")
+                 .groupby("content_hash")
+                 .aggregate(Min("doc_id", alias_name="doc_id"),
+                            Count(alias_name="dup_cnt"))
+                 .to_pandas())
+        if view is None:
+            view = delta
+        else:
+            both = pd.concat([view, delta], ignore_index=True)
+            view = (both.groupby("content_hash", as_index=False)
+                    .agg(doc_id=("doc_id", "min"),
+                         dup_cnt=("dup_cnt", "sum")))
+    out = view[["doc_id", "dup_cnt"]].copy()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_cnt"] = out["dup_cnt"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1786,3 +1786,10 @@ def test_drift_tv_bounds(con):
     assert (out["tv_num"] >= 0).all()
     assert (out["tv_num"] <= 2 * out["n1"] * out["n2"]).all()
     assert (out["n1"] + out["n2"] > 0).all()
+
+
+def test_incremental_dedup_equals_batch(con):
+    from spatial_aez_ray.datapipe import dedup
+    inc = dedup.incremental_exact_dedup(SF)
+    assert inc.equals(dedup.exact_dedup(SF))
+    _assert_match(inc, dedup.EXACT_DEDUP_SQL, con)
