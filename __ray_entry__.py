@@ -1310,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_tokens": graph.textrank_tokens,
         "token_triangles": graph.token_triangles,
         "theta_user_overlap": sketch.theta_user_overlap,
+        "join_size_estimate": sketch.join_size_estimate,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
@@ -1486,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_tokens": graph.TEXTRANK_TOKENS_SQL,
         "token_triangles": graph.TOKEN_TRIANGLES_SQL,
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
+        "join_size_estimate": sketch.JOIN_SIZE_ESTIMATE_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(
             "spatial_aez_ray.datapipe.simsearch",

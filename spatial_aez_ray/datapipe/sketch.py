@@ -520,3 +520,116 @@ ORDER BY p.type_a, p.type_b
 
 
 THETA_USER_OVERLAP_SQL = _theta_sql()
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation from key sketches — the query-optimizer
+# statistic (Vengerov et al. 2015, "Join Size Estimation Subject to
+# Filter Conditions"): estimate |A ⋈ B| without running the join
+# ---------------------------------------------------------------------------
+
+JOINEST_K = 64
+
+
+def join_size_estimate(sf_dir: str, k: int = JOINEST_K) -> pd.DataFrame:
+    """Estimated |customer ⋈ orders| on custkey from per-side KMV
+    sketches whose entries carry the key's MULTIPLICITY: for the
+    common sketch hashes below the shared theta,
+    est = (Σ cnt_A·cnt_B) · M // theta — exact join size when neither
+    sketch filled (theta = M). Returns one row (n_common, theta,
+    est_join_size, exact_small_side), all int64.
+
+    Distributed shape: each side reduces to (hash, cnt) sketch rows —
+    per-batch keep the k smallest distinct key hashes with per-batch
+    counts, merge = k-smallest-of-union with counts SUMMED per
+    surviving hash (multiplicities are additive across blocks, the
+    property that makes the sketch mergeable); the estimator runs on
+    O(k) rows. This is how a distributed optimizer prices a join
+    without touching either table."""
+    ds_c = _read(sf_dir, "customer", columns=["c_custkey"])
+    ds_o = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def side(ds, col):
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(batch[col].to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            uniq, counts = np.unique(keys, return_counts=True)
+            hs = np.fromiter((_h64u(str(int(v))) >> 32 for v in uniq),
+                             dtype=np.int64, count=len(uniq))
+            order = np.argsort(hs, kind="mergesort")[:k]
+            return pa.table({"h32": pa.array(hs[order]),
+                             "cnt": pa.array(counts[order].astype(np.int64))})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            s = (g.groupby("h32", as_index=False)["cnt"].sum()
+                 .sort_values("h32").head(k))
+            return s
+
+        out = (ds.map_batches(partial, batch_format="pyarrow")
+               .map_batches(lambda b: b.append_column(
+                   "one", pa.array(np.zeros(b.num_rows, np.int32))),
+                   batch_format="pyarrow")
+               .groupby("one")
+               .map_groups(merge, batch_format="pandas")
+               .to_pandas())
+        return (out["h32"].to_numpy(dtype=np.int64),
+                out["cnt"].to_numpy(dtype=np.int64))
+
+    ha, ca = side(ds_c, "c_custkey")
+    hb, cb = side(ds_o, "o_custkey")
+    th_a = int(ha[k - 1]) if len(ha) >= k else _HASH_RANGE
+    th_b = int(hb[k - 1]) if len(hb) >= k else _HASH_RANGE
+    theta = min(th_a, th_b)
+    common, ia, ib = np.intersect1d(ha, hb, assume_unique=True,
+                                    return_indices=True)
+    below = common < theta
+    s = int((ca[ia][below] * cb[ib][below]).sum())
+    est = (s * _HASH_RANGE) // theta
+    out = pd.DataFrame([{
+        "n_common": np.int64(int(below.sum())),
+        "theta": np.int64(theta),
+        "est_join_size": np.int64(est),
+        "exact_small_side": np.int64(1 if theta == _HASH_RANGE else 0)}])
+    return out
+
+
+def _joinest_sql(k: int = JOINEST_K) -> str:
+    def le(col):
+        return " || ".join(
+            f"substr(md5({col}::VARCHAR), {15 - 2 * i}, 2)"
+            for i in range(8))
+    return f"""
+WITH ca AS (
+  SELECT (('0x' || {le('c_custkey')})::UBIGINT >> 32)::BIGINT AS h32,
+         COUNT(*)::BIGINT AS cnt
+  FROM customer GROUP BY c_custkey),
+ra AS (SELECT h32, cnt,
+              row_number() OVER (ORDER BY h32) AS rnk,
+              COUNT(*) OVER () AS nd FROM ca),
+sa AS (SELECT h32, cnt, nd FROM ra WHERE rnk <= {k}),
+cb AS (
+  SELECT (('0x' || {le('o_custkey')})::UBIGINT >> 32)::BIGINT AS h32,
+         COUNT(*)::BIGINT AS cnt
+  FROM orders GROUP BY o_custkey),
+rb AS (SELECT h32, cnt,
+              row_number() OVER (ORDER BY h32) AS rnk,
+              COUNT(*) OVER () AS nd FROM cb),
+sb AS (SELECT h32, cnt, nd FROM rb WHERE rnk <= {k}),
+th AS (SELECT LEAST(
+         (SELECT CASE WHEN MAX(nd) >= {k} THEN MAX(h32)
+                      ELSE {_HASH_RANGE} END FROM sa),
+         (SELECT CASE WHEN MAX(nd) >= {k} THEN MAX(h32)
+                      ELSE {_HASH_RANGE} END FROM sb))::BIGINT AS theta),
+com AS (
+  SELECT COUNT(*)::BIGINT AS n_common,
+         COALESCE(SUM(sa.cnt * sb.cnt), 0)::BIGINT AS s
+  FROM sa JOIN sb USING (h32) CROSS JOIN th
+  WHERE sa.h32 < th.theta)
+SELECT com.n_common, th.theta,
+       ((com.s * {_HASH_RANGE}) // th.theta)::BIGINT AS est_join_size,
+       (th.theta = {_HASH_RANGE})::BIGINT AS exact_small_side
+FROM com CROSS JOIN th
+"""
+
+
+JOIN_SIZE_ESTIMATE_SQL = _joinest_sql()

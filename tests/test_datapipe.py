@@ -1793,3 +1793,14 @@ def test_incremental_dedup_equals_batch(con):
     inc = dedup.incremental_exact_dedup(SF)
     assert inc.equals(dedup.exact_dedup(SF))
     _assert_match(inc, dedup.EXACT_DEDUP_SQL, con)
+
+
+def test_join_size_estimate_exact_and_close(con):
+    from spatial_aez_ray.datapipe import sketch
+    _assert_match(sketch.join_size_estimate(SF),
+                  sketch.JOIN_SIZE_ESTIMATE_SQL, con)
+    est = int(sketch.join_size_estimate(SF)["est_join_size"][0])
+    true = con.execute("SELECT COUNT(*) FROM customer JOIN orders "
+                       "ON c_custkey = o_custkey").fetchone()[0]
+    # KMV estimator: ~1/sqrt(k-2) relative error at k=64; allow 4σ
+    assert abs(est - true) <= 0.52 * true + 2
