@@ -435,6 +435,18 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_proximity(sf_dir: str):
+    """Capped distance-to-water transform (gdal_proximity analog):
+    halo kernel histogram must equal the whole-array oracle exactly."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.proximity_histogram(_world(), "lc", 210)
+    oracle = _oracle_mod().proximity_oracle(fixtures.TINY, "lc", 210)
+    if not mine.equals(oracle):
+        raise AssertionError("proximity histogram != whole-array oracle")
+    return mine
+
+
 def _spatial_regions(sf_dir: str):
     """Distributed raster connected-component labeling: per-tile
     canonical min-pixel labels + seam-equivalence union — the FULL
@@ -1362,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_transcode": _spatial_transcode,
         "spatial_focal": _spatial_focal,
         "spatial_regions": _spatial_regions,
+        "spatial_proximity": _spatial_proximity,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

@@ -651,3 +651,30 @@ def regions_oracle(spec, dataset: str) -> pd.DataFrame:
         "n_px": counts.astype(np.int64),
         "perim": perim,
     }).sort_values("region_id").reset_index(drop=True)
+
+
+def proximity_oracle(spec, dataset: str = "lc", target: int = 210,
+                     d_max: int = 16) -> pd.DataFrame:
+    """Sequential whole-array capped distance transform + histogram
+    over present-tile pixels (hole tiles contribute no rows, exactly
+    like the distributed pass)."""
+    from .pipelines.regions import proximity_distances
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    present = np.zeros((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+            present[y:y + nr, x:x + nc] = True
+    dist = proximity_distances(full, int(target), int(d_max))
+    hist = np.bincount(dist[present].ravel(), minlength=d_max + 2)
+    nz = np.flatnonzero(hist)
+    return pd.DataFrame({"dist": nz.astype(np.int64),
+                         "n_px": hist[nz].astype(np.int64)})

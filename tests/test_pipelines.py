@@ -596,3 +596,28 @@ def test_label_regions_perimeter_batch_boundaries(tiny_world):
         batch_format="pyarrow", batch_size=2)
     mine = rg.label_regions(tiny_world, "kg", parts=parts)
     assert mine.equals(oracle.regions_oracle(SPEC, "kg"))
+
+
+def test_proximity_histogram_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    mine = rg.proximity_histogram(tiny_world, "lc", 210)
+    assert mine.equals(oracle.proximity_oracle(SPEC, "lc", 210))
+    # a target class absent from the dataset: every present pixel
+    # lands in the single capped bucket (distance d_max+1)
+    kg = rg.proximity_histogram(tiny_world, "kg", target=200)
+    assert list(kg["dist"]) == [17]
+
+
+def test_proximity_distances_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.regions import proximity_distances
+    arr = np.zeros((5, 7), dtype=np.uint8)
+    arr[2, 3] = 9
+    d = proximity_distances(arr, 9, d_max=16)
+    yy, xx = np.mgrid[0:5, 0:7]
+    assert (d == np.abs(yy - 2) + np.abs(xx - 3)).all()
+    # cap: distances beyond d_max collapse to d_max+1
+    big = np.zeros((1, 40), dtype=np.uint8)
+    big[0, 0] = 9
+    d2 = proximity_distances(big, 9, d_max=4)
+    assert d2[0, 10] == 5 and d2[0, 39] == 5 and d2[0, 3] == 3
