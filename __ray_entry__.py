@@ -1282,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": relational.events_value_percentiles,
         "fk_violations_orders": relational.fk_violations_orders,
         "drift_report": relational.drift_report,
+        "events_percent_rank": relational.events_percent_rank,
         # incrementally-maintained view == batch view, same oracle
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
@@ -1466,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
         "merge_upsert_orders": relational.MERGE_UPSERT_ORDERS_SQL,
         "drift_report": relational.DRIFT_REPORT_SQL,
+        "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,

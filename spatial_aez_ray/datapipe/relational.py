@@ -2245,3 +2245,92 @@ FROM ab JOIN tot USING (event_type)
 GROUP BY ab.event_type, tot.n1, tot.n2
 ORDER BY ab.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# percent_rank transform — normalize a column to its empirical CDF
+# position (the rank/quantile feature transform), exact integers
+# ---------------------------------------------------------------------------
+
+def events_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK of every event's value within its event type,
+    as exact integers: (event_id, event_type, value_cents, rank_lt,
+    n_minus_1) with PERCENT_RANK = rank_lt / n_minus_1 (the SQL
+    definition: rows strictly below / (partition size − 1)) derivable
+    by one division — no float crosses the oracle boundary.
+
+    Two passes, zero row shuffles: pass 1 reduces blocks to
+    (type, cents, n) histogram partials (the winsorize/percentile
+    discipline — the aggregated histogram is value-universe-sized,
+    never row-sized); the driver turns it into per-type cumulative
+    counts, broadcast back; pass 2 maps each row to its strict-rank
+    via one searchsorted per batch. The transform output is
+    row-sized, but it streams — no driver materialization beyond the
+    gate adapter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "cents": cents,
+                           "n": np.ones(len(cents), dtype=np.int64)})
+        g = df.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "cents"]))
+    cdf = {}
+    for et, g in hist.groupby("event_type", sort=False):
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        cdf[et] = (vals, below, int(ns.sum()))
+    bc = ray.put(cdf)
+
+    def rank(b: pa.Table) -> pa.Table:
+        table = ray.get(bc)
+        ids = np.asarray(b["event_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ets = b["event_type"].to_pylist()
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        lt = np.zeros(len(ids), dtype=np.int64)
+        nm1 = np.zeros(len(ids), dtype=np.int64)
+        ets_arr = np.asarray(ets, dtype=object)
+        for et in set(ets):
+            m = ets_arr == et
+            vals, below, n = table[et]
+            pos = np.searchsorted(vals, cents[m])
+            lt[m] = below[pos]
+            nm1[m] = n - 1
+        return pa.table({"event_id": pa.array(ids),
+                         "event_type": b["event_type"],
+                         "value_cents": pa.array(cents),
+                         "rank_lt": pa.array(lt),
+                         "n_minus_1": pa.array(nm1)})
+
+    out = ds.map_batches(rank, batch_format="pyarrow").to_pandas()
+    for c in ("event_id", "value_cents", "rank_lt", "n_minus_1"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       ROUND(value * 100)::BIGINT AS value_cents,
+       (RANK() OVER (PARTITION BY event_type
+                     ORDER BY ROUND(value * 100)::BIGINT) - 1)::BIGINT
+         AS rank_lt,
+       (COUNT(*) OVER (PARTITION BY event_type) - 1)::BIGINT
+         AS n_minus_1
+FROM events ORDER BY event_id
+"""

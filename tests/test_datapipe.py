@@ -1804,3 +1804,20 @@ def test_join_size_estimate_exact_and_close(con):
                        "ON c_custkey = o_custkey").fetchone()[0]
     # KMV estimator: ~1/sqrt(k-2) relative error at k=64; allow 4σ
     assert abs(est - true) <= 0.52 * true + 2
+
+
+def test_events_percent_rank_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.events_percent_rank(SF),
+                  relational.EVENTS_PERCENT_RANK_SQL, con)
+
+
+def test_percent_rank_bounds(con):
+    from spatial_aez_ray.datapipe import relational
+    out = relational.events_percent_rank(SF)
+    assert (out["rank_lt"] >= 0).all()
+    assert (out["rank_lt"] <= out["n_minus_1"]).all()
+    # each partition has exactly one row at rank 0 value-wise minimum
+    for _, g in out.groupby("event_type"):
+        assert (g.loc[g["rank_lt"] == 0, "value_cents"]
+                == g["value_cents"].min()).all()
