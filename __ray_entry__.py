@@ -435,6 +435,39 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_web_tiles(sf_dir: str):
+    """gdal2tiles product: z/x/y PNG tile tree over the pyramid; every
+    tile decode-verified in-worker, re-export byte-identical (the
+    resume contract), deepest zoom covers every present tile."""
+    import hashlib
+    import shutil
+    from spatial_aez_ray.pipelines import pyramid
+    proot = os.path.join(_TMP, "webtiles_pyr")
+    tdir = os.path.join(_TMP, "webtiles")
+    shutil.rmtree(proot, ignore_errors=True)
+    shutil.rmtree(tdir, ignore_errors=True)
+    pyramid.build_pyramid(_world(), "kg", proot)
+    rep = pyramid.export_web_tiles(_world(), "kg", proot, tdir)
+
+    def tree_md5():
+        h = hashlib.md5()
+        for root, _, files in sorted(os.walk(tdir)):
+            for f in sorted(files):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(os.path.relpath(
+                        os.path.join(root, f), tdir).encode())
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    first = tree_md5()
+    rep2 = pyramid.export_web_tiles(_world(), "kg", proot, tdir)
+    if not rep.equals(rep2) or tree_md5() != first:
+        raise AssertionError("web tile re-export not byte-identical")
+    if int(rep.iloc[-1]["n_tiles"]) != 1:
+        raise AssertionError("top zoom is not a single tile")
+    return rep
+
+
 def _spatial_proximity(sf_dir: str):
     """Capped distance-to-water transform (gdal_proximity analog):
     halo kernel histogram must equal the whole-array oracle exactly."""
@@ -1376,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_focal": _spatial_focal,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
+        "spatial_web_tiles": _spatial_web_tiles,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

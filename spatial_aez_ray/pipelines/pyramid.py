@@ -495,3 +495,104 @@ def focal_gradient(world_path: str, dataset: str, *,
         "grad_max": np.int64(parts["grad_max"].max())}])
 
 
+
+
+# ---------------------------------------------------------------------------
+# web tile export — the gdal2tiles product: a z/x/y PNG tile tree
+# over the overview pyramid
+# ---------------------------------------------------------------------------
+
+def export_web_tiles(world_path: str, dataset: str, pyramid_root: str,
+                     out_dir: str) -> pd.DataFrame:
+    """Write the slippy-map tile tree ``out_dir/z/x/y.png`` for a
+    dataset: z = max at the base grid, decreasing through the
+    overview levels built by ``build_pyramid`` (which must have run
+    into ``pyramid_root``; the base level reads the world itself).
+    Returns (z, n_tiles, n_bytes) per zoom, deepest first.
+
+    Distributed shape: one shuffle-free ``map_batches`` per level over
+    its tile lattice — payloads by derived ref, PNG encode in-worker
+    (from-scratch RFC 2083 codec), atomic tmp+rename per tile, so a
+    killed export resumes by overwrite with identical bytes. Every
+    tile is decode-verified against its source payload in-worker
+    before the rename (the transcode_media discipline)."""
+    import uuid
+
+    import ray
+
+    from ..functions.png import decode_png, encode_png
+    from ..sources.documents import MediaStore
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    t = grid.tile
+
+    # level plan mirrors build_pyramid's loop
+    plan = []   # (z, root, ds_name, tiles_y, tiles_x, width, height)
+    ty, tx, w, h = grid.tiles_y, grid.tiles_x, grid.width, grid.height
+    level = 0
+    while True:
+        plan.append((level, world_path if level == 0 else pyramid_root,
+                     dataset if level == 0 else f"{dataset}_ov{level}",
+                     ty, tx, w, h))
+        if ty <= 1 and tx <= 1:
+            break
+        level += 1
+        ty, tx = (ty + 1) // 2, (tx + 1) // 2
+        w, h = (w + 1) // 2, (h + 1) // 2
+    zmax = len(plan) - 1
+
+    rows = []
+    for level, root, ds_name, tiles_y, tiles_x, width, height in plan:
+        z = zmax - level
+
+        class TileWriter:
+            def __init__(self, root=root, ds_name=ds_name,
+                         tiles_x=tiles_x, width=width, height=height,
+                         z=z):
+                self.media = MediaStore(root)
+                self.ds_name, self.tiles_x = ds_name, tiles_x
+                self.width, self.height, self.z = width, height, z
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b["id"].to_numpy(zero_copy_only=False)
+                refs = {}
+                for pid in ids:
+                    yy, xx = (int(pid) // self.tiles_x,
+                              int(pid) % self.tiles_x)
+                    refs[(yy, xx)] = model.media_ref(
+                        self.ds_name, grid.name, yy, xx, 1)
+                payloads = self.media.fetch(list(refs.values()),
+                                            strict=False)
+                n, nb = 0, 0
+                for (yy, xx), ref in refs.items():
+                    p = payloads.get(ref)
+                    if p is None:
+                        continue   # ocean hole: no tile file
+                    nr = min(t, self.height - yy * t)
+                    nc = min(t, self.width - xx * t)
+                    arr = np.frombuffer(p, np.uint8,
+                                        count=nr * nc).reshape(nr, nc)
+                    png = encode_png(arr)
+                    back, _ = decode_png(png)
+                    if not (back == arr).all():
+                        raise AssertionError("tile decode != source")
+                    d = os.path.join(out_dir, str(self.z), str(xx))
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+                    with open(tmp, "wb") as f:
+                        f.write(png)
+                    os.replace(tmp, os.path.join(d, f"{yy}.png"))
+                    n += 1
+                    nb += len(png)
+                return pa.table({"n": pa.array([n], pa.int64()),
+                                 "nb": pa.array([nb], pa.int64())})
+
+        rep = (ray.data.range(tiles_y * tiles_x)
+               .map_batches(TileWriter, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 4))
+               .to_pandas())
+        rows.append((z, int(rep["n"].sum()), int(rep["nb"].sum())))
+    out = pd.DataFrame(rows, columns=["z", "n_tiles", "n_bytes"])
+    return (out.sort_values("z", ascending=False)
+            .reset_index(drop=True))

@@ -621,3 +621,39 @@ def test_proximity_distances_semantics():
     big[0, 0] = 9
     d2 = proximity_distances(big, 9, d_max=4)
     assert d2[0, 10] == 5 and d2[0, 39] == 5 and d2[0, 3] == 3
+
+
+def test_export_web_tiles_tree(tiny_world, tmp_path):
+    """z/x/y layout, every written tile decodes to its source window,
+    zoom tile counts follow the pyramid halving."""
+    import os
+    from spatial_aez_ray.functions.png import decode_png
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    proot = str(tmp_path / "pyr")
+    tdir = str(tmp_path / "tiles")
+    pyr.build_pyramid(tiny_world, "kg", proot)
+    rep = pyr.export_web_tiles(tiny_world, "kg", proot, tdir)
+    zs = sorted(int(z) for z in os.listdir(tdir))
+    assert zs == sorted(rep["z"].tolist())
+    assert int(rep.iloc[-1]["n_tiles"]) == 1      # single top tile
+    # deepest zoom == base grid: every PNG decodes losslessly and
+    # matches the world tile payload
+    layout = model.world_layout(tiny_world)
+    grid = SPEC.grid(layout["kg"]["grid"])
+    from spatial_aez_ray.sources.documents import MediaStore
+    ms = MediaStore(tiny_world)
+    zmax = str(max(zs))
+    n_checked = 0
+    for x in os.listdir(os.path.join(tdir, zmax)):
+        for yf in os.listdir(os.path.join(tdir, zmax, x)):
+            y = int(yf.split(".")[0])
+            arr, _ = decode_png(open(
+                os.path.join(tdir, zmax, x, yf), "rb").read())
+            ref = model.media_ref("kg", grid.name, y, int(x), 1)
+            p = ms.fetch([ref])[ref]
+            import numpy as np
+            src = np.frombuffer(p, np.uint8,
+                                count=arr.size).reshape(arr.shape)
+            assert (arr == src).all()
+            n_checked += 1
+    assert n_checked == int(rep.iloc[0]["n_tiles"])
