@@ -435,6 +435,18 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_idw(sf_dir: str):
+    """IDW interpolation (gdal_grid analog) from admin-centroid
+    samples; integer weights, bit-exact vs the sequential oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import assign
+    mine = assign.idw_raster(_world())
+    oracle = _oracle_mod().idw_oracle(fixtures.TINY)
+    if not mine.equals(oracle):
+        raise AssertionError("IDW raster != sequential oracle")
+    return mine
+
+
 def _spatial_web_tiles(sf_dir: str):
     """gdal2tiles product: z/x/y PNG tile tree over the pyramid; every
     tile decode-verified in-worker, re-export byte-identical (the
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,
+        "spatial_idw": _spatial_idw,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

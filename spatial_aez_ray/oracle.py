@@ -678,3 +678,27 @@ def proximity_oracle(spec, dataset: str = "lc", target: int = 210,
     nz = np.flatnonzero(hist)
     return pd.DataFrame({"dist": nz.astype(np.int64),
                          "n_px": hist[nz].astype(np.int64)})
+
+
+def idw_oracle(spec, step: int = 8) -> pd.DataFrame:
+    """Sequential IDW with the identical integer arithmetic over the
+    same admin-centroid samples (derived from cell_country, exactly
+    the pipeline's source)."""
+    from .pipelines.assign import IDW_SCALE
+
+    grid = spec.grid("g1")
+    cells = cell_country(spec, grid)
+    g = cells.groupby("admin")
+    n = g.size().to_numpy(dtype=np.int64)
+    sr = (g["cell_row"].sum().to_numpy(dtype=np.int64) // n)
+    sc = (g["cell_col"].sum().to_numpy(dtype=np.int64) // n)
+    rows = []
+    for ry in range(0, grid.height, step):
+        for cx in range(0, grid.width, step):
+            d2 = (ry - sr) ** 2 + (cx - sc) ** 2
+            w = IDW_SCALE // (1 + d2)
+            den = int(w.sum())
+            val = int((w * n).sum()) // den if den > 0 else 0
+            rows.append((ry, cx, val))
+    return pd.DataFrame(rows, columns=["row", "col", "value"]).astype(
+        np.int64)

@@ -459,3 +459,67 @@ def admin_adjacency(world_path: str, *,
             .reset_index(drop=True))
 
 
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation (gdal_grid analog): scattered samples -> raster
+# ---------------------------------------------------------------------------
+
+IDW_SCALE = 10 ** 9   # integer weight scale: w = SCALE // (1 + d²).
+#: int64 bound: w <= 1e9, sample values are pixel counts (<= grid
+#: cells), so Σ w·v stays far below 2^63 for any admin count a
+#: broadcast sample table would hold.
+
+
+def idw_raster(world_path: str, step: int = 8) -> "pd.DataFrame":
+    """Inverse-distance-weighted surface on a coarse output lattice
+    (every ``step``-th G1 pixel): samples are the admin centroids
+    (value = admin pixel count) from ``admin_spatial_summary``;
+    out(r, c) = (Σ w_i·v_i) // (Σ w_i) with w_i = SCALE // (1 + d²_i)
+    — every step integer, so the distributed pass and the sequential
+    oracle agree bit-for-bit. Returns (row, col, value) ordered.
+
+    Shape: the sample table is admin-sized and broadcasts once via
+    ``ray.put``; output cells stream through ``map_batches`` with one
+    vectorized (cells × samples) distance block per batch — the
+    gdal_grid discipline. A sample table too big to broadcast swaps
+    in the IVF/KD bucketing the ANN family already provides (weights
+    of far samples underflow to 0 at SCALE, the natural cutoff)."""
+    import pandas as pd
+    import ray
+
+    from .extract import world_grid
+
+    summ = admin_spatial_summary(world_path)
+    sr = (summ["row_sum"].to_numpy(dtype=np.int64)
+          // summ["n"].to_numpy(dtype=np.int64))
+    sc = (summ["col_sum"].to_numpy(dtype=np.int64)
+          // summ["n"].to_numpy(dtype=np.int64))
+    sv = summ["n"].to_numpy(dtype=np.int64)
+    bc = ray.put((sr, sc, sv))
+
+    grid = world_grid(world_path, "g1")
+    rows = np.arange(0, grid.height, step, dtype=np.int64)
+    cols = np.arange(0, grid.width, step, dtype=np.int64)
+    n_cols = len(cols)
+
+    def cell(b: pa.Table) -> pa.Table:
+        rr, cc, vv = ray.get(bc)
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ry = rows[ids // n_cols]
+        cx = cols[ids % n_cols]
+        d2 = ((ry[:, None] - rr[None, :]) ** 2
+              + (cx[:, None] - cc[None, :]) ** 2)
+        w = IDW_SCALE // (1 + d2)
+        num = (w * vv[None, :]).sum(axis=1)
+        den = w.sum(axis=1)
+        val = np.where(den > 0, num // np.maximum(den, 1), 0)
+        return pa.table({"row": pa.array(ry), "col": pa.array(cx),
+                         "value": pa.array(val.astype(np.int64))})
+
+    out = (ray.data.range(len(rows) * n_cols)
+           .map_batches(cell, batch_format="pyarrow")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["row", "col"]).reset_index(drop=True)

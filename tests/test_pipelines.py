@@ -657,3 +657,13 @@ def test_export_web_tiles_tree(tiny_world, tmp_path):
             assert (arr == src).all()
             n_checked += 1
     assert n_checked == int(rep.iloc[0]["n_tiles"])
+
+
+def test_idw_raster_bit_exact_and_local(tiny_world):
+    from spatial_aez_ray.pipelines import assign as asg
+    mine = asg.idw_raster(tiny_world)
+    assert mine.equals(oracle.idw_oracle(SPEC))
+    # IDW is a weighted mean: every value within the sample value range
+    summ = asg.admin_spatial_summary(tiny_world)
+    lo, hi = int(summ["n"].min()), int(summ["n"].max())
+    assert mine["value"].between(lo - 1, hi).all()
