@@ -21,6 +21,10 @@ Mirrors what a spatial-aez user runs today (cited per subcommand):
                   reduced-resolution IFDs, COPY_SRC_OVERVIEWS layout)
 * ``warp``      — reproject a dataset to the Web-Mercator square
                   (gdalwarp -r near analog, bit-exact distributed gather)
+* ``regions``   — connected-component region table + class summary
+                  (gdal sieve/polygonize family, FRAGSTATS metrics)
+* ``proximity`` — capped distance-to-class histogram (gdal_proximity)
+* ``web-tiles`` — slippy z/x/y PNG tile tree (gdal2tiles analog)
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -69,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dataset", default="kg")
     s.add_argument("--tiff", required=True)
     s = add("warp")
+    s.add_argument("--dataset", default="kg")
+    s = add("regions")
+    s.add_argument("--dataset", default="kg")
+    s = add("proximity")
+    s.add_argument("--dataset", default="lc")
+    s.add_argument("--target", type=int, default=210)
+    s = add("web-tiles")
     s.add_argument("--dataset", default="kg")
 
     s = sub.add_parser(
@@ -162,6 +173,32 @@ def main(argv: list[str] | None = None) -> int:
             rep = export_cog(a.world, a.dataset, a.out, a.tiff)
             print(f"wrote {rep['pages']}-page COG "
                   f"({rep['bytes']} bytes) -> {a.tiff}")
+        elif a.cmd == "regions":
+            from .pipelines.regions import label_regions, region_summary
+            df = label_regions(a.world, a.dataset)
+            os.makedirs(a.out, exist_ok=True)
+            df.to_parquet(os.path.join(a.out, "regions.parquet"),
+                          index=False)
+            summ = region_summary(df)
+            summ.to_csv(os.path.join(a.out, "region-summary.csv"),
+                        index=False)
+            print(f"labeled {len(df)} regions ({len(summ)} classes) "
+                  f"-> {a.out}")
+        elif a.cmd == "proximity":
+            from .pipelines.regions import proximity_histogram
+            df = proximity_histogram(a.world, a.dataset, a.target)
+            os.makedirs(a.out, exist_ok=True)
+            df.to_csv(os.path.join(a.out, "proximity-histogram.csv"),
+                      index=False)
+            print(f"proximity[{a.dataset}->{a.target}]: "
+                  f"{int(df['n_px'].sum())} px binned -> {a.out}")
+        elif a.cmd == "web-tiles":
+            from .pipelines.pyramid import build_pyramid, export_web_tiles
+            proot = os.path.join(a.out, "_pyramid")
+            build_pyramid(a.world, a.dataset, proot)
+            rep = export_web_tiles(a.world, a.dataset, proot, a.out)
+            print(f"wrote {int(rep['n_tiles'].sum())} tiles over "
+                  f"{len(rep)} zooms -> {a.out}")
         elif a.cmd == "checkpointed-extract":
             from .pipelines.extract import zonal_stats_checkpointed
             df = zonal_stats_checkpointed(a.world, a.dataset, a.out,

@@ -30,3 +30,29 @@ def test_cli_extract_end_to_end(tiny_world, tmp_path):
 
     region = (out / "Koppen-Geiger-by-region.csv").read_bytes()
     assert region.startswith(b"Region,")
+
+
+def test_cli_regions_and_proximity(tiny_world, tmp_path):
+    import pandas as pd
+    out = tmp_path / "cli_regions"
+    r = subprocess.run(
+        [sys.executable, "-m", "spatial_aez_ray", "--num-cpus", "2",
+         "regions", "--world", tiny_world, "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    regions = pd.read_parquet(out / "regions.parquet")
+    from spatial_aez_ray import fixtures, oracle
+    assert regions.astype("int64").equals(
+        oracle.regions_oracle(fixtures.TINY, "kg").astype("int64"))
+    summ = pd.read_csv(out / "region-summary.csv")
+    assert summ["n_px"].sum() == regions["n_px"].sum()
+
+    out2 = tmp_path / "cli_prox"
+    r = subprocess.run(
+        [sys.executable, "-m", "spatial_aez_ray", "--num-cpus", "2",
+         "proximity", "--world", tiny_world, "--out", str(out2)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    hist = pd.read_csv(out2 / "proximity-histogram.csv")
+    assert hist.astype("int64").equals(
+        oracle.proximity_oracle(fixtures.TINY, "lc", 210).astype("int64"))
