@@ -435,6 +435,18 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_region_km2(sf_dir: str):
+    """OBIA zonal: exact km² per labeled region — strict bit equality
+    (floats included) vs the sequential same-order oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.region_area_km2(_world(), "kg")
+    oracle = _oracle_mod().region_km2_oracle(fixtures.TINY, "kg")
+    if not (mine.values == oracle.values).all():
+        raise AssertionError("region km2 != sequential oracle")
+    return mine
+
+
 def _spatial_idw(sf_dir: str):
     """IDW interpolation (gdal_grid analog) from admin-centroid
     samples; integer weights, bit-exact vs the sequential oracle."""
@@ -1423,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,
         "spatial_idw": _spatial_idw,
+        "spatial_region_km2": _spatial_region_km2,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

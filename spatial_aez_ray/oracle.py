@@ -702,3 +702,49 @@ def idw_oracle(spec, step: int = 8) -> pd.DataFrame:
             rows.append((ry, cx, val))
     return pd.DataFrame(rows, columns=["row", "col", "value"]).astype(
         np.int64)
+
+
+def region_km2_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential OBIA areas: whole-array labeling for region ids, then
+    the SAME per-tile partial walk (same helper, same in-tile order,
+    same sorted combine) as the distributed pass."""
+    from .pipelines.regions import _tile_region_km2, label_components
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    glab = label_components(full, int(nodata))
+    rows = []
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            sub = full[y:y + nr, x:x + nc]
+            # per-tile LOCAL labeling, exactly the kernel's partials
+            loc = label_components(sub, int(nodata))
+            reps, km2 = _tile_region_km2(sub, loc, ty, grid)
+            for rep, rk in zip(reps, km2):
+                ly, lx = int(rep) // nc, int(rep) % nc
+                gid = int(glab[y + ly, x + lx])
+                rows.append((gid, int(sub.ravel()[rep]),
+                             ty * grid.tiles_x + tx, float(rk)))
+    df = pd.DataFrame(rows, columns=["region_id", "cls", "tile", "km2"])
+    df = df.sort_values(["region_id", "cls", "tile"], kind="mergesort")
+    out_rows = []
+    for (rid, cls), g in df.groupby(["region_id", "cls"], sort=True):
+        out_rows.append((int(rid), int(cls),
+                         float(g["km2"].to_numpy(dtype=np.float64).sum())))
+    out = pd.DataFrame(out_rows, columns=["region_id", "cls", "km2"])
+    out["region_id"] = out["region_id"].astype(np.int64)
+    out["cls"] = out["cls"].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

@@ -489,3 +489,151 @@ def proximity_histogram(world_path: str, dataset: str = "lc",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("dist").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# region_area_km2 — zonal statistics over SEGMENTED OBJECTS (OBIA):
+# exact km² per labeled region, the landscape-ecology product that
+# composes the labeling above with the zonal float discipline
+# ---------------------------------------------------------------------------
+
+def _tile_region_km2(arr: np.ndarray, lab: np.ndarray, ty: int,
+                     grid) -> tuple[np.ndarray, np.ndarray]:
+    """One tile's per-component km² partials: (local reps, km2 sums).
+    Shared verbatim with the oracle so the in-tile float summation
+    order (bincount accumulation over row-major pixels of the
+    reference km2_rows weights) is identical on both sides — the
+    zonal bit-exactness discipline."""
+    from ..geo import km2_rows
+    fg = lab >= 0
+    reps, inv = np.unique(lab[fg], return_inverse=True)
+    w = np.repeat(km2_rows(arr.shape[0], ty * grid.tile, grid),
+                  arr.shape[1]).reshape(arr.shape)
+    km2 = np.bincount(inv, weights=w[fg], minlength=len(reps))
+    return reps, km2
+
+
+def region_area_km2(world_path: str, dataset: str = "kg") -> pd.DataFrame:
+    """Exact km² per connected region: (region_id, cls, km2), ordered.
+    The OBIA form of zonal statistics — the zone set is the segmented
+    regions themselves, not a polygon layer.
+
+    Same two-level shape as ``label_regions``; the float km² partials
+    follow the zonal determinism contract: one partial per
+    (tile, component) with a FIXED in-tile accumulation order, then a
+    driver combine over partials sorted by (region, cls, tile) using
+    numpy pairwise summation — bit-identical to the sequential oracle
+    that walks tiles in the same order."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from .extract import world_grid
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    grid = world_grid(world_path, grid_name)
+
+    class AreaKernel(RegionKernel):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx)):
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        want.add(model.media_ref(self.dataset, g.name,
+                                                 ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            memo: dict = {}
+            kind, a_o, b_o, cls_o, t_o, k_o = [], [], [], [], [], []
+
+            def seam(my, my_g, nb, nb_g):
+                m = (my != self.nodata) & (nb != self.nodata) & (my == nb)
+                if not m.any():
+                    return
+                pairs = np.unique(
+                    np.stack([my_g[m], nb_g[m]], axis=1), axis=0)
+                for pa_, pb_ in pairs:
+                    kind.append(1)
+                    a_o.append(int(pa_)); b_o.append(int(pb_))
+                    cls_o.append(0); t_o.append(0); k_o.append(0.0)
+
+            for ty, tx in tiles:
+                me = self._tile(ty, tx, payloads, memo)
+                if me is None:
+                    continue
+                arr, lab, nc = me
+                reps, km2 = _tile_region_km2(arr, lab, ty, g)
+                rep_g = self._gids(reps, ty, tx, nc)
+                rep_cls = arr.ravel()[reps]
+                tkey = ty * g.tiles_x + tx
+                for rg, rc, rk in zip(rep_g, rep_cls, km2):
+                    kind.append(0)
+                    a_o.append(int(rg)); b_o.append(-1)
+                    cls_o.append(int(rc)); t_o.append(tkey)
+                    k_o.append(float(rk))
+                lab_g = self._gids(lab.copy(), ty, tx, nc)
+                if tx + 1 < g.tiles_x:
+                    nb = self._tile(ty, tx + 1, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty, tx + 1, nnc)
+                        n = min(arr.shape[0], narr.shape[0])
+                        seam(arr[:n, -1], lab_g[:n, -1],
+                             narr[:n, 0], nlab_g[:n, 0])
+                if ty + 1 < g.tiles_y:
+                    nb = self._tile(ty + 1, tx, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty + 1, tx, nnc)
+                        n = min(arr.shape[1], narr.shape[1])
+                        seam(arr[-1, :n], lab_g[-1, :n],
+                             narr[0, :n], nlab_g[0, :n])
+            return pa.table({
+                "kind": pa.array(kind, pa.int8()),
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "cls": pa.array(cls_o, pa.int64()),
+                "tile": pa.array(t_o, pa.int64()),
+                "km2": pa.array(k_o, pa.float64())})
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(
+                 as_task_fn(AreaKernel, world_path=world_path,
+                            dataset=dataset, grid_name=grid_name,
+                            nodata=nodata),
+                 batch_format="pyarrow", batch_size=64)
+             .materialize())
+
+    pairs = parts.filter(expr="kind == 1").to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    comp = parts.filter(expr="kind == 0").to_pandas()
+    comp["region_id"] = comp["a"].map(lambda x: find(int(x)))
+    comp = comp.sort_values(["region_id", "cls", "tile"],
+                            kind="mergesort")
+    rows = []
+    for (rid, cls), g in comp.groupby(["region_id", "cls"], sort=True):
+        rows.append((int(rid), int(cls),
+                     float(g["km2"].to_numpy(dtype=np.float64).sum())))
+    out = pd.DataFrame(rows, columns=["region_id", "cls", "km2"])
+    out["region_id"] = out["region_id"].astype(np.int64)
+    out["cls"] = out["cls"].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

@@ -667,3 +667,16 @@ def test_idw_raster_bit_exact_and_local(tiny_world):
     summ = asg.admin_spatial_summary(tiny_world)
     lo, hi = int(summ["n"].min()), int(summ["n"].max())
     assert mine["value"].between(lo - 1, hi).all()
+
+
+def test_region_area_km2_bit_exact_both_grids(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    for ds in ("kg", "lc"):
+        mine = rg.region_area_km2(tiny_world, ds)
+        exp = oracle.region_km2_oracle(SPEC, ds)
+        assert (mine.values == exp.values).all(), ds
+        # OBIA areas tie out against the region pixel counts: every
+        # region's km2 is positive and regions match label_regions
+        lab = rg.label_regions(tiny_world, ds)
+        assert set(mine["region_id"]) == set(lab["region_id"]), ds
+        assert (mine["km2"] > 0).all(), ds
