@@ -1461,3 +1461,109 @@ SELECT user_id, us AS valid_from_us,
        c AS value_cents
 FROM ch ORDER BY user_id, valid_from_us
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — the monitoring primitive: has the
+# level of a metric shifted, and when?
+# ---------------------------------------------------------------------------
+
+CUSUM_THRESHOLD_CENTS = 50_000   # |cusum| crossing that flags a shift
+
+
+def cusum_change_points(sf_dir: str) -> pd.DataFrame:
+    """Per event type: CUSUM statistics of the value stream in time
+    order — (event_type, mean_cents, max_abs_cusum, first_cross_id)
+    with cusum_i = Σ_{j<=i}(c_j − mean), mean the FLOOR per-type mean
+    in cents (exact integer), and first_cross_id the event_id of the
+    first |cusum| > threshold crossing (−1 if none). All int64.
+
+    Two passes: a tiny (type, Σc, n) aggregate fixes the per-type
+    floor mean; the scan pass folds each type's events into one
+    partition (types are few — the per-type prefix sum is inherently
+    sequential; ``pack_sequences`` shows the two-phase block-offset
+    prefix sum to use when one group outgrows a worker) and runs the
+    vectorized cumulative sum in (ts, event_id) order."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        us = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": pa.array(np.asarray(
+                b["event_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)),
+            "us": pa.array(us),
+            "c": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    means = (prepped.groupby("event_type")
+             .aggregate(Sum("c", alias_name="s"),
+                        Count(alias_name="n"))
+             .to_pandas())
+    mean_of = {r["event_type"]: int(r["s"]) // int(r["n"])
+               for _, r in means.iterrows()}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, ge in g.groupby("event_type", sort=False):
+            order = np.lexsort((ge["event_id"].to_numpy(np.int64),
+                                ge["us"].to_numpy(np.int64)))
+            c = ge["c"].to_numpy(np.int64)[order]
+            ids = ge["event_id"].to_numpy(np.int64)[order]
+            mu = mean_of[et]
+            cusum = np.cumsum(c - mu)
+            cross = np.flatnonzero(np.abs(cusum)
+                                   > CUSUM_THRESHOLD_CENTS)
+            rows.append((et, mu, int(np.abs(cusum).max()),
+                         int(ids[cross[0]]) if len(cross) else -1))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "mean_cents", "max_abs_cusum",
+            "first_cross_id"])
+
+    out = (prepped.groupby("event_type")
+           .map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    for c in ("mean_cents", "max_abs_cusum", "first_cross_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CUSUM_CHANGE_POINTS_SQL = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         ROUND(value * 100)::BIGINT AS c
+  FROM events),
+m AS (SELECT event_type, SUM(c) // COUNT(*) AS mu FROM e GROUP BY 1),
+s AS (
+  SELECT e.event_type, e.event_id,
+         SUM(e.c - m.mu) OVER (PARTITION BY e.event_type
+                               ORDER BY e.us, e.event_id
+                               ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM e JOIN m USING (event_type)),
+x AS (
+  SELECT event_type, MAX(ABS(cusum))::BIGINT AS max_abs_cusum
+  FROM s GROUP BY 1),
+f AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) AS rn
+  FROM (SELECT s.event_type, s.event_id, e.us, s.cusum
+        FROM s JOIN e USING (event_type, event_id)
+        WHERE ABS(s.cusum) > {CUSUM_THRESHOLD_CENTS})),
+fc AS (SELECT event_type, event_id AS first_cross_id
+       FROM f WHERE rn = 1)
+SELECT m.event_type, m.mu::BIGINT AS mean_cents,
+       x.max_abs_cusum,
+       COALESCE(fc.first_cross_id, -1)::BIGINT AS first_cross_id
+FROM m JOIN x USING (event_type)
+LEFT JOIN fc USING (event_type)
+ORDER BY m.event_type
+"""

@@ -1821,3 +1821,21 @@ def test_percent_rank_bounds(con):
     for _, g in out.groupby("event_type"):
         assert (g.loc[g["rank_lt"] == 0, "value_cents"]
                 == g["value_cents"].min()).all()
+
+
+def test_cusum_change_points_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.cusum_change_points(SF),
+                  temporal.CUSUM_CHANGE_POINTS_SQL, con)
+
+
+def test_cusum_crossing_consistency(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.cusum_change_points(SF)
+    # a recorded crossing implies the max exceeded the threshold,
+    # and no crossing implies it never did
+    crossed = out["first_cross_id"] >= 0
+    assert (out.loc[crossed, "max_abs_cusum"]
+            > temporal.CUSUM_THRESHOLD_CENTS).all()
+    assert (out.loc[~crossed, "max_abs_cusum"]
+            <= temporal.CUSUM_THRESHOLD_CENTS).all()
