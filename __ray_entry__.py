@@ -435,6 +435,20 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_buffer_zone(sf_dir: str):
+    """Buffer analysis (land within 8 px of water, km² per admin):
+    proximity halo × PIP claims × zonal float discipline — strict
+    bit equality vs the whole-array sequential oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.buffer_zone_km2(_world(), "lc", 210, 8)
+    oracle = _oracle_mod().buffer_zone_oracle(
+        fixtures.TINY, _world(), "lc", 210, 8)
+    if not (mine.values == oracle.values).all():
+        raise AssertionError("buffer zone != sequential oracle")
+    return mine
+
+
 def _spatial_region_km2(sf_dir: str):
     """OBIA zonal: exact km² per labeled region — strict bit equality
     (floats included) vs the sequential same-order oracle."""
@@ -1437,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_web_tiles": _spatial_web_tiles,
         "spatial_idw": _spatial_idw,
         "spatial_region_km2": _spatial_region_km2,
+        "spatial_buffer_zone": _spatial_buffer_zone,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

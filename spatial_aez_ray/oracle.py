@@ -748,3 +748,59 @@ def region_km2_oracle(spec, dataset: str) -> pd.DataFrame:
     out["region_id"] = out["region_id"].astype(np.int64)
     out["cls"] = out["cls"].astype(np.int64)
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+def buffer_zone_oracle(spec, world_path: str, dataset: str = "lc",
+                       target: int = 210, d_max: int = 8) -> pd.DataFrame:
+    """Sequential buffer-zone areas: whole-array capped distance (the
+    independent check of the halo algebra) + the SAME claims and
+    per-(tile, claim) float summation order as the kernel."""
+    from .geo import km2_block
+    from .pipelines.extract import build_zonal_index
+    from .pipelines.regions import proximity_distances
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    present = np.zeros((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+            present[y:y + nr, x:x + nc] = True
+    dist = proximity_distances(full, int(target), int(d_max))
+    index = build_zonal_index(world_path)
+    rows = []
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            if not present[y:y + nr, x:x + nc].any():
+                continue
+            me = full[y:y + nr, x:x + nc]
+            band = ((dist[y:y + nr, x:x + nc] >= 1)
+                    & (dist[y:y + nr, x:x + nc] <= d_max)
+                    & (me != nodata))
+            if not band.any():
+                continue
+            w = km2_block(nr, nc, ty * grid.tile, grid)
+            for fidx, admin, mask in index.assign_tile(grid, ty, tx):
+                sel = band & mask
+                if not sel.any():
+                    continue
+                rows.append((admin, int(fidx), ty, tx,
+                             float(w[sel].sum())))
+    df = pd.DataFrame(rows, columns=["admin", "fidx", "ty", "tx",
+                                     "km2"])
+    df = df.sort_values(["admin", "fidx", "ty", "tx"],
+                        kind="mergesort")
+    out = []
+    for admin, g in df.groupby("admin", sort=True):
+        total = 0.0
+        for v in g["km2"].to_numpy(dtype=np.float64):
+            total += v
+        out.append((admin, total))
+    return pd.DataFrame(out, columns=["admin", "km2"])

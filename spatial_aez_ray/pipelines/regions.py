@@ -637,3 +637,141 @@ def region_area_km2(world_path: str, dataset: str = "kg") -> pd.DataFrame:
     out["region_id"] = out["region_id"].astype(np.int64)
     out["cls"] = out["cls"].astype(np.int64)
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# buffer_zone_km2 — buffer analysis (riparian/coastal zone): exact km²
+# of land within a distance band of a target class, per admin — the
+# three-engine composition (proximity halo × PIP claims × zonal float
+# discipline)
+# ---------------------------------------------------------------------------
+
+def buffer_zone_km2(world_path: str, dataset: str = "lc",
+                    target: int = 210, d_max: int = 8,
+                    index=None) -> pd.DataFrame:
+    """Per-admin km² of pixels whose city-block distance to the
+    nearest ``target`` pixel is in [1, d_max] (the buffer band: land
+    near water, excluding water itself). Returns (admin, km2),
+    ordered by admin — bit-exact vs the sequential oracle.
+
+    One shuffle-free pass: the d_max halo comes from the 8 neighbors
+    by derived ref (the proximity kernel), claims from the broadcast
+    PolygonIndex (the zonal kernel), and the float sums follow the
+    zonal determinism contract — one partial per (tile, claim) with
+    fixed in-tile summation, combined in (admin, feature, tile)
+    order on the bins-sized partial table."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from ..geo import km2_block
+    from .extract import build_zonal_index, world_grid
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    grid = world_grid(world_path, grid_name)
+    if index is None:
+        index = build_zonal_index(world_path)
+
+    class BufferKernel:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.index = index
+            self.grid = grid
+
+        def _arr(self, ty, tx, payloads):
+            g = self.grid
+            if not (0 <= ty < g.tiles_y and 0 <= tx < g.tiles_x):
+                return None
+            p = payloads.get(model.media_ref(dataset, g.name, ty, tx, 1))
+            if p is None:
+                return None
+            _, _, nc, nr = g.tile_window(ty, tx)
+            return np.frombuffer(p, np.uint8,
+                                 count=nr * nc).reshape(nr, nc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                            want.add(model.media_ref(
+                                dataset, g.name, ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            h = d_max
+            admins, fidxs, tys, txs, kms = [], [], [], [], []
+            for ty, tx in tiles:
+                me = self._arr(ty, tx, payloads)
+                if me is None:
+                    continue
+                nr, nc = me.shape
+                pad = np.full((nr + 2 * h, nc + 2 * h), nodata,
+                              dtype=np.uint8)
+                pad[h:h + nr, h:h + nc] = me
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        nb = self._arr(ty + dy, tx + dx, payloads)
+                        if nb is None:
+                            continue
+                        hh, ww = nb.shape
+                        rs = (slice(hh - h, hh) if dy < 0
+                              else slice(0, h) if dy > 0
+                              else slice(0, hh))
+                        cs = (slice(ww - h, ww) if dx < 0
+                              else slice(0, h) if dx > 0
+                              else slice(0, ww))
+                        sub = nb[rs, cs]
+                        pr = (slice(h - sub.shape[0], h) if dy < 0
+                              else slice(h + nr, h + nr + sub.shape[0])
+                              if dy > 0 else slice(h, h + sub.shape[0]))
+                        pc_ = (slice(h - sub.shape[1], h) if dx < 0
+                               else slice(h + nc, h + nc + sub.shape[1])
+                               if dx > 0
+                               else slice(h, h + sub.shape[1]))
+                        pad[pr, pc_] = sub
+                dist = proximity_distances(pad, target, d_max)[
+                    h:h + nr, h:h + nc]
+                band = (dist >= 1) & (dist <= d_max) & (me != nodata)
+                if not band.any():
+                    continue
+                w = km2_block(nr, nc, ty * g.tile, g)
+                for fidx, admin, mask in self.index.assign_tile(
+                        g, ty, tx):
+                    sel = band & mask
+                    if not sel.any():
+                        continue
+                    admins.append(admin)
+                    fidxs.append(int(fidx))
+                    tys.append(ty); txs.append(tx)
+                    kms.append(float(w[sel].sum()))
+            return pa.table({
+                "admin": pa.array(admins, pa.string()),
+                "fidx": pa.array(fidxs, pa.int32()),
+                "ty": pa.array(tys, pa.int32()),
+                "tx": pa.array(txs, pa.int32()),
+                "km2": pa.array(kms, pa.float64())})
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(as_task_fn(BufferKernel),
+                          batch_format="pyarrow", batch_size=64)
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"admin": pd.Series([], dtype=object),
+                             "km2": pd.Series([], dtype=np.float64)})
+    parts = parts.sort_values(["admin", "fidx", "ty", "tx"],
+                              kind="mergesort")
+    rows = []
+    for admin, g_ in parts.groupby("admin", sort=True):
+        total = 0.0
+        for v in g_["km2"].to_numpy(dtype=np.float64):
+            total += v
+        rows.append((admin, total))
+    return pd.DataFrame(rows, columns=["admin", "km2"])

@@ -680,3 +680,15 @@ def test_region_area_km2_bit_exact_both_grids(tiny_world):
         lab = rg.label_regions(tiny_world, ds)
         assert set(mine["region_id"]) == set(lab["region_id"]), ds
         assert (mine["km2"] > 0).all(), ds
+
+
+def test_buffer_zone_km2_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    mine = rg.buffer_zone_km2(tiny_world, "lc", 210, 8)
+    exp = oracle.buffer_zone_oracle(SPEC, tiny_world, "lc", 210, 8)
+    assert (mine.values == exp.values).all()
+    # the buffer band is a strict subset of each admin's land area
+    zon = extract.zonal_stats(tiny_world, "lc")
+    totals = zon.sum(axis=1)
+    for _, r in mine.iterrows():
+        assert 0 < r["km2"] <= totals.loc[r["admin"]] + 1e-6
