@@ -435,6 +435,22 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_hist_match(sf_dir: str):
+    """Histogram matching (radiometric normalization): the integer
+    CDF-specification LUT from two distributed histogram passes,
+    bit-exact vs the whole-array oracle; monotone by construction."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import downsample
+    mine = downsample.histogram_match_report(_world())
+    oracle = _oracle_mod().histogram_match_oracle(fixtures.TINY)
+    if not mine.equals(oracle):
+        raise AssertionError("histogram match != whole-array oracle")
+    mv = mine["matched_value"].to_numpy()
+    if not (mv[1:] >= mv[:-1]).all():
+        raise AssertionError("matching LUT must be monotone")
+    return mine
+
+
 def _spatial_buffer_zone(sf_dir: str):
     """Buffer analysis (land within 8 px of water, km² per admin):
     proximity halo × PIP claims × zonal float discipline — strict
@@ -1452,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_idw": _spatial_idw,
         "spatial_region_km2": _spatial_region_km2,
         "spatial_buffer_zone": _spatial_buffer_zone,
+        "spatial_hist_match": _spatial_hist_match,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

@@ -804,3 +804,42 @@ def buffer_zone_oracle(spec, world_path: str, dataset: str = "lc",
             total += v
         out.append((admin, total))
     return pd.DataFrame(out, columns=["admin", "km2"])
+
+
+def histogram_match_oracle(spec, src_dataset: str = "kg",
+                           ref_dataset: str = "lc") -> pd.DataFrame:
+    """Sequential histogram matching over the assembled whole arrays
+    (present tiles only — the pipeline's doc scan sees exactly these
+    pixels) with the same integer CDF-matching rule."""
+    from .pipelines.downsample import match_histogram_lut
+
+    def whole_hist(dataset):
+        grid = spec.grid(fixtures.DATASET_GRID[dataset])
+        land_idx = fixtures.land_index(spec.seed)
+        h = np.zeros(256, dtype=np.int64)
+        for ty in range(grid.tiles_y):
+            for tx in range(grid.tiles_x):
+                arrs = fixtures.tile_arrays(spec, dataset, ty, tx,
+                                            land_idx)
+                if arrs is None:
+                    continue
+                h += np.bincount(arrs[0].ravel(), minlength=256)
+        return h
+
+    nodata = fixtures.DATASET_NODATA[src_dataset]
+    hs = whole_hist(src_dataset)
+    hr = whole_hist(ref_dataset)
+    lut = match_histogram_lut(hs, hr, int(nodata))
+    hs2 = hs.copy()
+    hs2[int(nodata)] = 0
+    vals = np.flatnonzero(hs2)
+    out = pd.DataFrame({
+        "value": vals.astype(np.int64),
+        "n_src": hs2[vals],
+        "matched_value": lut[vals].astype(np.int64)})
+    mass = (out.groupby("matched_value", as_index=False)["n_src"]
+            .sum().rename(columns={"n_src": "n_matched"}))
+    out = out.merge(mass, on="matched_value")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("value").reset_index(drop=True)

@@ -324,3 +324,97 @@ def equalize_tiles(world_path: str, dataset: str, out_dir: str, *,
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# histogram matching (histogram specification): map one raster's value
+# distribution onto another's — the multi-sensor radiometric
+# normalization step (match scene B to reference scene A before
+# mosaicking / change detection)
+# ---------------------------------------------------------------------------
+
+def match_histogram_lut(hist_src: np.ndarray, hist_ref: np.ndarray,
+                        nodata: int) -> np.ndarray:
+    """256-entry histogram-specification LUT: src value v maps to the
+    smallest ref value r with cdf_ref(r)·n_src >= cdf_src(v)·n_ref —
+    the CDF-matching rule in exact cross-multiplied integers (no
+    float quantile anywhere). nodata maps to itself and is excluded
+    from both CDFs."""
+    hs = hist_src.astype(np.int64).copy()
+    hr = hist_ref.astype(np.int64).copy()
+    hs[nodata] = 0
+    hr[nodata] = 0
+    cs = np.cumsum(hs)
+    cr = np.cumsum(hr)
+    n_s, n_r = int(cs[-1]), int(cr[-1])
+    lut = np.zeros(256, dtype=np.uint8)
+    if n_s and n_r:
+        # for each src value: first ref bin whose scaled CDF reaches it
+        targets = cs * n_r                     # (256,) int64
+        scaled_ref = cr * n_s
+        lut[:] = np.searchsorted(scaled_ref, targets,
+                                 side="left").clip(0, 255)
+    lut[nodata] = nodata
+    return lut
+
+
+def dataset_histogram(world_path: str, dataset: str) -> np.ndarray:
+    """Global 256-bin value histogram of a dataset's band 1 — one
+    histogram partial per block, summed on the driver (256 ints)."""
+    from .. import model
+    from ..sources.documents import MediaStore, read_documents
+
+    class Hist:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            refs = [model.media_refs(s)[0]
+                    for s in b["spans"].to_pylist()]
+            payloads = self.media.fetch(refs)
+            h = np.zeros(256, dtype=np.int64)
+            for r in refs:
+                h += np.bincount(np.frombuffer(payloads[r], np.uint8),
+                                 minlength=256)
+            return pa.table({"bin": pa.array(np.arange(256,
+                                                       dtype=np.int64)),
+                             "cnt": pa.array(h)})
+
+    docs = read_documents(world_path, [dataset],
+                          columns=["doc_id", "spans"])
+    df = (docs.map_batches(Hist, batch_format="pyarrow",
+                           concurrency=(1, 4))
+          .to_pandas().groupby("bin", as_index=False)["cnt"].sum())
+    hist = np.zeros(256, dtype=np.int64)
+    hist[df["bin"].to_numpy()] = df["cnt"].to_numpy()
+    return hist
+
+
+def histogram_match_report(world_path: str, src_dataset: str = "kg",
+                           ref_dataset: str = "lc") -> pd.DataFrame:
+    """Match ``src_dataset``'s value distribution onto
+    ``ref_dataset``'s: returns the non-empty LUT rows (value, n_src,
+    matched_value, n_matched) where n_matched is the src mass landing
+    on each matched value — the verifiable core of the normalization
+    (the remap pass itself is ``equalize_tiles``'s stateless LUT
+    apply with this LUT swapped in)."""
+    from .. import model
+
+    layout = model.world_layout(world_path)
+    nodata = int(layout[src_dataset]["nodata"])
+    hs = dataset_histogram(world_path, src_dataset)
+    hr = dataset_histogram(world_path, ref_dataset)
+    lut = match_histogram_lut(hs, hr, nodata)
+    hs2 = hs.copy()
+    hs2[nodata] = 0
+    vals = np.flatnonzero(hs2)
+    out = pd.DataFrame({
+        "value": vals.astype(np.int64),
+        "n_src": hs2[vals],
+        "matched_value": lut[vals].astype(np.int64)})
+    mass = (out.groupby("matched_value", as_index=False)["n_src"]
+            .sum().rename(columns={"n_src": "n_matched"}))
+    out = out.merge(mass, on="matched_value")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("value").reset_index(drop=True)

@@ -161,3 +161,26 @@ def test_png_decode_bounded_against_crafted_input():
             + P._chunk(b"IDAT", short) + P._chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="truncated"):
         decode_png(data)
+
+
+def test_histogram_match_bit_exact_and_monotone(tiny_world):
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import downsample as dsm
+    mine = dsm.histogram_match_report(tiny_world)
+    assert mine.equals(oracle.histogram_match_oracle(fixtures.TINY))
+    mv = mine["matched_value"].to_numpy()
+    assert (mv[1:] >= mv[:-1]).all()      # CDF matching is monotone
+    # mass conservation: every src pixel lands somewhere
+    assert mine.drop_duplicates("matched_value")["n_matched"].sum() \
+        == mine["n_src"].sum()
+
+
+def test_match_histogram_lut_identity():
+    import numpy as np
+    from spatial_aez_ray.pipelines.downsample import match_histogram_lut
+    h = np.zeros(256, dtype=np.int64)
+    h[[3, 7, 200]] = [10, 20, 5]
+    lut = match_histogram_lut(h, h, nodata=255)
+    # matching a histogram to itself maps occupied values to themselves
+    assert lut[3] == 3 and lut[7] == 7 and lut[200] == 200
+    assert lut[255] == 255
