@@ -1567,3 +1567,99 @@ FROM m JOIN x USING (event_type)
 LEFT JOIN fc USING (event_type)
 ORDER BY m.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives — the WAU/MAU product metric: distinct
+# users in a trailing window per bucket (hour-granular here; the
+# day/week form is the same machinery with a different bucket width)
+# ---------------------------------------------------------------------------
+
+RAU_WINDOW = 6   # trailing buckets (inclusive) per target hour
+
+
+def rolling_active_users(sf_dir: str,
+                         window: int = RAU_WINDOW) -> pd.DataFrame:
+    """(hour, n_active): distinct users active in [hour−window+1,
+    hour] for every hour with >= 1 event. COUNT(DISTINCT) does not
+    window, so the classic exact decomposition: dedupe to the ACTIVES
+    table (distinct (user, hour) — bounded by users × hours, never
+    event count), fan each active out to the <= ``window`` target
+    hours it supports, dedupe (target, user), count per target.
+
+    Shuffle shape: both dedupes move 8-byte PACKED keys pre-deduped
+    per batch (the exact-dedup discipline; the two-int64 groupby is
+    packed into ONE key — the multi-key sort-groupby measured 10×
+    slower on pair tables)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def actives(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        hr = ((b["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64))
+              // 3_600_000_000)
+        key = np.unique(uid * np.int64(1 << 24) + (hr & ((1 << 24) - 1)))
+        return pa.table({"key": pa.array(key)})
+
+    act = (ds.map_batches(actives, batch_format="pyarrow")
+           .groupby("key").count().drop_columns(["count()"]))
+
+    # hours present (tiny side: bounded by the calendar)
+    hours = np.unique(
+        act.map_batches(
+            lambda b: pa.table({"h": pa.array(np.unique(
+                np.asarray(b["key"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64) & ((1 << 24) - 1)))}),
+            batch_format="pyarrow").to_pandas()["h"].to_numpy(np.int64))
+    hset = ray.put(hours)
+
+    def fan(b: pa.Table) -> pa.Table:
+        hs = ray.get(hset)
+        key = np.asarray(b["key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        uid = key >> 24
+        hr = key & ((1 << 24) - 1)
+        outs = []
+        for off in range(window):
+            t = hr + off
+            ok = np.isin(t, hs)       # only hours that exist as targets
+            outs.append(uid[ok] * np.int64(1 << 24) + t[ok])
+        tk = np.unique(np.concatenate(outs))
+        return pa.table({"tkey": pa.array(tk)})
+
+    per_target = (act.map_batches(fan, batch_format="pyarrow")
+                  .groupby("tkey").count().drop_columns(["count()"])
+                  .map_batches(
+                      lambda b: pa.table({
+                          "hour": pa.array(np.asarray(
+                              b["tkey"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64) & ((1 << 24) - 1)),
+                          "n": pa.array(np.ones(b.num_rows, np.int64))}),
+                      batch_format="pyarrow")
+                  .groupby("hour")
+                  .aggregate(Count(alias_name="n_active"))
+                  .to_pandas())
+    out = per_target
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+RAU_EPOCH_HOURS = "epoch_us(ts) // 3600000000"
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id,
+         ({RAU_EPOCH_HOURS}) & ((1 << 24) - 1) AS h
+  FROM events),
+hrs AS (SELECT DISTINCT h FROM du),
+x AS (
+  SELECT hrs.h AS hour, du.user_id
+  FROM hrs JOIN du ON du.h BETWEEN hrs.h - {RAU_WINDOW} + 1 AND hrs.h)
+SELECT hour, COUNT(DISTINCT user_id)::BIGINT AS n_active
+FROM x GROUP BY hour ORDER BY hour
+"""

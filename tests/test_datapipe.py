@@ -1839,3 +1839,21 @@ def test_cusum_crossing_consistency(con):
             > temporal.CUSUM_THRESHOLD_CENTS).all()
     assert (out.loc[~crossed, "max_abs_cusum"]
             <= temporal.CUSUM_THRESHOLD_CENTS).all()
+
+
+def test_rolling_active_users_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.rolling_active_users(SF),
+                  temporal.ROLLING_ACTIVE_USERS_SQL, con)
+
+
+def test_rolling_active_users_dominates_hourly(con):
+    from spatial_aez_ray.datapipe import temporal
+    out = temporal.rolling_active_users(SF)
+    hourly = con.execute("""
+        SELECT epoch_us(ts) // 3600000000 AS hour,
+               COUNT(DISTINCT user_id) AS n FROM events
+        GROUP BY 1""").fetchdf().set_index("hour")["n"]
+    # a trailing window can only see MORE distinct users than one hour
+    m = out.set_index("hour")["n_active"]
+    assert (m >= hourly.reindex(m.index).fillna(0)).all()
