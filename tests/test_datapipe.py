@@ -1857,3 +1857,22 @@ def test_rolling_active_users_dominates_hourly(con):
     # a trailing window can only see MORE distinct users than one hour
     m = out.set_index("hour")["n_active"]
     assert (m >= hourly.reindex(m.index).fillna(0)).all()
+
+
+def test_entry_registry_consistency():
+    """Every oracle has a query; every query is callable; no key is
+    registered twice (a dict would silently drop the first)."""
+    import ast
+    import __ray_entry__ as entry
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), set(o) - set(q)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+    # literal duplicate keys in the source would be silent dict drops
+    src = ast.parse(open("/root/repo/__ray_entry__.py").read())
+    for node in ast.walk(src):
+        if isinstance(node, ast.Dict):
+            ks = [k.value for k in node.keys
+                  if isinstance(k, ast.Constant)]
+            assert len(ks) == len(set(ks)), "duplicate registry key"
