@@ -1372,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations_orders": relational.fk_violations_orders,
         "drift_report": relational.drift_report,
         "events_percent_rank": relational.events_percent_rank,
+        "quantile_normalize": relational.quantile_normalize_events,
         # incrementally-maintained view == batch view, same oracle
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
@@ -1564,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_orders": relational.MERGE_UPSERT_ORDERS_SQL,
         "drift_report": relational.DRIFT_REPORT_SQL,
         "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
+        "quantile_normalize": relational.QUANTILE_NORMALIZE_EVENTS_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,

@@ -2334,3 +2334,84 @@ SELECT event_id, event_type,
          AS n_minus_1
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization — batch-effect correction: map each group's
+# value distribution onto the pooled distribution (the genomics /
+# feature-preprocessing discipline), exact integers
+# ---------------------------------------------------------------------------
+
+def quantile_normalize_events(sf_dir: str) -> pd.DataFrame:
+    """Per (event_type, value): the pooled-distribution value the
+    group's value maps to under CDF matching — target = smallest
+    pooled cents p with cdf_pool(p)·n_group >= cdf_group(v)·n_pool
+    (cross-multiplied integers, the histogram-matching rule on tables).
+    Returns (event_type, value_cents, n, norm_cents), ordered.
+
+    One histogram shuffle: blocks pre-reduce to (type, cents, n) rows
+    (plus the pooled histogram as the type-marginal of the same
+    table); the matching runs on the aggregated value-universe-sized
+    table — rows never shuffle, the percent_rank/winsorize shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(
+            b["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "cents": cents,
+                           "n": np.ones(len(cents), dtype=np.int64)})
+        g = df.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "cents"]))
+    pool = (hist.groupby("cents", as_index=False)["n"].sum()
+            .sort_values("cents"))
+    pv = pool["cents"].to_numpy(dtype=np.int64)
+    pc = np.cumsum(pool["n"].to_numpy(dtype=np.int64))
+    n_pool = int(pc[-1])
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        cg = np.cumsum(ns)
+        n_g = int(cg[-1])
+        # smallest pooled value whose scaled CDF reaches the group's
+        idx = np.searchsorted(pc * n_g, cg * n_pool, side="left")
+        norm = pv[np.minimum(idx, len(pv) - 1)]
+        for v, nn, nv in zip(vals, ns, norm):
+            rows.append((et, int(v), int(nn), int(nv)))
+    out = pd.DataFrame(rows, columns=["event_type", "value_cents",
+                                      "n", "norm_cents"])
+    for c in ("value_cents", "n", "norm_cents"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["event_type", "value_cents"])
+            .reset_index(drop=True))
+
+
+QUANTILE_NORMALIZE_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_type, ROUND(value * 100)::BIGINT AS v,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type, v, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cg,
+         SUM(n) OVER (PARTITION BY event_type) AS ng
+  FROM c),
+p AS (
+  SELECT v, SUM(n) AS pn FROM c GROUP BY v),
+pc AS (
+  SELECT v, SUM(pn) OVER (ORDER BY v) AS cp,
+         SUM(pn) OVER () AS np FROM p)
+SELECT g.event_type, g.v AS value_cents, g.n,
+       (SELECT MIN(pc.v) FROM pc
+        WHERE pc.cp * g.ng >= g.cg * pc.np)::BIGINT AS norm_cents
+FROM g ORDER BY g.event_type, g.v
+"""

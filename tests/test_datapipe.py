@@ -1876,3 +1876,17 @@ def test_entry_registry_consistency():
             ks = [k.value for k in node.keys
                   if isinstance(k, ast.Constant)]
             assert len(ks) == len(set(ks)), "duplicate registry key"
+
+
+def test_quantile_normalize_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.quantile_normalize_events(SF),
+                  relational.QUANTILE_NORMALIZE_EVENTS_SQL, con)
+
+
+def test_quantile_normalize_monotone_per_group(con):
+    from spatial_aez_ray.datapipe import relational
+    out = relational.quantile_normalize_events(SF)
+    for _, g in out.groupby("event_type"):
+        nv = g.sort_values("value_cents")["norm_cents"].to_numpy()
+        assert (nv[1:] >= nv[:-1]).all()   # CDF matching is monotone
