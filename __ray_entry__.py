@@ -435,6 +435,24 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_polygonize(sf_dir: str):
+    """gdal_polygonize: every region's vector rings must satisfy two
+    exact cross-checks against label_regions (computed by different
+    means): signed shoelace area == pixel count (discrete Green's
+    theorem) and unit-edge count == FRAGSTATS perimeter."""
+    from spatial_aez_ray.pipelines import regions
+    poly = regions.polygonize_regions(_world(), "kg")
+    lab = regions.label_regions(_world(), "kg")
+    m = poly.merge(lab, on="region_id")
+    if len(m) != len(lab):
+        raise AssertionError("polygonize region set != labeling")
+    if not (m["area_px"] == m["n_px"]).all():
+        raise AssertionError("shoelace area != pixel count")
+    if not (m["n_edges"] == m["perim"]).all():
+        raise AssertionError("ring edges != perimeter")
+    return poly.drop(columns=["wkb"])
+
+
 def _spatial_hist_match(sf_dir: str):
     """Histogram matching (radiometric normalization): the integer
     CDF-specification LUT from two distributed histogram passes,
@@ -1471,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_region_km2": _spatial_region_km2,
         "spatial_buffer_zone": _spatial_buffer_zone,
         "spatial_hist_match": _spatial_hist_match,
+        "spatial_polygonize": _spatial_polygonize,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

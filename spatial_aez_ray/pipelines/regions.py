@@ -775,3 +775,299 @@ def buffer_zone_km2(world_path: str, dataset: str = "lc",
             total += v
         rows.append((admin, total))
     return pd.DataFrame(rows, columns=["admin", "km2"])
+
+
+# ---------------------------------------------------------------------------
+# polygonize — raster regions -> vector boundary rings (gdal_polygonize):
+# the vector product the reference's own mask workflow starts from
+# ---------------------------------------------------------------------------
+
+def _side_exposed(kernel: RegionKernel, arr, ty, tx, payloads):
+    """Four boolean masks (top, bottom, left, right): pixel's side is
+    a region boundary — neighbor (incl. cross-seam / world edge /
+    hole) differs in class or is background."""
+    bg = kernel.nodata
+    fg = arr != bg
+    nr, nc = arr.shape
+    top = np.ones((nr, nc), dtype=bool)
+    bot = np.ones((nr, nc), dtype=bool)
+    left = np.ones((nr, nc), dtype=bool)
+    right = np.ones((nr, nc), dtype=bool)
+    same_v = fg[1:, :] & fg[:-1, :] & (arr[1:, :] == arr[:-1, :])
+    top[1:, :] = ~same_v
+    bot[:-1, :] = ~same_v
+    same_h = fg[:, 1:] & fg[:, :-1] & (arr[:, 1:] == arr[:, :-1])
+    left[:, 1:] = ~same_h
+    right[:, :-1] = ~same_h
+
+    def seam(dy, dx):
+        nb = kernel._arr(ty + dy, tx + dx, payloads)
+        if nb is None:
+            return
+        if dx == -1:
+            n = min(nr, nb.shape[0])
+            s = nb[:n, -1]
+            left[:n, 0] = ~(fg[:n, 0] & (s != bg) & (arr[:n, 0] == s))
+        elif dx == 1:
+            n = min(nr, nb.shape[0])
+            s = nb[:n, 0]
+            right[:n, -1] = ~(fg[:n, -1] & (s != bg)
+                              & (arr[:n, -1] == s))
+        elif dy == -1:
+            n = min(nc, nb.shape[1])
+            s = nb[-1, :n]
+            top[0, :n] = ~(fg[0, :n] & (s != bg) & (arr[0, :n] == s))
+        else:
+            n = min(nc, nb.shape[1])
+            s = nb[0, :n]
+            bot[-1, :n] = ~(fg[-1, :n] & (s != bg) & (arr[-1, :n] == s))
+
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        seam(dy, dx)
+    for m in (top, bot, left, right):
+        m &= fg
+    return top, bot, left, right
+
+
+def _chain_rings(edges: np.ndarray) -> list[np.ndarray]:
+    """Directed unit boundary edges (n, 4) int64 (x1, y1, x2, y2) ->
+    closed rings as (k, 2) vertex arrays (collinear runs compressed).
+    Interior lies consistently on one side (pixel-clockwise emission),
+    so exterior rings carry positive screen-clockwise shoelace area
+    and holes negative. At a shared corner (a region touching itself
+    diagonally) the walk takes the sharpest RIGHT turn relative to
+    the incoming direction — the standard contour-following rule that
+    keeps rings simple and the pairing deterministic."""
+    order = np.lexsort((edges[:, 3], edges[:, 2],
+                        edges[:, 1], edges[:, 0]))
+    edges = edges[order]
+    out_of: dict[tuple[int, int], list[int]] = {}
+    for i, (x1, y1, _x2, _y2) in enumerate(edges):
+        out_of.setdefault((int(x1), int(y1)), []).append(i)
+    used = np.zeros(len(edges), dtype=bool)
+    rings = []
+    for start in range(len(edges)):
+        if used[start]:
+            continue
+        verts = [(int(edges[start, 0]), int(edges[start, 1]))]
+        cur = start
+        while True:
+            used[cur] = True
+            x1, y1, x2, y2 = (int(edges[cur, 0]), int(edges[cur, 1]),
+                              int(edges[cur, 2]), int(edges[cur, 3]))
+            verts.append((x2, y2))
+            if (x2, y2) == verts[0]:
+                break
+            dx, dy = x2 - x1, y2 - y1
+            nxt = None
+            # right turn, straight, left turn (never reverse)
+            for cd in ((-dy, dx), (dx, dy), (dy, -dx)):
+                for j in out_of.get((x2, y2), ()):
+                    if used[j]:
+                        continue
+                    if (int(edges[j, 2]) - x2,
+                            int(edges[j, 3]) - y2) == cd:
+                        nxt = j
+                        break
+                if nxt is not None:
+                    break
+            assert nxt is not None, "open ring (boundary corrupt)"
+            cur = nxt
+        v = np.asarray(verts, dtype=np.int64)
+        keep = np.ones(len(v), dtype=bool)
+        d = np.diff(v, axis=0)
+        same = (np.sign(d[1:]) == np.sign(d[:-1])).all(axis=1) \
+            & ((d[1:] * d[:-1]).sum(axis=1) > 0)
+        keep[1:-1] = ~same
+        rings.append(v[keep])
+    return rings
+
+
+def polygonize_regions(world_path: str,
+                       dataset: str = "kg") -> pd.DataFrame:
+    """gdal_polygonize: every connected region becomes a closed vector
+    boundary (exterior ring + holes). Returns (region_id, cls,
+    n_rings, n_vertices, n_edges, area_px, wkb) with ``wkb`` the
+    lon/lat OGC polygon bytes (our from-scratch codec).
+
+    Exactness contract (asserted by the gate against ``label_regions``,
+    which computes both quantities by entirely different means): the
+    SIGNED shoelace area of a region's rings — exterior positive,
+    holes negative, in pixel units — equals its pixel count exactly
+    (interior edges cancel pairwise in the emission, a discrete
+    Green's theorem), and the unit-edge count equals the FRAGSTATS
+    perimeter.
+
+    Distributed shape: the per-tile pass emits boundary-sized
+    (comp, edge) rows + the usual seam pairs — pixels never leave the
+    workers; ring chaining runs per REGION in ``map_groups`` over the
+    root-mapped edge table (fold roots into coarse partitions at
+    planet scale — the LSH-bucket discipline)."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from .. import wkb as wkbmod
+    from .extract import world_grid
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    grid = world_grid(world_path, grid_name)
+
+    class PolyKernel(RegionKernel):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx),
+                               (ty, tx - 1), (ty - 1, tx)):
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        want.add(model.media_ref(self.dataset, g.name,
+                                                 ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            memo: dict = {}
+            kind, comp, x1o, y1o, x2o, y2o = [], [], [], [], [], []
+
+            def emit_edges(lab_g, rr, cc, ty, tx, side):
+                gx = tx * g.tile + cc
+                gy = ty * g.tile + rr
+                if side == "t":
+                    a = (gx, gy, gx + 1, gy)
+                elif side == "r":
+                    a = (gx + 1, gy, gx + 1, gy + 1)
+                elif side == "b":
+                    a = (gx + 1, gy + 1, gx, gy + 1)
+                else:
+                    a = (gx, gy + 1, gx, gy)
+                kind.extend([2] * len(rr))
+                comp.extend(lab_g[rr, cc].tolist())
+                x1o.extend(a[0].tolist()); y1o.extend(a[1].tolist())
+                x2o.extend(a[2].tolist()); y2o.extend(a[3].tolist())
+
+            def seam_pairs(my, my_g, nb, nb_g):
+                m = (my != self.nodata) & (nb != self.nodata) & (my == nb)
+                if not m.any():
+                    return
+                pairs = np.unique(
+                    np.stack([my_g[m], nb_g[m]], axis=1), axis=0)
+                for pa_, pb_ in pairs:
+                    kind.append(1)
+                    comp.append(int(pa_))
+                    x1o.append(int(pb_))
+                    y1o.append(0); x2o.append(0); y2o.append(0)
+
+            for ty, tx in tiles:
+                me = self._tile(ty, tx, payloads, memo)
+                if me is None:
+                    continue
+                arr, lab, nc = me
+                lab_g = self._gids(lab.copy(), ty, tx, nc)
+                top, bot, left, right = _side_exposed(
+                    self, arr, ty, tx, payloads)
+                for side, mask in (("t", top), ("b", bot),
+                                   ("l", left), ("r", right)):
+                    rr, cc = np.nonzero(mask)
+                    if len(rr):
+                        emit_edges(lab_g, rr, cc, ty, tx, side)
+                if tx + 1 < g.tiles_x:
+                    nb = self._tile(ty, tx + 1, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty, tx + 1, nnc)
+                        n = min(arr.shape[0], narr.shape[0])
+                        seam_pairs(arr[:n, -1], lab_g[:n, -1],
+                                   narr[:n, 0], nlab_g[:n, 0])
+                if ty + 1 < g.tiles_y:
+                    nb = self._tile(ty + 1, tx, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty + 1, tx, nnc)
+                        n = min(arr.shape[1], narr.shape[1])
+                        seam_pairs(arr[-1, :n], lab_g[-1, :n],
+                                   narr[0, :n], nlab_g[0, :n])
+            return pa.table({
+                "kind": pa.array(kind, pa.int8()),
+                "comp": pa.array(comp, pa.int64()),
+                "x1": pa.array(x1o, pa.int64()),
+                "y1": pa.array(y1o, pa.int64()),
+                "x2": pa.array(x2o, pa.int64()),
+                "y2": pa.array(y2o, pa.int64())})
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(
+                 as_task_fn(PolyKernel, world_path=world_path,
+                            dataset=dataset, grid_name=grid_name,
+                            nodata=nodata),
+                 batch_format="pyarrow", batch_size=64)
+             .materialize())
+
+    pairs = parts.filter(expr="kind == 1").to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(pairs.get("comp", []), pairs.get("x1", [])):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = {x: find(x) for x in list(parent)}
+    keys = np.array(sorted(roots), dtype=np.int64)
+    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    bc = ray.put((keys, vals))
+
+    def remap(b: pa.Table) -> pa.Table:
+        ks, vs = ray.get(bc)
+        c = b["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks):
+            loc = np.searchsorted(ks, c)
+            hit = (loc < len(ks)) & (ks[np.minimum(loc, len(ks) - 1)]
+                                     == c)
+            c = np.where(hit, vs[np.minimum(loc, len(ks) - 1)], c)
+        return pa.table({"region_id": pa.array(c),
+                         "x1": b["x1"], "y1": b["y1"],
+                         "x2": b["x2"], "y2": b["y2"]})
+
+    def assemble(gdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, ge in gdf.groupby("region_id", sort=False):
+            e = ge[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.int64)
+            rings = _chain_rings(e)
+            area2 = 0
+            nverts = 0
+            for r in rings:
+                area2 += int((r[:-1, 0] * r[1:, 1]
+                              - r[1:, 0] * r[:-1, 1]).sum())
+                nverts += len(r) - 1
+            lonlat = []
+            for r in rings:
+                lon = grid.x_min + r[:, 0].astype(np.float64) \
+                    * grid.x_size
+                lat = grid.y_min + r[:, 1].astype(np.float64) \
+                    * grid.y_size
+                lonlat.append(np.stack([lon, lat], axis=1))
+            wkb_bytes = wkbmod.dumps([[lonlat[0]] + lonlat[1:]])
+            rows.append((int(rid), len(rings), nverts, len(e),
+                         area2 // 2, wkb_bytes))
+        return pd.DataFrame(rows, columns=[
+            "region_id", "n_rings", "n_vertices", "n_edges",
+            "area_px", "wkb"])
+
+    out = (parts.filter(expr="kind == 2")
+           .map_batches(remap, batch_format="pyarrow")
+           .groupby("region_id")
+           .map_groups(assemble, batch_format="pandas")
+           .to_pandas())
+    for c in ("region_id", "n_rings", "n_vertices", "n_edges",
+              "area_px"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

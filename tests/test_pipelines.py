@@ -692,3 +692,57 @@ def test_buffer_zone_km2_bit_exact(tiny_world):
     totals = zon.sum(axis=1)
     for _, r in mine.iterrows():
         assert 0 < r["km2"] <= totals.loc[r["admin"]] + 1e-6
+
+
+def test_polygonize_invariants_both_grids(tiny_world):
+    from spatial_aez_ray import wkb
+    from spatial_aez_ray.pipelines import regions as rg
+    for ds in ("kg", "lc"):
+        poly = rg.polygonize_regions(tiny_world, ds)
+        lab = rg.label_regions(tiny_world, ds)
+        m = poly.merge(lab, on="region_id")
+        assert len(m) == len(lab), ds
+        assert (m["area_px"] == m["n_px"]).all(), ds
+        assert (m["n_edges"] == m["perim"]).all(), ds
+        # every WKB decodes; exterior ring is closed and non-trivial
+        g = wkb.loads(poly.iloc[0]["wkb"])
+        ext = g[0][0]
+        assert (ext[0] == ext[-1]).all() and len(ext) >= 5
+
+
+def test_chain_rings_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.regions import _chain_rings
+    # one unit pixel at (0,0): clockwise boundary, area +1
+    e = np.array([[0, 0, 1, 0], [1, 0, 1, 1],
+                  [1, 1, 0, 1], [0, 1, 0, 0]], dtype=np.int64)
+    rings = _chain_rings(e)
+    assert len(rings) == 1
+    r = rings[0]
+    area2 = int((r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]).sum())
+    assert area2 == 2          # shoelace doubles the +1 pixel
+    # 3x3 square with the middle missing: exterior + hole rings whose
+    # signed areas cancel to the 8 filled pixels
+    edges = []
+    for y in range(3):
+        for x in range(3):
+            if (x, y) == (1, 1):
+                continue
+            nb = {(x, y - 1): (x, y, x + 1, y),
+                  (x + 1, y): (x + 1, y, x + 1, y + 1),
+                  (x, y + 1): (x + 1, y + 1, x, y + 1),
+                  (x - 1, y): (x, y + 1, x, y)}
+            for (ny, nx_), edge in zip(
+                    [(y - 1, x), (y, x + 1), (y + 1, x), (y, x - 1)],
+                    [nb[(x, y - 1)], nb[(x + 1, y)],
+                     nb[(x, y + 1)], nb[(x - 1, y)]]):
+                inside = 0 <= ny <= 2 and 0 <= nx_ <= 2 \
+                    and (nx_, ny) != (1, 1)
+                if not inside:
+                    edges.append(edge)
+    rings = _chain_rings(np.asarray(edges, dtype=np.int64))
+    assert len(rings) == 2
+    tot = 0
+    for r in rings:
+        tot += int((r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]).sum())
+    assert tot == 16           # (9 - 1) pixels * 2
