@@ -435,6 +435,20 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_region_shapefile(sf_dir: str):
+    """Raster → vector → FILE: polygonized regions written as a real
+    .shp/.dbf pair (from-scratch codecs) and round-trip verified
+    ring-for-ring inside the op."""
+    import shutil
+    from spatial_aez_ray.pipelines import regions
+    d = os.path.join(_TMP, "regions_shp")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    base = os.path.join(d, "regions")
+    poly = regions.export_region_shapefile(_world(), "kg", base)
+    return poly.drop(columns=["wkb"])
+
+
 def _spatial_polygonize(sf_dir: str):
     """gdal_polygonize: every region's vector rings must satisfy two
     exact cross-checks against label_regions (computed by different
@@ -1490,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_buffer_zone": _spatial_buffer_zone,
         "spatial_hist_match": _spatial_hist_match,
         "spatial_polygonize": _spatial_polygonize,
+        "spatial_region_shapefile": _spatial_region_shapefile,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

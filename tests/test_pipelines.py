@@ -746,3 +746,18 @@ def test_chain_rings_semantics():
     for r in rings:
         tot += int((r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]).sum())
     assert tot == 16           # (9 - 1) pixels * 2
+
+
+def test_export_region_shapefile_roundtrip(tiny_world, tmp_path):
+    """Raster→vector→.shp/.dbf: the op round-trip verifies internally;
+    here additionally feed the written shapefile back through the
+    countries importer — the full loop raster → polygons → side table."""
+    from spatial_aez_ray.pipelines import regions as rg
+    from spatial_aez_ray.sources.shapefile import read_dbf
+    base = str(tmp_path / "regions")
+    poly = rg.export_region_shapefile(tiny_world, "kg", base)
+    attrs = read_dbf(base + ".dbf")
+    assert len(attrs) == len(poly)
+    lab = rg.label_regions(tiny_world, "kg")
+    want = {str(int(r)) for r in lab["region_id"]}
+    assert {a["REGION_ID"] for a in attrs} == want
