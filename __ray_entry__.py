@@ -435,6 +435,39 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_rasterize(sf_dir: str):
+    """gdal_rasterize (polygonize inverse): admin polygons burned to
+    a raster dataset with a deterministic precedence rule; per-admin
+    counts bit-equal to the sequential re-walk AND to a recount from
+    the WRITTEN tiles (the read-back closes the write path)."""
+    import shutil
+    import numpy as np
+    from spatial_aez_ray import model
+    from spatial_aez_ray.pipelines import assign
+    from spatial_aez_ray.sources.documents import (
+        MediaStore, read_documents_table,
+    )
+    out = os.path.join(_TMP, "rasterize")
+    shutil.rmtree(out, ignore_errors=True)
+    mine = assign.rasterize_admins(_world(), out)
+    oracle = _oracle_mod().rasterize_oracle(
+        __import__("spatial_aez_ray").fixtures.TINY, _world())
+    if not mine.equals(oracle):
+        raise AssertionError("rasterize counts != sequential oracle")
+    docs = read_documents_table(out, ["admin_raster"])
+    ms = MediaStore(out)
+    counts = np.zeros(256, dtype=np.int64)
+    for row in docs.to_pylist():
+        refs = model.media_refs(row["spans"])
+        counts += np.bincount(np.frombuffer(ms.fetch(refs)[refs[0]],
+                                            np.uint8), minlength=256)
+    got = {int(c): int(counts[c]) for c in np.flatnonzero(counts[1:]) + 1}
+    want = dict(zip(mine["code"].astype(int), mine["n_px"].astype(int)))
+    if got != want:
+        raise AssertionError("written raster recount != counts table")
+    return mine
+
+
 def _spatial_region_shapefile(sf_dir: str):
     """Raster → vector → FILE: polygonized regions written as a real
     .shp/.dbf pair (from-scratch codecs) and round-trip verified
@@ -1505,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_hist_match": _spatial_hist_match,
         "spatial_polygonize": _spatial_polygonize,
         "spatial_region_shapefile": _spatial_region_shapefile,
+        "spatial_rasterize": _spatial_rasterize,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

@@ -843,3 +843,37 @@ def histogram_match_oracle(spec, src_dataset: str = "kg",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("value").reset_index(drop=True)
+
+
+def rasterize_oracle(spec, world_path: str,
+                     grid_name: str = "g1") -> pd.DataFrame:
+    """Sequential rasterize re-walk with the identical burn rule,
+    counting per-admin pixels over the whole lattice."""
+    from .pipelines.extract import build_zonal_index, world_grid
+
+    index = build_zonal_index(world_path)
+    grid = world_grid(world_path, grid_name)
+    admins = sorted({f.admin for f in index.features
+                     if f.admin is not None})
+    code_of = {a: i + 1 for i, a in enumerate(admins)}
+    counts = np.zeros(len(admins) + 1, dtype=np.int64)
+    n_tiles = 0
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            _, _, ncols, nrows = grid.tile_window(ty, tx)
+            arr = np.zeros((nrows, ncols), dtype=np.uint8)
+            for fidx, admin, mask in sorted(
+                    index.assign_tile(grid, ty, tx),
+                    key=lambda c: -c[0]):
+                arr[mask] = code_of[admin]
+            if arr.any():
+                n_tiles += 1
+                counts += np.bincount(arr.ravel(),
+                                      minlength=len(admins) + 1)
+    rows = [(a, code_of[a], int(counts[code_of[a]]), n_tiles)
+            for a in admins if counts[code_of[a]]]
+    out = pd.DataFrame(rows, columns=["admin", "code", "n_px",
+                                      "n_tiles"])
+    for c in ("code", "n_px", "n_tiles"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("admin").reset_index(drop=True)

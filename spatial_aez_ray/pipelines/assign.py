@@ -22,7 +22,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from .. import cells
+from .. import cells, model
 from ..geo import GridSpec
 from ..sources.documents import MediaStore, read_documents
 from ..state.pipindex import PolygonIndex
@@ -523,3 +523,93 @@ def idw_raster(world_path: str, step: int = 8) -> "pd.DataFrame":
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["row", "col"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# rasterize — vector polygons -> raster dataset (gdal_rasterize, the
+# polygonize inverse; the reference's own mask-preparation stage as a
+# first-class raster product)
+# ---------------------------------------------------------------------------
+
+def rasterize_admins(world_path: str, out_dir: str,
+                     grid_name: str = "g1") -> "pd.DataFrame":
+    """Burn the admin polygon layer into a raster dataset
+    (``admin_raster`` in the world layout under ``out_dir``): pixel
+    value = 1 + sorted-admin index of the claiming feature, lowest
+    feature_idx winning where claims overlap (a DETERMINISTIC burn
+    order — gdal_rasterize's last-burned-wins made reproducible);
+    0 = unclaimed. All-unclaimed tiles are skipped (sparse ocean).
+    Returns (admin, code, n_px) per admin plus the written tile count
+    — the table the gate compares against a sequential re-walk.
+
+    Shuffle-free: one pass over the tile lattice, claims from the
+    broadcast PolygonIndex, atomic part writes (_RenderWriter);
+    per-admin counts are pre-reduced per batch."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..datapipe.util import as_task_fn
+    from .extract import build_zonal_index, world_grid
+    from .render import _RenderWriter
+
+    index = build_zonal_index(world_path)
+    grid = world_grid(world_path, grid_name)
+    admins = sorted({f.admin for f in index.features
+                     if f.admin is not None})
+    code_of = {a: i + 1 for i, a in enumerate(admins)}
+
+    class Burn:
+        def __init__(self):
+            self.index = index
+            self.writer = _RenderWriter(out_dir)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            rows = []
+            counts = np.zeros(len(admins) + 1, dtype=np.int64)
+            n_tiles = 0
+            for pid in b["id"].to_numpy(zero_copy_only=False):
+                ty, tx = int(pid) // grid.tiles_x, int(pid) % grid.tiles_x
+                x_off, y_off, ncols, nrows = grid.tile_window(ty, tx)
+                arr = np.zeros((nrows, ncols), dtype=np.uint8)
+                claims = self.index.assign_tile(grid, ty, tx)
+                # lowest feature wins: burn in DESCENDING order so
+                # later (lower) burns overwrite
+                for fidx, admin, mask in sorted(
+                        claims, key=lambda c: -c[0]):
+                    arr[mask] = code_of[admin]
+                if not arr.any():
+                    continue
+                n_tiles += 1
+                counts += np.bincount(arr.ravel(),
+                                      minlength=len(admins) + 1)
+                doc = model.make_document(
+                    "admin_raster", grid.name, ty, tx, x_off, y_off,
+                    ncols, nrows, bands=1, nodata=0)
+                rows.append({"doc_id": doc["doc_id"],
+                             "spans": doc["spans"],
+                             "media_ref": model.media_ref(
+                                 "admin_raster", grid.name, ty, tx, 1),
+                             "payload": arr.tobytes()})
+            if rows:
+                self.writer(pa.Table.from_pylist(rows))
+            nz = np.flatnonzero(counts[1:]) + 1
+            return pa.table({
+                "code": pa.array(np.r_[nz, [0]].astype(np.int64)),
+                "n_px": pa.array(np.r_[counts[nz],
+                                       [n_tiles]].astype(np.int64))})
+
+    agg = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(as_task_fn(Burn), batch_format="pyarrow",
+                        batch_size=16)
+           .groupby("code").aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    n_tiles = int(agg.loc[agg["code"] == 0, "n_px"].sum())
+    agg = agg[agg["code"] != 0].copy()
+    agg["admin"] = agg["code"].map(
+        {v: k for k, v in code_of.items()})
+    agg["n_tiles"] = np.int64(n_tiles)
+    for c in ("code", "n_px", "n_tiles"):
+        agg[c] = agg[c].astype(np.int64)
+    return (agg[["admin", "code", "n_px", "n_tiles"]]
+            .sort_values("admin").reset_index(drop=True))

@@ -761,3 +761,15 @@ def test_export_region_shapefile_roundtrip(tiny_world, tmp_path):
     lab = rg.label_regions(tiny_world, "kg")
     want = {str(int(r)) for r in lab["region_id"]}
     assert {a["REGION_ID"] for a in attrs} == want
+
+
+def test_rasterize_admins_bit_exact_and_readback(tiny_world, tmp_path):
+    from spatial_aez_ray.pipelines import assign as asg
+    out = str(tmp_path / "rast")
+    mine = asg.rasterize_admins(tiny_world, out)
+    assert mine.equals(oracle.rasterize_oracle(SPEC, tiny_world))
+    # precedence rule: summed burned pixels <= double-counted claims
+    cc = assign.cell_country(tiny_world).to_pandas()
+    assert mine["n_px"].sum() <= len(cc)
+    assert mine["n_px"].sum() == len(
+        cc.drop_duplicates(["cell_row", "cell_col"]))
