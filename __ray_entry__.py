@@ -435,6 +435,18 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_region_adjacency(sf_dir: str):
+    """Region adjacency graph (OBIA merge-rule input): edge-once pair
+    counts bit-exact vs whole-array labeling."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.region_adjacency(_world(), "kg")
+    oracle = _oracle_mod().region_adjacency_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("region adjacency != whole-array oracle")
+    return mine
+
+
 def _spatial_rasterize(sf_dir: str):
     """gdal_rasterize (polygonize inverse): admin polygons burned to
     a raster dataset with a deterministic precedence rule; per-admin
@@ -1539,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_polygonize": _spatial_polygonize,
         "spatial_region_shapefile": _spatial_region_shapefile,
         "spatial_rasterize": _spatial_rasterize,
+        "spatial_region_adjacency": _spatial_region_adjacency,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

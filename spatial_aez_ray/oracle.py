@@ -877,3 +877,40 @@ def rasterize_oracle(spec, world_path: str,
     for c in ("code", "n_px", "n_tiles"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("admin").reset_index(drop=True)
+
+
+def region_adjacency_oracle(spec, dataset: str) -> pd.DataFrame:
+    """Sequential region adjacency over the whole-array labels:
+    horizontal + vertical neighbor pairs with distinct non-background
+    labels, counted once each."""
+    from .pipelines.regions import label_components
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    lab = label_components(full, int(nodata))
+    pairs = {}
+    for ga, gb in ((lab[:, :-1], lab[:, 1:]),
+                   (lab[:-1, :], lab[1:, :])):
+        ok = (ga >= 0) & (gb >= 0) & (ga != gb)
+        lo = np.minimum(ga[ok], gb[ok])
+        hi = np.maximum(ga[ok], gb[ok])
+        key = np.stack([lo, hi], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        for (a, b), c in zip(uk, cnt):
+            pairs[(int(a), int(b))] = pairs.get((int(a), int(b)), 0) \
+                + int(c)
+    rows = [(a, b, n) for (a, b), n in sorted(pairs.items())]
+    out = pd.DataFrame(rows, columns=["region_a", "region_b",
+                                      "shared_edges"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1112,3 +1112,148 @@ def export_region_shapefile(world_path: str, dataset: str,
             [str(int(r)) for r in m["region_id"]]:
         raise AssertionError("attribute order drift")
     return poly
+
+
+# ---------------------------------------------------------------------------
+# region adjacency graph — which regions touch which (the OBIA
+# merge-rule / landscape-connectivity input), regions analog of
+# admin_adjacency
+# ---------------------------------------------------------------------------
+
+def region_adjacency(world_path: str, dataset: str = "kg") -> pd.DataFrame:
+    """(region_a, region_b, shared_edges) for every pair of DISTINCT
+    touching regions (region_a < region_b by canonical id), counting
+    4-neighbor pixel edges once: interior edges + ONLY right/bottom
+    seams per tile (the admin_adjacency discipline). Background
+    contributes nothing.
+
+    Per-tile pair partials are emitted against provisional component
+    ids; the usual seam union-find then REMAPS both endpoints before
+    the final grouped sum — pairs that turn out to be the same region
+    (merged across a different seam) drop out as self-pairs at that
+    stage, never earlier."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from .extract import world_grid
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    grid = world_grid(world_path, grid_name)
+
+    class AdjKernel(RegionKernel):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx)):
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        want.add(model.media_ref(self.dataset, g.name,
+                                                 ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            memo: dict = {}
+            kind, a_o, b_o, n_o = [], [], [], []
+
+            def pairs_from(ca, cb, ga, gb):
+                ok = (ga >= 0) & (gb >= 0) & (ga != gb)
+                if not ok.any():
+                    return
+                lo = np.minimum(ga[ok], gb[ok])
+                hi = np.maximum(ga[ok], gb[ok])
+                key = np.stack([lo, hi], axis=1)
+                uk, cnt = np.unique(key, axis=0, return_counts=True)
+                kind.extend([2] * len(uk))
+                a_o.extend(uk[:, 0].tolist())
+                b_o.extend(uk[:, 1].tolist())
+                n_o.extend(cnt.astype(np.int64).tolist())
+
+            def seam_pairs(my, my_g, nb, nb_g):
+                m = (my != self.nodata) & (nb != self.nodata) & (my == nb)
+                if m.any():
+                    pr = np.unique(
+                        np.stack([my_g[m], nb_g[m]], axis=1), axis=0)
+                    for pa_, pb_ in pr:
+                        kind.append(1)
+                        a_o.append(int(pa_)); b_o.append(int(pb_))
+                        n_o.append(0)
+
+            for ty, tx in tiles:
+                me = self._tile(ty, tx, payloads, memo)
+                if me is None:
+                    continue
+                arr, lab, nc = me
+                lab_g = self._gids(lab.copy(), ty, tx, nc)
+                pairs_from(arr[:, :-1], arr[:, 1:],
+                           lab_g[:, :-1], lab_g[:, 1:])
+                pairs_from(arr[:-1, :], arr[1:, :],
+                           lab_g[:-1, :], lab_g[1:, :])
+                if tx + 1 < g.tiles_x:
+                    nb = self._tile(ty, tx + 1, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty, tx + 1, nnc)
+                        n = min(arr.shape[0], narr.shape[0])
+                        pairs_from(arr[:n, -1], narr[:n, 0],
+                                   lab_g[:n, -1], nlab_g[:n, 0])
+                        seam_pairs(arr[:n, -1], lab_g[:n, -1],
+                                   narr[:n, 0], nlab_g[:n, 0])
+                if ty + 1 < g.tiles_y:
+                    nb = self._tile(ty + 1, tx, payloads, memo)
+                    if nb is not None:
+                        narr, nlab, nnc = nb
+                        nlab_g = self._gids(nlab.copy(), ty + 1, tx, nnc)
+                        n = min(arr.shape[1], narr.shape[1])
+                        pairs_from(arr[-1, :n], narr[0, :n],
+                                   lab_g[-1, :n], nlab_g[0, :n])
+                        seam_pairs(arr[-1, :n], lab_g[-1, :n],
+                                   narr[0, :n], nlab_g[0, :n])
+            return pa.table({
+                "kind": pa.array(kind, pa.int8()),
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "n": pa.array(n_o, pa.int64())})
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(
+                 as_task_fn(AdjKernel, world_path=world_path,
+                            dataset=dataset, grid_name=grid_name,
+                            nodata=nodata),
+                 batch_format="pyarrow", batch_size=64)
+             .materialize())
+
+    pairs = parts.filter(expr="kind == 1").to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    adj = parts.filter(expr="kind == 2").to_pandas()
+    ra = adj["a"].map(lambda x: find(int(x))).to_numpy(dtype=np.int64)
+    rb = adj["b"].map(lambda x: find(int(x))).to_numpy(dtype=np.int64)
+    lo = np.minimum(ra, rb)
+    hi = np.maximum(ra, rb)
+    keep = lo != hi        # cross-seam merges collapse to self-pairs
+    out = (pd.DataFrame({"region_a": lo[keep], "region_b": hi[keep],
+                         "shared_edges": adj["n"].to_numpy(
+                             dtype=np.int64)[keep]})
+           .groupby(["region_a", "region_b"], as_index=False)
+           ["shared_edges"].sum())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["region_a", "region_b"])
+            .reset_index(drop=True))

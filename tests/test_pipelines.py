@@ -773,3 +773,18 @@ def test_rasterize_admins_bit_exact_and_readback(tiny_world, tmp_path):
     assert mine["n_px"].sum() <= len(cc)
     assert mine["n_px"].sum() == len(
         cc.drop_duplicates(["cell_row", "cell_col"]))
+
+
+def test_region_adjacency_bit_exact_and_consistent(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    mine = rg.region_adjacency(tiny_world, "kg")
+    assert mine.equals(oracle.region_adjacency_oracle(SPEC, "kg"))
+    lab = rg.label_regions(tiny_world, "kg")
+    ids = set(lab["region_id"])
+    assert set(mine["region_a"]) <= ids and set(mine["region_b"]) <= ids
+    # adjacency edges are a subset of each region's perimeter edges
+    per = lab.set_index("region_id")["perim"]
+    deg = (mine.groupby("region_a")["shared_edges"].sum()
+           .add(mine.groupby("region_b")["shared_edges"].sum(),
+                fill_value=0))
+    assert (deg <= per.reindex(deg.index)).all()
