@@ -1410,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_hourly": temporal.gap_fill_hourly,
         "cusum_change_points": temporal.cusum_change_points,
         "rolling_active_users": temporal.rolling_active_users,
+        "association_pairs": temporal.association_pairs,
         "scd2_user_values": temporal.scd2_user_values,
         "embedding_gram": simsearch.embedding_gram,
         "cohort_retention": temporal.cohort_retention,
@@ -1596,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_hourly": temporal.GAP_FILL_HOURLY_SQL,
         "cusum_change_points": temporal.CUSUM_CHANGE_POINTS_SQL,
         "rolling_active_users": temporal.ROLLING_ACTIVE_USERS_SQL,
+        "association_pairs": temporal.ASSOCIATION_PAIRS_SQL,
         "scd2_user_values": temporal.SCD2_USER_VALUES_SQL,
         "embedding_gram": __import__(
             "spatial_aez_ray.datapipe.simsearch",

@@ -1663,3 +1663,85 @@ x AS (
 SELECT hour, COUNT(DISTINCT user_id)::BIGINT AS n_active
 FROM x GROUP BY hour ORDER BY hour
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules — market-basket co-occurrence over user behavior:
+# the "users who did A also did B" support/confidence/lift inputs
+# ---------------------------------------------------------------------------
+
+def association_pairs(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, n_a, n_b, n_both, n_users) for every unordered
+    event-type pair — the exact integer inputs of support
+    (n_both/n_users), confidence (n_both/n_a) and lift. One dedupe
+    shuffle: blocks pre-reduce to distinct (user, type) rows, the
+    per-user type set folds to a BITMASK (types are enumerable — one
+    uint8 per user instead of a pair explosion), and pair counts
+    derive from the tiny mask histogram."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        bits = np.array([bit_of[t] for t in b["event_type"].to_pylist()],
+                        dtype=np.int64)
+        df = pd.DataFrame({"user_id": uid, "m": bits})
+        g = df.groupby("user_id", as_index=False)["m"].agg(np.bitwise_or.reduce)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bitwise-OR is associative+commutative: Max has the same fixpoint
+    # only for single bits, so fold via groupby + OR-reduce per user
+    masks = (ds.map_batches(mask_partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .map_groups(lambda g: pd.DataFrame(
+                 {"user_id": [int(g["user_id"].iloc[0])],
+                  "m": [int(np.bitwise_or.reduce(
+                      g["m"].to_numpy(dtype=np.int64)))]}),
+                 batch_format="pandas")
+             .to_pandas())
+    mvals = masks["m"].to_numpy(dtype=np.int64)
+    n_users = len(mvals)
+    hist = np.bincount(mvals, minlength=1 << len(types))
+    rows = []
+    for i, a in enumerate(types):
+        for j in range(i + 1, len(types)):
+            b = types[j]
+            ba, bb = 1 << i, 1 << j
+            idx = np.arange(len(hist))
+            n_a = int(hist[(idx & ba) > 0].sum())
+            n_b = int(hist[(idx & bb) > 0].sum())
+            n_both = int(hist[((idx & ba) > 0) & ((idx & bb) > 0)].sum())
+            rows.append((a, b, n_a, n_b, n_both, n_users))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a",
+                                      "n_b", "n_both", "n_users"])
+    for c in ("n_a", "n_b", "n_both", "n_users"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+ASSOCIATION_PAIRS_SQL = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events),
+cnt AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM du GROUP BY 1),
+pairboth AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*)::BIGINT AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+       ca.n AS n_a, cb.n AS n_b,
+       COALESCE(bo.n_both, 0)::BIGINT AS n_both,
+       nu.n_users
+FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+JOIN cnt ca ON ca.event_type = ta.event_type
+JOIN cnt cb ON cb.event_type = tb.event_type
+LEFT JOIN pairboth bo ON bo.type_a = ta.event_type
+                 AND bo.type_b = tb.event_type
+CROSS JOIN nu
+ORDER BY type_a, type_b
+"""

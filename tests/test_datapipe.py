@@ -1890,3 +1890,13 @@ def test_quantile_normalize_monotone_per_group(con):
     for _, g in out.groupby("event_type"):
         nv = g.sort_values("value_cents")["norm_cents"].to_numpy()
         assert (nv[1:] >= nv[:-1]).all()   # CDF matching is monotone
+
+
+def test_association_pairs_exact(con):
+    from spatial_aez_ray.datapipe import temporal
+    _assert_match(temporal.association_pairs(SF),
+                  temporal.ASSOCIATION_PAIRS_SQL, con)
+    out = temporal.association_pairs(SF)
+    # support bounds: n_both <= min(n_a, n_b) <= n_users
+    assert (out["n_both"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert (out[["n_a", "n_b"]].max(axis=1) <= out["n_users"]).all()
