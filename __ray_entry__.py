@@ -435,6 +435,23 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_crosstab(sf_dir: str):
+    """Raster cross-tabulation (Tabulate Area / change matrix):
+    KG × LC contingency at the G3 grid, bit-exact vs the whole-array
+    oracle; total pixels must equal the full G3 lattice."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions
+    mine = regions.raster_crosstab(_world())
+    oracle = _oracle_mod().crosstab_oracle(fixtures.TINY)
+    oracle = oracle.sort_values(["cls_a", "cls_b"]).reset_index(drop=True)
+    if not mine.equals(oracle):
+        raise AssertionError("crosstab != whole-array oracle")
+    g3 = fixtures.TINY.grid("g3")
+    if int(mine["n_px"].sum()) != g3.width * g3.height:
+        raise AssertionError("crosstab does not cover the lattice")
+    return mine
+
+
 def _spatial_region_adjacency(sf_dir: str):
     """Region adjacency graph (OBIA merge-rule input): edge-once pair
     counts bit-exact vs whole-array labeling."""
@@ -1553,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_region_shapefile": _spatial_region_shapefile,
         "spatial_rasterize": _spatial_rasterize,
         "spatial_region_adjacency": _spatial_region_adjacency,
+        "spatial_crosstab": _spatial_crosstab,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

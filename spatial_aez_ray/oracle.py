@@ -914,3 +914,21 @@ def region_adjacency_oracle(spec, dataset: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def crosstab_oracle(spec, dataset_a: str = "kg",
+                    dataset_b: str = "lc") -> pd.DataFrame:
+    """Sequential cross-tabulation over the assembled full arrays
+    (full_raster fills kg holes with nodata and lc holes with 210 —
+    the same fills the kernel applies per tile)."""
+    from .geo import upsample3
+
+    a = full_raster(spec, dataset_a)[0]
+    b = full_raster(spec, dataset_b)[0]
+    key = (upsample3(a).astype(np.int64) << 8) + b.astype(np.int64)
+    hist = np.bincount(key.ravel(), minlength=1 << 16)
+    nz = np.flatnonzero(hist)
+    return pd.DataFrame({
+        "cls_a": (nz >> 8).astype(np.int64),
+        "cls_b": (nz & 255).astype(np.int64),
+        "n_px": hist[nz].astype(np.int64)})

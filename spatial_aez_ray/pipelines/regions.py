@@ -1257,3 +1257,89 @@ def region_adjacency(world_path: str, dataset: str = "kg") -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["region_a", "region_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# raster cross-tabulation — the change/confusion matrix between two
+# aligned rasters (ArcGIS "Tabulate Area" / land-change transition
+# matrix): which KG climates carry which land covers
+# ---------------------------------------------------------------------------
+
+def raster_crosstab(world_path: str, dataset_a: str = "kg",
+                    dataset_b: str = "lc",
+                    hole_b: int | None = 210) -> pd.DataFrame:
+    """(cls_a, cls_b, n_px) contingency table of two co-registered
+    rasters at the finer (G3) grid — ``dataset_a`` 3×3-upsampled
+    exactly like the AEZ align-join. Absent tiles fill with the
+    dataset's hole value (nodata; LC passes 210, its ocean-water
+    convention — the focal/full_raster discipline) so the whole-array
+    oracle sees identical inputs.
+
+    Shuffle-free: sibling refs DERIVE from the tile key (the J4
+    pattern — G1 and G3 tiles are index-aligned in the world layout),
+    one batched fetch, one 16-bit bincount per tile; partials are
+    <=classes² rows per block into a tiny grouped sum."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from ..geo import upsample3
+    from .extract import world_grid
+
+    layout = model.world_layout(world_path)
+    nodata_a = int(layout[dataset_a]["nodata"])
+    fill_b = int(layout[dataset_b]["nodata"]) if hole_b is None \
+        else int(hole_b)
+    g1 = world_grid(world_path, layout[dataset_a]["grid"])
+    g3 = world_grid(world_path, layout[dataset_b]["grid"])
+    if (g3.width, g3.height) != (g1.width * 3, g1.height * 3):
+        raise ValueError("crosstab expects the 3x-aligned grid pair")
+
+    class CrossKernel:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            refs = {}
+            for pid in ids:
+                ty, tx = int(pid) // g1.tiles_x, int(pid) % g1.tiles_x
+                refs[(ty, tx)] = (
+                    model.media_ref(dataset_a, g1.name, ty, tx, 1),
+                    model.media_ref(dataset_b, g3.name, ty, tx, 1))
+            flat = [r for pair in refs.values() for r in pair]
+            payloads = self.media.fetch(flat, strict=False)
+            hist = np.zeros(1 << 16, dtype=np.int64)
+            for (ty, tx), (ra, rb) in refs.items():
+                _, _, nc1, nr1 = g1.tile_window(ty, tx)
+                pa_ = payloads.get(ra)
+                a = (np.frombuffer(pa_, np.uint8,
+                                   count=nr1 * nc1).reshape(nr1, nc1)
+                     if pa_ is not None
+                     else np.full((nr1, nc1), nodata_a, np.uint8))
+                pb_ = payloads.get(rb)
+                b3 = (np.frombuffer(pb_, np.uint8,
+                                    count=nr1 * nc1 * 9)
+                      .reshape(nr1 * 3, nc1 * 3)
+                      if pb_ is not None
+                      else np.full((nr1 * 3, nc1 * 3), fill_b,
+                                   np.uint8))
+                key = (upsample3(a).astype(np.int64) << 8) \
+                    + b3.astype(np.int64)
+                hist += np.bincount(key.ravel(), minlength=1 << 16)
+            nz = np.flatnonzero(hist)
+            return pa.table({
+                "cls_a": pa.array((nz >> 8).astype(np.int64)),
+                "cls_b": pa.array((nz & 255).astype(np.int64)),
+                "n_px": pa.array(hist[nz])})
+
+    from ray.data.aggregate import Sum
+    out = (ray.data.range(g1.tiles_y * g1.tiles_x)
+           .map_batches(as_task_fn(CrossKernel),
+                        batch_format="pyarrow", batch_size=64)
+           .groupby(["cls_a", "cls_b"])
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["cls_a", "cls_b"])
+            .reset_index(drop=True))

@@ -788,3 +788,19 @@ def test_region_adjacency_bit_exact_and_consistent(tiny_world):
            .add(mine.groupby("region_b")["shared_edges"].sum(),
                 fill_value=0))
     assert (deg <= per.reindex(deg.index)).all()
+
+
+def test_raster_crosstab_bit_exact_and_marginals(tiny_world):
+    from spatial_aez_ray.pipelines import regions as rg
+    mine = rg.raster_crosstab(tiny_world)
+    exp = (oracle.crosstab_oracle(SPEC)
+           .sort_values(["cls_a", "cls_b"]).reset_index(drop=True))
+    assert mine.equals(exp)
+    # marginal over cls_b reproduces the upsampled-kg class histogram
+    import numpy as np
+    a = oracle.full_raster(SPEC, "kg")[0]
+    from spatial_aez_ray.geo import upsample3
+    want = np.bincount(upsample3(a).ravel(), minlength=256)
+    got = mine.groupby("cls_a")["n_px"].sum()
+    for cls, n in got.items():
+        assert want[cls] == n
