@@ -435,6 +435,18 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_aspect(sf_dir: str):
+    """gdaldem-family aspect: integer octant classification of the
+    Sobel gradient field, bit-exact vs the whole-array oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    mine = pyramid.focal_aspect(_world(), "kg")
+    oracle = _oracle_mod().aspect_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("aspect histogram != whole-array oracle")
+    return mine
+
+
 def _spatial_crosstab(sf_dir: str):
     """Raster cross-tabulation (Tabulate Area / change matrix):
     KG × LC contingency at the G3 grid, bit-exact vs the whole-array
@@ -1571,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_rasterize": _spatial_rasterize,
         "spatial_region_adjacency": _spatial_region_adjacency,
         "spatial_crosstab": _spatial_crosstab,
+        "spatial_aspect": _spatial_aspect,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

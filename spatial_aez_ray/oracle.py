@@ -932,3 +932,40 @@ def crosstab_oracle(spec, dataset_a: str = "kg",
         "cls_a": (nz >> 8).astype(np.int64),
         "cls_b": (nz & 255).astype(np.int64),
         "n_px": hist[nz].astype(np.int64)})
+
+
+def aspect_oracle(spec, dataset: str = "kg",
+                  hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential whole-array aspect histogram over present tiles,
+    identical hole padding to focal_gradient_oracle."""
+    from .pipelines.pyramid import aspect_codes, sobel_xy_int
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole,
+                  dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    # holes inside the lattice must pad with `hole`, like the kernel
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    gx, gy = sobel_xy_int(pad)
+    code = aspect_codes(gx, gy)
+    hist = np.zeros(9, dtype=np.int64)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            hist += np.bincount(code[y:y + nr, x:x + nc].ravel(),
+                                minlength=9)
+    nz = np.flatnonzero(hist)
+    return pd.DataFrame({"aspect_code": nz.astype(np.int64),
+                         "n_px": hist[nz].astype(np.int64)})

@@ -596,3 +596,127 @@ def export_web_tiles(world_path: str, dataset: str, pyramid_root: str,
     out = pd.DataFrame(rows, columns=["z", "n_tiles", "n_bytes"])
     return (out.sort_values("z", ascending=False)
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# focal aspect — gdaldem-family terrain direction: principal gradient
+# direction per pixel, all-integer octant classification
+# ---------------------------------------------------------------------------
+
+def sobel_xy_int(padded: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Signed integer Sobel (gx, gy) over a (+1)-padded array."""
+    a = padded.astype(np.int64)
+    gx = (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]
+          - a[:-2, :-2] - 2 * a[1:-1, :-2] - a[2:, :-2])
+    gy = (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]
+          - a[:-2, :-2] - 2 * a[:-2, 1:-1] - a[:-2, 2:])
+    return gx, gy
+
+
+def aspect_codes(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Principal-direction code per pixel, exact integer comparisons
+    (boundaries at 45°, diagonals exactly on |gx| == |gy| != 0):
+    0 flat, 1 E, 2 SE, 3 S, 4 SW, 5 W, 6 NW, 7 N, 8 NE (y down)."""
+    ax, ay = np.abs(gx), np.abs(gy)
+    code = np.zeros(gx.shape, dtype=np.int64)
+    horiz = ax > ay
+    code[horiz & (gx > 0)] = 1
+    code[horiz & (gx < 0)] = 5
+    vert = ay > ax
+    code[vert & (gy > 0)] = 3
+    code[vert & (gy < 0)] = 7
+    diag = (ax == ay) & (ax > 0)
+    code[diag & (gx > 0) & (gy > 0)] = 2
+    code[diag & (gx < 0) & (gy > 0)] = 4
+    code[diag & (gx < 0) & (gy < 0)] = 6
+    code[diag & (gx > 0) & (gy < 0)] = 8
+    return code
+
+
+def focal_aspect(world_path: str, dataset: str = "kg", *,
+                 hole_value: int | None = None) -> pd.DataFrame:
+    """(aspect_code, n_px) histogram of the dataset's principal
+    gradient directions — the gdaldem aspect product reduced to its
+    verifiable summary; same 1-px halo discipline as focal_gradient
+    (absent neighbors pad with the hole value, hole tiles emit no
+    rows), bit-exact vs the whole-array oracle."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    t, tiles_y, tiles_x = grid.tile, grid.tiles_y, grid.tiles_x
+    width, height = grid.width, grid.height
+
+    class Aspect:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def _dims(self, ty, tx):
+            return (min(t, height - ty * t), min(t, width - tx * t))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            plans, want = [], set()
+            for pid in ids:
+                ty, tx = int(pid) // tiles_x, int(pid) % tiles_x
+                nbrs = {}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < tiles_y and 0 <= nx < tiles_x:
+                            r = model.media_ref(dataset, grid.name,
+                                                ny, nx, 1)
+                            nbrs[(dy, dx)] = (ny, nx, r)
+                            want.add(r)
+                plans.append((ty, tx, nbrs))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            hist = np.zeros(9, dtype=np.int64)
+            for ty, tx, nbrs in plans:
+                me = payloads.get(nbrs[(0, 0)][2])
+                if me is None:
+                    continue
+                nr, nc = self._dims(ty, tx)
+                pad = np.full((nr + 2, nc + 2), hole, dtype=np.uint8)
+                for (dy, dx), (ny, nx, r) in nbrs.items():
+                    p = payloads.get(r)
+                    if p is None:
+                        continue
+                    hh, ww = self._dims(ny, nx)
+                    arr = np.frombuffer(p, np.uint8,
+                                        count=hh * ww).reshape(hh, ww)
+                    if dy == 0 and dx == 0:
+                        pad[1:1 + nr, 1:1 + nc] = arr
+                        continue
+                    rs = (slice(hh - 1, hh) if dy < 0
+                          else slice(0, 1) if dy > 0 else slice(0, hh))
+                    cs = (slice(ww - 1, ww) if dx < 0
+                          else slice(0, 1) if dx > 0 else slice(0, ww))
+                    sub = arr[rs, cs]
+                    pr = (slice(0, 1) if dy < 0
+                          else slice(nr + 1, nr + 2) if dy > 0
+                          else slice(1, 1 + sub.shape[0]))
+                    pc_ = (slice(0, 1) if dx < 0
+                           else slice(nc + 1, nc + 2) if dx > 0
+                           else slice(1, 1 + sub.shape[1]))
+                    pad[pr, pc_] = sub
+                gx, gy = sobel_xy_int(pad)
+                hist += np.bincount(aspect_codes(gx, gy).ravel(),
+                                    minlength=9)
+            nz = np.flatnonzero(hist)
+            return pa.table({"aspect_code": pa.array(nz.astype(np.int64)),
+                             "n_px": pa.array(hist[nz])})
+
+    from ray.data.aggregate import Sum
+    out = (ray.data.range(tiles_y * tiles_x)
+           .map_batches(as_task_fn(Aspect), batch_format="pyarrow",
+                        batch_size=16)
+           .groupby("aspect_code")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("aspect_code").reset_index(drop=True)

@@ -804,3 +804,19 @@ def test_raster_crosstab_bit_exact_and_marginals(tiny_world):
     got = mine.groupby("cls_a")["n_px"].sum()
     for cls, n in got.items():
         assert want[cls] == n
+
+
+def test_focal_aspect_bit_exact_both_grids(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    for ds, hv in (("kg", None), ("lc", 210)):
+        mine = pyr.focal_aspect(tiny_world, ds, hole_value=hv)
+        assert mine.equals(oracle.aspect_oracle(SPEC, ds, hole_value=hv)), ds
+
+
+def test_aspect_codes_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.pyramid import aspect_codes
+    gx = np.array([[0, 5, -5, 0, 0, 3, -3]])
+    gy = np.array([[0, 1, 1, 5, -5, 3, -3]])
+    # flat, E, W, S, N, SE, NW
+    assert aspect_codes(gx, gy).tolist() == [[0, 1, 5, 3, 7, 2, 6]]
