@@ -1077,6 +1077,28 @@ def _semantic_dedup(sf_dir: str):
     return mine
 
 
+def _merge_versioned(sf_dir: str):
+    """Snapshot-isolation MERGE: v2 verified by the SQL MERGE oracle;
+    the gate additionally asserts TIME TRAVEL — reading v1 after the
+    merge still returns the exact pre-merge snapshot."""
+    import shutil
+    from spatial_aez_ray.datapipe import relational
+    wd = os.path.join(_TMP, "merge_versioned")
+    shutil.rmtree(wd, ignore_errors=True)
+    v2 = relational.merge_upsert_versioned(sf_dir, wd)
+    v1 = relational.read_version(wd, 1)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'orders.parquet')}'")
+    base = con.execute(
+        "SELECT o_orderkey, ROUND(o_totalprice*100)::BIGINT AS "
+        "price_cents FROM orders ORDER BY o_orderkey").df()
+    if not (v1.values == base.values).all():
+        raise AssertionError("time travel to v1 broken by the merge")
+    return v2
+
+
 def _merge_upsert(sf_dir: str):
     """Lakehouse MERGE INTO (copy-on-write upsert): self-verifies in
     the op that untouched partitions stay byte-identical; the merged
@@ -1488,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_hll": sketch.incremental_hll_registers,
         "compact_parts": _compact_parts,
         "merge_upsert_orders": _merge_upsert,
+        "merge_time_travel": _merge_versioned,
         "snapshot_diff": _snapshot_diff,
         "pii_redaction": _pii_redaction,
         "jsonl_roundtrip": _jsonl_roundtrip,
@@ -1677,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,
         "merge_upsert_orders": relational.MERGE_UPSERT_ORDERS_SQL,
+        "merge_time_travel": relational.MERGE_UPSERT_ORDERS_SQL,
         "drift_report": relational.DRIFT_REPORT_SQL,
         "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
         "quantile_normalize": relational.QUANTILE_NORMALIZE_EVENTS_SQL,

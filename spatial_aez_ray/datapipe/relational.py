@@ -2415,3 +2415,121 @@ SELECT g.event_type, g.v AS value_cents, g.n,
         WHERE pc.cp * g.ng >= g.cg * pc.np)::BIGINT AS norm_cents
 FROM g ORDER BY g.event_type, g.v
 """
+
+
+# ---------------------------------------------------------------------------
+# versioned MERGE + time travel — snapshot isolation: an upsert creates
+# a NEW manifest over immutable parts; past versions stay readable
+# (the Iceberg/Delta time-travel contract)
+# ---------------------------------------------------------------------------
+
+def _manifest_path(workdir: str, version: int) -> str:
+    return os.path.join(workdir, f"manifest-v{version}.json")
+
+
+def _write_manifest(workdir: str, version: int,
+                    files: list[str]) -> None:
+    import json
+    tmp = _manifest_path(workdir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+    os.replace(tmp, _manifest_path(workdir, version))
+
+
+def read_version(workdir: str, version: int) -> pd.DataFrame:
+    """Time-travel read: the table AS OF ``version`` — exactly the
+    parts its manifest names, nothing newer."""
+    import json
+
+    import ray
+
+    with open(_manifest_path(workdir, version)) as f:
+        files = json.load(f)["files"]
+    out = (ray.data.read_parquet(
+               [os.path.join(workdir, p) for p in files],
+               columns=["o_orderkey", "price_cents"])
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def merge_upsert_versioned(sf_dir: str, workdir: str) -> pd.DataFrame:
+    """The MERGE of ``merge_upsert_orders`` under snapshot isolation:
+    version 1 = the bucket-partitioned base snapshot; the CDC delta
+    produces version 2 by writing NEW immutable part files for the
+    touched buckets and a new manifest referencing them plus every
+    untouched v1 part — NO file is ever modified or deleted, so
+    ``read_version(1)`` after the merge still returns the original
+    table byte-for-byte (asserted in-query). Returns the v2 table —
+    verified by the same SQL MERGE oracle."""
+    import glob
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    base_dir = os.path.join(workdir, "base")
+    delta_dir = os.path.join(workdir, "delta")
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def snap(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(keys),
+            "price_cents": pa.array(_cents(b["o_totalprice"])),
+            "bucket": pa.array(keys % MERGE_BUCKETS)})
+
+    ds.map_batches(snap, batch_format="pyarrow").write_parquet(
+        base_dir, partition_cols=["bucket"])
+    v1_files = [os.path.relpath(p, workdir) for p in
+                glob.glob(os.path.join(base_dir, "bucket=*", "*"))]
+    _write_manifest(workdir, 1, v1_files)
+    _merge_delta_tables(sf_dir).write_parquet(
+        delta_dir, partition_cols=["bucket"])
+
+    touched = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(delta_dir, "bucket=*")))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        new_files = []
+        for bucket in b["bucket"].to_pylist():
+            bdir = os.path.join(base_dir, f"bucket={bucket}")
+            ddir = os.path.join(delta_dir, f"bucket={bucket}")
+            delta = pq.read_table(ddir)
+            dkeys = np.asarray(delta["o_orderkey"].to_numpy(), np.int64)
+            cols = ["o_orderkey", "price_cents"]
+            if os.path.isdir(bdir):
+                old = pq.read_table(bdir, columns=cols)
+                okeys = np.asarray(old["o_orderkey"].to_numpy(),
+                                   np.int64)
+                keep = old.filter(pa.array(~np.isin(okeys, dkeys)))
+                final = pa.concat_tables([keep, delta.select(cols)])
+            else:
+                os.makedirs(bdir, exist_ok=True)
+                final = delta.select(cols)
+            order = np.argsort(
+                np.asarray(final["o_orderkey"].to_numpy(), np.int64),
+                kind="stable")
+            final = final.take(pa.array(order))
+            name = f"v2-{uuid.uuid4().hex[:12]}.parquet"
+            tmp = os.path.join(bdir, "." + name)
+            pq.write_table(final, tmp)
+            os.replace(tmp, os.path.join(bdir, name))
+            new_files.append(os.path.relpath(
+                os.path.join(bdir, name), workdir))
+        return pa.table({"bucket": b["bucket"],
+                         "file": pa.array(new_files, pa.string())})
+
+    rep = (ray.data.from_arrow(
+               pa.table({"bucket": pa.array(touched, pa.int64())}))
+           .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+           .to_pandas())
+    touched_dirs = {f"bucket={b}" for b in touched}
+    v2_files = [p for p in v1_files
+                if p.split(os.sep)[1] not in touched_dirs] \
+        + rep["file"].tolist()
+    _write_manifest(workdir, 2, v2_files)
+    return read_version(workdir, 2)

@@ -1900,3 +1900,19 @@ def test_association_pairs_exact(con):
     # support bounds: n_both <= min(n_a, n_b) <= n_users
     assert (out["n_both"] <= out[["n_a", "n_b"]].min(axis=1)).all()
     assert (out[["n_a", "n_b"]].max(axis=1) <= out["n_users"]).all()
+
+
+def test_merge_versioned_time_travel(con, tmp_path):
+    from spatial_aez_ray.datapipe import relational
+    v2 = relational.merge_upsert_versioned(SF, str(tmp_path))
+    _assert_match(v2, relational.MERGE_UPSERT_ORDERS_SQL, con)
+    v1 = relational.read_version(str(tmp_path), 1)
+    base = con.execute(
+        "SELECT o_orderkey, ROUND(o_totalprice*100)::BIGINT AS "
+        "price_cents FROM orders ORDER BY o_orderkey").fetchdf()
+    assert (v1.values == base.values).all()
+    # immutability: v1's manifest files all still exist untouched
+    import json, os
+    with open(str(tmp_path / "manifest-v1.json")) as f:
+        for p in json.load(f)["files"]:
+            assert os.path.exists(str(tmp_path / p))
