@@ -1502,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_report": relational.drift_report,
         "events_percent_rank": relational.events_percent_rank,
         "quantile_normalize": relational.quantile_normalize_events,
+        "revenue_rollup_hierarchy": relational.revenue_rollup_hierarchy,
         # incrementally-maintained view == batch view, same oracle
         "incremental_revenue_view":
             relational.incremental_revenue_by_nation,
@@ -1704,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_report": relational.DRIFT_REPORT_SQL,
         "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
         "quantile_normalize": relational.QUANTILE_NORMALIZE_EVENTS_SQL,
+        "revenue_rollup_hierarchy": relational.REVENUE_ROLLUP_HIERARCHY_SQL,
         "events_value_trend": relational.EVENTS_VALUE_TREND_SQL,
         "events_value_percentiles":
             relational.EVENTS_VALUE_PERCENTILES_SQL,

@@ -2533,3 +2533,87 @@ def merge_upsert_versioned(sf_dir: str, workdir: str) -> pd.DataFrame:
         + rep["file"].tolist()
     _write_manifest(workdir, 2, v2_files)
     return read_version(workdir, 2)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ROLLUP — region > nation > grand total: the GROUPING
+# SETS complement to events_cube, over the dimension hierarchy
+# ---------------------------------------------------------------------------
+
+def revenue_rollup_hierarchy(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(region, nation) over order revenue: one row per
+    (region, nation), one subtotal per region, one grand total —
+    sentinel '*ALL*' marks rolled-up levels. Exact integer cents.
+
+    One scan: the region/nation dimension chain broadcasts once
+    (25 + 5 rows); blocks reduce to (region, nation) cent partials;
+    every coarser level DERIVES from the aggregated tiny table, never
+    a re-scan — the events_cube discipline on a dimension hierarchy."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]
+                ).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    bc = ray.put((nat["n_nationkey"].to_numpy(np.int64),
+                  nat["n_name"].to_numpy(object),
+                  nat["r_name"].to_numpy(object)))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_bc = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                       cust["c_nationkey"].to_numpy(np.int64)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk, nname, rname = ray.get(bc)
+        ck, cnk = ray.get(cust_bc)
+        keys = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cents = _cents(b["o_totalprice"])
+        order = np.argsort(ck)
+        pos = np.searchsorted(ck[order], keys)
+        nat_of = cnk[order][pos]
+        npos = np.searchsorted(np.sort(nk), nat_of)
+        norder = np.argsort(nk)
+        df = pd.DataFrame({
+            "region": rname[norder][npos],
+            "nation": nname[norder][npos],
+            "c": cents})
+        g = df.groupby(["region", "nation"], as_index=False)["c"].sum()
+        g["n"] = df.groupby(["region", "nation"])["c"].count().values
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["region", "nation"])
+            .aggregate(Sum("c", alias_name="c"),
+                       Sum("n", alias_name="n"))
+            .to_pandas())
+    lvl1 = base.copy()
+    lvl2 = (base.groupby("region", as_index=False)[["c", "n"]].sum())
+    lvl2["nation"] = "*ALL*"
+    lvl3 = pd.DataFrame({"region": ["*ALL*"], "nation": ["*ALL*"],
+                         "c": [base["c"].sum()], "n": [base["n"].sum()]})
+    out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)
+    out["revenue"] = out.pop("c").astype(np.int64) / 100.0
+    out["order_cnt"] = out.pop("n").astype(np.int64)
+    return (out[["region", "nation", "revenue", "order_cnt"]]
+            .sort_values(["region", "nation"]).reset_index(drop=True))
+
+
+REVENUE_ROLLUP_HIERARCHY_SQL = """
+SELECT COALESCE(r_name, '*ALL*') AS region,
+       CASE WHEN GROUPING(n_name) = 1 THEN '*ALL*'
+            ELSE n_name END AS nation,
+       SUM(ROUND(o_totalprice * 100)::BIGINT) / 100.0 AS revenue,
+       COUNT(*)::BIGINT AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""

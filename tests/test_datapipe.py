@@ -1916,3 +1916,18 @@ def test_merge_versioned_time_travel(con, tmp_path):
     with open(str(tmp_path / "manifest-v1.json")) as f:
         for p in json.load(f)["files"]:
             assert os.path.exists(str(tmp_path / p))
+
+
+def test_revenue_rollup_hierarchy_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.revenue_rollup_hierarchy(SF),
+                  relational.REVENUE_ROLLUP_HIERARCHY_SQL, con)
+    out = relational.revenue_rollup_hierarchy(SF)
+    # subtotal consistency: region subtotals sum leaf rows, the grand
+    # total sums the subtotals
+    leaf = out[(out["nation"] != "*ALL*")]
+    sub = out[(out["nation"] == "*ALL*") & (out["region"] != "*ALL*")]
+    tot = out[(out["region"] == "*ALL*")]
+    assert abs(leaf["revenue"].sum() - tot["revenue"].iloc[0]) < 1e-6
+    assert abs(sub["revenue"].sum() - tot["revenue"].iloc[0]) < 1e-6
+    assert leaf["order_cnt"].sum() == tot["order_cnt"].iloc[0]
