@@ -1373,6 +1373,40 @@ def _spatial_real_mask_areas(sf_dir: str):
     return realmask.check_real_mask_areas(df)
 
 
+def _spatial_real_regions(sf_dir: str):
+    """Region labeling + polygonize on REAL reference data: Greece's
+    1 km mask labels into its islands; total pixels must equal an
+    independent direct file walk, and the polygonize invariants
+    (shoelace area == n_px, edges == perimeter) must hold on the full
+    global 43200×21600 lattice addressing."""
+    import shutil
+    from spatial_aez_ray.pipelines import realmask, regions
+    from spatial_aez_ray.sources.geotiff import GeoTiffReader
+    p = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                     "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "real_regions_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(p, w)
+    lab = regions.label_regions(w, "realmask")
+    poly = regions.polygonize_regions(w, "realmask")
+    m = poly.merge(lab, on="region_id")
+    r = GeoTiffReader(p)
+    try:
+        direct = sum(int(r.read_tile(int(ty), int(tx)).sum())
+                     for ty, tx in r.nonsparse_tiles())
+    finally:
+        r.close()
+    if int(lab["n_px"].sum()) != direct:
+        raise AssertionError("region pixels != direct mask walk")
+    if not (m["area_px"] == m["n_px"]).all():
+        raise AssertionError("shoelace area != pixel count (real)")
+    if not (m["n_edges"] == m["perim"]).all():
+        raise AssertionError("ring edges != perimeter (real)")
+    if len(lab) < 20:
+        raise AssertionError("Greece should label into many islands")
+    return regions.region_summary(lab)
+
+
 def _spatial_real_mask_import(sf_dir: str):
     """S1 ingestion on REAL data: stream a real ZSTD reference mask
     through import_geotiff into the interleaved world layout, then
@@ -1622,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_geotiff_import": _spatial_geotiff_import,
         "spatial_real_mask_areas": _spatial_real_mask_areas,
         "spatial_real_mask_import": _spatial_real_mask_import,
+        "spatial_real_regions": _spatial_real_regions,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -184,3 +184,30 @@ class TestRealCsvAreas:
         assert not (fr["expected_km2"] * 0.76
                     < fr["area_km2"] * 0.5
                     < fr["expected_km2"] * 1.07)
+
+
+def test_real_mask_regions_and_polygonize(tmp_path):
+    """The newest raster kernels on REAL reference data: a multi-
+    island country labels into its islands, pixel totals match an
+    independent direct file walk, and both polygonize invariants hold
+    at planet-lattice addressing."""
+    import shutil
+    from spatial_aez_ray.pipelines import realmask, regions
+    from spatial_aez_ray.sources.geotiff import GeoTiffReader
+    p = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                     "PHL_179_1km_mask._tif")
+    w = str(tmp_path / "phl_world")
+    realmask.import_real_mask(p, w)
+    lab = regions.label_regions(w, "realmask")
+    poly = regions.polygonize_regions(w, "realmask")
+    m = poly.merge(lab, on="region_id")
+    r = GeoTiffReader(p)
+    try:
+        direct = sum(int(r.read_tile(int(ty), int(tx)).sum())
+                     for ty, tx in r.nonsparse_tiles())
+    finally:
+        r.close()
+    assert int(lab["n_px"].sum()) == direct
+    assert (m["area_px"] == m["n_px"]).all()
+    assert (m["n_edges"] == m["perim"]).all()
+    assert len(lab) > 50        # the Philippine archipelago
