@@ -1373,6 +1373,41 @@ def _spatial_real_mask_areas(sf_dir: str):
     return realmask.check_real_mask_areas(df)
 
 
+def _spatial_real_mask_overlap(sf_dir: str):
+    """Mask-layer exclusivity audit on REAL data: neighboring
+    countries' 1 km masks must NOT overlap (GDAL rasterize is
+    center-in-polygon — the masks partition territory), verified
+    bit-equal against a direct two-file walk; the self-overlap
+    equals the mask's own pixel count (the positive control)."""
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.pipelines import realmask
+    from spatial_aez_ray.sources.geotiff import GeoTiffReader
+    d = realmask.REFERENCE_MASKS_DIR
+    pa_ = os.path.join(d, "AFG_129_1km_mask._tif")
+    pk = os.path.join(d, "PAK_17_1km_mask._tif")
+    w = os.path.join(_TMP, "overlap_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(pa_, w, dataset="afg")
+    realmask.import_real_mask(pk, w, dataset="pak")
+    cross = realmask.mask_overlap_px(w, "afg", "pak")
+    if cross != realmask.mask_file_overlap_px(pa_, pk):
+        raise AssertionError("overlap != direct two-file walk")
+    if cross != 0:
+        raise AssertionError("real masks must be mutually exclusive")
+    self_ov = realmask.mask_overlap_px(w, "afg", "afg")
+    r = GeoTiffReader(pa_)
+    try:
+        direct = sum(int(r.read_tile(int(ty), int(tx)).sum())
+                     for ty, tx in r.nonsparse_tiles())
+    finally:
+        r.close()
+    if self_ov != direct or self_ov <= 0:
+        raise AssertionError("self-overlap != mask pixel count")
+    return pd.DataFrame([{"pair_overlap_px": cross,
+                          "afg_px": self_ov}])
+
+
 def _spatial_real_regions(sf_dir: str):
     """Region labeling + polygonize on REAL reference data: Greece's
     1 km mask labels into its islands; total pixels must equal an
@@ -1657,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_areas": _spatial_real_mask_areas,
         "spatial_real_mask_import": _spatial_real_mask_import,
         "spatial_real_regions": _spatial_real_regions,
+        "spatial_real_mask_overlap": _spatial_real_mask_overlap,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from .. import model
 from ..admin_normalize import normalize
 from ..cia_areas import EXPECTED_AREA_KM2
 from ..geo import GridSpec, km2_rows
@@ -351,3 +352,70 @@ def check_real_mask_areas(df: pd.DataFrame) -> pd.DataFrame:
         raise AssertionError(
             "countries with no CIA table entry:\n" + missing.to_string())
     return df
+
+
+def mask_overlap_px(world_path: str, dataset_a: str,
+                    dataset_b: str) -> int:
+    """Overlap pixels between two imported binary masks — the
+    reference's DOUBLE-CLAIM border semantics measured directly
+    (prepare_feature_masks rasterizes each country independently, so
+    neighbors both claim their shared border pixels; J1 parity).
+
+    Shuffle-free: tile keys from the union lattice, BOTH refs derived
+    per key, one batched fetch, vectorized AND-count; absent tiles are
+    empty masks. One int per block crosses the wire."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from ..pipelines.extract import world_grid
+    from ..sources.documents import MediaStore
+
+    grid = world_grid(world_path, MASK_GRID.name)
+
+    class Overlap:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+
+        def __call__(self, b):
+            import pyarrow as _pa
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            refs = {}
+            for pid in ids:
+                ty, tx = int(pid) // grid.tiles_x, int(pid) % grid.tiles_x
+                refs[(ty, tx)] = (
+                    model.media_ref(dataset_a, grid.name, ty, tx, 1),
+                    model.media_ref(dataset_b, grid.name, ty, tx, 1))
+            flat = [r for pair in refs.values() for r in pair]
+            payloads = self.media.fetch(flat, strict=False)
+            n = 0
+            for (ty, tx), (ra, rb) in refs.items():
+                pa_, pb_ = payloads.get(ra), payloads.get(rb)
+                if pa_ is None or pb_ is None:
+                    continue
+                a = np.frombuffer(pa_, np.uint8)
+                bb = np.frombuffer(pb_, np.uint8)
+                n += int((a & bb).sum())
+            return _pa.table({"n": _pa.array([n])})
+
+    out = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(as_task_fn(Overlap), batch_format="pyarrow",
+                        batch_size=64)
+           .to_pandas())
+    return int(out["n"].sum())
+
+
+def mask_file_overlap_px(path_a: str, path_b: str) -> int:
+    """Direct two-file walk of the same overlap count (the
+    independent oracle: intersect the nonsparse tile sets, AND the
+    decoded tiles)."""
+    ra, rb = GeoTiffReader(path_a), GeoTiffReader(path_b)
+    try:
+        tiles_a = {(int(ty), int(tx)) for ty, tx in ra.nonsparse_tiles()}
+        tiles_b = {(int(ty), int(tx)) for ty, tx in rb.nonsparse_tiles()}
+        n = 0
+        for ty, tx in sorted(tiles_a & tiles_b):
+            n += int((ra.read_tile(ty, tx) & rb.read_tile(ty, tx)).sum())
+    finally:
+        ra.close()
+        rb.close()
+    return n

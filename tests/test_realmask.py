@@ -211,3 +211,19 @@ def test_real_mask_regions_and_polygonize(tmp_path):
     assert (m["area_px"] == m["n_px"]).all()
     assert (m["n_edges"] == m["perim"]).all()
     assert len(lab) > 50        # the Philippine archipelago
+
+
+def test_real_mask_overlap_exclusive(tmp_path):
+    """Neighboring 1 km masks are mutually exclusive (GDAL rasterize
+    center-in-polygon), distributed == direct two-file walk; the
+    self-overlap positive control equals the mask pixel count."""
+    from spatial_aez_ray.pipelines import realmask
+    d = realmask.REFERENCE_MASKS_DIR
+    pa_ = os.path.join(d, "TKM_141_1km_mask._tif")
+    pi = os.path.join(d, "IRN_93_1km_mask._tif")
+    w = str(tmp_path / "ovl")
+    realmask.import_real_mask(pa_, w, dataset="a")
+    realmask.import_real_mask(pi, w, dataset="b")
+    cross = realmask.mask_overlap_px(w, "a", "b")
+    assert cross == realmask.mask_file_overlap_px(pa_, pi) == 0
+    assert realmask.mask_overlap_px(w, "a", "a") > 0
