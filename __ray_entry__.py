@@ -447,6 +447,19 @@ def _spatial_aspect(sf_dir: str):
     return mine
 
 
+def _spatial_hillshade(sf_dir: str):
+    """gdaldem-family Horn hillshade (az 315°/alt 45°): per-pixel
+    float64 shade over the Sobel gradient field, bit-exact vs the
+    whole-array oracle (no cross-pixel reduction to reorder)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    mine = pyramid.hillshade(_world(), "kg")
+    oracle = _oracle_mod().hillshade_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("hillshade histogram != whole-array oracle")
+    return mine
+
+
 def _spatial_crosstab(sf_dir: str):
     """Raster cross-tabulation (Tabulate Area / change matrix):
     KG × LC contingency at the G3 grid, bit-exact vs the whole-array
@@ -1614,6 +1627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_triangles": graph.token_triangles,
         "theta_user_overlap": sketch.theta_user_overlap,
         "join_size_estimate": sketch.join_size_estimate,
+        "sample_quantiles": sketch.sample_quantiles,
+        "heavy_hitter_tokens": corpus.heavy_hitter_tokens,
+        "skyline_orders": relational.skyline_orders,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
@@ -1664,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_media_integrity": _spatial_media_integrity,
         "spatial_transcode": _spatial_transcode,
         "spatial_focal": _spatial_focal,
+        "spatial_hillshade": _spatial_hillshade,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,
@@ -1812,6 +1829,9 @@ def oracle_sql() -> dict[str, str]:
         "token_triangles": graph.TOKEN_TRIANGLES_SQL,
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
         "join_size_estimate": sketch.JOIN_SIZE_ESTIMATE_SQL,
+        "sample_quantiles": sketch.SAMPLE_QUANTILES_SQL,
+        "heavy_hitter_tokens": corpus.HEAVY_HITTER_TOKENS_SQL,
+        "skyline_orders": relational.SKYLINE_ORDERS_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(
             "spatial_aez_ray.datapipe.simsearch",

@@ -1437,3 +1437,115 @@ def bpe_doc_stats_twin(sf_dir: str,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — EXACT frequent tokens via the two-pass Misra-Gries
+# discipline: candidate generation with bounded summaries, then an
+# exact recount of only the candidates (never a vocab-sized shuffle)
+# ---------------------------------------------------------------------------
+
+HH_K = 64   # summary size; guarantees a superset of tokens > n/HH_K
+
+
+def _mg_compress(counts: pd.Series, k: int) -> pd.Series:
+    """Misra-Gries compress: keep at most k entries by subtracting the
+    (k+1)-th largest weight from all and dropping non-positives. Each
+    compress of a summary over n items loses at most n/k weight per
+    key — the mergeable-summaries bound (Agarwal et al. 2012)."""
+    if len(counts) <= k:
+        return counts
+    kth = counts.nlargest(k + 1).iloc[k]
+    out = counts - kth
+    return out[out > 0]
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = HH_K) -> pd.DataFrame:
+    """EXACT set of tokens with count * k > total tokens, with exact
+    counts — the guaranteed-frequent items, at bounded memory.
+
+    Pass 1 (candidates): each batch emits a Misra-Gries summary of at
+    most ``k`` (token, weight) rows; the driver folds the summaries
+    and compresses once more. Merged-MG error is <= n/k total, so any
+    token with true count > n/k has positive residual weight and MUST
+    survive — the candidate set (<= k tokens) is a certified superset.
+    Wire cost: k rows per block, like every sketch here; at 100 TB the
+    fold tree-merges via a tiny groupby instead of the driver, but the
+    row volume is identical.
+
+    Pass 2 (exact): candidate tokens broadcast as a sorted array; one
+    more streaming pass counts ONLY candidates (np.isin per batch)
+    plus the total token count. Output = candidates whose exact count
+    clears the threshold. No vocab-sized state ever materializes —
+    contrast vocab_top_tokens, which pays the full token groupby.
+    """
+    ds = _read_docs(sf_dir, columns=["text"])
+
+    def summary(batch: pa.Table, k=k) -> pa.Table:
+        flat, _ = _flatten_tokens(batch["text"].to_pylist())
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat)
+        cnt = pd.Series(np.bincount(codes, minlength=len(uniq)),
+                        index=uniq, dtype=np.int64)
+        mg = _mg_compress(cnt, k)
+        return pa.table({
+            "token": pa.array(mg.index.astype(str), pa.string()),
+            "w": pa.array(mg.to_numpy(dtype=np.int64)),
+            "n": pa.array(np.full(len(mg), len(flat), dtype=np.int64)
+                          if len(mg) else np.array([], np.int64)),
+        })
+
+    parts = (ds.map_batches(summary, batch_format="pyarrow")
+               .to_pandas())
+    folded = parts.groupby("token")["w"].sum().astype(np.int64)
+    cand = np.sort(_mg_compress(folded, k).index.to_numpy(dtype=object))
+
+    import ray as _ray
+    cand_ref = _ray.put(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)
+        flat, _ = _flatten_tokens(batch["text"].to_pylist())
+        total = len(flat)
+        if total:
+            hit = flat[np.isin(flat, cand)]
+            codes, uniq = pd.factorize(hit)
+            toks = list(uniq.astype(str))
+            cnts = list(np.bincount(codes, minlength=len(uniq))
+                        .astype(np.int64))
+        else:
+            toks, cnts = [], []
+        toks.append(None)   # null sentinel row carries the batch total
+        cnts.append(0)      # ("" can be a REAL token via double spaces)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64()),
+                         "tot": pa.array([0] * (len(toks) - 1) + [total],
+                                         pa.int64())})
+
+    got = (ds.map_batches(recount, batch_format="pyarrow").to_pandas())
+    total = int(got["tot"].sum())
+    exact = (got[got["token"].notna()].groupby("token")["cnt"].sum()
+             .astype(np.int64))
+    hh = exact[exact * k > total].sort_values(ascending=False)
+    out = pd.DataFrame({"token": hh.index.astype(str),
+                        "cnt": hh.to_numpy(dtype=np.int64)})
+    return (out.sort_values(["cnt", "token"], ascending=[False, True])
+               .reset_index(drop=True))
+
+
+def _hh_sql(k: int = HH_K) -> str:
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM tok)
+SELECT t AS token, COUNT(*)::BIGINT AS cnt
+FROM tok, tot
+GROUP BY t, tot.n
+HAVING COUNT(*) * {k} > tot.n
+ORDER BY cnt DESC, token
+"""
+
+
+HEAVY_HITTER_TOKENS_SQL = _hh_sql()

@@ -2617,3 +2617,75 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY region, nation
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline_orders — Pareto frontier (minimize price AND date) via the
+# local-skyline superset property: no shuffle, batch-sized partials
+# ---------------------------------------------------------------------------
+
+def _skyline_2d(cents: np.ndarray, days: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact 2-D minimizing skyline over (cents, days), vectorized:
+    keep min-day per price level, then the strictly-decreasing-day
+    prefix scan over ascending prices. Returns sorted distinct pairs."""
+    order = np.lexsort((days, cents))
+    c, d = cents[order], days[order]
+    first = np.ones(len(c), dtype=bool)
+    first[1:] = c[1:] != c[:-1]          # min day per price = first row
+    c, d = c[first], d[first]
+    if len(c) == 0:
+        return c, d
+    run = np.minimum.accumulate(d)
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = d[1:] < run[:-1]          # strictly better date than all
+    return c[keep], d[keep]              # cheaper points
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """Pareto-optimal orders: no other order is both <= in price and
+    <= in date (strictly better in one) — the classic skyline
+    operator, minimizing (o_totalprice, o_orderdate).
+
+    Distributed shape: the global skyline is a SUBSET of every
+    partition's local skyline, so each batch emits only its local
+    frontier (O(log n) expected rows for independent dims — a
+    per-batch combiner like the zonal partials), and the exact final
+    frontier is computed over the tiny union on the driver. No
+    shuffle, no O(N^2) dominance join anywhere; the SQL oracle uses
+    the equivalent min-day-per-price + running-min formulation, not
+    NOT EXISTS. Prices cross the boundary as integer cents.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        days = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c, d = _skyline_2d(cents, days)
+        return pa.table({"c": pa.array(c), "d": pa.array(d)})
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    c, d = _skyline_2d(parts["c"].to_numpy(dtype=np.int64),
+                       parts["d"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({
+        "price": c / 100.0,   # single division of exact cents
+        "o_orderdate": d.astype("datetime64[us]"),
+    }).reset_index(drop=True)
+
+
+SKYLINE_ORDERS_SQL = """
+WITH pts AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p,
+         MIN(o_orderdate) AS d
+  FROM orders GROUP BY 1),
+run AS (
+  SELECT p, d,
+         MIN(d) OVER (ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS md
+  FROM pts)
+SELECT p / 100.0 AS price, d AS o_orderdate
+FROM run WHERE md IS NULL OR d < md
+ORDER BY p
+"""

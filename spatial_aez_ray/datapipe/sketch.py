@@ -633,3 +633,86 @@ FROM com CROSS JOIN th
 
 
 JOIN_SIZE_ESTIMATE_SQL = _joinest_sql()
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sample quantiles — a mergeable quantile summary whose sample
+# is a deterministic function of the KEYS, so the distributed estimate
+# is reproduced bit-for-bit by the SQL oracle (the property GK/KLL
+# compaction cannot give across a distributed/sequential boundary)
+# ---------------------------------------------------------------------------
+
+QSAMPLE_K = 256
+QSAMPLE_QS = (25, 50, 75, 90, 99)   # percentiles, integer to stay exact
+
+
+def sample_quantiles(sf_dir: str, k: int = QSAMPLE_K,
+                     qs: tuple[int, ...] = QSAMPLE_QS) -> pd.DataFrame:
+    """Order-price quantile estimates from a bottom-k-by-hash sample.
+
+    Sketch shape (the mergeable-summaries discipline, same as KMV):
+    every order is ranked by the md5-derived 64-bit hash of its key —
+    a uniform, content-addressed rank — and the sample is the k
+    smallest ranks. Per-batch partials carry at most k (hash, cents)
+    rows; merging is "k smallest of the union", associative and
+    order-free, so the sample is identical for ANY partitioning or
+    cluster size. Quantile q over the sample uses the ceil form
+    sorted[ceil(q*n) - 1] == DuckDB quantile_disc (CLAUDE.md
+    invariant). At 100 TB this ships k rows per block — the same
+    wire cost as KMV — while a full sort would be an all-to-all.
+
+    Prices cross the oracle boundary as integer cents (BIGINT on both
+    sides); no float leaves the pipeline.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table, k=k) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((_h64u(str(int(v))) for v in keys),
+                        dtype=np.uint64, count=len(keys))
+        cents = np.trunc(np.asarray(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+        # bottom-k by (hash, key): the key tiebreak makes the sample
+        # well-defined even under (astronomically unlikely) collisions
+        order = np.lexsort((keys, h))[:k]
+        return pa.table({
+            "h": pa.array(h[order], pa.uint64()),
+            "key": pa.array(keys[order].astype(np.int64)),
+            "cents": pa.array(cents[order]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    h = parts["h"].to_numpy(dtype=np.uint64)
+    keys = parts["key"].to_numpy(dtype=np.int64)
+    cents = parts["cents"].to_numpy(dtype=np.int64)
+    order = np.lexsort((keys, h))[:k]
+    sample = np.sort(cents[order])
+    n = len(sample)
+    rows = []
+    for q in qs:
+        # ceil(q*n/100) - 1, exact integer arithmetic
+        idx = -(-q * n // 100) - 1
+        rows.append((q, int(sample[idx])))
+    return pd.DataFrame(rows, columns=["pct", "price_c"]).astype(np.int64)
+
+
+def _qsample_sql(k: int = QSAMPLE_K,
+                 qs: tuple[int, ...] = QSAMPLE_QS) -> str:
+    le = " || ".join(f"substr(md5(o_orderkey::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    sels = " UNION ALL ".join(
+        f"SELECT {q}::BIGINT AS pct, "
+        f"quantile_disc(cents, {q / 100.0}) AS price_c FROM s"
+        for q in qs)
+    return f"""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  ORDER BY ('0x' || {le})::UBIGINT, o_orderkey
+  LIMIT {k})
+SELECT pct, price_c FROM ({sels}) ORDER BY pct
+"""
+
+
+SAMPLE_QUANTILES_SQL = _qsample_sql()

@@ -938,7 +938,24 @@ def aspect_oracle(spec, dataset: str = "kg",
                   hole_value: int | None = None) -> pd.DataFrame:
     """Sequential whole-array aspect histogram over present tiles,
     identical hole padding to focal_gradient_oracle."""
-    from .pipelines.pyramid import aspect_codes, sobel_xy_int
+    from .pipelines.pyramid import aspect_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              aspect_codes, 9, "aspect_code")
+
+
+def hillshade_oracle(spec, dataset: str = "kg",
+                     hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential whole-array Horn hillshade histogram (gdaldem
+    hillshade, az 315°/alt 45°), identical hole padding."""
+    from .pipelines.pyramid import shade_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              shade_codes, 256, "shade")
+
+
+def _focal_hist_oracle(spec, dataset: str, hole_value: int | None,
+                       code_fn, nbins: int,
+                       colname: str) -> pd.DataFrame:
+    from .pipelines.pyramid import sobel_xy_int
 
     grid = spec.grid(fixtures.DATASET_GRID[dataset])
     nodata = fixtures.DATASET_NODATA[dataset]
@@ -956,8 +973,8 @@ def aspect_oracle(spec, dataset: str = "kg",
                 x, y, nc, nr = grid.tile_window(ty, tx)
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
     gx, gy = sobel_xy_int(pad)
-    code = aspect_codes(gx, gy)
-    hist = np.zeros(9, dtype=np.int64)
+    code = code_fn(gx, gy)
+    hist = np.zeros(nbins, dtype=np.int64)
     for ty in range(grid.tiles_y):
         for tx in range(grid.tiles_x):
             if fixtures.tile_arrays(spec, dataset, ty, tx,
@@ -965,7 +982,7 @@ def aspect_oracle(spec, dataset: str = "kg",
                 continue
             x, y, nc, nr = grid.tile_window(ty, tx)
             hist += np.bincount(code[y:y + nr, x:x + nc].ravel(),
-                                minlength=9)
+                                minlength=nbins)
     nz = np.flatnonzero(hist)
-    return pd.DataFrame({"aspect_code": nz.astype(np.int64),
+    return pd.DataFrame({colname: nz.astype(np.int64),
                          "n_px": hist[nz].astype(np.int64)})

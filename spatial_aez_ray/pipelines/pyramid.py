@@ -633,13 +633,43 @@ def aspect_codes(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     return code
 
 
-def focal_aspect(world_path: str, dataset: str = "kg", *,
-                 hole_value: int | None = None) -> pd.DataFrame:
-    """(aspect_code, n_px) histogram of the dataset's principal
-    gradient directions — the gdaldem aspect product reduced to its
-    verifiable summary; same 1-px halo discipline as focal_gradient
-    (absent neighbors pad with the hole value, hole tiles emit no
-    rows), bit-exact vs the whole-array oracle."""
+def shade_codes(gx: np.ndarray, gy: np.ndarray, *,
+                azimuth: float = 315.0,
+                altitude: float = 45.0) -> np.ndarray:
+    """Horn hillshade value (0–255) per pixel from the integer Sobel
+    gradients (Horn 1981; the published ESRI/gdaldem formula):
+
+        dz/dx = gx / 8, dz/dy = gy / 8 (cellsize 1, y down = south)
+        slope  = atan(sqrt(dzdx² + dzdy²))
+        aspect = atan2(dzdy, -dzdx), wrapped to [0, 2π)
+        zenith = 90° − altitude;  az_math = (360° − azimuth + 90°)
+        shade  = 255·(cos zen·cos slope + sin zen·sin slope·
+                      cos(az_math − aspect)),  clipped at 0, rounded
+
+    Every operation is an independent per-pixel float64 ufunc chain,
+    so the distributed result is bit-identical to the sequential
+    oracle regardless of tiling (no reduction crosses pixels)."""
+    dzdx = gx / 8.0
+    dzdy = gy / 8.0
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    aspect = np.where(aspect < 0, aspect + 2.0 * np.pi, aspect)
+    zen = np.deg2rad(90.0 - altitude)
+    az_math = np.deg2rad((360.0 - azimuth + 90.0) % 360.0)
+    shade = 255.0 * (np.cos(zen) * np.cos(slope)
+                     + np.sin(zen) * np.sin(slope)
+                     * np.cos(az_math - aspect))
+    return np.rint(np.clip(shade, 0.0, 255.0)).astype(np.int64)
+
+
+def _focal_class_hist(world_path: str, dataset: str, *,
+                      hole_value: int | None, code_fn, nbins: int,
+                      colname: str) -> pd.DataFrame:
+    """Shared engine for gdaldem-family focal classifiers: per-tile
+    3×3-halo assembly (absent neighbors pad with the hole value, hole
+    tiles emit no rows), ``code_fn(gx, gy)`` per pixel, an
+    ``nbins``-bin histogram partial per batch and a tiny final sum —
+    the focal_gradient discipline generalized over the code map."""
     import ray
 
     from ..datapipe.util import as_task_fn
@@ -674,7 +704,7 @@ def focal_aspect(world_path: str, dataset: str = "kg", *,
                             want.add(r)
                 plans.append((ty, tx, nbrs))
             payloads = self.media.fetch(sorted(want), strict=False)
-            hist = np.zeros(9, dtype=np.int64)
+            hist = np.zeros(nbins, dtype=np.int64)
             for ty, tx, nbrs in plans:
                 me = payloads.get(nbrs[(0, 0)][2])
                 if me is None:
@@ -704,19 +734,44 @@ def focal_aspect(world_path: str, dataset: str = "kg", *,
                            else slice(1, 1 + sub.shape[1]))
                     pad[pr, pc_] = sub
                 gx, gy = sobel_xy_int(pad)
-                hist += np.bincount(aspect_codes(gx, gy).ravel(),
-                                    minlength=9)
+                hist += np.bincount(code_fn(gx, gy).ravel(),
+                                    minlength=nbins)
             nz = np.flatnonzero(hist)
-            return pa.table({"aspect_code": pa.array(nz.astype(np.int64)),
+            return pa.table({colname: pa.array(nz.astype(np.int64)),
                              "n_px": pa.array(hist[nz])})
 
     from ray.data.aggregate import Sum
     out = (ray.data.range(tiles_y * tiles_x)
            .map_batches(as_task_fn(Aspect), batch_format="pyarrow",
                         batch_size=16)
-           .groupby("aspect_code")
+           .groupby(colname)
            .aggregate(Sum("n_px", alias_name="n_px"))
            .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
-    return out.sort_values("aspect_code").reset_index(drop=True)
+    return out.sort_values(colname).reset_index(drop=True)
+
+
+def focal_aspect(world_path: str, dataset: str = "kg", *,
+                 hole_value: int | None = None) -> pd.DataFrame:
+    """(aspect_code, n_px) histogram of the dataset's principal
+    gradient directions — the gdaldem aspect product reduced to its
+    verifiable summary; same 1-px halo discipline as focal_gradient,
+    bit-exact vs the whole-array oracle."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             code_fn=aspect_codes, nbins=9,
+                             colname="aspect_code")
+
+
+def hillshade(world_path: str, dataset: str = "kg", *,
+              hole_value: int | None = None) -> pd.DataFrame:
+    """(shade, n_px) histogram of the Horn hillshade (gdaldem
+    hillshade product, az 315° / alt 45°) over the dataset treated as
+    a DEM — same halo discipline as focal_aspect; bit-exact vs the
+    whole-array oracle because shade_codes is per-pixel-independent
+    float64 (no cross-pixel reduction to reorder)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             code_fn=shade_codes, nbins=256,
+                             colname="shade")

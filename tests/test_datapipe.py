@@ -1931,3 +1931,50 @@ def test_revenue_rollup_hierarchy_exact(con):
     assert abs(leaf["revenue"].sum() - tot["revenue"].iloc[0]) < 1e-6
     assert abs(sub["revenue"].sum() - tot["revenue"].iloc[0]) < 1e-6
     assert leaf["order_cnt"].sum() == tot["order_cnt"].iloc[0]
+
+
+def test_sample_quantiles_exact(con):
+    from spatial_aez_ray.datapipe import sketch
+    _assert_match(sketch.sample_quantiles(SF),
+                  sketch.SAMPLE_QUANTILES_SQL, con)
+
+
+def test_heavy_hitter_tokens_exact(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.heavy_hitter_tokens(SF)
+    _assert_match(mine, corpus.HEAVY_HITTER_TOKENS_SQL, con)
+    # certified-frequent guarantee: every output clears the threshold
+    total = con.execute(
+        "SELECT COUNT(*) FROM (SELECT unnest(string_split(text,' ')) "
+        "FROM documents)").fetchone()[0]
+    assert (mine["cnt"] * corpus.HH_K > total).all()
+
+
+def test_skyline_orders_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.skyline_orders(SF)
+    _assert_match(mine, relational.SKYLINE_ORDERS_SQL, con)
+    # Pareto invariant: strictly increasing price, strictly
+    # decreasing date along the frontier
+    assert mine["price"].is_monotonic_increasing
+    assert mine["o_orderdate"].is_monotonic_decreasing
+
+
+def test_mg_compress_bound():
+    """Misra-Gries compress keeps a certified superset: after
+    compressing any counter set over n total to k entries, every key
+    with true count > n/(k+1) survives with positive weight."""
+    import numpy as np
+    import pandas as pd
+
+    from spatial_aez_ray.datapipe.corpus import _mg_compress
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.5, size=5000)
+    cnt = pd.Series(vals).value_counts().astype("int64")
+    cnt.index = cnt.index.astype(str)
+    k = 16
+    out = _mg_compress(cnt, k)
+    n = int(cnt.sum())
+    must = cnt[cnt > n // (k + 1)]
+    assert set(must.index) <= set(out.index)
+    assert len(out) <= k

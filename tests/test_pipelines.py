@@ -813,6 +813,30 @@ def test_focal_aspect_bit_exact_both_grids(tiny_world):
         assert mine.equals(oracle.aspect_oracle(SPEC, ds, hole_value=hv)), ds
 
 
+def test_hillshade_bit_exact_both_grids(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    for ds, hv in (("kg", None), ("lc", 210)):
+        mine = pyr.hillshade(tiny_world, ds, hole_value=hv)
+        assert mine.equals(oracle.hillshade_oracle(SPEC, ds,
+                                                   hole_value=hv)), ds
+
+
+def test_shade_codes_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.pyramid import shade_codes
+    # flat terrain: shade = round(255*cos(zenith)) everywhere
+    flat = shade_codes(np.zeros((3, 3), np.int64),
+                       np.zeros((3, 3), np.int64))
+    assert (flat == round(255 * np.cos(np.deg2rad(45.0)))).all()
+    # a NW-facing 45° slope under the NW sun is brighter than flat;
+    # the opposite (SE-facing) slope is darker
+    gx = np.array([[8, -8]], np.int64)   # dz/dx = +1 (east high) → W..
+    gy = np.array([[8, -8]], np.int64)
+    nw, se = shade_codes(gx, gy)[0]
+    assert nw > flat[0, 0] > se
+    assert 0 <= se and nw <= 255
+
+
 def test_aspect_codes_semantics():
     import numpy as np
     from spatial_aez_ray.pipelines.pyramid import aspect_codes
