@@ -447,6 +447,20 @@ def _spatial_aspect(sf_dir: str):
     return mine
 
 
+def _spatial_zonal_value_stats(sf_dir: str):
+    """ArcGIS-style Zonal Statistics suite (majority/minority/median/
+    variety/p25/p75) from order-free integer pixel-count partials —
+    exact under any partitioning; verified against a sequential
+    multiset-sort oracle (a different derivation path)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import extract
+    mine = extract.zonal_value_stats(_world(), "kg")
+    oracle = _oracle_mod().zonal_value_stats_oracle(fixtures.TINY, "kg")
+    if not mine.equals(oracle):
+        raise AssertionError("zonal value stats != multiset oracle")
+    return mine
+
+
 def _spatial_hillshade(sf_dir: str):
     """gdaldem-family Horn hillshade (az 315°/alt 45°): per-pixel
     float64 shade over the Sobel gradient field, bit-exact vs the
@@ -1681,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_transcode": _spatial_transcode,
         "spatial_focal": _spatial_focal,
         "spatial_hillshade": _spatial_hillshade,
+        "spatial_zonal_value_stats": _spatial_zonal_value_stats,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,

@@ -986,3 +986,41 @@ def _focal_hist_oracle(spec, dataset: str, hole_value: int | None,
     nz = np.flatnonzero(hist)
     return pd.DataFrame({colname: nz.astype(np.int64),
                          "n_px": hist[nz].astype(np.int64)})
+
+
+def zonal_value_stats_oracle(spec, dataset: str = "kg") -> pd.DataFrame:
+    """Sequential zonal value statistics: materialize each admin's
+    pixel-value MULTISET (a deliberately different derivation from the
+    kernel's count-vector arithmetic — direct sorted-array ranks vs
+    cumsum/searchsorted) and read the stats off the sorted array."""
+    from .stages.zonal import VALUE_FILTERS
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    band = full_raster(spec, dataset)[0]
+    flt = VALUE_FILTERS[dataset]
+    per_admin: dict[str, list[np.ndarray]] = {}
+    for _fidx, admin, mask in feature_masks(spec, grid):
+        vals = band[mask]
+        vals = vals[flt(vals)]
+        if len(vals):
+            per_admin.setdefault(admin, []).append(vals)
+    rows = []
+    for admin, parts in per_admin.items():
+        v = np.sort(np.concatenate(parts).astype(np.int64))
+        n = len(v)
+        uniq, cnt = np.unique(v, return_counts=True)
+
+        def rank(qnum: int, qden: int) -> int:
+            return int(v[-(-qnum * n // qden) - 1])
+
+        rows.append({
+            "admin": admin, "n_px": n, "variety": len(uniq),
+            "majority": int(uniq[np.lexsort((uniq, -cnt))[0]]),
+            "minority": int(uniq[np.lexsort((uniq, cnt))[0]]),
+            "p25": rank(1, 4), "median": rank(1, 2), "p75": rank(3, 4),
+        })
+    out = pd.DataFrame(rows).sort_values("admin").reset_index(drop=True)
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out

@@ -496,3 +496,45 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
     return view, {"tiles_recomputed": len(changed),
                   "tiles_dropped": len(dropped - changed),
                   "partial_rows_kept": len(keep)}
+
+
+# ---------------------------------------------------------------------------
+# zonal VALUE statistics — MAJORITY / MINORITY / MEDIAN / VARIETY per
+# admin (the ArcGIS Zonal Statistics suite the reference's km² tables
+# do not cover), from order-free integer pixel-count partials
+# ---------------------------------------------------------------------------
+
+def zonal_value_stats(world_path: str, dataset: str = "kg", *,
+                      concurrency: int | tuple = (1, 4),
+                      batch_size: int = 16) -> "pd.DataFrame":
+    """Per-admin value statistics over a single-band class raster:
+    (admin, n_px, variety, majority, minority, p25, median, p75).
+
+    Same kernel discipline as ``zonal_stats`` (one batched
+    footer-pruned fetch, claims LRU, empty-claim short-circuit), but
+    the partials are integer (admin, val, n_px) counts — order-free
+    int64 sums, so no deterministic-combine ordering is needed and
+    the result is exact under ANY partitioning. The final table is at
+    most admins × 256 rows: at cluster scale it is a tiny grouped
+    sum; here it finishes on the driver (the pricing_summary
+    size-gate rationale). Stats derive from the count vector alone —
+    pixels never leave the workers."""
+    import pandas as pd
+
+    from ..datapipe.util import as_task_fn
+    from ..sources.documents import blocks_for
+    from ..stages.zonal import ZonalValueCounts, derive_value_stats
+
+    classifier = CLASSIFIERS[dataset]()
+    grid = world_grid(world_path, classifier.grid)
+    index = build_zonal_index(world_path)
+    docs = read_documents(world_path, [dataset],
+                          columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency))
+    counts = docs.map_batches(
+        as_task_fn(ZonalValueCounts, world_path=world_path,
+                   classifier=classifier, index=index, grid_spec=grid),
+        batch_format="pyarrow", batch_size=batch_size)
+    df = (counts.to_pandas()
+          .groupby(["admin", "val"], as_index=False)["n_px"].sum())
+    return derive_value_stats(df)

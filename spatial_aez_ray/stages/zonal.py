@@ -163,3 +163,119 @@ def combine_partials_deterministic(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"admin": g["admin"].iloc[0],
                          "cls": list(sums.keys()),
                          "km2": list(sums.values())})
+
+
+# ---------------------------------------------------------------------------
+# zonal VALUE statistics — the ArcGIS Zonal Statistics suite (MAJORITY /
+# MINORITY / MEDIAN / VARIETY) from integer pixel-count partials
+# ---------------------------------------------------------------------------
+
+VALUE_COUNT_SCHEMA = pa.schema([
+    ("admin", pa.string()),
+    ("val", pa.int32()),
+    ("n_px", pa.int64()),
+])
+
+#: which raw band values participate, per single-band class dataset —
+#: the same skip rules the km² classifiers apply
+VALUE_FILTERS = {
+    "kg": lambda v: (v >= 1) & (v <= 30),
+    "lc": lambda v: (v != 0) & (v != 255),
+    "wk": lambda v: (v >= 1) & (v <= 7),
+}
+
+
+class ZonalValueCounts(ZonalPartials):
+    """Per-(admin, raw value) integer pixel counts — order-free int64
+    partials, so the aggregate is exact under ANY partitioning (no
+    deterministic-combine ordering needed, unlike the float km² path).
+    Same fetch/claims discipline as ZonalPartials: one batched
+    footer-pruned media fetch per map_batches call, per-worker claims
+    LRU, empty-claim short-circuit."""
+
+    def __init__(self, *args, value_filter=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.value_filter = (VALUE_FILTERS[self.classifier.dataset]
+                             if value_filter is None else value_filter)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans").to_pylist()
+        metas = []
+        for spans in spans_col:
+            meta, refs = None, []
+            for s in spans:
+                if s["kind"] == "meta":
+                    meta = json.loads(s["text"])
+                elif s["kind"] == "media":
+                    refs.append(s["media_ref"])
+            metas.append((meta, refs))
+        self.ensure_claims([(m["tile_y"], m["tile_x"]) for m, _ in metas])
+        parsed, all_refs = [], []
+        for meta, refs in metas:
+            claims = self.claims_for(meta["tile_y"], meta["tile_x"])
+            if not claims:
+                continue
+            parsed.append((meta, refs, claims))
+            all_refs.extend(refs)
+        counts: dict[str, np.ndarray] = {}
+        if parsed:
+            payloads = self.media.fetch(all_refs)
+            for meta, refs, claims in parsed:
+                band = np.frombuffer(payloads[refs[0]], dtype=np.uint8) \
+                    .reshape(meta["nrows"], meta["ncols"])
+                for _fidx, admin, mask in claims:
+                    vals = band[mask]
+                    vals = vals[self.value_filter(vals)]
+                    if not len(vals):
+                        continue
+                    c = np.bincount(vals, minlength=256).astype(np.int64)
+                    prev = counts.get(admin)
+                    counts[admin] = c if prev is None else prev + c
+        admins, valv, npx = [], [], []
+        for admin, c in counts.items():
+            nz = np.flatnonzero(c)
+            admins.extend([admin] * len(nz))
+            valv.extend(nz.astype(np.int32))
+            npx.extend(c[nz])
+        return pa.Table.from_arrays(
+            [pa.array(admins, pa.string()),
+             pa.array(np.asarray(valv, np.int32)),
+             pa.array(np.asarray(npx, np.int64))],
+            schema=VALUE_COUNT_SCHEMA)
+
+
+def derive_value_stats(counts: pd.DataFrame) -> pd.DataFrame:
+    """(admin, val, n_px) counts → the zonal-statistics row per admin:
+    n_px, variety, majority (mode, tie → smallest value), minority
+    (rarest, tie → smallest), median / p25 / p75 over the pixel value
+    distribution using the ceil rank form sorted[ceil(q·n) − 1] (the
+    quantile_disc convention every quantile op in this repo uses).
+    Pure integer arithmetic on the count vector — no pixel ever
+    reaches the driver."""
+    rows = []
+    for admin, g in counts.groupby("admin"):
+        g = g.sort_values("val")
+        vals = g["val"].to_numpy(dtype=np.int64)
+        n = g["n_px"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        cum = np.cumsum(n)
+
+        def q_at(qnum: int, qden: int) -> int:
+            rank = -(-qnum * tot // qden)   # ceil(q*n), 1-based
+            return int(vals[np.searchsorted(cum, rank)])
+
+        rows.append({
+            "admin": admin,
+            "n_px": tot,
+            "variety": int(len(vals)),
+            "majority": int(vals[np.lexsort((vals, -n))[0]]),
+            "minority": int(vals[np.lexsort((vals, n))[0]]),
+            "p25": q_at(1, 4),
+            "median": q_at(1, 2),
+            "p75": q_at(3, 4),
+        })
+    out = pd.DataFrame(rows).sort_values("admin").reset_index(drop=True)
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out

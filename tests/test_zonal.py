@@ -163,3 +163,12 @@ def test_partials_coalesce_width_is_cpu_aware(ray_session, monkeypatch):
     assert partials_coalesce_width(20_000) == 78       # grows ~tiles/256
     monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 8})
     assert partials_coalesce_width(101_000) == 32      # smaller cluster
+
+
+def test_zonal_value_stats_matches_multiset_oracle(tiny_world):
+    from spatial_aez_ray import oracle
+    from spatial_aez_ray.pipelines import extract
+    for ds in ("kg", "lc"):
+        mine = extract.zonal_value_stats(tiny_world, ds)
+        want = oracle.zonal_value_stats_oracle(SPEC, ds)
+        assert mine.equals(want), ds
