@@ -447,6 +447,30 @@ def _spatial_aspect(sf_dir: str):
     return mine
 
 
+def _spatial_terrain(sf_dir: str):
+    """gdaldem terrain-metric family (TRI L1, ×8 TPI, roughness):
+    all-integer 3×3 window metrics over the shared focal-halo engine,
+    each bit-exact vs its whole-array oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    om = _oracle_mod()
+    pairs = [
+        ("tri", pyramid.focal_tri, om.tri_oracle),
+        ("tpi", pyramid.focal_tpi, om.tpi_oracle),
+        ("roughness", pyramid.focal_roughness, om.roughness_oracle),
+    ]
+    outs = []
+    for name, fn, ofn in pairs:
+        mine = fn(_world(), "kg")
+        want = ofn(fixtures.TINY, "kg")
+        if not mine.equals(want):
+            raise AssertionError(f"{name} histogram != whole-array oracle")
+        outs.append(mine.rename(columns={name: "code"})
+                    .assign(metric=name))
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
+
+
 def _spatial_zonal_value_stats(sf_dir: str):
     """ArcGIS-style Zonal Statistics suite (majority/minority/median/
     variety/p25/p75) from order-free integer pixel-count partials —
@@ -1644,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_quantiles": sketch.sample_quantiles,
         "heavy_hitter_tokens": corpus.heavy_hitter_tokens,
         "skyline_orders": relational.skyline_orders,
+        "split_documents": corpus.split_documents,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
@@ -1696,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_focal": _spatial_focal,
         "spatial_hillshade": _spatial_hillshade,
         "spatial_zonal_value_stats": _spatial_zonal_value_stats,
+        "spatial_terrain": _spatial_terrain,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,
@@ -1847,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_quantiles": sketch.SAMPLE_QUANTILES_SQL,
         "heavy_hitter_tokens": corpus.HEAVY_HITTER_TOKENS_SQL,
         "skyline_orders": relational.SKYLINE_ORDERS_SQL,
+        "split_documents": corpus.SPLIT_DOCUMENTS_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(
             "spatial_aez_ray.datapipe.simsearch",

@@ -1549,3 +1549,73 @@ ORDER BY cnt DESC, token
 
 
 HEAVY_HITTER_TOKENS_SQL = _hh_sql()
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split — content-addressed hash split (reproducible
+# across any partitioning / cluster size), with per-split balance stats
+# ---------------------------------------------------------------------------
+
+SPLIT_PCTS = (80, 10, 10)   # train / val / test
+
+
+def split_documents(sf_dir: str,
+                    pcts: tuple[int, int, int] = SPLIT_PCTS
+                    ) -> pd.DataFrame:
+    """Assign every document to train/val/test by its stable 64-bit id
+    hash mod 100 (train < p0, val < p0+p1, else test) and report the
+    per-(split, lang) balance table: doc count and total chars. The
+    split is a pure function of doc_id — the dataset-versioning
+    property: re-running on a re-partitioned or grown corpus never
+    reassigns an existing document. Per-batch combiner (≤ 3×langs
+    rows per block) then a tiny grouped sum; the corpus never
+    shuffles."""
+    from .dedup import _h64u
+
+    p0, p1, _ = pcts
+    ds = _read_docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter((_h64u(str(d)) % 100 for d in ids),
+                        dtype=np.int64, count=len(ids))
+        split = np.where(h < p0, "train",
+                         np.where(h < p0 + p1, "val", "test"))
+        df = pd.DataFrame({
+            "split": split,
+            "lang": batch["lang"].to_pandas(),
+            "n_docs": np.ones(len(ids), dtype=np.int64),
+            "n_chars": np.asarray(
+                batch["n_chars"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)})
+        g = (df.groupby(["split", "lang"], as_index=False)
+               .sum(numeric_only=True))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["split", "lang"], as_index=False)
+           [["n_docs", "n_chars"]].sum())
+    for c in ("n_docs", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["split", "lang"])
+               .reset_index(drop=True))
+
+
+def _split_sql(pcts: tuple[int, int, int] = SPLIT_PCTS) -> str:
+    p0, p1, _ = pcts
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN ('0x' || {le})::UBIGINT % 100 < {p0} THEN 'train'
+              WHEN ('0x' || {le})::UBIGINT % 100 < {p0 + p1} THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM documents)
+SELECT split, lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS n_chars
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+SPLIT_DOCUMENTS_SQL = _split_sql()

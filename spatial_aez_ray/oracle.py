@@ -938,25 +938,45 @@ def aspect_oracle(spec, dataset: str = "kg",
                   hole_value: int | None = None) -> pd.DataFrame:
     """Sequential whole-array aspect histogram over present tiles,
     identical hole padding to focal_gradient_oracle."""
-    from .pipelines.pyramid import aspect_codes
+    from .pipelines.pyramid import aspect_codes, grad_window
     return _focal_hist_oracle(spec, dataset, hole_value,
-                              aspect_codes, 9, "aspect_code")
+                              grad_window(aspect_codes), 9,
+                              "aspect_code")
 
 
 def hillshade_oracle(spec, dataset: str = "kg",
                      hole_value: int | None = None) -> pd.DataFrame:
     """Sequential whole-array Horn hillshade histogram (gdaldem
     hillshade, az 315°/alt 45°), identical hole padding."""
-    from .pipelines.pyramid import shade_codes
+    from .pipelines.pyramid import grad_window, shade_codes
     return _focal_hist_oracle(spec, dataset, hole_value,
-                              shade_codes, 256, "shade")
+                              grad_window(shade_codes), 256, "shade")
+
+
+def tri_oracle(spec, dataset: str = "kg",
+               hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import tri_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              tri_codes, 2041, "tri")
+
+
+def tpi_oracle(spec, dataset: str = "kg",
+               hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import TPI_OFFSET, tpi_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              tpi_codes, 2 * TPI_OFFSET + 1, "tpi")
+
+
+def roughness_oracle(spec, dataset: str = "kg",
+                     hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import roughness_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              roughness_codes, 256, "roughness")
 
 
 def _focal_hist_oracle(spec, dataset: str, hole_value: int | None,
-                       code_fn, nbins: int,
+                       window_fn, nbins: int,
                        colname: str) -> pd.DataFrame:
-    from .pipelines.pyramid import sobel_xy_int
-
     grid = spec.grid(fixtures.DATASET_GRID[dataset])
     nodata = fixtures.DATASET_NODATA[dataset]
     hole = nodata if hole_value is None else int(hole_value)
@@ -972,8 +992,7 @@ def _focal_hist_oracle(spec, dataset: str, hole_value: int | None,
                                     land_idx) is None:
                 x, y, nc, nr = grid.tile_window(ty, tx)
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
-    gx, gy = sobel_xy_int(pad)
-    code = code_fn(gx, gy)
+    code = window_fn(pad)
     hist = np.zeros(nbins, dtype=np.int64)
     for ty in range(grid.tiles_y):
         for tx in range(grid.tiles_x):

@@ -662,14 +662,69 @@ def shade_codes(gx: np.ndarray, gy: np.ndarray, *,
     return np.rint(np.clip(shade, 0.0, 255.0)).astype(np.int64)
 
 
+def grad_window(code_fn):
+    """Adapt a gradient classifier ``code_fn(gx, gy)`` to the raw
+    window signature ``fn(padded) -> codes`` the focal engine runs."""
+    return lambda pad: code_fn(*sobel_xy_int(pad))
+
+
+def tri_codes(pad: np.ndarray) -> np.ndarray:
+    """Terrain Ruggedness Index, integer L1 form (Riley et al. 1999
+    family; gdaldem TRI): Σ|neighbor − center| over the 8-neighborhood
+    — 0..2040 for uint8 input, all-integer so bit-exactness is free."""
+    a = pad.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    out = np.zeros_like(c)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            out += np.abs(a[dy:dy + c.shape[0], dx:dx + c.shape[1]] - c)
+    return out
+
+
+TPI_OFFSET = 8 * 255   # shift 8·(center − mean(8)) into [0, 2·offset]
+
+
+def tpi_codes(pad: np.ndarray) -> np.ndarray:
+    """Topographic Position Index ×8 (gdaldem TPI, integer-scaled):
+    8·center − Σ(8 neighbors), offset by +2040 to a non-negative
+    histogram code; exact integers, no float mean."""
+    a = pad.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    s = np.zeros_like(c)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            s += a[dy:dy + c.shape[0], dx:dx + c.shape[1]]
+    return 8 * c - s + TPI_OFFSET
+
+
+def roughness_codes(pad: np.ndarray) -> np.ndarray:
+    """gdaldem roughness: max − min over the full 3×3 window (center
+    included) — 0..255 for uint8 input."""
+    a = pad.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    mx, mn = c.copy(), c.copy()
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            w = a[dy:dy + c.shape[0], dx:dx + c.shape[1]]
+            np.maximum(mx, w, out=mx)
+            np.minimum(mn, w, out=mn)
+    return mx - mn
+
+
 def _focal_class_hist(world_path: str, dataset: str, *,
-                      hole_value: int | None, code_fn, nbins: int,
+                      hole_value: int | None, window_fn, nbins: int,
                       colname: str) -> pd.DataFrame:
     """Shared engine for gdaldem-family focal classifiers: per-tile
     3×3-halo assembly (absent neighbors pad with the hole value, hole
-    tiles emit no rows), ``code_fn(gx, gy)`` per pixel, an
+    tiles emit no rows), ``window_fn(padded)`` per pixel, an
     ``nbins``-bin histogram partial per batch and a tiny final sum —
-    the focal_gradient discipline generalized over the code map."""
+    the focal_gradient discipline generalized over the window map."""
     import ray
 
     from ..datapipe.util import as_task_fn
@@ -733,8 +788,7 @@ def _focal_class_hist(world_path: str, dataset: str, *,
                            else slice(nc + 1, nc + 2) if dx > 0
                            else slice(1, 1 + sub.shape[1]))
                     pad[pr, pc_] = sub
-                gx, gy = sobel_xy_int(pad)
-                hist += np.bincount(code_fn(gx, gy).ravel(),
+                hist += np.bincount(window_fn(pad).ravel(),
                                     minlength=nbins)
             nz = np.flatnonzero(hist)
             return pa.table({colname: pa.array(nz.astype(np.int64)),
@@ -760,8 +814,8 @@ def focal_aspect(world_path: str, dataset: str = "kg", *,
     bit-exact vs the whole-array oracle."""
     return _focal_class_hist(world_path, dataset,
                              hole_value=hole_value,
-                             code_fn=aspect_codes, nbins=9,
-                             colname="aspect_code")
+                             window_fn=grad_window(aspect_codes),
+                             nbins=9, colname="aspect_code")
 
 
 def hillshade(world_path: str, dataset: str = "kg", *,
@@ -773,5 +827,35 @@ def hillshade(world_path: str, dataset: str = "kg", *,
     float64 (no cross-pixel reduction to reorder)."""
     return _focal_class_hist(world_path, dataset,
                              hole_value=hole_value,
-                             code_fn=shade_codes, nbins=256,
-                             colname="shade")
+                             window_fn=grad_window(shade_codes),
+                             nbins=256, colname="shade")
+
+
+def focal_tri(world_path: str, dataset: str = "kg", *,
+              hole_value: int | None = None) -> pd.DataFrame:
+    """(tri, n_px) histogram of the integer Terrain Ruggedness Index
+    (gdaldem TRI family) — all-integer, bit-exact vs the oracle."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=tri_codes, nbins=2041,
+                             colname="tri")
+
+
+def focal_tpi(world_path: str, dataset: str = "kg", *,
+              hole_value: int | None = None) -> pd.DataFrame:
+    """(tpi, n_px) histogram of the ×8-integer-scaled Topographic
+    Position Index, offset by +2040 (gdaldem TPI family)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=tpi_codes,
+                             nbins=2 * TPI_OFFSET + 1, colname="tpi")
+
+
+def focal_roughness(world_path: str, dataset: str = "kg", *,
+                    hole_value: int | None = None) -> pd.DataFrame:
+    """(roughness, n_px) histogram of max−min over each 3×3 window
+    (gdaldem roughness)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=roughness_codes, nbins=256,
+                             colname="roughness")

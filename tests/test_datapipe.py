@@ -1978,3 +1978,14 @@ def test_mg_compress_bound():
     must = cnt[cnt > n // (k + 1)]
     assert set(must.index) <= set(out.index)
     assert len(out) <= k
+
+
+def test_split_documents_exact(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.split_documents(SF)
+    _assert_match(mine, corpus.SPLIT_DOCUMENTS_SQL, con)
+    # split fractions land near 80/10/10 and cover every doc
+    tot = mine.groupby("split")["n_docs"].sum()
+    n = tot.sum()
+    assert n == con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert 0.6 * n < tot.get("train", 0) < 0.95 * n

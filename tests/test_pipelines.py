@@ -844,3 +844,26 @@ def test_aspect_codes_semantics():
     gy = np.array([[0, 1, 1, 5, -5, 3, -3]])
     # flat, E, W, S, N, SE, NW
     assert aspect_codes(gx, gy).tolist() == [[0, 1, 5, 3, 7, 2, 6]]
+
+
+def test_terrain_metrics_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    for fn, ofn in ((pyr.focal_tri, oracle.tri_oracle),
+                    (pyr.focal_tpi, oracle.tpi_oracle),
+                    (pyr.focal_roughness, oracle.roughness_oracle)):
+        mine = fn(tiny_world, "kg")
+        assert mine.equals(ofn(SPEC, "kg")), fn.__name__
+
+
+def test_terrain_window_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.pyramid import (
+        TPI_OFFSET, roughness_codes, tpi_codes, tri_codes)
+    pad = np.array([[1, 2, 3],
+                    [4, 5, 6],
+                    [7, 8, 9]], np.uint8)
+    # single center pixel 5: neighbors 1,2,3,4,6,7,8,9
+    assert tri_codes(pad)[0, 0] == sum(abs(v - 5)
+                                       for v in (1, 2, 3, 4, 6, 7, 8, 9))
+    assert tpi_codes(pad)[0, 0] == 8 * 5 - (1+2+3+4+6+7+8+9) + TPI_OFFSET
+    assert roughness_codes(pad)[0, 0] == 9 - 1
