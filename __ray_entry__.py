@@ -1669,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": corpus.heavy_hitter_tokens,
         "skyline_orders": relational.skyline_orders,
         "split_documents": corpus.split_documents,
+        "value_prop_correlation": relational.value_prop_correlation,
+        "curation_pipeline": corpus.curation_pipeline,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
@@ -1874,6 +1876,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": corpus.HEAVY_HITTER_TOKENS_SQL,
         "skyline_orders": relational.SKYLINE_ORDERS_SQL,
         "split_documents": corpus.SPLIT_DOCUMENTS_SQL,
+        "value_prop_correlation": relational.VALUE_PROP_CORRELATION_SQL,
+        "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(
             "spatial_aez_ray.datapipe.simsearch",

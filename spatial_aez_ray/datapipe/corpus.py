@@ -1619,3 +1619,116 @@ FROM s GROUP BY split, lang ORDER BY split, lang
 
 
 SPLIT_DOCUMENTS_SQL = _split_sql()
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline — the composed corpus-curation chain (quality gate →
+# exact dedup → train/val/test split), verified end-to-end by ONE
+# chained SQL oracle rather than per-stage checks
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(sf_dir: str, min_tokens: int = 40,
+                      max_stop_ratio: float = 0.06,
+                      pcts: tuple[int, int, int] = SPLIT_PCTS
+                      ) -> pd.DataFrame:
+    """End-to-end curation: quality-filter (token floor + stopword
+    ceiling, same integer-derived boundary as quality_filter_stats),
+    exact-dedup survivors (min doc_id per content hash — only 16 B/doc
+    cross the shuffle), split assignment by content-addressed id hash,
+    and the per-(split, lang) balance table of what remains.
+
+    Three verified operators composed as ONE lazy chain and verified
+    against ONE chained-CTE oracle: composition bugs (filter-before-
+    vs-after-dedup ordering, survivor attribution) are exactly what
+    per-operator gates cannot see. Pass 2 filters by a broadcast
+    sorted survivor-id array (np.isin — the minhash corpus-pass
+    pattern); beyond driver memory that filter becomes the
+    bloom_semi_join, unchanged semantics."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    from .dedup import _content_hash_batch, _h64u
+    from .text import _quality_batch
+
+    p0, p1, _ = pcts
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        keep = (np.asarray(q["n_tokens"]) >= min_tokens) & \
+               (np.asarray(q["stopword_ratio"]) <= max_stop_ratio)
+        return _content_hash_batch(batch.filter(pa.array(keep)))
+
+    survivors = (ds.map_batches(gate, batch_format="pyarrow")
+                 .groupby("content_hash")
+                 .aggregate(Min("doc_id", alias_name="doc_id")))
+    surv = np.sort(survivors.to_pandas()["doc_id"].to_numpy(np.int64))
+    surv_ref = _ray.put(surv)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        surv = _ray.get(surv_ref)
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        batch = batch.filter(pa.array(np.isin(ids, surv)))
+        if batch.num_rows == 0:
+            return pa.table({"split": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "kept_docs": pa.array([], pa.int64()),
+                             "kept_tokens": pa.array([], pa.int64())})
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter((_h64u(str(d)) % 100 for d in ids),
+                        dtype=np.int64, count=len(ids))
+        df = pd.DataFrame({
+            "split": np.where(h < p0, "train",
+                              np.where(h < p0 + p1, "val", "test")),
+            "lang": batch["lang"].to_pandas(),
+            "kept_docs": np.ones(len(ids), dtype=np.int64),
+            "kept_tokens": np.asarray(q["n_tokens"], dtype=np.int64),
+        })
+        g = (df.groupby(["split", "lang"], as_index=False)
+               .sum(numeric_only=True))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(finish, batch_format="pyarrow").to_pandas()
+           .groupby(["split", "lang"], as_index=False)
+           [["kept_docs", "kept_tokens"]].sum())
+    for c in ("kept_docs", "kept_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["split", "lang"])
+               .reset_index(drop=True))
+
+
+def _curation_sql(min_tokens: int = 40, max_stop_ratio: float = 0.06,
+                  pcts: tuple[int, int, int] = SPLIT_PCTS) -> str:
+    from .text import STOPWORDS
+    p0, p1, _ = pcts
+    le = " || ".join(f"substr(md5(doc_id::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {STOPWORDS!r}))
+           / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)
+           AS stop_ratio,
+         text
+  FROM documents),
+f AS (SELECT * FROM q
+      WHERE n_tokens >= {min_tokens} AND stop_ratio <= {max_stop_ratio}),
+s AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+j AS (SELECT f.* FROM f JOIN s USING (doc_id)),
+sp AS (
+  SELECT CASE WHEN ('0x' || {le})::UBIGINT % 100 < {p0} THEN 'train'
+              WHEN ('0x' || {le})::UBIGINT % 100 < {p0 + p1} THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_tokens
+  FROM j)
+SELECT split, lang, COUNT(*)::BIGINT AS kept_docs,
+       SUM(n_tokens)::BIGINT AS kept_tokens
+FROM sp GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+CURATION_PIPELINE_SQL = _curation_sql()

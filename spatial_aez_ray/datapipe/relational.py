@@ -2689,3 +2689,78 @@ SELECT p / 100.0 AS price, d AS o_orderdate
 FROM run WHERE md IS NULL OR d < md
 ORDER BY p
 """
+
+
+# ---------------------------------------------------------------------------
+# value_prop_correlation — per-group Pearson r from EXACT integer
+# moment partials (the distributed-statistics discipline: five int64
+# sums per group per block; the float appears once, at the very end)
+# ---------------------------------------------------------------------------
+
+def value_prop_correlation(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Pearson correlation between the event value and
+    the numeric ``k`` property, from exact integer moments.
+
+    Distributed shape: each batch reduces to (type, n, Σx, Σy, Σx²,
+    Σy², Σxy) with x = value cents, y = k — order-free int64 sums, so
+    the moments are exact under any partitioning (float Welford
+    chains would not be). r is derived ONCE on the driver as
+    (nΣxy − ΣxΣy) / sqrt((nΣx² − Σx²ᵗᵒᵗ)·(nΣy² − Σy²ᵗᵒᵗ)) with the
+    big-int → double conversions in the same IEEE order as the SQL
+    oracle's expression, so even the float column matches bit-exactly.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch["value"])
+        k = pc.extract_regex(batch["props"], r"(?P<k>[0-9]+)")
+        y = np.asarray(pc.struct_field(k, "k").cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "n": np.ones(len(x), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        g = df.groupby("event_type", as_index=False).sum(numeric_only=True)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", as_index=False)
+           [["n", "sx", "sy", "sxx", "syy", "sxy"]].sum())
+    # exact big-int covariance terms in Python int, then ONE float per
+    # term in the same shape as the SQL expression
+    import math
+    r = []
+    for _, row in out.iterrows():
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxx, syy, sxy = int(row["sxx"]), int(row["syy"]), int(row["sxy"])
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r.append(float(num) / math.sqrt(float(dx) * float(dy)))
+    out["corr"] = r
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n", "sx", "sy", "sxx", "syy", "sxy", "corr"]])
+
+
+VALUE_PROP_CORRELATION_SQL = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sx,
+         SUM(regexp_extract(props, '[0-9]+')::BIGINT)::BIGINT AS sy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sxx,
+         SUM(regexp_extract(props, '[0-9]+')::BIGINT
+             * regexp_extract(props, '[0-9]+')::BIGINT)::BIGINT AS syy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * regexp_extract(props, '[0-9]+')::BIGINT)::BIGINT AS sxy
+  FROM events GROUP BY event_type)
+SELECT event_type, n, sx, sy, sxx, syy, sxy,
+       ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE)
+       / sqrt(((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+              * ((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)) AS corr
+FROM m ORDER BY event_type
+"""

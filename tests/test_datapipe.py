@@ -1989,3 +1989,19 @@ def test_split_documents_exact(con):
     n = tot.sum()
     assert n == con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert 0.6 * n < tot.get("train", 0) < 0.95 * n
+
+
+def test_value_prop_correlation_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.value_prop_correlation(SF),
+                  relational.VALUE_PROP_CORRELATION_SQL, con)
+
+
+def test_curation_pipeline_exact(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.curation_pipeline(SF)
+    _assert_match(mine, corpus.CURATION_PIPELINE_SQL, con)
+    # the chain must actually filter/dedup: strictly fewer kept docs
+    # than the corpus and every kept doc clears the token floor
+    n_all = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert 0 < mine["kept_docs"].sum() < n_all
