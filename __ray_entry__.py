@@ -458,6 +458,7 @@ def _spatial_terrain(sf_dir: str):
         ("tri", pyramid.focal_tri, om.tri_oracle),
         ("tpi", pyramid.focal_tpi, om.tpi_oracle),
         ("roughness", pyramid.focal_roughness, om.roughness_oracle),
+        ("flowdir", pyramid.focal_flowdir, om.flowdir_oracle),
     ]
     outs = []
     for name, fn, ofn in pairs:

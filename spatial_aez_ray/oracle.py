@@ -967,6 +967,13 @@ def tpi_oracle(spec, dataset: str = "kg",
                               tpi_codes, 2 * TPI_OFFSET + 1, "tpi")
 
 
+def flowdir_oracle(spec, dataset: str = "kg",
+                   hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import flowdir_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              flowdir_codes, 256, "flowdir")
+
+
 def roughness_oracle(spec, dataset: str = "kg",
                      hole_value: int | None = None) -> pd.DataFrame:
     from .pipelines.pyramid import roughness_codes

@@ -701,6 +701,34 @@ def tpi_codes(pad: np.ndarray) -> np.ndarray:
     return 8 * c - s + TPI_OFFSET
 
 
+def flowdir_codes(pad: np.ndarray) -> np.ndarray:
+    """D8 flow direction (ESRI convention: E=1, SE=2, S=4, SW=8, W=16,
+    NW=32, N=64, NE=128; 0 = no downhill neighbor). Steepest descent
+    with EXACT slope comparison: cardinal slope = drop, diagonal slope
+    = drop/√2, compared as 2·drop_d² vs ... integer-exactly via
+    cross-multiplied squares (slope_a > slope_b ⇔ dropₐ²·wᵦ > dropᵦ²·wₐ
+    for positive drops, w = 1 cardinal / 2 diagonal). Ties resolve to
+    the SMALLEST code (first in E, SE, S, SW, W, NW, N, NE order) —
+    deterministic and partition-independent."""
+    a = pad.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    best_drop = np.zeros_like(c)          # drop of current best
+    best_w = np.ones_like(c)              # 1 cardinal, 2 diagonal
+    best_code = np.zeros_like(c)
+    order = [((1, 2), 1, 1), ((2, 2), 2, 2), ((2, 1), 4, 1),
+             ((2, 0), 8, 2), ((1, 0), 16, 1), ((0, 0), 32, 2),
+             ((0, 1), 64, 1), ((0, 2), 128, 2)]
+    for (dy, dx), code, w in order:
+        drop = c - a[dy:dy + c.shape[0], dx:dx + c.shape[1]]
+        # strictly steeper than current best: drop²·w_best > best²·w
+        better = (drop > 0) & (
+            drop * drop * best_w > best_drop * best_drop * w)
+        best_drop = np.where(better, drop, best_drop)
+        best_w = np.where(better, w, best_w)
+        best_code = np.where(better, code, best_code)
+    return best_code
+
+
 def roughness_codes(pad: np.ndarray) -> np.ndarray:
     """gdaldem roughness: max − min over the full 3×3 window (center
     included) — 0..255 for uint8 input."""
@@ -849,6 +877,17 @@ def focal_tpi(world_path: str, dataset: str = "kg", *,
                              hole_value=hole_value,
                              window_fn=tpi_codes,
                              nbins=2 * TPI_OFFSET + 1, colname="tpi")
+
+
+def focal_flowdir(world_path: str, dataset: str = "kg", *,
+                  hole_value: int | None = None) -> pd.DataFrame:
+    """(flowdir, n_px) histogram of D8 flow-direction codes (ESRI
+    convention, exact cross-multiplied slope comparison — see
+    flowdir_codes)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=flowdir_codes, nbins=256,
+                             colname="flowdir")
 
 
 def focal_roughness(world_path: str, dataset: str = "kg", *,

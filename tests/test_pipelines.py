@@ -850,7 +850,8 @@ def test_terrain_metrics_bit_exact(tiny_world):
     from spatial_aez_ray.pipelines import pyramid as pyr
     for fn, ofn in ((pyr.focal_tri, oracle.tri_oracle),
                     (pyr.focal_tpi, oracle.tpi_oracle),
-                    (pyr.focal_roughness, oracle.roughness_oracle)):
+                    (pyr.focal_roughness, oracle.roughness_oracle),
+                    (pyr.focal_flowdir, oracle.flowdir_oracle)):
         mine = fn(tiny_world, "kg")
         assert mine.equals(ofn(SPEC, "kg")), fn.__name__
 
@@ -867,3 +868,19 @@ def test_terrain_window_semantics():
                                        for v in (1, 2, 3, 4, 6, 7, 8, 9))
     assert tpi_codes(pad)[0, 0] == 8 * 5 - (1+2+3+4+6+7+8+9) + TPI_OFFSET
     assert roughness_codes(pad)[0, 0] == 9 - 1
+
+
+def test_flowdir_codes_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.pyramid import flowdir_codes
+    sink = np.array([[9, 9, 9], [9, 5, 9], [9, 9, 9]], np.uint8)
+    assert flowdir_codes(sink)[0, 0] == 0
+    # diagonal drop 3 (slope 3/sqrt2) beats cardinal drop 2
+    se = np.array([[9, 9, 9], [9, 5, 3], [9, 9, 2]], np.uint8)
+    assert flowdir_codes(se)[0, 0] == 2
+    # equal drops: cardinal slope wins over diagonal
+    e = np.array([[9, 9, 9], [9, 5, 3], [9, 9, 3]], np.uint8)
+    assert flowdir_codes(e)[0, 0] == 1
+    # exact tie between two cardinals -> smallest code (E before S)
+    tie = np.array([[9, 9, 9], [9, 5, 3], [9, 3, 9]], np.uint8)
+    assert flowdir_codes(tie)[0, 0] == 1
