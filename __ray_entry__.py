@@ -447,6 +447,22 @@ def _spatial_aspect(sf_dir: str):
     return mine
 
 
+def _kcore_tokens(sf_dir: str):
+    """k-core of the token co-occurrence graph by parallel peeling;
+    self-verified in-query against the sequential one-node-at-a-time
+    peeling oracle (k-core uniqueness makes the two equal), plus the
+    membership invariant core_deg >= k."""
+    from spatial_aez_ray.datapipe import graph
+    mine = graph.kcore_tokens(sf_dir)
+    edges = graph._distinct_edges(sf_dir).to_pandas()
+    want = graph.kcore_oracle_sequential(edges)
+    if not mine.equals(want):
+        raise AssertionError("distributed k-core != sequential peeling")
+    if len(mine) and int(mine["core_deg"].min()) < graph.KCORE_K:
+        raise AssertionError("k-core member under the degree floor")
+    return mine
+
+
 def _spatial_terrain(sf_dir: str):
     """gdaldem terrain-metric family (TRI L1, ×8 TPI, roughness):
     all-integer 3×3 window metrics over the shared focal-halo engine,
@@ -1664,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": dedup.entity_clusters,
         "textrank_tokens": graph.textrank_tokens,
         "token_triangles": graph.token_triangles,
+        "kcore_tokens": _kcore_tokens,
         "theta_user_overlap": sketch.theta_user_overlap,
         "join_size_estimate": sketch.join_size_estimate,
         "sample_quantiles": sketch.sample_quantiles,

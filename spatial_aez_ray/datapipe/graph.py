@@ -274,3 +274,100 @@ c AS (
 SELECT n.token, COALESCE(c.cnt, 0)::BIGINT AS n_triangles
 FROM n LEFT JOIN c USING (token) ORDER BY n.token
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — parallel peeling over the token co-occurrence
+# graph (the k-core is UNIQUE, so round-parallel deletion equals
+# sequential peeling — the property the oracle check rests on)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 8
+
+
+def _distinct_edges(sf_dir: str):
+    """Materialized distinct directed edge table (u, v) both ways —
+    the weight is irrelevant to coreness; after the groupby each row
+    is one distinct neighbor relation, so degree(u) = row count."""
+    return (_read_docs(sf_dir, columns=["text"])
+            .map_batches(_edge_partial, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Sum("w", alias_name="w"))
+            .materialize())
+
+
+def kcore_tokens(sf_dir: str, k: int = KCORE_K) -> pd.DataFrame:
+    """Members of the k-core of the token co-occurrence graph with
+    their within-core degree: the maximal subgraph where every token
+    has ≥ k distinct co-occurring neighbors that are themselves in
+    the subgraph.
+
+    Distributed shape: parallel peeling. Each round streams the
+    distinct edge table once, counting per-node surviving-neighbor
+    degrees against the BROADCAST alive set (vocabulary-sized — the
+    same legitimate small side as the PageRank rank vector), then
+    drops every node under k at once. Round-parallel deletion yields
+    the same fixpoint as one-at-a-time peeling because the k-core is
+    unique — which is exactly what the sequential oracle verifies.
+    Rounds are worst-case O(n) on adversarial path graphs but a
+    handful in practice; the corpus is read once (edge build), never
+    per round."""
+    import ray
+
+    edges = _distinct_edges(sf_dir)
+    alive: np.ndarray | None = None   # None = every node
+    while True:
+        bc = ray.put(alive)
+
+        def deg_partial(batch: pa.Table, _bc=bc) -> pa.Table:
+            al = ray.get(_bc)
+            uu = batch["u"].to_numpy(zero_copy_only=False).astype(object)
+            vv = batch["v"].to_numpy(zero_copy_only=False).astype(object)
+            if al is not None:
+                keep = np.isin(uu, al) & np.isin(vv, al)
+                uu = uu[keep]
+            codes, uniq = pd.factorize(uu)
+            d = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            return pa.table({"u": pa.array(uniq, pa.string()),
+                             "d": pa.array(d)})
+
+        deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("u").aggregate(Sum("d", alias_name="d"))
+               .to_pandas())
+        nxt = np.sort(deg.loc[deg["d"] >= k, "u"]
+                      .to_numpy(dtype=object))
+        if alive is not None and len(nxt) == len(alive) \
+                and (nxt == alive).all():
+            out = deg[deg["d"] >= k].rename(columns={"u": "token",
+                                                     "d": "core_deg"})
+            out["core_deg"] = out["core_deg"].astype(np.int64)
+            return (out.sort_values("token").reset_index(drop=True)
+                    [["token", "core_deg"]])
+        if len(nxt) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "core_deg": pd.Series([], dtype=np.int64)})
+        alive = nxt
+
+
+def kcore_oracle_sequential(edges_df: pd.DataFrame,
+                            k: int = KCORE_K) -> pd.DataFrame:
+    """Sequential one-node-at-a-time peeling (the textbook algorithm)
+    over a collected distinct-edge table — the independent derivation
+    path the distributed rounds are checked against."""
+    nbrs: dict[str, set] = {}
+    for u, v in zip(edges_df["u"], edges_df["v"]):
+        nbrs.setdefault(u, set()).add(v)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(nbrs):
+            if len(nbrs[u]) < k:
+                for v in nbrs.pop(u):
+                    s = nbrs.get(v)
+                    if s is not None:
+                        s.discard(u)
+                changed = True
+    out = pd.DataFrame({"token": sorted(nbrs),
+                        "core_deg": [len(nbrs[t]) for t in sorted(nbrs)]})
+    out["core_deg"] = out["core_deg"].astype(np.int64)
+    return out

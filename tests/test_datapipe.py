@@ -2005,3 +2005,12 @@ def test_curation_pipeline_exact(con):
     # than the corpus and every kept doc clears the token floor
     n_all = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert 0 < mine["kept_docs"].sum() < n_all
+
+
+def test_kcore_matches_sequential_peeling():
+    from spatial_aez_ray.datapipe import graph
+    mine = graph.kcore_tokens(SF)
+    edges = graph._distinct_edges(SF).to_pandas()
+    want = graph.kcore_oracle_sequential(edges)
+    assert mine.equals(want)
+    assert len(mine) > 0 and (mine["core_deg"] >= graph.KCORE_K).all()
