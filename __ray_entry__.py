@@ -488,6 +488,20 @@ def _spatial_terrain(sf_dir: str):
     return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
 
 
+def _spatial_zonal_terrain(sf_dir: str):
+    """Focal × zonal composition: per-admin TRI statistics in one
+    shuffle-free kernel (halo by derived ref + PIP claims per tile),
+    bit-exact vs the sequential whole-array composition oracle."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    mine = pyramid.zonal_window_stats(_world(), "kg", "tri")
+    want = _oracle_mod().zonal_window_stats_oracle(fixtures.TINY, "kg",
+                                                   "tri")
+    if not mine.equals(want):
+        raise AssertionError("zonal terrain != composition oracle")
+    return mine
+
+
 def _spatial_zonal_value_stats(sf_dir: str):
     """ArcGIS-style Zonal Statistics suite (majority/minority/median/
     variety/p25/p75) from order-free integer pixel-count partials —
@@ -1742,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_hillshade": _spatial_hillshade,
         "spatial_zonal_value_stats": _spatial_zonal_value_stats,
         "spatial_terrain": _spatial_terrain,
+        "spatial_zonal_terrain": _spatial_zonal_terrain,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,

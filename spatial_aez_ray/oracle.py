@@ -1050,3 +1050,58 @@ def zonal_value_stats_oracle(spec, dataset: str = "kg") -> pd.DataFrame:
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out
+
+
+def zonal_window_stats_oracle(spec, dataset: str = "kg",
+                              metric: str = "tri",
+                              hole_value: int | None = None
+                              ) -> pd.DataFrame:
+    """Sequential focal×zonal composition: whole-array window metric
+    (identical hole padding to _focal_hist_oracle) intersected with
+    each admin's full-grid mask, restricted to present tiles."""
+    from .pipelines.pyramid import WINDOW_FNS
+
+    window_fn, _ = WINDOW_FNS[metric]
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole,
+                  dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    present = np.zeros((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+            else:
+                present[y:y + nr, x:x + nc] = True
+    codes = window_fn(pad)
+    rows = []
+    agg: dict[str, list] = {}
+    for _fidx, admin, mask in feature_masks(spec, grid):
+        vals = codes[mask & present]
+        if not len(vals):
+            continue
+        cur = agg.get(admin)
+        row = [len(vals), int(vals.sum()), int(vals.min()),
+               int(vals.max())]
+        if cur is None:
+            agg[admin] = row
+        else:
+            cur[0] += row[0]
+            cur[1] += row[1]
+            cur[2] = min(cur[2], row[2])
+            cur[3] = max(cur[3], row[3])
+    for admin in sorted(agg):
+        n, s, mn, mx = agg[admin]
+        rows.append({"admin": admin, "n_px": n, "sum": s,
+                     "min": mn, "max": mx})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -898,3 +898,139 @@ def focal_roughness(world_path: str, dataset: str = "kg", *,
                              hole_value=hole_value,
                              window_fn=roughness_codes, nbins=256,
                              colname="roughness")
+
+
+# ---------------------------------------------------------------------------
+# zonal terrain — the focal × zonal COMPOSITION: per-admin statistics
+# of a 3×3 window metric, computed in ONE shuffle-free kernel (halo
+# fetch by derived ref + PIP claims per tile; only per-admin integer
+# partial rows leave the workers)
+# ---------------------------------------------------------------------------
+
+WINDOW_FNS = {
+    "tri": (tri_codes, 2041),
+    "tpi": (tpi_codes, 2 * TPI_OFFSET + 1),
+    "roughness": (roughness_codes, 256),
+}
+
+
+def zonal_window_stats(world_path: str, dataset: str = "kg",
+                       metric: str = "tri", *,
+                       hole_value: int | None = None) -> pd.DataFrame:
+    """Per-admin (n_px, sum, min, max) of a focal window metric — the
+    'mean ruggedness per country' family of products. Composes the
+    two verified kernel disciplines without a shuffle: each tile
+    assembles its 3×3 halo from neighbor tiles by DERIVED ref (the
+    focal discipline) and intersects the metric field with the tile's
+    polygon claims (the zonal discipline, double-claim parity
+    included). Partials are order-free int64 per-admin rows, so the
+    result is exact under any partitioning. mean = sum/n_px is left
+    to the caller — no float leaves the pipeline."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+    from .extract import build_zonal_index, world_grid as _wg
+
+    window_fn, _ = WINDOW_FNS[metric]
+    layout = model.world_layout(world_path)
+    grid = _wg(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    index = build_zonal_index(world_path)
+    t, tiles_y, tiles_x = grid.tile, grid.tiles_y, grid.tiles_x
+    width, height = grid.width, grid.height
+
+    class ZonalWindow:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.index = index
+
+        def _dims(self, ty, tx):
+            return (min(t, height - ty * t), min(t, width - tx * t))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            plans, want = [], set()
+            for pid in ids:
+                ty, tx = int(pid) // tiles_x, int(pid) % tiles_x
+                nbrs = {}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < tiles_y and 0 <= nx < tiles_x:
+                            r = model.media_ref(dataset, grid.name,
+                                                ny, nx, 1)
+                            nbrs[(dy, dx)] = (ny, nx, r)
+                            want.add(r)
+                plans.append((ty, tx, nbrs))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            acc: dict[str, list] = {}
+            for ty, tx, nbrs in plans:
+                me = payloads.get(nbrs[(0, 0)][2])
+                if me is None:
+                    continue
+                nr, nc = self._dims(ty, tx)
+                pad = np.full((nr + 2, nc + 2), hole, dtype=np.uint8)
+                for (dy, dx), (ny, nx, r) in nbrs.items():
+                    p = payloads.get(r)
+                    if p is None:
+                        continue
+                    hh, ww = self._dims(ny, nx)
+                    arr = np.frombuffer(p, np.uint8,
+                                        count=hh * ww).reshape(hh, ww)
+                    if dy == 0 and dx == 0:
+                        pad[1:1 + nr, 1:1 + nc] = arr
+                        continue
+                    rs = (slice(hh - 1, hh) if dy < 0
+                          else slice(0, 1) if dy > 0 else slice(0, hh))
+                    cs = (slice(ww - 1, ww) if dx < 0
+                          else slice(0, 1) if dx > 0 else slice(0, ww))
+                    sub = arr[rs, cs]
+                    pr = (slice(0, 1) if dy < 0
+                          else slice(nr + 1, nr + 2) if dy > 0
+                          else slice(1, 1 + sub.shape[0]))
+                    pc_ = (slice(0, 1) if dx < 0
+                           else slice(nc + 1, nc + 2) if dx > 0
+                           else slice(1, 1 + sub.shape[1]))
+                    pad[pr, pc_] = sub
+                codes = window_fn(pad)
+                for _fidx, admin, mask in self.index.assign_tile(
+                        grid, ty, tx):
+                    vals = codes[mask]
+                    if not len(vals):
+                        continue
+                    cur = acc.get(admin)
+                    row = [len(vals), int(vals.sum()),
+                           int(vals.min()), int(vals.max())]
+                    if cur is None:
+                        acc[admin] = row
+                    else:
+                        cur[0] += row[0]
+                        cur[1] += row[1]
+                        cur[2] = min(cur[2], row[2])
+                        cur[3] = max(cur[3], row[3])
+            admins = sorted(acc)
+            cols = np.array([acc[a] for a in admins], dtype=np.int64) \
+                if admins else np.zeros((0, 4), dtype=np.int64)
+            return pa.table({
+                "admin": pa.array(admins, pa.string()),
+                "n_px": pa.array(cols[:, 0]),
+                "sum": pa.array(cols[:, 1]),
+                "min": pa.array(cols[:, 2]),
+                "max": pa.array(cols[:, 3]),
+            })
+
+    from ray.data.aggregate import Max, Min, Sum
+    out = (ray.data.range(tiles_y * tiles_x)
+           .map_batches(as_task_fn(ZonalWindow), batch_format="pyarrow",
+                        batch_size=16)
+           .groupby("admin")
+           .aggregate(Sum("n_px", alias_name="n_px"),
+                      Sum("sum", alias_name="sum"),
+                      Min("min", alias_name="min"),
+                      Max("max", alias_name="max"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("admin").reset_index(drop=True)

@@ -884,3 +884,15 @@ def test_flowdir_codes_semantics():
     # exact tie between two cardinals -> smallest code (E before S)
     tie = np.array([[9, 9, 9], [9, 5, 3], [9, 3, 9]], np.uint8)
     assert flowdir_codes(tie)[0, 0] == 1
+
+
+def test_zonal_window_stats_all_metrics(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid as pyr
+    for metric in ("tri", "tpi", "roughness"):
+        mine = pyr.zonal_window_stats(tiny_world, "kg", metric)
+        want = oracle.zonal_window_stats_oracle(SPEC, "kg", metric)
+        assert mine.equals(want), metric
+    # lc grid too (different tile lattice + hole value path)
+    mine = pyr.zonal_window_stats(tiny_world, "lc", "roughness")
+    want = oracle.zonal_window_stats_oracle(SPEC, "lc", "roughness")
+    assert mine.equals(want)
