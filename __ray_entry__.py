@@ -1548,6 +1548,31 @@ def _spatial_real_mask_import(sf_dir: str):
                           "equal": world_km2 == direct_km2}])
 
 
+def _spatial_real_mask_terrain(sf_dir: str):
+    """Focal kernels on REAL raster layout: import a real ZSTD
+    reference mask (GRC — archipelago: sparse holes + edge-clamped
+    tiles) and assert the distributed TRI and roughness histograms
+    are bit-identical to the direct sequential file walk."""
+    import shutil
+    import pandas as pd
+    from spatial_aez_ray.pipelines import pyramid, realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_terrain_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    outs = []
+    for metric, fn in (("roughness", pyramid.focal_roughness),
+                       ("tri", pyramid.focal_tri)):
+        mine = fn(w, "realmask")
+        want = realmask.mask_file_window_hist(path, metric)
+        if not mine.equals(want):
+            raise AssertionError(f"real-mask {metric} != direct walk")
+        outs.append(mine.rename(columns={metric: "code"})
+                    .assign(metric=metric))
+    return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
+
+
 def _spatial_real_png_palette(sf_dir: str):
     """M15 parity on REAL published output: decode the reference's
     results/*_small.png thumbnails (written by gdal_translate,
@@ -1786,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_import": _spatial_real_mask_import,
         "spatial_real_regions": _spatial_real_regions,
         "spatial_real_mask_overlap": _spatial_real_mask_overlap,
+        "spatial_real_mask_terrain": _spatial_real_mask_terrain,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -419,3 +419,45 @@ def mask_file_overlap_px(path_a: str, path_b: str) -> int:
         ra.close()
         rb.close()
     return n
+
+
+def mask_file_window_hist(path: str, metric: str) -> "pd.DataFrame":
+    """Direct sequential (code, n_px) histogram of a 3×3 window metric
+    over one REAL mask file: decode the nonsparse tiles into a
+    bbox-bounded array (everything else is the mask nodata 0, matching
+    the imported world's hole value), run the metric once, count only
+    present-tile pixels — the whole-array oracle for the focal kernels
+    on real raster layout (edge-clamped tiles, sparse holes)."""
+    import pandas as pd
+
+    from .pyramid import WINDOW_FNS
+    window_fn, nbins = WINDOW_FNS[metric]
+    t = MASK_GRID.tile
+    r = GeoTiffReader(path)
+    try:
+        present = sorted((int(a), int(b)) for a, b in r.nonsparse_tiles())
+        tys = [p[0] for p in present]
+        txs = [p[1] for p in present]
+        ty0, ty1 = min(tys), max(tys)
+        tx0, tx1 = min(txs), max(txs)
+        sub = np.zeros(((ty1 - ty0 + 1) * t + 2,
+                        (tx1 - tx0 + 1) * t + 2), np.uint8)
+        dims = {}
+        for ty, tx in present:
+            arr = r.read_tile(ty, tx)
+            y, x = (ty - ty0) * t + 1, (tx - tx0) * t + 1
+            sub[y:y + arr.shape[0], x:x + arr.shape[1]] = arr
+            dims[(ty, tx)] = arr.shape
+    finally:
+        r.close()
+    codes = window_fn(sub)[0:, 0:]   # codes align to sub minus border
+    hist = np.zeros(nbins, dtype=np.int64)
+    for (ty, tx), (nr, nc) in dims.items():
+        y, x = (ty - ty0) * t, (tx - tx0) * t
+        hist += np.bincount(codes[y:y + nr, x:x + nc].ravel(),
+                            minlength=nbins)
+    nz = np.flatnonzero(hist)
+    colname = {"tri": "tri", "tpi": "tpi",
+               "roughness": "roughness"}[metric]
+    return pd.DataFrame({colname: nz.astype(np.int64),
+                         "n_px": hist[nz].astype(np.int64)})

@@ -227,3 +227,19 @@ def test_real_mask_overlap_exclusive(tmp_path):
     cross = realmask.mask_overlap_px(w, "a", "b")
     assert cross == realmask.mask_file_overlap_px(pa_, pi) == 0
     assert realmask.mask_overlap_px(w, "a", "a") > 0
+
+
+def test_real_mask_terrain_bit_exact(tmp_path):
+    """Distributed focal TRI/roughness over an imported real mask ==
+    the direct sequential file walk (PHL: thousands of islands, the
+    hardest sparse layout in the reference set)."""
+    import os
+    from spatial_aez_ray.pipelines import pyramid, realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "PHL_179_1km_mask._tif")
+    w = str(tmp_path / "phl_world")
+    realmask.import_real_mask(path, w)
+    for metric, fn in (("roughness", pyramid.focal_roughness),
+                       ("tri", pyramid.focal_tri)):
+        mine = fn(w, "realmask")
+        assert mine.equals(realmask.mask_file_window_hist(path, metric)), metric
