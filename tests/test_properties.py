@@ -403,3 +403,92 @@ def test_bpe_apply_lossless_any_merges(wc, n_merges):
         toks = bpe_apply(w, merges)
         assert "".join(toks) == w
         assert all(t for t in toks)
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+                min_size=0, max_size=200),
+       st.integers(1, 5))
+@settings(max_examples=50, deadline=None)
+def test_skyline_matches_bruteforce_and_partition_invariance(pts, nparts):
+    """_skyline_2d == O(n²) dominance filter on distinct pairs, and
+    skyline(union of per-part skylines) == skyline(all) — the
+    correctness core of the distributed shape."""
+    from spatial_aez_ray.datapipe.relational import _skyline_2d
+    c = np.array([p[0] for p in pts], dtype=np.int64)
+    d = np.array([p[1] for p in pts], dtype=np.int64)
+    got = list(zip(*_skyline_2d(c, d)))
+    uniq = set(pts)
+    want = sorted(
+        (a, b) for a, b in uniq
+        if not any((x <= a and y <= b and (x < a or y < b))
+                   for x, y in uniq))
+    assert got == want
+    # partition invariance
+    parts = [([], []) for _ in range(nparts)]
+    for i, p in enumerate(pts):
+        parts[i % nparts][0].append(p[0])
+        parts[i % nparts][1].append(p[1])
+    merged_c, merged_d = [], []
+    for pc, pd_ in parts:
+        sc, sd = _skyline_2d(np.array(pc, np.int64),
+                             np.array(pd_, np.int64))
+        merged_c.extend(sc)
+        merged_d.extend(sd)
+    got2 = list(zip(*_skyline_2d(np.array(merged_c, np.int64),
+                                 np.array(merged_d, np.int64))))
+    assert got2 == want
+
+
+@given(st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=300),
+       st.integers(1, 6))
+@settings(max_examples=50, deadline=None)
+def test_bottomk_sample_merge_invariance(keys, nparts):
+    """Bottom-k-of-union == merge of per-partition bottom-k for any
+    split — the mergeable-summary property sample_quantiles rests on."""
+    from spatial_aez_ray.datapipe.dedup import _h64u
+    k = 16
+    h = np.array([_h64u(str(v)) for v in keys], dtype=np.uint64)
+    ks = np.array(keys, dtype=np.int64)
+    direct = ks[np.lexsort((ks, h))][:k]
+    merged_h, merged_k = [], []
+    for i in range(nparts):
+        hh, kk = h[i::nparts], ks[i::nparts]
+        o = np.lexsort((kk, hh))[:k]
+        merged_h.extend(hh[o])
+        merged_k.extend(kk[o])
+    mh = np.array(merged_h, dtype=np.uint64)
+    mk = np.array(merged_k, dtype=np.int64)
+    got = mk[np.lexsort((mk, mh))][:k]
+    assert (got == direct).all()
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+       st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+       st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=100, deadline=None)
+def test_flowdir_agrees_with_float_argmax(a, b, c, d, e, f, g, h, i):
+    """Integer cross-multiplied slope comparison == float steepest
+    descent whenever the float slopes are not exactly tied."""
+    import math
+    from spatial_aez_ray.pipelines.pyramid import flowdir_codes
+    pad = np.array([[a, b, c], [d, e, f], [g, h, i]], np.uint8)
+    code = flowdir_codes(pad)[0, 0]
+    order = [((1, 2), 1, 1.0), ((2, 2), 2, math.sqrt(2)),
+             ((2, 1), 4, 1.0), ((2, 0), 8, math.sqrt(2)),
+             ((1, 0), 16, 1.0), ((0, 0), 32, math.sqrt(2)),
+             ((0, 1), 64, 1.0), ((0, 2), 128, math.sqrt(2))]
+    best_code, best_slope = 0, 0.0
+    vals = pad.astype(int)
+    for (dy, dx), cd, dist in order:
+        drop = int(e) - int(vals[dy, dx])
+        if drop <= 0:
+            continue
+        s = drop / dist
+        if s > best_slope + 1e-9:
+            best_slope, best_code = s, cd
+    # only assert when no near-tie ambiguity exists in float space
+    ties = [abs((int(e) - int(vals[dy, dx])) / dist - best_slope) < 1e-9
+            for (dy, dx), _cd, dist in order
+            if int(e) - int(vals[dy, dx]) > 0]
+    if sum(ties) <= 1:
+        assert code == best_code
