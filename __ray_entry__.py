@@ -1723,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_user_overlap": sketch.theta_user_overlap,
         "join_size_estimate": sketch.join_size_estimate,
         "sample_quantiles": sketch.sample_quantiles,
+        "grouped_sample_quantiles": sketch.grouped_sample_quantiles,
         "heavy_hitter_tokens": corpus.heavy_hitter_tokens,
         "skyline_orders": relational.skyline_orders,
         "split_documents": corpus.split_documents,
@@ -1932,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "theta_user_overlap": sketch.THETA_USER_OVERLAP_SQL,
         "join_size_estimate": sketch.JOIN_SIZE_ESTIMATE_SQL,
         "sample_quantiles": sketch.SAMPLE_QUANTILES_SQL,
+        "grouped_sample_quantiles": sketch.GROUPED_SAMPLE_QUANTILES_SQL,
         "heavy_hitter_tokens": corpus.HEAVY_HITTER_TOKENS_SQL,
         "skyline_orders": relational.SKYLINE_ORDERS_SQL,
         "split_documents": corpus.SPLIT_DOCUMENTS_SQL,

@@ -716,3 +716,84 @@ SELECT pct, price_c FROM ({sels}) ORDER BY pct
 
 
 SAMPLE_QUANTILES_SQL = _qsample_sql()
+
+
+def grouped_sample_quantiles(sf_dir: str, k: int = QSAMPLE_K,
+                             qs: tuple[int, ...] = (50, 90)
+                             ) -> pd.DataFrame:
+    """Per-order-priority price quantiles from per-GROUP bottom-k
+    samples — the grouped form of sample_quantiles: partials carry at
+    most groups × k rows per block, merged per group by the same
+    order-free k-smallest rule, so every group's sample (and hence
+    every estimate) is partition-independent and reproduced exactly
+    by the SQL oracle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table, k=k) -> pa.Table:
+        import pandas as _pd
+        grp = np.asarray(batch["o_orderpriority"].to_pylist(),
+                         dtype=object)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((_h64u(str(int(v))) for v in keys),
+                        dtype=np.uint64, count=len(keys))
+        cents = np.trunc(np.asarray(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+        keep = []
+        codes, uniq = _pd.factorize(grp)
+        for gi in range(len(uniq)):
+            idx = np.flatnonzero(codes == gi)
+            o = idx[np.lexsort((keys[idx], h[idx]))[:k]]
+            keep.extend(o)
+        keep = np.asarray(keep, dtype=np.int64)
+        return pa.table({
+            "grp": pa.array(grp[keep].astype(str), pa.string()),
+            "h": pa.array(h[keep], pa.uint64()),
+            "key": pa.array(keys[keep].astype(np.int64)),
+            "cents": pa.array(cents[keep]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for grp, g in parts.groupby("grp"):
+        h = g["h"].to_numpy(dtype=np.uint64)
+        keys = g["key"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        order = np.lexsort((keys, h))[:k]
+        sample = np.sort(cents[order])
+        n = len(sample)
+        for q in qs:
+            rows.append((grp, q, int(sample[-(-q * n // 100) - 1])))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "pct",
+                                      "price_c"])
+    out["pct"] = out["pct"].astype(np.int64)
+    out["price_c"] = out["price_c"].astype(np.int64)
+    return (out.sort_values(["o_orderpriority", "pct"])
+               .reset_index(drop=True))
+
+
+def _grouped_qsample_sql(k: int = QSAMPLE_K,
+                         qs: tuple[int, ...] = (50, 90)) -> str:
+    le = " || ".join(f"substr(md5(o_orderkey::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    sels = " UNION ALL ".join(
+        f"SELECT o_orderpriority, {q}::BIGINT AS pct, "
+        f"quantile_disc(cents, {q / 100.0}) AS price_c "
+        f"FROM s GROUP BY o_orderpriority"
+        for q in qs)
+    return f"""
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY ('0x' || {le})::UBIGINT,
+                                     o_orderkey) AS rnk
+  FROM orders),
+s AS (SELECT * FROM r WHERE rnk <= {k})
+SELECT o_orderpriority, pct, price_c FROM ({sels})
+ORDER BY o_orderpriority, pct
+"""
+
+
+GROUPED_SAMPLE_QUANTILES_SQL = _grouped_qsample_sql()

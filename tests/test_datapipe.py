@@ -2014,3 +2014,9 @@ def test_kcore_matches_sequential_peeling():
     want = graph.kcore_oracle_sequential(edges)
     assert mine.equals(want)
     assert len(mine) > 0 and (mine["core_deg"] >= graph.KCORE_K).all()
+
+
+def test_grouped_sample_quantiles_exact(con):
+    from spatial_aez_ray.datapipe import sketch
+    _assert_match(sketch.grouped_sample_quantiles(SF),
+                  sketch.GROUPED_SAMPLE_QUANTILES_SQL, con)
