@@ -387,12 +387,33 @@ def _gen_dataset_shard(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int
     return doc_table, media_table
 
 
+def _world_is_sharded(path: str) -> bool:
+    """True when every dataset dir holds more than one part file. A
+    1-file dataset starves Ray Data (1 read task → SplitBlocks
+    trickle, kernels at ~1.6× concurrency regardless of CPUs — the
+    measured cache-poisoning trap this predicate exists to close)."""
+    import glob as _glob
+    ddirs = _glob.glob(os.path.join(path, "documents", "dataset=*"))
+    return bool(ddirs) and all(
+        len(_glob.glob(os.path.join(d, "*.parquet"))) > 1 for d in ddirs)
+
+
 def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) -> str:
-    """Materialize the world at ``spec.path`` (idempotent, cached)."""
+    """Materialize the world at ``spec.path`` (idempotent, cached).
+
+    Every scale>1 world is written as 64 CONTIGUOUS shard files per
+    dataset regardless of ``use_ray`` (ray parallelizes the shard
+    loop; the sequential path writes the identical layout) — and a
+    cached scale>1 world that is NOT sharded is rebuilt on sight, so
+    one caller generating without ray can never poison the cache for
+    the bench/scaling runs (cost: aez 1.17 s → 2.4 s when it
+    happened)."""
     path = spec.path
     marker = os.path.join(path, "_WORLD.json")
     if os.path.exists(marker) and not force:
-        return path
+        if spec.scale <= 1 or _world_is_sharded(path):
+            return path
+        # pathological cached layout: fall through and regenerate
     if os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
@@ -409,6 +430,21 @@ def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) 
         os.makedirs(mdir, exist_ok=True)
         if use_ray:
             _gen_with_ray(spec, dataset, tiles, ddir, mdir)
+        elif spec.scale > 1:
+            # sequential twin of _gen_with_ray: same contiguous shard
+            # split, same file layout, bit-identical content
+            for shard_id, shard in _shard_tiles(tiles):
+                doc_t, med_t = _gen_dataset_shard(spec, dataset, shard,
+                                                  index)
+                if doc_t.num_rows:
+                    pq.write_table(
+                        doc_t,
+                        os.path.join(ddir, f"part-{shard_id:05d}.parquet"),
+                        row_group_size=256)
+                    pq.write_table(
+                        med_t,
+                        os.path.join(mdir, f"part-{shard_id:05d}.parquet"),
+                        row_group_size=64)
         else:
             doc_t, med_t = _gen_dataset_shard(spec, dataset, tiles, index)
             # several row groups even at tiny scale: the checkpoint
@@ -431,21 +467,25 @@ def generate_world(spec: WorldSpec, force: bool = False, use_ray: bool = False) 
     return path
 
 
+def _shard_tiles(tiles: list[tuple[int, int]], nshards: int = 64
+                 ) -> list[tuple[int, list[tuple[int, int]]]]:
+    """CONTIGUOUS shards: tiles are row-major (= doc_id sort order), so
+    each part file covers a tight doc_id/media_ref range and the
+    MediaStore footer interval index prunes to one file per fetch.
+    (Round-robin striding made every file span the full range — every
+    fetch read all 64 files: measured 64 reads/batch at scale 16.)"""
+    chunk = (len(tiles) + nshards - 1) // nshards
+    return [(i, tiles[i * chunk:(i + 1) * chunk]) for i in range(nshards)
+            if tiles[i * chunk:(i + 1) * chunk]]
+
+
 def _gen_with_ray(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int]],
                   ddir: str, mdir: str) -> None:
     """Parallel generation: shard the tile list over Ray tasks; each task
     writes its own doc/media part files (fixture prep, not the engine)."""
     import ray
 
-    # CONTIGUOUS shards: tiles are row-major (= doc_id sort order), so
-    # each part file covers a tight doc_id/media_ref range and the
-    # MediaStore footer interval index prunes to one file per fetch.
-    # (Round-robin striding made every file span the full range — every
-    # fetch read all 64 files: measured 64 reads/batch at scale 16.)
-    nshards = 64
-    chunk = (len(tiles) + nshards - 1) // nshards
-    shards = [tiles[i * chunk:(i + 1) * chunk] for i in range(nshards)
-              if tiles[i * chunk:(i + 1) * chunk]]
+    shards = _shard_tiles(tiles)
 
     @ray.remote
     def gen(shard_id: int, shard: list[tuple[int, int]]) -> int:
@@ -458,4 +498,4 @@ def _gen_with_ray(spec: WorldSpec, dataset: str, tiles: list[tuple[int, int]],
                            row_group_size=64)
         return doc_t.num_rows
 
-    ray.get([gen.remote(i, s) for i, s in enumerate(shards)])
+    ray.get([gen.remote(i, s) for i, s in shards])
