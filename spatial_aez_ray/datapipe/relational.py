@@ -2764,3 +2764,157 @@ SELECT event_type, n, sx, sy, sxx, syy, sxy,
               * ((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)) AS corr
 FROM m ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# shipping_priority — TPC-H Q3 shape: dimension-filtered FACT-FACT join
+# + global top-k, the third classic join topology (Q1 = grouped scan,
+# Q5 = fact-fact equi-join; Q3 adds the top-k tail on the join output)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+Q3_TOPK = 10
+
+
+def shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
+                      date: str = Q3_DATE,
+                      topk: int = Q3_TOPK) -> pd.DataFrame:
+    """Top-``topk`` unshipped orders of one market segment by revenue
+    (TPC-H Q3): orders placed before ``date`` by ``segment``
+    customers, revenue from lineitems shipped after ``date``.
+
+    Scale shape: the segment customer set broadcasts (dimension
+    side); lineitem pre-reduces per batch to (orderkey, cent-revenue)
+    partials with the shipdate filter applied at the batch; the
+    FACT-FACT equi-join runs on the same coarse orderkey co-partition
+    as local_supplier_revenue (sorted searchsorted probe, no
+    hash-table build per row); each partition emits only its LOCAL
+    top-k (superset property, like the skyline), and the driver
+    finishes on ≤ partitions×k rows. Ties break (revenue DESC,
+    orderkey ASC) identically to the oracle."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from .util import as_task_fn, shuffle_width
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = pc.equal(cust["c_mktsegment"], segment)
+    seg_keys = np.sort(cust.filter(seg)["c_custkey"]
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+    seg_ref = _ray.put(seg_keys)
+    date64 = np.datetime64(date, "us")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+    n_parts = shuffle_width(li)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        b = b.filter(pa.array(ship > date64))
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        rev = _cents(b["l_extendedprice"]) \
+            * (100 - _cents(b["l_discount"]))
+        df = pd.DataFrame({"key": key, "rev_u": rev})
+        g = df.groupby("key", as_index=False).sum()
+        return pa.table({
+            "part": pa.array((g["key"].to_numpy() % n_parts)
+                             .astype(np.int32)),
+            "key": pa.array(g["key"].to_numpy(dtype=np.int64)),
+            "rev_u": pa.array(g["rev_u"].to_numpy(dtype=np.int64)),
+            "date": pa.array(np.zeros(len(g), dtype=np.int64)),
+            "prio": pa.array([""] * len(g), pa.string()),
+            "side": pa.array(np.ones(len(g), dtype=np.int8))})
+
+    class _OrdPrep:
+        def __init__(self, seg_ref):
+            self.seg = _ray.get(seg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            od = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]")
+            cust = b["o_custkey"].to_numpy().astype(np.int64)
+            keep = (od < date64) & np.isin(cust, self.seg)
+            b = b.filter(pa.array(keep))
+            key = b["o_orderkey"].to_numpy().astype(np.int64)
+            od = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            return pa.table({
+                "part": pa.array((key % n_parts).astype(np.int32)),
+                "key": pa.array(key),
+                "rev_u": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "date": pa.array(od),
+                "prio": b["o_orderpriority"],
+                "side": pa.array(np.zeros(len(key), dtype=np.int8))})
+
+    both = (li.map_batches(li_prep, batch_format="pyarrow")
+            .union(orders.map_batches(
+                as_task_fn(_OrdPrep, seg_ref=seg_ref),
+                batch_format="pyarrow")))
+
+    def q3_join(g: pd.DataFrame, topk=topk) -> pd.DataFrame:
+        is_li = g["side"].to_numpy() == 1
+        o = g.loc[~is_li]
+        okey = o["key"].to_numpy()
+        order = np.argsort(okey, kind="stable")
+        okey = okey[order]
+        li_rows = (g.loc[is_li].groupby("key", as_index=False)
+                   [["rev_u"]].sum())
+        lkey = li_rows["key"].to_numpy()
+        pos = np.searchsorted(okey, lkey)
+        pos = np.clip(pos, 0, max(len(okey) - 1, 0))
+        found = (okey[pos] == lkey) if len(okey) \
+            else np.zeros(len(lkey), dtype=bool)
+        kept = li_rows.loc[found]
+        if not len(kept):
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "rev_u": pd.Series([], dtype=np.int64),
+                                 "date": pd.Series([], dtype=np.int64),
+                                 "prio": pd.Series([], dtype=object)})
+        opos = pos[found]
+        out = pd.DataFrame({
+            "key": kept["key"].to_numpy(dtype=np.int64),
+            "rev_u": kept["rev_u"].to_numpy(dtype=np.int64),
+            "date": o["date"].to_numpy()[order][opos],
+            "prio": o["prio"].to_numpy()[order][opos]})
+        # local top-k: the global top-k is a subset of the union
+        out = out.sort_values(["rev_u", "key"],
+                              ascending=[False, True]).head(topk)
+        return out
+
+    parts = (both.groupby("part")
+             .map_groups(q3_join, batch_format="pandas")
+             .to_pandas())
+    parts = parts.sort_values(["rev_u", "key"],
+                              ascending=[False, True]).head(topk)
+    return pd.DataFrame({
+        "o_orderkey": parts["key"].to_numpy(dtype=np.int64),
+        "revenue": parts["rev_u"].to_numpy(dtype=np.int64) / 10000.0,
+        "o_orderdate": parts["date"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+        "o_orderpriority": parts["prio"].to_numpy(dtype=object)
+            .astype(str),
+    }).reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey AS o_orderkey,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < DATE '{Q3_DATE}'
+  AND l_shipdate  > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT {Q3_TOPK}
+"""

@@ -2020,3 +2020,9 @@ def test_grouped_sample_quantiles_exact(con):
     from spatial_aez_ray.datapipe import sketch
     _assert_match(sketch.grouped_sample_quantiles(SF),
                   sketch.GROUPED_SAMPLE_QUANTILES_SQL, con)
+
+
+def test_shipping_priority_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.shipping_priority(SF),
+                  relational.SHIPPING_PRIORITY_SQL, con)
