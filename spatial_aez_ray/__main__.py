@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--target", type=int, default=210)
     s = add("web-tiles")
     s.add_argument("--dataset", default="kg")
+    s = add("terrain")
+    s.add_argument("--dataset", default="kg")
+    s.add_argument("--metric", default="tri",
+                   choices=["tri", "tpi", "roughness", "hillshade",
+                            "aspect", "flowdir"])
+    s.add_argument("--zonal", action="store_true",
+                   help="per-admin stats instead of the histogram "
+                        "(tri/tpi/roughness only)")
 
     s = sub.add_parser(
         "prepare-claims",
@@ -199,6 +207,23 @@ def main(argv: list[str] | None = None) -> int:
             rep = export_web_tiles(a.world, a.dataset, proot, a.out)
             print(f"wrote {int(rep['n_tiles'].sum())} tiles over "
                   f"{len(rep)} zooms -> {a.out}")
+        elif a.cmd == "terrain":
+            from .pipelines import pyramid as pyr
+            if a.zonal:
+                df = pyr.zonal_window_stats(a.world, a.dataset, a.metric)
+            else:
+                fn = {"tri": pyr.focal_tri, "tpi": pyr.focal_tpi,
+                      "roughness": pyr.focal_roughness,
+                      "hillshade": pyr.hillshade,
+                      "aspect": pyr.focal_aspect,
+                      "flowdir": pyr.focal_flowdir}[a.metric]
+                df = fn(a.world, a.dataset)
+            os.makedirs(a.out, exist_ok=True)
+            dest = os.path.join(
+                a.out, f"terrain-{a.metric}"
+                       f"{'-zonal' if a.zonal else ''}.csv")
+            df.to_csv(dest, index=False)
+            print(f"terrain[{a.metric}]: {len(df)} rows -> {dest}")
         elif a.cmd == "checkpointed-extract":
             from .pipelines.extract import zonal_stats_checkpointed
             df = zonal_stats_checkpointed(a.world, a.dataset, a.out,

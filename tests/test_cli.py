@@ -56,3 +56,20 @@ def test_cli_regions_and_proximity(tiny_world, tmp_path):
     hist = pd.read_csv(out2 / "proximity-histogram.csv")
     assert hist.astype("int64").equals(
         oracle.proximity_oracle(fixtures.TINY, "lc", 210).astype("int64"))
+
+
+def test_cli_terrain(tiny_world, tmp_path):
+    import pandas as pd
+    out = tmp_path / "cli_terrain"
+    r = subprocess.run(
+        [sys.executable, "-m", "spatial_aez_ray", "--num-cpus", "2",
+         "terrain", "--world", tiny_world, "--out", str(out),
+         "--metric", "roughness", "--zonal"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_csv(out / "terrain-roughness-zonal.csv")
+    from spatial_aez_ray import fixtures, oracle
+    want = oracle.zonal_window_stats_oracle(fixtures.TINY, "kg",
+                                            "roughness")
+    got = df.set_index("admin").astype("int64")
+    assert got.equals(want.set_index("admin").astype("int64"))
