@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                             "aspect", "flowdir"])
     s.add_argument("--zonal", action="store_true",
                    help="per-admin stats instead of the histogram "
-                        "(tri/tpi/roughness only)")
+                        "(tri/tpi/roughness/hillshade)")
 
     s = sub.add_parser(
         "prepare-claims",

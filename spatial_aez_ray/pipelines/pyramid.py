@@ -911,6 +911,7 @@ WINDOW_FNS = {
     "tri": (tri_codes, 2041),
     "tpi": (tpi_codes, 2 * TPI_OFFSET + 1),
     "roughness": (roughness_codes, 256),
+    "hillshade": (grad_window(shade_codes), 256),
 }
 
 

@@ -888,7 +888,7 @@ def test_flowdir_codes_semantics():
 
 def test_zonal_window_stats_all_metrics(tiny_world):
     from spatial_aez_ray.pipelines import pyramid as pyr
-    for metric in ("tri", "tpi", "roughness"):
+    for metric in ("tri", "tpi", "roughness", "hillshade"):
         mine = pyr.zonal_window_stats(tiny_world, "kg", metric)
         want = oracle.zonal_window_stats_oracle(SPEC, "kg", metric)
         assert mine.equals(want), metric
