@@ -764,7 +764,7 @@ def _focal_class_hist(world_path: str, dataset: str, *,
     t, tiles_y, tiles_x = grid.tile, grid.tiles_y, grid.tiles_x
     width, height = grid.width, grid.height
 
-    class Aspect:
+    class FocalHist:
         def __init__(self):
             self.media = MediaStore(world_path)
 
@@ -824,7 +824,7 @@ def _focal_class_hist(world_path: str, dataset: str, *,
 
     from ray.data.aggregate import Sum
     out = (ray.data.range(tiles_y * tiles_x)
-           .map_batches(as_task_fn(Aspect), batch_format="pyarrow",
+           .map_batches(as_task_fn(FocalHist), batch_format="pyarrow",
                         batch_size=16)
            .groupby(colname)
            .aggregate(Sum("n_px", alias_name="n_px"))

@@ -450,7 +450,7 @@ def mask_file_window_hist(path: str, metric: str) -> "pd.DataFrame":
             dims[(ty, tx)] = arr.shape
     finally:
         r.close()
-    codes = window_fn(sub)[0:, 0:]   # codes align to sub minus border
+    codes = window_fn(sub)   # aligned to sub minus the 1-px border
     hist = np.zeros(nbins, dtype=np.int64)
     for (ty, tx), (nr, nc) in dims.items():
         y, x = (ty - ty0) * t, (tx - tx0) * t
