@@ -747,7 +747,7 @@ def roughness_codes(pad: np.ndarray) -> np.ndarray:
 
 def _focal_class_hist(world_path: str, dataset: str, *,
                       hole_value: int | None, window_fn, nbins: int,
-                      colname: str) -> pd.DataFrame:
+                      colname: str, batch_size: int = 64) -> pd.DataFrame:
     """Shared engine for gdaldem-family focal classifiers: per-tile
     3×3-halo assembly (absent neighbors pad with the hole value, hole
     tiles emit no rows), ``window_fn(padded)`` per pixel, an
@@ -825,7 +825,7 @@ def _focal_class_hist(world_path: str, dataset: str, *,
     from ray.data.aggregate import Sum
     out = (ray.data.range(tiles_y * tiles_x)
            .map_batches(as_task_fn(FocalHist), batch_format="pyarrow",
-                        batch_size=16)
+                        batch_size=batch_size)
            .groupby(colname)
            .aggregate(Sum("n_px", alias_name="n_px"))
            .to_pandas())
@@ -1024,7 +1024,7 @@ def zonal_window_stats(world_path: str, dataset: str = "kg",
     from ray.data.aggregate import Max, Min, Sum
     out = (ray.data.range(tiles_y * tiles_x)
            .map_batches(as_task_fn(ZonalWindow), batch_format="pyarrow",
-                        batch_size=16)
+                        batch_size=64)
            .groupby("admin")
            .aggregate(Sum("n_px", alias_name="n_px"),
                       Sum("sum", alias_name="sum"),
