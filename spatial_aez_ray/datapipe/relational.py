@@ -2918,3 +2918,90 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT {Q3_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact_price_quantiles — EXACT distributed selection without a sort:
+# two streaming histogram passes (the classic distributed k-th element
+# algorithm), vs the approximate bottom-k sketch in sketch.py
+# ---------------------------------------------------------------------------
+
+def exact_price_quantiles(sf_dir: str,
+                          qs: tuple[int, ...] = (25, 50, 75)
+                          ) -> pd.DataFrame:
+    """EXACT order-statistics of l_extendedprice (cents) at the given
+    percentiles, computed with TWO streaming passes and bins-sized
+    shuffles — never a distributed sort:
+
+    pass 1: per-batch bincount over the high 16 bits of the cent value
+    (≤ 65536 int rows per block); the driver locates each rank's
+    coarse bin. pass 2: per-batch bincount over the LOW 16 bits,
+    restricted to the (few) located bins; the driver reads the exact
+    value off the merged fine histogram. Rank = ceil(q·n/100), the
+    quantile_disc convention. Wire cost is O(bins), independent of n —
+    at 100 TB both passes ship fixed-size integer vectors."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["l_extendedprice"])
+        hi = (c >> 16).astype(np.int64)
+        cnt = np.bincount(hi)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    h1 = (ds.map_batches(coarse, batch_format="pyarrow").to_pandas()
+          .groupby("b")["cnt"].sum().sort_index())
+    n = int(h1.sum())
+    cum = h1.cumsum()
+    targets = {}   # bin -> list of (q, rank_within_bin)
+    for q in qs:
+        rank = -(-q * n // 100)   # ceil, 1-based global rank
+        b = int(cum.index[np.searchsorted(cum.to_numpy(), rank)])
+        prev = int(cum.loc[:b].iloc[-2]) if (cum.index < b).any() else 0
+        targets.setdefault(b, []).append((q, rank - prev))
+    import ray as _ray
+    bins_ref = _ray.put(np.array(sorted(targets), dtype=np.int64))
+
+    def fine(batch: pa.Table) -> pa.Table:
+        bins = _ray.get(bins_ref)
+        c = _cents(batch["l_extendedprice"])
+        hi = (c >> 16).astype(np.int64)
+        keep = np.isin(hi, bins)
+        c, hi = c[keep], hi[keep]
+        bs, lo = [], []
+        cnts = []
+        for b in bins:
+            low = (c[hi == b] & 0xFFFF).astype(np.int64)
+            cnt = np.bincount(low, minlength=1)
+            nz = np.flatnonzero(cnt)
+            bs.extend([int(b)] * len(nz))
+            lo.extend(nz.astype(np.int64))
+            cnts.extend(cnt[nz].astype(np.int64))
+        return pa.table({"b": pa.array(np.asarray(bs, np.int64)),
+                         "lo": pa.array(np.asarray(lo, np.int64)),
+                         "cnt": pa.array(np.asarray(cnts, np.int64))})
+
+    h2 = (ds.map_batches(fine, batch_format="pyarrow").to_pandas()
+          .groupby(["b", "lo"])["cnt"].sum().sort_index())
+    rows = []
+    for b, pairs in targets.items():
+        sub = h2.loc[b]
+        c2 = sub.cumsum()
+        for q, r in pairs:
+            lo = int(c2.index[np.searchsorted(c2.to_numpy(), r)])
+            rows.append((q, (b << 16) | lo))
+    out = pd.DataFrame(sorted(rows), columns=["pct", "price_c"])
+    return out.astype(np.int64)
+
+
+def _exact_q_sql(qs: tuple[int, ...] = (25, 50, 75)) -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT {q}::BIGINT AS pct, "
+        f"quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT), "
+        f"{q / 100.0}) AS price_c FROM lineitem"
+        for q in qs)
+    return f"SELECT pct, price_c FROM ({sels}) ORDER BY pct"
+
+
+EXACT_PRICE_QUANTILES_SQL = _exact_q_sql()

@@ -2026,3 +2026,9 @@ def test_shipping_priority_exact(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.shipping_priority(SF),
                   relational.SHIPPING_PRIORITY_SQL, con)
+
+
+def test_exact_price_quantiles(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.exact_price_quantiles(SF),
+                  relational.EXACT_PRICE_QUANTILES_SQL, con)
