@@ -475,6 +475,8 @@ def _spatial_terrain(sf_dir: str):
         ("tpi", pyramid.focal_tpi, om.tpi_oracle),
         ("roughness", pyramid.focal_roughness, om.roughness_oracle),
         ("flowdir", pyramid.focal_flowdir, om.flowdir_oracle),
+        ("slope_deg", pyramid.focal_slope_deg, om.slope_deg_oracle),
+        ("majority", pyramid.focal_majority, om.majority_oracle),
     ]
     outs = []
     for name, fn, ofn in pairs:

@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dataset", default="kg")
     s.add_argument("--metric", default="tri",
                    choices=["tri", "tpi", "roughness", "hillshade",
-                            "aspect", "flowdir"])
+                            "aspect", "flowdir", "slope", "majority"])
     s.add_argument("--zonal", action="store_true",
                    help="per-admin stats instead of the histogram "
                         "(tri/tpi/roughness/hillshade)")
@@ -216,7 +216,9 @@ def main(argv: list[str] | None = None) -> int:
                       "roughness": pyr.focal_roughness,
                       "hillshade": pyr.hillshade,
                       "aspect": pyr.focal_aspect,
-                      "flowdir": pyr.focal_flowdir}[a.metric]
+                      "flowdir": pyr.focal_flowdir,
+                      "slope": pyr.focal_slope_deg,
+                      "majority": pyr.focal_majority}[a.metric]
                 df = fn(a.world, a.dataset)
             os.makedirs(a.out, exist_ok=True)
             dest = os.path.join(

@@ -967,6 +967,20 @@ def tpi_oracle(spec, dataset: str = "kg",
                               tpi_codes, 2 * TPI_OFFSET + 1, "tpi")
 
 
+def slope_deg_oracle(spec, dataset: str = "kg",
+                     hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import slope_deg_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              slope_deg_codes, 91, "slope_deg")
+
+
+def majority_oracle(spec, dataset: str = "kg",
+                    hole_value: int | None = None) -> pd.DataFrame:
+    from .pipelines.pyramid import majority_codes
+    return _focal_hist_oracle(spec, dataset, hole_value,
+                              majority_codes, 256, "majority")
+
+
 def flowdir_oracle(spec, dataset: str = "kg",
                    hole_value: int | None = None) -> pd.DataFrame:
     from .pipelines.pyramid import flowdir_codes

@@ -729,6 +729,40 @@ def flowdir_codes(pad: np.ndarray) -> np.ndarray:
     return best_code
 
 
+def slope_deg_codes(pad: np.ndarray) -> np.ndarray:
+    """gdaldem slope (Horn), whole degrees 0–90: slope =
+    atan(sqrt((gx/8)² + (gy/8)²)) with cellsize 1, rounded to the
+    nearest degree — per-pixel float64, bit-exact distributed by the
+    same argument as shade_codes."""
+    gx, gy = sobel_xy_int(pad)
+    return np.rint(np.degrees(
+        np.arctan(np.hypot(gx / 8.0, gy / 8.0)))).astype(np.int64)
+
+
+def majority_codes(pad: np.ndarray) -> np.ndarray:
+    """3×3 majority (modal) filter — the GDAL sieve/majority-filter
+    smoothing product: per pixel, the most frequent value of the full
+    9-cell window, ties → smallest value. Vectorized as one shifted
+    equality-sum per DISTINCT value present (≤ 256, ~30 for KG), all
+    integer."""
+    a = pad.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    best_cnt = best_val = None
+    for v in np.unique(pad):
+        cnt = np.zeros_like(c)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                cnt += (a[dy:dy + c.shape[0], dx:dx + c.shape[1]] == v)
+        if best_cnt is None:
+            best_cnt, best_val = cnt, np.full_like(c, v)
+        else:
+            # ascending values: strict > keeps the SMALLEST on ties
+            win = cnt > best_cnt
+            best_cnt = np.where(win, cnt, best_cnt)
+            best_val = np.where(win, v, best_val)
+    return best_val
+
+
 def roughness_codes(pad: np.ndarray) -> np.ndarray:
     """gdaldem roughness: max − min over the full 3×3 window (center
     included) — 0..255 for uint8 input."""
@@ -877,6 +911,26 @@ def focal_tpi(world_path: str, dataset: str = "kg", *,
                              hole_value=hole_value,
                              window_fn=tpi_codes,
                              nbins=2 * TPI_OFFSET + 1, colname="tpi")
+
+
+def focal_slope_deg(world_path: str, dataset: str = "kg", *,
+                    hole_value: int | None = None) -> pd.DataFrame:
+    """(slope_deg, n_px) histogram of the Horn slope in whole degrees
+    (gdaldem slope)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=slope_deg_codes, nbins=91,
+                             colname="slope_deg")
+
+
+def focal_majority(world_path: str, dataset: str = "kg", *,
+                   hole_value: int | None = None) -> pd.DataFrame:
+    """(majority, n_px) histogram of the 3×3 modal filter output (the
+    GDAL majority-filter smoothing product)."""
+    return _focal_class_hist(world_path, dataset,
+                             hole_value=hole_value,
+                             window_fn=majority_codes, nbins=256,
+                             colname="majority")
 
 
 def focal_flowdir(world_path: str, dataset: str = "kg", *,

@@ -851,7 +851,9 @@ def test_terrain_metrics_bit_exact(tiny_world):
     for fn, ofn in ((pyr.focal_tri, oracle.tri_oracle),
                     (pyr.focal_tpi, oracle.tpi_oracle),
                     (pyr.focal_roughness, oracle.roughness_oracle),
-                    (pyr.focal_flowdir, oracle.flowdir_oracle)):
+                    (pyr.focal_flowdir, oracle.flowdir_oracle),
+                    (pyr.focal_slope_deg, oracle.slope_deg_oracle),
+                    (pyr.focal_majority, oracle.majority_oracle)):
         mine = fn(tiny_world, "kg")
         assert mine.equals(ofn(SPEC, "kg")), fn.__name__
 
@@ -896,3 +898,18 @@ def test_zonal_window_stats_all_metrics(tiny_world):
     mine = pyr.zonal_window_stats(tiny_world, "lc", "roughness")
     want = oracle.zonal_window_stats_oracle(SPEC, "lc", "roughness")
     assert mine.equals(want)
+
+
+def test_majority_codes_semantics():
+    import numpy as np
+    from spatial_aez_ray.pipelines.pyramid import majority_codes
+    pad = np.array([[1, 1, 2],
+                    [2, 2, 3],
+                    [3, 3, 3]], np.uint8)
+    # window counts: 1x2, 2x3, 3x4 -> mode 3
+    assert majority_codes(pad)[0, 0] == 3
+    tie = np.array([[1, 1, 1],
+                    [2, 5, 2],
+                    [2, 9, 9]], np.uint8)
+    # counts: 1x3, 2x3, 5x1, 9x2 -> tie 1 vs 2 -> smallest (1)
+    assert majority_codes(tie)[0, 0] == 1
