@@ -490,6 +490,28 @@ def _spatial_terrain(sf_dir: str):
     return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
 
 
+def _spatial_zonal_blocks(sf_dir: str):
+    """GeoBlocks-style block-aggregate cache (PAPERS.md, EDBT 2021):
+    raster scanned once into per-tile partials; window queries served
+    from the cache with parquet footer pruning, bit-identical to the
+    direct raster computation for full AND windowed extents."""
+    import shutil
+    from spatial_aez_ray.pipelines import extract
+    out = os.path.join(_TMP, "zonal_blocks")
+    shutil.rmtree(out, ignore_errors=True)
+    extract.prepare_zonal_blocks(_world(), "kg", out)
+    full = extract.zonal_stats_from_blocks(_world(), "kg", out)
+    if not full.equals(extract.zonal_stats(_world(), "kg")):
+        raise AssertionError("cached full aggregate != direct")
+    win = (2, 4, 1, 6)
+    got = extract.zonal_stats_from_blocks(_world(), "kg", out,
+                                          tile_window=win)
+    want = extract.zonal_stats(_world(), "kg", tile_window=win)
+    if not got.equals(want):
+        raise AssertionError("cached window aggregate != direct")
+    return got.reset_index()
+
+
 def _spatial_zonal_terrain(sf_dir: str):
     """Focal × zonal composition: per-admin TRI statistics in one
     shuffle-free kernel (halo by derived ref + PIP claims per tile),
@@ -1787,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_zonal_value_stats": _spatial_zonal_value_stats,
         "spatial_terrain": _spatial_terrain,
         "spatial_zonal_terrain": _spatial_zonal_terrain,
+        "spatial_zonal_blocks": _spatial_zonal_blocks,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,

@@ -538,3 +538,48 @@ def zonal_value_stats(world_path: str, dataset: str = "kg", *,
     df = (counts.to_pandas()
           .groupby(["admin", "val"], as_index=False)["n_px"].sum())
     return derive_value_stats(df)
+
+
+# ---------------------------------------------------------------------------
+# zonal block cache — GeoBlocks-style precomputed block aggregates
+# (EDBT 2021, PAPERS.md): pay the raster scan ONCE, answer any window
+# aggregation from the tiny cached partials with footer pruning
+# ---------------------------------------------------------------------------
+
+def prepare_zonal_blocks(world_path: str, dataset: str,
+                         out_dir: str) -> dict:
+    """Persist the pre-reduced per-tile zonal partials (a few dozen
+    ~50 B rows per tile) as parquet. Blocks stream out in read order
+    (row-major doc_id), so each part file covers a contiguous tile
+    range and its (tile_y, tile_x) footer stats form tight intervals —
+    a window query prunes to the intersecting files without any sort.
+    The raster itself is scanned exactly once, here."""
+    parts = zonal_partials_ds(world_path, dataset)
+    parts.write_parquet(out_dir)
+    import glob
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    return {"files": len(files)}
+
+
+def zonal_stats_from_blocks(world_path: str, dataset: str,
+                            blocks_dir: str,
+                            tile_window=None) -> "pd.DataFrame":
+    """Window (or full) zonal aggregation served ENTIRELY from the
+    block cache — no raster I/O, no PIP work: read the cached partial
+    rows (tile-range filter pushed into the parquet read), run the
+    SAME deterministic combine as ``zonal_stats``. Bit-identical to
+    the direct computation because the combine orders by (feature,
+    tile row-major, seq) — cache layout cannot matter."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    flt = None
+    if tile_window is not None:
+        ty0, ty1, tx0, tx1 = tile_window
+        flt = ((pc.field("tile_y") >= ty0) & (pc.field("tile_y") <= ty1)
+               & (pc.field("tile_x") >= tx0) & (pc.field("tile_x") <= tx1))
+    ds = ray.data.read_parquet(blocks_dir, filter=flt) if flt is not None \
+        else ray.data.read_parquet(blocks_dir)
+    pdf = combine_partials_table(ds.to_pandas())
+    classifier = CLASSIFIERS[dataset]()
+    return pivot_zonal(pdf, classifier.columns(), world_path)

@@ -172,3 +172,20 @@ def test_zonal_value_stats_matches_multiset_oracle(tiny_world):
         mine = extract.zonal_value_stats(tiny_world, ds)
         want = oracle.zonal_value_stats_oracle(SPEC, ds)
         assert mine.equals(want), ds
+
+
+def test_zonal_blocks_cache_bit_exact(tiny_world, tmp_path):
+    """GeoBlocks-style cache: full and windowed aggregates from cached
+    per-tile partials == direct raster computation, for two datasets
+    and two windows."""
+    from spatial_aez_ray.pipelines import extract
+    for ds in ("kg", "wk"):
+        out = str(tmp_path / f"blocks_{ds}")
+        extract.prepare_zonal_blocks(tiny_world, ds, out)
+        assert extract.zonal_stats_from_blocks(tiny_world, ds, out) \
+            .equals(extract.zonal_stats(tiny_world, ds)), ds
+        for win in ((0, 2, 0, 3), (3, 5, 4, 10)):
+            got = extract.zonal_stats_from_blocks(tiny_world, ds, out,
+                                                  tile_window=win)
+            want = extract.zonal_stats(tiny_world, ds, tile_window=win)
+            assert got.equals(want), (ds, win)
