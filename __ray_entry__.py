@@ -490,6 +490,31 @@ def _spatial_terrain(sf_dir: str):
     return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
 
 
+def _spatial_join_sample(sf_dir: str):
+    """Reproducible sample of the cell↔admin spatial join, decided
+    below the join by a content-addressed cell hash (PAPERS.md ICDE
+    2025 line); exact set equality vs the rasterization oracle under
+    the same mask, plus a coverage-fraction envelope."""
+    from spatial_aez_ray import fixtures, oracle
+    from spatial_aez_ray.pipelines import assign
+    got = assign.cell_country_sample(_world(), pct=10).to_pandas()
+    odf = oracle.cell_country(fixtures.TINY, fixtures.TINY.g1)
+    import numpy as np
+    m = assign.cell_sample_mask(
+        odf["cell_row"].to_numpy(dtype=np.int64),
+        odf["cell_col"].to_numpy(dtype=np.int64), 10)
+    want = odf[m]
+    key = ["cell_row", "cell_col", "feature_idx"]
+    a = set(map(tuple, got[key].to_numpy()))
+    b = set(map(tuple, want[key].to_numpy()))
+    if a != b:
+        raise AssertionError("sampled join != oracle under same mask")
+    frac = len(got) / max(len(odf), 1)
+    if not (0.05 < frac < 0.20):
+        raise AssertionError(f"sample fraction {frac:.3f} implausible")
+    return got.sort_values(key).reset_index(drop=True)
+
+
 def _spatial_zonal_blocks(sf_dir: str):
     """GeoBlocks-style block-aggregate cache (PAPERS.md, EDBT 2021):
     raster scanned once into per-tile partials; window queries served
@@ -1810,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_terrain": _spatial_terrain,
         "spatial_zonal_terrain": _spatial_zonal_terrain,
         "spatial_zonal_blocks": _spatial_zonal_blocks,
+        "spatial_join_sample": _spatial_join_sample,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,

@@ -613,3 +613,43 @@ def rasterize_admins(world_path: str, out_dir: str,
         agg[c] = agg[c].astype(np.int64)
     return (agg[["admin", "code", "n_px", "n_tiles"]]
             .sort_values("admin").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# sampled spatial join — cf. PAPERS.md "Random Sampling Over Spatial
+# Range Joins" (ICDE 2025): a reproducible uniform sample of the
+# cell↔admin join OUTPUT, decided below the join by a content-
+# addressed cell hash — the full join never materializes anywhere
+# ---------------------------------------------------------------------------
+
+def cell_sample_mask(rows: np.ndarray, cols: np.ndarray,
+                     pct: int) -> np.ndarray:
+    """Deterministic per-cell inclusion mask: an integer mix of
+    (row, col) — a pure function of cell identity, so the sample is
+    identical under ANY partitioning, snapshot or cluster size (the
+    dataset-versioning property, same rationale as sample_documents),
+    and both engine and oracle evaluate the same arithmetic."""
+    r = rows.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    c = cols.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h = (r ^ c) * np.uint64(0xFF51AFD7ED558CCD)
+    return ((h >> np.uint64(33)) % np.uint64(100)) < np.uint64(pct)
+
+
+def cell_country_sample(world_path: str, pct: int = 10, **kw):
+    """Lazy sampled assignment Dataset: the hash filter runs in the
+    same streaming chain as the PIP kernel, so only ~pct% of join
+    rows ever exist as blocks — sampling pushed below the join, per
+    the ICDE 2025 shape."""
+    import pyarrow as pa
+
+    ds = cell_country(world_path, **kw)
+
+    def flt(b: "pa.Table") -> "pa.Table":
+        m = cell_sample_mask(
+            np.asarray(b["cell_row"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64),
+            np.asarray(b["cell_col"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64), pct)
+        return b.filter(pa.array(m))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

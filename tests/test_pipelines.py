@@ -913,3 +913,22 @@ def test_majority_codes_semantics():
                     [2, 9, 9]], np.uint8)
     # counts: 1x3, 2x3, 5x1, 9x2 -> tie 1 vs 2 -> smallest (1)
     assert majority_codes(tie)[0, 0] == 1
+
+
+def test_cell_country_sample_partition_invariant(tiny_world):
+    """The sampled spatial join is a pure function of cell identity:
+    same rows at different batch sizes, subset of the full join, and
+    ~pct coverage."""
+    from spatial_aez_ray.pipelines import assign
+    a = assign.cell_country_sample(tiny_world, pct=10,
+                                   batch_size=4).to_pandas()
+    b = assign.cell_country_sample(tiny_world, pct=10,
+                                   batch_size=64).to_pandas()
+    key = ["cell_row", "cell_col", "feature_idx"]
+    sa = set(map(tuple, a[key].to_numpy()))
+    sb = set(map(tuple, b[key].to_numpy()))
+    assert sa == sb
+    full = assign.cell_country(tiny_world).to_pandas()
+    sf = set(map(tuple, full[key].to_numpy()))
+    assert sa <= sf
+    assert 0.05 < len(sa) / len(sf) < 0.20
