@@ -1779,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_prop_correlation": relational.value_prop_correlation,
         "shipping_priority": relational.shipping_priority,
         "exact_price_quantiles": relational.exact_price_quantiles,
+        "weighted_join_sample": relational.weighted_join_sample,
         "curation_pipeline": corpus.curation_pipeline,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
@@ -1993,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "value_prop_correlation": relational.VALUE_PROP_CORRELATION_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "exact_price_quantiles": relational.EXACT_PRICE_QUANTILES_SQL,
+        "weighted_join_sample": relational.WEIGHTED_JOIN_SAMPLE_SQL,
         "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(

@@ -3005,3 +3005,62 @@ def _exact_q_sql(qs: tuple[int, ...] = (25, 50, 75)) -> str:
 
 
 EXACT_PRICE_QUANTILES_SQL = _exact_q_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted_join_sample — sampling weighted by JOIN MULTIPLICITY
+# (cf. PAPERS.md "Streaming Weighted Sampling over Join Queries",
+# EDBT 2023): include an order with probability ∝ its lineitem count,
+# without materializing the join — and reproducibly, via the same
+# content-addressed hash discipline as every sampler here
+# ---------------------------------------------------------------------------
+
+WJS_DENOM = 1000   # inclusion: h(key) % DENOM < weight (multiplicity)
+
+
+def weighted_join_sample(sf_dir: str,
+                         denom: int = WJS_DENOM) -> pd.DataFrame:
+    """Orders sampled with probability min(1, w/denom) where w is the
+    order's lineitem multiplicity — the weight the orders⋈lineitem
+    join would give it. Pass 1 is the 16 B/row count aggregate (never
+    the join itself); the inclusion test is pure integer hash
+    arithmetic, so the sample is identical under any partitioning and
+    bit-reproduced by the SQL oracle. Returns (o_orderkey, w)."""
+    from .dedup import _h64u
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(k)
+        w = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"k": pa.array(uniq.astype(np.int64)),
+                         "w": pa.array(w)})
+
+    from ray.data.aggregate import Sum
+    agg = (li.map_batches(cnt, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("w", alias_name="w"))
+             .to_pandas())
+    k = agg["k"].to_numpy(dtype=np.int64)
+    w = agg["w"].to_numpy(dtype=np.int64)
+    h = np.fromiter((_h64u(str(int(v))) % denom for v in k),
+                    dtype=np.int64, count=len(k))
+    keep = h < w
+    out = pd.DataFrame({"o_orderkey": k[keep], "w": w[keep]})
+    return (out.sort_values("o_orderkey").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def _wjs_sql(denom: int = WJS_DENOM) -> str:
+    le = " || ".join(f"substr(md5(k::VARCHAR), {15 - 2 * i}, 2)"
+                     for i in range(8))
+    return f"""
+WITH w AS (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS w
+           FROM lineitem GROUP BY 1)
+SELECT k AS o_orderkey, w FROM w
+WHERE ('0x' || {le})::UBIGINT % {denom} < w::UBIGINT
+ORDER BY o_orderkey
+"""
+
+
+WEIGHTED_JOIN_SAMPLE_SQL = _wjs_sql()

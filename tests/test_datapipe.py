@@ -2032,3 +2032,10 @@ def test_exact_price_quantiles(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.exact_price_quantiles(SF),
                   relational.EXACT_PRICE_QUANTILES_SQL, con)
+
+
+def test_weighted_join_sample_exact(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.weighted_join_sample(SF)
+    _assert_match(mine, relational.WEIGHTED_JOIN_SAMPLE_SQL, con)
+    assert len(mine) > 0
