@@ -251,32 +251,25 @@ def _spatial_pyramid(sf_dir: str):
     return mine
 
 
-def _spatial_zonal_incremental(sf_dir: str):
-    """Incremental zonal maintenance: flip one pixel in a copied
-    world; the delta path must recompute exactly ONE tile and produce
-    a view BIT-IDENTICAL to the full recompute on the new world —
-    both asserted in-query. The flip crosses a class boundary so the
-    view genuinely changes vs the old world."""
+def _copy_world_flip_tile(name: str, value: int = 5):
+    """Copy the tiny world and repaint one CLAIMED kg tile to a single
+    valid class (an all-ocean tile would make the mutation invisible
+    to any zonal view). Returns (world_old, world_new)."""
     import shutil
     import pyarrow.parquet as pq
     import pyarrow as pa_mod
-    from spatial_aez_ray.pipelines import extract
+    from spatial_aez_ray import fixtures, oracle
 
     w = _world()
-    w2 = os.path.join(_TMP, "world_zinc")
+    w2 = os.path.join(_TMP, name)
     shutil.rmtree(w2, ignore_errors=True)
     shutil.copytree(w, w2)
-    # pick a tile the oracle says holds CLAIMED pixels (an all-ocean
-    # tile would make the mutation invisible to the zonal view)
-    import numpy as np
-    from spatial_aez_ray import fixtures, oracle
     grid = fixtures.TINY.grid("g1")
     odf = oracle.cell_country(fixtures.TINY, grid)
     ty0 = int(odf["cell_row"].iloc[0]) // grid.tile
     tx0 = int(odf["cell_col"].iloc[0]) // grid.tile
     want_ref = f"mem://kg/g1/{ty0:05d}/{tx0:05d}/b1"
     d = os.path.join(w2, "media", "dataset=kg")
-    done = False
     for part in sorted(f for f in os.listdir(d)
                        if f.endswith(".parquet")):
         t = pq.read_table(os.path.join(d, part))
@@ -285,17 +278,23 @@ def _spatial_zonal_incremental(sf_dir: str):
             continue
         payloads = t["payload"].to_pylist()
         i = refs.index(want_ref)
-        # repaint the whole tile to one valid KG class: guaranteed to
-        # move at least the claimed pixels' class areas
-        payloads[i] = bytes([5]) * len(payloads[i])
+        payloads[i] = bytes([value]) * len(payloads[i])
         pq.write_table(
             pa_mod.table({"media_ref": refs, "payload": payloads},
                          schema=t.schema), os.path.join(d, part))
-        done = True
-        break
-    if not done:
-        raise AssertionError(f"tile ref {want_ref} not found in media")
+        return w, w2
+    raise AssertionError(f"tile ref {want_ref} not found in media")
 
+
+def _spatial_zonal_incremental(sf_dir: str):
+    """Incremental zonal maintenance: flip one pixel in a copied
+    world; the delta path must recompute exactly ONE tile and produce
+    a view BIT-IDENTICAL to the full recompute on the new world —
+    both asserted in-query. The flip crosses a class boundary so the
+    view genuinely changes vs the old world."""
+    from spatial_aez_ray.pipelines import extract
+
+    w, w2 = _copy_world_flip_tile("world_zinc")
     view, rep = extract.zonal_stats_incremental(w, w2, "kg")
     if rep["tiles_recomputed"] != 1:
         raise AssertionError(f"expected 1 recomputed tile: {rep}")
@@ -308,6 +307,26 @@ def _spatial_zonal_incremental(sf_dir: str):
     if (view.values == old.values).all():
         raise AssertionError("mutation did not change the view")
     return view.reset_index()
+
+
+def _spatial_zonal_value_incremental(sf_dir: str):
+    """Incremental maintenance of the value-statistics view: splice
+    the changed tile's integer count rows (order-free, so no combine
+    ordering discipline needed) — exactly equal to the full recompute,
+    with exactly one tile recomputed."""
+    from spatial_aez_ray.pipelines import extract
+
+    w, w2 = _copy_world_flip_tile("world_vinc")
+    view, rep = extract.zonal_value_stats_incremental(w, w2, "kg")
+    if rep["tiles_recomputed"] != 1:
+        raise AssertionError(f"expected 1 recomputed tile: {rep}")
+    full = extract.zonal_value_stats(w2, "kg")
+    if not view.equals(full):
+        raise AssertionError("incremental value view != full recompute")
+    old = extract.zonal_value_stats(w, "kg")
+    if view.equals(old):
+        raise AssertionError("mutation did not change the view")
+    return view
 
 
 def _spatial_adjacency(sf_dir: str):
@@ -1837,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_zonal_terrain": _spatial_zonal_terrain,
         "spatial_zonal_blocks": _spatial_zonal_blocks,
         "spatial_join_sample": _spatial_join_sample,
+        "spatial_zonal_value_incremental": _spatial_zonal_value_incremental,
         "spatial_regions": _spatial_regions,
         "spatial_proximity": _spatial_proximity,
         "spatial_web_tiles": _spatial_web_tiles,

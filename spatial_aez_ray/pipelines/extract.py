@@ -504,6 +504,41 @@ def zonal_stats_incremental(world_old: str, world_new: str, dataset: str,
 # do not cover), from order-free integer pixel-count partials
 # ---------------------------------------------------------------------------
 
+def zonal_value_counts_ds(world_path: str, dataset: str = "kg", *,
+                          concurrency: int | tuple = (1, 4),
+                          batch_size: int = 16, tiles=None):
+    """Lazy Dataset of (admin, val, n_px, tile_y, tile_x) integer
+    pixel-count partials. ``tiles`` (a set of (ty, tx)) restricts to
+    an arbitrary tile set in ONE launch via the same doc_id
+    range+isin pushdown as ``zonal_partials_ds`` — the incremental
+    delta path."""
+    from ..datapipe.util import as_task_fn
+    from ..sources.documents import blocks_for
+    from ..stages.zonal import ZonalValueCounts
+
+    classifier = CLASSIFIERS[dataset]()
+    grid = world_grid(world_path, classifier.grid)
+    index = build_zonal_index(world_path)
+    doc_filter = None
+    if tiles is not None:
+        import pyarrow.compute as pc
+        ids = sorted(f"{dataset}/{classifier.grid}/{ty:05d}/{tx:05d}"
+                     for ty, tx in tiles)
+        if not ids:
+            raise ValueError("tiles must be non-empty")
+        doc_filter = ((pc.field("doc_id") >= ids[0])
+                      & (pc.field("doc_id") <= ids[-1])
+                      & pc.field("doc_id").isin(ids))
+    docs = read_documents(world_path, [dataset],
+                          columns=["doc_id", "spans"],
+                          override_num_blocks=blocks_for(concurrency),
+                          doc_filter=doc_filter)
+    return docs.map_batches(
+        as_task_fn(ZonalValueCounts, world_path=world_path,
+                   classifier=classifier, index=index, grid_spec=grid),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 def zonal_value_stats(world_path: str, dataset: str = "kg", *,
                       concurrency: int | tuple = (1, 4),
                       batch_size: int = 16) -> "pd.DataFrame":
@@ -519,25 +554,52 @@ def zonal_value_stats(world_path: str, dataset: str = "kg", *,
     sum; here it finishes on the driver (the pricing_summary
     size-gate rationale). Stats derive from the count vector alone —
     pixels never leave the workers."""
-    import pandas as pd
+    from ..stages.zonal import derive_value_stats
 
-    from ..datapipe.util import as_task_fn
-    from ..sources.documents import blocks_for
-    from ..stages.zonal import ZonalValueCounts, derive_value_stats
-
-    classifier = CLASSIFIERS[dataset]()
-    grid = world_grid(world_path, classifier.grid)
-    index = build_zonal_index(world_path)
-    docs = read_documents(world_path, [dataset],
-                          columns=["doc_id", "spans"],
-                          override_num_blocks=blocks_for(concurrency))
-    counts = docs.map_batches(
-        as_task_fn(ZonalValueCounts, world_path=world_path,
-                   classifier=classifier, index=index, grid_spec=grid),
-        batch_format="pyarrow", batch_size=batch_size)
+    counts = zonal_value_counts_ds(world_path, dataset,
+                                   concurrency=concurrency,
+                                   batch_size=batch_size)
     df = (counts.to_pandas()
           .groupby(["admin", "val"], as_index=False)["n_px"].sum())
     return derive_value_stats(df)
+
+
+def zonal_value_stats_incremental(world_old: str, world_new: str,
+                                  dataset: str = "kg", *,
+                                  old_counts: "pd.DataFrame | None" = None
+                                  ) -> tuple:
+    """Maintain the zonal value-statistics view across a world update:
+    diff the worlds, drop the changed/removed tiles' count rows,
+    recompute ONLY the changed tiles (one pushed-down launch), concat,
+    re-derive. EXACTLY equal to the full recompute for free — the
+    counts are order-free integers, so splicing needs no ordering
+    discipline at all (contrast the float km² path's deterministic
+    combine). Returns (view, report)."""
+    import numpy as np
+
+    from ..stages.zonal import derive_value_stats
+    from .pyramid import diff_worlds
+
+    if old_counts is None:
+        old_counts = zonal_value_counts_ds(world_old, dataset).to_pandas()
+    diff = diff_worlds(world_old, world_new, dataset)
+    changed = {(int(r.tile_y), int(r.tile_x))
+               for r in diff.itertuples() if r.status != "removed"}
+    dropped = {(int(r.tile_y), int(r.tile_x)) for r in diff.itertuples()}
+    key = (old_counts["tile_y"].to_numpy(dtype=np.int64) << 32) \
+        | old_counts["tile_x"].to_numpy(dtype=np.int64)
+    drop_keys = np.array([(ty << 32) | tx for ty, tx in dropped],
+                         dtype=np.int64)
+    keep = old_counts[~np.isin(key, drop_keys)]
+    parts = [keep]
+    if changed:
+        parts.append(zonal_value_counts_ds(world_new, dataset,
+                                           tiles=changed).to_pandas())
+    import pandas as pd
+    merged = pd.concat(parts, ignore_index=True)
+    df = merged.groupby(["admin", "val"], as_index=False)["n_px"].sum()
+    return derive_value_stats(df), {"tiles_recomputed": len(changed),
+                                    "tiles_dropped": len(dropped - changed)}
 
 
 # ---------------------------------------------------------------------------

@@ -174,6 +174,8 @@ VALUE_COUNT_SCHEMA = pa.schema([
     ("admin", pa.string()),
     ("val", pa.int32()),
     ("n_px", pa.int64()),
+    ("tile_y", pa.int32()),
+    ("tile_x", pa.int32()),
 ])
 
 #: which raw band values participate, per single-band class dataset —
@@ -217,30 +219,38 @@ class ZonalValueCounts(ZonalPartials):
                 continue
             parsed.append((meta, refs, claims))
             all_refs.extend(refs)
-        counts: dict[str, np.ndarray] = {}
+        # per-(tile, admin) rows — a few dozen ints per tile — so the
+        # partial table splices per tile for incremental maintenance
+        counts: dict[tuple, np.ndarray] = {}
         if parsed:
             payloads = self.media.fetch(all_refs)
             for meta, refs, claims in parsed:
                 band = np.frombuffer(payloads[refs[0]], dtype=np.uint8) \
                     .reshape(meta["nrows"], meta["ncols"])
+                ty, tx = meta["tile_y"], meta["tile_x"]
                 for _fidx, admin, mask in claims:
                     vals = band[mask]
                     vals = vals[self.value_filter(vals)]
                     if not len(vals):
                         continue
                     c = np.bincount(vals, minlength=256).astype(np.int64)
-                    prev = counts.get(admin)
-                    counts[admin] = c if prev is None else prev + c
-        admins, valv, npx = [], [], []
-        for admin, c in counts.items():
+                    key = (admin, ty, tx)
+                    prev = counts.get(key)
+                    counts[key] = c if prev is None else prev + c
+        admins, valv, npx, tys, txs = [], [], [], [], []
+        for (admin, ty, tx), c in counts.items():
             nz = np.flatnonzero(c)
             admins.extend([admin] * len(nz))
             valv.extend(nz.astype(np.int32))
             npx.extend(c[nz])
+            tys.extend([ty] * len(nz))
+            txs.extend([tx] * len(nz))
         return pa.Table.from_arrays(
             [pa.array(admins, pa.string()),
              pa.array(np.asarray(valv, np.int32)),
-             pa.array(np.asarray(npx, np.int64))],
+             pa.array(np.asarray(npx, np.int64)),
+             pa.array(np.asarray(tys, np.int32)),
+             pa.array(np.asarray(txs, np.int32))],
             schema=VALUE_COUNT_SCHEMA)
 
 

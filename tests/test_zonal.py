@@ -189,3 +189,15 @@ def test_zonal_blocks_cache_bit_exact(tiny_world, tmp_path):
                                                   tile_window=win)
             want = extract.zonal_stats(tiny_world, ds, tile_window=win)
             assert got.equals(want), (ds, win)
+
+
+def test_zonal_value_stats_incremental(tiny_world, tmp_path):
+    """Splice-and-rederive equals full recompute for the integer
+    count view; unchanged worlds recompute nothing."""
+    import shutil
+    from spatial_aez_ray.pipelines import extract
+    w2 = str(tmp_path / "w2")
+    shutil.copytree(tiny_world, w2)
+    view, rep = extract.zonal_value_stats_incremental(tiny_world, w2, "kg")
+    assert rep == {"tiles_recomputed": 0, "tiles_dropped": 0}
+    assert view.equals(extract.zonal_value_stats(tiny_world, "kg"))
