@@ -1799,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "exact_price_quantiles": relational.exact_price_quantiles,
         "weighted_join_sample": relational.weighted_join_sample,
+        "grouped_exact_quantiles": relational.grouped_exact_quantiles,
         "curation_pipeline": corpus.curation_pipeline,
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
@@ -2015,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "exact_price_quantiles": relational.EXACT_PRICE_QUANTILES_SQL,
         "weighted_join_sample": relational.WEIGHTED_JOIN_SAMPLE_SQL,
+        "grouped_exact_quantiles": relational.GROUPED_EXACT_QUANTILES_SQL,
         "curation_pipeline": corpus.CURATION_PIPELINE_SQL,
         "winsorized_value_stats": relational.WINSORIZED_VALUE_STATS_SQL,
         "ann_topk_filtered": __import__(

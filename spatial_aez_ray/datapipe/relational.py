@@ -3064,3 +3064,93 @@ ORDER BY o_orderkey
 
 
 WEIGHTED_JOIN_SAMPLE_SQL = _wjs_sql()
+
+
+def grouped_exact_quantiles(sf_dir: str,
+                            qs: tuple[int, ...] = (50, 90)
+                            ) -> pd.DataFrame:
+    """Exact per-group order statistics (l_returnflag × percentile)
+    by the same two-pass histogram refinement as
+    ``exact_price_quantiles`` — pass 1 ships (group, hi16, cnt) rows,
+    pass 2 (group, lo16, cnt) for the located bins only; wire cost
+    O(groups × bins), independent of n."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        c = _cents(batch["l_extendedprice"])
+        hi = (c >> 16).astype(np.int64)
+        df = pd.DataFrame({"g": g, "b": hi,
+                           "cnt": np.ones(len(c), dtype=np.int64)})
+        out = df.groupby(["g", "b"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    h1 = (ds.map_batches(coarse, batch_format="pyarrow").to_pandas()
+          .groupby(["g", "b"])["cnt"].sum())
+    targets: dict[str, dict[int, list]] = {}
+    for grp in h1.index.get_level_values(0).unique():
+        sub = h1.loc[grp].sort_index()
+        n = int(sub.sum())
+        cum = sub.cumsum()
+        for q in qs:
+            rank = -(-q * n // 100)
+            b = int(cum.index[np.searchsorted(cum.to_numpy(), rank)])
+            prev = int(cum.loc[:b].iloc[-2]) \
+                if (cum.index < b).any() else 0
+            targets.setdefault(grp, {}).setdefault(b, []) \
+                .append((q, rank - prev))
+    import ray as _ray
+    tref = _ray.put({g: np.array(sorted(t), dtype=np.int64)
+                     for g, t in targets.items()})
+
+    def fine(batch: pa.Table) -> pa.Table:
+        tmap = _ray.get(tref)
+        g = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        c = _cents(batch["l_extendedprice"])
+        hi = (c >> 16).astype(np.int64)
+        gs, bs, lo, cnts = [], [], [], []
+        for grp, bins in tmap.items():
+            sel = (g == grp) & np.isin(hi, bins)
+            cc, hh = c[sel], hi[sel]
+            for b in bins:
+                low = (cc[hh == b] & 0xFFFF).astype(np.int64)
+                cnt = np.bincount(low, minlength=1)
+                nz = np.flatnonzero(cnt)
+                gs.extend([grp] * len(nz))
+                bs.extend([int(b)] * len(nz))
+                lo.extend(nz.astype(np.int64))
+                cnts.extend(cnt[nz].astype(np.int64))
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         "b": pa.array(np.asarray(bs, np.int64)),
+                         "lo": pa.array(np.asarray(lo, np.int64)),
+                         "cnt": pa.array(np.asarray(cnts, np.int64))})
+
+    h2 = (ds.map_batches(fine, batch_format="pyarrow").to_pandas()
+          .groupby(["g", "b", "lo"])["cnt"].sum())
+    rows = []
+    for grp, per_bin in targets.items():
+        for b, pairs in per_bin.items():
+            sub = h2.loc[(grp, b)].sort_index()
+            c2 = sub.cumsum()
+            for q, r in pairs:
+                lov = int(c2.index[np.searchsorted(c2.to_numpy(), r)])
+                rows.append((grp, q, (b << 16) | lov))
+    out = pd.DataFrame(sorted(rows),
+                       columns=["l_returnflag", "pct", "price_c"])
+    out["pct"] = out["pct"].astype(np.int64)
+    out["price_c"] = out["price_c"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _grouped_exact_q_sql(qs: tuple[int, ...] = (50, 90)) -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT l_returnflag, {q}::BIGINT AS pct, "
+        f"quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT), "
+        f"{q / 100.0}) AS price_c FROM lineitem GROUP BY l_returnflag"
+        for q in qs)
+    return (f"SELECT l_returnflag, pct, price_c FROM ({sels}) "
+            f"ORDER BY l_returnflag, pct")
+
+
+GROUPED_EXACT_QUANTILES_SQL = _grouped_exact_q_sql()

@@ -2039,3 +2039,9 @@ def test_weighted_join_sample_exact(con):
     mine = relational.weighted_join_sample(SF)
     _assert_match(mine, relational.WEIGHTED_JOIN_SAMPLE_SQL, con)
     assert len(mine) > 0
+
+
+def test_grouped_exact_quantiles(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.grouped_exact_quantiles(SF),
+                  relational.GROUPED_EXACT_QUANTILES_SQL, con)
