@@ -466,6 +466,21 @@ def _spatial_aspect(sf_dir: str):
     return mine
 
 
+def _kmeans_clusters(sf_dir: str):
+    """Full Lloyd k-means to convergence, all-integer state;
+    self-verified in-query: bit-equal to the sequential textbook loop
+    (different distance formula, same integer argmin), and it must
+    actually converge within the iteration cap."""
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.kmeans_clusters(sf_dir)
+    want = simsearch.kmeans_oracle_sequential(sf_dir)
+    if not mine.equals(want):
+        raise AssertionError("distributed Lloyd != sequential loop")
+    if int(mine["converged"].iloc[0]) != 1:
+        raise AssertionError("k-means did not converge within the cap")
+    return mine
+
+
 def _kcore_tokens(sf_dir: str):
     """k-core of the token co-occurrence graph by parallel peeling;
     self-verified in-query against the sequential one-node-at-a-time
@@ -1807,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": simsearch.ann_topk_filtered,
         "ann_quantized": simsearch.ann_quantized,
         "centroid_outliers": simsearch.centroid_outliers,
+        "kmeans_clusters": _kmeans_clusters,
         "ann_lsh": simsearch.ann_lsh,
         "knn_label_vote": simsearch.knn_label_vote,
         "embedding_neardup": simsearch.embedding_neardup,

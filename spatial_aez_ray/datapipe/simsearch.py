@@ -1643,3 +1643,152 @@ def semantic_dedup_twin(sf_dir: str,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_clusters — FULL Lloyd iterations to convergence, all-integer:
+# the iterative-training loop on Ray Data (assignment = one streamed
+# int matmul per iteration; update = k×d int64 partials), bit-exact vs
+# the sequential textbook loop because no float ever enters the state
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+#: generous: integer Lloyd converges in ~20-30 iterations on the test
+#: corpora (26 at sf0.01), and integer floor-division updates can in
+#: principle 2-cycle instead of converging — the cap bounds that; the
+#: distributed/sequential EQUALITY holds at any cap
+KMEANS_MAX_ITERS = 80
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
+                    max_iters: int = KMEANS_MAX_ITERS) -> pd.DataFrame:
+    """Lloyd k-means run to CONVERGENCE over int8-quantized embeddings.
+
+    Determinism contract (the SemDeDup lesson, CLAUDE.md): quantize
+    int8 first; assignment argmin uses the integer score |c|² − 2c·x
+    (ties → smallest cluster index, numpy first-min on both sides);
+    the update is integer floor division Σx // n; convergence is
+    integer centroid equality. Every quantity is int64, so the
+    distributed loop and the sequential oracle agree bit-for-bit — a
+    float Lloyd could not cross that boundary.
+
+    Ray shape per iteration: centroids broadcast via ray.put; each
+    batch emits k rows of (cluster, n, Σvec) partials (k×d ints);
+    the driver folds them and tests convergence. The corpus streams
+    once per iteration; nothing vector-sized ever reaches the driver.
+    Returns (cluster, n_members, centroid_l1, n_iters, converged).
+    """
+    import ray
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def max_abs(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        return pa.table({"a": pa.array([float(np.abs(m).max())]
+                                       if len(m) else [0.0])})
+
+    scale = float(ds.map_batches(max_abs, batch_format="pyarrow")
+                  .to_pandas()["a"].max())
+
+    seed = (ds.sort("vec_id").limit(k).to_pandas())
+    C = _symmetric_quantize(
+        np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seed["embedding"]]), scale)
+    d = C.shape[1]
+
+    n_iter, converged = 0, False
+    for n_iter in range(1, max_iters + 1):
+        bc = ray.put((C, scale))
+
+        def step(batch: pa.Table, _bc=bc) -> pa.Table:
+            import ray as _ray
+            C, scale = _ray.get(_bc)
+            x = _symmetric_quantize(_emb_matrix(batch), scale)
+            cc = (C * C).sum(axis=1)                     # (k,)
+            score = cc[None, :] - 2 * (x @ C.T)          # (n, k) int64
+            a = np.argmin(score, axis=1)                 # first min
+            rows_c, rows_n, rows_s = [], [], []
+            for c in range(len(C)):
+                sel = x[a == c]
+                if not len(sel):
+                    continue
+                rows_c.append(c)
+                rows_n.append(len(sel))
+                rows_s.append(sel.sum(axis=0).astype(np.int64))
+            return pa.table({
+                "c": pa.array(np.asarray(rows_c, np.int64)),
+                "n": pa.array(np.asarray(rows_n, np.int64)),
+                "s": pa.array(list(np.asarray(rows_s, np.int64))
+                              if rows_s else [],
+                              pa.list_(pa.int64(), d)),
+            })
+
+        parts = (ds.map_batches(step, batch_format="pyarrow")
+                 .to_pandas())
+        newC = C.copy()
+        counts = np.zeros(len(C), dtype=np.int64)
+        for c in range(len(C)):
+            sub = parts[parts["c"] == c]
+            if not len(sub):
+                continue   # empty cluster keeps its centroid
+            n = int(sub["n"].sum())
+            s = np.sum(np.stack([np.asarray(v, dtype=np.int64)
+                                 for v in sub["s"]]), axis=0)
+            counts[c] = n
+            newC[c] = s // n
+        if (newC == C).all():
+            converged = True
+            break
+        C = newC
+
+    out = pd.DataFrame({
+        "cluster": np.arange(len(C), dtype=np.int64),
+        "n_members": counts,
+        "centroid_l1": np.abs(C).sum(axis=1).astype(np.int64),
+        "n_iters": np.full(len(C), n_iter, dtype=np.int64),
+        "converged": np.full(len(C), int(converged), dtype=np.int64),
+    })
+    return out
+
+
+def kmeans_oracle_sequential(sf_dir: str, k: int = KMEANS_K,
+                             max_iters: int = KMEANS_MAX_ITERS
+                             ) -> pd.DataFrame:
+    """Textbook sequential Lloyd on the collected quantized matrix —
+    distances computed DIRECTLY as Σ(x−c)² (a different formula whose
+    integer argmin provably matches the |c|²−2c·x score used by the
+    distributed loop), same floor-division update, same convergence
+    rule."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in df["embedding"]])
+    scale = float(np.abs(M).max())
+    X = _symmetric_quantize(M, scale)
+    C = X[:k].copy()
+    n_iter, converged = 0, False
+    counts = np.zeros(k, dtype=np.int64)
+    for n_iter in range(1, max_iters + 1):
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)
+        newC = C.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        for c in range(k):
+            sel = X[a == c]
+            if len(sel):
+                counts[c] = len(sel)
+                newC[c] = sel.sum(axis=0) // len(sel)
+        if (newC == C).all():
+            converged = True
+            break
+        C = newC
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n_members": counts,
+        "centroid_l1": np.abs(C).sum(axis=1).astype(np.int64),
+        "n_iters": np.full(k, n_iter, dtype=np.int64),
+        "converged": np.full(k, int(converged), dtype=np.int64),
+    })

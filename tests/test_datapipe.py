@@ -2045,3 +2045,12 @@ def test_grouped_exact_quantiles(con):
     from spatial_aez_ray.datapipe import relational
     _assert_match(relational.grouped_exact_quantiles(SF),
                   relational.GROUPED_EXACT_QUANTILES_SQL, con)
+
+
+def test_kmeans_matches_sequential_and_converges():
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.kmeans_clusters(SF)
+    want = simsearch.kmeans_oracle_sequential(SF)
+    assert mine.equals(want)
+    assert int(mine["converged"].iloc[0]) == 1
+    assert mine["n_members"].sum() > 0
