@@ -1119,3 +1119,58 @@ def zonal_window_stats_oracle(spec, dataset: str = "kg",
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+def flow_accum_hist(pad: np.ndarray, present: np.ndarray) -> pd.DataFrame:
+    """Sequential whole-array D8 flow accumulation histogram over a
+    (+1)-padded elevation array and a present-pixel mask — the global
+    descending-elevation scatter, a deliberately different derivation
+    from the kernel's per-tile seam fixpoint (shared with the
+    crafted-world pytest so imported rasters verify the same way)."""
+    from .pipelines.hydro import _DX, _DY
+    from .pipelines.pyramid import flowdir_codes
+
+    code = flowdir_codes(pad)
+    elev = pad[1:-1, 1:-1].astype(np.int64)
+    h, w = elev.shape
+    dy = _DY[code]
+    dx = _DX[code]
+    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    xx = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    ty = yy + dy
+    tx = xx + dx
+    flows = present & (code != 0)
+    inframe = flows & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+    valid = np.zeros_like(flows)
+    valid[inframe] = present[ty[inframe], tx[inframe]]
+    acc = np.zeros((h, w), dtype=np.int64)
+    for lvl in np.unique(elev[present])[::-1]:
+        m = valid & (elev == lvl)
+        if m.any():
+            np.add.at(acc, (ty[m], tx[m]), acc[m] + 1)
+    u, cnt = np.unique(acc[present], return_counts=True)
+    return pd.DataFrame({"acc": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})
+
+
+def flow_accum_oracle(spec, dataset: str = "kg",
+                      hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential D8 flow-accumulation histogram over the assembled
+    full array; identical hole padding to the focal-family oracles
+    (hole tiles pad the halo with `hole` and contribute no pixels, and
+    flux INTO a hole tile is dropped on both sides)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    return flow_accum_hist(pad, present)

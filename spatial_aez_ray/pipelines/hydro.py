@@ -1,0 +1,293 @@
+"""D8 flow accumulation — the hydrology half of the gdaldem family
+(focal_flowdir -> flow accumulation; the ESRI/TauDEM Flow Accumulation
+product). The reference's raster taxonomy covers local, focal, zonal
+and regional algebra (process_imagery.py block loops, our focal/zonal
+kernels); flow accumulation is the remaining GLOBAL-dependency member:
+a pixel's value depends on an unbounded upstream region, so no fixed
+halo width can serve it.
+
+Semantics (exact, all-integer):
+* flow direction per pixel = ``pyramid.flowdir_codes`` over the same
+  1-px-halo pad the focal family uses (absent neighbor tiles pad with
+  the hole value, hole tiles emit nothing);
+* ``acc[p]`` = number of pixels whose D8 path reaches ``p`` (not
+  counting ``p``); flux into a hole tile, off the world frame, or
+  stopped at a code-0 pit is dropped;
+* D8 steps are strictly downhill (drop > 0), so over uint8 elevations
+  every path has <= 255 edges — the seam fixpoint below terminates in
+  <= 255 rounds (typically 2-4: classification-style rasters pit
+  almost immediately).
+
+Scale design — seam-flux delta iteration (block-Jacobi over tiles):
+* Each round is ONE shuffle-free ``map_batches`` pass over exactly the
+  tiles whose INFLOW changed (round 0: all tiles). Per tile the kernel
+  assembles the focal halo pad (derived sibling refs, one batched
+  footer-pruned fetch), computes flow directions, and runs an
+  elevation-level-DESCENDING vectorized scatter: pixels at one level
+  only feed strictly lower levels, so <= 256 ``np.add.at`` steps are
+  the exact in-tile fixpoint given the current boundary inflow.
+* Only SEAM FLUX rows ever leave a tile — ``(src_tile, dst_tile,
+  dst_px, flux)`` for border pixels whose D8 target lies in a present
+  neighbor tile, O(tile edge) rows per tile. The driver folds them
+  into per-tile inflow tables and re-queues exactly the tiles whose
+  inflow changed. At 100 TB the fold becomes a ``groupby(dst_tile)``
+  aggregate and the inflow a co-partitioned join instead of this
+  driver dict + ``ray.put`` broadcast (the label_regions seam-graph
+  precedent); the round structure is unchanged.
+* The final pass re-runs every present tile once with the converged
+  inflow and emits (acc, n_px) histogram partials — pixel arrays never
+  leave the workers.
+
+Reference parity anchor: the reference's rasters are the DEM-derived
+slope products (prepare_slope_tiles.py); flow accumulation is the
+standard next derivative of the same inputs, expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .. import model
+from ..datapipe.util import as_task_fn
+from ..sources.documents import MediaStore
+from .extract import world_grid
+from .pyramid import flowdir_codes
+
+# ESRI D8 code -> (dy, dx), y down; code 0 (pit) stays put.
+_D8 = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+       16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+_DY = np.zeros(256, dtype=np.int64)
+_DX = np.zeros(256, dtype=np.int64)
+for _c, (_dy, _dx) in _D8.items():
+    _DY[_c] = _dy
+    _DX[_c] = _dx
+
+#: a strictly-downhill path over uint8 elevations has <= 255 edges, so
+#: flux can cross at most 255 seams; +2 slack for the all-tiles round
+#: and the empty fixpoint round.
+MAX_ROUNDS = 257
+
+
+class _FlowTiles:
+    """Seam-flux / histogram kernel over tile-id batches (see module
+    docstring). ``inflow_ref`` is a plasma ref of
+    ``{tile_id: {px_flat: flux}}``; ``final`` switches the output from
+    seam-flux rows to (acc, n_px) histogram partials."""
+
+    def __init__(self, world_path: str, dataset: str, hole: int,
+                 inflow_ref, final: bool):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+        self.final = final
+        self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        t = g.tile
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name, ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+
+        out_src: list[np.ndarray] = []
+        out_dst: list[np.ndarray] = []
+        out_px: list[np.ndarray] = []
+        out_flux: list[np.ndarray] = []
+        hist: dict[int, int] = {}
+        for ty, tx, nbrs in plans:
+            me = payloads.get(nbrs[(0, 0)][2])
+            if me is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = np.full((nr + 2, nc + 2), self.hole, dtype=np.uint8)
+            for (dy, dx), (ny, nx, r) in nbrs.items():
+                p = payloads.get(r)
+                if p is None:
+                    continue
+                hh, ww = self._dims(ny, nx)
+                arr = np.frombuffer(p, np.uint8,
+                                    count=hh * ww).reshape(hh, ww)
+                if dy == 0 and dx == 0:
+                    pad[1:1 + nr, 1:1 + nc] = arr
+                    continue
+                rs = (slice(hh - 1, hh) if dy < 0
+                      else slice(0, 1) if dy > 0 else slice(0, hh))
+                cs = (slice(ww - 1, ww) if dx < 0
+                      else slice(0, 1) if dx > 0 else slice(0, ww))
+                sub = arr[rs, cs]
+                pr = (slice(0, 1) if dy < 0
+                      else slice(nr + 1, nr + 2) if dy > 0
+                      else slice(1, 1 + sub.shape[0]))
+                pc_ = (slice(0, 1) if dx < 0
+                       else slice(nc + 1, nc + 2) if dx > 0
+                       else slice(1, 1 + sub.shape[1]))
+                pad[pr, pc_] = sub
+
+            code = flowdir_codes(pad).ravel()
+            elev = pad[1:-1, 1:-1].astype(np.int64).ravel()
+            rr = np.repeat(np.arange(nr, dtype=np.int64), nc)
+            cc = np.tile(np.arange(nc, dtype=np.int64), nr)
+            tr = rr + _DY[code]
+            tc = cc + _DX[code]
+            flows = code != 0
+            intile = (flows & (tr >= 0) & (tr < nr)
+                      & (tc >= 0) & (tc < nc))
+            tgt_flat = tr * nc + tc  # meaningful only where intile
+
+            # cross-seam targets: at most 1 px away, so the dst tile is
+            # one of the 8 fetched neighbors — presence from payloads.
+            pres33 = np.zeros((3, 3), dtype=bool)
+            for (dy, dx), (_ny, _nx, r) in nbrs.items():
+                pres33[dy + 1, dx + 1] = payloads.get(r) is not None
+            gy = ty * t + tr
+            gx = tx * t + tc
+            sel = np.flatnonzero(flows & ~intile
+                                 & (gy >= 0) & (gy < g.height)
+                                 & (gx >= 0) & (gx < g.width))
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                sel = sel[pres33[nty - ty + 1, ntx_ - tx + 1]]
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                dst_w = np.minimum(t, g.width - ntx_ * t)
+                dst_tile = nty * g.tiles_x + ntx_
+                dst_px = (gy[sel] - nty * t) * dst_w + (gx[sel] - ntx_ * t)
+            else:
+                dst_tile = dst_px = np.zeros(0, dtype=np.int64)
+            out_pos = np.full(len(code), -1, dtype=np.int64)
+            out_pos[sel] = np.arange(len(sel))
+            outmask = out_pos >= 0
+
+            acc = np.zeros(nr * nc, dtype=np.int64)
+            inf = self.inflow.get(ty * g.tiles_x + tx)
+            if inf:
+                idx = np.fromiter(inf.keys(), np.int64, len(inf))
+                val = np.fromiter(inf.values(), np.int64, len(inf))
+                acc[idx] += val
+            flux_out = np.zeros(len(sel), dtype=np.int64)
+            # descending elevation levels: a level only feeds strictly
+            # lower levels, so one sweep is the exact in-tile fixpoint
+            for lvl in np.unique(elev)[::-1]:
+                lv = elev == lvl
+                m_in = lv & intile
+                if m_in.any():
+                    np.add.at(acc, tgt_flat[m_in], acc[m_in] + 1)
+                m_out = lv & outmask
+                if m_out.any():
+                    flux_out[out_pos[m_out]] += acc[m_out] + 1
+
+            if self.final:
+                u, cnt = np.unique(acc, return_counts=True)
+                for v, n in zip(u.tolist(), cnt.tolist()):
+                    hist[v] = hist.get(v, 0) + n
+            else:
+                nz = flux_out > 0
+                k = int(nz.sum())
+                if k:
+                    out_src.append(np.full(k, ty * g.tiles_x + tx,
+                                           dtype=np.int64))
+                    out_dst.append(dst_tile[nz])
+                    out_px.append(dst_px[nz])
+                    out_flux.append(flux_out[nz])
+
+        if self.final:
+            keys = sorted(hist)
+            return pa.table({
+                "acc": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({"src": pa.array(cat(out_src)),
+                         "dst": pa.array(cat(out_dst)),
+                         "px": pa.array(cat(out_px)),
+                         "flux": pa.array(cat(out_flux))})
+
+
+def flow_accumulation(world_path: str, dataset: str = "kg", *,
+                      hole_value: int | None = None,
+                      batch_size: int = 64,
+                      with_rounds: bool = False):
+    """(acc, n_px) histogram of D8 flow accumulation over the dataset
+    treated as a DEM — bit-exact vs the sequential whole-array oracle
+    (``oracle.flow_accum_oracle``). ``with_rounds=True`` additionally
+    returns the number of seam-fixpoint rounds (tests use it to prove
+    the multi-tile-crossing path is exercised)."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    n_tiles = grid.tiles_y * grid.tiles_x
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
+                        hole=hole, inflow_ref=ref, final=final)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow: dict[int, dict[int, int]] = {}
+    out_by_src: dict[int, dict[tuple[int, int], int]] = {}
+    pending = list(range(n_tiles))
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > MAX_ROUNDS:
+            raise AssertionError(
+                "flow-accumulation seam fixpoint did not converge "
+                f"within {MAX_ROUNDS} rounds (cyclic flow?)")
+        flux = run(pending, inflow, final=False).to_pandas()
+        for tid in pending:
+            out_by_src.pop(tid, None)
+        for src, dst, px, fl in flux.itertuples(index=False):
+            # two border pixels of one src tile can target the SAME dst
+            # pixel (e.g. W and NW flows converging) — sum, never assign
+            d = out_by_src.setdefault(int(src), {})
+            k = (int(dst), int(px))
+            d[k] = d.get(k, 0) + int(fl)
+        new_inflow: dict[int, dict[int, int]] = {}
+        for tbl in out_by_src.values():
+            for (dst, px), fl in tbl.items():
+                d = new_inflow.setdefault(dst, {})
+                d[px] = d.get(px, 0) + fl
+        pending = sorted(
+            tid for tid in set(new_inflow) | set(inflow)
+            if new_inflow.get(tid) != inflow.get(tid))
+        inflow = new_inflow
+
+    from ray.data.aggregate import Sum
+    out = (run(range(n_tiles), inflow, final=True)
+           .groupby("acc")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values("acc").reset_index(drop=True)
+    if with_rounds:
+        return out, rounds
+    return out

@@ -1,0 +1,45 @@
+"""D8 flow accumulation — seam-flux fixpoint vs the whole-array
+oracle (global-dependency raster algebra; see pipelines/hydro.py)."""
+
+import numpy as np
+
+from spatial_aez_ray import fixtures, oracle
+from spatial_aez_ray.pipelines import hydro
+
+SPEC = fixtures.TINY
+
+
+def test_flow_accum_bit_exact(tiny_world):
+    for ds in ("kg", "lc"):
+        mine = hydro.flow_accumulation(tiny_world, ds)
+        assert mine.equals(oracle.flow_accum_oracle(SPEC, ds)), ds
+
+
+def test_flow_accum_crafted_ramp(tmp_path):
+    """East-flowing ramp spanning 4 tile columns: flux crosses three
+    seams, so the fixpoint needs >= 4 rounds — proves the
+    multi-tile-crossing delta iteration is exercised (the synthetic
+    worlds pit within ~2 rounds)."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = (240 - 3 * np.arange(40, dtype=np.int64))[None, :]
+    arr = arr.repeat(40, 0).astype(np.uint8)
+    tif = str(tmp_path / "ramp.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine, rounds = hydro.flow_accumulation(world, "dem", with_rounds=True)
+    pad = np.zeros((42, 42), np.uint8)
+    pad[1:-1, 1:-1] = arr
+    want = oracle.flow_accum_hist(pad, np.ones((40, 40), bool))
+    assert mine.equals(want)
+    assert rounds >= 4
+    # frame-adjacent pixels drain off-frame (hole pad is far steeper
+    # than the 3/px ramp), so interior chains run x=1..39: max acc = 38
+    assert int(mine["acc"].max()) == 38
+
+
+def test_flow_accum_batch_invariance(tiny_world):
+    a = hydro.flow_accumulation(tiny_world, "kg", batch_size=7)
+    b = hydro.flow_accumulation(tiny_world, "kg", batch_size=64)
+    assert a.equals(b)
