@@ -454,6 +454,27 @@ def _spatial_focal(sf_dir: str):
     return mine
 
 
+def _spatial_flow_accum(sf_dir: str):
+    """D8 flow accumulation (global-dependency raster algebra): the
+    distributed seam-flux fixpoint over tiles must reproduce the
+    sequential whole-array descending-elevation scatter bit-exactly,
+    on two datasets with different hole structure."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "lc"):
+        mine = hydro.flow_accumulation(_world(), ds)
+        want = om.flow_accum_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"flow accumulation ({ds}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -1887,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_region_adjacency": _spatial_region_adjacency,
         "spatial_crosstab": _spatial_crosstab,
         "spatial_aspect": _spatial_aspect,
+        "spatial_flow_accum": _spatial_flow_accum,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,
