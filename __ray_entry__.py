@@ -1677,6 +1677,25 @@ def _spatial_real_mask_terrain(sf_dir: str):
     return pd.concat(outs, ignore_index=True)[["metric", "code", "n_px"]]
 
 
+def _spatial_real_flow_accum(sf_dir: str):
+    """Flow accumulation on REAL raster layout: import a real ZSTD
+    reference mask (GRC — sparse holes, bbox far from the grid
+    origin) and assert the distributed seam-flux fixpoint histogram
+    is bit-identical to the direct sequential file walk."""
+    import shutil
+    from spatial_aez_ray.pipelines import hydro, realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_hydro_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    mine = hydro.flow_accumulation(w, "realmask")
+    want = realmask.mask_file_flow_accum(path)
+    if not mine.equals(want):
+        raise AssertionError("real-mask flow accumulation != direct walk")
+    return mine
+
+
 def _spatial_real_png_palette(sf_dir: str):
     """M15 parity on REAL published output: decode the reference's
     results/*_small.png thumbnails (written by gdal_translate,
@@ -1926,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_regions": _spatial_real_regions,
         "spatial_real_mask_overlap": _spatial_real_mask_overlap,
         "spatial_real_mask_terrain": _spatial_real_mask_terrain,
+        "spatial_real_flow_accum": _spatial_real_flow_accum,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -421,6 +421,40 @@ def mask_file_overlap_px(path_a: str, path_b: str) -> int:
     return n
 
 
+def mask_file_flow_accum(path: str) -> "pd.DataFrame":
+    """Direct sequential D8 flow-accumulation histogram over one REAL
+    mask file — the whole-array oracle (``oracle.flow_accum_hist``)
+    run on a bbox-bounded assembly of the non-sparse tiles.  Pixels
+    outside present tiles are holes (mask nodata 0, matching the
+    imported world), and the bbox cut is exact: the distributed
+    kernel drops flux into absent tiles and off the global frame,
+    which the sub-array oracle reproduces as off-sub-frame /
+    non-present targets."""
+    from ..oracle import flow_accum_hist
+
+    t = MASK_GRID.tile
+    r = GeoTiffReader(path)
+    try:
+        present_t = sorted((int(a), int(b)) for a, b in r.nonsparse_tiles())
+        tys = [p[0] for p in present_t]
+        txs = [p[1] for p in present_t]
+        ty0, ty1 = min(tys), max(tys)
+        tx0, tx1 = min(txs), max(txs)
+        hgt = (ty1 - ty0 + 1) * t
+        wid = (tx1 - tx0 + 1) * t
+        pad = np.zeros((hgt + 2, wid + 2), np.uint8)
+        present = np.zeros((hgt, wid), dtype=bool)
+        for ty, tx in present_t:
+            arr = r.read_tile(ty, tx)
+            y, x = (ty - ty0) * t, (tx - tx0) * t
+            pad[1 + y:1 + y + arr.shape[0],
+                1 + x:1 + x + arr.shape[1]] = arr
+            present[y:y + arr.shape[0], x:x + arr.shape[1]] = True
+    finally:
+        r.close()
+    return flow_accum_hist(pad, present)
+
+
 def mask_file_window_hist(path: str, metric: str) -> "pd.DataFrame":
     """Direct sequential (code, n_px) histogram of a 3×3 window metric
     over one REAL mask file: decode the nonsparse tiles into a
