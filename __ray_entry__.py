@@ -475,6 +475,27 @@ def _spatial_flow_accum(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_watershed(sf_dir: str):
+    """D8 watershed delineation (global-dependency raster algebra):
+    the one-pass in-tile pointer-doubling + driver seam-graph chase
+    must reproduce the sequential whole-array doubling bit-exactly,
+    on two datasets with different hole structure."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "lc"):
+        mine = hydro.watershed_basins(_world(), ds)
+        want = om.watershed_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"watershed ({ds}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -1696,6 +1717,24 @@ def _spatial_real_flow_accum(sf_dir: str):
     return mine
 
 
+def _spatial_real_watershed(sf_dir: str):
+    """Watershed delineation on REAL raster layout: same imported GRC
+    world as the flow-accumulation leg; the distributed one-pass
+    pointer-doubling + seam-graph chase must match the direct
+    sequential file walk bit-exactly."""
+    from spatial_aez_ray.pipelines import hydro, realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_hydro_world")
+    if not os.path.isdir(w):
+        realmask.import_real_mask(path, w)
+    mine = hydro.watershed_basins(w, "realmask")
+    want = realmask.mask_file_watershed(path)
+    if not mine.equals(want):
+        raise AssertionError("real-mask watershed != direct walk")
+    return mine
+
+
 def _spatial_real_png_palette(sf_dir: str):
     """M15 parity on REAL published output: decode the reference's
     results/*_small.png thumbnails (written by gdal_translate,
@@ -1928,6 +1967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_crosstab": _spatial_crosstab,
         "spatial_aspect": _spatial_aspect,
         "spatial_flow_accum": _spatial_flow_accum,
+        "spatial_watershed": _spatial_watershed,
+        "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,
         "spatial_cog_export": _spatial_cog_export,

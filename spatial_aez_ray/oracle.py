@@ -1174,3 +1174,74 @@ def flow_accum_oracle(spec, dataset: str = "kg",
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
                 present[y:y + nr, x:x + nc] = False
     return flow_accum_hist(pad, present)
+
+
+def watershed_hist(pad: np.ndarray, present: np.ndarray) -> pd.DataFrame:
+    """Sequential whole-array D8 watershed summary over a (+1)-padded
+    elevation array and a present-pixel mask: global pointer doubling
+    to each pixel's terminal (pit or external drainage), then the
+    basin-size histogram — a deliberately different derivation from
+    the kernel's per-tile doubling + seam-graph chase."""
+    from .pipelines.hydro import _DX, _DY
+    from .pipelines.pyramid import flowdir_codes
+
+    code = flowdir_codes(pad)
+    h, w = code.shape
+    dy = _DY[code]
+    dx = _DX[code]
+    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    xx = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    ty = yy + dy
+    tx = xx + dx
+    flows = present & (code != 0)
+    inframe = flows & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+    valid = np.zeros_like(flows)
+    valid[inframe] = present[ty[inframe], tx[inframe]]
+
+    parent = np.arange(h * w, dtype=np.int64)
+    vm = valid.ravel()
+    parent[vm] = (ty * w + tx).ravel()[vm]
+    for _ in range(int(np.ceil(np.log2(max(h * w, 2)))) + 1):
+        parent = parent[parent]
+
+    pit = present & (code == 0)
+    pr = present.ravel()
+    roots = parent[pr]
+    is_pit_root = pit.ravel()[roots]
+    basin_roots = roots[is_pit_root]
+    _, sizes = np.unique(basin_roots, return_counts=True)
+    external = int((~is_pit_root).sum())
+
+    u, k = np.unique(sizes.astype(np.int64), return_counts=True)
+    out = pd.DataFrame({"kind": ["basin"] * len(u),
+                        "size": u.astype(np.int64),
+                        "n": k.astype(np.int64)})
+    if external:
+        out = pd.concat(
+            [out, pd.DataFrame({"kind": ["external"],
+                                "size": [np.int64(external)],
+                                "n": [np.int64(1)]})],
+            ignore_index=True)
+    return out
+
+
+def watershed_oracle(spec, dataset: str = "kg",
+                     hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential watershed summary over the assembled full array;
+    identical hole padding to ``flow_accum_oracle``."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    return watershed_hist(pad, present)

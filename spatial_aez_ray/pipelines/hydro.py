@@ -72,6 +72,36 @@ for _c, (_dy, _dx) in _D8.items():
 MAX_ROUNDS = 257
 
 
+def _assemble_pad(payloads: dict, nbrs: dict, nr: int, nc: int,
+                  dims, hole: int) -> np.ndarray:
+    """(nr+2, nc+2) focal halo pad for one tile from the batch's
+    fetched neighbor payloads; absent neighbors stay at the hole
+    value (shared by the accumulation and watershed kernels)."""
+    pad = np.full((nr + 2, nc + 2), hole, dtype=np.uint8)
+    for (dy, dx), (ny, nx, r) in nbrs.items():
+        p = payloads.get(r)
+        if p is None:
+            continue
+        hh, ww = dims(ny, nx)
+        arr = np.frombuffer(p, np.uint8, count=hh * ww).reshape(hh, ww)
+        if dy == 0 and dx == 0:
+            pad[1:1 + nr, 1:1 + nc] = arr
+            continue
+        rs = (slice(hh - 1, hh) if dy < 0
+              else slice(0, 1) if dy > 0 else slice(0, hh))
+        cs = (slice(ww - 1, ww) if dx < 0
+              else slice(0, 1) if dx > 0 else slice(0, ww))
+        sub = arr[rs, cs]
+        pr = (slice(0, 1) if dy < 0
+              else slice(nr + 1, nr + 2) if dy > 0
+              else slice(1, 1 + sub.shape[0]))
+        pc_ = (slice(0, 1) if dx < 0
+               else slice(nc + 1, nc + 2) if dx > 0
+               else slice(1, 1 + sub.shape[1]))
+        pad[pr, pc_] = sub
+    return pad
+
+
 class _FlowTiles:
     """Seam-flux / histogram kernel over tile-id batches (see module
     docstring). ``inflow_ref`` is a plasma ref of
@@ -121,30 +151,8 @@ class _FlowTiles:
             if me is None:
                 continue
             nr, nc = self._dims(ty, tx)
-            pad = np.full((nr + 2, nc + 2), self.hole, dtype=np.uint8)
-            for (dy, dx), (ny, nx, r) in nbrs.items():
-                p = payloads.get(r)
-                if p is None:
-                    continue
-                hh, ww = self._dims(ny, nx)
-                arr = np.frombuffer(p, np.uint8,
-                                    count=hh * ww).reshape(hh, ww)
-                if dy == 0 and dx == 0:
-                    pad[1:1 + nr, 1:1 + nc] = arr
-                    continue
-                rs = (slice(hh - 1, hh) if dy < 0
-                      else slice(0, 1) if dy > 0 else slice(0, hh))
-                cs = (slice(ww - 1, ww) if dx < 0
-                      else slice(0, 1) if dx > 0 else slice(0, ww))
-                sub = arr[rs, cs]
-                pr = (slice(0, 1) if dy < 0
-                      else slice(nr + 1, nr + 2) if dy > 0
-                      else slice(1, 1 + sub.shape[0]))
-                pc_ = (slice(0, 1) if dx < 0
-                       else slice(nc + 1, nc + 2) if dx > 0
-                       else slice(1, 1 + sub.shape[1]))
-                pad[pr, pc_] = sub
-
+            pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                self.hole)
             code = flowdir_codes(pad).ravel()
             elev = pad[1:-1, 1:-1].astype(np.int64).ravel()
             rr = np.repeat(np.arange(nr, dtype=np.int64), nc)
@@ -304,4 +312,220 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
     out = out.sort_values("acc").reset_index(drop=True)
     if with_rounds:
         return out, rounds
+    return out
+
+
+# ------------------------------------------------------------- watershed
+
+#: resolution classes carried through the seam graph
+_PIT, _EXT, _CROSS = 0, 1, 2
+
+
+class _BasinTiles:
+    """Per-tile basin resolution for ``watershed_basins`` — ONE pass,
+    no fixpoint: within a tile every pixel's D8 path is resolved to a
+    local root by vectorized pointer doubling (<= 17 doublings for a
+    256x256 tile), and only two kinds of tiny rows leave the tile:
+
+    * ring rows — for each pixel on the tile's 1-px border ring (the
+      only pixels a neighbor can flow into), where it ultimately
+      drains within this tile: a pit (global pixel index), external
+      drainage (off-frame / into a hole), or a cross-seam exit
+      (neighbor tile, pixel) — O(tile edge) rows;
+    * count rows — pixel counts per distinct local root.
+
+    Node/exit keys are ``tile_id * tile^2 + flat_px`` with the DST
+    tile's clamped width, matching on both sides of every seam."""
+
+    def __init__(self, world_path: str, dataset: str, hole: int):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        t = g.tile
+        tcap = t * t
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name, ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+
+        o_node: list[np.ndarray] = []
+        o_cls: list[np.ndarray] = []
+        o_aux: list[np.ndarray] = []
+        o_n: list[np.ndarray] = []
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                self.hole)
+            code = flowdir_codes(pad).ravel()
+            npx = nr * nc
+            rr = np.repeat(np.arange(nr, dtype=np.int64), nc)
+            cc = np.tile(np.arange(nc, dtype=np.int64), nr)
+            tr = rr + _DY[code]
+            tc = cc + _DX[code]
+            flows = code != 0
+            intile = (flows & (tr >= 0) & (tr < nr)
+                      & (tc >= 0) & (tc < nc))
+
+            gidx = (ty * t + rr) * g.width + (tx * t + cc)
+            cls = np.full(npx, _PIT, dtype=np.int64)
+            aux = gidx.copy()
+            cls[flows] = _EXT
+            aux[flows] = -1
+
+            # cross-seam exits: target in a PRESENT neighbor tile
+            pres33 = np.zeros((3, 3), dtype=bool)
+            for (dy, dx), (_ny, _nx, r) in nbrs.items():
+                pres33[dy + 1, dx + 1] = payloads.get(r) is not None
+            gy = ty * t + tr
+            gx = tx * t + tc
+            sel = np.flatnonzero(flows & ~intile
+                                 & (gy >= 0) & (gy < g.height)
+                                 & (gx >= 0) & (gx < g.width))
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                sel = sel[pres33[nty - ty + 1, ntx_ - tx + 1]]
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                dst_w = np.minimum(t, g.width - ntx_ * t)
+                cls[sel] = _CROSS
+                aux[sel] = ((nty * g.tiles_x + ntx_) * tcap
+                            + (gy[sel] - nty * t) * dst_w
+                            + (gx[sel] - ntx_ * t))
+
+            parent = np.arange(npx, dtype=np.int64)
+            parent[intile] = (tr * nc + tc)[intile]
+            for _ in range(int(np.ceil(np.log2(max(npx, 2)))) + 1):
+                parent = parent[parent]
+            rcls = cls[parent]
+            raux = aux[parent]
+
+            ring = np.flatnonzero((rr == 0) | (rr == nr - 1)
+                                  | (cc == 0) | (cc == nc - 1))
+            tile_id = ty * g.tiles_x + tx
+            o_node.append(tile_id * tcap + ring)
+            o_cls.append(rcls[ring])
+            o_aux.append(raux[ring])
+            o_n.append(np.zeros(len(ring), dtype=np.int64))
+
+            roots, cnts = np.unique(parent, return_counts=True)
+            o_node.append(np.full(len(roots), -1, dtype=np.int64))
+            o_cls.append(cls[roots])
+            o_aux.append(aux[roots])
+            o_n.append(cnts.astype(np.int64))
+
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({"node": pa.array(cat(o_node)),
+                         "cls": pa.array(cat(o_cls)),
+                         "aux": pa.array(cat(o_aux)),
+                         "n": pa.array(cat(o_n))})
+
+
+def watershed_basins(world_path: str, dataset: str = "kg", *,
+                     hole_value: int | None = None,
+                     batch_size: int = 64) -> pd.DataFrame:
+    """D8 watershed delineation summary over the dataset treated as a
+    DEM: every present pixel drains to a terminal — an in-frame pit
+    (its basin) or external drainage (off the world frame / into a
+    hole) — and the result is the exact basin-size histogram
+
+        (kind, size, n):  ("basin", s, k)  — k basins of exactly s px
+                          ("external", e, 1) — e externally-draining px
+
+    bit-exact vs the sequential whole-array oracle
+    (``oracle.watershed_oracle``).
+
+    Scale design: ONE shuffle-free ``map_batches`` pass (in-tile
+    pointer doubling, O(tile-edge) seam rows out), then a driver-side
+    memoized chase over the seam graph — O(world perimeter) rows, the
+    ``label_regions`` seam-graph precedent. At 100 TB the ring rows
+    stay a Dataset and the chase becomes distributed pointer jumping
+    (log-depth self-joins); the per-tile pass is unchanged."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+
+    from ..sources.documents import read_documents
+    doc_ids = (read_documents(world_path, [dataset], columns=["doc_id"])
+               .to_pandas()["doc_id"])
+    parts = doc_ids.str.split("/", expand=True)
+    present_tiles = sorted(
+        (parts[2].astype(int) * grid.tiles_x
+         + parts[3].astype(int)).tolist())
+
+    fn = as_task_fn(_BasinTiles, world_path=world_path, dataset=dataset,
+                    hole=hole)
+    rows = (ray.data.from_items([{"id": int(i)} for i in present_tiles])
+            .map_batches(fn, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .to_pandas())
+
+    ring = rows[rows["node"] >= 0]
+    res: dict[int, tuple[int, int]] = {
+        int(nd): (int(c), int(a))
+        for nd, c, a in zip(ring["node"], ring["cls"], ring["aux"])}
+    memo: dict[int, tuple[int, int]] = {}
+
+    def resolve(cls: int, aux: int) -> tuple[int, int]:
+        path = []
+        while cls == _CROSS:
+            if aux in memo:
+                cls, aux = memo[aux]
+                break
+            path.append(aux)
+            if len(path) > MAX_ROUNDS:
+                raise AssertionError("watershed seam chase too deep "
+                                     "(cyclic flow?)")
+            cls, aux = res[aux]
+        for k in path:
+            memo[k] = (cls, aux)
+        return cls, aux
+
+    basins: dict[int, int] = {}
+    external = 0
+    cnt = rows[rows["node"] < 0]
+    for c, a, n in zip(cnt["cls"], cnt["aux"], cnt["n"]):
+        c2, a2 = resolve(int(c), int(a))
+        if c2 == _PIT:
+            basins[a2] = basins.get(a2, 0) + int(n)
+        else:
+            external += int(n)
+
+    sizes, kcnt = np.unique(np.fromiter(basins.values(), np.int64,
+                                        len(basins)),
+                            return_counts=True)
+    out = pd.DataFrame({"kind": ["basin"] * len(sizes),
+                        "size": sizes.astype(np.int64),
+                        "n": kcnt.astype(np.int64)})
+    if external:
+        out = pd.concat(
+            [out, pd.DataFrame({"kind": ["external"],
+                                "size": [np.int64(external)],
+                                "n": [np.int64(1)]})],
+            ignore_index=True)
     return out

@@ -421,17 +421,14 @@ def mask_file_overlap_px(path_a: str, path_b: str) -> int:
     return n
 
 
-def mask_file_flow_accum(path: str) -> "pd.DataFrame":
-    """Direct sequential D8 flow-accumulation histogram over one REAL
-    mask file — the whole-array oracle (``oracle.flow_accum_hist``)
-    run on a bbox-bounded assembly of the non-sparse tiles.  Pixels
-    outside present tiles are holes (mask nodata 0, matching the
-    imported world), and the bbox cut is exact: the distributed
-    kernel drops flux into absent tiles and off the global frame,
-    which the sub-array oracle reproduces as off-sub-frame /
-    non-present targets."""
-    from ..oracle import flow_accum_hist
-
+def mask_file_pad_present(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Bbox-bounded (+1-padded array, present mask) assembly of one
+    REAL mask file's non-sparse tiles — the shared input of the
+    sequential hydrology oracles.  Pixels outside present tiles are
+    holes (mask nodata 0, matching the imported world), and the bbox
+    cut is exact: the distributed kernels drop flow into absent tiles
+    and off the global frame, which the sub-array oracle reproduces
+    as off-sub-frame / non-present targets."""
     t = MASK_GRID.tile
     r = GeoTiffReader(path)
     try:
@@ -452,7 +449,21 @@ def mask_file_flow_accum(path: str) -> "pd.DataFrame":
             present[y:y + arr.shape[0], x:x + arr.shape[1]] = True
     finally:
         r.close()
-    return flow_accum_hist(pad, present)
+    return pad, present
+
+
+def mask_file_flow_accum(path: str) -> "pd.DataFrame":
+    """Direct sequential D8 flow-accumulation histogram over one REAL
+    mask file (see ``mask_file_pad_present``)."""
+    from ..oracle import flow_accum_hist
+    return flow_accum_hist(*mask_file_pad_present(path))
+
+
+def mask_file_watershed(path: str) -> "pd.DataFrame":
+    """Direct sequential D8 watershed summary over one REAL mask file
+    (see ``mask_file_pad_present``)."""
+    from ..oracle import watershed_hist
+    return watershed_hist(*mask_file_pad_present(path))
 
 
 def mask_file_window_hist(path: str, metric: str) -> "pd.DataFrame":

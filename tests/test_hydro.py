@@ -43,3 +43,53 @@ def test_flow_accum_batch_invariance(tiny_world):
     a = hydro.flow_accumulation(tiny_world, "kg", batch_size=7)
     b = hydro.flow_accumulation(tiny_world, "kg", batch_size=64)
     assert a.equals(b)
+
+
+def test_watershed_bit_exact(tiny_world):
+    for ds in ("kg", "lc"):
+        mine = hydro.watershed_basins(tiny_world, ds)
+        want = oracle.watershed_oracle(SPEC, ds)
+        assert mine.equals(want), ds
+        # conservation: every present pixel is in exactly one basin
+        # or drains externally
+        grid = SPEC.grid(fixtures.DATASET_GRID[ds])
+        n_present = sum(
+            fixtures.tile_arrays(SPEC, ds, ty, tx,
+                                 fixtures.land_index(SPEC.seed))
+            is not None
+            and grid.tile_window(ty, tx)[2] * grid.tile_window(ty, tx)[3]
+            or 0
+            for ty in range(grid.tiles_y) for tx in range(grid.tiles_x))
+        got = int((mine.loc[mine["kind"] == "basin", "size"]
+                   * mine.loc[mine["kind"] == "basin", "n"]).sum()
+                  + mine.loc[mine["kind"] == "external", "size"].sum())
+        assert got == n_present, ds
+
+
+def test_watershed_crafted_ramp(tmp_path):
+    """East-flowing ramp spanning 4 tile columns: every interior pixel
+    chains across three seams to the east edge and drains off-frame —
+    exercises the multi-hop seam-graph chase (memoized resolve)."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = (240 - 3 * np.arange(40, dtype=np.int64))[None, :]
+    arr = arr.repeat(40, 0).astype(np.uint8)
+    tif = str(tmp_path / "ramp_ws.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world_ws")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine = hydro.watershed_basins(world, "dem")
+    pad = np.zeros((42, 42), np.uint8)
+    pad[1:-1, 1:-1] = arr
+    want = oracle.watershed_hist(pad, np.ones((40, 40), bool))
+    assert mine.equals(want)
+    # the hole frame is steeper than the ramp, so every pixel drains
+    # off-frame: no basins at all, 1600 external pixels
+    assert list(mine["kind"]) == ["external"]
+    assert int(mine["size"].iloc[0]) == 1600
+
+
+def test_watershed_batch_invariance(tiny_world):
+    a = hydro.watershed_basins(tiny_world, "kg", batch_size=7)
+    b = hydro.watershed_basins(tiny_world, "kg", batch_size=64)
+    assert a.equals(b)
