@@ -1823,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counters": sketch.cms_token_counters,
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
+        "duplicate_spans": text.duplicate_spans,
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
         "bm25_topk": corpus.bm25_topk,
@@ -2054,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counters": sketch.CMS_TOKEN_COUNTERS_SQL,
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
+        "duplicate_spans": text.DUPLICATE_SPANS_SQL,
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,

@@ -547,6 +547,155 @@ BOILERPLATE_NGRAMS_SQL = _boiler_sql()
 
 
 # ---------------------------------------------------------------------------
+# duplicate_spans — exact duplicated-substring detection (the span-level
+# twin of document dedup: Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", which removes repeated SPANS rather
+# than whole documents)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_N = 4        # token window width
+DUPSPAN_MIN_DF = 2   # duplicated = the window occurs in >= 2 docs
+
+
+def duplicate_spans(sf_dir: str, n: int = DUPSPAN_N,
+                    min_df: int = DUPSPAN_MIN_DF) -> pd.DataFrame:
+    """Maximal duplicated token spans per document: a token is COVERED
+    when any length-``n`` window containing it occurs in >= ``min_df``
+    distinct documents corpus-wide; spans are the maximal runs of
+    covered tokens — (doc_id, span_start, span_end, span_len), token
+    positions 1-based.  This is what a span-level deduper would cut.
+
+    Shape: pass 1 is the boilerplate df aggregation (distinct-per-doc
+    per-batch combiner, gram-vocabulary-sized shuffle); the qualifying
+    gram set comes back sorted and is broadcast once (``ray.put`` +
+    searchsorted membership — the dedup isolated-doc-filter lesson).
+    Pass 2 marks hot windows per batch and merges covered tokens into
+    islands fully vectorized (one np.unique over (doc, token) keys,
+    boundaries where the sorted key step != 1).  At 100 TB the
+    broadcast (result-sized for min_df=2) becomes a hash semi-join of
+    window rows against the qualifying grams; pass 2 is unchanged."""
+    import ray
+
+    from .corpus import _flatten_tokens
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def _grams_pos(texts: list[str]):
+        """(gram, doc_window_idx, 1-based in-doc start) per window."""
+        flat, doc_idx = _flatten_tokens(texts)
+        nw = len(flat) - n + 1
+        if nw <= 0:
+            e = np.array([], dtype=np.int64)
+            return np.array([], dtype=object), e, e
+        g = flat[:nw].copy()
+        for j in range(1, n):
+            g = g + " "
+            g = g + flat[j:nw + j]
+        counts = np.bincount(doc_idx, minlength=(doc_idx.max() + 1
+                                                 if len(doc_idx) else 0))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        wdoc = doc_idx[:nw]
+        s = np.arange(nw, dtype=np.int64) - starts[wdoc] + 1
+        same_doc = wdoc == doc_idx[n - 1:]
+        return g[same_doc], wdoc[same_doc], s[same_doc]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        grams, gdoc, _s = _grams_pos(batch["text"].to_pylist())
+        if not len(grams):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(grams)
+        uk = np.unique(gdoc * np.int64(len(uniq)) + codes)
+        dfc = np.bincount(uk % len(uniq), minlength=len(uniq))
+        return pa.table({"gram": pa.array(uniq, pa.string()),
+                         "df": pa.array(dfc.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("gram")
+                .aggregate(Sum("df", alias_name="df")))
+    hot = df_tab.filter(expr=f"df >= {min_df}").to_pandas()
+    dup = (hot["gram"].to_numpy(dtype=object) if "gram" in hot
+           else np.array([], dtype=object))
+    dup.sort()
+    broadcast = ray.put(dup)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        dset = ray.get(broadcast)
+        ids_arr = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        grams, gdoc, s = _grams_pos(batch["text"].to_pylist())
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_end": pa.array([], pa.int64()),
+                          "span_len": pa.array([], pa.int64())})
+        if not (len(dset) and len(grams)):
+            return empty
+        pos = np.searchsorted(dset, grams)
+        ok = ((pos < len(dset))
+              & (dset[np.minimum(pos, len(dset) - 1)] == grams))
+        if not ok.any():
+            return empty
+        hdoc, hs = gdoc[ok], s[ok]
+        # covered (doc, token) keys, deduped; islands where the sorted
+        # key step != 1 (doc changes always step by >= span gap + base)
+        base = np.int64(int(hs.max()) + n + 2)
+        cov = np.unique((hdoc.repeat(n) * base)
+                        + np.repeat(hs, n)
+                        + np.tile(np.arange(n, dtype=np.int64),
+                                  len(hs)))
+        brk = np.flatnonzero(np.diff(cov) != 1)
+        first = np.concatenate([[0], brk + 1])
+        last = np.concatenate([brk, [len(cov) - 1]])
+        return pa.table({
+            "doc_id": pa.array(ids_arr[(cov[first] // base)]),
+            "span_start": pa.array(cov[first] % base),
+            "span_end": pa.array(cov[last] % base),
+            "span_len": pa.array(last - first + 1),
+        })
+
+    out = ds.map_batches(spans, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True))
+
+
+def _dupspan_sql(n: int = DUPSPAN_N, min_df: int = DUPSPAN_MIN_DF) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, s,
+         array_to_string(list_slice(toks, s, s + {n} - 1), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {n} + 1)) AS s
+        FROM t)),
+b AS (
+  SELECT gram FROM w GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+hits AS (
+  SELECT w.doc_id, w.s FROM w JOIN b USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, s + unnest(generate_series(0, {n} - 1)) AS tok
+    FROM hits)),
+isl AS (
+  SELECT doc_id, tok,
+         tok - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tok) AS grp
+  FROM cov)
+SELECT doc_id,
+       MIN(tok)::BIGINT AS span_start,
+       MAX(tok)::BIGINT AS span_end,
+       COUNT(*)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+DUPLICATE_SPANS_SQL = _dupspan_sql()
+
+
+# ---------------------------------------------------------------------------
 # repetition_stats — Gopher-style within-document repetition signals
 # ---------------------------------------------------------------------------
 

@@ -647,6 +647,23 @@ def test_boilerplate_ngrams_matches_sql(con, ray_session):
     assert mine["n_boiler"].sum() > 0
 
 
+def test_duplicate_spans_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text
+    mine = text.duplicate_spans(SF)
+    _assert_match(mine, text.DUPLICATE_SPANS_SQL, con)
+    # spans are maximal and well-formed
+    assert (mine["span_len"]
+            == mine["span_end"] - mine["span_start"] + 1).all()
+    assert (mine["span_len"] >= text.DUPSPAN_N).all()
+    # exact-duplicate docs exist in the corpus -> whole-doc spans exist
+    assert len(mine) > 0
+    # maximality: consecutive spans of one doc never touch
+    g = mine.groupby("doc_id")
+    gap = g["span_start"].shift(-1) - mine["span_end"]
+    ok = gap.isna() | (gap > 1)
+    assert ok.all()
+
+
 def test_range_partition_matches_sql_and_writes(con, ray_session, tmp_path):
     import os
     from spatial_aez_ray.datapipe import relational
