@@ -496,6 +496,27 @@ def _spatial_watershed(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_strahler(sf_dir: str):
+    """Strahler stream order (stream network over flow accumulation):
+    two chained seam fixpoints must reproduce the sequential
+    whole-array sweep bit-exactly, at two stream thresholds."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds, thr in (("kg", 1), ("lc", 2)):
+        mine = hydro.strahler_orders(_world(), ds, threshold=thr)
+        want = om.strahler_oracle(fixtures.TINY, ds, threshold=thr)
+        if not mine.equals(want):
+            raise AssertionError(f"strahler ({ds}, T={thr}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "threshold", thr)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -1969,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_aspect": _spatial_aspect,
         "spatial_flow_accum": _spatial_flow_accum,
         "spatial_watershed": _spatial_watershed,
+        "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,
         "spatial_equalize": _spatial_equalize,

@@ -1245,3 +1245,76 @@ def watershed_oracle(spec, dataset: str = "kg",
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
                 present[y:y + nr, x:x + nc] = False
     return watershed_hist(pad, present)
+
+
+def strahler_hist(pad: np.ndarray, present: np.ndarray,
+                  threshold: int = 1) -> pd.DataFrame:
+    """Sequential whole-array Strahler stream-order histogram over a
+    (+1)-padded elevation array and a present-pixel mask: global flow
+    accumulation (descending-elevation scatter), stream mask at
+    ``acc >= threshold``, then a global descending sweep finalizing
+    each stream pixel's order from its (max, count-at-max) child
+    summary — no tiling, no seams."""
+    from .pipelines.hydro import _DX, _DY, _merge_level_contrib
+    from .pipelines.pyramid import flowdir_codes
+
+    code = flowdir_codes(pad)
+    elev = pad[1:-1, 1:-1].astype(np.int64)
+    h, w = elev.shape
+    dy = _DY[code]
+    dx = _DX[code]
+    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    xx = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    ty = yy + dy
+    tx = xx + dx
+    flows = present & (code != 0)
+    inframe = flows & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+    valid = np.zeros_like(flows)
+    valid[inframe] = present[ty[inframe], tx[inframe]]
+
+    acc = np.zeros((h, w), dtype=np.int64)
+    for lvl in np.unique(elev[present])[::-1]:
+        m = valid & (elev == lvl)
+        if m.any():
+            np.add.at(acc, (ty[m], tx[m]), acc[m] + 1)
+    stream = present & (acc >= int(threshold))
+
+    fe = elev.ravel()
+    fs = stream.ravel()
+    fv = valid.ravel()
+    ftgt = (ty * w + tx).ravel()
+    mx = np.zeros(h * w, dtype=np.int64)
+    ct = np.zeros(h * w, dtype=np.int64)
+    order = np.zeros(h * w, dtype=np.int64)
+    for lvl in np.unique(fe[fs])[::-1]:
+        si = np.flatnonzero(fs & (fe == lvl))
+        order[si] = np.where(mx[si] == 0, 1, mx[si] + (ct[si] >= 2))
+        pi = si[fv[si]]
+        pi = pi[fs[ftgt[pi]]]
+        if len(pi):
+            _merge_level_contrib(mx, ct, ftgt[pi], order[pi])
+    u, cnt = np.unique(order[fs], return_counts=True)
+    return pd.DataFrame({"strahler": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})
+
+
+def strahler_oracle(spec, dataset: str = "kg", threshold: int = 1,
+                    hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential Strahler summary over the assembled full array;
+    identical hole padding to ``flow_accum_oracle``."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    return strahler_hist(pad, present, threshold)

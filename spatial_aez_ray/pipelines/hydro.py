@@ -235,44 +235,27 @@ class _FlowTiles:
                          "flux": pa.array(cat(out_flux))})
 
 
-def flow_accumulation(world_path: str, dataset: str = "kg", *,
-                      hole_value: int | None = None,
-                      batch_size: int = 64,
-                      with_rounds: bool = False):
-    """(acc, n_px) histogram of D8 flow accumulation over the dataset
-    treated as a DEM — bit-exact vs the sequential whole-array oracle
-    (``oracle.flow_accum_oracle``). ``with_rounds=True`` additionally
-    returns the number of seam-fixpoint rounds (tests use it to prove
-    the multi-tile-crossing path is exercised)."""
-    layout = model.world_layout(world_path)
-    grid = world_grid(world_path, layout[dataset]["grid"])
-    nodata = int(layout[dataset]["nodata"])
-    hole = nodata if hole_value is None else int(hole_value)
-
-    # Present-tile inventory: absent (sparse/ocean) tiles emit nothing
-    # and can never RECEIVE flux either (the seam pass filters targets
-    # by fetched-neighbor presence), so every round — including round 0
-    # and the final histogram pass — iterates only tiles that exist.
-    # On the global 1 km mask grid this is ~40 tiles instead of 14,365.
-    # The id list is tiny (one int per present tile); at 100 TB it
-    # stays a Dataset and rounds become a join against it.
+def _present_tiles(world_path: str, dataset: str, grid) -> list[int]:
+    """Present-tile inventory: absent (sparse/ocean) tiles emit nothing
+    and can never RECEIVE flow either (the seam passes filter targets
+    by fetched-neighbor presence), so every round — including round 0
+    and the final histogram pass — iterates only tiles that exist.
+    On the global 1 km mask grid this is ~40 tiles instead of 14,365.
+    The id list is tiny (one int per present tile); at 100 TB it
+    stays a Dataset and rounds become a join against it."""
     from ..sources.documents import read_documents
     doc_ids = (read_documents(world_path, [dataset], columns=["doc_id"])
                .to_pandas()["doc_id"])
     parts = doc_ids.str.split("/", expand=True)
-    present_tiles = sorted(
-        (parts[2].astype(int) * grid.tiles_x
-         + parts[3].astype(int)).tolist())
+    return sorted((parts[2].astype(int) * grid.tiles_x
+                   + parts[3].astype(int)).tolist())
 
-    def run(tile_ids, inflow, final):
-        ref = ray.put(inflow) if inflow else None
-        fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
-                        hole=hole, inflow_ref=ref, final=final)
-        items = [{"id": int(i)} for i in tile_ids]
-        return (ray.data.from_items(items)
-                .map_batches(fn, batch_format="pyarrow",
-                             batch_size=batch_size))
 
+def _accum_fixpoint(run, present_tiles: list[int],
+                    what: str = "flow-accumulation"):
+    """Seam-flux delta iteration to convergence; ``run(tile_ids,
+    inflow, final=False)`` must yield (src, dst, px, flux) rows.
+    Returns (converged inflow, rounds)."""
     inflow: dict[int, dict[int, int]] = {}
     out_by_src: dict[int, dict[tuple[int, int], int]] = {}
     pending = list(present_tiles)
@@ -281,7 +264,7 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
         rounds += 1
         if rounds > MAX_ROUNDS:
             raise AssertionError(
-                "flow-accumulation seam fixpoint did not converge "
+                f"{what} seam fixpoint did not converge "
                 f"within {MAX_ROUNDS} rounds (cyclic flow?)")
         flux = run(pending, inflow, final=False).to_pandas()
         for tid in pending:
@@ -301,6 +284,34 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
             tid for tid in set(new_inflow) | set(inflow)
             if new_inflow.get(tid) != inflow.get(tid))
         inflow = new_inflow
+    return inflow, rounds
+
+
+def flow_accumulation(world_path: str, dataset: str = "kg", *,
+                      hole_value: int | None = None,
+                      batch_size: int = 64,
+                      with_rounds: bool = False):
+    """(acc, n_px) histogram of D8 flow accumulation over the dataset
+    treated as a DEM — bit-exact vs the sequential whole-array oracle
+    (``oracle.flow_accum_oracle``). ``with_rounds=True`` additionally
+    returns the number of seam-fixpoint rounds (tests use it to prove
+    the multi-tile-crossing path is exercised)."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
+                        hole=hole, inflow_ref=ref, final=final)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow, rounds = _accum_fixpoint(run, present_tiles)
 
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
@@ -469,14 +480,7 @@ def watershed_basins(world_path: str, dataset: str = "kg", *,
     grid = world_grid(world_path, layout[dataset]["grid"])
     nodata = int(layout[dataset]["nodata"])
     hole = nodata if hole_value is None else int(hole_value)
-
-    from ..sources.documents import read_documents
-    doc_ids = (read_documents(world_path, [dataset], columns=["doc_id"])
-               .to_pandas()["doc_id"])
-    parts = doc_ids.str.split("/", expand=True)
-    present_tiles = sorted(
-        (parts[2].astype(int) * grid.tiles_x
-         + parts[3].astype(int)).tolist())
+    present_tiles = _present_tiles(world_path, dataset, grid)
 
     fn = as_task_fn(_BasinTiles, world_path=world_path, dataset=dataset,
                     hole=hole)
@@ -528,4 +532,280 @@ def watershed_basins(world_path: str, dataset: str = "kg", *,
                                 "size": [np.int64(external)],
                                 "n": [np.int64(1)]})],
             ignore_index=True)
+    return out
+
+
+# ------------------------------------------------------- stream order
+
+#: Strahler order is < log2(stream pixels); 64 is unreachable, so
+#: (target, order) packs into one int64 key for grouped merging.
+_ORD_CAP = 64
+
+
+def _merge_level_contrib(m: np.ndarray, c: np.ndarray,
+                         tgt: np.ndarray, orders: np.ndarray) -> None:
+    """Merge one batch of child-order contributions into the running
+    per-pixel (max-order ``m``, count-at-max ``c``) summaries, grouped:
+    per target only the group-local max order and its multiplicity
+    matter, then the standard commutative-monoid merge — so grouping
+    by elevation level (kernel) or seam round (driver) cannot change
+    the result."""
+    key = tgt * _ORD_CAP + orders
+    uk, cnt = np.unique(key, return_counts=True)
+    ut = uk // _ORD_CAP
+    uo = uk % _ORD_CAP
+    last = np.r_[ut[1:] != ut[:-1], True]   # max order per target
+    lt, lo, lc = ut[last], uo[last], cnt[last]
+    up = lo > m[lt]
+    eq = lo == m[lt]
+    m[lt[up]] = lo[up]
+    c[lt[up]] = lc[up]
+    c[lt[eq]] += lc[eq]
+
+
+class _StrahlerTiles:
+    """Per-tile Strahler kernel (see ``strahler_orders``): recomputes
+    exact in-tile flow accumulation from the CONVERGED accumulation
+    inflow (``acc_ref``), thresholds it into the stream mask, then
+    sweeps elevation levels DESCENDING finalizing each stream pixel's
+    order from its (max, count-at-max) child summary — in-tile
+    children merged during the sweep, cross-seam children from
+    ``inflow_ref``. Emits (src, dst, px, ord, k) seam rows, or
+    (order, n_px) histogram partials when ``final``."""
+
+    def __init__(self, world_path: str, dataset: str, hole: int,
+                 threshold: int, acc_ref, inflow_ref, final: bool):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+        self.threshold = threshold
+        self.final = final
+        self.acc_inflow = ray.get(acc_ref) if acc_ref is not None else {}
+        self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        t = g.tile
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name, ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+
+        o_src: list[np.ndarray] = []
+        o_dst: list[np.ndarray] = []
+        o_px: list[np.ndarray] = []
+        o_ord: list[np.ndarray] = []
+        o_k: list[np.ndarray] = []
+        hist: dict[int, int] = {}
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                self.hole)
+            code = flowdir_codes(pad).ravel()
+            elev = pad[1:-1, 1:-1].astype(np.int64).ravel()
+            npx = nr * nc
+            rr = np.repeat(np.arange(nr, dtype=np.int64), nc)
+            cc = np.tile(np.arange(nc, dtype=np.int64), nr)
+            tr = rr + _DY[code]
+            tc = cc + _DX[code]
+            flows = code != 0
+            intile = (flows & (tr >= 0) & (tr < nr)
+                      & (tc >= 0) & (tc < nc))
+            tgt_flat = tr * nc + tc  # meaningful only where intile
+
+            pres33 = np.zeros((3, 3), dtype=bool)
+            for (dy, dx), (_ny, _nx, r) in nbrs.items():
+                pres33[dy + 1, dx + 1] = payloads.get(r) is not None
+            gy = ty * t + tr
+            gx = tx * t + tc
+            sel = np.flatnonzero(flows & ~intile
+                                 & (gy >= 0) & (gy < g.height)
+                                 & (gx >= 0) & (gx < g.width))
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                sel = sel[pres33[nty - ty + 1, ntx_ - tx + 1]]
+            dstt = np.full(npx, -1, dtype=np.int64)
+            dstp = np.full(npx, -1, dtype=np.int64)
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                dst_w = np.minimum(t, g.width - ntx_ * t)
+                dstt[sel] = nty * g.tiles_x + ntx_
+                dstp[sel] = ((gy[sel] - nty * t) * dst_w
+                             + (gx[sel] - ntx_ * t))
+
+            tile_id = ty * g.tiles_x + tx
+
+            # exact in-tile flow accumulation given converged inflow
+            acc = np.zeros(npx, dtype=np.int64)
+            ainf = self.acc_inflow.get(tile_id)
+            if ainf:
+                idx = np.fromiter(ainf.keys(), np.int64, len(ainf))
+                val = np.fromiter(ainf.values(), np.int64, len(ainf))
+                acc[idx] += val
+            for lvl in np.unique(elev)[::-1]:
+                m_in = (elev == lvl) & intile
+                if m_in.any():
+                    np.add.at(acc, tgt_flat[m_in], acc[m_in] + 1)
+            stream = acc >= self.threshold
+
+            m = np.zeros(npx, dtype=np.int64)
+            c = np.zeros(npx, dtype=np.int64)
+            oinf = self.inflow.get(tile_id)
+            if oinf:
+                for px, (mm, cc_) in oinf.items():
+                    if stream[px]:
+                        m[px] = mm
+                        c[px] = cc_
+            order_arr = np.zeros(npx, dtype=np.int64)
+            for lvl in np.unique(elev[stream])[::-1]:
+                si = np.flatnonzero(stream & (elev == lvl))
+                order_arr[si] = np.where(
+                    m[si] == 0, 1, m[si] + (c[si] >= 2))
+                # in-tile pushes: children at this level whose target
+                # is an in-tile stream pixel (strictly lower level)
+                pi = si[intile[si]]
+                pi = pi[stream[tgt_flat[pi]]]
+                if len(pi):
+                    _merge_level_contrib(m, c, tgt_flat[pi],
+                                         order_arr[pi])
+                # cross-seam pushes (target streamness is decided on
+                # the RECEIVING side, which knows its own acc)
+                ci = si[dstt[si] >= 0]
+                if len(ci) and not self.final:
+                    o_src.append(np.full(len(ci), tile_id,
+                                         dtype=np.int64))
+                    o_dst.append(dstt[ci])
+                    o_px.append(dstp[ci])
+                    o_ord.append(order_arr[ci])
+                    o_k.append(np.ones(len(ci), dtype=np.int64))
+
+            if self.final:
+                so = order_arr[stream]
+                u, cnt = np.unique(so, return_counts=True)
+                for v, n in zip(u.tolist(), cnt.tolist()):
+                    hist[v] = hist.get(v, 0) + n
+
+        if self.final:
+            keys = sorted(hist)
+            return pa.table({
+                "strahler": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({"src": pa.array(cat(o_src)),
+                         "dst": pa.array(cat(o_dst)),
+                         "px": pa.array(cat(o_px)),
+                         "ord": pa.array(cat(o_ord)),
+                         "k": pa.array(cat(o_k))})
+
+
+def strahler_orders(world_path: str, dataset: str = "kg", *,
+                    threshold: int = 1,
+                    hole_value: int | None = None,
+                    batch_size: int = 64,
+                    with_rounds: bool = False):
+    """(strahler, n_px) histogram of Strahler stream order over the
+    dataset treated as a DEM — the stream-network member of the
+    hydrology family (gdaldem -> flow accumulation -> stream order).
+    Stream pixels are those with flow accumulation >= ``threshold``;
+    a stream pixel with no stream children has order 1, otherwise
+    order = max child order, +1 when that max occurs at least twice.
+
+    Two chained seam fixpoints, both shuffle-free per round: first the
+    flow-accumulation flux iteration (reused converged inflow), then
+    an order iteration whose seam rows carry (max, count-at-max)
+    child-order summaries — a commutative monoid, so per-level,
+    per-tile and per-round grouping cannot change the result.
+    Bit-exact vs ``oracle.strahler_oracle``."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    def run_acc(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
+                        hole=hole, inflow_ref=ref, final=final)
+        return (ray.data.from_items([{"id": int(i)} for i in tile_ids])
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    acc_inflow, acc_rounds = _accum_fixpoint(run_acc, present_tiles)
+    acc_ref = ray.put(acc_inflow) if acc_inflow else None
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_StrahlerTiles, world_path=world_path,
+                        dataset=dataset, hole=hole,
+                        threshold=int(threshold), acc_ref=acc_ref,
+                        inflow_ref=ref, final=final)
+        return (ray.data.from_items([{"id": int(i)} for i in tile_ids])
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow: dict[int, dict[int, tuple[int, int]]] = {}
+    out_by_src: dict[int, dict[tuple[int, int, int], int]] = {}
+    pending = list(present_tiles)
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > MAX_ROUNDS:
+            raise AssertionError(
+                "strahler seam fixpoint did not converge "
+                f"within {MAX_ROUNDS} rounds (cyclic flow?)")
+        rows = run(pending, inflow, final=False).to_pandas()
+        for tid in pending:
+            out_by_src.pop(tid, None)
+        for src, dst, px, ordv, k in rows.itertuples(index=False):
+            d = out_by_src.setdefault(int(src), {})
+            key = (int(dst), int(px), int(ordv))
+            d[key] = d.get(key, 0) + int(k)
+        # merge all sources' contributions per (dst, px): max order
+        # and total multiplicity at that max (monoid merge)
+        by_px: dict[tuple[int, int], dict[int, int]] = {}
+        for tbl in out_by_src.values():
+            for (dst, px, ordv), k in tbl.items():
+                d = by_px.setdefault((dst, px), {})
+                d[ordv] = d.get(ordv, 0) + k
+        new_inflow: dict[int, dict[int, tuple[int, int]]] = {}
+        for (dst, px), om in by_px.items():
+            mo = max(om)
+            new_inflow.setdefault(dst, {})[px] = (mo, om[mo])
+        pending = sorted(
+            tid for tid in set(new_inflow) | set(inflow)
+            if new_inflow.get(tid) != inflow.get(tid))
+        inflow = new_inflow
+
+    from ray.data.aggregate import Sum
+    out = (run(present_tiles, inflow, final=True)
+           .groupby("strahler")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    out = out.sort_values("strahler").reset_index(drop=True)
+    if with_rounds:
+        return out, (acc_rounds, rounds)
     return out

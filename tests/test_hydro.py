@@ -93,3 +93,47 @@ def test_watershed_batch_invariance(tiny_world):
     a = hydro.watershed_basins(tiny_world, "kg", batch_size=7)
     b = hydro.watershed_basins(tiny_world, "kg", batch_size=64)
     assert a.equals(b)
+
+
+def test_strahler_bit_exact(tiny_world):
+    for ds in ("kg", "lc"):
+        for thr in (1, 2):
+            mine = hydro.strahler_orders(tiny_world, ds, threshold=thr)
+            want = oracle.strahler_oracle(SPEC, ds, threshold=thr)
+            assert mine.equals(want), (ds, thr)
+
+
+def test_strahler_crafted_confluence(tmp_path):
+    """Y-network DEM (40x80, 4x8 tiles): two parallel order-2 valleys
+    bend together at c=30..40 and merge into one channel — the merged
+    order (>= 3) is NOT locally derivable east of the confluence, so
+    it must ride the seam fixpoint across the remaining tile columns
+    (round 1's local guess is a 2 that later rounds lift), exercising
+    multi-round (max, count-at-max) correction."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    r = np.arange(40)[:, None]
+    cc = np.arange(80)
+    p1 = np.where(cc <= 30, 10, np.where(cc <= 40, 10 + (cc - 30), 20))
+    p2 = np.where(cc <= 30, 30, np.where(cc <= 40, 30 - (cc - 30), 20))
+    d = np.minimum(np.abs(r - p1[None, :]), np.abs(r - p2[None, :]))
+    arr = (200 - 2 * cc[None, :] + 2 * d).astype(np.uint8)
+    tif = str(tmp_path / "ynet.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world_sv")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine, (acc_rounds, rounds) = hydro.strahler_orders(
+        world, "dem", with_rounds=True)
+    pad = np.zeros((42, 82), np.uint8)
+    pad[1:-1, 1:-1] = arr
+    want = oracle.strahler_hist(pad, np.ones((40, 80), bool))
+    assert mine.equals(want)
+    assert int(mine["strahler"].max()) >= 3
+    assert rounds >= 3          # the merged order rides the seams
+    assert acc_rounds >= 4      # and so does the flux
+
+
+def test_strahler_batch_invariance(tiny_world):
+    a = hydro.strahler_orders(tiny_world, "kg", batch_size=7)
+    b = hydro.strahler_orders(tiny_world, "kg", batch_size=64)
+    assert a.equals(b)
