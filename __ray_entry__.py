@@ -1920,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_value_stats": relational.winsorized_value_stats,
         # similarity search
         "ann_topk": simsearch.ann_topk,
+        "rrf_fusion_topk": simsearch.rrf_fusion_topk,
         "ann_topk_filtered": simsearch.ann_topk_filtered,
         "ann_quantized": simsearch.ann_quantized,
         "centroid_outliers": simsearch.centroid_outliers,
@@ -2158,6 +2159,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_TOPK_SQL"]).ANN_TOPK_SQL,
+        "rrf_fusion_topk": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["RRF_FUSION_SQL"]).RRF_FUSION_SQL,
         "centroid_outliers": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["CENTROID_OUTLIERS_SQL"]).CENTROID_OUTLIERS_SQL,

@@ -1792,3 +1792,108 @@ def kmeans_oracle_sequential(sf_dir: str, k: int = KMEANS_K,
         "n_iters": np.full(k, n_iter, dtype=np.int64),
         "converged": np.full(k, int(converged), dtype=np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# hybrid search: reciprocal-rank fusion of BM25 and ANN rankings
+# (Cormack/Clarke/Buettcher 2009 RRF — the standard hybrid-retrieval
+# combiner; integer-scaled so fusion is bit-exact across engines)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60             # the canonical RRF damping constant
+RRF_SCALE = 1 << 20    # integer reciprocal units: SCALE // (K + rank)
+
+
+def rrf_fusion_topk(sf_dir: str, n_queries: int = 4, k_each: int = 20,
+                    k: int = 10, rrf_k: int = RRF_K) -> pd.DataFrame:
+    """Hybrid retrieval: fuse the ANN cosine ranking (per query vector)
+    with the BM25 lexical ranking (the corpus-wide term query) by
+    reciprocal-rank fusion — fused(d) = Σ_systems SCALE // (K + rank),
+    0 when a system did not return d; top-``k`` per query by
+    (fused DESC, doc_id).  All-integer, so the DuckDB oracle (the two
+    rankers' CTEs merged + the same floor divisions) is bit-equal.
+
+    Scale shape: a pure composition — the two rankers are the existing
+    distributed pipelines (each already oracle-green); fusion sees only
+    their k_each-sized result lists per query, so the driver-side merge
+    is O(n_queries * k_each) regardless of corpus size."""
+    from .corpus import BM25_TERM, bm25_topk
+
+    ann = ann_topk(sf_dir, n_queries=n_queries, k=k_each)
+    bm = bm25_topk(sf_dir, term=BM25_TERM, k=k_each)
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+
+    rows = []
+    for qid, grp in ann.groupby("query_id"):
+        ann_rank = {int(d): int(r)
+                    for d, r in zip(grp["neighbor_id"], grp["rank"])}
+        fused = []
+        for d in set(ann_rank) | set(bm_rank):
+            s = 0
+            if d in ann_rank:
+                s += RRF_SCALE // (rrf_k + ann_rank[d])
+            if d in bm_rank:
+                s += RRF_SCALE // (rrf_k + bm_rank[d])
+            fused.append((-s, d))
+        fused.sort()
+        for rank, (negs, d) in enumerate(fused[:k], start=1):
+            rows.append((int(qid), d, -negs, rank))
+    out = pd.DataFrame(rows,
+                       columns=["query_id", "doc_id", "fused", "rank"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+
+def _rrf_sql(n_queries: int = 4, k_each: int = 20, k: int = 10,
+             rrf_k: int = RRF_K, s: int = RRF_SCALE) -> str:
+    from .corpus import BM25_TERM, _BM25_SCALE
+    term, bs = BM25_TERM, _BM25_SCALE
+    return f"""
+WITH g AS (SELECT COUNT(*)::HUGEINT AS d,
+                  SUM(len(string_split(text, ' ')))::HUGEINT AS t
+           FROM documents),
+m AS (SELECT doc_id, len(string_split(text, ' '))::HUGEINT AS dl,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = '{term}'))::HUGEINT AS tf
+      FROM documents),
+f AS (SELECT * FROM m WHERE tf > 0),
+dfc AS (SELECT COUNT(*)::HUGEINT AS df FROM f),
+bmk AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY (((d * {bs}) // df) * 22 * t * tf * {bs})
+                    // (10 * t * tf + 3 * t + 9 * dl * d) DESC,
+                    doc_id) AS r
+  FROM f, g, dfc QUALIFY r <= {k_each}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+annk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {k_each}),
+cand AS (
+  SELECT query_id, doc_id FROM annk
+  UNION
+  SELECT q.query_id, bmk.doc_id FROM q, bmk),
+fused AS (
+  SELECT c.query_id, c.doc_id,
+         (COALESCE({s} // ({rrf_k} + a.r), 0)
+          + COALESCE({s} // ({rrf_k} + b.r), 0))::BIGINT AS fused
+  FROM cand c
+  LEFT JOIN annk a ON a.query_id = c.query_id AND a.doc_id = c.doc_id
+  LEFT JOIN bmk b ON b.doc_id = c.doc_id)
+SELECT query_id, doc_id, fused,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY fused DESC, doc_id)::BIGINT AS rank
+FROM fused QUALIFY rank <= {k} ORDER BY query_id, rank
+"""
+
+
+RRF_FUSION_SQL = _rrf_sql()

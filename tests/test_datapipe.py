@@ -829,6 +829,20 @@ def test_bm25_topk_matches_sql(con, ray_session):
     assert (mine["score_q"] > 0).all()
 
 
+def test_rrf_fusion_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.rrf_fusion_topk(SF)
+    _assert_match(mine, simsearch.RRF_FUSION_SQL, con)
+    # every query returns a full fused top-10, strictly rank-ordered
+    g = mine.groupby("query_id")
+    assert (g["rank"].max() == 10).all()
+    assert (g["fused"].apply(lambda s: (s.diff().dropna() <= 0).all())).all()
+    # fusion is real: some fused score must combine BOTH systems
+    # (strictly greater than the best single-system score possible)
+    best_single = simsearch.RRF_SCALE // (simsearch.RRF_K + 1)
+    assert (mine["fused"] > best_single).any()
+
+
 def test_events_props_stats_match_sql(con, ray_session):
     from spatial_aez_ray.datapipe import temporal
     mine = temporal.events_props_stats(SF)
