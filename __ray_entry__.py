@@ -517,6 +517,30 @@ def _spatial_strahler(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_cost_distance(sf_dir: str):
+    """Least-cost distance (GRASS r.cost analog — the weighted,
+    globally-dependent sibling of gdal_proximity): the block-Jacobi
+    min-plus seam fixpoint must reproduce the sequential whole-array
+    sweep bit-exactly, on two datasets with different source classes
+    (integer min-plus has a unique least fixpoint, so equality here
+    proves the distributed decomposition, not a summation order)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.cost_distance(_world(), ds, tgt)
+        want = om.cost_distance_oracle(fixtures.TINY, ds, tgt)
+        if not mine.equals(want):
+            raise AssertionError(f"cost distance ({ds}, T={tgt}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "target", tgt)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -1991,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_aspect": _spatial_aspect,
         "spatial_flow_accum": _spatial_flow_accum,
         "spatial_watershed": _spatial_watershed,
+        "spatial_cost_distance": _spatial_cost_distance,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,

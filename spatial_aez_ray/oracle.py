@@ -1318,3 +1318,61 @@ def strahler_oracle(spec, dataset: str = "kg", threshold: int = 1,
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
                 present[y:y + nr, x:x + nc] = False
     return strahler_hist(pad, present, threshold)
+
+
+def cost_distance_hist(pad: np.ndarray, target: int,
+                       hole: int) -> pd.DataFrame:
+    """Sequential least-cost-distance histogram over a hole-padded
+    array: 8-connected min-plus with doubled-integer weights — step
+    u -> v costs (c[u]+c[v])*W, W = 2 orthogonal / 3 diagonal (the
+    metric of ``pipelines/hydro.cost_distance``; integer min-plus has
+    a unique least fixpoint, so Jacobi sweeps to a no-op ARE the
+    answer). Hole pixels are impassable; unreachable passable pixels
+    report dist = -1."""
+    unreach = np.int64(1) << 62
+    cost = pad.astype(np.int64)
+    passable = pad != hole
+    dist = np.full(pad.shape, unreach, dtype=np.int64)
+    dist[passable & (pad == target)] = 0
+    moves = ((-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+             (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3))
+    h, w = pad.shape
+    for _ in range(h * w + 2):
+        before = dist.copy()
+        for dy, dx, wt in moves:
+            src = (slice(max(0, -dy), h - max(0, dy)),
+                   slice(max(0, -dx), w - max(0, dx)))
+            dst = (slice(max(0, dy), h - max(0, -dy)),
+                   slice(max(0, dx), w - max(0, -dx)))
+            cand = dist[src] + (cost[src] + cost[dst]) * wt
+            np.copyto(cand, unreach, where=~(passable[src] & passable[dst]))
+            np.minimum(dist[dst], cand, out=dist[dst])
+        if np.array_equal(before, dist):
+            break
+    else:
+        raise AssertionError("cost-distance oracle did not converge")
+    d = dist[passable]
+    d = np.where(d >= unreach, np.int64(-1), d)
+    u, cnt = np.unique(d, return_counts=True)
+    return pd.DataFrame({"dist": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})
+
+
+def cost_distance_oracle(spec, dataset: str = "kg", target: int = 14,
+                         hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array cost distance with the same hole padding as
+    ``flow_accum_oracle`` (absent tiles are impassable holes)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    return cost_distance_hist(pad, int(target), hole)

@@ -137,3 +137,47 @@ def test_strahler_batch_invariance(tiny_world):
     a = hydro.strahler_orders(tiny_world, "kg", batch_size=7)
     b = hydro.strahler_orders(tiny_world, "kg", batch_size=64)
     assert a.equals(b)
+
+
+def test_cost_distance_bit_exact(tiny_world):
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.cost_distance(tiny_world, ds, tgt)
+        want = oracle.cost_distance_oracle(SPEC, ds, tgt)
+        assert mine.equals(want), ds
+        # -1 rows are unreachable passable pixels; conservation:
+        # histogram counts sum to the passable pixel count
+        base = oracle.full_raster(SPEC, ds)[0]
+        nodata = fixtures.DATASET_NODATA[ds]
+        assert int(mine["n_px"].sum()) == int((base != nodata).sum())
+
+
+def test_cost_distance_crafted_corridor(tmp_path):
+    """Uniform-cost corridor spanning 4 tile columns with the single
+    source in the west tile: distances must propagate across three
+    seams (>= 4 rounds), and along the corridor the exact doubled-
+    integer metric is checkable by hand: eastward orthogonal steps
+    over cost-7 cells cost (7+7)*2 = 28 per step."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = np.full((40, 40), 7, dtype=np.uint8)
+    arr[20, 0] = 1  # the lone source pixel (target class 1)
+    tif = str(tmp_path / "corridor.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine, rounds = hydro.cost_distance(world, "dem", 1, with_rounds=True)
+    assert rounds >= 4
+    pad = np.zeros((42, 42), np.uint8)
+    pad[1:-1, 1:-1] = arr
+    want = oracle.cost_distance_hist(pad, 1, 0)
+    assert mine.equals(want)
+    # hand-checked metric along the source row: pixel (20, x) is
+    # reached by x-1 orthogonal cost-7 steps after the (1+7)*2 exit
+    # step -> dist = 16 + 28*(x-1); the farthest corridor pixel:
+    assert 16 + 28 * 38 in set(mine["dist"])
+
+
+def test_cost_distance_batch_invariance(tiny_world):
+    a = hydro.cost_distance(tiny_world, "kg", 14, batch_size=7)
+    b = hydro.cost_distance(tiny_world, "kg", 14, batch_size=64)
+    assert a.equals(b)
