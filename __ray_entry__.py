@@ -541,6 +541,29 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_cost_alloc(sf_dir: str):
+    """Least-cost allocation (ESRI Cost Allocation / weighted
+    Voronoi): the packed-key (dist, source-id) min-plus seam fixpoint
+    must reproduce the sequential whole-array sweep bit-exactly —
+    same unique-least-fixpoint argument as spatial_cost_distance,
+    extended to the lexicographic tie-break toward the smallest
+    source pixel id."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.cost_allocation(_world(), ds, tgt)
+        want = om.cost_allocation_oracle(fixtures.TINY, ds, tgt)
+        if not mine.equals(want):
+            raise AssertionError(f"cost allocation ({ds}, T={tgt}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -2016,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_flow_accum": _spatial_flow_accum,
         "spatial_watershed": _spatial_watershed,
         "spatial_cost_distance": _spatial_cost_distance,
+        "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,

@@ -1376,3 +1376,72 @@ def cost_distance_oracle(spec, dataset: str = "kg", target: int = 14,
                 x, y, nc, nr = grid.tile_window(ty, tx)
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
     return cost_distance_hist(pad, int(target), hole)
+
+
+def cost_allocation_hist(pad: np.ndarray, target: int,
+                         hole: int) -> pd.DataFrame:
+    """Sequential least-cost allocation summary (weighted Voronoi):
+    min-plus over PACKED keys dist * 2^31 + source-pixel-id — the
+    lexicographic (dist, src) least fixpoint of
+    ``pipelines/hydro.cost_allocation`` — then the region-size
+    histogram (kind, size, n) with an unreachable row."""
+    unreach = np.int64(1) << 62
+    scale = np.int64(1) << 31
+    cost = pad.astype(np.int64)
+    passable = pad != hole
+    dist = np.full(pad.shape, unreach, dtype=np.int64)
+    h, w = pad.shape
+    sy, sx = np.nonzero(passable & (pad == target))
+    # source key = its own global pixel id on the UNPADDED lattice
+    dist[sy, sx] = (sy - 1) * np.int64(w - 2) + (sx - 1)
+    moves = ((-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+             (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3))
+    for _ in range(h * w + 2):
+        before = dist.copy()
+        for dy, dx, wt in moves:
+            src = (slice(max(0, -dy), h - max(0, dy)),
+                   slice(max(0, -dx), w - max(0, dx)))
+            dst = (slice(max(0, dy), h - max(0, -dy)),
+                   slice(max(0, dx), w - max(0, -dx)))
+            cand = dist[src] + (cost[src] + cost[dst]) * (wt * scale)
+            np.copyto(cand, unreach, where=~(passable[src] & passable[dst]))
+            np.minimum(dist[dst], cand, out=dist[dst])
+        if np.array_equal(before, dist):
+            break
+    else:
+        raise AssertionError("cost-allocation oracle did not converge")
+    d = dist[passable]
+    n_unreach = int((d >= unreach).sum())
+    src_ids = d[d < unreach] % scale
+    _, sizes = np.unique(src_ids, return_counts=True)
+    u, cnt = np.unique(sizes, return_counts=True)
+    out = pd.DataFrame({"kind": ["alloc"] * len(u),
+                        "size": u.astype(np.int64),
+                        "n": cnt.astype(np.int64)})
+    if n_unreach:
+        out = pd.concat(
+            [out, pd.DataFrame({"kind": ["unreachable"],
+                                "size": [np.int64(n_unreach)],
+                                "n": [np.int64(1)]})],
+            ignore_index=True)
+    return out
+
+
+def cost_allocation_oracle(spec, dataset: str = "kg", target: int = 14,
+                           hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array cost allocation with the same hole padding as
+    ``flow_accum_oracle``."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    return cost_allocation_hist(pad, int(target), hole)

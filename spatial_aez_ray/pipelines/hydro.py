@@ -836,18 +836,31 @@ _COST_MOVES = (
 _COST_MAX_ROUNDS = 4096
 
 
+#: cost-allocation keys pack (dist, source pixel id) into one int64:
+#: key = dist * 2^31 + gid. Lexicographic (dist, gid) min IS integer
+#: min on the packed key, and min-plus relaxation adds w * 2^31, so
+#: the allocation fixpoint is the SAME unique least fixpoint, tie
+#: broken toward the smallest source pixel id. Budget: gid < 2^31
+#: covers the planet 1 km lattice (43200*21600 ~ 2^29.8); dist < 2^31
+#: is asserted at emit time.
+_ALLOC_SCALE = np.int64(1) << 31
+
+
 def _cost_relax_pad(dist_pad: np.ndarray, cost_pad: np.ndarray,
-                    passable_pad: np.ndarray, nr: int, nc: int) -> None:
+                    passable_pad: np.ndarray, nr: int, nc: int,
+                    scale: np.int64 = np.int64(1)) -> None:
     """One Gauss-Seidel min-plus sweep: relax every 8-neighbor move
     whose SOURCE is an interior pixel, writing into the full pad
     (interior and halo). Interior-to-interior edges drive the in-tile
-    fixpoint; interior-to-halo edges become the seam offers."""
+    fixpoint; interior-to-halo edges become the seam offers.
+    ``scale`` shifts move weights into the dist part of packed
+    allocation keys (1 for plain distances)."""
     for dy, dx, w in _COST_MOVES:
         src_d = dist_pad[1:1 + nr, 1:1 + nc]
         src_c = cost_pad[1:1 + nr, 1:1 + nc]
         src_p = passable_pad[1:1 + nr, 1:1 + nc]
         dst = (slice(1 + dy, 1 + dy + nr), slice(1 + dx, 1 + dx + nc))
-        cand = src_d + (src_c + cost_pad[dst]) * w
+        cand = src_d + (src_c + cost_pad[dst]) * (w * scale)
         np.copyto(cand, _UNREACH, where=~(src_p & passable_pad[dst]))
         np.minimum(dist_pad[dst], cand, out=dist_pad[dst])
 
@@ -862,7 +875,8 @@ class _CostTiles:
     histogram partials over passable pixels (unreachable -> -1)."""
 
     def __init__(self, world_path: str, dataset: str, target: int,
-                 hole: int, inflow_ref, final: bool):
+                 hole: int, inflow_ref, final: bool,
+                 alloc: bool = False):
         self.media = MediaStore(world_path)
         layout = model.world_layout(world_path)
         self.grid = world_grid(world_path, layout[dataset]["grid"])
@@ -870,6 +884,7 @@ class _CostTiles:
         self.target = target
         self.hole = hole
         self.final = final
+        self.alloc = alloc
         self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
 
     def _dims(self, ty: int, tx: int) -> tuple[int, int]:
@@ -912,7 +927,13 @@ class _CostTiles:
             interior = dist_pad[1:1 + nr, 1:1 + nc]
             src_mask = passable_pad[1:1 + nr, 1:1 + nc] & (
                 pad[1:1 + nr, 1:1 + nc] == self.target)
-            interior[src_mask] = 0
+            if self.alloc:
+                # source key = its own global pixel id at dist 0
+                sy, sx = np.nonzero(src_mask)
+                interior[sy, sx] = ((ty * t + sy) * g.width
+                                    + tx * t + sx)
+            else:
+                interior[src_mask] = 0
             inf = self.inflow.get(ty * g.tiles_x + tx)
             if inf:
                 idx = np.fromiter(inf.keys(), np.int64, len(inf))
@@ -921,12 +942,14 @@ class _CostTiles:
                 # indices (reshape(-1) would silently copy)
                 np.minimum.at(interior, (idx // nc, idx % nc), val)
 
+            scale = _ALLOC_SCALE if self.alloc else np.int64(1)
             # in-tile fixpoint: each sweep only lowers values; the
             # min-plus least fixpoint is reached when a sweep is a
             # no-op. A shortest in-tile path has < nr*nc hops.
             for _ in range(nr * nc + 2):
                 before = dist_pad.copy()
-                _cost_relax_pad(dist_pad, cost_pad, passable_pad, nr, nc)
+                _cost_relax_pad(dist_pad, cost_pad, passable_pad, nr, nc,
+                                scale)
                 if np.array_equal(before, dist_pad):
                     break
             else:
@@ -934,8 +957,15 @@ class _CostTiles:
 
             if self.final:
                 d = interior[passable_pad[1:1 + nr, 1:1 + nc]]
-                d = np.where(d >= _UNREACH, np.int64(-1), d)
-                u, cnt = np.unique(d, return_counts=True)
+                if self.alloc:
+                    # reachable keys: (dist, src) -> count per src;
+                    # unreachable pixels under src = -1
+                    src = np.where(d >= _UNREACH, np.int64(-1),
+                                   d % _ALLOC_SCALE)
+                    u, cnt = np.unique(src, return_counts=True)
+                else:
+                    d = np.where(d >= _UNREACH, np.int64(-1), d)
+                    u, cnt = np.unique(d, return_counts=True)
                 for v, n in zip(u.tolist(), cnt.tolist()):
                     hist[v] = hist.get(v, 0) + n
                 continue
@@ -1026,6 +1056,29 @@ def cost_distance(world_path: str, dataset: str = "kg",
                 .map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size))
 
+    inflow, rounds = _min_seam_fixpoint(run, present_tiles,
+                                        "cost-distance")
+
+    from ray.data.aggregate import Sum
+    out = (run(present_tiles, inflow, final=True)
+           .groupby("dist")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values("dist").reset_index(drop=True)
+    if with_rounds:
+        return out, rounds
+    return out
+
+
+def _min_seam_fixpoint(run, present_tiles: list[int], what: str):
+    """Seam MIN-exchange delta iteration to convergence: ``run(ids,
+    inflow, final=False)`` yields (src, dst, px, dist) offer rows;
+    the fold keeps the per-destination-pixel minimum and re-queues
+    exactly the tiles whose boundary candidates improved. Distances
+    decrease monotonically over bounded integers, so this terminates.
+    Returns (converged inflow, rounds)."""
     inflow: dict[int, dict[int, int]] = {}
     out_by_src: dict[int, dict[tuple[int, int], int]] = {}
     pending = list(present_tiles)
@@ -1034,7 +1087,7 @@ def cost_distance(world_path: str, dataset: str = "kg",
         rounds += 1
         if rounds > _COST_MAX_ROUNDS:
             raise AssertionError(
-                "cost-distance seam fixpoint did not converge within "
+                f"{what} seam fixpoint did not converge within "
                 f"{_COST_MAX_ROUNDS} rounds")
         offers = run(pending, inflow, final=False).to_pandas()
         for tid in pending:
@@ -1056,15 +1109,67 @@ def cost_distance(world_path: str, dataset: str = "kg",
             tid for tid in set(new_inflow) | set(inflow)
             if new_inflow.get(tid) != inflow.get(tid))
         inflow = new_inflow
+    return inflow, rounds
+
+
+def cost_allocation(world_path: str, dataset: str = "kg",
+                    target: int = 14, *, hole_value: int | None = None,
+                    batch_size: int = 64, with_rounds: bool = False):
+    """(kind, size, n) summary of least-cost ALLOCATION (the ESRI
+    Cost Allocation / weighted-Voronoi product, GDAL's proximity
+    allocation generalized to a cost surface): every passable pixel
+    is assigned to the ``target``-class source pixel that serves its
+    least-cost distance, ties broken toward the smallest source
+    global pixel id. Rows: ("alloc", s, k) — k allocation regions of
+    exactly s pixels (source pixels count toward their own region);
+    ("unreachable", e, 1) — e passable pixels no source reaches.
+
+    Same seam machinery as ``cost_distance`` over PACKED keys
+    dist * 2^31 + src_gid (see ``_ALLOC_SCALE``): lexicographic
+    (dist, src) min is integer min on the packed key, so the unique-
+    least-fixpoint argument — and hence bit-exactness vs the
+    sequential ``oracle.cost_allocation_oracle`` — carries over
+    unchanged. The final pass emits (src, n_px) partials; region
+    sizes and the size histogram are two tiny grouped sums."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_CostTiles, world_path=world_path,
+                        dataset=dataset, target=int(target), hole=hole,
+                        inflow_ref=ref, final=final, alloc=True)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow, rounds = _min_seam_fixpoint(run, present_tiles,
+                                        "cost-allocation")
 
     from ray.data.aggregate import Sum
-    out = (run(present_tiles, inflow, final=True)
-           .groupby("dist")
-           .aggregate(Sum("n_px", alias_name="n_px"))
-           .to_pandas())
-    for c in out.columns:
-        out[c] = out[c].astype(np.int64)
-    out = out.sort_values("dist").reset_index(drop=True)
+    # final partials: column "dist" holds the source pixel id
+    # (-1 = unreachable); region size = Σ n_px per source
+    sizes = (run(present_tiles, inflow, final=True)
+             .groupby("dist")
+             .aggregate(Sum("n_px", alias_name="n_px"))
+             .to_pandas())
+    unreach = int(sizes.loc[sizes["dist"] == -1, "n_px"].sum())
+    reg = sizes[sizes["dist"] >= 0]
+    u, cnt = np.unique(reg["n_px"].to_numpy(np.int64),
+                       return_counts=True)
+    out = pd.DataFrame({"kind": ["alloc"] * len(u),
+                        "size": u.astype(np.int64),
+                        "n": cnt.astype(np.int64)})
+    if unreach:
+        out = pd.concat(
+            [out, pd.DataFrame({"kind": ["unreachable"],
+                                "size": [np.int64(unreach)],
+                                "n": [np.int64(1)]})],
+            ignore_index=True)
     if with_rounds:
         return out, rounds
     return out

@@ -181,3 +181,40 @@ def test_cost_distance_batch_invariance(tiny_world):
     a = hydro.cost_distance(tiny_world, "kg", 14, batch_size=7)
     b = hydro.cost_distance(tiny_world, "kg", 14, batch_size=64)
     assert a.equals(b)
+
+
+def test_cost_allocation_bit_exact(tiny_world):
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.cost_allocation(tiny_world, ds, tgt)
+        want = oracle.cost_allocation_oracle(SPEC, ds, tgt)
+        assert mine.equals(want), ds
+        # conservation vs the distance transform: same passable
+        # universe, identical unreachable count
+        cd = hydro.cost_distance(tiny_world, ds, tgt)
+        al = mine[mine["kind"] == "alloc"]
+        alloc_px = int((al["size"] * al["n"]).sum())
+        unre = int(mine.loc[mine["kind"] == "unreachable", "size"].sum())
+        assert alloc_px + unre == int(cd["n_px"].sum())
+        assert unre == int(cd.loc[cd["dist"] == -1, "n_px"].sum())
+
+
+def test_cost_allocation_tie_break(tmp_path):
+    """Two sources on a uniform-cost strip: the exact midpoint pixel
+    is equidistant and must go to the SMALLER source pixel id (the
+    lexicographic packed-key tie-break)."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = np.full((1, 9), 7, dtype=np.uint8)
+    arr[0, 0] = 1
+    arr[0, 8] = 1  # sources at gid 0 and 8; midpoint gid 4 ties
+    tif = str(tmp_path / "strip.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 5)
+    mine = hydro.cost_allocation(world, "dem", 1)
+    # left region {0,1,2,3,4} = 5 px, right {5,6,7,8} = 4 px
+    want_sizes = {(4, 1), (5, 1)}
+    got = {(int(s), int(n)) for s, n in
+           zip(mine[mine["kind"] == "alloc"]["size"],
+               mine[mine["kind"] == "alloc"]["n"])}
+    assert got == want_sizes
