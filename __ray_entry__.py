@@ -1853,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": relational.events_type_stats,
         "filter_parts": relational.filter_parts,
         "events_sessionize": temporal.sessionize,
+        "interval_coverage": temporal.interval_coverage,
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
@@ -2076,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
+        "interval_coverage": temporal.INTERVAL_COVERAGE_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,

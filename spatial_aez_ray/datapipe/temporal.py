@@ -1745,3 +1745,119 @@ LEFT JOIN pairboth bo ON bo.type_a = ta.event_type
 CROSS JOIN nu
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# interval coverage (gaps-and-islands union length per user)
+# ---------------------------------------------------------------------------
+
+#: deterministic per-event interval length: (event_id % 7 + 1) minutes
+#: — derived, like events_rolling's windows, so the operator is
+#: exercised on the shared events table with no extra input column.
+_IV_MOD, _IV_MIN_US = 7, 60_000_000
+
+
+def _interval_cover_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse partition: per user, merge overlapping/touching
+    intervals (s <= running max e) and aggregate island lengths.
+    Fully vectorized: one lexsort + grouped cummax + boundary masks —
+    no per-user Python loop."""
+    if not len(g):
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "covered_us": pd.Series([], dtype=np.int64),
+            "n_islands": pd.Series([], dtype=np.int64),
+            "max_island_us": pd.Series([], dtype=np.int64)})
+    g = g.sort_values(["user_id", "s", "e"], kind="stable",
+                      ignore_index=True)
+    uid = g["user_id"].to_numpy()
+    s = g["s"].to_numpy()
+    e = g["e"].to_numpy()
+    run_e = g.groupby("user_id", sort=False)["e"].cummax().to_numpy()
+    first = np.r_[True, uid[1:] != uid[:-1]]
+    prev_run = np.r_[np.int64(0), run_e[:-1]]
+    new_island = first | (s > prev_run)
+    # per island: start = s at the island's first row (sorted); end =
+    # running max e at its last row (prev islands' e < this island's
+    # s, so the user-cummax there IS the island-local cummax)
+    starts = s[new_island]
+    last = np.r_[new_island[1:], True]
+    ends = run_e[last]
+    lens = ends - starts
+    iu = uid[new_island]
+    per_user_first = np.r_[True, iu[1:] != iu[:-1]]
+    # islands per user are contiguous: reduce with np.add/maximum.reduceat
+    idx = np.flatnonzero(per_user_first)
+    out_uid = iu[idx]
+    covered = np.add.reduceat(lens, idx)
+    n_isl = np.diff(np.r_[idx, len(iu)])
+    mx = np.maximum.reduceat(lens, idx)
+    return pd.DataFrame({
+        "user_id": out_uid.astype(np.int64),
+        "covered_us": covered.astype(np.int64),
+        "n_islands": n_isl.astype(np.int64),
+        "max_island_us": mx.astype(np.int64)})
+
+
+def interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-user interval-union statistics over derived event
+    intervals [ts, ts + (event_id % 7 + 1) min): total covered time,
+    merged-island count, longest island — the gaps-and-islands sweep
+    the temporal family lacked. ONE coarse entity-key shuffle (the
+    sessionize discipline); everything inside a partition is
+    vectorized, all arithmetic integer microseconds (bit-equal to the
+    SQL oracle by construction)."""
+    from .util import shuffle_width
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        eid = np.asarray(b["event_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        dur = (eid % _IV_MOD + 1) * _IV_MIN_US
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "s": pa.array(ts),
+            "e": pa.array(ts + dur)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(_interval_cover_part, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+INTERVAL_COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % {_IV_MOD} + 1)
+             * {_IV_MIN_US} AS e
+  FROM events),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM marked),
+per_island AS (
+  SELECT user_id, island_id,
+         MAX(e) - MIN(s) AS len
+  FROM islands GROUP BY user_id, island_id)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS covered_us,
+       COUNT(*) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_island_us
+FROM per_island GROUP BY user_id ORDER BY user_id
+"""

@@ -2085,3 +2085,23 @@ def test_kmeans_matches_sequential_and_converges():
     assert mine.equals(want)
     assert int(mine["converged"].iloc[0]) == 1
     assert mine["n_members"].sum() > 0
+
+
+def test_interval_coverage_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.interval_coverage(SF)
+    _assert_match(mine, temporal.INTERVAL_COVERAGE_SQL, con)
+    # islands merge: covered time can never exceed the raw sum of
+    # interval lengths, and every island is at least one interval long
+    assert (mine["covered_us"] >= mine["max_island_us"]).all()
+    assert (mine["max_island_us"] >= 60_000_000).all()
+
+
+def test_interval_coverage_touching_merge():
+    """Touching intervals (s == prev e) merge into one island —
+    pinned here because both sides must share the strict > rule."""
+    from spatial_aez_ray.datapipe.temporal import _interval_cover_part
+    g = pd.DataFrame({"user_id": [1, 1, 1], "s": [0, 10, 25],
+                      "e": [10, 20, 30]})
+    out = _interval_cover_part(g)
+    assert out.iloc[0].tolist() == [1, 25, 2, 20]
