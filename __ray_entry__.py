@@ -564,6 +564,32 @@ def _spatial_cost_alloc(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_viewshed(sf_dir: str):
+    """Total viewshed / visibility index (GRASS r.viewshed family):
+    per-pixel count of LOS-visible cells within radius 4, all-integer
+    interpolated sight-line rule. The R-halo tile decomposition must
+    equal the whole-array sweep bit-exactly, and the LOS relation is
+    symmetric, so the global visible-count total must be EVEN — both
+    asserted here."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import viewshed
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "wk"):
+        mine = viewshed.visibility_histogram(_world(), ds, 4)
+        want = om.viewshed_oracle(fixtures.TINY, ds, 4)
+        if not mine.equals(want):
+            raise AssertionError(f"viewshed ({ds}) != oracle")
+        if int((mine["n_vis"] * mine["n_px"]).sum()) % 2:
+            raise AssertionError(f"viewshed ({ds}): visibility must "
+                                 "be symmetric (odd pair total)")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_aspect(sf_dir: str):
     """gdaldem-family aspect: integer octant classification of the
     Sobel gradient field, bit-exact vs the whole-array oracle."""
@@ -2041,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_watershed": _spatial_watershed,
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
+        "spatial_viewshed": _spatial_viewshed,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,

@@ -1445,3 +1445,36 @@ def cost_allocation_oracle(spec, dataset: str = "kg", target: int = 14,
                 x, y, nc, nr = grid.tile_window(ty, tx)
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
     return cost_allocation_hist(pad, int(target), hole)
+
+
+def viewshed_oracle(spec, dataset: str = "kg", radius: int = 4,
+                    hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential total-viewshed histogram: the whole raster assembled
+    with the usual hole padding, one ``visible_counts`` call over an
+    R-margin pad (the per-pixel LOS rule is a deterministic pure
+    function — what the distributed gate proves is the R-halo tile
+    decomposition, so sharing the core is sound)."""
+    from .pipelines.viewshed import visible_counts
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    h = int(radius)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2 * h, grid.width + 2 * h), hole,
+                  dtype=np.uint8)
+    pad[h:-h, h:-h] = base
+    land_idx = fixtures.land_index(spec.seed)
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[h + y:h + y + nr, h + x:h + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    cnt = visible_counts(pad, h, hole)
+    passable = present & (base != hole)
+    u, n = np.unique(cnt[passable], return_counts=True)
+    return pd.DataFrame({"n_vis": u.astype(np.int64),
+                         "n_px": n.astype(np.int64)})

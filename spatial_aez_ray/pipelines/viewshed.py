@@ -1,0 +1,197 @@
+"""Total viewshed / visibility index — the line-of-sight member of
+the gdaldem family (GRASS ``r.viewshed`` / GDAL ``gdal_viewshed``,
+aggregated over every observer: "how many cells within radius R can
+each cell see?", the archaeology/siting "total viewshed" product).
+
+Semantics (exact, all-integer). Observer p and target t are lattice
+cells within Chebyshev radius R, both passable (value != nodata,
+tile present). Along the segment p -> t with m = max(|dy|, |dx|),
+the sample at parameter i/m (i = 1..m-1) has one integer coordinate
+(the dominant axis) and one rational coordinate with denominator m;
+its elevation interpolates the two straddling cells with weights
+(m-r, r). t is VISIBLE from p iff every sample lies at or below the sight
+line (grazing rays see through — flat terrain is fully visible):
+
+    E_i - m*e(p)  <=  i * (e(t) - e(p))     for all i in 1..m-1
+
+where E_i is the m-scaled interpolated sample elevation. The ray's
+Euclidean length cancels from both sides, so the comparison is exact
+integer arithmetic — no trigonometry, no floats, and the relation is
+SYMMETRIC (substituting j = m-i gives the identical inequality), so
+the global visible-pair multiset has even total count: a free parity
+invariant the gate asserts. Samples touching an impassable cell
+block the ray.
+
+Scale design: visibility is a pure per-pixel function of an R-wide
+halo, so this is ONE shuffle-free ``map_batches`` pass over present
+tiles — the ``proximity_histogram`` discipline (wide halo assembled
+from the 8 derived-ref neighbors, one batched footer-pruned fetch);
+each batch emits a <=(2R+1)^2-row histogram partial and the combine
+is bins-sized. Work is O(R^3) vectorized array ops per tile.
+
+Reference parity anchor: the reference's raster taxonomy
+(process_imagery.py block loops) covers local/focal/zonal/global
+algebra; viewshed extends the focal family to ray-dependent
+neighborhoods, expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .. import model
+from ..datapipe.util import as_task_fn
+from ..sources.documents import MediaStore
+from .extract import world_grid
+from .hydro import _present_tiles
+
+
+def visible_counts(pad: np.ndarray, h: int, nodata: int) -> np.ndarray:
+    """Per-pixel count of visible passable cells within Chebyshev
+    radius ``h`` for the interior of an ``h``-padded uint8 elevation
+    array (see module docstring for the exact LOS rule). Returns an
+    (nr, nc) int64 array; impassable interior pixels count 0."""
+    P = pad != nodata
+    E = pad.astype(np.int64)
+    nr, nc = pad.shape[0] - 2 * h, pad.shape[1] - 2 * h
+
+    def sh(dy: int, dx: int) -> tuple[slice, slice]:
+        return (slice(h + dy, h + dy + nr), slice(h + dx, h + dx + nc))
+
+    e0 = E[sh(0, 0)]
+    p0 = P[sh(0, 0)]
+    cnt = np.zeros((nr, nc), dtype=np.int64)
+    for dy in range(-h, h + 1):
+        for dx in range(-h, h + 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = max(abs(dy), abs(dx))
+            tgt = sh(dy, dx)
+            vis = p0 & P[tgt]
+            dz = E[tgt] - e0
+            for i in range(1, m):
+                ny, ry = divmod(dy * i, m)
+                nx, rx = divmod(dx * i, m)
+                if ry == 0 and rx == 0:
+                    ei_m = E[sh(ny, nx)] * m
+                    ok = P[sh(ny, nx)]
+                elif ry != 0:  # dominant axis x: interpolate along y
+                    a, b = sh(ny, nx), sh(ny + 1, nx)
+                    ei_m = E[a] * (m - ry) + E[b] * ry
+                    ok = P[a] & P[b]
+                else:          # dominant axis y: interpolate along x
+                    a, b = sh(ny, nx), sh(ny, nx + 1)
+                    ei_m = E[a] * (m - rx) + E[b] * rx
+                    ok = P[a] & P[b]
+                vis &= ok & (ei_m - m * e0 <= i * dz)
+            cnt += vis
+    cnt[~p0] = 0
+    return cnt
+
+
+def visibility_histogram(world_path: str, dataset: str = "kg",
+                         radius: int = 4, *,
+                         hole_value: int | None = None,
+                         batch_size: int = 16) -> pd.DataFrame:
+    """(n_visible, n_px) histogram of the per-pixel visibility index
+    over every passable present-tile pixel — bit-exact vs the
+    whole-array ``oracle.viewshed_oracle`` (the per-pixel function is
+    deterministic; the gate proves the R-halo tile decomposition,
+    including short edge tiles and hole neighbors, matches the global
+    computation)."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    if radius > grid.tile:
+        raise ValueError(f"radius {radius} exceeds tile size "
+                         f"{grid.tile}; widen the halo assembly first")
+    present = _present_tiles(world_path, dataset, grid)
+    h = int(radius)
+
+    class _ViewTiles:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.grid = world_grid(world_path, layout[dataset]["grid"])
+
+        def _arr(self, ty, tx, payloads):
+            g = self.grid
+            if not (0 <= ty < g.tiles_y and 0 <= tx < g.tiles_x):
+                return None
+            p = payloads.get(model.media_ref(dataset, g.name, ty, tx, 1))
+            if p is None:
+                return None
+            _, _, nc, nr = g.tile_window(ty, tx)
+            return np.frombuffer(p, np.uint8,
+                                 count=nr * nc).reshape(nr, nc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                            want.add(model.media_ref(
+                                dataset, g.name, ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            hist: dict[int, int] = {}
+            for ty, tx in tiles:
+                me = self._arr(ty, tx, payloads)
+                if me is None:
+                    continue
+                nr, nc = me.shape
+                pad = np.full((nr + 2 * h, nc + 2 * h), hole,
+                              dtype=np.uint8)
+                pad[h:h + nr, h:h + nc] = me
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        nb = self._arr(ty + dy, tx + dx, payloads)
+                        if nb is None:
+                            continue
+                        hh, ww = nb.shape
+                        rs = (slice(max(0, hh - h), hh) if dy < 0
+                              else slice(0, min(h, hh)) if dy > 0
+                              else slice(0, hh))
+                        cs = (slice(max(0, ww - h), ww) if dx < 0
+                              else slice(0, min(h, ww)) if dx > 0
+                              else slice(0, ww))
+                        sub = nb[rs, cs]
+                        pr = (slice(h - sub.shape[0], h) if dy < 0
+                              else slice(h + nr, h + nr + sub.shape[0])
+                              if dy > 0 else slice(h, h + sub.shape[0]))
+                        pc_ = (slice(h - sub.shape[1], h) if dx < 0
+                               else slice(h + nc, h + nc + sub.shape[1])
+                               if dx > 0 else slice(h, h + sub.shape[1]))
+                        pad[pr, pc_] = sub
+                cnt = visible_counts(pad, h, hole)
+                passable = me != hole
+                u, n = np.unique(cnt[passable], return_counts=True)
+                for v, k in zip(u.tolist(), n.tolist()):
+                    hist[v] = hist.get(v, 0) + k
+            keys = sorted(hist)
+            return pa.table({
+                "n_vis": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    fn = as_task_fn(_ViewTiles)
+    out = (ray.data.from_items([{"id": int(i)} for i in present])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("n_vis")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_vis").reset_index(drop=True)

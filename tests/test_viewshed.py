@@ -1,0 +1,61 @@
+"""Total viewshed — LOS semantics + R-halo decomposition
+(see pipelines/viewshed.py)."""
+
+import numpy as np
+
+from spatial_aez_ray import fixtures, oracle
+from spatial_aez_ray.pipelines import viewshed
+
+SPEC = fixtures.TINY
+
+
+def _pad(arr, h, hole=0):
+    p = np.full((arr.shape[0] + 2 * h, arr.shape[1] + 2 * h), hole,
+                dtype=np.uint8)
+    p[h:-h, h:-h] = arr
+    return p
+
+
+def test_los_wall_blocks_both_directions():
+    """A high wall between two low cells blocks visibility BOTH ways
+    (the LOS rule is symmetric); without the wall they see each
+    other."""
+    flat = np.full((1, 5), 10, dtype=np.uint8)
+    cnt = viewshed.visible_counts(_pad(flat, 4), 4, 0)
+    # on flat ground every in-range passable cell is visible
+    assert cnt.tolist() == [[4, 4, 4, 4, 4]]
+    wall = flat.copy()
+    wall[0, 2] = 200
+    cnt = viewshed.visible_counts(_pad(wall, 4), 4, 0)
+    # ends see: neighbor + wall only (2); wall sees all 4
+    assert cnt[0, 0] == 2 and cnt[0, 4] == 2 and cnt[0, 2] == 4
+    total = int(cnt.sum())
+    assert total % 2 == 0
+
+
+def test_los_interpolated_sample_blocks():
+    """A knight-move ray (dy=1, dx=2) interpolates its single sample
+    between two cells; raising either above the sight line blocks."""
+    base = np.full((2, 3), 10, dtype=np.uint8)
+    cnt0 = viewshed.visible_counts(_pad(base, 4), 4, 0)
+    # raise one of the two interpolation cells sky-high
+    for ry, rx in ((0, 1), (1, 1)):
+        arr = base.copy()
+        arr[ry, rx] = 255
+        cnt = viewshed.visible_counts(_pad(arr, 4), 4, 0)
+        # the (0,0) <-> (1,2) diagonal-ish pair is now blocked
+        assert cnt[0, 0] < cnt0[0, 0]
+        assert int(cnt.sum()) % 2 == 0
+
+
+def test_viewshed_bit_exact(tiny_world):
+    for ds in ("kg", "wk"):
+        mine = viewshed.visibility_histogram(tiny_world, ds, 4)
+        want = oracle.viewshed_oracle(SPEC, ds, 4)
+        assert mine.equals(want), ds
+
+
+def test_viewshed_batch_invariance(tiny_world):
+    a = viewshed.visibility_histogram(tiny_world, "kg", 3, batch_size=5)
+    b = viewshed.visibility_histogram(tiny_world, "kg", 3, batch_size=32)
+    assert a.equals(b)
