@@ -1921,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": text.duplicate_spans,
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
+        "phrase_search": corpus.phrase_search,
         "bm25_topk": corpus.bm25_topk,
         "pmi_top_pairs": corpus.pmi_top_pairs,
         "corpus_build_manifest": corpus.corpus_build_manifest,
@@ -2159,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": text.DUPLICATE_SPANS_SQL,
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
+        "phrase_search": corpus.PHRASE_SEARCH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
         "corpus_build_manifest": corpus.CORPUS_BUILD_MANIFEST_SQL,

@@ -1732,3 +1732,96 @@ FROM sp GROUP BY split, lang ORDER BY split, lang
 
 
 CURATION_PIPELINE_SQL = _curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+#: default phrase: common distinct-token bigram of the synthetic corpus
+PHRASE_TERMS = ("order", "fast")
+
+
+def phrase_search(sf_dir: str,
+                  phrase: tuple[str, ...] = PHRASE_TERMS) -> pd.DataFrame:
+    """Documents containing the exact token phrase (adjacent tokens,
+    any length >= 2), with hit count and the 1-based position of the
+    first hit — the POSITIONAL-index complement to
+    ``boolean_and_search`` (conjunctive search answers "all terms",
+    phrase search answers "in this order, adjacent": the feature an
+    inverted index needs positions for).
+
+    Scan-side evaluation, no shuffle: the phrase rides the closure;
+    per batch, one token flattening + a vectorized shifted-equality
+    AND across the phrase length (a positional-postings join would
+    intersect per-term (doc, pos) lists instead — this is the ad-hoc
+    query path, the boolean_and_search discipline). Per-doc hit
+    counts via bincount, first positions via minimum.at — no Python
+    loop over docs or hits."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    terms = tuple(str(t) for t in phrase)
+    k = len(terms)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        n = len(doc_ids)
+        if len(flat) < k:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        m = len(flat) - k + 1
+        match = flat[:m] == terms[0]
+        for j in range(1, k):
+            match &= flat[j:m + j] == terms[j]
+        # phrase must not straddle a document boundary
+        match &= doc_idx[:m] == doc_idx[k - 1:m + k - 1]
+        sel = np.flatnonzero(match)
+        if not len(sel):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        d = doc_idx[sel]
+        n_hits = np.bincount(d, minlength=n)
+        # 1-based in-doc position of each hit: flat offset - doc start
+        first_flat = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_flat, doc_idx, np.arange(len(flat),
+                                                     dtype=np.int64))
+        pos1 = sel - first_flat[d] + 1
+        first_pos = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_pos, d, pos1)
+        hit_docs = np.flatnonzero(n_hits > 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[hit_docs], pa.int64()),
+            "n_hits": pa.array(n_hits[hit_docs], pa.int64()),
+            "first_pos": pa.array(first_pos[hit_docs], pa.int64())})
+
+    out = (_read_docs(sf_dir, columns=["doc_id", "text"])
+           .map_batches(hits, batch_format="pyarrow")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _phrase_sql(phrase: tuple[str, ...]) -> str:
+    conds = " AND ".join(
+        f"arr[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+           FROM documents),
+nums AS (SELECT unnest(generate_series(1,
+           (SELECT MAX(len(arr)) FROM d)::INT)) AS i),
+hits AS (
+  SELECT doc_id, i
+  FROM d JOIN nums ON i + {len(phrase) - 1} <= len(arr)
+  WHERE {conds})
+SELECT doc_id, COUNT(*)::BIGINT AS n_hits,
+       MIN(i)::BIGINT AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+PHRASE_SEARCH_SQL = _phrase_sql(PHRASE_TERMS)

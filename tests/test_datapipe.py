@@ -2105,3 +2105,29 @@ def test_interval_coverage_touching_merge():
                       "e": [10, 20, 30]})
     out = _interval_cover_part(g)
     assert out.iloc[0].tolist() == [1, 25, 2, 20]
+
+
+def test_phrase_search_matches_sql(con):
+    from spatial_aez_ray.datapipe import corpus
+    _assert_match(corpus.phrase_search(SF), corpus.PHRASE_SEARCH_SQL, con)
+
+
+def test_phrase_search_trigram_and_overlap(con):
+    from spatial_aez_ray.datapipe import corpus
+    # any trigram present in the corpus, via the generated oracle
+    tri = ("order", "fast", "key")
+    mine = corpus.phrase_search(SF, tri)
+    _assert_match(mine, corpus._phrase_sql(tri), con)
+    # overlapping hits count individually (positions, not splitting)
+    import pyarrow as pa
+    hits_fn = None
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array(["x a a a a y"])})
+    # drive the batch kernel directly through a 1-batch dataset
+    import ray.data
+    ds = ray.data.from_arrow(batch)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        ds.write_parquet(os.path.join(td, "documents.parquet"))
+        out = corpus.phrase_search(td, ("a", "a"))
+    assert out.iloc[0].tolist() == [7, 3, 2]
