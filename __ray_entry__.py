@@ -564,6 +564,28 @@ def _spatial_cost_alloc(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_zonal_cost(sf_dir: str):
+    """Accessibility statistics per admin: the cost-distance min-plus
+    fixpoint composed with zonal PIP claims in one final pass
+    (mean-cost-to-nearest-target-per-country product). Unique least
+    fixpoint + order-free integer partials => bit-exact vs the
+    sequential whole-array composition."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.zonal_cost_stats(_world(), ds, tgt)
+        want = om.zonal_cost_stats_oracle(fixtures.TINY, ds, tgt)
+        if not mine.equals(want):
+            raise AssertionError(f"zonal cost stats ({ds}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_viewshed(sf_dir: str):
     """Total viewshed / visibility index (GRASS r.viewshed family):
     per-pixel count of LOS-visible cells within radius 4, all-integer
@@ -2069,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_viewshed": _spatial_viewshed,
+        "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
         "spatial_admin_summary": _spatial_admin_summary,

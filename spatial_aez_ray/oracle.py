@@ -1320,15 +1320,11 @@ def strahler_oracle(spec, dataset: str = "kg", threshold: int = 1,
     return strahler_hist(pad, present, threshold)
 
 
-def cost_distance_hist(pad: np.ndarray, target: int,
-                       hole: int) -> pd.DataFrame:
-    """Sequential least-cost-distance histogram over a hole-padded
-    array: 8-connected min-plus with doubled-integer weights — step
-    u -> v costs (c[u]+c[v])*W, W = 2 orthogonal / 3 diagonal (the
-    metric of ``pipelines/hydro.cost_distance``; integer min-plus has
-    a unique least fixpoint, so Jacobi sweeps to a no-op ARE the
-    answer). Hole pixels are impassable; unreachable passable pixels
-    report dist = -1."""
+def cost_dist_field(pad: np.ndarray, target: int,
+                    hole: int) -> tuple[np.ndarray, np.ndarray, np.int64]:
+    """Sequential least-cost distance FIELD over a hole-padded array
+    (the unique integer min-plus fixpoint; see cost_distance_hist).
+    Returns (dist, passable, unreach sentinel)."""
     unreach = np.int64(1) << 62
     cost = pad.astype(np.int64)
     passable = pad != hole
@@ -1351,6 +1347,19 @@ def cost_distance_hist(pad: np.ndarray, target: int,
             break
     else:
         raise AssertionError("cost-distance oracle did not converge")
+    return dist, passable, unreach
+
+
+def cost_distance_hist(pad: np.ndarray, target: int,
+                       hole: int) -> pd.DataFrame:
+    """Sequential least-cost-distance histogram over a hole-padded
+    array: 8-connected min-plus with doubled-integer weights — step
+    u -> v costs (c[u]+c[v])*W, W = 2 orthogonal / 3 diagonal (the
+    metric of ``pipelines/hydro.cost_distance``; integer min-plus has
+    a unique least fixpoint, so Jacobi sweeps to a no-op ARE the
+    answer). Hole pixels are impassable; unreachable passable pixels
+    report dist = -1."""
+    dist, passable, unreach = cost_dist_field(pad, target, hole)
     d = dist[passable]
     d = np.where(d >= unreach, np.int64(-1), d)
     u, cnt = np.unique(d, return_counts=True)
@@ -1478,3 +1487,63 @@ def viewshed_oracle(spec, dataset: str = "kg", radius: int = 4,
     u, n = np.unique(cnt[passable], return_counts=True)
     return pd.DataFrame({"n_vis": u.astype(np.int64),
                          "n_px": n.astype(np.int64)})
+
+
+def zonal_cost_stats_oracle(spec, dataset: str = "kg", target: int = 14,
+                            hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential cost-distance × zonal composition: the whole-array
+    least-cost field (unique min-plus fixpoint) intersected with each
+    admin's full-grid claim mask, restricted to present passable
+    pixels — per-admin accessibility statistics."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    present = np.zeros((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+            else:
+                present[y:y + nr, x:x + nc] = True
+    dist, passable, unreach = cost_dist_field(pad, int(target), hole)
+    din = dist[1:-1, 1:-1]
+    pin = passable[1:-1, 1:-1] & present
+    agg: dict[str, list] = {}
+    for _fidx, admin, mask in feature_masks(spec, grid):
+        vals = din[mask & pin]
+        if not len(vals):
+            continue
+        reach = vals[vals < unreach]
+        row = [len(reach),
+               int(reach.sum()) if len(reach) else 0,
+               int(reach.min()) if len(reach) else -1,
+               int(reach.max()) if len(reach) else -1,
+               int(len(vals) - len(reach))]
+        cur = agg.get(admin)
+        if cur is None:
+            agg[admin] = row
+        else:
+            cur[0] += row[0]
+            cur[1] += row[1]
+            cur[2] = (row[2] if cur[2] < 0
+                      else cur[2] if row[2] < 0 else min(cur[2], row[2]))
+            cur[3] = max(cur[3], row[3])
+            cur[4] += row[4]
+    admins = sorted(agg)
+    cols = (np.array([agg[a] for a in admins], dtype=np.int64)
+            if admins else np.zeros((0, 5), dtype=np.int64))
+    out = pd.DataFrame({
+        "admin": admins,
+        "n_reach": cols[:, 0], "sum_dist": cols[:, 1],
+        "min_dist": cols[:, 2], "max_dist": cols[:, 3],
+        "n_unreach": cols[:, 4]})
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out

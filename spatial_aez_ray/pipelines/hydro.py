@@ -876,7 +876,7 @@ class _CostTiles:
 
     def __init__(self, world_path: str, dataset: str, target: int,
                  hole: int, inflow_ref, final: bool,
-                 alloc: bool = False):
+                 alloc: bool = False, index=None):
         self.media = MediaStore(world_path)
         layout = model.world_layout(world_path)
         self.grid = world_grid(world_path, layout[dataset]["grid"])
@@ -885,6 +885,7 @@ class _CostTiles:
         self.hole = hole
         self.final = final
         self.alloc = alloc
+        self.index = index  # zonal PIP index -> per-admin final rows
         self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
 
     def _dims(self, ty: int, tx: int) -> tuple[int, int]:
@@ -915,6 +916,7 @@ class _CostTiles:
         o_px: list[np.ndarray] = []
         o_dist: list[np.ndarray] = []
         hist: dict[int, int] = {}
+        zacc: dict[str, list] = {}
         for ty, tx, nbrs in plans:
             if payloads.get(nbrs[(0, 0)][2]) is None:
                 continue
@@ -954,6 +956,30 @@ class _CostTiles:
                     break
             else:
                 raise AssertionError("in-tile cost fixpoint overran")
+
+            if self.final and self.index is not None:
+                pin = passable_pad[1:1 + nr, 1:1 + nc]
+                for _fidx, admin, mask in self.index.assign_tile(
+                        self.grid, ty, tx):
+                    vals = interior[mask & pin]
+                    if not len(vals):
+                        continue
+                    reach = vals[vals < _UNREACH]
+                    row = [len(reach),
+                           int(reach.sum()) if len(reach) else 0,
+                           int(reach.min()) if len(reach) else int(_UNREACH),
+                           int(reach.max()) if len(reach) else -1,
+                           int(len(vals) - len(reach))]
+                    cur = zacc.get(admin)
+                    if cur is None:
+                        zacc[admin] = row
+                    else:
+                        cur[0] += row[0]
+                        cur[1] += row[1]
+                        cur[2] = min(cur[2], row[2])
+                        cur[3] = max(cur[3], row[3])
+                        cur[4] += row[4]
+                continue
 
             if self.final:
                 d = interior[passable_pad[1:1 + nr, 1:1 + nc]]
@@ -1001,6 +1027,17 @@ class _CostTiles:
             o_px.append((gy - nty * t) * dst_w + (gx - ntx_ * t))
             o_dist.append(dist_pad[pr, pc])
 
+        if self.final and self.index is not None:
+            admins = sorted(zacc)
+            cols = (np.array([zacc[a] for a in admins], dtype=np.int64)
+                    if admins else np.zeros((0, 5), dtype=np.int64))
+            return pa.table({
+                "admin": pa.array(admins, pa.string()),
+                "n_reach": pa.array(cols[:, 0]),
+                "sum_dist": pa.array(cols[:, 1]),
+                "min_dist": pa.array(cols[:, 2]),
+                "max_dist": pa.array(cols[:, 3]),
+                "n_unreach": pa.array(cols[:, 4])})
         if self.final:
             keys = sorted(hist)
             return pa.table({
@@ -1173,3 +1210,56 @@ def cost_allocation(world_path: str, dataset: str = "kg",
     if with_rounds:
         return out, rounds
     return out
+
+
+def zonal_cost_stats(world_path: str, dataset: str = "kg",
+                     target: int = 14, *,
+                     hole_value: int | None = None,
+                     batch_size: int = 64) -> pd.DataFrame:
+    """Per-admin accessibility statistics over the least-cost field:
+    (n_reach, sum_dist, min_dist, max_dist, n_unreach) per admin —
+    the 'mean cost-to-nearest-water per country' product, composing
+    the cost_distance fixpoint with the zonal PIP claims (the
+    zonal_window_stats discipline: double-claim parity included; the
+    per-admin partials are order-free int64 rows, exact under any
+    partitioning; mean = sum/n is left to the caller). Admins with no
+    reachable pixel report min_dist = max_dist = -1."""
+    from .extract import build_zonal_index
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+    index = build_zonal_index(world_path)
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_CostTiles, world_path=world_path,
+                        dataset=dataset, target=int(target), hole=hole,
+                        inflow_ref=ref, final=final,
+                        index=index if final else None)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
+                                         "zonal-cost-stats")
+
+    from ray.data.aggregate import Max, Min, Sum
+    out = (run(present_tiles, inflow, final=True)
+           .groupby("admin")
+           .aggregate(Sum("n_reach", alias_name="n_reach"),
+                      Sum("sum_dist", alias_name="sum_dist"),
+                      Min("min_dist", alias_name="min_dist"),
+                      Max("max_dist", alias_name="max_dist"),
+                      Sum("n_unreach", alias_name="n_unreach"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    out.loc[out["min_dist"] >= int(_UNREACH), "min_dist"] = -1
+    return (out[["admin", "n_reach", "sum_dist", "min_dist",
+                 "max_dist", "n_unreach"]]
+            .sort_values("admin").reset_index(drop=True))

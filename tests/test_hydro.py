@@ -218,3 +218,12 @@ def test_cost_allocation_tie_break(tmp_path):
            zip(mine[mine["kind"] == "alloc"]["size"],
                mine[mine["kind"] == "alloc"]["n"])}
     assert got == want_sizes
+
+
+def test_zonal_cost_stats_bit_exact(tiny_world):
+    for ds, tgt in (("kg", 14), ("wk", 5)):
+        mine = hydro.zonal_cost_stats(tiny_world, ds, tgt)
+        want = oracle.zonal_cost_stats_oracle(SPEC, ds, tgt)
+        assert mine.equals(want), ds
+        assert (mine["max_dist"] >= mine["min_dist"]).all()
+        assert (mine["sum_dist"] >= mine["max_dist"]).all()
