@@ -1950,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_orders": relational.range_partition_orders,
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
+        "orders_above_avg": relational.orders_above_customer_avg,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2190,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_orders": relational.RANGE_PARTITION_ORDERS_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
+        "orders_above_avg": relational.ORDERS_ABOVE_AVG_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

@@ -3154,3 +3154,69 @@ def _grouped_exact_q_sql(qs: tuple[int, ...] = (50, 90)) -> str:
 
 
 GROUPED_EXACT_QUANTILES_SQL = _grouped_exact_q_sql()
+
+
+# ---------------------------------------------------------------------------
+# decorrelated scalar-subquery filter: orders above the customer's avg
+# ---------------------------------------------------------------------------
+
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Per customer: how many of their orders are priced strictly
+    above their own average order price, and those orders' summed
+    cents — the correlated-scalar-subquery pattern (WHERE price >
+    (SELECT AVG(...) ... same customer)) DECORRELATED into one
+    entity-key shuffle. Exactness: the float average never exists —
+    the comparison is cross-multiplied integer cents
+    (price_c * n > sum_c), so distributed == DuckDB bit-for-bit.
+
+    Scale shape: one coarse hash fold of the customer key (fact-sized
+    both 'sides' — the per-customer aggregate and the order rows —
+    but they are the SAME rows, so the fold carries each order once);
+    inside a partition everything is two pandas transforms and a
+    masked groupby."""
+    from .util import shuffle_width
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_parts = shuffle_width(orders)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((ck % n_parts).astype(np.int32)),
+            "custkey": pa.array(ck),
+            "pc": pa.array(_cents(b["o_totalprice"]))})
+
+    def above(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("custkey")["pc"]
+        n = grp.transform("size").to_numpy().astype(np.int64)
+        sc = grp.transform("sum").to_numpy().astype(np.int64)
+        pc = g["pc"].to_numpy()
+        hit = g.loc[pc * n > sc]
+        out = hit.groupby("custkey", as_index=False).agg(
+            n_above=("pc", "size"), above_cents=("pc", "sum"))
+        out["n_above"] = out["n_above"].astype(np.int64)
+        out["above_cents"] = out["above_cents"].astype(np.int64)
+        return out[["custkey", "n_above", "above_cents"]]
+
+    out = (orders.map_batches(prep, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(above, batch_format="pandas")
+                 .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH o AS (SELECT o_custkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders),
+s AS (SELECT o_custkey, COUNT(*) AS n, SUM(pc) AS sc
+      FROM o GROUP BY o_custkey)
+SELECT o.o_custkey AS custkey,
+       COUNT(*)::BIGINT AS n_above,
+       SUM(o.pc)::BIGINT AS above_cents
+FROM o JOIN s USING (o_custkey)
+WHERE o.pc * s.n > s.sc
+GROUP BY o.o_custkey ORDER BY custkey
+"""

@@ -2131,3 +2131,13 @@ def test_phrase_search_trigram_and_overlap(con):
         ds.write_parquet(os.path.join(td, "documents.parquet"))
         out = corpus.phrase_search(td, ("a", "a"))
     assert out.iloc[0].tolist() == [7, 3, 2]
+
+
+def test_orders_above_avg_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.orders_above_customer_avg(SF)
+    _assert_match(mine, relational.ORDERS_ABOVE_AVG_SQL, con)
+    # a customer with a single order can never beat their own average
+    one = con.execute("SELECT o_custkey FROM orders GROUP BY 1 "
+                      "HAVING COUNT(*) = 1").fetchdf()["o_custkey"]
+    assert not np.isin(mine["custkey"].to_numpy(), one.to_numpy()).any()
