@@ -1833,6 +1833,27 @@ def _spatial_real_flow_accum(sf_dir: str):
     return mine
 
 
+def _spatial_real_viewshed(sf_dir: str):
+    """Visibility index on REAL raster layout: the R-halo LOS kernel
+    over an imported GRC reference mask (archipelago sparse holes,
+    edge-clamped tiles) must match the direct sequential file walk
+    bit-exactly, and the symmetric-LOS parity invariant must hold."""
+    import shutil
+    from spatial_aez_ray.pipelines import realmask, viewshed
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_viewshed_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    mine = viewshed.visibility_histogram(w, "realmask", 4)
+    want = realmask.mask_file_visibility(path, 4)
+    if not mine.equals(want):
+        raise AssertionError("real-mask viewshed != direct walk")
+    if int((mine["n_vis"] * mine["n_px"]).sum()) % 2:
+        raise AssertionError("real-mask viewshed parity violated")
+    return mine
+
+
 def _spatial_real_watershed(sf_dir: str):
     """Watershed delineation on REAL raster layout: same imported GRC
     world as the flow-accumulation leg; the distributed one-pass
@@ -2113,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_overlap": _spatial_real_mask_overlap,
         "spatial_real_mask_terrain": _spatial_real_mask_terrain,
         "spatial_real_flow_accum": _spatial_real_flow_accum,
+        "spatial_real_viewshed": _spatial_real_viewshed,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -506,3 +506,50 @@ def mask_file_window_hist(path: str, metric: str) -> "pd.DataFrame":
                "roughness": "roughness"}[metric]
     return pd.DataFrame({colname: nz.astype(np.int64),
                          "n_px": hist[nz].astype(np.int64)})
+
+
+def mask_file_visibility(path: str, radius: int = 4) -> "pd.DataFrame":
+    """Direct sequential (n_vis, n_px) visibility-index histogram over
+    one REAL mask file: decode the nonsparse tiles into a bbox-bounded
+    array with an R-px zero border (mask nodata 0 = impassable, so
+    everything outside the bbox is correctly invisible terrain), run
+    ``viewshed.visible_counts`` once, count only present-tile passable
+    pixels — the whole-array oracle for the LOS kernel on real raster
+    layout (archipelago sparse holes, edge-clamped tiles)."""
+    import pandas as pd
+
+    from .viewshed import visible_counts
+
+    h = int(radius)
+    t = MASK_GRID.tile
+    r = GeoTiffReader(path)
+    try:
+        present = sorted((int(a), int(b)) for a, b in r.nonsparse_tiles())
+        tys = [p[0] for p in present]
+        txs = [p[1] for p in present]
+        ty0, ty1 = min(tys), max(tys)
+        tx0, tx1 = min(txs), max(txs)
+        sub = np.zeros(((ty1 - ty0 + 1) * t + 2 * h,
+                        (tx1 - tx0 + 1) * t + 2 * h), np.uint8)
+        dims = {}
+        for ty, tx in present:
+            arr = r.read_tile(ty, tx)
+            y, x = (ty - ty0) * t + h, (tx - tx0) * t + h
+            sub[y:y + arr.shape[0], x:x + arr.shape[1]] = arr
+            dims[(ty, tx)] = arr.shape
+    finally:
+        r.close()
+    cnt = visible_counts(sub, h, 0)
+    mask = sub[h:-h, h:-h] if h else sub
+    hist: dict[int, int] = {}
+    for (ty, tx), (nr, nc) in dims.items():
+        y, x = (ty - ty0) * t, (tx - tx0) * t
+        c = cnt[y:y + nr, x:x + nc]
+        m = mask[y:y + nr, x:x + nc] != 0
+        u, n = np.unique(c[m], return_counts=True)
+        for v, k in zip(u.tolist(), n.tolist()):
+            hist[v] = hist.get(v, 0) + k
+    keys = sorted(hist)
+    return pd.DataFrame({"n_vis": np.asarray(keys, np.int64),
+                         "n_px": np.asarray([hist[k] for k in keys],
+                                            np.int64)})

@@ -243,3 +243,20 @@ def test_real_mask_terrain_bit_exact(tmp_path):
                        ("tri", pyramid.focal_tri)):
         mine = fn(w, "realmask")
         assert mine.equals(realmask.mask_file_window_hist(path, metric)), metric
+
+
+def test_real_mask_viewshed_phl(ray_session):
+    """LOS kernel on the Philippines 1 km mask (archipelago: sparse
+    holes between islands, edge-clamped tiles) == direct file walk."""
+    import os
+    import shutil
+    from spatial_aez_ray.pipelines import realmask, viewshed
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "PHL_179_1km_mask._tif")
+    w = "/tmp/spatial_aez_ray_test_phl_viewshed"
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    mine = viewshed.visibility_histogram(w, "realmask", 3)
+    want = realmask.mask_file_visibility(path, 3)
+    assert mine.equals(want)
+    assert int((mine["n_vis"] * mine["n_px"]).sum()) % 2 == 0
