@@ -2015,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
+        "dedup_ngram_containment": dedup.ngram_containment_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,
@@ -2249,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.MINHASH_LSH_DEDUP_SQL,
         "dedup_simhash": dedup.SIMHASH_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "dedup_ngram_containment": dedup.NGRAM_CONTAINMENT_SQL,
         "jaccard_pairs": dedup.JACCARD_PAIRS_SQL,
         "dedup_prefix": dedup.PREFIX_DUP_GROUPS_SQL,
         "dup_ngram_spans": dedup.DUP_NGRAM_SPANS_SQL,

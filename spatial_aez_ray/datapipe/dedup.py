@@ -1488,3 +1488,79 @@ def incremental_exact_dedup(sf_dir: str, n_chunks: int = 4) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["dup_cnt"] = out["dup_cnt"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_containment_dedup(sf_dir: str,
+                            threshold: float = 0.8) -> pd.DataFrame:
+    """Exact 3-gram CONTAINMENT on the minhash candidate pairs —
+    catches subset duplicates (a doc nearly contained in a longer
+    one) that symmetric Jaccard under-scores: C = |A∩B| / min(|A|,|B|)
+    (Broder's containment, taken against the smaller side so either
+    direction of nesting trips it). Same two hash shuffle joins as
+    ``ngram_jaccard_dedup``; the float is one division of identical
+    integers on both sides, so the SQL oracle is bit-identical."""
+    cands_ds = minhash_candidates_ds(sf_dir).materialize()
+    if cands_ds.count() == 0:
+        return pd.DataFrame({"doc_lo": [], "doc_hi": [],
+                             "containment3": []})
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def _renamed(side: str):
+        def rn(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b["doc_id"],
+                             f"text_{side}": b["text"]})
+        return rn
+
+    from .util import shuffle_width
+    width = shuffle_width(docs)
+    j = cands_ds.join(
+        docs.map_batches(_renamed("lo"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=width,
+        on=("doc_lo",), right_on=("id_lo",))
+    j = j.join(
+        docs.map_batches(_renamed("hi"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=width,
+        on=("doc_hi",), right_on=("id_hi",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        con = []
+        for ta, tb in zip(batch["text_lo"], batch["text_hi"]):
+            sa, sb = _shingle_set(ta), _shingle_set(tb)
+            inter = len(sa & sb)
+            con.append(inter / min(len(sa), len(sb)))
+        out = batch[["doc_lo", "doc_hi"]].copy()
+        out["containment3"] = con
+        return out[np.asarray(con) >= threshold]
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+
+
+def _ngram_containment_sql(threshold: float = 0.8) -> str:
+    """Oracle for ``ngram_containment_dedup``: the candidate CTEs +
+    exact 3-gram containment against the smaller shingle set."""
+    ctes, _ = _minhash_sql_parts()
+    return f"""
+WITH {ctes},
+sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t0) - 2, 1) + 1),
+           i -> array_to_string(list_filter([t0[i], t0[i+1], t0[i+2]],
+                                            x -> x IS NOT NULL), ' '))) AS s
+  FROM base),
+j AS (
+  SELECT p.doc_lo, p.doc_hi,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM pairs p JOIN sh3 a ON a.doc_id = p.doc_lo
+               JOIN sh3 b ON b.doc_id = p.doc_hi)
+SELECT doc_lo, doc_hi,
+       inter / CAST(least(na, nb) AS DOUBLE) AS containment3
+FROM j WHERE inter / CAST(least(na, nb) AS DOUBLE) >= {threshold}
+ORDER BY doc_lo, doc_hi
+"""
+
+
+NGRAM_CONTAINMENT_SQL = _ngram_containment_sql()

@@ -2141,3 +2141,15 @@ def test_orders_above_avg_matches_sql(con):
     one = con.execute("SELECT o_custkey FROM orders GROUP BY 1 "
                       "HAVING COUNT(*) = 1").fetchdf()["o_custkey"]
     assert not np.isin(mine["custkey"].to_numpy(), one.to_numpy()).any()
+
+
+def test_ngram_containment_matches_sql(con):
+    from spatial_aez_ray.datapipe import dedup
+    mine = dedup.ngram_containment_dedup(SF)
+    _assert_match(mine, dedup.NGRAM_CONTAINMENT_SQL, con)
+    # containment dominates Jaccard on the same candidate pairs:
+    # every Jaccard-0.8 pair is a containment-0.8 pair
+    jac = dedup.ngram_jaccard_dedup(SF, threshold=0.8)
+    keys = set(zip(mine["doc_lo"], mine["doc_hi"]))
+    assert all((a, b) in keys for a, b in zip(jac["doc_lo"],
+                                              jac["doc_hi"]))
