@@ -1833,6 +1833,35 @@ def _spatial_real_flow_accum(sf_dir: str):
     return mine
 
 
+def _dedup_index_serve(sf_dir: str):
+    """Persistent minhash LSH index (near-dup serving): build the
+    band-posting sink, query the SAME corpus against it, and assert
+    the normalized pair set reproduces the in-memory LSH candidates
+    exactly — the index round-trip adds and loses nothing. The query
+    path never scans the index: the driver plans from parquet footers
+    only and workers read just the row groups whose key interval is
+    probed."""
+    import shutil
+    import numpy as np
+    import pandas as pd
+    from spatial_aez_ray.datapipe import dedup
+    idx = os.path.join(_TMP, "mh_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    man = dedup.build_minhash_index(sf_dir, idx)
+    pairs = dedup.query_minhash_index(idx, sf_dir)
+    lo = np.minimum(pairs["query_doc"], pairs["index_doc"])
+    hi = np.maximum(pairs["query_doc"], pairs["index_doc"])
+    norm = (pd.DataFrame({"doc_lo": lo, "doc_hi": hi})
+            .drop_duplicates().sort_values(["doc_lo", "doc_hi"])
+            .reset_index(drop=True))
+    want = dedup.minhash_candidates(sf_dir)
+    if not norm.equals(want):
+        raise AssertionError("index-served candidates != in-memory LSH")
+    if int(man["n_rows"].sum()) == 0:
+        raise AssertionError("empty index manifest")
+    return pairs
+
+
 def _spatial_real_viewshed(sf_dir: str):
     """Visibility index on REAL raster layout: the R-halo LOS kernel
     over an imported GRC reference mask (archipelago sparse holes,
@@ -2016,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "dedup_ngram_containment": dedup.ngram_containment_dedup,
+        "dedup_index_serve": _dedup_index_serve,
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,

@@ -1564,3 +1564,170 @@ ORDER BY doc_lo, doc_hi
 
 
 NGRAM_CONTAINMENT_SQL = _ngram_containment_sql()
+
+
+# ---------------------------------------------------------------------------
+# persistent minhash LSH index (near-dup serving)
+# ---------------------------------------------------------------------------
+
+#: band_key's top bits (arithmetic shift keeps the bucket monotone in
+#: int64 sort order, so a global key sort lands each hive partition's
+#: files pre-sorted and their row-group footer stats form tight
+#: intervals — the MediaStore point-lookup discipline for postings)
+_MH_BUCKET_SHIFT = 59
+
+
+def build_minhash_index(sf_dir: str, out_dir: str, *,
+                        num_perm: int = 64, bands: int = 16
+                        ) -> pd.DataFrame:
+    """Write the corpus band postings (band_key, doc_id) as a
+    persistent LSH index — the dedup-serving analog of the persistent
+    IVF sink: a later crawl increment finds its near-dup candidates
+    against the indexed corpus WITHOUT re-signing it. Layout: one
+    global sort by band_key, hive-partitioned by the key's top bits,
+    so every partition's files are internally sorted and a query
+    reads only the row groups whose footer [min, max] interval
+    touches a probed key. Returns the (bucket, n_rows) manifest."""
+    import functools
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    sigs = docs.map_batches(
+        functools.partial(_sign_batch, num_perm=num_perm, bands=bands),
+        batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b["band_key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band_key": b["band_key"],
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "bucket": pa.array(key >> _MH_BUCKET_SHIFT)})
+
+    (sigs.map_batches(add_bucket, batch_format="pyarrow")
+         .sort("band_key")
+         .write_parquet(out_dir, partition_cols=["bucket"]))
+
+    man = []
+    for d in sorted(_os.listdir(out_dir)):
+        if not d.startswith("bucket="):
+            continue
+        n = sum(_pq.read_metadata(_os.path.join(out_dir, d, f)).num_rows
+                for f in _os.listdir(_os.path.join(out_dir, d))
+                if f.endswith(".parquet"))
+        man.append((int(d.split("=", 1)[1]), n))
+    out = pd.DataFrame(man, columns=["bucket", "n_rows"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def query_minhash_index(index_dir: str, sf_dir: str, *,
+                        num_perm: int = 64,
+                        bands: int = 16) -> pd.DataFrame:
+    """Candidate near-dup pairs (query_doc, index_doc) of a query
+    document set against a ``build_minhash_index`` sink. The query
+    side is the operationally small side (a crawl increment): its
+    band keys are signed in one pass and broadcast; the INDEX side is
+    never scanned — the driver touches only parquet footers (O(files),
+    manifest-shaped) to plan row groups whose [min, max] key interval
+    contains a probed key, and a task-based ``map_batches`` over that
+    plan does the targeted reads + exact ``isin`` + key join.
+    Self-pairs are dropped; (query=corpus, index=corpus) reproduces
+    ``minhash_candidates`` exactly (the gate's contract)."""
+    import functools
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from .util import as_task_fn
+
+    qsigs = (_read_docs(sf_dir, columns=["doc_id", "text"])
+             .map_batches(functools.partial(
+                 _sign_batch, num_perm=num_perm, bands=bands),
+                 batch_format="pyarrow")
+             .to_pandas())
+    qkeys = np.sort(np.unique(qsigs["band_key"].to_numpy(np.int64)))
+    if not len(qkeys):
+        return pd.DataFrame({"query_doc": [], "index_doc": []})
+
+    # footer-only planning: row groups whose [min, max] touches a key
+    plan = []
+    for d in sorted(_os.listdir(index_dir)):
+        if not d.startswith("bucket="):
+            continue
+        for f in sorted(_os.listdir(_os.path.join(index_dir, d))):
+            if not f.endswith(".parquet"):
+                continue
+            path = _os.path.join(index_dir, d, f)
+            md = _pq.read_metadata(path)
+            hit = []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                st = col.statistics
+                lo, hi = int(st.min), int(st.max)
+                a = np.searchsorted(qkeys, lo, side="left")
+                if a < len(qkeys) and qkeys[a] <= hi:
+                    hit.append(rg)
+            if hit:
+                plan.append({"path": path,
+                             "rgs": ",".join(map(str, hit))})
+    if not plan:
+        return pd.DataFrame({"query_doc": [], "index_doc": []})
+
+    qref = ray.put((qkeys, qsigs["band_key"].to_numpy(np.int64),
+                    qsigs["doc_id"].to_numpy(np.int64)))
+
+    class Probe:
+        def __init__(self):
+            self.qkeys, qband, qdoc = ray.get(qref)
+            order = np.argsort(qband, kind="stable")
+            self.qband, self.qdoc = qband[order], qdoc[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qlo, qhi = [], []
+            for path, rgs in zip(b["path"].to_pylist(),
+                                 b["rgs"].to_pylist()):
+                t = _pq.ParquetFile(path).read_row_groups(
+                    [int(x) for x in rgs.split(",")],
+                    columns=["band_key", "doc_id"])
+                key = t["band_key"].to_numpy()
+                keep = np.isin(key, self.qkeys)
+                if not keep.any():
+                    continue
+                key = key[keep]
+                idoc = t["doc_id"].to_numpy()[keep]
+                # join matched postings to the query postings by key
+                qb, qd = self.qband, self.qdoc
+                left = np.searchsorted(qb, key, side="left")
+                right = np.searchsorted(qb, key, side="right")
+                reps = right - left
+                i_ix = np.repeat(np.arange(len(key)), reps)
+                q_ix = (np.concatenate(
+                    [np.arange(a, b_) for a, b_ in zip(left, right)])
+                    if len(key) else np.zeros(0, np.int64))
+                qdoc = qd[q_ix]
+                idocr = idoc[i_ix]
+                m = qdoc != idocr
+                qlo.append(qdoc[m])
+                qhi.append(idocr[m])
+            cat = (lambda xs: np.concatenate(xs) if xs
+                   else np.zeros(0, dtype=np.int64))
+            return pa.table({"query_doc": pa.array(cat(qlo)),
+                             "index_doc": pa.array(cat(qhi))})
+
+    import ray.data
+    from ray.data.aggregate import Count
+    pairs = (ray.data.from_items(plan)
+             .map_batches(as_task_fn(Probe), batch_format="pyarrow",
+                          batch_size=4)
+             .groupby(["query_doc", "index_doc"])
+             .aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"])
+             .to_pandas())
+    for c in pairs.columns:
+        pairs[c] = pairs[c].astype(np.int64)
+    return (pairs.sort_values(["query_doc", "index_doc"])
+            .reset_index(drop=True))

@@ -2153,3 +2153,27 @@ def test_ngram_containment_matches_sql(con):
     keys = set(zip(mine["doc_lo"], mine["doc_hi"]))
     assert all((a, b) in keys for a, b in zip(jac["doc_lo"],
                                               jac["doc_hi"]))
+
+
+def test_minhash_index_single_doc_serving(tmp_path):
+    """Serving contract: a 1-doc crawl increment queried against the
+    corpus index returns exactly that doc's candidate partners."""
+    import ray.data
+    from spatial_aez_ray.datapipe import dedup
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(SF, idx)
+    cands = dedup.minhash_candidates(SF)
+    assert len(cands)
+    probe_doc = int(cands.iloc[0]["doc_lo"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    one = docs[docs["doc_id"] == probe_doc]
+    qdir = str(tmp_path / "q")
+    ray.data.from_pandas(one).write_parquet(
+        os.path.join(qdir, "documents.parquet"))
+    got = dedup.query_minhash_index(idx, qdir)
+    want_partners = sorted(
+        set(cands.loc[cands["doc_lo"] == probe_doc, "doc_hi"]) |
+        set(cands.loc[cands["doc_hi"] == probe_doc, "doc_lo"]))
+    assert sorted(got["index_doc"].tolist()) == want_partners
+    assert (got["query_doc"] == probe_doc).all()
