@@ -1833,6 +1833,19 @@ def _spatial_real_flow_accum(sf_dir: str):
     return mine
 
 
+def _bpe_train(sf_dir: str):
+    """Distributed byte-level BPE tokenizer training: K streaming
+    pair-count passes with vectorized left-to-right merge application
+    must reproduce the independent pure-Python sequential trainer
+    bit-exactly (count-then-lexicographic tie-break on both sides)."""
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.bpe_train(sf_dir, 8)
+    want = corpus.bpe_train_sequential(sf_dir, 8)
+    if not mine.equals(want):
+        raise AssertionError("distributed BPE merges != sequential")
+    return mine
+
+
 def _dedup_index_serve(sf_dir: str):
     """Persistent minhash LSH index (near-dup serving): build the
     band-posting sink, query the SAME corpus against it, and assert
@@ -2046,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "dedup_ngram_containment": dedup.ngram_containment_dedup,
         "dedup_index_serve": _dedup_index_serve,
+        "bpe_train": _bpe_train,
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,

@@ -1825,3 +1825,156 @@ FROM hits GROUP BY doc_id ORDER BY doc_id
 
 
 PHRASE_SEARCH_SQL = _phrase_sql(PHRASE_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge learning)
+# ---------------------------------------------------------------------------
+
+#: byte-level initial alphabet (documents are ASCII here; ids >= 256
+#: are learned merges)
+_BPE_BASE = 256
+
+
+def _bpe_apply_merge(s: np.ndarray, a: int, b: int, c: int) -> np.ndarray:
+    """Replace left-to-right non-overlapping (a, b) adjacencies with
+    c in one symbol-id array. Overlaps only arise when a == b (a
+    match at i+1 needs s[i+1] == a AND == b), resolved by keeping
+    alternating matches within each run — exact left-to-right
+    semantics, fully vectorized."""
+    if len(s) < 2:
+        return s
+    m = (s[:-1] == a) & (s[1:] == b)
+    if not m.any():
+        return s
+    if a == b:
+        r = np.flatnonzero(m)
+        run_start = np.r_[True, np.diff(r) > 1]
+        run_id = np.cumsum(run_start) - 1
+        first = r[np.flatnonzero(run_start)][run_id]
+        keep = ((r - first) % 2) == 0
+        r = r[keep]
+    else:
+        r = np.flatnonzero(m)
+    out = s.copy()
+    out[r] = c
+    return np.delete(out, r + 1)
+
+
+def bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Learn byte-level BPE merges over the document corpus — the
+    tokenizer-TRAINING half of the tokenize family (the counting half
+    is ``token_stats``/``bpe_doc_stats``). Each round is ONE
+    ``map_batches`` pass: every batch re-encodes its documents under
+    the merges so far (vectorized left-to-right replacement, overlap
+    runs resolved by parity) and emits adjacent-pair count partials;
+    a tiny pair-keyed groupby (bounded by the live pair vocabulary)
+    feeds the driver's argmax. Ties break deterministically by
+    (count DESC, left token string ASC, right token string ASC), so
+    the distributed result is bit-identical to the sequential
+    reimplementation (``bpe_train_sequential``, an independent pure-
+    Python path the gate compares against). Pairs never cross
+    document boundaries. Returns (step, left, right, n) — left/right
+    rendered as strings.
+
+    Scale shape: K passes over the corpus (K = n_merges), each a
+    streaming map_batches with per-batch combiners; only pair-count
+    partials shuffle. Incremental pair-delta maintenance (update
+    counts from the applied merge's neighborhoods instead of
+    recounting) is the known optimization and keeps the same
+    semantics; recounting is the simple exact form."""
+    from ray.data.aggregate import Sum
+
+    # K passes re-read the same column: materialize once (block
+    # refs only — the corpus stays in the object store, not the driver)
+    docs = _read_docs(sf_dir, columns=["text"]).materialize()
+    merges: list[tuple[int, int, int]] = []
+    names: dict[int, str] = {}
+
+    def name(i: int) -> str:
+        return names.get(i) or chr(i)
+
+    rows = []
+    for step in range(n_merges):
+        cur = list(merges)
+
+        def count(b: pa.Table) -> pa.Table:
+            hist: dict[int, int] = {}
+            for t in b["text"].to_pylist():
+                s = np.frombuffer(t.encode("latin-1"),
+                                  np.uint8).astype(np.int64)
+                for a, bb, c in cur:
+                    s = _bpe_apply_merge(s, a, bb, c)
+                if len(s) < 2:
+                    continue
+                keys = s[:-1] * np.int64(1 << 32) + s[1:]
+                u, n = np.unique(keys, return_counts=True)
+                for k, v in zip(u.tolist(), n.tolist()):
+                    hist[k] = hist.get(k, 0) + v
+            keys = sorted(hist)
+            return pa.table({
+                "pair": pa.array(keys, pa.int64()),
+                "n": pa.array([hist[k] for k in keys], pa.int64())})
+
+        cnt = (docs.map_batches(count, batch_format="pyarrow")
+                   .groupby("pair")
+                   .aggregate(Sum("n", alias_name="n"))
+                   .to_pandas())
+        if not len(cnt):
+            break
+        pairs = cnt["pair"].to_numpy(np.int64)
+        ns = cnt["n"].to_numpy(np.int64)
+        la = (pairs >> 32).astype(np.int64)
+        rb = (pairs & ((1 << 32) - 1)).astype(np.int64)
+        # deterministic argmax: count DESC, then (left, right) strings
+        top = int(ns.max())
+        cand = np.flatnonzero(ns == top)
+        cand = sorted(cand, key=lambda i: (name(int(la[i])),
+                                           name(int(rb[i]))))
+        i = cand[0]
+        a, bb, n = int(la[i]), int(rb[i]), int(ns[i])
+        c = _BPE_BASE + step
+        names[c] = name(a) + name(bb)
+        merges.append((a, bb, c))
+        rows.append((step, name(a), name(bb), n))
+    out = pd.DataFrame(rows, columns=["step", "left", "right", "n"])
+    out["step"] = out["step"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def bpe_train_sequential(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Independent pure-Python BPE trainer (dict-and-list scan, no
+    numpy, no Ray) — the oracle for ``bpe_train``: same semantics
+    (byte alphabet, left-to-right replacement, per-document
+    sequences, count-then-lexicographic tie-break)."""
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])["text"].tolist()
+    seqs = [[chr(b) for b in t.encode("latin-1")] for t in docs]
+    rows = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        top = max(counts.values())
+        a, b = min(p for p, v in counts.items() if v == top)
+        rows.append((step, a, b, top))
+        tok = a + b
+        for d, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[d] = out
+    out = pd.DataFrame(rows, columns=["step", "left", "right", "n"])
+    out["step"] = out["step"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out

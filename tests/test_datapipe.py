@@ -2177,3 +2177,33 @@ def test_minhash_index_single_doc_serving(tmp_path):
         set(cands.loc[cands["doc_hi"] == probe_doc, "doc_lo"]))
     assert sorted(got["index_doc"].tolist()) == want_partners
     assert (got["query_doc"] == probe_doc).all()
+
+
+def test_bpe_train_textbook(tmp_path):
+    """Sennrich-style worked example: corpus 'aaabdaaabac' learns
+    'aa' first (4 left-to-right non-overlapping... actually 'aa'
+    appears at 0 and in the second run: 'aaa' yields ONE pair by
+    overlap parity per run -> count 2x2=4? pinned by the sequential
+    trainer), and the distributed path agrees merge-for-merge."""
+    import ray.data
+    from spatial_aez_ray.datapipe import corpus
+    d = pd.DataFrame({"doc_id": [1], "text": ["aaabdaaabac"]})
+    sf = str(tmp_path)
+    ray.data.from_pandas(d).write_parquet(
+        os.path.join(sf, "documents.parquet"))
+    mine = corpus.bpe_train(sf, 3)
+    want = corpus.bpe_train_sequential(sf, 3)
+    assert mine.equals(want)
+    # first merge is the most frequent pair: ('a','a') with count 4
+    assert mine.iloc[0][["left", "right", "n"]].tolist() == ["a", "a", 4]
+    # second merge works on the re-tokenized sequence: 'aa'+'ab'...
+    assert mine.iloc[1]["n"] == 2
+
+
+def test_bpe_overlap_parity():
+    """'aaaa' + (a,a) -> [aa, aa]: alternating matches within a run."""
+    import numpy as np
+    from spatial_aez_ray.datapipe.corpus import _bpe_apply_merge
+    s = np.array([97, 97, 97, 97, 97], dtype=np.int64)
+    out = _bpe_apply_merge(s, 97, 97, 256)
+    assert out.tolist() == [256, 256, 97]
