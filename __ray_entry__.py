@@ -1875,6 +1875,27 @@ def _dedup_index_serve(sf_dir: str):
     return pairs
 
 
+def _spatial_viewshed_incremental(sf_dir: str):
+    """Incremental viewshed maintenance: visibility is R-halo-local,
+    so a one-tile edit invalidates at most itself + 8 neighbors. The
+    spliced per-tile partials must be BIT-IDENTICAL to the full
+    recompute on the new world, with <= 9 tiles recomputed, and the
+    view must genuinely change."""
+    from spatial_aez_ray.pipelines import viewshed
+
+    w, w2 = _copy_world_flip_tile("world_vsinc")
+    hist, rep = viewshed.visibility_incremental(w, w2, "kg", 4)
+    if rep["tiles_changed"] != 1 or rep["tiles_recomputed"] > 9:
+        raise AssertionError(f"unexpected incremental report: {rep}")
+    full = viewshed.visibility_histogram(w2, "kg", 4)
+    if not hist.equals(full):
+        raise AssertionError("incremental viewshed != full recompute")
+    old = viewshed.visibility_histogram(w, "kg", 4)
+    if hist.equals(old):
+        raise AssertionError("mutation did not change the view")
+    return hist
+
+
 def _spatial_real_viewshed(sf_dir: str):
     """Visibility index on REAL raster layout: the R-halo LOS kernel
     over an imported GRC reference mask (archipelago sparse holes,
@@ -2158,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_viewshed": _spatial_viewshed,
+        "spatial_viewshed_incremental": _spatial_viewshed_incremental,
         "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,

@@ -93,6 +93,102 @@ def visible_counts(pad: np.ndarray, h: int, nodata: int) -> np.ndarray:
     return cnt
 
 
+class _ViewKernel:
+    """Tile-batch LOS kernel: assembles each tile's R-wide halo from
+    the 8 derived-ref neighbors (one batched footer-pruned fetch per
+    batch), runs ``visible_counts``, and emits histogram partials —
+    global (n_vis, n_px) rows, or per-tile rows with ``per_tile``."""
+
+    def __init__(self, world_path: str, dataset: str, layout: dict,
+                 hole: int, h: int, per_tile: bool = False):
+        self.media = MediaStore(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+        self.h = h
+        self.per_tile = per_tile
+
+    def _arr(self, ty, tx, payloads):
+        g = self.grid
+        if not (0 <= ty < g.tiles_y and 0 <= tx < g.tiles_x):
+            return None
+        p = payloads.get(model.media_ref(self.dataset, g.name, ty, tx, 1))
+        if p is None:
+            return None
+        _, _, nc, nr = g.tile_window(ty, tx)
+        return np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        h = self.h
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                 for p in ids]
+        want = set()
+        for ty, tx in tiles:
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        want.add(model.media_ref(
+                            self.dataset, g.name, ny, nx, 1))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        o_tile: list[int] = []
+        o_vis: list[int] = []
+        o_n: list[int] = []
+        hist: dict[int, int] = {}
+        for ty, tx in tiles:
+            me = self._arr(ty, tx, payloads)
+            if me is None:
+                continue
+            nr, nc = me.shape
+            pad = np.full((nr + 2 * h, nc + 2 * h), self.hole,
+                          dtype=np.uint8)
+            pad[h:h + nr, h:h + nc] = me
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nb = self._arr(ty + dy, tx + dx, payloads)
+                    if nb is None:
+                        continue
+                    hh, ww = nb.shape
+                    rs = (slice(max(0, hh - h), hh) if dy < 0
+                          else slice(0, min(h, hh)) if dy > 0
+                          else slice(0, hh))
+                    cs = (slice(max(0, ww - h), ww) if dx < 0
+                          else slice(0, min(h, ww)) if dx > 0
+                          else slice(0, ww))
+                    sub = nb[rs, cs]
+                    pr = (slice(h - sub.shape[0], h) if dy < 0
+                          else slice(h + nr, h + nr + sub.shape[0])
+                          if dy > 0 else slice(h, h + sub.shape[0]))
+                    pc_ = (slice(h - sub.shape[1], h) if dx < 0
+                           else slice(h + nc, h + nc + sub.shape[1])
+                           if dx > 0 else slice(h, h + sub.shape[1]))
+                    pad[pr, pc_] = sub
+            cnt = visible_counts(pad, h, self.hole)
+            passable = me != self.hole
+            u, n = np.unique(cnt[passable], return_counts=True)
+            if self.per_tile:
+                tid = ty * g.tiles_x + tx
+                o_tile.extend([tid] * len(u))
+                o_vis.extend(u.tolist())
+                o_n.extend(n.tolist())
+            else:
+                for v, k in zip(u.tolist(), n.tolist()):
+                    hist[v] = hist.get(v, 0) + k
+        if self.per_tile:
+            return pa.table({
+                "tile_id": pa.array(o_tile, pa.int64()),
+                "n_vis": pa.array(o_vis, pa.int64()),
+                "n_px": pa.array(o_n, pa.int64())})
+        keys = sorted(hist)
+        return pa.table({
+            "n_vis": pa.array(keys, pa.int64()),
+            "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+
+
 def visibility_histogram(world_path: str, dataset: str = "kg",
                          radius: int = 4, *,
                          hole_value: int | None = None,
@@ -113,79 +209,9 @@ def visibility_histogram(world_path: str, dataset: str = "kg",
     present = _present_tiles(world_path, dataset, grid)
     h = int(radius)
 
-    class _ViewTiles:
-        def __init__(self):
-            self.media = MediaStore(world_path)
-            self.grid = world_grid(world_path, layout[dataset]["grid"])
-
-        def _arr(self, ty, tx, payloads):
-            g = self.grid
-            if not (0 <= ty < g.tiles_y and 0 <= tx < g.tiles_x):
-                return None
-            p = payloads.get(model.media_ref(dataset, g.name, ty, tx, 1))
-            if p is None:
-                return None
-            _, _, nc, nr = g.tile_window(ty, tx)
-            return np.frombuffer(p, np.uint8,
-                                 count=nr * nc).reshape(nr, nc)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            g = self.grid
-            ids = batch["id"].to_numpy(zero_copy_only=False)
-            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
-                     for p in ids]
-            want = set()
-            for ty, tx in tiles:
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        ny, nx = ty + dy, tx + dx
-                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
-                            want.add(model.media_ref(
-                                dataset, g.name, ny, nx, 1))
-            payloads = self.media.fetch(sorted(want), strict=False)
-            hist: dict[int, int] = {}
-            for ty, tx in tiles:
-                me = self._arr(ty, tx, payloads)
-                if me is None:
-                    continue
-                nr, nc = me.shape
-                pad = np.full((nr + 2 * h, nc + 2 * h), hole,
-                              dtype=np.uint8)
-                pad[h:h + nr, h:h + nc] = me
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        if dy == 0 and dx == 0:
-                            continue
-                        nb = self._arr(ty + dy, tx + dx, payloads)
-                        if nb is None:
-                            continue
-                        hh, ww = nb.shape
-                        rs = (slice(max(0, hh - h), hh) if dy < 0
-                              else slice(0, min(h, hh)) if dy > 0
-                              else slice(0, hh))
-                        cs = (slice(max(0, ww - h), ww) if dx < 0
-                              else slice(0, min(h, ww)) if dx > 0
-                              else slice(0, ww))
-                        sub = nb[rs, cs]
-                        pr = (slice(h - sub.shape[0], h) if dy < 0
-                              else slice(h + nr, h + nr + sub.shape[0])
-                              if dy > 0 else slice(h, h + sub.shape[0]))
-                        pc_ = (slice(h - sub.shape[1], h) if dx < 0
-                               else slice(h + nc, h + nc + sub.shape[1])
-                               if dx > 0 else slice(h, h + sub.shape[1]))
-                        pad[pr, pc_] = sub
-                cnt = visible_counts(pad, h, hole)
-                passable = me != hole
-                u, n = np.unique(cnt[passable], return_counts=True)
-                for v, k in zip(u.tolist(), n.tolist()):
-                    hist[v] = hist.get(v, 0) + k
-            keys = sorted(hist)
-            return pa.table({
-                "n_vis": pa.array(keys, pa.int64()),
-                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
-
     from ray.data.aggregate import Sum
-    fn = as_task_fn(_ViewTiles)
+    fn = as_task_fn(_ViewKernel, world_path=world_path, dataset=dataset,
+                    layout=layout, hole=hole, h=h, per_tile=False)
     out = (ray.data.from_items([{"id": int(i)} for i in present])
            .map_batches(fn, batch_format="pyarrow",
                         batch_size=batch_size)
@@ -195,3 +221,89 @@ def visibility_histogram(world_path: str, dataset: str = "kg",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("n_vis").reset_index(drop=True)
+
+
+def visibility_tile_partials(world_path: str, dataset: str = "kg",
+                             radius: int = 4, *,
+                             tile_ids: list[int] | None = None,
+                             hole_value: int | None = None,
+                             batch_size: int = 16) -> pd.DataFrame:
+    """Per-tile (tile_id, n_vis, n_px) histogram partial rows — the
+    cacheable form of ``visibility_histogram`` (visibility is a pure
+    function of a tile's R-halo, so a tile's partial is invalidated
+    ONLY by changes within Chebyshev distance 1 of it — the basis of
+    ``visibility_incremental``). ``tile_ids`` restricts the pass."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    if radius > grid.tile:
+        raise ValueError("radius exceeds tile size")
+    present = _present_tiles(world_path, dataset, grid)
+    if tile_ids is not None:
+        want = set(int(i) for i in tile_ids)
+        present = [i for i in present if i in want]
+    if not present:
+        return pd.DataFrame({"tile_id": pd.Series([], dtype=np.int64),
+                             "n_vis": pd.Series([], dtype=np.int64),
+                             "n_px": pd.Series([], dtype=np.int64)})
+    h = int(radius)
+    fn = as_task_fn(_ViewKernel, world_path=world_path, dataset=dataset,
+                    layout=layout, hole=hole, h=h, per_tile=True)
+    out = (ray.data.from_items([{"id": int(i)} for i in present])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["tile_id", "n_vis"])
+            .reset_index(drop=True))
+
+
+def visibility_incremental(world_a: str, world_b: str,
+                           dataset: str = "kg", radius: int = 4, *,
+                           partials_a: pd.DataFrame | None = None,
+                           hole_value: int | None = None):
+    """Maintain the visibility histogram across a world edit without
+    a full re-scan: visibility is R-halo-local, so a changed /
+    added / removed tile invalidates ONLY itself and its 8 neighbors.
+    Diff the two versions (derived-ref compare, shuffle-free),
+    recompute partials for the affected present tiles of ``world_b``,
+    splice them over the cached per-tile partials of ``world_a``, and
+    re-fold the bins-sized histogram. Returns (histogram, report);
+    bit-equal to the full recompute because per-tile partials are
+    order-free integer rows. At 100 TB the splice is an anti-join on
+    tile_id over the partials Dataset; the recompute pass is already
+    restricted to the affected tiles."""
+    from .pyramid import diff_worlds
+
+    layout = model.world_layout(world_b)
+    grid = world_grid(world_b, layout[dataset]["grid"])
+    if partials_a is None:
+        partials_a = visibility_tile_partials(world_a, dataset, radius,
+                                              hole_value=hole_value)
+    diff = diff_worlds(world_a, world_b, dataset)
+    changed = set()
+    for ty, tx in zip(diff["tile_y"], diff["tile_x"]):
+        changed.add(int(ty) * grid.tiles_x + int(tx))
+    affected = set()
+    for tid in changed:
+        ty, tx = tid // grid.tiles_x, tid % grid.tiles_x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny, nx = ty + dy, tx + dx
+                if 0 <= ny < grid.tiles_y and 0 <= nx < grid.tiles_x:
+                    affected.add(ny * grid.tiles_x + nx)
+    present_b = set(_present_tiles(world_b, dataset, grid))
+    recompute = sorted(affected & present_b)
+    fresh = visibility_tile_partials(world_b, dataset, radius,
+                                     tile_ids=recompute,
+                                     hole_value=hole_value)
+    kept = partials_a[~partials_a["tile_id"].isin(affected)]
+    spliced = pd.concat([kept, fresh], ignore_index=True)
+    hist = (spliced.groupby("n_vis", as_index=False)["n_px"].sum()
+            .astype(np.int64)
+            .sort_values("n_vis").reset_index(drop=True))
+    report = {"tiles_changed": len(changed),
+              "tiles_recomputed": len(recompute)}
+    return hist, report

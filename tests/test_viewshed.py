@@ -59,3 +59,14 @@ def test_viewshed_batch_invariance(tiny_world):
     a = viewshed.visibility_histogram(tiny_world, "kg", 3, batch_size=5)
     b = viewshed.visibility_histogram(tiny_world, "kg", 3, batch_size=32)
     assert a.equals(b)
+
+
+def test_viewshed_tile_partials_fold(tiny_world):
+    """Per-tile partials re-fold to exactly the global histogram."""
+    import numpy as np
+    parts = viewshed.visibility_tile_partials(tiny_world, "kg", 3)
+    hist = (parts.groupby("n_vis", as_index=False)["n_px"].sum()
+            .astype(np.int64)
+            .sort_values("n_vis").reset_index(drop=True))
+    full = viewshed.visibility_histogram(tiny_world, "kg", 3)
+    assert hist.equals(full)
