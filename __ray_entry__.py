@@ -2035,6 +2035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "inactive_customers": relational.inactive_customers_by_nation,
         "orders_above_avg": relational.orders_above_customer_avg,
+        "q6_revenue": relational.q6_revenue,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q4_priority_check": relational.q4_priority_check,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2281,6 +2284,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "orders_above_avg": relational.ORDERS_ABOVE_AVG_SQL,
+        "q6_revenue": relational.Q6_REVENUE_SQL,
+        "q12_late_shipments": relational.Q12_LATE_SQL,
+        "q4_priority_check": relational.Q4_PRIORITY_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

@@ -3220,3 +3220,230 @@ FROM o JOIN s USING (o_custkey)
 WHERE o.pc * s.n > s.sc
 GROUP BY o.o_custkey ORDER BY custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics adapted to the synthetic schema: Q6 / Q12 / Q4 shapes
+# ---------------------------------------------------------------------------
+
+_US = lambda s: int(np.datetime64(s, "us").astype(np.int64))  # noqa: E731
+
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 (forecast-revenue-change): SUM(extendedprice *
+    discount) under a shipdate-year + discount-band + quantity
+    predicate — the canonical scan-side aggregate. Pure per-batch
+    integer partials: price and discount both in cents, so the
+    product is an exact int64 and the single division by 10^4 happens
+    once at the end on both sides. The discount band compares cents
+    (IN (5,6,7)), never floats."""
+    lo, hi = _US("1996-01-01"), _US("1997-01-01")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        dc = _cents(b["l_discount"])
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        pc = _cents(b["l_extendedprice"])
+        m = ((sd >= lo) & (sd < hi) & np.isin(dc, (5, 6, 7))
+             & (qty < 24))
+        return pa.table({"rev4": pa.array([int((pc[m] * dc[m]).sum())],
+                                          pa.int64())})
+
+    from ray.data.aggregate import Sum
+    tot = (ds.map_batches(partial, batch_format="pyarrow")
+             .aggregate(Sum("rev4", alias_name="rev4")))
+    return pd.DataFrame({"revenue": [tot["rev4"] / 10000.0]})
+
+
+Q6_REVENUE_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) IN (5, 6, 7)
+  AND l_quantity < 24
+"""
+
+#: Q12/Q4 lateness cutoff: a line shipped more than this many days
+#: after its order date counts as late (the synthetic schema has no
+#: commit/receipt dates; order->ship lag is the equivalent signal)
+_LATE_DAYS = 30
+_LATE_US = _LATE_DAYS * 86_400_000_000
+
+
+def q12_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (shipmode priority matrix) on the synthetic
+    schema: per l_linestatus, how many LATE lines (shipped >30 days
+    after the order date) belong to high-priority (1-URGENT/2-HIGH)
+    vs lower-priority orders. Fact-fact join on the order key over
+    ONE coarse hash fold; per partition a vectorized merge + masked
+    bincount — integer counts, exact under any partitioning."""
+    from .util import shuffle_width
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate", "l_linestatus"])
+    n_parts = shuffle_width(orders)
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        pri = b["o_orderpriority"].to_pylist()
+        high = np.asarray([p in ("1-URGENT", "2-HIGH") for p in pri],
+                          dtype=np.int8)
+        return pa.table({
+            "part": pa.array((ok % n_parts).astype(np.int32)),
+            "key": pa.array(ok), "ts": pa.array(od),
+            "high": pa.array(high),
+            "status": pa.array([""] * len(ok), pa.string()),
+            "side": pa.array(np.zeros(len(ok), dtype=np.int8))})
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((ok % n_parts).astype(np.int32)),
+            "key": pa.array(ok), "ts": pa.array(sd),
+            "high": pa.array(np.zeros(len(ok), dtype=np.int8)),
+            "status": b["l_linestatus"].cast(pa.string()),
+            "side": pa.array(np.ones(len(ok), dtype=np.int8))})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+                  .union(lines.map_batches(l_prep,
+                                           batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return pd.DataFrame({"status": pd.Series([], dtype=str),
+                                 "high": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        om = o.set_index("key")
+        odate = om["ts"].reindex(li["key"]).to_numpy()
+        ohigh = om["high"].reindex(li["key"]).to_numpy()
+        late = li["ts"].to_numpy() > odate + _LATE_US
+        hit = li.loc[late].copy()
+        hit["high"] = ohigh[late].astype(np.int64)
+        out = (hit.groupby(["status", "high"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out[["status", "high", "n"]]
+
+    from ray.data.aggregate import Sum
+    agg = (both.groupby("part")
+               .map_groups(fold, batch_format="pandas")
+               .groupby(["status", "high"])
+               .aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+    piv = agg.pivot_table(index="status", columns="high", values="n",
+                          fill_value=0).reset_index()
+    piv.columns.name = None
+    out = pd.DataFrame({
+        "l_linestatus": piv["status"],
+        "high_line_count": piv.get(1, pd.Series(0, index=piv.index)),
+        "low_line_count": piv.get(0, pd.Series(0, index=piv.index))})
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+Q12_LATE_SQL = f"""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q4_priority_check(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per order priority,
+    the count of orders with AT LEAST ONE late line (the EXISTS
+    semi-join). Same one-fold co-partitioning as Q12; per partition
+    the late order keys collapse to a distinct set before counting."""
+    from .util import shuffle_width
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+    n_parts = shuffle_width(orders)
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((ok % n_parts).astype(np.int32)),
+            "key": pa.array(ok), "ts": pa.array(od),
+            "pri": b["o_orderpriority"].cast(pa.string()),
+            "side": pa.array(np.zeros(len(ok), dtype=np.int8))})
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((ok % n_parts).astype(np.int32)),
+            "key": pa.array(ok), "ts": pa.array(sd),
+            "pri": pa.array([""] * len(ok), pa.string()),
+            "side": pa.array(np.ones(len(ok), dtype=np.int8))})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+                  .union(lines.map_batches(l_prep,
+                                           batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        if not len(o):
+            return pd.DataFrame({"pri": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        om = o.set_index("key")
+        if len(li):
+            odate = om["ts"].reindex(li["key"]).to_numpy()
+            late_keys = np.unique(
+                li.loc[li["ts"].to_numpy() > odate + _LATE_US,
+                       "key"].to_numpy())
+        else:
+            late_keys = np.zeros(0, dtype=np.int64)
+        hit = o[np.isin(o["key"].to_numpy(), late_keys)]
+        out = (hit.groupby("pri", as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out[["pri", "n"]]
+
+    from ray.data.aggregate import Sum
+    out = (both.groupby("part")
+               .map_groups(fold, batch_format="pandas")
+               .groupby("pri")
+               .aggregate(Sum("n", alias_name="order_count"))
+               .to_pandas())
+    out = out.rename(columns={"pri": "o_orderpriority"})
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return (out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+Q4_PRIORITY_SQL = f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -2207,3 +2207,16 @@ def test_bpe_overlap_parity():
     s = np.array([97, 97, 97, 97, 97], dtype=np.int64)
     out = _bpe_apply_merge(s, 97, 97, 256)
     assert out.tolist() == [256, 256, 97]
+
+
+def test_tpch_classics_match_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.q6_revenue(SF), relational.Q6_REVENUE_SQL,
+                  con)
+    _assert_match(relational.q12_late_shipments(SF),
+                  relational.Q12_LATE_SQL, con)
+    q4 = relational.q4_priority_check(SF)
+    _assert_match(q4, relational.Q4_PRIORITY_SQL, con)
+    # EXISTS counts orders once regardless of how many late lines
+    assert int(q4["order_count"].sum()) <= con.execute(
+        "SELECT COUNT(*) FROM orders").fetchone()[0]
