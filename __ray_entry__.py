@@ -1846,6 +1846,18 @@ def _bpe_train(sf_dir: str):
     return mine
 
 
+def _bpe_encode_stats(sf_dir: str):
+    """Tokenizer train -> encode composition: encoded-length histogram
+    under the learned merges must match the independent pure-Python
+    train+encode path exactly."""
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.bpe_encode_stats(sf_dir, 8)
+    want = corpus.bpe_encode_stats_sequential(sf_dir, 8)
+    if not mine.equals(want):
+        raise AssertionError("distributed BPE encode != sequential")
+    return mine
+
+
 def _dedup_index_serve(sf_dir: str):
     """Persistent minhash LSH index (near-dup serving): build the
     band-posting sink, query the SAME corpus against it, and assert
@@ -2084,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_containment": dedup.ngram_containment_dedup,
         "dedup_index_serve": _dedup_index_serve,
         "bpe_train": _bpe_train,
+        "bpe_encode_stats": _bpe_encode_stats,
         "jaccard_pairs": dedup.jaccard_pairs,
         "dedup_prefix": dedup.prefix_dup_groups,
         "dup_ngram_spans": dedup.dup_ngram_spans,

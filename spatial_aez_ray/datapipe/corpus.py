@@ -1978,3 +1978,84 @@ def bpe_train_sequential(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
     out["step"] = out["step"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """Train BPE merges, then ENCODE the corpus under them — the
+    end-to-end tokenizer composition (train -> encode) a data pipeline
+    actually ships. Output: (n_tokens, n_docs) histogram of encoded
+    document lengths. The encode pass is one map_batches applying the
+    learned merges with the same vectorized left-to-right replacement
+    the trainer uses; the histogram combine is bins-sized."""
+    from ray.data.aggregate import Sum
+
+    trained = bpe_train(sf_dir, n_merges)
+    # rebuild id-level merges from the string table (ids are dense)
+    names: dict[str, int] = {}
+    merges: list[tuple[int, int, int]] = []
+    def to_id(tok: str) -> int:
+        if len(tok) == 1:
+            return ord(tok)
+        return names[tok]
+    for step, left, right in zip(trained["step"], trained["left"],
+                                 trained["right"]):
+        c = _BPE_BASE + int(step)
+        a, b = to_id(str(left)), to_id(str(right))
+        names[str(left) + str(right)] = c
+        merges.append((a, b, c))
+
+    def encode(b: pa.Table) -> pa.Table:
+        hist: dict[int, int] = {}
+        for t in b["text"].to_pylist():
+            s = np.frombuffer(t.encode("latin-1"),
+                              np.uint8).astype(np.int64)
+            for a, bb, c in merges:
+                s = _bpe_apply_merge(s, a, bb, c)
+            hist[len(s)] = hist.get(len(s), 0) + 1
+        keys = sorted(hist)
+        return pa.table({
+            "n_tokens": pa.array(keys, pa.int64()),
+            "n_docs": pa.array([hist[k] for k in keys], pa.int64())})
+
+    out = (_read_docs(sf_dir, columns=["text"])
+           .map_batches(encode, batch_format="pyarrow")
+           .groupby("n_tokens")
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_tokens").reset_index(drop=True)
+
+
+def bpe_encode_stats_sequential(sf_dir: str,
+                                n_merges: int = 8) -> pd.DataFrame:
+    """Independent pure-Python train+encode (the dict-and-list path of
+    ``bpe_train_sequential`` carried through to document lengths)."""
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])["text"].tolist()
+    seqs = [[chr(b) for b in t.encode("latin-1")] for t in docs]
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        top = max(counts.values())
+        a, b = min(p for p, v in counts.items() if v == top)
+        tok = a + b
+        for d, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[d] = out
+    lens = pd.Series([len(s) for s in seqs])
+    vc = lens.value_counts().sort_index()
+    return pd.DataFrame({"n_tokens": vc.index.astype(np.int64),
+                         "n_docs": vc.to_numpy(np.int64)})
