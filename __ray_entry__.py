@@ -586,6 +586,28 @@ def _spatial_zonal_cost(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_upsample_bilinear(sf_dir: str):
+    """Bilinear k×-upsample (the interpolating GDAL resampler): the
+    all-integer 2x2 stencil over a 1-px derived-ref halo, with world-
+    frame edge clamp and nonzero-weight nodata propagation, must match
+    the whole-array oracle bit-exactly at two scale factors."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import warp
+    om = _oracle_mod()
+    outs = []
+    for ds, k in (("kg", 2), ("wk", 3)):
+        mine = warp.upsample_bilinear(_world(), ds, k)
+        want = om.upsample_bilinear_oracle(fixtures.TINY, ds, k)
+        if not mine.equals(want):
+            raise AssertionError(f"bilinear upsample ({ds}, k={k}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "k", k)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_viewshed(sf_dir: str):
     """Total viewshed / visibility index (GRASS r.viewshed family):
     per-pixel count of LOS-visible cells within radius 4, all-integer
@@ -2196,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
+        "spatial_upsample_bilinear": _spatial_upsample_bilinear,
         "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,

@@ -1547,3 +1547,56 @@ def zonal_cost_stats_oracle(spec, dataset: str = "kg", target: int = 14,
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out
+
+
+def upsample_bilinear_oracle(spec, dataset: str = "kg", k: int = 3,
+                             hole_value: int | None = None
+                             ) -> pd.DataFrame:
+    """Sequential whole-array bilinear k×-upsample histogram: the
+    integer stencil of ``warp.upsample_bilinear`` over the hole-padded
+    full raster with edge replication at the world frame; nodata
+    propagates through any nonzero-weight stencil touch (value -1).
+    Output pixels of absent tiles are excluded on both sides."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0].copy()
+    land_idx = fixtures.land_index(spec.seed)
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                base[y:y + nr, x:x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    pad = np.pad(base, 1, mode="edge")
+    V = pad.astype(np.int64)
+    P = pad != hole
+    kk = int(k)
+    H, W = grid.height, grid.width
+    yo = np.arange(H * kk, dtype=np.int64)
+    xo = np.arange(W * kk, dtype=np.int64)
+    ny = 2 * yo + 1 - kk
+    nx = 2 * xo + 1 - kk
+    fy = ny // (2 * kk)
+    fx = nx // (2 * kk)
+    ry = (ny - fy * 2 * kk)[:, None]
+    rx = (nx - fx * 2 * kk)[None, :]
+    ly, lx = fy + 1, fx + 1
+    wy = 2 * kk - ry
+    wx = 2 * kk - rx
+    A = np.ix_(ly, lx)
+    Bx = np.ix_(ly, lx + 1)
+    Cy = np.ix_(ly + 1, lx)
+    D = np.ix_(ly + 1, lx + 1)
+    num = (V[A] * (wy * wx) + V[Bx] * (wy * rx)
+           + V[Cy] * (ry * wx) + V[D] * (ry * rx))
+    out = num // (4 * kk * kk)
+    ok = ((P[A] | (wy * wx == 0)) & (P[Bx] | (wy * rx == 0))
+          & (P[Cy] | (ry * wx == 0)) & (P[D] | (ry * rx == 0)))
+    vals = np.where(ok, out, np.int64(-1))
+    keep = np.repeat(np.repeat(present, kk, axis=0), kk, axis=1)
+    u, n = np.unique(vals[keep], return_counts=True)
+    return pd.DataFrame({"value": u.astype(np.int64),
+                         "n_px": n.astype(np.int64)})

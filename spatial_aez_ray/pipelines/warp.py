@@ -186,3 +186,150 @@ def warp_to_mercator(world_path: str, dataset: str, out_dir: str, *,
                             .sum(dtype=np.int64))}])
 
 
+
+
+# ------------------------------------------------------ bilinear upsample
+
+def upsample_bilinear(world_path: str, dataset: str = "kg",
+                      k: int = 3, *, hole_value: int | None = None,
+                      batch_size: int = 32) -> pd.DataFrame:
+    """(value, n_px) histogram of the k×-finer BILINEAR resample — the
+    interpolating member of the GDAL resampler family the engine now
+    covers end-to-end (near = warp, majority = pyramid overviews,
+    box/area = downsample, bilinear here). All-integer: output pixel
+    (yo, xo) maps to source position ((2·yo+1−k)/(2k), ·); the four
+    stencil weights are the integer products (2k−ry)(2k−rx) etc. with
+    denominator (2k)², and the output value is the FLOOR division of
+    the weighted sum (GDAL's round differs by at most the usual ±½;
+    floor keeps the arithmetic exact and oracle-stable). World-frame
+    coordinates clamp (edge replication, as gdalwarp does); a stencil
+    touching a nodata source pixel WITH NONZERO WEIGHT emits nodata
+    (reported under value −1). Absent (sparse) tiles are nodata.
+
+    Distributed shape: output pixels partition by the source tile
+    that owns their stencil anchor, so this is the focal discipline —
+    one shuffle-free pass over present source tiles with a 1-px
+    derived-ref halo; each batch emits a ≤257-row histogram partial.
+    The bit-exactness vs ``oracle.upsample_bilinear_oracle`` is
+    structural: a pure per-output-pixel integer function of the
+    halo."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .hydro import _present_tiles
+    present = _present_tiles(world_path, dataset, grid)
+    kk = int(k)
+
+    from ..datapipe.util import as_task_fn
+
+    class _Bilinear:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.grid = world_grid(world_path, layout[dataset]["grid"])
+
+        def _dims(self, ty, tx):
+            g = self.grid
+            return (min(g.tile, g.height - ty * g.tile),
+                    min(g.tile, g.width - tx * g.tile))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from .hydro import _assemble_pad
+            g = self.grid
+            t = g.tile
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            plans, want = [], set()
+            for pid in ids:
+                ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+                nbrs = {}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                            r = model.media_ref(dataset, g.name,
+                                                ny, nx, 1)
+                            nbrs[(dy, dx)] = (ny, nx, r)
+                            want.add(r)
+                plans.append((ty, tx, nbrs))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            hist: dict[int, int] = {}
+            for ty, tx, nbrs in plans:
+                if payloads.get(nbrs[(0, 0)][2]) is None:
+                    continue
+                nr, nc = self._dims(ty, tx)
+                pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                    hole)
+                # world-frame clamp: replicate the tile's own edge
+                if ty == 0:
+                    pad[0, 1:-1] = pad[1, 1:-1]
+                if ty * t + nr == g.height:
+                    pad[-1, 1:-1] = pad[-2, 1:-1]
+                if tx == 0:
+                    pad[1:-1, 0] = pad[1:-1, 1]
+                if tx * t + nc == g.width:
+                    pad[1:-1, -1] = pad[1:-1, -2]
+                for (cy, cx), (sy, sx) in (((0, 0), (1, 1)),
+                                           ((0, -1), (1, -2)),
+                                           ((-1, 0), (-2, 1)),
+                                           ((-1, -1), (-2, -2))):
+                    if pad[cy, cx] == hole:
+                        oy = (ty == 0) if cy == 0 else \
+                            (ty * t + nr == g.height)
+                        ox = (tx == 0) if cx == 0 else \
+                            (tx * t + nc == g.width)
+                        if oy and ox:
+                            pad[cy, cx] = pad[sy, sx]
+                        elif oy:
+                            pad[cy, cx] = pad[sy, cx]
+                        elif ox:
+                            pad[cy, cx] = pad[cy, sx]
+                V = pad.astype(np.int64)
+                P = pad != hole
+                yo = np.arange(nr * kk, dtype=np.int64) + ty * t * kk
+                xo = np.arange(nc * kk, dtype=np.int64) + tx * t * kk
+                ny_ = 2 * yo + 1 - kk
+                nx_ = 2 * xo + 1 - kk
+                fy = ny_ // (2 * kk)
+                fx = nx_ // (2 * kk)
+                ry = ny_ - fy * 2 * kk
+                rx = nx_ - fx * 2 * kk
+                ly = fy - ty * t + 1
+                lx = fx - tx * t + 1
+                iy = np.ix_(ly, lx)
+                iy1 = np.ix_(ly + 1, lx)
+                ix1 = np.ix_(ly, lx + 1)
+                iy1x1 = np.ix_(ly + 1, lx + 1)
+                wy = (2 * kk - ry)[:, None]
+                wx = (2 * kk - rx)[None, :]
+                ry2 = ry[:, None]
+                rx2 = rx[None, :]
+                num = (V[iy] * (wy * wx) + V[ix1] * (wy * rx2)
+                       + V[iy1] * (ry2 * wx) + V[iy1x1] * (ry2 * rx2))
+                out = num // (4 * kk * kk)
+                ok = (((P[iy]) | (wy * wx == 0))
+                      & ((P[ix1]) | (wy * rx2 == 0))
+                      & ((P[iy1]) | (ry2 * wx == 0))
+                      & ((P[iy1x1]) | (ry2 * rx2 == 0)))
+                vals = np.where(ok, out, np.int64(-1))
+                u, n = np.unique(vals, return_counts=True)
+                for v, cnt in zip(u.tolist(), n.tolist()):
+                    hist[v] = hist.get(v, 0) + cnt
+            keys = sorted(hist)
+            return pa.table({
+                "value": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[kx] for kx in keys],
+                                 pa.int64())})
+
+    from ray.data.aggregate import Sum
+    fn = as_task_fn(_Bilinear)
+    out = (ray.data.from_items([{"id": int(i)} for i in present])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("value")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("value").reset_index(drop=True)
