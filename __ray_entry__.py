@@ -1951,6 +1951,26 @@ def _spatial_real_viewshed(sf_dir: str):
     return mine
 
 
+def _spatial_real_bilinear(sf_dir: str):
+    """Bilinear resampler on REAL raster layout: the integer-stencil
+    upsample over the imported GRC mask (archipelago seams, clamped
+    edge tiles) must match the direct sequential file walk
+    bit-exactly — on a 0/1 mask this is the interior-vs-boundary-band
+    decomposition, a pure seam-correctness signal."""
+    import shutil
+    from spatial_aez_ray.pipelines import realmask, warp
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_bilinear_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    mine = warp.upsample_bilinear(w, "realmask", 2)
+    want = realmask.mask_file_bilinear(path, 2)
+    if not mine.equals(want):
+        raise AssertionError("real-mask bilinear != direct walk")
+    return mine
+
+
 def _spatial_real_watershed(sf_dir: str):
     """Watershed delineation on REAL raster layout: same imported GRC
     world as the flow-accumulation leg; the distributed one-pass
@@ -2241,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_terrain": _spatial_real_mask_terrain,
         "spatial_real_flow_accum": _spatial_real_flow_accum,
         "spatial_real_viewshed": _spatial_real_viewshed,
+        "spatial_real_bilinear": _spatial_real_bilinear,
         "spatial_real_png_palette": _spatial_real_png_palette,
         "spatial_real_region_rollup": _spatial_real_region_rollup,
         "spatial_real_csv_areas": _spatial_real_csv_areas,

@@ -553,3 +553,71 @@ def mask_file_visibility(path: str, radius: int = 4) -> "pd.DataFrame":
     return pd.DataFrame({"n_vis": np.asarray(keys, np.int64),
                          "n_px": np.asarray([hist[k] for k in keys],
                                             np.int64)})
+
+
+def mask_file_bilinear(path: str, k: int = 2) -> "pd.DataFrame":
+    """Direct sequential bilinear k×-upsample histogram over one REAL
+    mask file: nonsparse tiles decoded into a bbox-bounded array with
+    a 1-px zero border (mask nodata 0 — the world frame is far from
+    any mask bbox, so no edge clamp applies), the integer stencil of
+    ``warp.upsample_bilinear`` run once, and only present-tile output
+    pixels counted. On a 0/1 mask the result is the interior-vs-
+    boundary-band decomposition: value 1 inside, −1 where any stencil
+    touches the outside — the seam-correctness signal."""
+    import pandas as pd
+
+    t = MASK_GRID.tile
+    kk = int(k)
+    r = GeoTiffReader(path)
+    try:
+        present = sorted((int(a), int(b)) for a, b in r.nonsparse_tiles())
+        tys = [p[0] for p in present]
+        txs = [p[1] for p in present]
+        ty0, ty1 = min(tys), max(tys)
+        tx0, tx1 = min(txs), max(txs)
+        sub = np.zeros(((ty1 - ty0 + 1) * t + 2,
+                        (tx1 - tx0 + 1) * t + 2), np.uint8)
+        dims = {}
+        for ty, tx in present:
+            arr = r.read_tile(ty, tx)
+            y, x = (ty - ty0) * t + 1, (tx - tx0) * t + 1
+            sub[y:y + arr.shape[0], x:x + arr.shape[1]] = arr
+            dims[(ty, tx)] = arr.shape
+    finally:
+        r.close()
+    V = sub.astype(np.int64)
+    P = sub != 0
+    H = sub.shape[0] - 2
+    W = sub.shape[1] - 2
+    yo = np.arange(H * kk, dtype=np.int64)
+    xo = np.arange(W * kk, dtype=np.int64)
+    ny = 2 * yo + 1 - kk
+    nx = 2 * xo + 1 - kk
+    fy = ny // (2 * kk)
+    fx = nx // (2 * kk)
+    ry = (ny - fy * 2 * kk)[:, None]
+    rx = (nx - fx * 2 * kk)[None, :]
+    ly, lx = fy + 1, fx + 1
+    wy = 2 * kk - ry
+    wx = 2 * kk - rx
+    A = np.ix_(ly, lx)
+    Bx = np.ix_(ly, lx + 1)
+    Cy = np.ix_(ly + 1, lx)
+    D = np.ix_(ly + 1, lx + 1)
+    num = (V[A] * (wy * wx) + V[Bx] * (wy * rx)
+           + V[Cy] * (ry * wx) + V[D] * (ry * rx))
+    out = num // (4 * kk * kk)
+    ok = ((P[A] | (wy * wx == 0)) & (P[Bx] | (wy * rx == 0))
+          & (P[Cy] | (ry * wx == 0)) & (P[D] | (ry * rx == 0)))
+    vals = np.where(ok, out, np.int64(-1))
+    hist: dict[int, int] = {}
+    for (ty, tx), (nr, nc) in dims.items():
+        y, x = (ty - ty0) * t, (tx - tx0) * t
+        v = vals[y * kk:(y + nr) * kk, x * kk:(x + nc) * kk]
+        u, n = np.unique(v, return_counts=True)
+        for vv, nn in zip(u.tolist(), n.tolist()):
+            hist[vv] = hist.get(vv, 0) + nn
+    keys = sorted(hist)
+    return pd.DataFrame({"value": np.asarray(keys, np.int64),
+                         "n_px": np.asarray([hist[kx] for kx in keys],
+                                            np.int64)})
