@@ -2040,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_parts": relational.filter_parts,
         "events_sessionize": temporal.sessionize,
         "interval_coverage": temporal.interval_coverage,
+        "customer_reorder_gaps": temporal.customer_reorder_gaps,
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
@@ -2082,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
         "phrase_search": corpus.phrase_search,
+        "near_search": corpus.near_search,
         "bm25_topk": corpus.bm25_topk,
         "pmi_top_pairs": corpus.pmi_top_pairs,
         "corpus_build_manifest": corpus.corpus_build_manifest,
@@ -2279,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": temporal.SESSIONIZE_SQL,
         "interval_coverage": temporal.INTERVAL_COVERAGE_SQL,
+        "customer_reorder_gaps": temporal.REORDER_GAPS_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
@@ -2334,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "phrase_search": corpus.PHRASE_SEARCH_SQL,
+        "near_search": corpus.NEAR_SEARCH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
         "corpus_build_manifest": corpus.CORPUS_BUILD_MANIFEST_SQL,

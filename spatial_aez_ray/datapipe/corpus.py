@@ -2059,3 +2059,92 @@ def bpe_encode_stats_sequential(sf_dir: str,
     vc = lens.value_counts().sort_index()
     return pd.DataFrame({"n_tokens": vc.index.astype(np.int64),
                          "n_docs": vc.to_numpy(np.int64)})
+
+
+#: default NEAR query: the two most frequent tokens, window 3
+NEAR_TERMS, NEAR_WINDOW = ("scan", "column"), 3
+
+
+def near_search(sf_dir: str, t1: str = NEAR_TERMS[0],
+                t2: str = NEAR_TERMS[1],
+                window: int = NEAR_WINDOW) -> pd.DataFrame:
+    """Documents where ``t1`` and ``t2`` occur within ``window`` token
+    positions of each other (the IR NEAR/k operator — phrase search's
+    unordered sibling; an inverted index serves it from positional
+    postings). Per doc: the count of (i, j) position pairs with
+    |i−j| <= window and the smallest such |i−j|. Scan-side and
+    shuffle-free: per batch one token flattening, then per-doc
+    searchsorted range counting between the two (sorted) position
+    lists — no pair materialization."""
+    if t1 == t2:
+        raise ValueError("NEAR terms must differ")
+    w = int(window)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(batch["text"].to_pylist())
+        n = len(doc_ids)
+        first_flat = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_flat, doc_idx, np.arange(len(flat),
+                                                     dtype=np.int64))
+        out_doc, out_n, out_min = [], [], []
+        m1 = flat == t1
+        m2 = flat == t2
+        for d in np.unique(doc_idx[m1 & np.isin(doc_idx,
+                                                doc_idx[m2])]):
+            p1 = np.flatnonzero(m1 & (doc_idx == d)) - first_flat[d]
+            p2 = np.flatnonzero(m2 & (doc_idx == d)) - first_flat[d]
+            lo = np.searchsorted(p2, p1 - w, side="left")
+            hi = np.searchsorted(p2, p1 + w, side="right")
+            cnt = int((hi - lo).sum())
+            if not cnt:
+                continue
+            # smallest |i-j|: nearest p2 around each p1
+            ins = np.searchsorted(p2, p1)
+            best = np.iinfo(np.int64).max
+            left_ok = ins > 0
+            if left_ok.any():
+                best = min(best, int((p1[left_ok]
+                                      - p2[ins[left_ok] - 1]).min()))
+            right_ok = ins < len(p2)
+            if right_ok.any():
+                best = min(best, int((p2[ins[right_ok]]
+                                      - p1[right_ok]).min()))
+            out_doc.append(int(doc_ids[d]))
+            out_n.append(cnt)
+            out_min.append(best)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+            "min_dist": pa.array(out_min, pa.int64())})
+
+    out = (_read_docs(sf_dir, columns=["doc_id", "text"])
+           .map_batches(hits, batch_format="pyarrow")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _near_sql(t1: str, t2: str, window: int) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+           FROM documents),
+nums AS (SELECT unnest(generate_series(1,
+           (SELECT MAX(len(arr)) FROM d)::INT)) AS i),
+pos AS (SELECT doc_id, i, arr[i] AS tok
+        FROM d JOIN nums ON i <= len(arr)),
+p1 AS (SELECT doc_id, i FROM pos WHERE tok = '{t1}'),
+p2 AS (SELECT doc_id, i FROM pos WHERE tok = '{t2}'),
+pairs AS (
+  SELECT p1.doc_id, ABS(p1.i - p2.i) AS dist
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+  WHERE ABS(p1.i - p2.i) <= {window})
+SELECT doc_id, COUNT(*)::BIGINT AS n_pairs,
+       MIN(dist)::BIGINT AS min_dist
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+NEAR_SEARCH_SQL = _near_sql(*NEAR_TERMS, NEAR_WINDOW)

@@ -1861,3 +1861,72 @@ SELECT user_id,
        CAST(MAX(len) AS BIGINT) AS max_island_us
 FROM per_island GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# reorder gaps: lag() per customer over order dates
+# ---------------------------------------------------------------------------
+
+def customer_reorder_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per customer: number of reorders and the min / max / total gap
+    between consecutive orders, in whole days — the lag() window
+    pattern over the orders fact. One coarse entity-key shuffle; per
+    partition a lexsort + masked diff (ties on the same day are
+    0-day gaps, deterministic because the sort is (date, orderkey)).
+    Customers with a single order are absent (no gap exists)."""
+    from .util import shuffle_width
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    n_parts = shuffle_width(orders, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[D]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((ck % n_parts).astype(np.int32)),
+            "custkey": pa.array(ck),
+            "okey": b["o_orderkey"].cast(pa.int64()),
+            "day": pa.array(od)})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["custkey", "day", "okey"], kind="stable",
+                          ignore_index=True)
+        ck = g["custkey"].to_numpy()
+        day = g["day"].to_numpy()
+        same = np.r_[False, ck[1:] == ck[:-1]]
+        d = np.r_[np.int64(0), day[1:] - day[:-1]]
+        gg = pd.DataFrame({"custkey": ck[same], "gap": d[same]})
+        out = gg.groupby("custkey", as_index=False).agg(
+            n_reorders=("gap", "size"), min_gap=("gap", "min"),
+            max_gap=("gap", "max"), total_gap=("gap", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (orders.map_batches(prep, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(gaps, batch_format="pandas")
+                 .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+REORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         epoch(o_orderdate)::BIGINT // 86400 AS day,
+         LAG(epoch(o_orderdate)::BIGINT // 86400) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_day
+  FROM orders)
+SELECT custkey,
+       COUNT(*)::BIGINT AS n_reorders,
+       MIN(day - prev_day)::BIGINT AS min_gap,
+       MAX(day - prev_day)::BIGINT AS max_gap,
+       SUM(day - prev_day)::BIGINT AS total_gap
+FROM o WHERE prev_day IS NOT NULL
+GROUP BY custkey ORDER BY custkey
+"""

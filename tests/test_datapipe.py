@@ -2220,3 +2220,21 @@ def test_tpch_classics_match_sql(con):
     # EXISTS counts orders once regardless of how many late lines
     assert int(q4["order_count"].sum()) <= con.execute(
         "SELECT COUNT(*) FROM orders").fetchone()[0]
+
+
+def test_reorder_gaps_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.customer_reorder_gaps(SF)
+    _assert_match(mine, temporal.REORDER_GAPS_SQL, con)
+    assert (mine["n_reorders"] >= 1).all()
+    assert (mine["max_gap"] >= mine["min_gap"]).all()
+
+
+def test_near_search_matches_sql(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.near_search(SF)
+    _assert_match(mine, corpus.NEAR_SEARCH_SQL, con)
+    # NEAR at window 1 in order == the phrase hits are a subset
+    ph = corpus.phrase_search(SF, corpus.NEAR_TERMS)
+    nr1 = corpus.near_search(SF, *corpus.NEAR_TERMS, window=1)
+    assert set(ph["doc_id"]) <= set(nr1["doc_id"])
