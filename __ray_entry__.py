@@ -517,6 +517,34 @@ def _spatial_strahler(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_flow_length(sf_dir: str):
+    """D8 flow-path length (ArcGIS Flow Length): weighted in-tile
+    pointer doubling + memoized seam chase must equal the whole-array
+    weighted doubling bit-exactly; pits are exactly the length-0
+    pixels, cross-checked against the watershed pit census."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    import pandas as pd
+    for ds in ("kg", "lc"):
+        mine = hydro.flow_path_length(_world(), ds)
+        want = om.flowlen_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"flow length ({ds}) != oracle")
+        if ds == "kg":  # pit census cross-check (one dataset is plenty)
+            ws = hydro.watershed_basins(_world(), ds)
+            n_pits = int((ws.loc[ws["kind"] == "basin", "n"]).sum())
+            n_len0 = int(mine.loc[mine["path_len"] == 0, "n_px"].sum())
+            if n_pits != n_len0:
+                raise AssertionError(
+                    f"pit census mismatch ({ds}): {n_pits} vs {n_len0}")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_cost_distance(sf_dir: str):
     """Least-cost distance (GRASS r.cost analog — the weighted,
     globally-dependent sibling of gdal_proximity): the block-Jacobi
@@ -2235,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_crosstab": _spatial_crosstab,
         "spatial_aspect": _spatial_aspect,
         "spatial_flow_accum": _spatial_flow_accum,
+        "spatial_flow_length": _spatial_flow_length,
         "spatial_watershed": _spatial_watershed,
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,

@@ -1600,3 +1600,63 @@ def upsample_bilinear_oracle(spec, dataset: str = "kg", k: int = 3,
     u, n = np.unique(vals[keep], return_counts=True)
     return pd.DataFrame({"value": u.astype(np.int64),
                          "n_px": n.astype(np.int64)})
+
+
+def flowlen_hist(pad: np.ndarray, present: np.ndarray) -> pd.DataFrame:
+    """Sequential whole-array D8 flow-path-length histogram: weighted
+    global pointer doubling (steps = edges to current parent; pits
+    terminate free, external drains cost their final move) — a
+    deliberately different derivation from the kernel's per-tile
+    doubling + seam chase."""
+    from .pipelines.hydro import _DX, _DY
+    from .pipelines.pyramid import flowdir_codes
+
+    code = flowdir_codes(pad)
+    h, w = code.shape
+    dy = _DY[code]
+    dx = _DX[code]
+    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    xx = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    ty = yy + dy
+    tx = xx + dx
+    flows = present & (code != 0)
+    inframe = flows & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+    valid = np.zeros_like(flows)
+    valid[inframe] = present[ty[inframe], tx[inframe]]
+
+    parent = np.arange(h * w, dtype=np.int64)
+    vm = valid.ravel()
+    parent[vm] = (ty * w + tx).ravel()[vm]
+    steps = vm.astype(np.int64)
+    for _ in range(int(np.ceil(np.log2(max(h * w, 2)))) + 1):
+        steps = steps + steps[parent]
+        parent = parent[parent]
+    # terminal cost: flowing root (external drain) pays its last move
+    term = (flows.ravel() & ~vm).astype(np.int64)
+    lens = steps + term[parent]
+    pr = present.ravel()
+    u, n = np.unique(lens[pr], return_counts=True)
+    return pd.DataFrame({"path_len": u.astype(np.int64),
+                         "n_px": n.astype(np.int64)})
+
+
+def flowlen_oracle(spec, dataset: str = "kg",
+                   hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array flow path length with the same hole padding as
+    ``flow_accum_oracle``."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    return flowlen_hist(pad, present)

@@ -1263,3 +1263,211 @@ def zonal_cost_stats(world_path: str, dataset: str = "kg",
     return (out[["admin", "n_reach", "sum_dist", "min_dist",
                  "max_dist", "n_unreach"]]
             .sort_values("admin").reset_index(drop=True))
+
+
+# ---------------------------------------------------- flow path length
+
+class _FlowLenTiles:
+    """Per-tile D8 flow-path-length kernel for ``flow_path_length``:
+    weighted pointer doubling — ``steps[x]`` is always the edge count
+    x -> parent[x], terminals are self-parented with their own cost
+    carried separately (pit 0, external drain 1, cross-seam resolved
+    by the driver chase) — so one pass emits, per tile:
+
+    * ring rows (node, cls, aux, steps): each border pixel's in-tile
+      steps to its local root plus that root's class/aux — what a
+      neighbor's chase needs;
+    * count rows (-1, cls, aux, steps, n): pixels grouped by (local
+      root, in-tile steps) — final length = steps + resolve(root).
+    """
+
+    def __init__(self, world_path: str, dataset: str, hole: int):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        t = g.tile
+        tcap = t * t
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name, ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+
+        o_node: list[np.ndarray] = []
+        o_cls: list[np.ndarray] = []
+        o_aux: list[np.ndarray] = []
+        o_steps: list[np.ndarray] = []
+        o_n: list[np.ndarray] = []
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                self.hole)
+            code = flowdir_codes(pad).ravel()
+            npx = nr * nc
+            rr = np.repeat(np.arange(nr, dtype=np.int64), nc)
+            cc = np.tile(np.arange(nc, dtype=np.int64), nr)
+            tr = rr + _DY[code]
+            tc = cc + _DX[code]
+            flows = code != 0
+            intile = (flows & (tr >= 0) & (tr < nr)
+                      & (tc >= 0) & (tc < nc))
+
+            gidx = (ty * t + rr) * g.width + (tx * t + cc)
+            cls = np.full(npx, _PIT, dtype=np.int64)
+            aux = gidx.copy()
+            cls[flows] = _EXT
+            aux[flows] = -1
+
+            pres33 = np.zeros((3, 3), dtype=bool)
+            for (dy, dx), (_ny, _nx, r) in nbrs.items():
+                pres33[dy + 1, dx + 1] = payloads.get(r) is not None
+            gy = ty * t + tr
+            gx = tx * t + tc
+            sel = np.flatnonzero(flows & ~intile
+                                 & (gy >= 0) & (gy < g.height)
+                                 & (gx >= 0) & (gx < g.width))
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                sel = sel[pres33[nty - ty + 1, ntx_ - tx + 1]]
+            if len(sel):
+                nty = gy[sel] // t
+                ntx_ = gx[sel] // t
+                dst_w = np.minimum(t, g.width - ntx_ * t)
+                cls[sel] = _CROSS
+                aux[sel] = ((nty * g.tiles_x + ntx_) * tcap
+                            + (gy[sel] - nty * t) * dst_w
+                            + (gx[sel] - ntx_ * t))
+
+            parent = np.arange(npx, dtype=np.int64)
+            parent[intile] = (tr * nc + tc)[intile]
+            steps = intile.astype(np.int64)
+            for _ in range(int(np.ceil(np.log2(max(npx, 2)))) + 1):
+                steps = steps + steps[parent]
+                parent = parent[parent]
+            rcls = cls[parent]
+            raux = aux[parent]
+
+            ring = np.flatnonzero((rr == 0) | (rr == nr - 1)
+                                  | (cc == 0) | (cc == nc - 1))
+            tile_id = ty * g.tiles_x + tx
+            o_node.append(tile_id * tcap + ring)
+            o_cls.append(rcls[ring])
+            o_aux.append(raux[ring])
+            o_steps.append(steps[ring])
+            o_n.append(np.zeros(len(ring), dtype=np.int64))
+
+            key = (parent * np.int64(1 << 20)) + steps  # steps <= 255
+            uk, cnt = np.unique(key, return_counts=True)
+            ur = (uk >> 20).astype(np.int64)
+            us = (uk & ((1 << 20) - 1)).astype(np.int64)
+            o_node.append(np.full(len(uk), -1, dtype=np.int64))
+            o_cls.append(cls[ur])
+            o_aux.append(aux[ur])
+            o_steps.append(us)
+            o_n.append(cnt.astype(np.int64))
+
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({"node": pa.array(cat(o_node)),
+                         "cls": pa.array(cat(o_cls)),
+                         "aux": pa.array(cat(o_aux)),
+                         "steps": pa.array(cat(o_steps)),
+                         "n": pa.array(cat(o_n))})
+
+
+def flow_path_length(world_path: str, dataset: str = "kg", *,
+                     hole_value: int | None = None,
+                     batch_size: int = 64) -> pd.DataFrame:
+    """(path_len, n_px) histogram of D8 flow-path length — the ArcGIS
+    Flow Length (downstream) product: edges traversed from each
+    present pixel until its flow terminates at a pit (cost 0 past the
+    last edge) or drains externally off-frame / into a hole (the
+    final move counts). Completes the hydrology family (accumulation,
+    watershed, Strahler, cost distance).
+
+    Scale design: ONE shuffle-free pass — weighted in-tile pointer
+    doubling (steps ride along with the parent jumps, terminals are
+    self-parented so the guard invariant 'steps = edges to parent'
+    holds throughout), O(tile edge) ring rows + O(distinct (root,
+    steps)) count rows out; the driver chase resolves cross-seam
+    offsets with memoization (the watershed seam-graph precedent).
+    Strictly-downhill D8 over uint8 bounds every path at 255 edges,
+    so the chase depth is bounded too. Bit-exact vs
+    ``oracle.flowlen_oracle``."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    fn = as_task_fn(_FlowLenTiles, world_path=world_path,
+                    dataset=dataset, hole=hole)
+    rows = (ray.data.from_items([{"id": int(i)} for i in present_tiles])
+            .map_batches(fn, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .to_pandas())
+
+    ring = rows[rows["node"] >= 0]
+    res: dict[int, tuple[int, int, int]] = {
+        int(nd): (int(c), int(a), int(s))
+        for nd, c, a, s in zip(ring["node"], ring["cls"],
+                               ring["aux"], ring["steps"])}
+    memo: dict[tuple[int, int], int] = {}
+
+    def resolve(cls: int, aux: int) -> int:
+        """Offset past the local root: 0 for a pit, 1 for external
+        drainage, 1 + dst steps + resolve(dst root) across a seam."""
+        path: list[tuple[int, int]] = []
+        total = 0
+        while cls == _CROSS:
+            if (cls, aux) in memo:
+                total += memo[(cls, aux)]
+                break
+            path.append((cls, aux))
+            if len(path) > MAX_ROUNDS:
+                raise AssertionError("flow-length chase too deep")
+            c2, a2, s2 = res[aux]
+            total += 1 + s2
+            cls, aux = c2, a2
+        else:
+            total += 0 if cls == _PIT else 1
+        # memoize suffix offsets along the chased path
+        acc = total
+        for (c0, a0) in path:
+            memo[(c0, a0)] = acc
+            c2, a2, s2 = res[a0]
+            acc -= 1 + s2
+        return total
+
+    cnt = rows[rows["node"] < 0]
+    hist: dict[int, int] = {}
+    for c, a, s, n in zip(cnt["cls"], cnt["aux"], cnt["steps"],
+                          cnt["n"]):
+        ln = int(s) + resolve(int(c), int(a))
+        hist[ln] = hist.get(ln, 0) + int(n)
+    keys = sorted(hist)
+    return pd.DataFrame({"path_len": np.asarray(keys, np.int64),
+                         "n_px": np.asarray([hist[k] for k in keys],
+                                            np.int64)})

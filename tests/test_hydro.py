@@ -227,3 +227,30 @@ def test_zonal_cost_stats_bit_exact(tiny_world):
         assert mine.equals(want), ds
         assert (mine["max_dist"] >= mine["min_dist"]).all()
         assert (mine["sum_dist"] >= mine["max_dist"]).all()
+
+
+def test_flow_length_bit_exact(tiny_world):
+    for ds in ("kg", "lc"):
+        mine = hydro.flow_path_length(tiny_world, ds)
+        want = oracle.flowlen_oracle(SPEC, ds)
+        assert mine.equals(want), ds
+
+
+def test_flow_length_crafted_ramp(tmp_path):
+    """East-flowing ramp over 4 tile columns: the longest path runs 38
+    edges and crosses three seams — exercises the memoized chase with
+    real multi-hop offsets (synthetic worlds pit within 2 edges)."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = (240 - 3 * np.arange(40, dtype=np.int64))[None, :]
+    arr = arr.repeat(40, 0).astype(np.uint8)
+    tif = str(tmp_path / "ramp.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine = hydro.flow_path_length(world, "dem")
+    pad = np.zeros((42, 42), np.uint8)
+    pad[1:-1, 1:-1] = arr
+    want = oracle.flowlen_hist(pad, np.ones((40, 40), bool))
+    assert mine.equals(want)
+    assert int(mine["path_len"].max()) == 39
