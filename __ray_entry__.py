@@ -2069,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": temporal.sessionize,
         "interval_coverage": temporal.interval_coverage,
         "customer_reorder_gaps": temporal.customer_reorder_gaps,
+        "time_weighted_value": temporal.time_weighted_value,
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
@@ -2122,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": relational.q6_revenue,
         "q12_late_shipments": relational.q12_late_shipments,
         "q4_priority_check": relational.q4_priority_check,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2311,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": temporal.SESSIONIZE_SQL,
         "interval_coverage": temporal.INTERVAL_COVERAGE_SQL,
         "customer_reorder_gaps": temporal.REORDER_GAPS_SQL,
+        "time_weighted_value": temporal.TIME_WEIGHTED_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,
@@ -2377,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue": relational.Q6_REVENUE_SQL,
         "q12_late_shipments": relational.Q12_LATE_SQL,
         "q4_priority_check": relational.Q4_PRIORITY_SQL,
+        "q19_discounted_revenue": relational.Q19_REVENUE_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

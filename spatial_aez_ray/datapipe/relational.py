@@ -3447,3 +3447,92 @@ WHERE EXISTS (SELECT 1 FROM lineitem
                 AND l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+#: Q19 disjunctive bands: (brand, size range, quantity range)
+_Q19_BANDS = (("Brand#12", 1, 15, 1, 11),
+              ("Brand#23", 16, 30, 10, 20),
+              ("Brand#34", 31, 50, 20, 30))
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): lineitem ⋈
+    part under an OR of (brand, size-band, quantity-band)
+    conjunctions, summing discounted revenue. Exact integers: revenue
+    scaled by 10^4 = price_cents * (100 − discount_cents); a single
+    division at the end on both sides. One coarse part-key fold (both
+    sides fact-sized at warehouse scale — no broadcast); the
+    disjunction evaluates vectorized inside the partition."""
+    from .util import shuffle_width
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])
+    lines = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity",
+                           "l_extendedprice", "l_discount"])
+    n_parts = shuffle_width(part)
+
+    def p_prep(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((pk % n_parts).astype(np.int32)),
+            "key": pa.array(pk),
+            "brand": b["p_brand"].cast(pa.string()),
+            "size": b["p_size"].cast(pa.int64()),
+            "qty": pa.array(np.zeros(len(pk), dtype=np.int64)),
+            "rev4": pa.array(np.zeros(len(pk), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(pk), dtype=np.int8))})
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = _cents(b["l_extendedprice"])
+        dc = _cents(b["l_discount"])
+        qty = (b["l_quantity"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return pa.table({
+            "part": pa.array((pk % n_parts).astype(np.int32)),
+            "key": pa.array(pk),
+            "brand": pa.array([""] * len(pk), pa.string()),
+            "size": pa.array(np.zeros(len(pk), dtype=np.int64)),
+            "qty": pa.array(qty),
+            "rev4": pa.array(pc * (100 - dc)),
+            "side": pa.array(np.ones(len(pk), dtype=np.int8))})
+
+    both = (part.map_batches(p_prep, batch_format="pyarrow")
+                .union(lines.map_batches(l_prep,
+                                         batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0].set_index("key")
+        li = g[g["side"] == 1]
+        if not len(li) or not len(p):
+            return pd.DataFrame({"rev4": pd.Series([], dtype=np.int64)})
+        brand = p["brand"].reindex(li["key"]).to_numpy()
+        size = p["size"].reindex(li["key"]).to_numpy()
+        qty = li["qty"].to_numpy()
+        hit = np.zeros(len(li), dtype=bool)
+        for b_, s0, s1, q0, q1 in _Q19_BANDS:
+            hit |= ((brand == b_) & (size >= s0) & (size <= s1)
+                    & (qty >= q0) & (qty <= q1))
+        return pd.DataFrame(
+            {"rev4": [np.int64(li["rev4"].to_numpy()[hit].sum())]})
+
+    from ray.data.aggregate import Sum
+    tot = (both.groupby("part")
+               .map_groups(fold, batch_format="pandas")
+               .aggregate(Sum("rev4", alias_name="rev4")))
+    return pd.DataFrame({"revenue": [tot["rev4"] / 10000.0]})
+
+
+Q19_REVENUE_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -1930,3 +1930,81 @@ SELECT custkey,
 FROM o WHERE prev_day IS NOT NULL
 GROUP BY custkey ORDER BY custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average inputs (the tsdb TWA operator)
+# ---------------------------------------------------------------------------
+
+def time_weighted_value(sf_dir: str) -> pd.DataFrame:
+    """Per user: the INPUTS of the time-weighted average of ``value``
+    over the event timeline — Σ value·Δt (cents·µs) and Σ Δt (µs),
+    where Δt is the time each event's value 'holds' until the user's
+    next event (last-observation-carried-forward, the tsdb
+    time_weight('locf') operator). Both sums are exact integers; the
+    float TWA = num/den is left to the caller, so the SQL oracle is
+    bit-equal. One entity fold; inside a partition one lexsort +
+    shifted diff. Users with a single event have no held interval and
+    are absent."""
+    from .util import shuffle_width
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value", "event_id"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        # half-AWAY-from-zero cents == DuckDB ROUND (np.rint is
+        # half-to-even — the relational._cents lesson)
+        a = np.asarray(b["value"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        vc = np.trunc(a * 100.0 + np.copysign(0.5, a)).astype(np.int64)
+        eid = np.asarray(b["event_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts_us": pa.array(ts), "vc": pa.array(vc),
+            "eid": pa.array(eid)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "eid"], kind="stable",
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        vc = g["vc"].to_numpy()
+        same = np.r_[uid[1:] == uid[:-1], False]
+        dt = np.r_[ts[1:] - ts[:-1], np.int64(0)]
+        held = pd.DataFrame({"user_id": uid[same],
+                             "num": vc[same] * dt[same],
+                             "den": dt[same]})
+        out = held.groupby("user_id", as_index=False).agg(
+            weighted_sum=("num", "sum"), held_us=("den", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TIME_WEIGHTED_SQL = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       SUM(vc * (nxt - t))::BIGINT AS weighted_sum,
+       SUM(nxt - t)::BIGINT AS held_us
+FROM e WHERE nxt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""

@@ -2238,3 +2238,22 @@ def test_near_search_matches_sql(con):
     ph = corpus.phrase_search(SF, corpus.NEAR_TERMS)
     nr1 = corpus.near_search(SF, *corpus.NEAR_TERMS, window=1)
     assert set(ph["doc_id"]) <= set(nr1["doc_id"])
+
+
+def test_q19_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    _assert_match(relational.q19_discounted_revenue(SF),
+                  relational.Q19_REVENUE_SQL, con)
+
+
+def test_time_weighted_value_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.time_weighted_value(SF)
+    _assert_match(mine, temporal.TIME_WEIGHTED_SQL, con)
+    # held time per user equals the (last - first) event span
+    span = con.execute(
+        "SELECT user_id, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) "
+        "FROM events GROUP BY user_id HAVING COUNT(*) > 1 "
+        "ORDER BY user_id").fetchdf()
+    got = mine.set_index("user_id")["held_us"]
+    assert (got.to_numpy() == span.iloc[:, 1].to_numpy()).all()
