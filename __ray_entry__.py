@@ -636,6 +636,28 @@ def _spatial_upsample_bilinear(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_contour(sf_dir: str):
+    """Contour-crossing histogram (gdal_contour summary): per-level
+    isoline lattice length via left/top edge ownership + difference-
+    array level expansion — must equal the whole-array sweep
+    bit-exactly at two intervals."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import viewshed
+    om = _oracle_mod()
+    outs = []
+    import pandas as pd
+    for ds, iv in (("kg", 4), ("wk", 1)):
+        mine = viewshed.contour_crossings(_world(), ds, iv)
+        want = om.contour_oracle(fixtures.TINY, ds, iv)
+        if not mine.equals(want):
+            raise AssertionError(f"contour ({ds}, ival={iv}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "interval", iv)
+        outs.append(mine)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_viewshed(sf_dir: str):
     """Total viewshed / visibility index (GRASS r.viewshed family):
     per-pixel count of LOS-visible cells within radius 4, all-integer
@@ -2070,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": temporal.interval_coverage,
         "customer_reorder_gaps": temporal.customer_reorder_gaps,
         "time_weighted_value": temporal.time_weighted_value,
+        "attribution_last_touch": temporal.attribution_last_touch,
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
@@ -2272,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
         "spatial_upsample_bilinear": _spatial_upsample_bilinear,
+        "spatial_contour": _spatial_contour,
         "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,
@@ -2314,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": temporal.INTERVAL_COVERAGE_SQL,
         "customer_reorder_gaps": temporal.REORDER_GAPS_SQL,
         "time_weighted_value": temporal.TIME_WEIGHTED_SQL,
+        "attribution_last_touch": temporal.ATTRIBUTION_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,

@@ -2008,3 +2008,82 @@ SELECT user_id,
 FROM e WHERE nxt IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+#: attribution window: a purchase further than this from the previous
+#: event is 'direct'
+_ATTR_WINDOW_MIN = 30
+
+
+def attribution_last_touch(sf_dir: str) -> pd.DataFrame:
+    """Marketing attribution: every ``purchase`` event is credited to
+    the user's immediately preceding event type if it happened within
+    30 minutes ('last touch'), else to 'direct'. (touch_type,
+    n_purchases) counts. One entity fold; per partition one lexsort +
+    shifted compare — the LAG() pattern with a windowed guard."""
+    from .util import shuffle_width
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
+    n_parts = shuffle_width(ds, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((uid % n_parts).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts_us": pa.array(ts),
+            "etype": b["event_type"].cast(pa.string()),
+            "eid": b["event_id"].cast(pa.int64())})
+
+    win_us = _ATTR_WINDOW_MIN * 60_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "eid"], kind="stable",
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        et = g["etype"].to_numpy()
+        is_p = et == "purchase"
+        prev_same = np.r_[False, uid[1:] == uid[:-1]]
+        prev_near = np.r_[False, (ts[1:] - ts[:-1]) <= win_us]
+        touch = np.where(prev_same & prev_near,
+                         np.r_[np.asarray(["direct"], object),
+                               et[:-1]], "direct")
+        hit = pd.DataFrame({"touch_type": touch[is_p]})
+        out = (hit.groupby("touch_type", as_index=False)
+               .size().rename(columns={"size": "n_purchases"}))
+        out["n_purchases"] = out["n_purchases"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .groupby("touch_type")
+             .aggregate(Sum("n_purchases", alias_name="n_purchases"))
+             .to_pandas())
+    out["n_purchases"] = out["n_purchases"].astype(np.int64)
+    return out.sort_values("touch_type").reset_index(drop=True)
+
+
+ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_type, event_id,
+         LAG(event_type) OVER w AS prev_type,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT CASE WHEN prev_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(prev_ts)
+                 <= {_ATTR_WINDOW_MIN} * 60000000
+            THEN prev_type ELSE 'direct' END AS touch_type,
+       COUNT(*)::BIGINT AS n_purchases
+FROM e WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY touch_type
+"""

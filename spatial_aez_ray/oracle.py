@@ -1660,3 +1660,40 @@ def flowlen_oracle(spec, dataset: str = "kg",
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
                 present[y:y + nr, x:x + nc] = False
     return flowlen_hist(pad, present)
+
+
+def contour_oracle(spec, dataset: str = "kg", interval: int = 16,
+                   hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential whole-array contour-crossing histogram (same edge
+    ownership and difference-array expansion as
+    ``viewshed.contour_crossings``, over the hole-padded raster)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0].copy()
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                base[y:y + nr, x:x + nc] = hole
+    V = base.astype(np.int64) // int(interval)
+    P = base != hole
+    diff = np.zeros(258, dtype=np.int64)
+    for (sa, sb) in (((slice(None), slice(None, -1)),
+                      (slice(None), slice(1, None))),
+                     ((slice(None, -1), slice(None)),
+                      (slice(1, None), slice(None)))):
+        ok = P[sa] & P[sb]
+        a = V[sa][ok]
+        bb = V[sb][ok]
+        cross = a != bb
+        lo = np.minimum(a[cross], bb[cross]) + 1
+        hi = np.maximum(a[cross], bb[cross])
+        np.add.at(diff, lo, 1)
+        np.add.at(diff, hi + 1, -1)
+    lvl = np.cumsum(diff[:-1])
+    nz = np.flatnonzero(lvl)
+    return pd.DataFrame({"level": nz.astype(np.int64),
+                         "n_edges": lvl[nz].astype(np.int64)})

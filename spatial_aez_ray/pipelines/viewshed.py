@@ -307,3 +307,96 @@ def visibility_incremental(world_a: str, world_b: str,
     report = {"tiles_changed": len(changed),
               "tiles_recomputed": len(recompute)}
     return hist, report
+
+
+# ------------------------------------------------------ contour crossings
+
+def contour_crossings(world_path: str, dataset: str = "kg",
+                      interval: int = 16, *,
+                      hole_value: int | None = None,
+                      batch_size: int = 32) -> pd.DataFrame:
+    """(level, n_edges) histogram of contour crossings — the
+    ``gdal_contour`` product reduced to its verifiable summary: for
+    every 4-adjacent passable pixel pair, each contour level L (in
+    units of ``interval``) strictly between the two bucket values is
+    crossed once, so n_edges(L) is the lattice length of the L-th
+    isoline. Edges are owned by their left/top pixel (each counted
+    exactly once globally — the adjacency discipline); per tile the
+    level expansion is a difference array + cumsum, O(edges + 256).
+    One shuffle-free pass with a 1-px derived-ref halo; bit-exact vs
+    ``oracle.contour_oracle``."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present = _present_tiles(world_path, dataset, grid)
+    ival = int(interval)
+
+    class _Contour:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.grid = world_grid(world_path, layout[dataset]["grid"])
+
+        def _dims(self, ty, tx):
+            g = self.grid
+            return (min(g.tile, g.height - ty * g.tile),
+                    min(g.tile, g.width - tx * g.tile))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from .hydro import _assemble_pad
+            g = self.grid
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            plans, want = [], set()
+            for pid in ids:
+                ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+                nbrs = {}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                            r = model.media_ref(dataset, g.name,
+                                                ny, nx, 1)
+                            nbrs[(dy, dx)] = (ny, nx, r)
+                            want.add(r)
+                plans.append((ty, tx, nbrs))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            diff = np.zeros(258, dtype=np.int64)
+            for ty, tx, nbrs in plans:
+                if payloads.get(nbrs[(0, 0)][2]) is None:
+                    continue
+                nr, nc = self._dims(ty, tx)
+                pad = _assemble_pad(payloads, nbrs, nr, nc,
+                                    self._dims, hole)
+                V = (pad.astype(np.int64)) // ival
+                P = pad != hole
+                for (sa, sb) in (
+                        ((slice(1, 1 + nr), slice(1, 1 + nc)),
+                         (slice(1, 1 + nr), slice(2, 2 + nc))),
+                        ((slice(1, 1 + nr), slice(1, 1 + nc)),
+                         (slice(2, 2 + nr), slice(1, 1 + nc)))):
+                    ok = P[sa] & P[sb]
+                    a = V[sa][ok]
+                    bb = V[sb][ok]
+                    cross = a != bb
+                    lo = np.minimum(a[cross], bb[cross]) + 1
+                    hi = np.maximum(a[cross], bb[cross])
+                    np.add.at(diff, lo, 1)
+                    np.add.at(diff, hi + 1, -1)
+            lvl = np.cumsum(diff[:-1])
+            nz = np.flatnonzero(lvl)
+            return pa.table({
+                "level": pa.array(nz.astype(np.int64)),
+                "n_edges": pa.array(lvl[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    from ..datapipe.util import as_task_fn
+    fn = as_task_fn(_Contour)
+    out = (ray.data.from_items([{"id": int(i)} for i in present])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("level")
+           .aggregate(Sum("n_edges", alias_name="n_edges"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("level").reset_index(drop=True)

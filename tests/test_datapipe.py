@@ -2257,3 +2257,13 @@ def test_time_weighted_value_matches_sql(con):
         "ORDER BY user_id").fetchdf()
     got = mine.set_index("user_id")["held_us"]
     assert (got.to_numpy() == span.iloc[:, 1].to_numpy()).all()
+
+
+def test_attribution_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.attribution_last_touch(SF)
+    _assert_match(mine, temporal.ATTRIBUTION_SQL, con)
+    # conservation: every purchase is attributed exactly once
+    n_p = con.execute("SELECT COUNT(*) FROM events WHERE "
+                      "event_type = 'purchase'").fetchone()[0]
+    assert int(mine["n_purchases"].sum()) == n_p

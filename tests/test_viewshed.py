@@ -70,3 +70,26 @@ def test_viewshed_tile_partials_fold(tiny_world):
             .sort_values("n_vis").reset_index(drop=True))
     full = viewshed.visibility_histogram(tiny_world, "kg", 3)
     assert hist.equals(full)
+
+
+def test_contour_bit_exact(tiny_world):
+    for ds, iv in (("kg", 4), ("lc", 16)):
+        mine = viewshed.contour_crossings(tiny_world, ds, iv)
+        want = oracle.contour_oracle(fixtures.TINY, ds, iv)
+        assert mine.equals(want), (ds, iv)
+
+
+def test_contour_multi_level_edge():
+    """A single step crossing 3 buckets contributes one edge to each
+    crossed level — pinned on a crafted two-pixel ramp."""
+    import pandas as pd
+    from spatial_aez_ray import oracle as om
+    # direct difference-array semantics via the oracle math:
+    V = np.array([[1, 50]], np.uint8)
+    # levels at interval 16: buckets 0 and 3 -> levels 1,2,3 crossed
+    diff = np.zeros(258, np.int64)
+    a, b = 1 // 16, 50 // 16
+    diff[min(a, b) + 1] += 1
+    diff[max(a, b) + 1] -= 1
+    lvl = np.cumsum(diff[:-1])
+    assert [int(x) for x in np.flatnonzero(lvl)] == [1, 2, 3]
