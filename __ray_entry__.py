@@ -2147,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": relational.q12_late_shipments,
         "q4_priority_check": relational.q4_priority_check,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2406,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": relational.Q12_LATE_SQL,
         "q4_priority_check": relational.Q4_PRIORITY_SQL,
         "q19_discounted_revenue": relational.Q19_REVENUE_SQL,
+        "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

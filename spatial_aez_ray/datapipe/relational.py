@@ -3536,3 +3536,53 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """Per part: the supplier offering its cheapest lineitem price
+    (TPC-H Q2's min-cost-supplier shape) — ARGMIN expressed as plain
+    integer MIN over packed keys price_cents * 2^20 + suppkey, so the
+    per-batch combiner, the tiny groupby and the tie-break (lowest
+    suppkey at equal price) are all one associative min — no
+    row_number window, no sort. Budget: suppkey < 2^20 at every TPC-H
+    scale factor's supplier count; price_cents < 2^43 headroom."""
+    from ray.data.aggregate import Min
+
+    lines = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = _cents(b["l_extendedprice"])
+        key = pc * np.int64(1 << 20) + sk
+        # per-batch combiner: one row per part
+        df = pd.DataFrame({"partkey": pk, "key": key})
+        g = df.groupby("partkey", as_index=False)["key"].min()
+        return pa.table({"partkey": pa.array(g["partkey"].to_numpy()),
+                         "key": pa.array(g["key"].to_numpy())})
+
+    out = (lines.map_batches(pack, batch_format="pyarrow")
+                .groupby("partkey")
+                .aggregate(Min("key", alias_name="key"))
+                .to_pandas())
+    key = out["key"].to_numpy(np.int64)
+    out["suppkey"] = key & ((1 << 20) - 1)
+    out["price"] = (key >> 20) / 100.0
+    out = out.drop(columns=["key"])
+    for c in ("partkey", "suppkey"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("partkey").reset_index(drop=True)
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH l AS (
+  SELECT l_partkey AS partkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1048576
+           + l_suppkey AS key
+  FROM lineitem)
+SELECT partkey,
+       (MIN(key) % 1048576)::BIGINT AS suppkey,
+       (MIN(key) // 1048576) / 100.0 AS price
+FROM l GROUP BY partkey ORDER BY partkey
+"""

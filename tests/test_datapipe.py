@@ -2267,3 +2267,15 @@ def test_attribution_matches_sql(con):
     n_p = con.execute("SELECT COUNT(*) FROM events WHERE "
                       "event_type = 'purchase'").fetchone()[0]
     assert int(mine["n_purchases"].sum()) == n_p
+
+
+def test_cheapest_supplier_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.cheapest_supplier_per_part(SF)
+    _assert_match(mine, relational.CHEAPEST_SUPPLIER_SQL, con)
+    # argmin-as-packed-min: the reported price IS the part's min price
+    want = con.execute(
+        "SELECT l_partkey, MIN(ROUND(l_extendedprice*100)::BIGINT)"
+        " FROM lineitem GROUP BY 1 ORDER BY 1").fetchdf()
+    assert ((mine["price"] * 100).round().astype(np.int64).to_numpy()
+            == want.iloc[:, 1].to_numpy()).all()
