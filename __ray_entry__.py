@@ -1959,6 +1959,20 @@ def _dedup_index_serve(sf_dir: str):
     return pairs
 
 
+def _spatial_zonal_viewshed(sf_dir: str):
+    """Visual exposure per admin: the LOS kernel composed with zonal
+    PIP claims (order-free int64 partials, double-claim parity) must
+    equal the sequential whole-array composition bit-exactly."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import viewshed
+    om = _oracle_mod()
+    mine = viewshed.zonal_visibility_stats(_world(), "kg", 4)
+    want = om.zonal_viewshed_oracle(fixtures.TINY, "kg", 4)
+    if not mine.equals(want):
+        raise AssertionError("zonal viewshed != oracle")
+    return mine
+
+
 def _spatial_viewshed_incremental(sf_dir: str):
     """Incremental viewshed maintenance: visibility is R-halo-local,
     so a one-tile edit invalidates at most itself + 8 neighbors. The
@@ -2297,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
         "spatial_upsample_bilinear": _spatial_upsample_bilinear,
         "spatial_contour": _spatial_contour,
+        "spatial_zonal_viewshed": _spatial_zonal_viewshed,
         "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,

@@ -1697,3 +1697,56 @@ def contour_oracle(spec, dataset: str = "kg", interval: int = 16,
     nz = np.flatnonzero(lvl)
     return pd.DataFrame({"level": nz.astype(np.int64),
                          "n_edges": lvl[nz].astype(np.int64)})
+
+
+def zonal_viewshed_oracle(spec, dataset: str = "kg", radius: int = 4,
+                          hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential viewshed × zonal composition: the whole-array
+    visibility counts intersected with each admin's claim mask,
+    restricted to present passable pixels."""
+    from .pipelines.viewshed import visible_counts
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    h = int(radius)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2 * h, grid.width + 2 * h), hole,
+                  dtype=np.uint8)
+    pad[h:-h, h:-h] = base
+    land_idx = fixtures.land_index(spec.seed)
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[h + y:h + y + nr, h + x:h + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    cnt = visible_counts(pad, h, hole)
+    pin = present & (base != hole)
+    agg: dict[str, list] = {}
+    for _fidx, admin, mask in feature_masks(spec, grid):
+        vals = cnt[mask & pin]
+        if not len(vals):
+            continue
+        row = [len(vals), int(vals.sum()), int(vals.min()),
+               int(vals.max())]
+        cur = agg.get(admin)
+        if cur is None:
+            agg[admin] = row
+        else:
+            cur[0] += row[0]
+            cur[1] += row[1]
+            cur[2] = min(cur[2], row[2])
+            cur[3] = max(cur[3], row[3])
+    admins = sorted(agg)
+    cols = (np.array([agg[a] for a in admins], dtype=np.int64)
+            if admins else np.zeros((0, 4), dtype=np.int64))
+    out = pd.DataFrame({"admin": admins, "n_px": cols[:, 0],
+                        "sum": cols[:, 1], "min": cols[:, 2],
+                        "max": cols[:, 3]})
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out

@@ -400,3 +400,120 @@ def contour_crossings(world_path: str, dataset: str = "kg",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("level").reset_index(drop=True)
+
+
+def zonal_visibility_stats(world_path: str, dataset: str = "kg",
+                           radius: int = 4, *,
+                           hole_value: int | None = None,
+                           batch_size: int = 16) -> pd.DataFrame:
+    """Per-admin (n_px, sum, min, max) of the visibility index — the
+    'visual exposure per country' product (siting / landscape-impact
+    assessments), composing the LOS kernel with the zonal PIP claims
+    exactly like ``zonal_window_stats`` does for focal metrics:
+    order-free int64 per-admin partials, double-claim parity, one
+    shuffle-free pass. mean = sum/n_px left to the caller."""
+    from .extract import build_zonal_index
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    if radius > grid.tile:
+        raise ValueError("radius exceeds tile size")
+    present = _present_tiles(world_path, dataset, grid)
+    h = int(radius)
+    index = build_zonal_index(world_path)
+
+    class _ZonalView(_ViewKernel):
+        def __init__(self):
+            super().__init__(world_path, dataset, layout, hole, h)
+            self.index = index
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = ty + dy, tx + dx
+                        if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                            want.add(model.media_ref(
+                                self.dataset, g.name, ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            acc: dict[str, list] = {}
+            for ty, tx in tiles:
+                me = self._arr(ty, tx, payloads)
+                if me is None:
+                    continue
+                nr, nc = me.shape
+                pad = np.full((nr + 2 * h, nc + 2 * h), self.hole,
+                              dtype=np.uint8)
+                pad[h:h + nr, h:h + nc] = me
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        nb = self._arr(ty + dy, tx + dx, payloads)
+                        if nb is None:
+                            continue
+                        hh, ww = nb.shape
+                        rs = (slice(max(0, hh - h), hh) if dy < 0
+                              else slice(0, min(h, hh)) if dy > 0
+                              else slice(0, hh))
+                        cs = (slice(max(0, ww - h), ww) if dx < 0
+                              else slice(0, min(h, ww)) if dx > 0
+                              else slice(0, ww))
+                        sub = nb[rs, cs]
+                        pr = (slice(h - sub.shape[0], h) if dy < 0
+                              else slice(h + nr, h + nr + sub.shape[0])
+                              if dy > 0 else slice(h, h + sub.shape[0]))
+                        pc_ = (slice(h - sub.shape[1], h) if dx < 0
+                               else slice(h + nc,
+                                          h + nc + sub.shape[1])
+                               if dx > 0 else slice(h, h + sub.shape[1]))
+                        pad[pr, pc_] = sub
+                cnt = visible_counts(pad, h, self.hole)
+                passable = me != self.hole
+                for _fidx, admin, mask in self.index.assign_tile(
+                        g, ty, tx):
+                    vals = cnt[mask & passable]
+                    if not len(vals):
+                        continue
+                    row = [len(vals), int(vals.sum()),
+                           int(vals.min()), int(vals.max())]
+                    cur = acc.get(admin)
+                    if cur is None:
+                        acc[admin] = row
+                    else:
+                        cur[0] += row[0]
+                        cur[1] += row[1]
+                        cur[2] = min(cur[2], row[2])
+                        cur[3] = max(cur[3], row[3])
+            admins = sorted(acc)
+            cols = (np.array([acc[a] for a in admins], dtype=np.int64)
+                    if admins else np.zeros((0, 4), dtype=np.int64))
+            return pa.table({
+                "admin": pa.array(admins, pa.string()),
+                "n_px": pa.array(cols[:, 0]),
+                "sum": pa.array(cols[:, 1]),
+                "min": pa.array(cols[:, 2]),
+                "max": pa.array(cols[:, 3])})
+
+    from ray.data.aggregate import Max, Min, Sum
+    fn = as_task_fn(_ZonalView)
+    out = (ray.data.from_items([{"id": int(i)} for i in present])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("admin")
+           .aggregate(Sum("n_px", alias_name="n_px"),
+                      Sum("sum", alias_name="sum"),
+                      Min("min", alias_name="min"),
+                      Max("max", alias_name="max"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("admin").reset_index(drop=True)

@@ -93,3 +93,10 @@ def test_contour_multi_level_edge():
     diff[max(a, b) + 1] -= 1
     lvl = np.cumsum(diff[:-1])
     assert [int(x) for x in np.flatnonzero(lvl)] == [1, 2, 3]
+
+
+def test_zonal_visibility_bit_exact(tiny_world):
+    for ds in ("kg", "wk"):
+        mine = viewshed.zonal_visibility_stats(tiny_world, ds, 3)
+        want = oracle.zonal_viewshed_oracle(fixtures.TINY, ds, 3)
+        assert mine.equals(want), ds
