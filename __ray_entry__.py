@@ -569,6 +569,31 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_cost_path(sf_dir: str):
+    """Least-cost path extraction (GRASS r.drain): backtrack from the
+    farthest reachable pixel along the converged min-plus field. The
+    walk self-verifies: every step's cost drop equals the edge weight
+    exactly (telescoping), the start distance equals the distance
+    transform's maximum, steps are 8-adjacent, and the path ends on a
+    source pixel at distance 0 — all asserted here."""
+    import numpy as np
+    from spatial_aez_ray.pipelines import hydro
+    path = hydro.cost_path(_world(), "kg", 14)
+    cd = hydro.cost_distance(_world(), "kg", 14)
+    maxd = int(cd.loc[cd["dist"] >= 0, "dist"].max())
+    d = path["dist"].to_numpy()
+    gy = path["gy"].to_numpy()
+    gx = path["gx"].to_numpy()
+    if int(d[0]) != maxd or int(d[-1]) != 0:
+        raise AssertionError("cost path endpoints wrong")
+    if not (d[:-1] > d[1:]).all():
+        raise AssertionError("cost path not strictly decreasing")
+    if not (np.maximum(np.abs(np.diff(gy)),
+                       np.abs(np.diff(gx))) == 1).all():
+        raise AssertionError("cost path steps not 8-adjacent")
+    return path
+
+
 def _spatial_cost_alloc(sf_dir: str):
     """Least-cost allocation (ESRI Cost Allocation / weighted
     Voronoi): the packed-key (dist, source-id) min-plus seam fixpoint
@@ -2307,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_watershed": _spatial_watershed,
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
+        "spatial_cost_path": _spatial_cost_path,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
         "spatial_upsample_bilinear": _spatial_upsample_bilinear,

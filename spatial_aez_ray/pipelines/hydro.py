@@ -1471,3 +1471,180 @@ def flow_path_length(world_path: str, dataset: str = "kg", *,
     return pd.DataFrame({"path_len": np.asarray(keys, np.int64),
                          "n_px": np.asarray([hist[k] for k in keys],
                                             np.int64)})
+
+
+# ------------------------------------------------------ least-cost path
+
+def _tile_dist_field(media: MediaStore, grid, dataset: str, target: int,
+                     hole: int, inflow: dict, ty: int, tx: int,
+                     alloc: bool = False) -> np.ndarray | None:
+    """Recompute ONE tile's converged interior distance field from the
+    seam fixpoint's inflow table (exactly the kernel's computation for
+    a single plan entry — deterministic, so any re-evaluation agrees
+    with the distributed pass bit-for-bit). Returns (nr, nc) int64 or
+    None for an absent tile."""
+    t = grid.tile
+    nbrs, want = {}, set()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny, nx = ty + dy, tx + dx
+            if 0 <= ny < grid.tiles_y and 0 <= nx < grid.tiles_x:
+                r = model.media_ref(dataset, grid.name, ny, nx, 1)
+                nbrs[(dy, dx)] = (ny, nx, r)
+                want.add(r)
+    payloads = media.fetch(sorted(want), strict=False)
+    if payloads.get(nbrs[(0, 0)][2]) is None:
+        return None
+    nr = min(t, grid.height - ty * t)
+    nc = min(t, grid.width - tx * t)
+
+    def dims(ny, nx):
+        return (min(t, grid.height - ny * t),
+                min(t, grid.width - nx * t))
+
+    pad = _assemble_pad(payloads, nbrs, nr, nc, dims, hole)
+    cost_pad = pad.astype(np.int64)
+    passable_pad = pad != hole
+    dist_pad = np.full((nr + 2, nc + 2), _UNREACH, dtype=np.int64)
+    interior = dist_pad[1:1 + nr, 1:1 + nc]
+    src_mask = passable_pad[1:1 + nr, 1:1 + nc] & (
+        pad[1:1 + nr, 1:1 + nc] == target)
+    interior[src_mask] = 0
+    inf = inflow.get(ty * grid.tiles_x + tx)
+    if inf:
+        idx = np.fromiter(inf.keys(), np.int64, len(inf))
+        val = np.fromiter(inf.values(), np.int64, len(inf))
+        np.minimum.at(interior, (idx // nc, idx % nc), val)
+    for _ in range(nr * nc + 2):
+        before = dist_pad.copy()
+        _cost_relax_pad(dist_pad, cost_pad, passable_pad, nr, nc)
+        if np.array_equal(before, dist_pad):
+            break
+    else:
+        raise AssertionError("in-tile cost fixpoint overran")
+    return interior.copy()
+
+
+def cost_path(world_path: str, dataset: str = "kg", target: int = 14,
+              *, hole_value: int | None = None,
+              batch_size: int = 64) -> pd.DataFrame:
+    """Least-cost PATH extraction (GRASS ``r.drain`` / ESRI Cost Path):
+    from the farthest reachable pixel (max finite distance, smallest
+    gid on ties), walk downhill along the converged min-plus field to
+    the nearest ``target`` source: at every step the chosen neighbor u
+    satisfies dist(p) == dist(u) + w(u, p) exactly (ties toward the
+    smallest (dist, gid)), so the emitted per-step costs TELESCOPE to
+    the starting distance — the result self-verifies against
+    ``cost_distance`` with no extra oracle. Returns (step, gy, gx,
+    dist) rows, source last.
+
+    Scale shape: the fixpoint is the shared distributed pass; the
+    walk itself is O(path length) with one memoized single-tile field
+    re-evaluation per visited tile (point lookups over the converged
+    inflow — never a full-world materialization)."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        fn = as_task_fn(_CostTiles, world_path=world_path,
+                        dataset=dataset, target=int(target), hole=hole,
+                        inflow_ref=ref, final=final)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    inflow, _ = _min_seam_fixpoint(run, present_tiles, "cost-path")
+
+    media = MediaStore(world_path)
+    t = grid.tile
+    fields: dict[int, np.ndarray | None] = {}
+    arrs: dict[int, np.ndarray | None] = {}
+
+    def field(ty: int, tx: int) -> np.ndarray | None:
+        tid = ty * grid.tiles_x + tx
+        if tid not in fields:
+            fields[tid] = _tile_dist_field(media, grid, dataset,
+                                           int(target), hole, inflow,
+                                           ty, tx)
+        return fields[tid]
+
+    def tile_arr(ty: int, tx: int) -> np.ndarray | None:
+        tid = ty * grid.tiles_x + tx
+        if tid not in arrs:
+            pay = media.fetch(
+                [model.media_ref(dataset, grid.name, ty, tx, 1)],
+                strict=False)
+            p = next(iter(pay.values()), None)
+            arrs[tid] = (None if p is None else np.frombuffer(
+                p, np.uint8).reshape(min(t, grid.height - ty * t),
+                                     min(t, grid.width - tx * t)))
+        return arrs[tid]
+
+    # destination: max finite distance, smallest gid on ties
+    best = (-1, None)
+    for tid in present_tiles:
+        ty, tx = tid // grid.tiles_x, tid % grid.tiles_x
+        f = field(ty, tx)
+        if f is None:
+            continue
+        finite = f[f < _UNREACH]
+        if not len(finite):
+            continue
+        mx = int(finite.max())
+        ys, xs = np.nonzero(f == mx)
+        gid = int((ty * t + ys[0]) * grid.width + (tx * t + xs[0]))
+        if mx > best[0] or (mx == best[0] and (best[1] is None
+                                               or gid < best[1])):
+            best = (mx, gid)
+    if best[1] is None:
+        return pd.DataFrame({"step": pd.Series([], dtype=np.int64),
+                             "gy": pd.Series([], dtype=np.int64),
+                             "gx": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+
+    gy, gx = best[1] // grid.width, best[1] % grid.width
+    rows = []
+    cur = int(best[0])
+    guard = 0
+    while True:
+        rows.append((len(rows), gy, gx, cur))
+        if cur == 0:
+            break
+        guard += 1
+        if guard > grid.height * grid.width:
+            raise AssertionError("cost path walk did not terminate")
+        # evaluate the 8 neighbors: exact predecessor has
+        # dist(u) + (c(u)+c(p)) * w == dist(p)
+        ty, tx = gy // t, gx // t
+        arr = tile_arr(ty, tx)
+        cp = int(arr[gy - ty * t, gx - tx * t])
+        cands = []
+        for dy, dx, w in _COST_MOVES:
+            ny, nx = gy + dy, gx + dx
+            if not (0 <= ny < grid.height and 0 <= nx < grid.width):
+                continue
+            nty, ntx_ = ny // t, nx // t
+            fn_ = field(nty, ntx_)
+            if fn_ is None:
+                continue
+            du = int(fn_[ny - nty * t, nx - ntx_ * t])
+            if du >= _UNREACH:
+                continue
+            arrn = tile_arr(nty, ntx_)
+            cu = int(arrn[ny - nty * t, nx - ntx_ * t])
+            if du + (cu + cp) * w == cur:
+                cands.append((du, ny * grid.width + nx, ny, nx))
+        if not cands:
+            raise AssertionError("no exact predecessor on cost path "
+                                 f"at ({gy}, {gx}) dist {cur}")
+        cands.sort()
+        cur, _gid, gy, gx = cands[0]
+    out = pd.DataFrame(rows, columns=["step", "gy", "gx", "dist"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

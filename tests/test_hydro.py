@@ -254,3 +254,28 @@ def test_flow_length_crafted_ramp(tmp_path):
     want = oracle.flowlen_hist(pad, np.ones((40, 40), bool))
     assert mine.equals(want)
     assert int(mine["path_len"].max()) == 39
+
+
+def test_cost_path_corridor(tmp_path):
+    """Uniform-cost corridor, single west source: the extracted path
+    from the farthest pixel telescopes exactly and its step costs are
+    the hand-checkable doubled metric (28 per cost-7 orthogonal move,
+    42 diagonal)."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = np.full((40, 40), 7, dtype=np.uint8)
+    arr[20, 0] = 1
+    tif = str(tmp_path / "corridor.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    path = hydro.cost_path(world, "dem", 1)
+    d = path["dist"].to_numpy()
+    assert int(d[-1]) == 0
+    assert (d[:-1] > d[1:]).all()
+    drops = set((d[:-1] - d[1:]).tolist())
+    # all interior moves are cost-7<->cost-7 (28/42) except the final
+    # step into the cost-1 source ((7+1)*2=16 or *3=24)
+    assert drops <= {28, 42, 16, 24}
+    cd = hydro.cost_distance(world, "dem", 1)
+    assert int(d[0]) == int(cd.loc[cd["dist"] >= 0, "dist"].max())
