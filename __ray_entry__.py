@@ -545,6 +545,31 @@ def _spatial_flow_length(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_change_matrix(sf_dir: str):
+    """Class transition matrix across world versions (land-cover
+    change analysis): a one-tile repaint must put EXACTLY that tile's
+    pixels off the diagonal with the correct (from, to) classes, the
+    matrix row sums must equal the old world's class histogram, and a
+    self-change must be purely diagonal — all asserted here."""
+    import numpy as np
+    from spatial_aez_ray.pipelines import pyramid
+
+    w, w2 = _copy_world_flip_tile("world_chmx", value=5)
+    self_m = pyramid.change_matrix(w, w, "kg")
+    if (self_m["from_class"] != self_m["to_class"]).any():
+        raise AssertionError("self change matrix not diagonal")
+    m = pyramid.change_matrix(w, w2, "kg")
+    off = m[m["from_class"] != m["to_class"]]
+    if not len(off) or (off["to_class"] != 5).any():
+        raise AssertionError("repaint not visible as to_class=5")
+    # conservation: row sums == old-world histogram == self diagonal
+    rows = m.groupby("from_class")["n_px"].sum()
+    diag = self_m.set_index("from_class")["n_px"]
+    if not rows.sort_index().equals(diag.sort_index()):
+        raise AssertionError("row sums != old class histogram")
+    return m
+
+
 def _spatial_cost_distance(sf_dir: str):
     """Least-cost distance (GRASS r.cost analog — the weighted,
     globally-dependent sibling of gdal_proximity): the block-Jacobi
@@ -2304,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_query": _spatial_radius_query,
         "spatial_s2_rollup": _spatial_s2_rollup,
         "spatial_diff_worlds": _spatial_diff_worlds,
+        "spatial_change_matrix": _spatial_change_matrix,
         "spatial_media_integrity": _spatial_media_integrity,
         "spatial_transcode": _spatial_transcode,
         "spatial_focal": _spatial_focal,

@@ -1089,3 +1089,64 @@ def zonal_window_stats(world_path: str, dataset: str = "kg",
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out.sort_values("admin").reset_index(drop=True)
+
+
+def change_matrix(world_a: str, world_b: str, dataset: str,
+                  *, batch_size: int = 16) -> pd.DataFrame:
+    """Class transition matrix between two versions of a raster —
+    the land-cover change-analysis product on top of ``diff_worlds``:
+    (from_class, to_class, n_px) over every pixel present in BOTH
+    versions, plus ("added"/"removed" are tile-level events
+    ``diff_worlds`` already reports and are excluded here). Diagonal
+    rows are the unchanged area; off-diagonal rows are the change
+    signal. Shuffle-free: both versions fetched by derived ref per
+    batch, one 16-bit bincount (256·a + b) per tile, ≤256² partial
+    rows per block — the raster_crosstab discipline applied across
+    TIME instead of across layers."""
+    from .. import model
+    from ..datapipe.util import as_task_fn
+    from .extract import world_grid
+
+    layout = model.world_layout(world_a)
+    grid = world_grid(world_a, layout[dataset]["grid"])
+    tiles_y, tiles_x = grid.tiles_y, grid.tiles_x
+
+    class ChangeKernel:
+        def __init__(self):
+            self.ma = MediaStore(world_a)
+            self.mb = MediaStore(world_b)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            refs = {}
+            for pid in ids:
+                ty, tx = int(pid) // tiles_x, int(pid) % tiles_x
+                refs[(ty, tx)] = model.media_ref(
+                    dataset, grid.name, ty, tx, 1)
+            pa_ = self.ma.fetch(list(refs.values()), strict=False)
+            pb_ = self.mb.fetch(list(refs.values()), strict=False)
+            hist = np.zeros(65536, dtype=np.int64)
+            for (_ty, _tx), ref in refs.items():
+                a, b = pa_.get(ref), pb_.get(ref)
+                if a is None or b is None:
+                    continue
+                av = np.frombuffer(a, np.uint8).astype(np.int64)
+                bv = np.frombuffer(b, np.uint8).astype(np.int64)
+                hist += np.bincount(av * 256 + bv, minlength=65536)
+            nz = np.flatnonzero(hist)
+            return pa.table({
+                "from_class": pa.array((nz // 256).astype(np.int64)),
+                "to_class": pa.array((nz % 256).astype(np.int64)),
+                "n_px": pa.array(hist[nz])})
+
+    from ray.data.aggregate import Sum
+    out = (ray.data.range(tiles_y * tiles_x)
+           .map_batches(as_task_fn(ChangeKernel),
+                        batch_format="pyarrow", batch_size=batch_size)
+           .groupby(["from_class", "to_class"])
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["from_class", "to_class"])
+            .reset_index(drop=True))

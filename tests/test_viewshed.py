@@ -100,3 +100,21 @@ def test_zonal_visibility_bit_exact(tiny_world):
         mine = viewshed.zonal_visibility_stats(tiny_world, ds, 3)
         want = oracle.zonal_viewshed_oracle(fixtures.TINY, ds, 3)
         assert mine.equals(want), ds
+
+
+def test_change_matrix_self_diagonal(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid
+    m = pyramid.change_matrix(tiny_world, tiny_world, "kg")
+    assert (m["from_class"] == m["to_class"]).all()
+    # total pixels == present-tile pixel count of the kg dataset
+    base = oracle.full_raster(fixtures.TINY, "kg")[0]
+    grid = fixtures.TINY.grid("g1")
+    land_idx = fixtures.land_index(fixtures.TINY.seed)
+    n = 0
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(fixtures.TINY, "kg", ty, tx,
+                                    land_idx) is not None:
+                _x, _y, nc, nr = grid.tile_window(ty, tx)
+                n += nr * nc
+    assert int(m["n_px"].sum()) == n
