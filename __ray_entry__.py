@@ -2157,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_reorder_gaps": temporal.customer_reorder_gaps,
         "time_weighted_value": temporal.time_weighted_value,
         "attribution_last_touch": temporal.attribution_last_touch,
+        "activity_gini": temporal.activity_gini_parts,
         "events_asof_orders": temporal.asof_join_events_orders,
         "events_range_join": temporal.range_join_events_orders,
         "events_rolling_7d": temporal.rolling_daily_counts,
@@ -2407,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_reorder_gaps": temporal.REORDER_GAPS_SQL,
         "time_weighted_value": temporal.TIME_WEIGHTED_SQL,
         "attribution_last_touch": temporal.ATTRIBUTION_SQL,
+        "activity_gini": temporal.GINI_SQL,
         "events_asof_orders": temporal.ASOF_JOIN_SQL,
         "events_range_join": temporal.RANGE_JOIN_SQL,
         "events_rolling_7d": temporal.ROLLING_DAILY_COUNTS_SQL,

@@ -2087,3 +2087,69 @@ SELECT CASE WHEN prev_ts IS NOT NULL
 FROM e WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY touch_type
 """
+
+
+# ---------------------------------------------------------------------------
+# activity inequality (Gini) — exact integer parts
+# ---------------------------------------------------------------------------
+
+def activity_gini_parts(sf_dir: str) -> pd.DataFrame:
+    """EXACT integer parts of the Gini coefficient of per-user event
+    activity: with users ranked i = 1..n by (count, user_id) and
+    x_(i) the i-th count, gini = Σ(2i − n − 1)·x_(i) / (n·Σx) — the
+    standard rank formula; this emits (n_users, total_events,
+    gini_num, gini_den) and leaves the one float division to the
+    caller, so the SQL window oracle is bit-equal.
+
+    Scale design: the rank sum NEVER needs a global sort — counts are
+    small integers, so the per-user count table folds into a
+    counts-of-counts histogram (one tiny groupby); users sharing a
+    count occupy a contiguous rank run [R+1, R+h], and Σi over the
+    run is h·R + h(h+1)/2 in closed form. The numerator is rank-tie
+    invariant, so the histogram derivation equals the window oracle
+    exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].to_numpy(zero_copy_only=False))
+        u, n = np.unique(uid, return_counts=True)
+        return pa.table({"user_id": pa.array(u.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    counts = (ds.map_batches(per_batch, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("n", alias_name="n")))
+    hist = (counts.groupby("n")
+                  .aggregate(Count(alias_name="h"))
+                  .to_pandas())
+    c = hist["n"].to_numpy(np.int64)
+    h = hist["h"].to_numpy(np.int64)
+    order = np.argsort(c, kind="stable")
+    c, h = c[order], h[order]
+    n_users = int(h.sum())
+    total = int((c * h).sum())
+    run_start = np.r_[np.int64(0), np.cumsum(h)[:-1]]
+    sum_i = h * run_start + h * (h + 1) // 2
+    num = int((c * (2 * sum_i - h * (n_users + 1))).sum())
+    return pd.DataFrame({
+        "n_users": [np.int64(n_users)],
+        "total_events": [np.int64(total)],
+        "gini_num": [np.int64(num)],
+        "gini_den": [np.int64(n_users * total)]})
+
+
+GINI_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS x FROM events GROUP BY user_id),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+         COUNT(*) OVER () AS n
+  FROM c)
+SELECT MAX(n)::BIGINT AS n_users,
+       SUM(x)::BIGINT AS total_events,
+       SUM((2 * i - n - 1) * x)::BIGINT AS gini_num,
+       (MAX(n) * SUM(x))::BIGINT AS gini_den
+FROM r
+"""

@@ -2279,3 +2279,11 @@ def test_cheapest_supplier_matches_sql(con):
         " FROM lineitem GROUP BY 1 ORDER BY 1").fetchdf()
     assert ((mine["price"] * 100).round().astype(np.int64).to_numpy()
             == want.iloc[:, 1].to_numpy()).all()
+
+
+def test_gini_matches_sql(con):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.activity_gini_parts(SF)
+    _assert_match(mine, temporal.GINI_SQL, con)
+    # Gini is in [0, 1): 0 <= num < den
+    assert 0 <= int(mine["gini_num"].iloc[0]) < int(mine["gini_den"].iloc[0])
