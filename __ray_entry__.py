@@ -594,6 +594,37 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_profile(sf_dir: str):
+    """Transect profile (elevation-profile product): point-lookup
+    gather along a segment must reproduce the assembled whole-raster
+    values exactly, with 8-adjacent steps, nodata/absent as -1."""
+    import numpy as np
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import viewshed
+    om = _oracle_mod()
+    prof = viewshed.raster_profile(_world(), "kg", (10, 5), (300, 700))
+    base = om.full_raster(fixtures.TINY, "kg")[0]
+    grid = fixtures.TINY.grid("g1")
+    land_idx = fixtures.land_index(fixtures.TINY.seed)
+    present = np.ones(base.shape, bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(fixtures.TINY, "kg", ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                present[y:y + nr, x:x + nc] = False
+    gy = prof["gy"].to_numpy()
+    gx = prof["gx"].to_numpy()
+    want = np.where(present[gy, gx] & (base[gy, gx] != 0),
+                    base[gy, gx], -1).astype(np.int64)
+    if not (prof["value"].to_numpy() == want).all():
+        raise AssertionError("profile values != whole-raster gather")
+    if not (np.maximum(np.abs(np.diff(gy)),
+                       np.abs(np.diff(gx))) == 1).all():
+        raise AssertionError("profile steps not 8-adjacent")
+    return prof
+
+
 def _spatial_cost_path(sf_dir: str):
     """Least-cost path extraction (GRASS r.drain): backtrack from the
     farthest reachable pixel along the converged min-plus field. The
@@ -2360,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_cost_path": _spatial_cost_path,
+        "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
         "spatial_upsample_bilinear": _spatial_upsample_bilinear,

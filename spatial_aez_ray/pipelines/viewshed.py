@@ -517,3 +517,61 @@ def zonal_visibility_stats(world_path: str, dataset: str = "kg",
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out.sort_values("admin").reset_index(drop=True)
+
+
+def raster_profile(world_path: str, dataset: str,
+                   p0: tuple[int, int], p1: tuple[int, int], *,
+                   hole_value: int | None = None) -> pd.DataFrame:
+    """Values along the transect p0 -> p1 (the gdallocationinfo /
+    elevation-profile product): lattice samples on the segment at
+    every dominant-axis step (the viewshed interpolation geometry —
+    the non-dominant coordinate ROUNDS to the nearest cell, ties
+    toward the smaller index). Returns (step, gy, gx, value) with
+    value −1 for nodata / absent-tile samples.
+
+    Scale shape: the sample coordinates are derived on the driver
+    (O(profile length) tiny rows), grouped by owning tile, and each
+    touched tile is fetched ONCE by derived ref — a point-lookup
+    gather, never a scan."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    y0, x0 = int(p0[0]), int(p0[1])
+    y1, x1 = int(p1[0]), int(p1[1])
+    for (y, x) in ((y0, x0), (y1, x1)):
+        if not (0 <= y < grid.height and 0 <= x < grid.width):
+            raise ValueError("profile endpoint outside the world")
+    dy, dx = y1 - y0, x1 - x0
+    m = max(abs(dy), abs(dx))
+    i = np.arange(m + 1, dtype=np.int64)
+    if m == 0:
+        gy = np.array([y0], dtype=np.int64)
+        gx = np.array([x0], dtype=np.int64)
+    else:
+        # nearest-cell rounding of the rational coordinate (ties to
+        # the smaller index): floor((2*num + m) / (2*m))
+        gy = (2 * (y0 * m + dy * i) + m) // (2 * m)
+        gx = (2 * (x0 * m + dx * i) + m) // (2 * m)
+    t = grid.tile
+    ty = gy // t
+    tx = gx // t
+    media = MediaStore(world_path)
+    refs = sorted({model.media_ref(dataset, grid.name, int(a), int(b), 1)
+                   for a, b in zip(ty, tx)})
+    payloads = media.fetch(refs, strict=False)
+    vals = np.full(len(gy), np.int64(-1))
+    for r in refs:
+        p = payloads.get(r)
+        if p is None:
+            continue
+        parts = r.split("/")
+        rty, rtx = int(parts[-3]), int(parts[-2])
+        nr = min(t, grid.height - rty * t)
+        nc = min(t, grid.width - rtx * t)
+        arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+        sel = (ty == rty) & (tx == rtx)
+        v = arr[gy[sel] - rty * t, gx[sel] - rtx * t].astype(np.int64)
+        vals[sel] = np.where(v == hole, np.int64(-1), v)
+    return pd.DataFrame({"step": i, "gy": gy, "gx": gx,
+                         "value": vals})
