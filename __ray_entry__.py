@@ -2244,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_check": relational.q4_priority_check,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "events_value_mad": relational.events_value_mad,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2509,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_check": relational.Q4_PRIORITY_SQL,
         "q19_discounted_revenue": relational.Q19_REVENUE_SQL,
         "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
+        "events_value_mad": relational.EVENTS_MAD_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

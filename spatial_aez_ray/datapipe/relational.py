@@ -3586,3 +3586,74 @@ SELECT partkey,
        (MIN(key) // 1048576) / 100.0 AS price
 FROM l GROUP BY partkey ORDER BY partkey
 """
+
+
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Per event type: the exact integer median and median absolute
+    deviation of value cents — the robust-dispersion statistic
+    (anomaly thresholds are usually med ± k·MAD). Quantile semantics
+    are quantile_disc's rank = ceil(q·n) (the house ceil form; the
+    floor form silently diverges on near-unique keys).
+
+    Scale shape: values are DOMAIN-bounded, so the per-(type, cents)
+    count table is tiny after one grouped sum (the zonal-value-stats
+    discipline); median and MAD both derive from that table on the
+    driver — deviations merge two-sided around the median with
+    counts, no second scan of the data."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        g = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        c = _cents(b["value"])
+        df = pd.DataFrame({"g": g, "c": c,
+                           "n": np.ones(len(c), dtype=np.int64)})
+        out = df.groupby(["g", "c"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hist = (ds.map_batches(per_batch, batch_format="pyarrow")
+              .groupby(["g", "c"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    rows = []
+    for g, sub in hist.groupby("g"):
+        sub = sub.sort_values("c")
+        c = sub["c"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        rank = -(-50 * tot // 100)  # ceil(n/2)
+        cum = np.cumsum(n)
+        med = int(c[np.searchsorted(cum, rank)])
+        dev = np.abs(c - med)
+        order = np.argsort(dev, kind="stable")
+        dsort, nsort = dev[order], n[order]
+        # merge equal deviations (x = med±d collide)
+        uniq, inv = np.unique(dsort, return_inverse=True)
+        dcnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(dcnt, inv, nsort)
+        dcum = np.cumsum(dcnt)
+        mad = int(uniq[np.searchsorted(dcum, rank)])
+        rows.append((g, tot, med, mad))
+    out = pd.DataFrame(rows, columns=["event_type", "n",
+                                      "median_cents", "mad_cents"])
+    for col in ("n", "median_cents", "mad_cents"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_MAD_SQL = """
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+m AS (SELECT g, quantile_disc(c, 0.5) AS med, COUNT(*)::BIGINT AS n
+      FROM v GROUP BY g),
+d AS (SELECT v.g, ABS(v.c - m.med) AS dev, m.med, m.n
+      FROM v JOIN m USING (g))
+SELECT g AS event_type,
+       MIN(n)::BIGINT AS n,
+       MIN(med)::BIGINT AS median_cents,
+       quantile_disc(dev, 0.5)::BIGINT AS mad_cents
+FROM d GROUP BY g ORDER BY event_type
+"""

@@ -2287,3 +2287,10 @@ def test_gini_matches_sql(con):
     _assert_match(mine, temporal.GINI_SQL, con)
     # Gini is in [0, 1): 0 <= num < den
     assert 0 <= int(mine["gini_num"].iloc[0]) < int(mine["gini_den"].iloc[0])
+
+
+def test_events_mad_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.events_value_mad(SF)
+    _assert_match(mine, relational.EVENTS_MAD_SQL, con)
+    assert (mine["mad_cents"] >= 0).all()
