@@ -1083,15 +1083,8 @@ def cost_distance(world_path: str, dataset: str = "kg",
     hole = nodata if hole_value is None else int(hole_value)
     present_tiles = _present_tiles(world_path, dataset, grid)
 
-    def run(tile_ids, inflow, final):
-        ref = ray.put(inflow) if inflow else None
-        fn = as_task_fn(_CostTiles, world_path=world_path,
-                        dataset=dataset, target=int(target), hole=hole,
-                        inflow_ref=ref, final=final)
-        items = [{"id": int(i)} for i in tile_ids]
-        return (ray.data.from_items(items)
-                .map_batches(fn, batch_format="pyarrow",
-                             batch_size=batch_size))
+    run = _make_cost_run(world_path, dataset, int(target), hole,
+                         batch_size)
 
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
                                         "cost-distance")
@@ -1107,6 +1100,44 @@ def cost_distance(world_path: str, dataset: str = "kg",
     if with_rounds:
         return out, rounds
     return out
+
+
+#: delta rounds touching at most this many tiles skip the ray.data
+#: launch (~0.4 s fixed) and run as a handful of plain tasks — the
+#: late rounds of a converging seam fixpoint are exactly this shape
+_SMALL_ROUND_MAX = 96
+
+
+def _make_cost_run(world_path: str, dataset: str, target: int,
+                   hole: int, batch_size: int, *, alloc: bool = False,
+                   index=None):
+    """The shared launcher for the cost-family seam fixpoints: big
+    rounds go through ray.data (streaming, batched); small delta
+    rounds go through plain Ray tasks over the same kernel — same
+    rows either way (the kernel is deterministic per tile id)."""
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
+            @ray.remote(num_cpus=1)
+            def _chunk(ids):
+                k = _CostTiles(world_path, dataset, int(target), hole,
+                               ref, False, alloc=alloc, index=None)
+                return k(pa.table({"id": pa.array(ids, pa.int64())}))
+            chunks = [tile_ids[i:i + 32]
+                      for i in range(0, len(tile_ids), 32)]
+            tables = ray.get([_chunk.remote(list(c)) for c in chunks])
+            return pa.concat_tables(tables).to_pandas()
+        fn = as_task_fn(_CostTiles, world_path=world_path,
+                        dataset=dataset, target=int(target), hole=hole,
+                        inflow_ref=ref, final=final, alloc=alloc,
+                        index=index if final else None)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    return run
 
 
 def _min_seam_fixpoint(run, present_tiles: list[int], what: str):
@@ -1126,7 +1157,9 @@ def _min_seam_fixpoint(run, present_tiles: list[int], what: str):
             raise AssertionError(
                 f"{what} seam fixpoint did not converge within "
                 f"{_COST_MAX_ROUNDS} rounds")
-        offers = run(pending, inflow, final=False).to_pandas()
+        offers = run(pending, inflow, final=False)
+        if not isinstance(offers, pd.DataFrame):
+            offers = offers.to_pandas()
         for tid in pending:
             out_by_src.pop(tid, None)
         for src, dst, px, d in offers.itertuples(index=False):
@@ -1174,15 +1207,8 @@ def cost_allocation(world_path: str, dataset: str = "kg",
     hole = nodata if hole_value is None else int(hole_value)
     present_tiles = _present_tiles(world_path, dataset, grid)
 
-    def run(tile_ids, inflow, final):
-        ref = ray.put(inflow) if inflow else None
-        fn = as_task_fn(_CostTiles, world_path=world_path,
-                        dataset=dataset, target=int(target), hole=hole,
-                        inflow_ref=ref, final=final, alloc=True)
-        items = [{"id": int(i)} for i in tile_ids]
-        return (ray.data.from_items(items)
-                .map_batches(fn, batch_format="pyarrow",
-                             batch_size=batch_size))
+    run = _make_cost_run(world_path, dataset, int(target), hole,
+                         batch_size, alloc=True)
 
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
                                         "cost-allocation")
@@ -1233,16 +1259,8 @@ def zonal_cost_stats(world_path: str, dataset: str = "kg",
     present_tiles = _present_tiles(world_path, dataset, grid)
     index = build_zonal_index(world_path)
 
-    def run(tile_ids, inflow, final):
-        ref = ray.put(inflow) if inflow else None
-        fn = as_task_fn(_CostTiles, world_path=world_path,
-                        dataset=dataset, target=int(target), hole=hole,
-                        inflow_ref=ref, final=final,
-                        index=index if final else None)
-        items = [{"id": int(i)} for i in tile_ids]
-        return (ray.data.from_items(items)
-                .map_batches(fn, batch_format="pyarrow",
-                             batch_size=batch_size))
+    run = _make_cost_run(world_path, dataset, int(target), hole,
+                         batch_size, index=index)
 
     inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
                                          "zonal-cost-stats")
@@ -1548,15 +1566,8 @@ def cost_path(world_path: str, dataset: str = "kg", target: int = 14,
     hole = nodata if hole_value is None else int(hole_value)
     present_tiles = _present_tiles(world_path, dataset, grid)
 
-    def run(tile_ids, inflow, final):
-        ref = ray.put(inflow) if inflow else None
-        fn = as_task_fn(_CostTiles, world_path=world_path,
-                        dataset=dataset, target=int(target), hole=hole,
-                        inflow_ref=ref, final=final)
-        items = [{"id": int(i)} for i in tile_ids]
-        return (ray.data.from_items(items)
-                .map_batches(fn, batch_format="pyarrow",
-                             batch_size=batch_size))
+    run = _make_cost_run(world_path, dataset, int(target), hole,
+                         batch_size)
 
     inflow, _ = _min_seam_fixpoint(run, present_tiles, "cost-path")
 
