@@ -2319,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion_topk": simsearch.rrf_fusion_topk,
         "ann_topk_filtered": simsearch.ann_topk_filtered,
         "ann_quantized": simsearch.ann_quantized,
+        "mmr_topk": simsearch.mmr_diversified_topk,
         "centroid_outliers": simsearch.centroid_outliers,
         "kmeans_clusters": _kmeans_clusters,
         "ann_lsh": simsearch.ann_lsh,
@@ -2574,6 +2575,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": __import__(
             "spatial_aez_ray.datapipe.simsearch",
             fromlist=["ANN_QUANTIZED_SQL"]).ANN_QUANTIZED_SQL,
+        "mmr_topk": __import__(
+            "spatial_aez_ray.datapipe.simsearch",
+            fromlist=["MMR_TOPK_SQL"]).MMR_TOPK_SQL,
         # the stored-int8 path produces the SAME integer scores
         "ann_quantized_table": __import__(
             "spatial_aez_ray.datapipe.simsearch",

@@ -1897,3 +1897,175 @@ FROM fused QUALIFY rank <= {k} ORDER BY query_id, rank
 
 
 RRF_FUSION_SQL = _rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+#: MMR defaults: candidate pool per query, picks, lambda = 1/2 (equal
+#: relevance/diversity weight keeps the greedy score pure integer:
+#: mmr(d) = rel(d) - max sim(d, selected))
+MMR_QUERIES, MMR_POOL, MMR_K = 2, 16, 4
+
+
+def mmr_diversified_topk(sf_dir: str, n_queries: int = MMR_QUERIES,
+                         pool: int = MMR_POOL,
+                         k: int = MMR_K) -> pd.DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell & Goldstein
+    1998): greedy top-k that trades relevance against similarity to
+    the already-selected set — the standard diversified-search /
+    dedup-at-serving-time operator. λ = 1/2, so every score is the
+    EXACT integer mmr(d) = rel(d) − max_{s∈S} sim(d, s) over the
+    symmetric int8-quantized dots of ``ann_quantized`` (ties toward
+    the smaller vec_id), and the generated DuckDB oracle — the same
+    greedy unrolled into k chained CTE steps — is bit-equal.
+
+    Scale shape: candidate pools come from the streamed quantized
+    scorer (per-batch q×pool partials); only pool×d vectors are ever
+    fetched back (a point lookup — the minhash-index footer-pruning
+    discipline applies to a real deployment); the greedy runs on the
+    driver over pool² integer dots per query."""
+    import ray
+
+    ds = _read_emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def max_abs(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        return pa.table({"a": pa.array([float(np.abs(m).max())]
+                                       if m.size else [0.0])})
+
+    scale = float(ds.map_batches(max_abs, batch_format="pyarrow")
+                    .to_pandas()["a"].max())
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    qq = _symmetric_quantize(q, scale)
+    q_ref = ray.put((q_ids, qq, scale))
+    partials = ds.map_batches(
+        _as_task_fn(_QuantTopK, q_ref=q_ref, k=pool),
+        batch_format="pyarrow").to_pandas()
+
+    pools: dict[int, list[tuple[int, int]]] = {}
+    for qid, grp in partials.groupby("query_id"):
+        best = heapq.nsmallest(
+            pool, zip(-grp["score"].values, grp["neighbor_id"].values))
+        pools[int(qid)] = [(int(-ns), int(vid)) for ns, vid in best]
+
+    # fetch + quantize the union of pool vectors (point lookup)
+    want = sorted({vid for rows in pools.values() for _s, vid in rows})
+    import pyarrow.parquet as pq_
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = (pq_.read_table(path, columns=["vec_id", "embedding"])
+           if not os.path.isdir(path) else None)
+    if tbl is None:
+        parts = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        tbl = pa.concat_tables(pq_.read_table(p) for p in parts)
+    keep = np.isin(tbl["vec_id"].to_numpy(), np.asarray(want))
+    tbl = tbl.filter(pa.array(keep))
+    vid_arr = tbl["vec_id"].to_numpy()
+    vm = _symmetric_quantize(_emb_matrix(tbl), scale)
+    vindex = {int(v): i for i, v in enumerate(vid_arr)}
+
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        cand = pools[int(qid)]
+        ids = np.asarray([v for _s, v in cand], dtype=np.int64)
+        rel = np.asarray([s for s, _v in cand], dtype=np.int64)
+        V = vm[[vindex[int(v)] for v in ids]]
+        pair = V @ V.T  # integer pool x pool dots
+        chosen: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            if chosen:
+                penalty = pair[:, chosen].max(axis=1)
+            else:
+                penalty = np.zeros(len(ids), dtype=np.int64)
+            mmr = rel - penalty
+            # argmax by (mmr desc, vec_id asc) over available
+            key = np.where(avail, mmr, np.int64(-1) << 62)
+            best_mmr = key.max()
+            tie = np.flatnonzero(avail & (mmr == best_mmr))
+            pick = tie[np.argmin(ids[tie])]
+            rows.append((int(qid), rank, int(ids[pick]),
+                         int(mmr[pick])))
+            chosen.append(int(pick))
+            avail[pick] = False
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id",
+                                      "mmr_score"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+
+def _mmr_sql(n_queries: int = MMR_QUERIES, pool: int = MMR_POOL,
+             k: int = MMR_K) -> str:
+    """Generated oracle: the greedy unrolled into k chained CTE steps
+    over the same integer quantized dots."""
+    steps = []
+    sels = ["sel1"]
+    for i in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+        steps.append(f"""
+cand{i} AS (
+  SELECT p.qid, p.vec_id, p.rel,
+         p.rel - MAX(pd.d) AS mmr
+  FROM pool p
+  JOIN ({union}) s ON s.qid = p.qid
+  JOIN pdot pd ON pd.qid = p.qid AND pd.a = p.vec_id
+              AND pd.b = s.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM ({union}) x
+                         WHERE x.qid = p.qid)
+  GROUP BY p.qid, p.vec_id, p.rel),
+sel{i} AS (
+  SELECT qid, vec_id, rel, {i} AS rank, mmr FROM (
+    SELECT qid, vec_id, rel, mmr,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY mmr DESC, vec_id) AS rn
+    FROM cand{i}) WHERE rn = 1)""")
+        sels.append(f"sel{i}")
+    final = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+    return f"""
+WITH scale AS (
+  SELECT MAX(list_max(list_transform(embedding, x -> abs(x)))) AS s
+  FROM embeddings),
+qv AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding,
+           x -> ROUND(x * 127 / sc.s)) AS ql
+  FROM embeddings, scale sc ORDER BY vec_id LIMIT {n_queries}),
+cv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> ROUND(x * 127 / sc.s)) AS cl
+  FROM embeddings, scale sc),
+rel AS (
+  SELECT qid, vec_id,
+         CAST(list_dot_product(ql, cl) AS BIGINT) AS rel
+  FROM qv CROSS JOIN cv WHERE vec_id <> qid),
+pool AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT qid, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM rel) WHERE rn <= {pool}),
+pdot AS (
+  SELECT p1.qid, p1.vec_id AS a, p2.vec_id AS b,
+         CAST(list_dot_product(c1.cl, c2.cl) AS BIGINT) AS d
+  FROM pool p1
+  JOIN pool p2 ON p1.qid = p2.qid AND p1.vec_id <> p2.vec_id
+  JOIN cv c1 ON c1.vec_id = p1.vec_id
+  JOIN cv c2 ON c2.vec_id = p2.vec_id),
+sel1 AS (
+  SELECT qid, vec_id, rel, 1 AS rank, rel AS mmr FROM (
+    SELECT qid, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM pool) WHERE rn = 1),{",".join(steps)}
+SELECT qid AS query_id, rank::BIGINT AS rank, vec_id,
+       mmr::BIGINT AS mmr_score
+FROM ({final}) ORDER BY query_id, rank
+"""
+
+
+MMR_TOPK_SQL = _mmr_sql()

@@ -2294,3 +2294,14 @@ def test_events_mad_matches_sql(con):
     mine = relational.events_value_mad(SF)
     _assert_match(mine, relational.EVENTS_MAD_SQL, con)
     assert (mine["mad_cents"] >= 0).all()
+
+
+def test_mmr_matches_sql(con):
+    from spatial_aez_ray.datapipe import simsearch
+    mine = simsearch.mmr_diversified_topk(SF)
+    _assert_match(mine, simsearch.MMR_TOPK_SQL, con)
+    # diversification: rank-1 is the pure-relevance argmax, and every
+    # later pick scores no higher than the unpenalized best
+    for _q, grp in mine.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert (g["mmr_score"].iloc[0] >= g["mmr_score"].iloc[1:]).all()
