@@ -2300,8 +2300,21 @@ def test_mmr_matches_sql(con):
     from spatial_aez_ray.datapipe import simsearch
     mine = simsearch.mmr_diversified_topk(SF)
     _assert_match(mine, simsearch.MMR_TOPK_SQL, con)
-    # diversification: rank-1 is the pure-relevance argmax, and every
-    # later pick scores no higher than the unpenalized best
-    for _q, grp in mine.groupby("query_id"):
-        g = grp.sort_values("rank")
-        assert (g["mmr_score"].iloc[0] >= g["mmr_score"].iloc[1:]).all()
+    # rank-1 is the pure-relevance argmax (signed similarities mean
+    # later MARGINAL scores can exceed it, so no dominance claim)
+    top = con.execute(
+        """WITH s AS (SELECT MAX(list_max(list_transform(embedding,
+               x -> abs(x)))) AS v FROM embeddings),
+        qv AS (SELECT vec_id AS qid, list_transform(embedding,
+               x -> ROUND(x*127/s.v)) AS ql
+               FROM embeddings, s ORDER BY vec_id LIMIT 2),
+        cv AS (SELECT vec_id, list_transform(embedding,
+               x -> ROUND(x*127/s.v)) AS cl FROM embeddings, s)
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY CAST(list_dot_product(ql, cl) AS BIGINT) DESC,
+               vec_id) AS rn
+        FROM qv CROSS JOIN cv WHERE vec_id <> qid
+        QUALIFY rn = 1""").fetchdf()
+    r1 = mine[mine["rank"] == 1].set_index("query_id")["vec_id"]
+    for _, row in top.iterrows():
+        assert int(r1.loc[int(row["qid"])]) == int(row["vec_id"])
