@@ -2232,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_search": corpus.boolean_and_search,
         "phrase_search": corpus.phrase_search,
         "near_search": corpus.near_search,
+        "kwic_snippets": corpus.kwic_snippets,
         "bm25_topk": corpus.bm25_topk,
         "pmi_top_pairs": corpus.pmi_top_pairs,
         "corpus_build_manifest": corpus.corpus_build_manifest,
@@ -2499,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
         "phrase_search": corpus.PHRASE_SEARCH_SQL,
         "near_search": corpus.NEAR_SEARCH_SQL,
+        "kwic_snippets": corpus.KWIC_SNIPPETS_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
         "corpus_build_manifest": corpus.CORPUS_BUILD_MANIFEST_SQL,

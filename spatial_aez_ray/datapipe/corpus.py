@@ -2148,3 +2148,97 @@ FROM pairs GROUP BY doc_id ORDER BY doc_id
 
 
 NEAR_SEARCH_SQL = _near_sql(*NEAR_TERMS, NEAR_WINDOW)
+
+
+#: KWIC context width (tokens either side of the phrase)
+KWIC_WINDOW = 3
+
+
+def kwic_snippets(sf_dir: str,
+                  phrase: tuple[str, ...] = PHRASE_TERMS,
+                  window: int = KWIC_WINDOW) -> pd.DataFrame:
+    """Keyword-in-context extraction: for every document matching the
+    exact phrase, the snippet of ``window`` tokens around its FIRST
+    hit — the result-rendering stage of the search chain (find ->
+    rank -> snippet). Per batch one token flattening + the
+    phrase_search shifted-equality match; snippet assembly is a
+    per-hit-doc slice join (hit docs only, never the corpus)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    terms = tuple(str(t) for t in phrase)
+    k = len(terms)
+    w = int(window)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        flat, doc_idx = _flatten_tokens(texts)
+        n = len(doc_ids)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "first_pos": pa.array([], pa.int64()),
+                          "snippet": pa.array([], pa.string())})
+        if len(flat) < k:
+            return empty
+        m = len(flat) - k + 1
+        match = flat[:m] == terms[0]
+        for j in range(1, k):
+            match &= flat[j:m + j] == terms[j]
+        match &= doc_idx[:m] == doc_idx[k - 1:m + k - 1]
+        sel = np.flatnonzero(match)
+        if not len(sel):
+            return empty
+        d = doc_idx[sel]
+        first_flat = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_flat, doc_idx, np.arange(len(flat),
+                                                     dtype=np.int64))
+        pos1 = sel - first_flat[d] + 1
+        first_pos = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_pos, d, pos1)
+        hit_docs = np.flatnonzero(first_pos < np.iinfo(np.int64).max)
+        out_doc, out_pos, out_snip = [], [], []
+        for di in hit_docs:
+            toks = texts[di].split(" ")
+            fp = int(first_pos[di])  # 1-based
+            lo = max(1, fp - w)
+            hi = min(len(toks), fp + k - 1 + w)
+            out_doc.append(int(doc_ids[di]))
+            out_pos.append(fp)
+            out_snip.append(" ".join(toks[lo - 1:hi]))
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "first_pos": pa.array(out_pos, pa.int64()),
+                         "snippet": pa.array(out_snip, pa.string())})
+
+    out = (_read_docs(sf_dir, columns=["doc_id", "text"])
+           .map_batches(hits, batch_format="pyarrow")
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["first_pos"] = out["first_pos"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _kwic_sql(phrase: tuple[str, ...], window: int) -> str:
+    conds = " AND ".join(
+        f"arr[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    k = len(phrase)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+           FROM documents),
+nums AS (SELECT unnest(generate_series(1,
+           (SELECT MAX(len(arr)) FROM d)::INT)) AS i),
+hits AS (
+  SELECT doc_id, MIN(i) AS first_pos
+  FROM d JOIN nums ON i + {k - 1} <= len(arr)
+  WHERE {conds}
+  GROUP BY doc_id)
+SELECT h.doc_id, h.first_pos,
+       array_to_string(
+         arr[greatest(1, h.first_pos - {window})
+             : least(len(arr), h.first_pos + {k - 1 + window})],
+         ' ') AS snippet
+FROM hits h JOIN d ON d.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+KWIC_SNIPPETS_SQL = _kwic_sql(PHRASE_TERMS, KWIC_WINDOW)

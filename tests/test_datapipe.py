@@ -2318,3 +2318,15 @@ def test_mmr_matches_sql(con):
     r1 = mine[mine["rank"] == 1].set_index("query_id")["vec_id"]
     for _, row in top.iterrows():
         assert int(r1.loc[int(row["qid"])]) == int(row["vec_id"])
+
+
+def test_kwic_matches_sql(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.kwic_snippets(SF)
+    _assert_match(mine, corpus.KWIC_SNIPPETS_SQL, con)
+    # every snippet contains the phrase verbatim, and KWIC docs ==
+    # phrase_search docs
+    ph = " ".join(corpus.PHRASE_TERMS)
+    assert mine["snippet"].str.contains(ph, regex=False).all()
+    assert mine["doc_id"].tolist() == \
+        corpus.phrase_search(SF)["doc_id"].tolist()
