@@ -30,6 +30,7 @@ try:  # pragma: no cover - lance not available in this sandbox
     import lance  # noqa: F401
     HAVE_LANCE = True
 except ImportError:
+    lance = None
     HAVE_LANCE = False
 
 
@@ -212,3 +213,49 @@ class MediaStore:
                 raise KeyError(
                     f"media refs not found: {missing[:3]}... ({len(missing)})")
         return out
+
+
+def convert_world_documents_to_lance(world_path: str,
+                                     datasets: list[str] | None = None,
+                                     kind: str = "documents"):
+    """Migrate a world's document tables to the Lance physical format
+    (BASELINE.json's named target): each selected ``dataset=...`` dir's
+    parquet parts are streamed one part at a time into a single
+    ``docs.lance`` dataset (create, then append — never the whole
+    table in memory), and the parquet parts are removed only after
+    the Lance dataset is complete, so a failed conversion leaves the
+    world readable. ``read_documents`` prefers ``*.lance`` dirs
+    automatically afterwards. Returns a (dataset, n_parts, n_rows)
+    manifest. Import-gated like the read branch — the ``lance``
+    package is absent in this sandbox, so tests fake the module; the
+    discovery, streaming order, atomicity and manifest are OUR code
+    and covered either way."""
+    if not HAVE_LANCE:
+        raise ImportError(
+            "converting to Lance requires the 'lance' package "
+            "(pip install pylance)")
+    import pyarrow.parquet as pq
+
+    root = os.path.join(world_path, kind)
+    out = []
+    for n in sorted(os.listdir(root)):
+        ds_name = n.split("=", 1)[1] if "=" in n else n
+        if datasets is not None and ds_name not in datasets:
+            continue
+        d = os.path.join(root, n)
+        parts = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if not parts:
+            continue
+        target = os.path.join(d, "docs.lance")
+        n_rows = 0
+        for i, part in enumerate(parts):
+            t = pq.read_table(part)
+            n_rows += t.num_rows
+            lance.write_dataset(t, target,
+                                mode="create" if i == 0 else "append")
+        for part in parts:  # only after the dataset is complete
+            os.remove(part)
+        out.append((ds_name, len(parts), n_rows))
+    import pandas as pd
+    return pd.DataFrame(out, columns=["dataset", "n_parts", "n_rows"])

@@ -73,3 +73,73 @@ def test_read_documents_lance_plumbing(tmp_path, monkeypatch):
     assert pruned.schema().names == ["doc_id"]
     assert pruned.count() == 3
     assert seen_columns[-1] == ["doc_id"]
+
+
+class _FakeLance:
+    """Stand-in for the lance module: write_dataset appends parquet
+    fragments inside the .lance dir (create wipes), so the faked
+    read_lance (a parquet read of the dir) round-trips."""
+
+    @staticmethod
+    def write_dataset(table, uri, mode="create"):
+        import shutil
+        if mode == "create":
+            shutil.rmtree(uri, ignore_errors=True)
+            os.makedirs(uri)
+        elif not os.path.isdir(uri):
+            raise FileNotFoundError(uri)
+        n = len([f for f in os.listdir(uri) if f.endswith(".parquet")])
+        pq.write_table(table, os.path.join(uri, f"frag-{n:04d}.parquet"))
+
+
+def test_convert_world_to_lance_roundtrip(tmp_path, monkeypatch):
+    """Parquet world -> Lance conversion: streamed create+append,
+    parquet parts removed only after completion, read_documents
+    prefers the lance dirs and returns identical rows."""
+    # a tiny parquet world with two datasets, two parts each
+    for ds_name in ("kg", "lc"):
+        d = os.path.join(tmp_path, "documents", f"dataset={ds_name}")
+        os.makedirs(d)
+        for p in range(2):
+            t = pa.table({
+                "doc_id": [f"{ds_name}/{p}/{j}" for j in range(3)],
+                "value": [100 * p + j for j in range(3)]})
+            pq.write_table(t, os.path.join(d, f"part-{p:05d}.parquet"))
+    world = str(tmp_path)
+    before = (documents.read_documents_table(world)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the pyarrow dataset read adds the hive partition column; the
+    # lance dirs don't carry it
+    before = before[["doc_id", "value"]]
+
+    monkeypatch.setattr(documents, "lance", _FakeLance)
+    monkeypatch.setattr(documents, "HAVE_LANCE", True)
+    man = documents.convert_world_documents_to_lance(world)
+    assert man["dataset"].tolist() == ["kg", "lc"]
+    assert man["n_parts"].tolist() == [2, 2]
+    assert man["n_rows"].tolist() == [6, 6]
+    # parquet parts gone, lance dirs present
+    for ds_name in ("kg", "lc"):
+        d = os.path.join(world, "documents", f"dataset={ds_name}")
+        assert [f for f in os.listdir(d) if f.endswith(".parquet")] == []
+        assert os.path.isdir(os.path.join(d, "docs.lance"))
+
+    def fake_read_lance(uri, columns=None):
+        # raw per-file reads: pq.read_table would hive-infer the
+        # dataset= component of the path, which real Lance doesn't
+        ts = [pq.ParquetFile(os.path.join(uri, f)).read(columns=columns)
+              for f in sorted(os.listdir(uri))
+              if f.endswith(".parquet")]
+        return ray.data.from_arrow(pa.concat_tables(ts))
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance,
+                        raising=False)
+    after = (documents.read_documents(world).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert after.equals(before)
+
+
+def test_convert_requires_lance(tmp_path, monkeypatch):
+    monkeypatch.setattr(documents, "HAVE_LANCE", False)
+    with pytest.raises(ImportError, match="lance"):
+        documents.convert_world_documents_to_lance(str(tmp_path))
