@@ -2233,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": corpus.phrase_search,
         "near_search": corpus.near_search,
         "kwic_snippets": corpus.kwic_snippets,
+        "vocab_growth": corpus.vocab_growth,
         "bm25_topk": corpus.bm25_topk,
         "pmi_top_pairs": corpus.pmi_top_pairs,
         "corpus_build_manifest": corpus.corpus_build_manifest,
@@ -2501,6 +2502,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": corpus.PHRASE_SEARCH_SQL,
         "near_search": corpus.NEAR_SEARCH_SQL,
         "kwic_snippets": corpus.KWIC_SNIPPETS_SQL,
+        "vocab_growth": corpus.VOCAB_GROWTH_SQL,
         "bm25_topk": corpus.BM25_TOPK_SQL,
         "pmi_top_pairs": corpus.PMI_TOP_PAIRS_SQL,
         "corpus_build_manifest": corpus.CORPUS_BUILD_MANIFEST_SQL,

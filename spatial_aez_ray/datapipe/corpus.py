@@ -2242,3 +2242,59 @@ ORDER BY h.doc_id
 
 
 KWIC_SNIPPETS_SQL = _kwic_sql(PHRASE_TERMS, KWIC_WINDOW)
+
+
+#: vocabulary-growth checkpoints (docs ingested, doc_id order)
+VOCAB_GROWTH_POINTS = (50, 100, 200, 400)
+
+
+def vocab_growth(sf_dir: str,
+                 points: tuple[int, ...] = VOCAB_GROWTH_POINTS
+                 ) -> pd.DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement): distinct
+    tokens seen after the first N documents in doc_id order, for each
+    checkpoint N — corpus analytics that decides tokenizer vocab
+    budgets. EXACT with one vocab-sized shuffle: per batch each token
+    reduces to its min doc_id, the groupby keeps the global first
+    occurrence, and every checkpoint is then a count over the tiny
+    (token, first_doc) table — no per-checkpoint rescans."""
+    from ray.data.aggregate import Min
+
+    def first_seen(b: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(
+            b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat, doc_idx = _flatten_tokens(b["text"].to_pylist())
+        df = pd.DataFrame({"token": flat, "d": doc_ids[doc_idx]})
+        g = df.groupby("token", as_index=False)["d"].min()
+        return pa.table({"token": pa.array(g["token"], pa.string()),
+                         "d": pa.array(g["d"].to_numpy(np.int64))})
+
+    first = (_read_docs(sf_dir, columns=["doc_id", "text"])
+             .map_batches(first_seen, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Min("d", alias_name="d"))
+             .to_pandas())
+    fd = first["d"].to_numpy(np.int64)
+    rows = [(int(n), int((fd < n).sum())) for n in sorted(points)]
+    out = pd.DataFrame(rows, columns=["n_docs", "vocab"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _vocab_growth_sql(points: tuple[int, ...]) -> str:
+    sels = " UNION ALL ".join(f"SELECT {int(n)} AS n_docs" for n in
+                              sorted(points))
+    return f"""
+WITH first AS (
+  SELECT token, MIN(doc_id) AS d FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) GROUP BY token),
+pts AS ({sels})
+SELECT n_docs,
+       (SELECT COUNT(*) FROM first WHERE d < n_docs)::BIGINT AS vocab
+FROM pts ORDER BY n_docs
+"""
+
+
+VOCAB_GROWTH_SQL = _vocab_growth_sql(VOCAB_GROWTH_POINTS)

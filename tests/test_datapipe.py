@@ -2330,3 +2330,16 @@ def test_kwic_matches_sql(con):
     assert mine["snippet"].str.contains(ph, regex=False).all()
     assert mine["doc_id"].tolist() == \
         corpus.phrase_search(SF)["doc_id"].tolist()
+
+
+def test_vocab_growth_matches_sql(con):
+    from spatial_aez_ray.datapipe import corpus
+    mine = corpus.vocab_growth(SF)
+    _assert_match(mine, corpus.VOCAB_GROWTH_SQL, con)
+    # monotone nondecreasing, final point == full vocab size
+    assert (mine["vocab"].diff().dropna() >= 0).all()
+    full = con.execute(
+        "SELECT COUNT(DISTINCT token) FROM (SELECT unnest("
+        "string_split(text, ' ')) AS token FROM documents)"
+    ).fetchone()[0]
+    assert int(mine["vocab"].iloc[-1]) <= full
