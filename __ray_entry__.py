@@ -739,6 +739,28 @@ def _spatial_contour(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_raster_calc(sf_dir: str):
+    """gdal_calc-style local map algebra: a whitelisted expression
+    over aligned datasets, sibling payloads by derived ref (J4
+    discipline), any-input-nodata exclusion — three expressions must
+    match the whole-array oracle bit-exactly."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import viewshed
+    om = _oracle_mod()
+    outs = []
+    import pandas as pd
+    for expr, vs in (("(A >= 14) * B", {"A": "kg", "B": "wk"}),
+                     ("A % 7 + (B > 3) * 100", {"A": "kg", "B": "wk"})):
+        mine = viewshed.raster_calc(_world(), expr, vs)
+        want = om.raster_calc_oracle(fixtures.TINY, expr, vs)
+        if not mine.equals(want):
+            raise AssertionError(f"raster_calc {expr!r} != oracle")
+        mine = mine.copy()
+        mine.insert(0, "expr", expr)
+        outs.append(mine)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_viewshed(sf_dir: str):
     """Total viewshed / visibility index (GRASS r.viewshed family):
     per-pixel count of LOS-visible cells within radius 4, all-integer
@@ -2401,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_upsample_bilinear": _spatial_upsample_bilinear,
         "spatial_contour": _spatial_contour,
         "spatial_zonal_viewshed": _spatial_zonal_viewshed,
+        "spatial_raster_calc": _spatial_raster_calc,
         "spatial_zonal_cost": _spatial_zonal_cost,
         "spatial_strahler": _spatial_strahler,
         "spatial_real_watershed": _spatial_real_watershed,

@@ -1750,3 +1750,51 @@ def zonal_viewshed_oracle(spec, dataset: str = "kg", radius: int = 4,
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out
+
+
+def raster_calc_oracle(spec, expr: str,
+                       variables: dict[str, str]) -> pd.DataFrame:
+    """Sequential whole-array map-algebra histogram mirroring
+    ``viewshed.raster_calc``: tiles missing ANY input are wholly
+    nodata; elsewhere a pixel is excluded (value −1) when any input
+    pixel is nodata."""
+    import re as _re
+    assert _re.match(r"^[A-Z0-9+\-*/%()<>=&|~ ]+$", expr)
+    names = sorted(variables)
+    grid = spec.grid(fixtures.DATASET_GRID[variables[names[0]]])
+    land_idx = fixtures.land_index(spec.seed)
+    full = {n: full_raster(spec, variables[n])[0].astype(np.int64)
+            for n in names}
+    nodata = {n: fixtures.DATASET_NODATA[variables[n]] for n in names}
+    pres = {n: np.zeros((grid.tiles_y, grid.tiles_x), dtype=bool)
+            for n in names}
+    for n in names:
+        for ty in range(grid.tiles_y):
+            for tx in range(grid.tiles_x):
+                pres[n][ty, tx] = fixtures.tile_arrays(
+                    spec, variables[n], ty, tx, land_idx) is not None
+    code = compile(expr, "<raster_calc_oracle>", "eval")
+    hist: dict[int, int] = {}
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            have = [pres[n][ty, tx] for n in names]
+            if not any(have):
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            if not all(have):
+                hist[-1] = hist.get(-1, 0) + nr * nc
+                continue
+            arrs = {n: full[n][y:y + nr, x:x + nc] for n in names}
+            ok = np.ones((nr, nc), dtype=bool)
+            for n in names:
+                ok &= arrs[n] != nodata[n]
+            val = np.asarray(eval(code, {"__builtins__": {}}, arrs)
+                             ).astype(np.int64)
+            out = np.where(ok, val, np.int64(-1))
+            u, k = np.unique(out, return_counts=True)
+            for v, c in zip(u.tolist(), k.tolist()):
+                hist[v] = hist.get(v, 0) + c
+    keys = sorted(hist)
+    return pd.DataFrame({"value": np.asarray(keys, np.int64),
+                         "n_px": np.asarray([hist[k] for k in keys],
+                                            np.int64)})

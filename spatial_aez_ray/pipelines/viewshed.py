@@ -37,6 +37,8 @@ neighborhoods, expressed Ray-Data-first.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -575,3 +577,108 @@ def raster_profile(world_path: str, dataset: str,
         vals[sel] = np.where(v == hole, np.int64(-1), v)
     return pd.DataFrame({"step": i, "gy": gy, "gx": gx,
                          "value": vals})
+
+
+# -------------------------------------------------------- raster calc
+
+#: raster_calc expression whitelist: variable names, ints, arithmetic,
+#: comparisons, bitwise combinators and parens — the gdal_calc surface
+_CALC_TOKEN = re.compile(r"^[A-Z0-9+\-*/%()<>=&|~ ]+$")
+
+
+def raster_calc(world_path: str, expr: str,
+                variables: dict[str, str], *,
+                hole_value: int | None = None,
+                batch_size: int = 32) -> pd.DataFrame:
+    """(value, n_px) histogram of an arbitrary LOCAL map-algebra
+    expression over aligned datasets — the ``gdal_calc.py`` product
+    (band math). ``variables`` maps expression names (A, B, ...) to
+    dataset names; all datasets must share a grid (the J4 align-join
+    precondition), and sibling payloads are DERIVED from the tile key
+    — one batched fetch per batch, no shuffle. Expressions evaluate
+    vectorized over int64 arrays (comparisons yield 0/1), e.g.
+    ``"(A >= 14) * B"``; a pixel where ANY input is nodata (or any
+    tile absent) is excluded and reported under value −1. The
+    expression grammar is the whitelisted arithmetic/comparison/
+    bitwise subset — validated before evaluation."""
+    if not _CALC_TOKEN.match(expr):
+        raise ValueError("raster_calc expression uses disallowed "
+                         f"characters: {expr!r}")
+    for name in variables:
+        if not re.match(r"^[A-Z]$", name):
+            raise ValueError(f"variable names are single capitals: {name}")
+    layout = model.world_layout(world_path)
+    grids = {layout[d]["grid"] for d in variables.values()}
+    if len(grids) != 1:
+        raise ValueError(f"raster_calc inputs must share a grid: {grids}")
+    grid = world_grid(world_path, next(iter(grids)))
+    nodatas = {n: int(layout[d]["nodata"])
+               for n, d in variables.items()}
+    if hole_value is not None:
+        nodatas = {n: int(hole_value) for n in nodatas}
+    code = compile(expr, "<raster_calc>", "eval")
+    # present tiles: a pixel needs EVERY input, so iterate the union
+    # and let missing payloads mark the whole tile nodata
+    present: set[int] = set()
+    for d in set(variables.values()):
+        present.update(_present_tiles(world_path, d, grid))
+    names = sorted(variables)
+
+    class _Calc:
+        def __init__(self):
+            self.media = MediaStore(world_path)
+            self.grid = world_grid(world_path, next(iter(grids)))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            g = self.grid
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for d in set(variables.values()):
+                    want.add(model.media_ref(d, g.name, ty, tx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            hist: dict[int, int] = {}
+            for ty, tx in tiles:
+                nr = min(g.tile, g.height - ty * g.tile)
+                nc = min(g.tile, g.width - tx * g.tile)
+                arrs, ok = {}, np.ones((nr, nc), dtype=bool)
+                missing = False
+                for n in names:
+                    d = variables[n]
+                    p = payloads.get(model.media_ref(d, g.name,
+                                                     ty, tx, 1))
+                    if p is None:
+                        missing = True
+                        break
+                    a = np.frombuffer(p, np.uint8,
+                                      count=nr * nc).reshape(nr, nc)
+                    ok &= a != nodatas[n]
+                    arrs[n] = a.astype(np.int64)
+                if missing:
+                    hist[-1] = hist.get(-1, 0) + nr * nc
+                    continue
+                val = eval(code, {"__builtins__": {}}, arrs)  # noqa: S307
+                val = np.asarray(val).astype(np.int64)
+                out = np.where(ok, val, np.int64(-1))
+                u, n_ = np.unique(out, return_counts=True)
+                for v, k in zip(u.tolist(), n_.tolist()):
+                    hist[v] = hist.get(v, 0) + k
+            keys = sorted(hist)
+            return pa.table({
+                "value": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    fn = as_task_fn(_Calc)
+    out = (ray.data.from_items([{"id": int(i)} for i in
+                                sorted(present)])
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("value")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("value").reset_index(drop=True)

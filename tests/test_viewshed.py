@@ -118,3 +118,21 @@ def test_change_matrix_self_diagonal(tiny_world):
                 _x, _y, nc, nr = grid.tile_window(ty, tx)
                 n += nr * nc
     assert int(m["n_px"].sum()) == n
+
+
+def test_raster_calc_bit_exact(tiny_world):
+    for expr, vs in (("(A >= 14) * B", {"A": "kg", "B": "wk"}),
+                     ("A * 2 - 5", {"A": "lpd"})):
+        mine = viewshed.raster_calc(tiny_world, expr, vs)
+        want = oracle.raster_calc_oracle(fixtures.TINY, expr, vs)
+        assert mine.equals(want), expr
+
+
+def test_raster_calc_rejects_bad_input(tiny_world):
+    import pytest
+    with pytest.raises(ValueError, match="disallowed"):
+        viewshed.raster_calc(tiny_world, "__import__('os')",
+                             {"A": "kg"})
+    with pytest.raises(ValueError, match="share a grid"):
+        viewshed.raster_calc(tiny_world, "A + B",
+                             {"A": "kg", "B": "lc"})
