@@ -650,6 +650,21 @@ def _spatial_cost_path(sf_dir: str):
     return path
 
 
+def _spatial_cost_cross(sf_dir: str):
+    """Cross-layer cost distance (the real r.cost shape: cost surface
+    and source layer are different same-grid datasets, the source
+    payload one more derived ref in the same batched fetch): the seam
+    fixpoint must reproduce the whole-array sweep bit-exactly."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    mine = hydro.cost_distance_cross(_world(), "kg", "wk", 5)
+    want = om.cost_distance_cross_oracle(fixtures.TINY, "kg", "wk", 5)
+    if not mine.equals(want):
+        raise AssertionError("cross-layer cost distance != oracle")
+    return mine
+
+
 def _spatial_cost_alloc(sf_dir: str):
     """Least-cost allocation (ESRI Cost Allocation / weighted
     Voronoi): the packed-key (dist, source-id) min-plus seam fixpoint
@@ -2417,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_distance": _spatial_cost_distance,
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_cost_path": _spatial_cost_path,
+        "spatial_cost_cross": _spatial_cost_cross,
         "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,

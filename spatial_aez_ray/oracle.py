@@ -1798,3 +1798,62 @@ def raster_calc_oracle(spec, expr: str,
     return pd.DataFrame({"value": np.asarray(keys, np.int64),
                          "n_px": np.asarray([hist[k] for k in keys],
                                             np.int64)})
+
+
+def cost_distance_cross_oracle(spec, cost_dataset: str = "kg",
+                               source_dataset: str = "wk",
+                               target: int = 5,
+                               hole_value: int | None = None
+                               ) -> pd.DataFrame:
+    """Whole-array cross-layer cost distance: sources from a
+    different same-grid layer (its own nodata respected), traversal
+    and histogram on the cost layer — mirrors
+    ``hydro.cost_distance_cross``."""
+    grid = spec.grid(fixtures.DATASET_GRID[cost_dataset])
+    nodata = fixtures.DATASET_NODATA[cost_dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    src_nodata = fixtures.DATASET_NODATA[source_dataset]
+    base = full_raster(spec, cost_dataset)[0]
+    src = full_raster(spec, source_dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    src_present = np.ones((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            if fixtures.tile_arrays(spec, cost_dataset, ty, tx,
+                                    land_idx) is None:
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+            if fixtures.tile_arrays(spec, source_dataset, ty, tx,
+                                    land_idx) is None:
+                src_present[y:y + nr, x:x + nc] = False
+    unreach = np.int64(1) << 62
+    cost = pad.astype(np.int64)
+    passable = pad != hole
+    dist = np.full(pad.shape, unreach, dtype=np.int64)
+    src_mask = (passable[1:-1, 1:-1] & src_present
+                & (src != src_nodata) & (src == int(target)))
+    dist[1:-1, 1:-1][src_mask] = 0
+    moves = ((-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+             (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3))
+    h, w = pad.shape
+    for _ in range(h * w + 2):
+        before = dist.copy()
+        for dy, dx, wt in moves:
+            s_ = (slice(max(0, -dy), h - max(0, dy)),
+                  slice(max(0, -dx), w - max(0, dx)))
+            d_ = (slice(max(0, dy), h - max(0, -dy)),
+                  slice(max(0, dx), w - max(0, -dx)))
+            cand = dist[s_] + (cost[s_] + cost[d_]) * wt
+            np.copyto(cand, unreach, where=~(passable[s_] & passable[d_]))
+            np.minimum(dist[d_], cand, out=dist[d_])
+        if np.array_equal(before, dist):
+            break
+    else:
+        raise AssertionError("cross cost-distance oracle did not converge")
+    d = dist[passable]
+    d = np.where(d >= unreach, np.int64(-1), d)
+    u, cnt = np.unique(d, return_counts=True)
+    return pd.DataFrame({"dist": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})

@@ -606,6 +606,11 @@ class _StrahlerTiles:
                         nbrs[(dy, dx)] = (ny, nx, r)
                         want.add(r)
             plans.append((ty, tx, nbrs))
+        if self.source_dataset is not None:
+            for pid in ids:
+                ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+                want.add(model.media_ref(self.source_dataset, g.name,
+                                         ty, tx, 1))
         payloads = self.media.fetch(sorted(want), strict=False)
 
         o_src: list[np.ndarray] = []
@@ -876,7 +881,9 @@ class _CostTiles:
 
     def __init__(self, world_path: str, dataset: str, target: int,
                  hole: int, inflow_ref, final: bool,
-                 alloc: bool = False, index=None):
+                 alloc: bool = False, index=None,
+                 source_dataset: str | None = None,
+                 source_hole: int | None = None):
         self.media = MediaStore(world_path)
         layout = model.world_layout(world_path)
         self.grid = world_grid(world_path, layout[dataset]["grid"])
@@ -886,6 +893,16 @@ class _CostTiles:
         self.final = final
         self.alloc = alloc
         self.index = index  # zonal PIP index -> per-admin final rows
+        # cross-layer form (the real r.cost shape): sources come from
+        # a DIFFERENT same-grid dataset; its tile payload is one more
+        # derived ref in the same batched fetch (J4 discipline)
+        self.source_dataset = source_dataset
+        self.source_hole = source_hole
+        if source_dataset is not None:
+            if layout[source_dataset]["grid"] != layout[dataset]["grid"]:
+                raise ValueError("source dataset must share the grid")
+            if source_hole is None:
+                self.source_hole = int(layout[source_dataset]["nodata"])
         self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
 
     def _dims(self, ty: int, tx: int) -> tuple[int, int]:
@@ -909,6 +926,11 @@ class _CostTiles:
                         nbrs[(dy, dx)] = (ny, nx, r)
                         want.add(r)
             plans.append((ty, tx, nbrs))
+        if self.source_dataset is not None:
+            for pid in ids:
+                ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+                want.add(model.media_ref(self.source_dataset, g.name,
+                                         ty, tx, 1))
         payloads = self.media.fetch(sorted(want), strict=False)
 
         o_src: list[np.ndarray] = []
@@ -927,8 +949,20 @@ class _CostTiles:
             passable_pad = pad != self.hole
             dist_pad = np.full((nr + 2, nc + 2), _UNREACH, dtype=np.int64)
             interior = dist_pad[1:1 + nr, 1:1 + nc]
-            src_mask = passable_pad[1:1 + nr, 1:1 + nc] & (
-                pad[1:1 + nr, 1:1 + nc] == self.target)
+            if self.source_dataset is not None:
+                sp = payloads.get(model.media_ref(
+                    self.source_dataset, g.name, ty, tx, 1))
+                if sp is None:
+                    src_mask = np.zeros((nr, nc), dtype=bool)
+                else:
+                    sarr = np.frombuffer(sp, np.uint8,
+                                         count=nr * nc).reshape(nr, nc)
+                    src_mask = (passable_pad[1:1 + nr, 1:1 + nc]
+                                & (sarr != self.source_hole)
+                                & (sarr == self.target))
+            else:
+                src_mask = passable_pad[1:1 + nr, 1:1 + nc] & (
+                    pad[1:1 + nr, 1:1 + nc] == self.target)
             if self.alloc:
                 # source key = its own global pixel id at dist 0
                 sy, sx = np.nonzero(src_mask)
@@ -1110,7 +1144,7 @@ _SMALL_ROUND_MAX = 96
 
 def _make_cost_run(world_path: str, dataset: str, target: int,
                    hole: int, batch_size: int, *, alloc: bool = False,
-                   index=None):
+                   index=None, source_dataset: str | None = None):
     """The shared launcher for the cost-family seam fixpoints: big
     rounds go through ray.data (streaming, batched); small delta
     rounds go through plain Ray tasks over the same kernel — same
@@ -1122,7 +1156,8 @@ def _make_cost_run(world_path: str, dataset: str, target: int,
             @ray.remote(num_cpus=1)
             def _chunk(ids):
                 k = _CostTiles(world_path, dataset, int(target), hole,
-                               ref, False, alloc=alloc, index=None)
+                               ref, False, alloc=alloc, index=None,
+                               source_dataset=source_dataset)
                 return k(pa.table({"id": pa.array(ids, pa.int64())}))
             chunks = [tile_ids[i:i + 32]
                       for i in range(0, len(tile_ids), 32)]
@@ -1131,7 +1166,8 @@ def _make_cost_run(world_path: str, dataset: str, target: int,
         fn = as_task_fn(_CostTiles, world_path=world_path,
                         dataset=dataset, target=int(target), hole=hole,
                         inflow_ref=ref, final=final, alloc=alloc,
-                        index=index if final else None)
+                        index=index if final else None,
+                        source_dataset=source_dataset)
         items = [{"id": int(i)} for i in tile_ids]
         return (ray.data.from_items(items)
                 .map_batches(fn, batch_format="pyarrow",
@@ -1658,4 +1694,41 @@ def cost_path(world_path: str, dataset: str = "kg", target: int = 14,
     out = pd.DataFrame(rows, columns=["step", "gy", "gx", "dist"])
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
+    return out
+
+
+def cost_distance_cross(world_path: str, cost_dataset: str = "kg",
+                        source_dataset: str = "wk", target: int = 5,
+                        *, hole_value: int | None = None,
+                        batch_size: int = 64,
+                        with_rounds: bool = False):
+    """Cross-layer least-cost distance — the REAL ``r.cost`` shape:
+    the traversal-cost surface and the source layer are DIFFERENT
+    (same-grid) datasets, e.g. 'cost over terrain (kg) to the nearest
+    workability-class-5 cell (wk)'. Sources are pixels where the
+    source layer equals ``target`` (and is not ITS nodata) at
+    positions passable on the COST layer; everything else —
+    passability, the metric, the seam fixpoint, the unique-least-
+    fixpoint bit-exactness — is ``cost_distance`` unchanged. The
+    source tile payload is one more derived ref in the same batched
+    fetch (the J4 align-join discipline)."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[cost_dataset]["grid"])
+    nodata = int(layout[cost_dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, cost_dataset, grid)
+    run = _make_cost_run(world_path, cost_dataset, int(target), hole,
+                         batch_size, source_dataset=source_dataset)
+    inflow, rounds = _min_seam_fixpoint(run, present_tiles,
+                                        "cost-distance-cross")
+    from ray.data.aggregate import Sum
+    out = (run(present_tiles, inflow, final=True)
+           .groupby("dist")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values("dist").reset_index(drop=True)
+    if with_rounds:
+        return out, rounds
     return out

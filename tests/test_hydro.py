@@ -279,3 +279,13 @@ def test_cost_path_corridor(tmp_path):
     assert drops <= {28, 42, 16, 24}
     cd = hydro.cost_distance(world, "dem", 1)
     assert int(d[0]) == int(cd.loc[cd["dist"] >= 0, "dist"].max())
+
+
+def test_cost_distance_cross_bit_exact(tiny_world):
+    mine = hydro.cost_distance_cross(tiny_world, "kg", "wk", 5)
+    want = oracle.cost_distance_cross_oracle(SPEC, "kg", "wk", 5)
+    assert mine.equals(want)
+    # grid-mismatch inputs are rejected
+    import pytest
+    with pytest.raises(ValueError, match="share the grid"):
+        hydro.cost_distance_cross(tiny_world, "kg", "lc", 210)
