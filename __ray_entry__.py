@@ -2284,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": relational.q19_discounted_revenue,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "events_value_mad": relational.events_value_mad,
+        "nation_revenue_hhi": relational.nation_revenue_hhi,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2555,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_discounted_revenue": relational.Q19_REVENUE_SQL,
         "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
         "events_value_mad": relational.EVENTS_MAD_SQL,
+        "nation_revenue_hhi": relational.NATION_HHI_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

@@ -3657,3 +3657,89 @@ SELECT g AS event_type,
        quantile_disc(dev, 0.5)::BIGINT AS mad_cents
 FROM d GROUP BY g ORDER BY event_type
 """
+
+
+def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """Per nation: the exact integer parts of the Herfindahl-
+    Hirschman concentration index of customer revenue — HHI =
+    sumsq_cents / sum_cents² is left to the caller, so both sides
+    stay bit-equal integers (budget: Σcents² < 2^63 holds through
+    ~sf10 at TPC-H prices; past that the partials move to
+    per-million units). One customer-key fold builds per-customer
+    revenue, a second tiny nation groupby folds (n, Σ, Σ²)."""
+    from .util import shuffle_width
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    n_parts = shuffle_width(orders)
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = _cents(b["o_totalprice"])
+        df = pd.DataFrame({"key": ck, "rev": pc}).groupby(
+            "key", as_index=False)["rev"].sum()
+        k = df["key"].to_numpy(np.int64)
+        return pa.table({
+            "part": pa.array((k % n_parts).astype(np.int32)),
+            "key": pa.array(k),
+            "rev": pa.array(df["rev"].to_numpy(np.int64)),
+            "nk": pa.array(np.full(len(k), -1, dtype=np.int64))})
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((ck % n_parts).astype(np.int32)),
+            "key": pa.array(ck),
+            "rev": pa.array(np.zeros(len(ck), dtype=np.int64)),
+            "nk": pa.array(b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+                  .union(cust.map_batches(c_prep,
+                                          batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["nk"] >= 0].set_index("key")["nk"]
+        o = g[g["nk"] < 0].groupby("key", as_index=False)["rev"].sum()
+        if not len(o):
+            return pd.DataFrame({
+                "nationkey": pd.Series([], dtype=np.int64),
+                "n_cust": pd.Series([], dtype=np.int64),
+                "sum_cents": pd.Series([], dtype=np.int64),
+                "sumsq_cents": pd.Series([], dtype=np.int64)})
+        nk = c.reindex(o["key"]).to_numpy()
+        rev = o["rev"].to_numpy(np.int64)
+        df = pd.DataFrame({"nationkey": nk.astype(np.int64),
+                           "one": np.ones(len(rev), dtype=np.int64),
+                           "sum_cents": rev,
+                           "sumsq_cents": rev * rev})
+        out = df.groupby("nationkey", as_index=False).agg(
+            n_cust=("one", "sum"), sum_cents=("sum_cents", "sum"),
+            sumsq_cents=("sumsq_cents", "sum"))
+        return out
+
+    out = (both.groupby("part")
+               .map_groups(fold, batch_format="pandas")
+               .groupby("nationkey")
+               .aggregate(Sum("n_cust", alias_name="n_cust"),
+                          Sum("sum_cents", alias_name="sum_cents"),
+                          Sum("sumsq_cents", alias_name="sumsq_cents"))
+               .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+NATION_HHI_SQL = """
+WITH cr AS (
+  SELECT c_nationkey AS nationkey, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT nationkey,
+       COUNT(*)::BIGINT AS n_cust,
+       SUM(rev)::BIGINT AS sum_cents,
+       SUM(rev * rev)::BIGINT AS sumsq_cents
+FROM cr GROUP BY nationkey ORDER BY nationkey
+"""

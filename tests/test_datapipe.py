@@ -2343,3 +2343,14 @@ def test_vocab_growth_matches_sql(con):
         "string_split(text, ' ')) AS token FROM documents)"
     ).fetchone()[0]
     assert int(mine["vocab"].iloc[-1]) <= full
+
+
+def test_nation_hhi_matches_sql(con):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.nation_revenue_hhi(SF)
+    _assert_match(mine, relational.NATION_HHI_SQL, con)
+    # Cauchy-Schwarz: n * sumsq >= sum^2 (HHI >= 1/n); python ints
+    # (object dtype) avoid int64 overflow in the check itself
+    assert ((mine["n_cust"].astype(object)
+             * mine["sumsq_cents"].astype(object))
+            >= (mine["sum_cents"].astype(object) ** 2)).all()
