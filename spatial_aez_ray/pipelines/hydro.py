@@ -606,11 +606,6 @@ class _StrahlerTiles:
                         nbrs[(dy, dx)] = (ny, nx, r)
                         want.add(r)
             plans.append((ty, tx, nbrs))
-        if self.source_dataset is not None:
-            for pid in ids:
-                ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
-                want.add(model.media_ref(self.source_dataset, g.name,
-                                         ty, tx, 1))
         payloads = self.media.fetch(sorted(want), strict=False)
 
         o_src: list[np.ndarray] = []
