@@ -594,6 +594,32 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_fill_sinks(sf_dir: str):
+    """Depression filling (GRASS r.fill.dir / Planchon-Darboux /
+    priority-flood product): the block-Jacobi max-min seam fixpoint
+    must reproduce the sequential PRIORITY-FLOOD heap algorithm
+    bit-exactly on two datasets — equality of two independent
+    algorithms, backed by the unique-greatest-fixpoint argument
+    (pipelines/hydro.fill_sinks). Also asserts depth >= 0 and that
+    both sides cover the identical passable-pixel census."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "lc"):
+        mine, rounds = hydro.fill_sinks(_world(), ds, with_rounds=True)
+        want = om.fill_sinks_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"fill sinks ({ds}) != priority flood")
+        if int(mine["depth"].min()) < 0 or rounds < 1:
+            raise AssertionError(f"fill sinks ({ds}) invariants broken")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_profile(sf_dir: str):
     """Transect profile (elevation-profile product): point-lookup
     gather along a segment must reproduce the assembled whole-raster
@@ -2434,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_alloc": _spatial_cost_alloc,
         "spatial_cost_path": _spatial_cost_path,
         "spatial_cost_cross": _spatial_cost_cross,
+        "spatial_fill_sinks": _spatial_fill_sinks,
         "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,

@@ -1857,3 +1857,75 @@ def cost_distance_cross_oracle(spec, cost_dataset: str = "kg",
     u, cnt = np.unique(d, return_counts=True)
     return pd.DataFrame({"dist": u.astype(np.int64),
                          "n_px": cnt.astype(np.int64)})
+
+
+def fill_sinks_hist(pad: np.ndarray, hole: int) -> pd.DataFrame:
+    """Sequential PRIORITY-FLOOD depression filling (Barnes, Lehman &
+    Mulla 2014, the classic one-pass heap algorithm) over a
+    hole-padded raster: seeds are passable pixels 8-adjacent to a
+    drain (hole pixel or the pad frame) at priority E; popping in
+    ascending W order finalises W = max(E, W_parent). The filled
+    values are the greatest fixpoint of W = max(E, min nbr W) with
+    drains at 0, so this independently cross-checks the distributed
+    block-Jacobi kernel in ``pipelines/hydro.fill_sinks``. Returns
+    the (depth = W - E, n_px) histogram over passable pixels."""
+    import heapq
+
+    e = pad.astype(np.int64)
+    passable = pad != hole
+    h, w = pad.shape
+    # seed mask: passable with at least one impassable 8-neighbor
+    # (the pad frame is hole, so frame-adjacency is included)
+    near_drain = np.zeros((h, w), dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            s_ = (slice(max(0, -dy), h - max(0, dy)),
+                  slice(max(0, -dx), w - max(0, dx)))
+            d_ = (slice(max(0, dy), h - max(0, -dy)),
+                  slice(max(0, dx), w - max(0, -dx)))
+            near_drain[d_] |= ~passable[s_]
+    wfill = np.full((h, w), -1, dtype=np.int64)
+    done = ~passable
+    heap: list[tuple[int, int, int]] = []
+    sy, sx = np.nonzero(passable & near_drain)
+    for y, x in zip(sy.tolist(), sx.tolist()):
+        heapq.heappush(heap, (int(e[y, x]), y, x))
+        done[y, x] = True
+    moves = ((-1, 0), (1, 0), (0, -1), (0, 1),
+             (-1, -1), (-1, 1), (1, -1), (1, 1))
+    while heap:
+        wv, y, x = heapq.heappop(heap)
+        wfill[y, x] = wv
+        for dy, dx in moves:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and not done[ny, nx]:
+                done[ny, nx] = True
+                heapq.heappush(heap, (max(int(e[ny, nx]), wv), ny, nx))
+    if passable.any() and (wfill[passable] < 0).any():
+        raise AssertionError("priority flood left unvisited pixels")
+    u, cnt = np.unique(wfill[passable] - e[passable],
+                       return_counts=True)
+    return pd.DataFrame({"depth": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})
+
+
+def fill_sinks_oracle(spec, dataset: str = "kg",
+                      hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array depression fill with the same hole padding as
+    ``cost_distance_oracle`` (absent tiles drain freely)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    return fill_sinks_hist(pad, hole)

@@ -1727,3 +1727,237 @@ def cost_distance_cross(world_path: str, cost_dataset: str = "kg",
     if with_rounds:
         return out, rounds
     return out
+
+
+# ---------------------------------------------------------------------------
+# depression filling — GRASS r.fill.dir / Planchon-Darboux /
+# priority-flood family (Barnes, Lehman & Mulla 2014)
+# ---------------------------------------------------------------------------
+#
+# Semantics (exact, all-integer): treat the dataset band as an integer
+# DEM E. The filled surface W is the GREATEST fixpoint of
+#
+#     W_p = max(E_p, min over 8-neighbors q of W_q)
+#
+# with drains contributing W = 0: nodata pixels, absent (sparse/ocean)
+# tiles and off-grid cells all drain freely (the usual nodata-as-
+# outlet convention). Equivalently W_p = min over paths p -> drain of
+# the path's running max elevation — the bottleneck (minimax) path
+# problem, the (max, min) dual of the cost family's min-plus.
+#
+# Bit-exactness is STRUCTURAL, like the cost family: iterating the
+# monotone operator down from +inf converges to the unique greatest
+# fixpoint regardless of update order (chaotic iteration), so the
+# distributed block-Jacobi result equals the sequential priority-flood
+# result exactly — no summation-order discipline needed. Values only
+# DECREASE over bounded integers, so the seam fixpoint terminates.
+
+
+class _FillTiles:
+    """Per-tile depression-fill kernel: given the current best
+    boundary candidates (``inflow_ref``: {tile_id: {px_flat: W}}),
+    run the in-tile max-min fixpoint (vectorized Gauss-Seidel
+    sweeps), then either emit seam offers — (src_tile, dst_tile,
+    dst_px, W-candidate) rows for passable halo pixels, O(tile edge)
+    per tile — or, with ``final=True``, the (depth = W - E, n_px)
+    histogram partials over passable pixels."""
+
+    def __init__(self, world_path: str, dataset: str, hole: int,
+                 inflow_ref, final: bool):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.hole = hole
+        self.final = final
+        self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        t = g.tile
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name, ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+
+        o_src: list[np.ndarray] = []
+        o_dst: list[np.ndarray] = []
+        o_px: list[np.ndarray] = []
+        o_val: list[np.ndarray] = []
+        hist: dict[int, int] = {}
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _assemble_pad(payloads, nbrs, nr, nc, self._dims,
+                                self.hole)
+            e_pad = pad.astype(np.int64)
+            passable_pad = pad != self.hole
+            # drains (nodata / absent / off-grid) sit at W = 0 and
+            # are never raised; passable cells start at +inf
+            w_pad = np.where(passable_pad, _UNREACH, np.int64(0))
+            interior = w_pad[1:1 + nr, 1:1 + nc]
+            e_int = e_pad[1:1 + nr, 1:1 + nc]
+            inf = self.inflow.get(ty * g.tiles_x + tx)
+            if inf:
+                idx = np.fromiter(inf.keys(), np.int64, len(inf))
+                val = np.fromiter(inf.values(), np.int64, len(inf))
+                np.minimum.at(interior, (idx // nc, idx % nc), val)
+            # in-tile fixpoint: each sweep only lowers values (every
+            # candidate is >= the greatest fixpoint), so a no-op
+            # sweep IS the fixpoint given the current boundary
+            for _ in range(nr * nc + 2):
+                before = interior.copy()
+                for dy, dx, _w in _COST_MOVES:
+                    src = w_pad[1 + dy:1 + dy + nr, 1 + dx:1 + dx + nc]
+                    np.minimum(interior, np.maximum(e_int, src),
+                               out=interior)
+                if np.array_equal(before, interior):
+                    break
+            else:
+                raise AssertionError("in-tile fill fixpoint overran")
+
+            if self.final:
+                pin = passable_pad[1:1 + nr, 1:1 + nc]
+                w = interior[pin]
+                if (w >= _UNREACH).any():
+                    raise AssertionError(
+                        "fill fixpoint left unreached passable pixels")
+                u, cnt = np.unique(w - e_int[pin], return_counts=True)
+                for v, n in zip(u.tolist(), cnt.tolist()):
+                    hist[v] = hist.get(v, 0) + n
+                continue
+
+            # outward pass: offer max(E_halo, W_interior-neighbor) to
+            # every passable halo pixel of a PRESENT neighbor tile
+            off_pad = np.full((nr + 2, nc + 2), _UNREACH, dtype=np.int64)
+            for dy, dx, _w in _COST_MOVES:
+                dst = (slice(1 + dy, 1 + dy + nr),
+                       slice(1 + dx, 1 + dx + nc))
+                np.minimum(off_pad[dst],
+                           np.maximum(e_pad[dst], interior),
+                           out=off_pad[dst])
+            pres33 = np.zeros((3, 3), dtype=bool)
+            for (dy, dx), (_ny, _nx, r) in nbrs.items():
+                pres33[dy + 1, dx + 1] = payloads.get(r) is not None
+            halo = np.ones((nr + 2, nc + 2), dtype=bool)
+            halo[1:-1, 1:-1] = False
+            pr, pc = np.nonzero(halo & passable_pad
+                                & (off_pad < _UNREACH))
+            if not len(pr):
+                continue
+            gy = ty * t + pr - 1
+            gx = tx * t + pc - 1
+            keep = (gy >= 0) & (gy < g.height) & (gx >= 0) & (gx < g.width)
+            pr, pc, gy, gx = pr[keep], pc[keep], gy[keep], gx[keep]
+            if not len(pr):
+                continue
+            nty = gy // t
+            ntx_ = gx // t
+            keep = pres33[nty - ty + 1, ntx_ - tx + 1]
+            pr, pc, gy, gx = pr[keep], pc[keep], gy[keep], gx[keep]
+            if not len(pr):
+                continue
+            nty = gy // t
+            ntx_ = gx // t
+            dst_w = np.minimum(t, g.width - ntx_ * t)
+            o_src.append(np.full(len(pr), ty * g.tiles_x + tx,
+                                 dtype=np.int64))
+            o_dst.append(nty * g.tiles_x + ntx_)
+            o_px.append((gy - nty * t) * dst_w + (gx - ntx_ * t))
+            o_val.append(off_pad[pr, pc])
+
+        if self.final:
+            keys = sorted(hist)
+            return pa.table({
+                "depth": pa.array(keys, pa.int64()),
+                "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({"src": pa.array(cat(o_src)),
+                         "dst": pa.array(cat(o_dst)),
+                         "px": pa.array(cat(o_px)),
+                         "dist": pa.array(cat(o_val))})
+
+
+def _make_fill_run(world_path: str, dataset: str, hole: int,
+                   batch_size: int):
+    """Launcher for the fill seam fixpoint: big rounds via ray.data,
+    small delta rounds via plain tasks (the ``_make_cost_run``
+    fast-path discipline; rows identical either way)."""
+
+    def run(tile_ids, inflow, final):
+        ref = ray.put(inflow) if inflow else None
+        if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
+            @ray.remote(num_cpus=1)
+            def _chunk(ids):
+                k = _FillTiles(world_path, dataset, hole, ref, False)
+                return k(pa.table({"id": pa.array(ids, pa.int64())}))
+            chunks = [tile_ids[i:i + 32]
+                      for i in range(0, len(tile_ids), 32)]
+            tables = ray.get([_chunk.remote(list(c)) for c in chunks])
+            return pa.concat_tables(tables).to_pandas()
+        fn = as_task_fn(_FillTiles, world_path=world_path,
+                        dataset=dataset, hole=hole, inflow_ref=ref,
+                        final=final)
+        items = [{"id": int(i)} for i in tile_ids]
+        return (ray.data.from_items(items)
+                .map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size))
+
+    return run
+
+
+def fill_sinks(world_path: str, dataset: str = "kg", *,
+               hole_value: int | None = None, batch_size: int = 64,
+               with_rounds: bool = False):
+    """(depth, n_px) histogram of depression-fill depth W - E over
+    passable pixels, where W is the filled surface (the GRASS
+    ``r.fill.dir`` / Planchon-Darboux 2002 / priority-flood product;
+    depth 0 rows are the pixels no fill touches). Nodata pixels,
+    absent tiles and the grid frame all drain freely.
+
+    Scale design — block-Jacobi max-min with seam min-exchange:
+    identical round structure to ``cost_distance`` (one shuffle-free
+    pass per round over exactly the tiles whose boundary candidates
+    improved; O(tile edge) offer rows; driver min-fold) in the dual
+    (max, min) bottleneck-path semiring. The greatest-fixpoint-from-
+    above argument makes the result independent of tile shape, batch
+    size and round order — bit-exact vs the sequential priority-flood
+    ``oracle.fill_sinks_oracle``, an INDEPENDENT algorithm."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    run = _make_fill_run(world_path, dataset, hole, batch_size)
+    inflow, rounds = _min_seam_fixpoint(run, present_tiles,
+                                        "fill-sinks")
+
+    from ray.data.aggregate import Sum
+    out = (run(present_tiles, inflow, final=True)
+           .groupby("depth")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values("depth").reset_index(drop=True)
+    if with_rounds:
+        return out, rounds
+    return out

@@ -289,3 +289,40 @@ def test_cost_distance_cross_bit_exact(tiny_world):
     import pytest
     with pytest.raises(ValueError, match="share the grid"):
         hydro.cost_distance_cross(tiny_world, "kg", "lc", 210)
+
+
+def test_fill_sinks_bit_exact(tiny_world):
+    for ds in ("kg", "wk"):
+        mine = hydro.fill_sinks(tiny_world, ds)
+        assert mine.equals(oracle.fill_sinks_oracle(SPEC, ds)), ds
+
+
+def test_fill_sinks_batch_invariance(tiny_world):
+    a = hydro.fill_sinks(tiny_world, "kg", batch_size=7)
+    b = hydro.fill_sinks(tiny_world, "kg", batch_size=64)
+    assert a.equals(b)
+
+
+def test_fill_sinks_crafted_basin(tmp_path):
+    """Closed bowl spanning 4x4 tiles inside a raised rim: every
+    interior pixel must fill exactly to the rim's lowest crossing
+    (the bottleneck), a depth known analytically — and the basin
+    spans multiple tiles, so the seam fixpoint needs > 1 round."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = np.full((40, 40), 50, dtype=np.uint8)   # bowl floor
+    arr[0, :] = arr[-1, :] = 200                  # rim
+    arr[:, 0] = arr[:, -1] = 200
+    arr[0, 17] = 120                              # lowest rim crossing
+    tif = str(tmp_path / "bowl.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    mine, rounds = hydro.fill_sinks(world, "dem", with_rounds=True)
+    want = oracle.fill_sinks_hist(
+        np.pad(arr, 1, constant_values=0), 0)
+    assert mine.equals(want)
+    assert rounds > 1
+    # the bowl floor (38*38 pixels) fills to the 120 crossing: 70 deep
+    d = dict(zip(mine["depth"].tolist(), mine["n_px"].tolist()))
+    assert d[70] == 38 * 38
