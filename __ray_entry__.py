@@ -594,6 +594,30 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_sieve(sf_dir: str):
+    """Sieve filter (gdal_sieve.py analog): per-class region census
+    after removing raster polygons below threshold, distributed
+    region table + adjacency graph + deterministic driver contraction
+    vs the whole-array sequential sieve — bit-equal, two thresholds,
+    two datasets. The contraction rules themselves are separately
+    pinned to literal raster repaint-and-relabel in pytest."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions as R
+    om = _oracle_mod()
+    outs = []
+    for ds, thr in (("kg", 8), ("lc", 5)):
+        mine = R.sieve_summary(_world(), ds, thr)
+        want = om.sieve_oracle(fixtures.TINY, ds, thr)
+        if not mine.equals(want):
+            raise AssertionError(f"sieve ({ds}, thr={thr}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "threshold", thr)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_fill_sinks(sf_dir: str):
     """Depression filling (GRASS r.fill.dir / Planchon-Darboux /
     priority-flood product): the block-Jacobi max-min seam fixpoint
@@ -2461,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_path": _spatial_cost_path,
         "spatial_cost_cross": _spatial_cost_cross,
         "spatial_fill_sinks": _spatial_fill_sinks,
+        "spatial_sieve": _spatial_sieve,
         "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,

@@ -1929,3 +1929,99 @@ def fill_sinks_oracle(spec, dataset: str = "kg",
                 x, y, nc, nr = grid.tile_window(ty, tx)
                 pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
     return fill_sinks_hist(pad, hole)
+
+
+def sieve_oracle(spec, dataset: str = "kg",
+                 threshold: int = 8) -> pd.DataFrame:
+    """Sequential sieve census: whole-array labeling + whole-array
+    adjacency extraction, then a plain rescan contraction loop (no
+    heap) applying the identical raster-sieve rules — smallest
+    (n_px, region_id) below threshold merges into its largest
+    neighbor (ties to the smaller id), newly same-class neighbors
+    union in, isolated small regions survive. The distributed pass
+    derives its inputs from per-tile labeling + seam union instead;
+    equality checks both the inputs and the deterministic rules."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    return sieve_census(full, int(nodata), int(threshold))
+
+
+def sieve_census(full: np.ndarray, nodata: int,
+                 threshold: int) -> pd.DataFrame:
+    from .pipelines.regions import label_components
+
+    glab = label_components(full, nodata)
+    flat = glab.ravel()
+    fg = flat >= 0
+    reps, counts = np.unique(flat[fg], return_counts=True)
+    size = {int(r): int(s) for r, s in zip(reps, counts)}
+    cls = {int(r): int(c) for r, c in
+           zip(reps, full.ravel()[reps.astype(np.int64)])}
+    nbrs: dict[int, set] = {int(r): set() for r in reps}
+
+    def add_edges(a: np.ndarray, b: np.ndarray) -> None:
+        ok = (a >= 0) & (b >= 0) & (a != b)
+        if not ok.any():
+            return
+        pr = np.unique(np.stack([np.minimum(a[ok], b[ok]),
+                                 np.maximum(a[ok], b[ok])], axis=1),
+                       axis=0)
+        for x, y in pr.tolist():
+            nbrs[int(x)].add(int(y))
+            nbrs[int(y)].add(int(x))
+
+    add_edges(glab[:, :-1].ravel(), glab[:, 1:].ravel())
+    add_edges(glab[:-1, :].ravel(), glab[1:, :].ravel())
+
+    # (size, id)-ordered merges via a lazy-deletion heap: equivalent
+    # to rescanning for the minimum each round (stale entries are
+    # skipped; isolated regions are popped once and never re-pushed,
+    # and can never become actionable since their surroundings are
+    # background forever)
+    import heapq
+
+    heap = [(s, r) for r, s in size.items() if s < threshold]
+    heapq.heapify(heap)
+    while heap:
+        s, r = heapq.heappop(heap)
+        if size.get(r) != s or s >= threshold:
+            continue
+        cand = nbrs[r]
+        if not cand:
+            continue
+        tgt = max(cand, key=lambda c: (size[c], -c))
+        members = {r, tgt} | {c for c in cand if cls[c] == cls[tgt]}
+        new_id = min(members)
+        new_nb = set().union(*(nbrs[m] for m in members)) - members
+        new_size = sum(size[m] for m in members)
+        new_cls = cls[tgt]
+        for m in members:
+            del size[m], cls[m]
+            nbrs.pop(m)
+        size[new_id] = new_size
+        cls[new_id] = new_cls
+        nbrs[new_id] = new_nb
+        for o in new_nb:
+            nbrs[o] -= members
+            nbrs[o].add(new_id)
+        if new_size < threshold:
+            heapq.heappush(heap, (new_size, new_id))
+
+    rows: dict[int, list] = {}
+    for r, s in size.items():
+        cur = rows.setdefault(cls[r], [0, 0])
+        cur[0] += 1
+        cur[1] += s
+    out = pd.DataFrame(
+        [(c, n, px) for c, (n, px) in sorted(rows.items())],
+        columns=["cls", "n_regions", "n_px"])
+    return out.astype(np.int64)

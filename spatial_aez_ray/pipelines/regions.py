@@ -57,17 +57,23 @@ def label_components(arr: np.ndarray, bg: int) -> np.ndarray:
     dtype): returns int64 labels where label = the component's minimum
     row-major flat index, and -1 on background (``arr == bg``).
 
-    Vectorized min-label propagation with pointer jumping (path
-    halving): labels only decrease and are bounded by the component
-    minimum, so the fixpoint is exact; jumping makes rounds
-    logarithmic in region diameter instead of linear."""
+    Vectorized min-label propagation with ROOT HOOKING + full path
+    compression (Shiloach-Vishkin style): each round min-shifts
+    neighbor labels, writes every pixel's best candidate into its
+    current ROOT (``np.minimum.at`` on the label array itself), then
+    pointer-jumps to stability. Labels only decrease, stay inside the
+    component, and are bounded below by the component minimum, so the
+    fixpoint is exactly the component min regardless of round count —
+    hooking just makes rounds logarithmic in region diameter instead
+    of linear (670 -> ~10 on the TINY lc mosaic)."""
     h, w = arr.shape
     fg = arr != bg
-    cur = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w),
-                   _INF)
+    lab = np.where(fg.ravel(), np.arange(h * w, dtype=np.int64), _INF)
     vmask = fg[1:, :] & fg[:-1, :] & (arr[1:, :] == arr[:-1, :])
     hmask = fg[:, 1:] & fg[:, :-1] & (arr[:, 1:] == arr[:, :-1])
+    ok = np.flatnonzero(fg.ravel())
     while True:
+        cur = lab.reshape(h, w)
         new = cur.copy()
         np.minimum(new[1:, :], np.where(vmask, cur[:-1, :], _INF),
                    out=new[1:, :])
@@ -77,15 +83,19 @@ def label_components(arr: np.ndarray, bg: int) -> np.ndarray:
                    out=new[:, 1:])
         np.minimum(new[:, :-1], np.where(hmask, cur[:, 1:], _INF),
                    out=new[:, :-1])
-        flat = new.ravel()
-        ok = flat != _INF
-        for _ in range(2):   # pointer jumping: label <- label(label)
-            flat[ok] = flat[flat[ok]]
-        new = flat.reshape(h, w)
-        if (new == cur).all():
+        before = lab[ok].copy()
+        # hook: each pixel's root absorbs the pixel's candidate (both
+        # are indices of same-component pixels, so labels never leave
+        # the component and never drop below its minimum)
+        np.minimum.at(lab, lab[ok], new.ravel()[ok])
+        while True:   # full path compression: label <- label(label)
+            jumped = lab[lab[ok]]
+            if np.array_equal(jumped, lab[ok]):
+                break
+            lab[ok] = jumped
+        if np.array_equal(before, lab[ok]):
             break
-        cur = new
-    return np.where(fg, cur, np.int64(-1))
+    return np.where(fg, lab.reshape(h, w), np.int64(-1))
 
 
 class RegionKernel:
@@ -1343,3 +1353,111 @@ def raster_crosstab(world_path: str, dataset_a: str = "kg",
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["cls_a", "cls_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# sieve filter — gdal_sieve.py analog (remove small raster polygons)
+# ---------------------------------------------------------------------------
+
+def _sieve_contract(ids, sizes, clss, edges,
+                    threshold: int) -> dict[int, tuple[int, int]]:
+    """Deterministic region-graph contraction implementing raster
+    sieve semantics: repeatedly take the smallest (n_px, region_id)
+    region below ``threshold`` that has at least one neighbor and
+    merge it into its largest neighbor (ties toward the smaller
+    region_id). Because a merge repaints the small region's pixels to
+    the absorber's class, any OTHER neighbor of the small region with
+    that same class becomes pixel-adjacent same-class — i.e. the same
+    raster polygon — so those union in too (their own neighbors all
+    differ in class, so no cascade). Region identity stays "minimum
+    member pixel id", exactly the labeling convention, and isolated
+    small regions (no foreground neighbor ever) survive untouched.
+
+    Driver-sized by design: the graph is region-count-sized, the
+    ``label_regions`` union-find discipline; the distributed swap-in
+    past millions of regions is the same contraction over a
+    ``connected_components``-style edge fold.
+
+    Returns {surviving_region_id: (n_px, cls)}."""
+    import heapq
+
+    size = {int(r): int(s) for r, s in zip(ids, sizes)}
+    cls = {int(r): int(c) for r, c in zip(ids, clss)}
+    nbr: dict[int, set] = {int(r): set() for r in ids}
+    for a, b in edges:
+        nbr[int(a)].add(int(b))
+        nbr[int(b)].add(int(a))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def neighbors(r: int) -> set:
+        out = {find(x) for x in nbr[r]}
+        out.discard(r)
+        nbr[r] = out
+        return out
+
+    def union_into(root: int, other: int) -> int:
+        """Merge ``other`` into ``root`` keeping min-id identity."""
+        lo, hi = (root, other) if root < other else (other, root)
+        parent[hi] = lo
+        size[lo] = size[lo] + size[hi]
+        cls[lo] = cls[root]
+        nbr[lo] = nbr[lo] | nbr[hi]
+        del size[hi], cls[hi]
+        nbr.pop(hi, None)
+        return lo
+
+    heap = [(s, r) for r, s in size.items() if s < threshold]
+    heapq.heapify(heap)
+    while heap:
+        s, r = heapq.heappop(heap)
+        if find(r) != r or size.get(r) != s or s >= threshold:
+            continue   # stale entry
+        cand = neighbors(r)
+        if not cand:
+            continue   # isolated: survives below threshold
+        tgt = max(cand, key=lambda c: (size[c], -c))
+        same = {c for c in cand if c != tgt and cls[c] == cls[tgt]}
+        root = union_into(tgt, r)
+        for c in same:
+            root = union_into(root, c)
+        nbr[root] = {x for x in (find(y) for y in nbr[root])
+                     if x != root}
+        if size[root] < threshold:
+            heapq.heappush(heap, (size[root], root))
+    return {r: (size[r], cls[r]) for r in size}
+
+
+def sieve_summary(world_path: str, dataset: str = "kg",
+                  threshold: int = 8) -> pd.DataFrame:
+    """Per-class (cls, n_regions, n_px) census after a gdal_sieve-
+    style small-polygon removal at ``threshold`` pixels. Distributed
+    shape: the full region table and the region adjacency graph come
+    from the existing shuffle-light kernels (per-tile labeling + seam
+    union, O(regions) rows); only the region-count-sized contraction
+    runs on the driver. Pixel totals are conserved by construction
+    and asserted in the gate."""
+    regs = label_regions(world_path, dataset)
+    adj = region_adjacency(world_path, dataset)
+    surv = _sieve_contract(regs["region_id"].to_numpy(),
+                           regs["n_px"].to_numpy(),
+                           regs["cls"].to_numpy(),
+                           adj[["region_a", "region_b"]].to_numpy(),
+                           int(threshold))
+    rows: dict[int, list] = {}
+    for _r, (s, c) in surv.items():
+        cur = rows.setdefault(c, [0, 0])
+        cur[0] += 1
+        cur[1] += s
+    out = pd.DataFrame(
+        [(c, n, px) for c, (n, px) in sorted(rows.items())],
+        columns=["cls", "n_regions", "n_px"])
+    return out.astype(np.int64)

@@ -932,3 +932,80 @@ def test_cell_country_sample_partition_invariant(tiny_world):
     sf = set(map(tuple, full[key].to_numpy()))
     assert sa <= sf
     assert 0.05 < len(sa) / len(sf) < 0.20
+
+
+def test_sieve_summary_bit_exact(tiny_world):
+    """gdal_sieve analog: distributed region table + adjacency +
+    graph contraction == whole-array sequential sieve."""
+    from spatial_aez_ray.pipelines import regions as R
+
+    for ds, thr in (("kg", 8), ("wk", 4)):
+        mine = R.sieve_summary(tiny_world, ds, thr)
+        want = oracle.sieve_oracle(fixtures.TINY, ds, thr)
+        assert mine.equals(want), (ds, thr)
+
+
+def test_sieve_threshold_zero_is_census(tiny_world):
+    """Threshold 0 removes nothing: the summary must equal the plain
+    label_regions per-class rollup exactly."""
+    from spatial_aez_ray.pipelines import regions as R
+
+    regs = R.label_regions(tiny_world, "kg")
+    want = (regs.groupby("cls")
+            .agg(n_regions=("region_id", "size"), n_px=("n_px", "sum"))
+            .reset_index().astype(np.int64))
+    mine = R.sieve_summary(tiny_world, "kg", 0)
+    assert mine.equals(want)
+
+
+def test_sieve_contract_matches_brute_raster():
+    """The graph-contraction rules must equal literal raster
+    repaint-and-relabel (the ground-truth gdal_sieve semantics,
+    including the newly-adjacent same-class union) on random noise
+    arrays, where merges cascade heavily."""
+    from spatial_aez_ray.pipelines.regions import label_components
+
+    def census(arr, bg):
+        glab = label_components(arr, bg)
+        flat = glab.ravel()
+        reps, counts = np.unique(flat[flat >= 0], return_counts=True)
+        return glab, dict(zip(reps.tolist(), counts.tolist()))
+
+    def brute(arr, bg, threshold):
+        arr = arr.copy()
+        frozen: set = set()
+        while True:
+            glab, size = census(arr, bg)
+            moved = False
+            for _s, r in sorted((s, r) for r, s in size.items()
+                                if s < threshold and r not in frozen):
+                mask = glab == r
+                nb: set = set()
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    sh = np.full_like(glab, -1)
+                    if dy == -1:
+                        sh[:-1, :] = glab[1:, :]
+                    elif dy == 1:
+                        sh[1:, :] = glab[:-1, :]
+                    elif dx == -1:
+                        sh[:, :-1] = glab[:, 1:]
+                    else:
+                        sh[:, 1:] = glab[:, :-1]
+                    vals = sh[mask]
+                    nb |= set(vals[(vals >= 0) & (vals != r)].tolist())
+                if not nb:
+                    frozen.add(r)
+                    continue
+                tgt = max(nb, key=lambda c: (size[c], -c))
+                arr[mask] = arr.ravel()[tgt]
+                moved = True
+                break
+            if not moved:
+                return oracle.sieve_census(arr, bg, 0)
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        arr = rng.integers(0, 4, size=(13, 16)).astype(np.uint8)
+        for thr in (3, 6):
+            assert oracle.sieve_census(arr, 0, thr).equals(
+                brute(arr, 0, thr)), thr
