@@ -594,6 +594,29 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_focal_mean(sf_dir: str):
+    """Radius-k focal mean (GRASS r.neighbors average, ESRI Focal
+    Statistics): the k-pixel halo assembly (facing strips + corners
+    by derived ref) and clipped-window integer algebra must equal the
+    whole-array integral-image oracle bit-exactly at two radii on two
+    datasets."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    om = _oracle_mod()
+    outs = []
+    for ds, k in (("kg", 3), ("wk", 2)):
+        mine = pyramid.focal_mean_radius(_world(), ds, k)
+        want = om.focal_mean_radius_oracle(fixtures.TINY, ds, k)
+        if not mine.equals(want):
+            raise AssertionError(f"focal mean ({ds}, k={k}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "k", k)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_sieve(sf_dir: str):
     """Sieve filter (gdal_sieve.py analog): per-class region census
     after removing raster polygons below threshold, distributed
@@ -2314,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counters": sketch.cms_token_counters,
         "mixture_sample": corpus.mixture_sample,
         "boilerplate_ngrams": text.boilerplate_ngrams,
+        "ngram_lm_novelty": text.ngram_lm_novelty,
         "duplicate_spans": text.duplicate_spans,
         "posting_stats": corpus.posting_stats,
         "boolean_and_search": corpus.boolean_and_search,
@@ -2335,6 +2359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "events_value_mad": relational.events_value_mad,
         "nation_revenue_hhi": relational.nation_revenue_hhi,
+        "customer_order_distribution":
+            relational.customer_order_distribution,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2486,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_cross": _spatial_cost_cross,
         "spatial_fill_sinks": _spatial_fill_sinks,
         "spatial_sieve": _spatial_sieve,
+        "spatial_focal_mean": _spatial_focal_mean,
         "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,
@@ -2588,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counters": sketch.CMS_TOKEN_COUNTERS_SQL,
         "mixture_sample": corpus.MIXTURE_SAMPLE_SQL,
         "boilerplate_ngrams": text.BOILERPLATE_NGRAMS_SQL,
+        "ngram_lm_novelty": text.NGRAM_LM_NOVELTY_SQL,
         "duplicate_spans": text.DUPLICATE_SPANS_SQL,
         "posting_stats": corpus.POSTING_STATS_SQL,
         "boolean_and_search": corpus.BOOLEAN_AND_SEARCH_SQL,
@@ -2609,6 +2637,8 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_part": relational.CHEAPEST_SUPPLIER_SQL,
         "events_value_mad": relational.EVENTS_MAD_SQL,
         "nation_revenue_hhi": relational.NATION_HHI_SQL,
+        "customer_order_distribution":
+            relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

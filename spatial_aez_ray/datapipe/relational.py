@@ -3743,3 +3743,60 @@ SELECT nationkey,
        SUM(rev * rev)::BIGINT AS sumsq_cents
 FROM cr GROUP BY nationkey ORDER BY nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# customer order-count distribution — the TPC-H Q13 shape: count of
+# counts INCLUDING the never-ordered customers (needs an outer join)
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(sf_dir: str,
+                                num_partitions: int = 8) -> pd.DataFrame:
+    """(order_cnt, n_customers) histogram of orders per customer,
+    including order_cnt = 0 rows — the Q13 decision-support shape.
+    The orders side is PRE-REDUCED per custkey before a LEFT OUTER
+    ``Dataset.join`` (hash co-partitioned, customer-sized output, so
+    orders from custkeys outside the customer table — FK violations —
+    drop exactly as SQL's left join drops them); the joined rows fold
+    to count-of-counts partials per batch and finish in a tiny
+    grouped sum."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_cust = (orders.map_batches(o_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n")))
+    joined = cust.join(per_cust, "left_outer", num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = np.asarray(pc.fill_null(b["n"], 0).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        u, cnt = np.unique(n, return_counts=True)
+        return pa.table({"order_cnt": pa.array(u),
+                         "n_customers": pa.array(cnt.astype(np.int64))})
+
+    out = (joined.map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("order_cnt")
+           .aggregate(Sum("n_customers", alias_name="n_customers"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("order_cnt").reset_index(drop=True)
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT order_cnt, COUNT(*)::BIGINT AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_custkey)::BIGINT AS order_cnt
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1) t
+GROUP BY order_cnt ORDER BY order_cnt
+"""

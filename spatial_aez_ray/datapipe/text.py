@@ -1039,3 +1039,122 @@ def redaction_counts(ds: "ray.data.Dataset") -> pd.DataFrame:
            .to_pandas())
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("pattern").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_novelty — the CCNet/KenLM quality-filter shape at integer
+# precision: train an n-gram table on one corpus split, measure how
+# much of each held-out doc the model has seen
+# ---------------------------------------------------------------------------
+
+def _flat_ngrams(texts: list[str], n: int):
+    """(grams, doc_idx) for whole-batch ``n``-gram building: flatten
+    tokens, concatenate shifted views with ' ' (tokens cannot contain
+    the separator), mask windows straddling doc boundaries."""
+    from .corpus import _flatten_tokens
+
+    flat, doc_idx = _flatten_tokens(texts)
+    if len(flat) < n:
+        return (np.array([], dtype=object),
+                np.array([], dtype=np.int64))
+    g = flat[:len(flat) - n + 1].copy()
+    for j in range(1, n):
+        g = g + " "
+        g = g + flat[j:len(flat) - n + 1 + j]
+    same_doc = doc_idx[:len(flat) - n + 1] == doc_idx[n - 1:]
+    return g[same_doc], doc_idx[:len(flat) - n + 1][same_doc]
+
+
+def ngram_lm_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-language novelty census of held-out documents against a
+    bigram table trained on the other corpus split (doc_id % 10 < 8
+    trains, >= 8 scores) — the integer-exact skeleton of the
+    CCNet/KenLM perplexity filter: instead of a smoothed log-prob it
+    reports exactly how many of a doc's bigrams the trained table
+    contains. Rows: (lang, n_docs, n_bigrams, n_seen, n_unseen) over
+    scored docs with >= 2 tokens.
+
+    Scale shape: pass 1 folds DISTINCT train bigrams per batch before
+    a vocabulary-sized shuffle; the table returns to the driver and
+    broadcasts once via ``ray.put`` (the boilerplate_ngrams / tf-idf
+    discipline); pass 2 scores batches with sorted-array membership
+    and emits per-language integer partials. Past broadcastable vocab
+    sizes the membership test becomes a hash-partitioned semi-join on
+    the bigram string; the two-pass shape is unchanged."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        keep = [t for i, t in zip(ids, texts) if i % 10 < 8]
+        grams, _ = _flat_ngrams(keep, 2)
+        uniq = np.unique(grams) if len(grams) else grams
+        return pa.table({"bg": pa.array(uniq, pa.string())})
+
+    vocab = (ds.map_batches(train_partial, batch_format="pyarrow")
+             .groupby("bg").count().to_pandas())
+    table = (vocab["bg"].to_numpy(dtype=object) if "bg" in vocab
+             else np.array([], dtype=object))
+    table.sort()
+    bc = ray.put(table)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bc)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        texts = batch["text"].to_pylist()
+        test = ids % 10 >= 8
+        t_texts = [t for t, k in zip(texts, test) if k]
+        t_langs = langs[test]
+        grams, gdoc = _flat_ngrams(t_texts, 2)
+        n_bg = np.bincount(gdoc, minlength=len(t_texts)).astype(np.int64)
+        if len(bset) and len(grams):
+            pos = np.searchsorted(bset, grams)
+            ok = ((pos < len(bset))
+                  & (bset[np.minimum(pos, len(bset) - 1)] == grams))
+            n_seen = np.bincount(gdoc[ok],
+                                 minlength=len(t_texts)).astype(np.int64)
+        else:
+            n_seen = np.zeros(len(t_texts), dtype=np.int64)
+        has = n_bg > 0
+        df = pd.DataFrame({"lang": t_langs[has],
+                           "n_docs": 1,
+                           "n_bigrams": n_bg[has],
+                           "n_seen": n_seen[has]})
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_bigrams", alias_name="n_bigrams"),
+                      Sum("n_seen", alias_name="n_seen"))
+           .to_pandas())
+    for c in ("n_docs", "n_bigrams", "n_seen"):
+        out[c] = out[c].astype(np.int64)
+    out["n_unseen"] = out["n_bigrams"] - out["n_seen"]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+NGRAM_LM_NOVELTY_SQL = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS arr
+           FROM documents),
+nums AS (SELECT unnest(generate_series(1,
+           (SELECT MAX(len(arr)) FROM d)::INT)) AS i),
+big AS (SELECT doc_id, lang, arr[i] || ' ' || arr[i + 1] AS bg
+        FROM d JOIN nums ON i + 1 <= len(arr)),
+train AS (SELECT DISTINCT bg FROM big WHERE doc_id % 10 < 8),
+scored AS (SELECT b.doc_id, b.lang, t.bg IS NOT NULL AS seen
+           FROM (SELECT * FROM big WHERE doc_id % 10 >= 8) b
+           LEFT JOIN train t USING (bg))
+SELECT lang,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(CASE WHEN seen THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+       SUM(CASE WHEN seen THEN 0 ELSE 1 END)::BIGINT AS n_unseen
+FROM scored GROUP BY lang ORDER BY lang
+"""

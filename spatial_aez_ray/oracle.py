@@ -2025,3 +2025,34 @@ def sieve_census(full: np.ndarray, nodata: int,
         [(c, n, px) for c, (n, px) in sorted(rows.items())],
         columns=["cls", "n_regions", "n_px"])
     return out.astype(np.int64)
+
+
+def focal_mean_radius_oracle(spec, dataset: str = "kg", k: int = 3,
+                             hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array radius-k focal mean histogram: one global integral
+    image over the hole-padded mosaic — independently checks the
+    per-tile k-halo assembly AND the clipped-window algebra."""
+    from .pipelines.pyramid import _window_sums
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), hole, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    pad = np.full((grid.height + 2 * k, grid.width + 2 * k), hole,
+                  dtype=np.uint8)
+    pad[k:-k, k:-k] = full
+    valid = pad != hole
+    vsum, vcnt = _window_sums(pad, valid, k)
+    ctr = valid[k:-k, k:-k]
+    mean_floor = vsum[ctr] // vcnt[ctr]
+    u, cnt = np.unique(mean_floor, return_counts=True)
+    return pd.DataFrame({"mean_floor": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})

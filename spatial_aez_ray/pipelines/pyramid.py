@@ -1150,3 +1150,143 @@ def change_matrix(world_a: str, world_b: str, dataset: str,
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["from_class", "to_class"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# radius-k focal mean — GRASS r.neighbors / ESRI Focal Statistics with
+# a window wider than the 3×3 the gdaldem family uses
+# ---------------------------------------------------------------------------
+
+class _FocalMeanTiles:
+    """Per-tile radius-``k`` focal mean kernel: assembles a k-pixel
+    HALO pad from the 8 neighbor tiles (the facing k-strips /
+    k×k corners by derived ref, one batched fetch — the 1-px focal
+    discipline generalized to arbitrary radius ≤ tile), then computes
+    per-pixel windowed sums with an integral image (summed-area
+    table): exact int64, no convolution float path. Valid pixels are
+    non-nodata pixels of present tiles; the mean is the FLOOR of
+    window-sum / window-valid-count over the clipped window, emitted
+    as (mean_floor, n_px) histogram partials."""
+
+    def __init__(self, world_path: str, dataset: str, k: int,
+                 hole: int):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.k = int(k)
+        self.hole = hole
+        if self.k < 1 or self.k > self.grid.tile:
+            raise ValueError("radius must be in [1, tile]")
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g, k = self.grid, self.k
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name,
+                                            ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        hist: dict[int, int] = {}
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = np.full((nr + 2 * k, nc + 2 * k), self.hole,
+                          dtype=np.uint8)
+            for (dy, dx), (ny, nx, r) in nbrs.items():
+                p = payloads.get(r)
+                if p is None:
+                    continue
+                hh, ww = self._dims(ny, nx)
+                arr = np.frombuffer(p, np.uint8,
+                                    count=hh * ww).reshape(hh, ww)
+                rs = (slice(max(0, hh - k), hh) if dy < 0
+                      else slice(0, min(k, hh)) if dy > 0
+                      else slice(0, hh))
+                cs = (slice(max(0, ww - k), ww) if dx < 0
+                      else slice(0, min(k, ww)) if dx > 0
+                      else slice(0, ww))
+                sub = arr[rs, cs]
+                pr = (slice(k - sub.shape[0], k) if dy < 0
+                      else slice(k + nr, k + nr + sub.shape[0]) if dy > 0
+                      else slice(k, k + sub.shape[0]))
+                pc_ = (slice(k - sub.shape[1], k) if dx < 0
+                       else slice(k + nc, k + nc + sub.shape[1]) if dx > 0
+                       else slice(k, k + sub.shape[1]))
+                pad[pr, pc_] = sub
+            valid = pad != self.hole
+            vsum, vcnt = _window_sums(pad, valid, k)
+            ctr_valid = valid[k:k + nr, k:k + nc]
+            if not ctr_valid.any():
+                continue
+            mean_floor = (vsum[ctr_valid] // vcnt[ctr_valid])
+            u, cnt = np.unique(mean_floor, return_counts=True)
+            for v, n in zip(u.tolist(), cnt.tolist()):
+                hist[v] = hist.get(v, 0) + n
+        keys = sorted(hist)
+        return pa.table({
+            "mean_floor": pa.array(keys, pa.int64()),
+            "n_px": pa.array([hist[kk] for kk in keys], pa.int64())})
+
+
+def _window_sums(pad: np.ndarray, valid: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(window value sum, window valid count) for every interior
+    pixel of a k-halo pad via integral images — exact int64."""
+    v = (pad.astype(np.int64) * valid)
+    c = valid.astype(np.int64)
+    iv = np.zeros((v.shape[0] + 1, v.shape[1] + 1), dtype=np.int64)
+    ic = np.zeros_like(iv)
+    np.cumsum(np.cumsum(v, axis=0), axis=1, out=iv[1:, 1:])
+    np.cumsum(np.cumsum(c, axis=0), axis=1, out=ic[1:, 1:])
+    nr, nc = v.shape[0] - 2 * k, v.shape[1] - 2 * k
+    w = 2 * k + 1
+
+    def box(ii):
+        return (ii[w:w + nr, w:w + nc] + ii[0:nr, 0:nc]
+                - ii[0:nr, w:w + nc] - ii[w:w + nr, 0:nc])
+
+    return box(iv), box(ic)
+
+
+def focal_mean_radius(world_path: str, dataset: str = "kg",
+                      k: int = 3, *, hole_value: int | None = None,
+                      batch_size: int = 8) -> pd.DataFrame:
+    """(mean_floor, n_px) histogram of the radius-``k`` focal mean
+    (floor of windowed sum / valid count, window (2k+1)², clipped at
+    the grid frame; nodata pixels and absent tiles contribute neither
+    value nor count and emit no center rows) — GRASS ``r.neighbors``
+    method=average at integer precision. Shuffle-free: halo strips
+    are derived refs, partials are tiny histograms."""
+    from ray.data.aggregate import Sum
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    fn = as_task_fn(_FocalMeanTiles, world_path=world_path,
+                    dataset=dataset, k=int(k), hole=hole)
+    out = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("mean_floor")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("mean_floor").reset_index(drop=True)

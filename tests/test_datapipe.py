@@ -2354,3 +2354,25 @@ def test_nation_hhi_matches_sql(con):
     assert ((mine["n_cust"].astype(object)
              * mine["sumsq_cents"].astype(object))
             >= (mine["sum_cents"].astype(object) ** 2)).all()
+
+
+def test_ngram_lm_novelty_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import text
+    mine = text.ngram_lm_novelty(SF)
+    _assert_match(mine, text.NGRAM_LM_NOVELTY_SQL, con)
+    assert (mine["n_seen"] + mine["n_unseen"] == mine["n_bigrams"]).all()
+    # the corpus has shared boilerplate, so the trained table must
+    # recognize SOMETHING in held-out docs
+    assert mine["n_seen"].sum() > 0
+    assert mine["n_unseen"].sum() > 0
+
+
+def test_customer_order_distribution_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.customer_order_distribution(SF)
+    _assert_match(mine, relational.CUSTOMER_ORDER_DISTRIBUTION_SQL, con)
+    # total histogram mass == customer count (Q13 includes zeros)
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert int(mine["n_customers"].sum()) == n_cust

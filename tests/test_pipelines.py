@@ -1009,3 +1009,22 @@ def test_sieve_contract_matches_brute_raster():
         for thr in (3, 6):
             assert oracle.sieve_census(arr, 0, thr).equals(
                 brute(arr, 0, thr)), thr
+
+
+def test_focal_mean_radius_bit_exact(tiny_world):
+    """Radius-k focal mean: k-halo assembly + integral-image window
+    algebra == whole-array oracle, at radii that exercise strips,
+    corners and the grid-frame clip."""
+    from spatial_aez_ray.pipelines import pyramid
+
+    for ds, k in (("kg", 1), ("kg", 3), ("wk", 4)):
+        mine = pyramid.focal_mean_radius(tiny_world, ds, k)
+        want = oracle.focal_mean_radius_oracle(fixtures.TINY, ds, k)
+        assert mine.equals(want), (ds, k)
+
+
+def test_focal_mean_radius_rejects_overwide(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid
+
+    with pytest.raises(Exception):
+        pyramid.focal_mean_radius(tiny_world, "kg", 10**6)
