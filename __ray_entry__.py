@@ -594,6 +594,59 @@ def _spatial_cost_distance(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_morphology(sf_dir: str):
+    """Binary class morphology (r.grow / Expand-Shrink + opening and
+    closing, single pass from a 2k halo): census bit-equal to the
+    whole-array oracle on two (dataset, class, radius) triples, plus
+    the lattice inequalities erode <= open <= source <= close <=
+    dilate that the set inclusions force."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    om = _oracle_mod()
+    outs = []
+    for ds, tgt, k in (("lc", 210, 2), ("kg", 14, 3)):
+        mine = pyramid.class_morphology(_world(), ds, tgt, k)
+        want = om.class_morphology_oracle(fixtures.TINY, ds, tgt, k)
+        if not mine.equals(want):
+            raise AssertionError(f"morphology ({ds},{tgt},k={k}) != oracle")
+        v = dict(zip(mine["op"], mine["n_px"]))
+        if not (v["erode"] <= v["open"] <= v["source"]
+                <= v["close"] <= v["dilate"]):
+            raise AssertionError(f"morphology ordering broken: {v}")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "target", tgt)
+        mine.insert(2, "k", k)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
+def _spatial_geomorphon(sf_dir: str):
+    """Geomorphon ternary-pattern census (r.geomorphon family,
+    Jasiewicz & Stepinski 2013) at two lookup distances: the k-halo
+    assembly + exact integer fraction tournaments must equal the
+    whole-array oracle bit-exactly; pattern counts must cover the
+    full valid census and never exceed 8 directions."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import pyramid
+    om = _oracle_mod()
+    outs = []
+    for ds, k in (("kg", 4), ("wk", 3)):
+        mine = pyramid.geomorphon_census(_world(), ds, k)
+        want = om.geomorphon_oracle(fixtures.TINY, ds, k)
+        if not mine.equals(want):
+            raise AssertionError(f"geomorphon ({ds}, k={k}) != oracle")
+        if ((mine["n_minus"] + mine["n_plus"]) > 8).any():
+            raise AssertionError("pattern exceeds 8 directions")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        mine.insert(1, "k", k)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_focal_mean(sf_dir: str):
     """Radius-k focal mean (GRASS r.neighbors average, ESRI Focal
     Statistics): the k-pixel halo assembly (facing strips + corners
@@ -2513,6 +2566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_fill_sinks": _spatial_fill_sinks,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
+        "spatial_geomorphon": _spatial_geomorphon,
+        "spatial_morphology": _spatial_morphology,
         "spatial_profile": _spatial_profile,
         "spatial_viewshed": _spatial_viewshed,
         "spatial_viewshed_incremental": _spatial_viewshed_incremental,

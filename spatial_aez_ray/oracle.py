@@ -2056,3 +2056,80 @@ def focal_mean_radius_oracle(spec, dataset: str = "kg", k: int = 3,
     u, cnt = np.unique(mean_floor, return_counts=True)
     return pd.DataFrame({"mean_floor": u.astype(np.int64),
                          "n_px": cnt.astype(np.int64)})
+
+
+def geomorphon_oracle(spec, dataset: str = "kg", k: int = 4,
+                      hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array geomorphon pattern census: one global k-pad and the
+    shared exact ternary classifier — independently checks the
+    per-tile k-halo assembly (the classifier is a pure per-pixel
+    function, so decomposition is the only thing that can differ)."""
+    from .pipelines.pyramid import geomorphon_codes
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), hole, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    pad = np.full((grid.height + 2 * k, grid.width + 2 * k), hole,
+                  dtype=np.uint8)
+    pad[k:-k, k:-k] = full
+    valid = pad != hole
+    n_minus, n_plus = geomorphon_codes(pad, valid, k,
+                                       grid.height, grid.width)
+    ctr = valid[k:-k, k:-k]
+    key = n_minus[ctr] * 9 + n_plus[ctr]
+    u, cnt = np.unique(key, return_counts=True)
+    return pd.DataFrame({
+        "n_minus": (u // 9).astype(np.int64),
+        "n_plus": (u % 9).astype(np.int64),
+        "n_px": cnt.astype(np.int64)})
+
+
+def class_morphology_oracle(spec, dataset: str = "lc",
+                            target: int = 210, k: int = 2,
+                            hole_value: int | None = None) -> pd.DataFrame:
+    """Whole-array morphology census (source/dilate/erode/open/close)
+    with one global 2k pad; rows counted over PRESENT-tile pixels
+    only, exactly the distributed census domain."""
+    from .pipelines.pyramid import _window_sums
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), hole, dtype=np.uint8)
+    present = np.zeros((grid.height, grid.width), dtype=bool)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+            present[y:y + nr, x:x + nc] = True
+    pad = np.full((grid.height + 4 * k, grid.width + 4 * k), hole,
+                  dtype=np.uint8)
+    pad[2 * k:-2 * k, 2 * k:-2 * k] = full
+    w2 = (2 * k + 1) ** 2
+    x = pad == int(target)
+    _, cnt1 = _window_sums(pad, x, k)
+    dil = cnt1 > 0
+    ero = cnt1 == w2
+    _, cnt_d = _window_sums(pad[k:-k, k:-k], dil, k)
+    _, cnt_e = _window_sums(pad[k:-k, k:-k], ero, k)
+    vals = [int(x[2 * k:-2 * k, 2 * k:-2 * k][present].sum()),
+            int(dil[k:-k, k:-k][present].sum()),
+            int(ero[k:-k, k:-k][present].sum()),
+            int((cnt_e > 0)[present].sum()),
+            int((cnt_d == w2)[present].sum())]
+    return pd.DataFrame({
+        "op": ["source", "dilate", "erode", "open", "close"],
+        "n_px": np.asarray(vals, dtype=np.int64)})

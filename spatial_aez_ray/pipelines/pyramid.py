@@ -1157,6 +1157,37 @@ def change_matrix(world_a: str, world_b: str, dataset: str,
 # a window wider than the 3×3 the gdaldem family uses
 # ---------------------------------------------------------------------------
 
+def _khalo_pad(payloads: dict, nbrs: dict, nr: int, nc: int,
+               dims, hole: int, k: int) -> np.ndarray:
+    """(nr+2k, nc+2k) k-pixel halo pad for one tile: the facing
+    k-strips / k×k corners of the 8 neighbor tiles from the batch's
+    fetched payloads; absent neighbors and off-grid cells stay at
+    ``hole``. Tail tiles shorter than k are safe: beyond them lies
+    only the world frame."""
+    pad = np.full((nr + 2 * k, nc + 2 * k), hole, dtype=np.uint8)
+    for (dy, dx), (ny, nx, r) in nbrs.items():
+        p = payloads.get(r)
+        if p is None:
+            continue
+        hh, ww = dims(ny, nx)
+        arr = np.frombuffer(p, np.uint8, count=hh * ww).reshape(hh, ww)
+        rs = (slice(max(0, hh - k), hh) if dy < 0
+              else slice(0, min(k, hh)) if dy > 0
+              else slice(0, hh))
+        cs = (slice(max(0, ww - k), ww) if dx < 0
+              else slice(0, min(k, ww)) if dx > 0
+              else slice(0, ww))
+        sub = arr[rs, cs]
+        pr = (slice(k - sub.shape[0], k) if dy < 0
+              else slice(k + nr, k + nr + sub.shape[0]) if dy > 0
+              else slice(k, k + sub.shape[0]))
+        pc_ = (slice(k - sub.shape[1], k) if dx < 0
+               else slice(k + nc, k + nc + sub.shape[1]) if dx > 0
+               else slice(k, k + sub.shape[1]))
+        pad[pr, pc_] = sub
+    return pad
+
+
 class _FocalMeanTiles:
     """Per-tile radius-``k`` focal mean kernel: assembles a k-pixel
     HALO pad from the 8 neighbor tiles (the facing k-strips /
@@ -1206,29 +1237,8 @@ class _FocalMeanTiles:
             if payloads.get(nbrs[(0, 0)][2]) is None:
                 continue
             nr, nc = self._dims(ty, tx)
-            pad = np.full((nr + 2 * k, nc + 2 * k), self.hole,
-                          dtype=np.uint8)
-            for (dy, dx), (ny, nx, r) in nbrs.items():
-                p = payloads.get(r)
-                if p is None:
-                    continue
-                hh, ww = self._dims(ny, nx)
-                arr = np.frombuffer(p, np.uint8,
-                                    count=hh * ww).reshape(hh, ww)
-                rs = (slice(max(0, hh - k), hh) if dy < 0
-                      else slice(0, min(k, hh)) if dy > 0
-                      else slice(0, hh))
-                cs = (slice(max(0, ww - k), ww) if dx < 0
-                      else slice(0, min(k, ww)) if dx > 0
-                      else slice(0, ww))
-                sub = arr[rs, cs]
-                pr = (slice(k - sub.shape[0], k) if dy < 0
-                      else slice(k + nr, k + nr + sub.shape[0]) if dy > 0
-                      else slice(k, k + sub.shape[0]))
-                pc_ = (slice(k - sub.shape[1], k) if dx < 0
-                       else slice(k + nc, k + nc + sub.shape[1]) if dx > 0
-                       else slice(k, k + sub.shape[1]))
-                pad[pr, pc_] = sub
+            pad = _khalo_pad(payloads, nbrs, nr, nc, self._dims,
+                             self.hole, k)
             valid = pad != self.hole
             vsum, vcnt = _window_sums(pad, valid, k)
             ctr_valid = valid[k:k + nr, k:k + nc]
@@ -1290,3 +1300,254 @@ def focal_mean_radius(world_path: str, dataset: str = "kg",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("mean_floor").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# geomorphon pattern census — the r.geomorphon (Jasiewicz & Stepinski
+# 2013) ternary openness pattern at bounded lookup distance, with all
+# angle comparisons done as exact integer cross-multiplications
+# ---------------------------------------------------------------------------
+
+_GEO_DIRS = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+             (1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def geomorphon_codes(pad: np.ndarray, valid: np.ndarray, k: int,
+                     nr: int, nc: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_minus, n_plus) ternary-pattern counts per interior pixel of
+    a k-halo pad. Per direction the best uphill and downhill
+    elevation/distance fractions max_i (E_i - E0)/i and
+    max_i (E0 - E_i)/i are found by an exact integer tournament
+    (compare a/b vs c/d as a*d vs c*b; the sqrt(2) diagonal factor
+    cancels inside one direction, and flatness threshold 0 needs no
+    angle units at all). Direction code: +1 if uphill beats downhill,
+    -1 if downhill beats uphill, 0 on exact tie or when both are
+    non-positive (level) or no sample is valid. Centers must be
+    valid; invalid samples never enter the tournament."""
+    e = pad.astype(np.int64)
+    e0 = e[k:k + nr, k:k + nc]
+    n_plus = np.zeros((nr, nc), dtype=np.int64)
+    n_minus = np.zeros((nr, nc), dtype=np.int64)
+    for dy, dx in _GEO_DIRS:
+        un = np.zeros((nr, nc), dtype=np.int64)   # best uphill num
+        ud = np.zeros((nr, nc), dtype=np.int64)   # best uphill den
+        dn = np.zeros((nr, nc), dtype=np.int64)
+        dd = np.zeros((nr, nc), dtype=np.int64)
+        has = np.zeros((nr, nc), dtype=bool)
+        for i in range(1, k + 1):
+            ei = e[k + i * dy:k + i * dy + nr, k + i * dx:k + i * dx + nc]
+            vi = valid[k + i * dy:k + i * dy + nr,
+                       k + i * dx:k + i * dx + nc]
+            cu = ei - e0
+            up_better = vi & (~has | (cu * ud > un * i))
+            un[up_better] = cu[up_better]
+            ud[up_better] = i
+            dn_better = vi & (~has | (-cu * dd > dn * i))
+            dn[dn_better] = -cu[dn_better]
+            dd[dn_better] = i
+            has |= vi
+        # compare uphill vs downhill fractions (dens > 0 where has)
+        lhs = un * dd
+        rhs = dn * ud
+        level = (un <= 0) & (dn <= 0)
+        plus = has & ~level & (lhs > rhs)
+        minus = has & ~level & (rhs > lhs)
+        n_plus += plus
+        n_minus += minus
+    return n_minus, n_plus
+
+
+class _GeomorphonTiles:
+    """Per-tile geomorphon pattern kernel: k-halo pad by derived ref,
+    exact ternary classification, (n_minus, n_plus) pair histogram
+    partials (<= 81 rows per batch)."""
+
+    def __init__(self, world_path: str, dataset: str, k: int,
+                 hole: int):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.k = int(k)
+        self.hole = hole
+        if self.k < 1 or self.k > self.grid.tile:
+            raise ValueError("lookup distance must be in [1, tile]")
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g, k = self.grid, self.k
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name,
+                                            ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        hist: dict[int, int] = {}
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _khalo_pad(payloads, nbrs, nr, nc, self._dims,
+                             self.hole, k)
+            valid = pad != self.hole
+            n_minus, n_plus = geomorphon_codes(pad, valid, k, nr, nc)
+            ctr = valid[k:k + nr, k:k + nc]
+            if not ctr.any():
+                continue
+            key = n_minus[ctr] * 9 + n_plus[ctr]
+            u, cnt = np.unique(key, return_counts=True)
+            for v, n in zip(u.tolist(), cnt.tolist()):
+                hist[v] = hist.get(v, 0) + n
+        keys = sorted(hist)
+        return pa.table({
+            "pattern": pa.array(keys, pa.int64()),
+            "n_px": pa.array([hist[kk] for kk in keys], pa.int64())})
+
+
+def geomorphon_census(world_path: str, dataset: str = "kg",
+                      k: int = 4, *, hole_value: int | None = None,
+                      batch_size: int = 8) -> pd.DataFrame:
+    """(n_minus, n_plus, n_px) census of geomorphon ternary patterns
+    at lookup distance ``k`` — the raw form of the r.geomorphon
+    landform classification (the published 10-form table is a pure
+    per-row lookup on these pairs). Shuffle-free, <= 81-row
+    partials."""
+    from ray.data.aggregate import Sum
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    fn = as_task_fn(_GeomorphonTiles, world_path=world_path,
+                    dataset=dataset, k=int(k), hole=hole)
+    out = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("pattern")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    out["n_minus"] = (out["pattern"] // 9).astype(np.int64)
+    out["n_plus"] = (out["pattern"] % 9).astype(np.int64)
+    out["n_px"] = out["n_px"].astype(np.int64)
+    out = out[["n_minus", "n_plus", "n_px"]]
+    return (out.sort_values(["n_minus", "n_plus"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# class morphology — GRASS r.grow / ESRI Expand-Shrink, plus opening
+# and closing, all in ONE pass from a 2k-pixel halo
+# ---------------------------------------------------------------------------
+
+class _MorphTiles:
+    """Per-tile binary morphology census for one target class with a
+    square (2k+1)² structuring element. The trick making open/close
+    single-pass: the intermediate mask (dilated resp. eroded) is
+    computed on the interior PLUS a k-ring from a 2k source halo, so
+    the second operator needs no exchange of computed masks — the
+    derived-ref discipline extended to composed focal ops. Erosion
+    requires the FULL window inside the target class (off-grid,
+    nodata and absent tiles are non-target), dilation fires on any
+    window hit. Census rows are over present-tile pixels."""
+
+    def __init__(self, world_path: str, dataset: str, target: int,
+                 k: int, hole: int):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.target = int(target)
+        self.k = int(k)
+        self.hole = hole
+        if self.k < 1 or 2 * self.k > self.grid.tile:
+            raise ValueError("radius must satisfy 2k <= tile")
+
+    def _dims(self, ty: int, tx: int) -> tuple[int, int]:
+        g = self.grid
+        return (min(g.tile, g.height - ty * g.tile),
+                min(g.tile, g.width - tx * g.tile))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g, k = self.grid, self.k
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        plans, want = [], set()
+        for pid in ids:
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            nbrs = {}
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = ty + dy, tx + dx
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        r = model.media_ref(self.dataset, g.name,
+                                            ny, nx, 1)
+                        nbrs[(dy, dx)] = (ny, nx, r)
+                        want.add(r)
+            plans.append((ty, tx, nbrs))
+        payloads = self.media.fetch(sorted(want), strict=False)
+        acc = np.zeros(5, dtype=np.int64)   # src, dil, ero, open, close
+        w2 = (2 * k + 1) ** 2
+        for ty, tx, nbrs in plans:
+            if payloads.get(nbrs[(0, 0)][2]) is None:
+                continue
+            nr, nc = self._dims(ty, tx)
+            pad = _khalo_pad(payloads, nbrs, nr, nc, self._dims,
+                             self.hole, 2 * k)
+            x = pad == self.target
+            _, cnt1 = _window_sums(pad, x, k)   # interior + k ring
+            dil = cnt1 > 0
+            ero = cnt1 == w2
+            _, cnt_d = _window_sums(pad[k:-k, k:-k], dil, k)
+            _, cnt_e = _window_sums(pad[k:-k, k:-k], ero, k)
+            acc[0] += int(x[2 * k:2 * k + nr, 2 * k:2 * k + nc].sum())
+            acc[1] += int(dil[k:k + nr, k:k + nc].sum())
+            acc[2] += int(ero[k:k + nr, k:k + nc].sum())
+            acc[3] += int((cnt_e > 0).sum())        # open = dilate(erode)
+            acc[4] += int((cnt_d == w2).sum())      # close = erode(dilate)
+        ops = ["source", "dilate", "erode", "open", "close"]
+        return pa.table({"op": pa.array(ops, pa.string()),
+                         "n_px": pa.array(acc, pa.int64())})
+
+
+def class_morphology(world_path: str, dataset: str = "lc",
+                     target: int = 210, k: int = 2, *,
+                     hole_value: int | None = None,
+                     batch_size: int = 8) -> pd.DataFrame:
+    """(op, n_px) census of {source, dilate, erode, open, close} for
+    one class under a (2k+1)² square element — the r.grow / Expand /
+    Shrink family plus the two compositions, shuffle-free with a
+    single 2k-halo fetch per tile."""
+    from ray.data.aggregate import Sum
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    fn = as_task_fn(_MorphTiles, world_path=world_path,
+                    dataset=dataset, target=int(target), k=int(k),
+                    hole=hole)
+    out = (ray.data.range(grid.tiles_y * grid.tiles_x)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("op")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    out["n_px"] = out["n_px"].astype(np.int64)
+    order = {"source": 0, "dilate": 1, "erode": 2, "open": 3,
+             "close": 4}
+    out["_o"] = out["op"].map(order)
+    out = (out.sort_values("_o").drop(columns="_o")
+           .reset_index(drop=True))
+    return out

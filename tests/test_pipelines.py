@@ -1028,3 +1028,70 @@ def test_focal_mean_radius_rejects_overwide(tiny_world):
 
     with pytest.raises(Exception):
         pyramid.focal_mean_radius(tiny_world, "kg", 10**6)
+
+
+def test_geomorphon_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid
+
+    for ds, k in (("kg", 1), ("kg", 4), ("wk", 5)):
+        mine = pyramid.geomorphon_census(tiny_world, ds, k)
+        want = oracle.geomorphon_oracle(fixtures.TINY, ds, k)
+        assert mine.equals(want), (ds, k)
+        assert (mine["n_minus"] + mine["n_plus"] <= 8).all()
+
+
+def test_geomorphon_crafted_landforms(tmp_path):
+    """A cone apex must classify as a pure peak (8 minus) and the
+    center of an inverted cone as a pure pit (8 plus), with the
+    apex/pit pixel crossing a tile seam's halo."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+    from spatial_aez_ray.pipelines import pyramid
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    cheb = np.maximum(np.abs(yy - 19), np.abs(xx - 19)).astype(np.int64)
+    peak = (200 - 4 * cheb).astype(np.uint8)   # cone, apex at (19,19)
+    tif = str(tmp_path / "peak.tif")
+    write_geotiff(tif, peak)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    census = pyramid.geomorphon_census(world, "dem", 4)
+    row = census[(census.n_minus == 8) & (census.n_plus == 0)]
+    assert len(row) == 1 and int(row["n_px"].iloc[0]) == 1
+    pit = (55 + 4 * cheb).astype(np.uint8)     # inverted cone
+    tif2 = str(tmp_path / "pit.tif")
+    write_geotiff(tif2, pit)
+    world2 = str(tmp_path / "world2")
+    import_geotiff(tif2, world2, "dem", "gd", 10)
+    census2 = pyramid.geomorphon_census(world2, "dem", 4)
+    row2 = census2[(census2.n_minus == 0) & (census2.n_plus == 8)]
+    assert len(row2) == 1 and int(row2["n_px"].iloc[0]) == 1
+
+
+def test_class_morphology_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import pyramid
+
+    for ds, tgt, k in (("lc", 210, 2), ("wk", 5, 5)):
+        mine = pyramid.class_morphology(tiny_world, ds, tgt, k)
+        want = oracle.class_morphology_oracle(fixtures.TINY, ds, tgt, k)
+        assert mine.equals(want), (ds, tgt, k)
+        v = dict(zip(mine["op"], mine["n_px"]))
+        assert (v["erode"] <= v["open"] <= v["source"]
+                <= v["close"] <= v["dilate"])
+
+
+def test_class_morphology_isolated_px(tmp_path):
+    """One isolated target pixel: dilate = (2k+1)² clipped, erode and
+    open vanish, close returns exactly the source."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+    from spatial_aez_ray.pipelines import pyramid
+
+    arr = np.full((40, 40), 7, dtype=np.uint8)
+    arr[20, 20] = 9
+    tif = str(tmp_path / "one.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    out = pyramid.class_morphology(world, "dem", 9, 2)
+    v = dict(zip(out["op"], out["n_px"]))
+    assert v == {"source": 1, "dilate": 25, "erode": 0, "open": 0,
+                 "close": 1}
