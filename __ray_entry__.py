@@ -2149,6 +2149,93 @@ def _spatial_real_flow_accum(sf_dir: str):
     return mine
 
 
+def _spatial_real_morphology(sf_dir: str):
+    """Morphology on REAL raster layout: dilate/erode/open/close of
+    the mask class over the imported GRC 1 km mask (256-px tiles,
+    sparse ocean holes) must equal the direct sequential file walk —
+    boundary-geometry-heavy, so every seam halo matters."""
+    import shutil
+    from spatial_aez_ray.pipelines import pyramid, realmask
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    w = os.path.join(_TMP, "realmask_morph_world")
+    shutil.rmtree(w, ignore_errors=True)
+    realmask.import_real_mask(path, w)
+    mine = pyramid.class_morphology(w, "realmask", 1, 2)
+    want = realmask.mask_file_morphology(path, 2)
+    if not mine.equals(want):
+        raise AssertionError("real-mask morphology != direct walk")
+    return mine
+
+
+def _real_coast_dem(tag: str):
+    """(world_path, dem_array, bands_array) — a varied-value raster
+    with REAL coastline geometry: elevation = capped city-block
+    distance to the sea over the GRC 1 km mask bbox (sea/absent = 0 =
+    nodata), plus a concentric-band classification of it. Binary
+    masks make level/isolated cases trivially degenerate for
+    geomorphon/sieve; this keeps the real geometry and restores the
+    value structure those kernels exist for."""
+    import shutil
+    import numpy as np
+    from spatial_aez_ray.pipelines import realmask
+    from spatial_aez_ray.pipelines.regions import proximity_distances
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    path = os.path.join(realmask.REFERENCE_MASKS_DIR,
+                        "GRC_80_1km_mask._tif")
+    pad, _present = realmask.mask_file_pad_present(path)
+    full = pad[1:-1, 1:-1]
+    dist = proximity_distances(full, 0, 32)
+    dem = np.where(full == 1, dist + 1, 0).astype(np.uint8)
+    bands = np.where(full == 1, 1 + (dist // 4), 0).astype(np.uint8)
+    w = os.path.join(_TMP, f"realmask_{tag}_world")
+    shutil.rmtree(w, ignore_errors=True)
+    tif = os.path.join(_TMP, f"realmask_{tag}_dem.tif")
+    write_geotiff(tif, dem)
+    import_geotiff(tif, w, "dem", "gd", 64)
+    tif2 = os.path.join(_TMP, f"realmask_{tag}_bands.tif")
+    write_geotiff(tif2, bands)
+    import_geotiff(tif2, w, "bands", "gd", 64)
+    return w, dem, bands
+
+
+def _spatial_real_geomorphon(sf_dir: str):
+    """Geomorphon pattern census on REAL coastline geometry: ternary
+    openness over the distance-to-sea DEM of the GRC mask bbox
+    (coastal gradients in every direction, island peaks) must equal
+    the sequential whole-array walk bit-exactly."""
+    from spatial_aez_ray.pipelines import pyramid
+    om = _oracle_mod()
+    w, dem, _bands = _real_coast_dem("geom")
+    mine = pyramid.geomorphon_census(w, "dem", 4)
+    want = om.geomorphon_hist(dem, 0, 4)
+    if not mine.equals(want):
+        raise AssertionError("real-geometry geomorphon != direct walk")
+    if len(mine) < 5:
+        raise AssertionError("degenerate pattern census")
+    return mine
+
+
+def _spatial_real_sieve(sf_dir: str):
+    """Sieve on REAL coastline geometry: concentric distance bands
+    over the GRC bbox fragment heavily (islets, coastal slivers), so
+    sub-threshold regions MERGE; the distributed region graph +
+    contraction must equal the sequential whole-array sieve and must
+    strictly reduce the region count."""
+    from spatial_aez_ray.pipelines import regions as R
+    om = _oracle_mod()
+    w, _dem, bands = _real_coast_dem("sieve")
+    mine = R.sieve_summary(w, "bands", 6)
+    want = om.sieve_census(bands, 0, 6)
+    if not mine.equals(want):
+        raise AssertionError("real-geometry sieve != direct walk")
+    base = R.sieve_summary(w, "bands", 0)
+    if not (int(mine["n_regions"].sum()) < int(base["n_regions"].sum())):
+        raise AssertionError("sieve merged nothing — degenerate input")
+    return mine
+
+
 def _bpe_train(sf_dir: str):
     """Distributed byte-level BPE tokenizer training: K streaming
     pair-count passes with vectorized left-to-right merge application
@@ -2349,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": temporal.sessionize,
         "interval_coverage": temporal.interval_coverage,
         "customer_reorder_gaps": temporal.customer_reorder_gaps,
+        "orders_moving_sum": temporal.orders_moving_sum,
         "time_weighted_value": temporal.time_weighted_value,
         "attribution_last_touch": temporal.attribution_last_touch,
         "activity_gini": temporal.activity_gini_parts,
@@ -2596,6 +2684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_real_mask_overlap": _spatial_real_mask_overlap,
         "spatial_real_mask_terrain": _spatial_real_mask_terrain,
         "spatial_real_flow_accum": _spatial_real_flow_accum,
+        "spatial_real_morphology": _spatial_real_morphology,
+        "spatial_real_geomorphon": _spatial_real_geomorphon,
+        "spatial_real_sieve": _spatial_real_sieve,
         "spatial_real_viewshed": _spatial_real_viewshed,
         "spatial_real_bilinear": _spatial_real_bilinear,
         "spatial_real_png_palette": _spatial_real_png_palette,
@@ -2616,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": temporal.SESSIONIZE_SQL,
         "interval_coverage": temporal.INTERVAL_COVERAGE_SQL,
         "customer_reorder_gaps": temporal.REORDER_GAPS_SQL,
+        "orders_moving_sum": temporal.ORDERS_MOVING_SUM_SQL,
         "time_weighted_value": temporal.TIME_WEIGHTED_SQL,
         "attribution_last_touch": temporal.ATTRIBUTION_SQL,
         "activity_gini": temporal.GINI_SQL,

@@ -2153,3 +2153,78 @@ SELECT MAX(n)::BIGINT AS n_users,
        (MAX(n) * SUM(x))::BIGINT AS gini_den
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_moving_sum — ROWS-frame trailing window (moving sum over the
+# last W orders per customer); the range-frame sibling is
+# events_rolling_7d
+# ---------------------------------------------------------------------------
+
+MOVING_W = 3
+
+
+def orders_moving_sum(sf_dir: str, w: int = MOVING_W) -> pd.DataFrame:
+    """Per order: trailing ``ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW`` sum of the customer's order totals in integer cents, plus
+    the in-frame row count — the classic ROWS-frame moving aggregate.
+    One coarse entity-key shuffle; per partition a stable
+    (custkey, day, okey) lexsort, then the window via prefix sums
+    with per-customer run starts (no per-group loop)."""
+    from .relational import _cents
+    from .util import shuffle_width
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate",
+                            "o_totalprice"])
+    n_parts = shuffle_width(orders, floor=N_ASOF_PARTS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[D]").astype(np.int64))
+        return pa.table({
+            "part": pa.array((ck % n_parts).astype(np.int32)),
+            "custkey": pa.array(ck),
+            "okey": b["o_orderkey"].cast(pa.int64()),
+            "day": pa.array(od),
+            "cents": pa.array(_cents(b["o_totalprice"]))})
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["custkey", "day", "okey"], kind="stable",
+                          ignore_index=True)
+        ck = g["custkey"].to_numpy()
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.r_[True, ck[1:] != ck[:-1]]
+        gs = np.maximum.accumulate(np.where(run_start, idx, 0))
+        lo = np.maximum(gs, idx - (w - 1))
+        cs = np.r_[np.int64(0), np.cumsum(cents)]
+        return pd.DataFrame({
+            "custkey": ck,
+            "okey": g["okey"].to_numpy(dtype=np.int64),
+            "mov_n": (idx - lo + 1).astype(np.int64),
+            "mov_cents": (cs[idx + 1] - cs[lo]).astype(np.int64)})
+
+    out = (orders.map_batches(prep, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(win, batch_format="pandas")
+                 .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["custkey", "okey"])
+            .reset_index(drop=True))
+
+
+ORDERS_MOVING_SUM_SQL = f"""
+SELECT o_custkey AS custkey, o_orderkey AS okey,
+       COUNT(*) OVER win::BIGINT AS mov_n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER win
+         AS mov_cents
+FROM orders
+WINDOW win AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN {MOVING_W - 1} PRECEDING AND CURRENT ROW)
+ORDER BY custkey, okey
+"""

@@ -2078,12 +2078,19 @@ def geomorphon_oracle(spec, dataset: str = "kg", k: int = 4,
                 continue
             x, y, nc, nr = grid.tile_window(ty, tx)
             full[y:y + nr, x:x + nc] = arrs[0]
-    pad = np.full((grid.height + 2 * k, grid.width + 2 * k), hole,
-                  dtype=np.uint8)
+    return geomorphon_hist(full, hole, k)
+
+
+def geomorphon_hist(full: np.ndarray, hole: int, k: int) -> pd.DataFrame:
+    """Sequential geomorphon pattern census over one whole array
+    (shared by the synthetic oracle and the real-mask direct walk)."""
+    from .pipelines.pyramid import geomorphon_codes
+
+    h, w = full.shape
+    pad = np.full((h + 2 * k, w + 2 * k), hole, dtype=np.uint8)
     pad[k:-k, k:-k] = full
     valid = pad != hole
-    n_minus, n_plus = geomorphon_codes(pad, valid, k,
-                                       grid.height, grid.width)
+    n_minus, n_plus = geomorphon_codes(pad, valid, k, h, w)
     ctr = valid[k:-k, k:-k]
     key = n_minus[ctr] * 9 + n_plus[ctr]
     u, cnt = np.unique(key, return_counts=True)
@@ -2115,8 +2122,18 @@ def class_morphology_oracle(spec, dataset: str = "lc",
             x, y, nc, nr = grid.tile_window(ty, tx)
             full[y:y + nr, x:x + nc] = arrs[0]
             present[y:y + nr, x:x + nc] = True
-    pad = np.full((grid.height + 4 * k, grid.width + 4 * k), hole,
-                  dtype=np.uint8)
+    return morphology_census(full, present, hole, int(target), k)
+
+
+def morphology_census(full: np.ndarray, present: np.ndarray,
+                      hole: int, target: int, k: int) -> pd.DataFrame:
+    """Sequential morphology census over one whole array with an
+    explicit present-pixel census domain (shared by the synthetic
+    oracle and the real-mask direct walk)."""
+    from .pipelines.pyramid import _window_sums
+
+    h, w = full.shape
+    pad = np.full((h + 4 * k, w + 4 * k), hole, dtype=np.uint8)
     pad[2 * k:-2 * k, 2 * k:-2 * k] = full
     w2 = (2 * k + 1) ** 2
     x = pad == int(target)

@@ -621,3 +621,13 @@ def mask_file_bilinear(path: str, k: int = 2) -> "pd.DataFrame":
     return pd.DataFrame({"value": np.asarray(keys, np.int64),
                          "n_px": np.asarray([hist[kx] for kx in keys],
                                             np.int64)})
+
+
+def mask_file_morphology(path: str, k: int = 2) -> "pd.DataFrame":
+    """Direct sequential morphology census (target class 1) over one
+    REAL mask file (see ``mask_file_pad_present``)."""
+    from ..oracle import morphology_census
+    pad, present = mask_file_pad_present(path)
+    return morphology_census(pad[1:-1, 1:-1], present, 0, 1, k)
+
+

@@ -2376,3 +2376,16 @@ def test_customer_order_distribution_matches_sql(con, ray_session):
         f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet')"
     ).fetchone()[0]
     assert int(mine["n_customers"].sum()) == n_cust
+
+
+def test_orders_moving_sum_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import temporal
+    mine = temporal.orders_moving_sum(SF)
+    _assert_match(mine, temporal.ORDERS_MOVING_SUM_SQL, con)
+    assert (mine["mov_n"] >= 1).all() and (mine["mov_n"]
+                                           <= temporal.MOVING_W).all()
+    # a customer's earliest order frames only itself, so every
+    # customer has exactly one mov_n == 1 row
+    ones = mine[mine["mov_n"] == 1].groupby("custkey").size()
+    assert (ones == 1).all()
+    assert set(ones.index) == set(mine["custkey"])
