@@ -670,6 +670,39 @@ def _spatial_focal_mean(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_fill_route(sf_dir: str):
+    """DEM conditioning chain (fill -> flow direction -> accumulation,
+    the standard hydrology preprocessing): fill_sinks_to_dataset
+    writes the filled surface as a derived world dataset, then the
+    UNCHANGED flow-accumulation kernel routes on it — bit-equal to
+    the sequential priority-flood + whole-array routing composition.
+    Also asserts the write-pass histogram equals the plain fill
+    histogram, and that conditioning strictly helps: external
+    drainage on the filled surface >= on the raw surface."""
+    import shutil
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    out = os.path.join(_TMP, "fill_route_world")
+    shutil.rmtree(out, ignore_errors=True)
+    hist = hydro.fill_sinks_to_dataset(_world(), "kg", out)
+    if not hist.equals(om.fill_sinks_oracle(fixtures.TINY, "kg")):
+        raise AssertionError("write-pass fill histogram != oracle")
+    acc = hydro.flow_accumulation(out, "kg_filled")
+    want = om.fill_route_oracle(fixtures.TINY, "kg")
+    if not acc.equals(want):
+        raise AssertionError("routing on filled surface != oracle")
+
+    def external(world, ds):
+        ws = hydro.watershed_basins(world, ds)
+        ext = ws.loc[ws["kind"] == "external", "size"]
+        return int(ext.iloc[0]) if len(ext) else 0
+
+    if external(out, "kg_filled") < external(_world(), "kg"):
+        raise AssertionError("filling reduced external drainage")
+    return acc
+
+
 def _spatial_sieve(sf_dir: str):
     """Sieve filter (gdal_sieve.py analog): per-class region census
     after removing raster polygons below threshold, distributed
@@ -2652,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_path": _spatial_cost_path,
         "spatial_cost_cross": _spatial_cost_cross,
         "spatial_fill_sinks": _spatial_fill_sinks,
+        "spatial_fill_route": _spatial_fill_route,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
         "spatial_geomorphon": _spatial_geomorphon,

@@ -1869,6 +1869,18 @@ def fill_sinks_hist(pad: np.ndarray, hole: int) -> pd.DataFrame:
     drains at 0, so this independently cross-checks the distributed
     block-Jacobi kernel in ``pipelines/hydro.fill_sinks``. Returns
     the (depth = W - E, n_px) histogram over passable pixels."""
+    wfill = fill_values(pad, hole)
+    passable = pad != hole
+    u, cnt = np.unique(wfill[passable] - pad.astype(np.int64)[passable],
+                       return_counts=True)
+    return pd.DataFrame({"depth": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})
+
+
+def fill_values(pad: np.ndarray, hole: int) -> np.ndarray:
+    """Priority-flood filled surface W per pixel (-1 on impassable);
+    the array form behind ``fill_sinks_hist``, also used to condition
+    a DEM before sequential flow routing."""
     import heapq
 
     e = pad.astype(np.int64)
@@ -1905,10 +1917,7 @@ def fill_sinks_hist(pad: np.ndarray, hole: int) -> pd.DataFrame:
                 heapq.heappush(heap, (max(int(e[ny, nx]), wv), ny, nx))
     if passable.any() and (wfill[passable] < 0).any():
         raise AssertionError("priority flood left unvisited pixels")
-    u, cnt = np.unique(wfill[passable] - e[passable],
-                       return_counts=True)
-    return pd.DataFrame({"depth": u.astype(np.int64),
-                         "n_px": cnt.astype(np.int64)})
+    return wfill
 
 
 def fill_sinks_oracle(spec, dataset: str = "kg",
@@ -2150,3 +2159,28 @@ def morphology_census(full: np.ndarray, present: np.ndarray,
     return pd.DataFrame({
         "op": ["source", "dilate", "erode", "open", "close"],
         "n_px": np.asarray(vals, dtype=np.int64)})
+
+
+def fill_route_oracle(spec, dataset: str = "kg",
+                      hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential conditioned-DEM chain: priority-flood fill, then D8
+    flow accumulation on the FILLED surface — the standard hydrology
+    preprocessing composition (fill -> flowdir -> accumulation)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    wf = fill_values(pad, hole)
+    filled = np.where(pad != hole, wf, np.int64(hole)).astype(np.uint8)
+    return flow_accum_hist(filled, present)

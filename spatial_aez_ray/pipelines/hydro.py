@@ -1760,17 +1760,37 @@ class _FillTiles:
     sweeps), then either emit seam offers — (src_tile, dst_tile,
     dst_px, W-candidate) rows for passable halo pixels, O(tile edge)
     per tile — or, with ``final=True``, the (depth = W - E, n_px)
-    histogram partials over passable pixels."""
+    histogram partials over passable pixels (and, with ``write_to``,
+    the filled tiles themselves as a derived world dataset)."""
 
     def __init__(self, world_path: str, dataset: str, hole: int,
-                 inflow_ref, final: bool):
+                 inflow_ref, final: bool, write_to: str | None = None,
+                 out_dataset: str | None = None):
         self.media = MediaStore(world_path)
         layout = model.world_layout(world_path)
-        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.grid_name = layout[dataset]["grid"]
+        self.grid = world_grid(world_path, self.grid_name)
         self.dataset = dataset
         self.hole = hole
         self.final = final
+        self.write_to = write_to
+        self.out_dataset = out_dataset
         self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
+
+    def _tile_row(self, ty: int, tx: int, nr: int, nc: int,
+                  filled: np.ndarray) -> dict:
+        """One filled tile as a (document, media) row in the world
+        layout (the transcode_media sink discipline); rows batch up
+        per map_batches call and write as one atomic part."""
+        g = self.grid
+        doc = model.make_document(
+            self.out_dataset, self.grid_name, ty, tx,
+            tx * g.tile, ty * g.tile, nc, nr, bands=1,
+            nodata=int(self.hole))
+        return {"doc_id": doc["doc_id"], "spans": doc["spans"],
+                "media_ref": model.media_ref(
+                    self.out_dataset, self.grid_name, ty, tx, 1),
+                "payload": filled.tobytes()}
 
     def _dims(self, ty: int, tx: int) -> tuple[int, int]:
         g = self.grid
@@ -1800,6 +1820,7 @@ class _FillTiles:
         o_px: list[np.ndarray] = []
         o_val: list[np.ndarray] = []
         hist: dict[int, int] = {}
+        out_rows: list[dict] = []
         for ty, tx, nbrs in plans:
             if payloads.get(nbrs[(0, 0)][2]) is None:
                 continue
@@ -1838,6 +1859,13 @@ class _FillTiles:
                 if (w >= _UNREACH).any():
                     raise AssertionError(
                         "fill fixpoint left unreached passable pixels")
+                if self.write_to is not None:
+                    filled = np.where(pin, interior,
+                                      np.int64(self.hole))
+                    if pin.any() and int(filled[pin].max()) > 255:
+                        raise AssertionError("filled surface > uint8")
+                    out_rows.append(self._tile_row(
+                        ty, tx, nr, nc, filled.astype(np.uint8)))
                 u, cnt = np.unique(w - e_int[pin], return_counts=True)
                 for v, n in zip(u.tolist(), cnt.tolist()):
                     hist[v] = hist.get(v, 0) + n
@@ -1883,6 +1911,14 @@ class _FillTiles:
             o_val.append(off_pad[pr, pc])
 
         if self.final:
+            if self.write_to is not None and out_rows:
+                from .render import _RenderWriter
+                _RenderWriter(self.write_to)(pa.Table.from_pylist(
+                    out_rows, schema=pa.schema([
+                        ("doc_id", pa.string()),
+                        ("spans", pa.list_(model.SPAN_TYPE)),
+                        ("media_ref", pa.string()),
+                        ("payload", pa.binary())])))
             keys = sorted(hist)
             return pa.table({
                 "depth": pa.array(keys, pa.int64()),
@@ -1961,3 +1997,65 @@ def fill_sinks(world_path: str, dataset: str = "kg", *,
     if with_rounds:
         return out, rounds
     return out
+
+
+def fill_sinks_to_dataset(world_path: str, dataset: str,
+                          out_dir: str, *,
+                          hole_value: int | None = None,
+                          batch_size: int = 64) -> pd.DataFrame:
+    """DEM conditioning with a materialized product: run the
+    ``fill_sinks`` fixpoint, then WRITE the filled surface as dataset
+    ``{dataset}_filled`` in a self-describing derived world under
+    ``out_dir`` (the warp_to_mercator marker contract) — so the
+    standard hydrology chain fill → flow direction → accumulation
+    runs on it unchanged, each stage a first-class dataset. Nodata
+    pixels and absent tiles keep the hole value. Returns the
+    (depth, n_px) histogram computed by the SAME final pass that
+    writes the tiles (one pass, not two)."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    grid = world_grid(world_path, grid_name)
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    run = _make_fill_run(world_path, dataset, hole, batch_size)
+    inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
+                                         "fill-sinks")
+
+    out_ds = f"{dataset}_filled"
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_WORLD.json")
+    meta = {"name": os.path.basename(out_dir.rstrip("/")), "scale": 0,
+            "seed": 0, "datasets": [], "layout": {}, "grids": {}}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta.update(json.load(f))
+    if out_ds not in meta.setdefault("datasets", []):
+        meta["datasets"].append(out_ds)
+    meta.setdefault("layout", {})[out_ds] = {
+        "grid": grid_name, "bands": 1, "nodata": hole}
+    meta.setdefault("grids", {})[grid_name] = {
+        "width": grid.width, "height": grid.height, "tile": grid.tile}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+
+    ref = ray.put(inflow) if inflow else None
+    fn = as_task_fn(_FillTiles, world_path=world_path, dataset=dataset,
+                    hole=hole, inflow_ref=ref, final=True,
+                    write_to=out_dir, out_dataset=out_ds)
+    items = [{"id": int(i)} for i in present_tiles]
+    out = (ray.data.from_items(items)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("depth")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("depth").reset_index(drop=True)

@@ -326,3 +326,42 @@ def test_fill_sinks_crafted_basin(tmp_path):
     # the bowl floor (38*38 pixels) fills to the 120 crossing: 70 deep
     d = dict(zip(mine["depth"].tolist(), mine["n_px"].tolist()))
     assert d[70] == 38 * 38
+
+
+def test_fill_sinks_to_dataset_roundtrip(tiny_world, tmp_path):
+    """The written filled tiles must decode to exactly the
+    priority-flood surface, and the derived world must be readable by
+    the standard media machinery."""
+    from spatial_aez_ray import model
+    from spatial_aez_ray.pipelines.extract import world_grid
+    from spatial_aez_ray.sources.documents import MediaStore
+
+    out = str(tmp_path / "filled_world")
+    hist = hydro.fill_sinks_to_dataset(tiny_world, "kg", out)
+    assert hist.equals(oracle.fill_sinks_oracle(SPEC, "kg"))
+    grid = SPEC.grid(fixtures.DATASET_GRID["kg"])
+    nodata = fixtures.DATASET_NODATA["kg"]
+    base = oracle.full_raster(SPEC, "kg")[0]
+    pad = np.full((grid.height + 2, grid.width + 2), nodata, np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(SPEC.seed)
+    present_tiles = []
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(SPEC, "kg", ty, tx, land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = nodata
+            else:
+                present_tiles.append((ty, tx))
+    wf = oracle.fill_values(pad, nodata)
+    filled = np.where(pad != nodata, wf, np.int64(nodata))[1:-1, 1:-1]
+    media = MediaStore(out)
+    og = world_grid(out, "g1")
+    assert (og.width, og.height, og.tile) == (grid.width, grid.height,
+                                              grid.tile)
+    for ty, tx in present_tiles[:5] + present_tiles[-5:]:
+        ref = model.media_ref("kg_filled", "g1", ty, tx, 1)
+        p = media.fetch([ref])[ref]
+        x, y, nc, nr = grid.tile_window(ty, tx)
+        arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
+        assert (arr == filled[y:y + nr, x:x + nc]).all(), (ty, tx)
