@@ -670,6 +670,32 @@ def _spatial_focal_mean(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_region_geometry(sf_dir: str):
+    """Per-region shape metrics (OBIA geometry): bbox, centroid sums
+    and EXACT integer convex hull — per-tile row-extreme candidates
+    compose across seams because hull(union) = hull(parts' hull
+    points); bit-equal to the whole-array walk, plus hull-contains-
+    bbox-interior sanity (hull_area2 never exceeds bbox area2)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import regions as R
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "wk"):
+        mine = R.region_geometry(_world(), ds)
+        want = om.region_geometry_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"region geometry ({ds}) != oracle")
+        bbox2 = (2 * (mine["max_y"] - mine["min_y"])
+                 * (mine["max_x"] - mine["min_x"]))
+        if (mine["hull_area2"] > bbox2).any():
+            raise AssertionError("hull exceeds bounding box")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_fill_route(sf_dir: str):
     """DEM conditioning chain (fill -> flow direction -> accumulation,
     the standard hydrology preprocessing): fill_sinks_to_dataset
@@ -2686,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cost_cross": _spatial_cost_cross,
         "spatial_fill_sinks": _spatial_fill_sinks,
         "spatial_fill_route": _spatial_fill_route,
+        "spatial_region_geometry": _spatial_region_geometry,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
         "spatial_geomorphon": _spatial_geomorphon,

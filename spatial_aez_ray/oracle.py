@@ -2184,3 +2184,49 @@ def fill_route_oracle(spec, dataset: str = "kg",
     wf = fill_values(pad, hole)
     filled = np.where(pad != hole, wf, np.int64(hole)).astype(np.uint8)
     return flow_accum_hist(filled, present)
+
+
+def region_geometry_oracle(spec, dataset: str = "kg") -> pd.DataFrame:
+    """Sequential region geometry: whole-array labeling, then bbox /
+    centroid sums / exact hull per region from the global row-extreme
+    candidates (shared pure helpers; the decomposition under test is
+    the per-tile labeling + seam union + candidate composition)."""
+    from .pipelines.regions import (_row_extremes, convex_hull_int,
+                                    label_components)
+
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    land_idx = fixtures.land_index(spec.seed)
+    full = np.full((grid.height, grid.width), nodata, dtype=np.uint8)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            arrs = fixtures.tile_arrays(spec, dataset, ty, tx, land_idx)
+            if arrs is None:
+                continue
+            x, y, nc, nr = grid.tile_window(ty, tx)
+            full[y:y + nr, x:x + nc] = arrs[0]
+    glab = label_components(full, int(nodata))
+    ys, xs = np.nonzero(glab >= 0)
+    gg = glab[ys, xs]
+    order = np.argsort(gg, kind="stable")
+    gs, gys, gxs = gg[order], ys[order].astype(np.int64), \
+        xs[order].astype(np.int64)
+    cls_flat = full[ys, xs][order]
+    cut = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1, len(gs)]
+    hg, hx, hy = _row_extremes(glab)
+    rows = []
+    for i in range(len(cut) - 1):
+        s, e = cut[i], cut[i + 1]
+        sel = hg == gs[s]
+        n, a2 = convex_hull_int(np.stack([hx[sel], hy[sel]], axis=1))
+        rows.append((int(gs[s]), int(cls_flat[s]),
+                     int(gys[s:e].min()), int(gxs[s:e].min()),
+                     int(gys[s:e].max()), int(gxs[s:e].max()),
+                     int(gys[s:e].sum()), int(gxs[s:e].sum()),
+                     n, a2))
+    out = pd.DataFrame(rows, columns=[
+        "region_id", "cls", "min_y", "min_x", "max_y", "max_x",
+        "sum_y", "sum_x", "hull_pts", "hull_area2"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

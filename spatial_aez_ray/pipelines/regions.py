@@ -1461,3 +1461,218 @@ def sieve_summary(world_path: str, dataset: str = "kg",
         [(c, n, px) for c, (n, px) in sorted(rows.items())],
         columns=["cls", "n_regions", "n_px"])
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# region geometry — per-region bbox, centroid sums and EXACT integer
+# convex hull (the OBIA shape-metrics product: compactness, elongation
+# and orientation all derive from these)
+# ---------------------------------------------------------------------------
+
+def convex_hull_int(pts: np.ndarray) -> tuple[int, int]:
+    """(vertex count, doubled shoelace area) of the strict convex
+    hull of integer (x, y) points — Andrew monotone chain with exact
+    int64 cross products (collinear points dropped). Degenerate sets:
+    1 point -> (1, 0); collinear -> (2, 0)."""
+    u = np.unique(pts, axis=0)
+    if len(u) == 1:
+        return 1, 0
+
+    def chain(p):
+        out: list = []
+        for q in p:
+            while len(out) >= 2:
+                ax, ay = out[-2]
+                bx, by = out[-1]
+                if (int(bx) - int(ax)) * (int(q[1]) - int(ay)) \
+                        - (int(by) - int(ay)) * (int(q[0]) - int(ax)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((int(q[0]), int(q[1])))
+        return out
+
+    lower = chain(u)
+    upper = chain(u[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return min(len(u), 2) if len(hull) < 2 else 2, 0
+    area2 = 0
+    for i in range(len(hull)):
+        x0, y0 = hull[i]
+        x1, y1 = hull[(i + 1) % len(hull)]
+        area2 += x0 * y1 - x1 * y0
+    return len(hull), abs(area2)
+
+
+def _row_extremes(lab_g: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """(gid, x, y) arrays of each labeled component's per-row extreme
+    pixels inside one tile — a superset of its convex hull vertices
+    (for every y the hull's x-range endpoints are row extremes), at
+    most 2·rows points per component, fully vectorized."""
+    ys, xs = np.nonzero(lab_g >= 0)
+    if not len(ys):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    g = lab_g[ys, xs]
+    order = np.lexsort((xs, ys, g))
+    g, ys, xs = g[order], ys[order], xs[order]
+    newrun = np.r_[True, (g[1:] != g[:-1]) | (ys[1:] != ys[:-1])]
+    first = np.flatnonzero(newrun)
+    last = np.r_[first[1:], len(g)] - 1
+    idx = np.unique(np.r_[first, last])
+    return g[idx], xs[idx], ys[idx]
+
+
+def region_geometry(world_path: str, dataset: str = "kg"
+                    ) -> pd.DataFrame:
+    """Per-region (region_id, cls, n_px, min/max bbox, centroid sums,
+    hull_pts, hull_area2) with canonical min-pixel region ids — all
+    exact integers. Distributed shape: one labeling pass emits seam
+    pairs, per-component bbox/centroid partials, and per-row extreme
+    hull CANDIDATES (<= 2·tile-rows per component — hull of a union
+    is the hull of the parts' hull points, so candidates compose
+    across tiles); the driver folds the region-count-sized tables
+    (label_regions union-find discipline) and runs the exact integer
+    monotone chain per region."""
+    import ray
+
+    from ..datapipe.util import as_task_fn
+
+    layout = model.world_layout(world_path)
+    grid_name = layout[dataset]["grid"]
+    nodata = int(layout[dataset]["nodata"])
+    from .extract import world_grid
+    grid = world_grid(world_path, grid_name)
+
+    class GeomKernel(RegionKernel):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self.grid
+            t = g.tile
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tiles = [(int(p) // g.tiles_x, int(p) % g.tiles_x)
+                     for p in ids]
+            want = set()
+            for ty, tx in tiles:
+                for ny, nx in ((ty, tx), (ty, tx + 1), (ty + 1, tx)):
+                    if 0 <= ny < g.tiles_y and 0 <= nx < g.tiles_x:
+                        want.add(model.media_ref(self.dataset, g.name,
+                                                 ny, nx, 1))
+            payloads = self.media.fetch(sorted(want), strict=False)
+            memo: dict = {}
+            kind: list = []
+            cols = {k: [] for k in
+                    ("a", "cls", "p0", "p1", "p2", "p3", "p4", "p5")}
+
+            def emit(kd, a, cls=0, p0=0, p1=0, p2=0, p3=0, p4=0, p5=0):
+                kind.append(kd)
+                for k, v in zip(cols, (a, cls, p0, p1, p2, p3, p4, p5)):
+                    cols[k].append(int(v))
+
+            for ty, tx in tiles:
+                me = self._tile(ty, tx, payloads, memo)
+                if me is None:
+                    continue
+                arr, lab, nc = me
+                lab_g = self._gids(lab.copy(), ty, tx, nc)
+                ys, xs = np.nonzero(lab_g >= 0)
+                gg = lab_g[ys, xs]
+                gy = (ty * t + ys).astype(np.int64)
+                gx = (tx * t + xs).astype(np.int64)
+                # bbox + centroid partials per component
+                order = np.argsort(gg, kind="stable")
+                gs, gys, gxs = gg[order], gy[order], gx[order]
+                cut = np.r_[0, np.flatnonzero(gs[1:] != gs[:-1]) + 1,
+                            len(gs)]
+                cls_flat = arr[ys, xs][order]
+                for i in range(len(cut) - 1):
+                    s, e = cut[i], cut[i + 1]
+                    emit(0, gs[s], cls_flat[s],
+                         gys[s:e].min(), gxs[s:e].min(),
+                         gys[s:e].max(), gxs[s:e].max(),
+                         gys[s:e].sum(), gxs[s:e].sum())
+                # hull candidates (global coords)
+                hg, hx, hy = _row_extremes(lab_g)
+                for a, x_, y_ in zip(hg.tolist(),
+                                     (tx * t + hx).tolist(),
+                                     (ty * t + hy).tolist()):
+                    emit(2, a, 0, x_, y_)
+                # seam pairs (right/bottom, the adjacency discipline)
+                for dy, dx in ((0, 1), (1, 0)):
+                    nb = self._tile(ty + dy, tx + dx, payloads, memo)
+                    if nb is None:
+                        continue
+                    narr, nlab, nnc = nb
+                    nlab_g = self._gids(nlab.copy(), ty + dy, tx + dx,
+                                        nnc)
+                    if dx:
+                        n = min(arr.shape[0], narr.shape[0])
+                        my, mg = arr[:n, -1], lab_g[:n, -1]
+                        ob, og = narr[:n, 0], nlab_g[:n, 0]
+                    else:
+                        n = min(arr.shape[1], narr.shape[1])
+                        my, mg = arr[-1, :n], lab_g[-1, :n]
+                        ob, og = narr[0, :n], nlab_g[0, :n]
+                    m = (my != self.nodata) & (ob != self.nodata) \
+                        & (my == ob)
+                    if m.any():
+                        for pa_, pb_ in np.unique(
+                                np.stack([mg[m], og[m]], axis=1),
+                                axis=0).tolist():
+                            emit(1, pa_, 0, pb_)
+            return pa.table({"kind": pa.array(kind, pa.int8()),
+                             **{k: pa.array(v, pa.int64())
+                                for k, v in cols.items()}})
+
+    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
+             .map_batches(as_task_fn(
+                 GeomKernel, world_path=world_path, dataset=dataset,
+                 grid_name=grid_name, nodata=nodata),
+                 batch_format="pyarrow", batch_size=16)
+             .to_pandas())
+
+    pairs = parts[parts["kind"] == 1]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(pairs["a"], pairs["p0"]):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    def remap(col: pd.Series) -> np.ndarray:
+        return np.array([find(int(x)) for x in col], dtype=np.int64)
+
+    p0 = parts[parts["kind"] == 0].copy()
+    p0["a"] = remap(p0["a"])
+    agg = p0.groupby("a").agg(
+        cls=("cls", "first"), min_y=("p0", "min"), min_x=("p1", "min"),
+        max_y=("p2", "max"), max_x=("p3", "max"), sum_y=("p4", "sum"),
+        sum_x=("p5", "sum"))
+    p2 = parts[parts["kind"] == 2].copy()
+    p2["a"] = remap(p2["a"])
+    hull_pts = np.zeros(len(agg), dtype=np.int64)
+    hull_area2 = np.zeros(len(agg), dtype=np.int64)
+    grouped = {a: gdf for a, gdf in p2.groupby("a")}
+    for i, a in enumerate(agg.index):
+        gdf = grouped[a]
+        n, a2 = convex_hull_int(
+            np.stack([gdf["p0"].to_numpy(dtype=np.int64),
+                      gdf["p1"].to_numpy(dtype=np.int64)], axis=1))
+        hull_pts[i] = n
+        hull_area2[i] = a2
+    out = agg.reset_index().rename(columns={"a": "region_id"})
+    out["hull_pts"] = hull_pts
+    out["hull_area2"] = hull_area2
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("region_id").reset_index(drop=True)

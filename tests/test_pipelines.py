@@ -1095,3 +1095,43 @@ def test_class_morphology_isolated_px(tmp_path):
     v = dict(zip(out["op"], out["n_px"]))
     assert v == {"source": 1, "dilate": 25, "erode": 0, "open": 0,
                  "close": 1}
+
+
+def test_region_geometry_bit_exact(tiny_world):
+    from spatial_aez_ray.pipelines import regions as R
+
+    for ds in ("kg", "lc"):
+        mine = R.region_geometry(tiny_world, ds)
+        want = oracle.region_geometry_oracle(fixtures.TINY, ds)
+        assert mine.equals(want), ds
+
+
+def test_convex_hull_int_known_shapes():
+    from spatial_aez_ray.pipelines.regions import convex_hull_int
+
+    # unit square of 4 points: 4 vertices, area2 = 2
+    assert convex_hull_int(np.array(
+        [[0, 0], [1, 0], [0, 1], [1, 1]])) == (4, 2)
+    # collinear
+    assert convex_hull_int(np.array([[0, 0], [2, 2], [1, 1]])) == (2, 0)
+    # single point (duplicated)
+    assert convex_hull_int(np.array([[3, 3], [3, 3]])) == (1, 0)
+    # triangle with interior point: interior never a vertex
+    assert convex_hull_int(np.array(
+        [[0, 0], [4, 0], [0, 4], [1, 1]])) == (3, 16)
+
+
+def test_region_geometry_matches_label_census(tiny_world):
+    """region_id/cls sets must agree exactly with label_regions, and
+    centroids stay inside the bbox."""
+    from spatial_aez_ray.pipelines import regions as R
+
+    geo = R.region_geometry(tiny_world, "kg")
+    regs = R.label_regions(tiny_world, "kg")
+    assert set(geo["region_id"]) == set(regs["region_id"])
+    m = geo.merge(regs, on="region_id")
+    assert (m["cls_x"] == m["cls_y"]).all()
+    cy = m["sum_y"] / m["n_px"]
+    cx = m["sum_x"] / m["n_px"]
+    assert ((cy >= m["min_y"]) & (cy <= m["max_y"])).all()
+    assert ((cx >= m["min_x"]) & (cx <= m["max_x"])).all()
