@@ -670,6 +670,30 @@ def _spatial_focal_mean(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_corridor(sf_dir: str):
+    """Corridor analysis (GRASS r.cost corridor / ESRI Corridor):
+    histogram of cost_to_A + cost_to_B from two seam fixpoints and
+    one shuffle-free re-evaluation pass — bit-equal to the sequential
+    two-field composition on two datasets, and symmetric in (A, B)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds, ta, tb in (("kg", 14, 20), ("wk", 5, 2)):
+        mine = hydro.cost_corridor(_world(), ds, ta, tb)
+        want = om.cost_corridor_oracle(fixtures.TINY, ds, ta, tb)
+        if not mine.equals(want):
+            raise AssertionError(f"corridor ({ds},{ta},{tb}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    if not hydro.cost_corridor(_world(), "wk", 2, 5).equals(
+            outs[1].drop(columns="dataset")):
+        raise AssertionError("corridor not symmetric in (A, B)")
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_region_geometry(sf_dir: str):
     """Per-region shape metrics (OBIA geometry): bbox, centroid sums
     and EXACT integer convex hull — per-tile row-extreme candidates
@@ -2713,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_fill_sinks": _spatial_fill_sinks,
         "spatial_fill_route": _spatial_fill_route,
         "spatial_region_geometry": _spatial_region_geometry,
+        "spatial_corridor": _spatial_corridor,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
         "spatial_geomorphon": _spatial_geomorphon,

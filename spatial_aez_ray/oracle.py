@@ -2230,3 +2230,58 @@ def region_geometry_oracle(spec, dataset: str = "kg") -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("region_id").reset_index(drop=True)
+
+
+def cost_corridor_oracle(spec, dataset: str = "kg", target_a: int = 14,
+                         target_b: int = 7,
+                         hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential corridor histogram: two whole-array min-plus fields
+    (the cost_distance oracle sweep), pixelwise sum over pixels both
+    reach, -1 elsewhere."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    unreach = np.int64(1) << 62
+    cost = pad.astype(np.int64)
+    passable = pad != hole
+    h, w = pad.shape
+    moves = ((-1, 0, 2), (1, 0, 2), (0, -1, 2), (0, 1, 2),
+             (-1, -1, 3), (-1, 1, 3), (1, -1, 3), (1, 1, 3))
+
+    def field(target: int) -> np.ndarray:
+        dist = np.full(pad.shape, unreach, dtype=np.int64)
+        dist[passable & (pad == target)] = 0
+        for _ in range(h * w + 2):
+            before = dist.copy()
+            for dy, dx, wt in moves:
+                s_ = (slice(max(0, -dy), h - max(0, dy)),
+                      slice(max(0, -dx), w - max(0, dx)))
+                d_ = (slice(max(0, dy), h - max(0, -dy)),
+                      slice(max(0, dx), w - max(0, -dx)))
+                cand = dist[s_] + (cost[s_] + cost[d_]) * wt
+                np.copyto(cand, unreach,
+                          where=~(passable[s_] & passable[d_]))
+                np.minimum(dist[d_], cand, out=dist[d_])
+            if np.array_equal(before, dist):
+                break
+        else:
+            raise AssertionError("corridor oracle did not converge")
+        return dist
+
+    fa = field(int(target_a))
+    fb = field(int(target_b))
+    both = passable & (fa < unreach) & (fb < unreach)
+    s = np.where(both, fa + fb, np.int64(-1))[passable]
+    u, cnt = np.unique(s, return_counts=True)
+    return pd.DataFrame({"total": u.astype(np.int64),
+                         "n_px": cnt.astype(np.int64)})

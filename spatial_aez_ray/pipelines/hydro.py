@@ -2059,3 +2059,99 @@ def fill_sinks_to_dataset(world_path: str, dataset: str,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("depth").reset_index(drop=True)
+
+
+class _CorridorTiles:
+    """Per-tile corridor kernel: re-evaluate BOTH converged distance
+    fields from their seam-fixpoint inflow tables (deterministic, the
+    cost_path re-evaluation discipline) and histogram the pixelwise
+    sum over pixels both sources reach; pixels only one (or neither)
+    source reaches count under key -1."""
+
+    def __init__(self, world_path: str, dataset: str, target_a: int,
+                 target_b: int, hole: int, inflow_a_ref, inflow_b_ref):
+        self.media = MediaStore(world_path)
+        layout = model.world_layout(world_path)
+        self.grid = world_grid(world_path, layout[dataset]["grid"])
+        self.dataset = dataset
+        self.ta = int(target_a)
+        self.tb = int(target_b)
+        self.hole = hole
+        self.inf_a = ray.get(inflow_a_ref) if inflow_a_ref else {}
+        self.inf_b = ray.get(inflow_b_ref) if inflow_b_ref else {}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        g = self.grid
+        hist: dict[int, int] = {}
+        for pid in b["id"].to_numpy(zero_copy_only=False):
+            ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
+            fa = _tile_dist_field(self.media, g, self.dataset, self.ta,
+                                  self.hole, self.inf_a, ty, tx)
+            if fa is None:
+                continue
+            fb = _tile_dist_field(self.media, g, self.dataset, self.tb,
+                                  self.hole, self.inf_b, ty, tx)
+            nr, nc = fa.shape
+            ref = model.media_ref(self.dataset, g.name, ty, tx, 1)
+            arr = np.frombuffer(self.media.fetch([ref])[ref], np.uint8,
+                                count=nr * nc).reshape(nr, nc)
+            pin = arr != self.hole
+            both = pin & (fa < _UNREACH) & (fb < _UNREACH)
+            s = np.where(both, fa + fb, np.int64(-1))[pin]
+            u, cnt = np.unique(s, return_counts=True)
+            for v, n in zip(u.tolist(), cnt.tolist()):
+                hist[v] = hist.get(v, 0) + n
+        keys = sorted(hist)
+        return pa.table({
+            "total": pa.array(keys, pa.int64()),
+            "n_px": pa.array([hist[k] for k in keys], pa.int64())})
+
+
+def cost_corridor(world_path: str, dataset: str = "kg",
+                  target_a: int = 14, target_b: int = 7, *,
+                  hole_value: int | None = None,
+                  batch_size: int = 64) -> pd.DataFrame:
+    """(total, n_px) histogram of the corridor surface cost_to_A +
+    cost_to_B (the GRASS ``r.cost`` corridor / ESRI Corridor product:
+    cells below a threshold form the best connecting swath between
+    two source classes; the exact histogram answers EVERY threshold
+    at once). Pixels not reached by both sources report total = -1.
+
+    Scale shape: two independent seam fixpoints (each exactly
+    ``cost_distance``'s), then ONE shuffle-free final pass that
+    re-evaluates both converged in-tile fields per tile and sums —
+    the deterministic re-evaluation discipline that also backs
+    ``cost_path``. The corridor's global minimum equals the A↔B
+    least-cost distance, asserted in the gate."""
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+
+    run_a = _make_cost_run(world_path, dataset, int(target_a), hole,
+                           batch_size)
+    run_b = _make_cost_run(world_path, dataset, int(target_b), hole,
+                           batch_size)
+    inflow_a, _ = _min_seam_fixpoint(run_a, present_tiles,
+                                     "corridor-a")
+    inflow_b, _ = _min_seam_fixpoint(run_b, present_tiles,
+                                     "corridor-b")
+
+    from ray.data.aggregate import Sum
+
+    fn = as_task_fn(_CorridorTiles, world_path=world_path,
+                    dataset=dataset, target_a=int(target_a),
+                    target_b=int(target_b), hole=hole,
+                    inflow_a_ref=ray.put(inflow_a) if inflow_a else None,
+                    inflow_b_ref=ray.put(inflow_b) if inflow_b else None)
+    items = [{"id": int(i)} for i in present_tiles]
+    out = (ray.data.from_items(items)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("total")
+           .aggregate(Sum("n_px", alias_name="n_px"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("total").reset_index(drop=True)

@@ -365,3 +365,32 @@ def test_fill_sinks_to_dataset_roundtrip(tiny_world, tmp_path):
         x, y, nc, nr = grid.tile_window(ty, tx)
         arr = np.frombuffer(p, np.uint8, count=nr * nc).reshape(nr, nc)
         assert (arr == filled[y:y + nr, x:x + nc]).all(), (ty, tx)
+
+
+def test_cost_corridor_bit_exact(tiny_world):
+    mine = hydro.cost_corridor(tiny_world, "wk", 5, 2)
+    want = oracle.cost_corridor_oracle(SPEC, "wk", 5, 2)
+    assert mine.equals(want)
+
+
+def test_cost_corridor_crafted_band(tmp_path):
+    """Two single-pixel sources on a uniform cost-1 row: along the
+    straight segment between them the corridor total is CONSTANT
+    (= the A-B least-cost distance), strictly larger off it."""
+    from spatial_aez_ray.sources.geotiff import import_geotiff, write_geotiff
+
+    arr = np.ones((20, 40), dtype=np.uint8)
+    arr[10, 5] = 2    # source A class 2
+    arr[10, 34] = 3   # source B class 3
+    tif = str(tmp_path / "corr.tif")
+    write_geotiff(tif, arr)
+    world = str(tmp_path / "world")
+    import_geotiff(tif, world, "dem", "gd", 10)
+    out = hydro.cost_corridor(world, "dem", 2, 3)
+    # best chain: 29 steps; interior steps cost (1+1)*2, the two
+    # steps touching a source cost (2+1)*2 and (1+3)*2
+    best = int(out.loc[out["total"] >= 0, "total"].min())
+    d = dict(zip(out["total"].tolist(), out["n_px"].tolist()))
+    assert best == 27 * 4 + (2 + 1) * 2 + (1 + 3) * 2
+    # the straight band between the sources holds >= 28 pixels at best
+    assert d[best] >= 28
