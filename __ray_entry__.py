@@ -2585,6 +2585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_hhi": relational.nation_revenue_hhi,
         "customer_order_distribution":
             relational.customer_order_distribution,
+        "supplier_variety_by_part_class":
+            relational.supplier_variety_by_part_class,
         "events_value_outliers": relational.events_value_outliers,
         "profile_events": relational.profile_table,
         "zorder_orders": relational.zorder_orders,
@@ -2872,6 +2874,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_hhi": relational.NATION_HHI_SQL,
         "customer_order_distribution":
             relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "supplier_variety_by_part_class":
+            relational.SUPPLIER_VARIETY_SQL,
         "events_value_outliers": relational.EVENTS_VALUE_OUTLIERS_SQL,
         "profile_events": relational.PROFILE_TABLE_SQL,
         "zorder_orders": relational.ZORDER_ORDERS_SQL,

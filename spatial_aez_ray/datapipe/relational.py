@@ -3800,3 +3800,102 @@ FROM (
   GROUP BY 1) t
 GROUP BY order_cnt ORDER BY order_cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier variety per part class — the TPC-H Q16 shape (COUNT
+# DISTINCT suppliers after a dimension join), with lineitem as the
+# part-supplier bridge
+# ---------------------------------------------------------------------------
+
+def supplier_variety_by_part_class(sf_dir: str) -> pd.DataFrame:
+    """(p_brand, p_size, supplier_cnt, n_parts) — distinct suppliers
+    and distinct parts seen per (brand, size) class across the
+    lineitem bridge. Distinct-pair reduction happens PER BATCH first
+    (pack partkey·2^20 + suppkey into one int64, np.unique — the
+    fuzzy_join discipline), so the shuffle carries pair-distinct
+    rows, not lineitems; the part dimension broadcasts once."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    bc = ray.put((part["p_partkey"].to_numpy(dtype=np.int64),
+                  part["p_brand"].to_numpy(dtype=object),
+                  part["p_size"].to_numpy(dtype=np.int64)))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        packed = np.unique(pk * (np.int64(1) << 20) + sk)
+        return pa.table({"pair": pa.array(packed)})
+
+    pairs = (li.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("pair").count())
+
+    # distinct-count per class WITHOUT pulling the partsupp-sized
+    # pair table to the driver: tag each distinct pair with its
+    # (brand, size) class (broadcast dimension), make one packed
+    # class·entity key, distinct it globally, then per-batch
+    # class-count partials into a tiny grouped sum
+    brand_ids = {b: i for i, b in enumerate(
+        sorted(set(part["p_brand"])))}
+    bc_ids = ray.put(np.array(
+        [brand_ids[b] for b in part["p_brand"]], dtype=np.int64))
+
+    def tag(by_part: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            keys, _brands, sizes = ray.get(bc)
+            ids = ray.get(bc_ids)
+            packed = b["pair"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            pk = packed >> 20
+            sk = packed & ((np.int64(1) << 20) - 1)
+            loc = np.searchsorted(keys, pk)
+            ok = ((loc < len(keys))
+                  & (keys[np.minimum(loc, len(keys) - 1)] == pk))
+            cls = ids[loc[ok]] * 64 + sizes[loc[ok]]
+            ent = pk[ok] if by_part else sk[ok]
+            key = np.unique(cls * (np.int64(1) << 32) + ent)
+            return pa.table({"key": pa.array(key)})
+        return fn
+
+    from ray.data.aggregate import Sum
+
+    def class_counts(ds) -> pd.DataFrame:
+        def fold(b: pa.Table) -> pa.Table:
+            k = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, cnt = np.unique(k >> 32, return_counts=True)
+            return pa.table({"cls": pa.array(u),
+                             "n": pa.array(cnt.astype(np.int64))})
+        return (ds.map_batches(fold, batch_format="pyarrow")
+                .groupby("cls").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+
+    supp = class_counts(pairs.map_batches(tag(False),
+                                          batch_format="pyarrow")
+                        .groupby("key").count())
+    prt = class_counts(pairs.map_batches(tag(True),
+                                         batch_format="pyarrow")
+                       .groupby("key").count())
+    rev = {i: b for b, i in brand_ids.items()}
+    m = supp.merge(prt, on="cls", suffixes=("_s", "_p"))
+    out = pd.DataFrame({
+        "p_brand": [rev[int(c) // 64] for c in m["cls"]],
+        "p_size": (m["cls"] % 64).astype(np.int64),
+        "supplier_cnt": m["n_s"].astype(np.int64),
+        "n_parts": m["n_p"].astype(np.int64)})
+    return (out.sort_values(["p_brand", "p_size"])
+            .reset_index(drop=True))
+
+
+SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt,
+       COUNT(DISTINCT p_partkey)::BIGINT AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_size ORDER BY p_brand, p_size
+"""

@@ -2389,3 +2389,11 @@ def test_orders_moving_sum_matches_sql(con, ray_session):
     ones = mine[mine["mov_n"] == 1].groupby("custkey").size()
     assert (ones == 1).all()
     assert set(ones.index) == set(mine["custkey"])
+
+
+def test_supplier_variety_matches_sql(con, ray_session):
+    from spatial_aez_ray.datapipe import relational
+    mine = relational.supplier_variety_by_part_class(SF)
+    _assert_match(mine, relational.SUPPLIER_VARIETY_SQL, con)
+    assert (mine["supplier_cnt"] >= 1).all()
+    assert (mine["n_parts"] >= 1).all()
