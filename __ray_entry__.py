@@ -670,6 +670,30 @@ def _spatial_focal_mean(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_zonal_fill(sf_dir: str):
+    """Per-admin depression statistics (fill × zonal claims —
+    impounded-volume per country): the fill fixpoint composed with
+    the PIP claims in one shuffle-free final pass, bit-equal to the
+    sequential priority-flood × claim-mask composition; the global
+    filled census must also reconcile with the plain fill histogram
+    up to double-claims (n_filled >= the histogram's depth>0 mass is
+    NOT asserted — double-claims double-count; equality is)."""
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    outs = []
+    for ds in ("kg", "wk"):
+        mine = hydro.zonal_fill_stats(_world(), ds)
+        want = om.zonal_fill_stats_oracle(fixtures.TINY, ds)
+        if not mine.equals(want):
+            raise AssertionError(f"zonal fill ({ds}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "dataset", ds)
+        outs.append(mine)
+    import pandas as pd
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_corridor(sf_dir: str):
     """Corridor analysis (GRASS r.cost corridor / ESRI Corridor):
     histogram of cost_to_A + cost_to_B from two seam fixpoints and
@@ -2740,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_fill_route": _spatial_fill_route,
         "spatial_region_geometry": _spatial_region_geometry,
         "spatial_corridor": _spatial_corridor,
+        "spatial_zonal_fill": _spatial_zonal_fill,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
         "spatial_geomorphon": _spatial_geomorphon,

@@ -2285,3 +2285,50 @@ def cost_corridor_oracle(spec, dataset: str = "kg", target_a: int = 14,
     u, cnt = np.unique(s, return_counts=True)
     return pd.DataFrame({"total": u.astype(np.int64),
                          "n_px": cnt.astype(np.int64)})
+
+
+def zonal_fill_stats_oracle(spec, dataset: str = "kg",
+                            hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential fill × zonal composition: priority-flood depths
+    intersected with each admin's claim mask over present passable
+    pixels."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+    wf = fill_values(pad, hole)
+    depth = (wf - pad.astype(np.int64))[1:-1, 1:-1]
+    pin = (pad != hole)[1:-1, 1:-1]
+    agg: dict[str, list] = {}
+    for _fidx, admin, mask in feature_masks(spec, grid):
+        d = depth[mask & pin]
+        if not len(d):
+            continue
+        row = [len(d), int(d.sum()), int(d.max()), int((d > 0).sum())]
+        cur = agg.get(admin)
+        if cur is None:
+            agg[admin] = row
+        else:
+            cur[0] += row[0]
+            cur[1] += row[1]
+            cur[2] = max(cur[2], row[2])
+            cur[3] += row[3]
+    admins = sorted(agg)
+    cols = (np.array([agg[a] for a in admins], dtype=np.int64)
+            if admins else np.zeros((0, 4), dtype=np.int64))
+    out = pd.DataFrame({
+        "admin": admins, "n_px": cols[:, 0], "sum_depth": cols[:, 1],
+        "max_depth": cols[:, 2], "n_filled": cols[:, 3]})
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("admin").reset_index(drop=True)

@@ -1765,7 +1765,7 @@ class _FillTiles:
 
     def __init__(self, world_path: str, dataset: str, hole: int,
                  inflow_ref, final: bool, write_to: str | None = None,
-                 out_dataset: str | None = None):
+                 out_dataset: str | None = None, index=None):
         self.media = MediaStore(world_path)
         layout = model.world_layout(world_path)
         self.grid_name = layout[dataset]["grid"]
@@ -1775,6 +1775,7 @@ class _FillTiles:
         self.final = final
         self.write_to = write_to
         self.out_dataset = out_dataset
+        self.index = index   # zonal PIP index -> per-admin final rows
         self.inflow = ray.get(inflow_ref) if inflow_ref is not None else {}
 
     def _tile_row(self, ty: int, tx: int, nr: int, nc: int,
@@ -1821,6 +1822,7 @@ class _FillTiles:
         o_val: list[np.ndarray] = []
         hist: dict[int, int] = {}
         out_rows: list[dict] = []
+        zacc: dict[str, list] = {}
         for ty, tx, nbrs in plans:
             if payloads.get(nbrs[(0, 0)][2]) is None:
                 continue
@@ -1852,6 +1854,28 @@ class _FillTiles:
                     break
             else:
                 raise AssertionError("in-tile fill fixpoint overran")
+
+            if self.final and self.index is not None:
+                pin = passable_pad[1:1 + nr, 1:1 + nc]
+                depth = interior - e_int
+                for _fidx, admin, mask in self.index.assign_tile(
+                        self.grid, ty, tx):
+                    d = depth[mask & pin]
+                    if not len(d):
+                        continue
+                    if (d >= _UNREACH).any():
+                        raise AssertionError("unreached passable pixel")
+                    row = [len(d), int(d.sum()), int(d.max()),
+                           int((d > 0).sum())]
+                    cur = zacc.get(admin)
+                    if cur is None:
+                        zacc[admin] = row
+                    else:
+                        cur[0] += row[0]
+                        cur[1] += row[1]
+                        cur[2] = max(cur[2], row[2])
+                        cur[3] += row[3]
+                continue
 
             if self.final:
                 pin = passable_pad[1:1 + nr, 1:1 + nc]
@@ -1910,6 +1934,16 @@ class _FillTiles:
             o_px.append((gy - nty * t) * dst_w + (gx - ntx_ * t))
             o_val.append(off_pad[pr, pc])
 
+        if self.final and self.index is not None:
+            admins = sorted(zacc)
+            cols = (np.array([zacc[a] for a in admins], dtype=np.int64)
+                    if admins else np.zeros((0, 4), dtype=np.int64))
+            return pa.table({
+                "admin": pa.array(admins, pa.string()),
+                "n_px": pa.array(cols[:, 0]),
+                "sum_depth": pa.array(cols[:, 1]),
+                "max_depth": pa.array(cols[:, 2]),
+                "n_filled": pa.array(cols[:, 3])})
         if self.final:
             if self.write_to is not None and out_rows:
                 from .render import _RenderWriter
@@ -2155,3 +2189,48 @@ def cost_corridor(world_path: str, dataset: str = "kg",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("total").reset_index(drop=True)
+
+
+def zonal_fill_stats(world_path: str, dataset: str = "kg", *,
+                     hole_value: int | None = None,
+                     batch_size: int = 64) -> pd.DataFrame:
+    """Per-admin depression statistics over the filled surface:
+    (n_px, sum_depth, max_depth, n_filled) per admin — 'how much
+    water does each country's terrain impound' — composing the
+    fill_sinks fixpoint with the zonal PIP claims (the
+    zonal_cost_stats discipline: order-free int64 partials, exact
+    under any partitioning; mean depth = sum/n left to the caller)."""
+    from .extract import build_zonal_index
+
+    layout = model.world_layout(world_path)
+    grid = world_grid(world_path, layout[dataset]["grid"])
+    nodata = int(layout[dataset]["nodata"])
+    hole = nodata if hole_value is None else int(hole_value)
+    present_tiles = _present_tiles(world_path, dataset, grid)
+    index = build_zonal_index(world_path)
+
+    run = _make_fill_run(world_path, dataset, hole, batch_size)
+    inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
+                                         "zonal-fill-stats")
+
+    from ray.data.aggregate import Max, Sum
+
+    ref = ray.put(inflow) if inflow else None
+    fn = as_task_fn(_FillTiles, world_path=world_path, dataset=dataset,
+                    hole=hole, inflow_ref=ref, final=True, index=index)
+    items = [{"id": int(i)} for i in present_tiles]
+    out = (ray.data.from_items(items)
+           .map_batches(fn, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("admin")
+           .aggregate(Sum("n_px", alias_name="n_px"),
+                      Sum("sum_depth", alias_name="sum_depth"),
+                      Max("max_depth", alias_name="max_depth"),
+                      Sum("n_filled", alias_name="n_filled"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "admin":
+            out[c] = out[c].astype(np.int64)
+    return (out[["admin", "n_px", "sum_depth", "max_depth",
+                 "n_filled"]]
+            .sort_values("admin").reset_index(drop=True))

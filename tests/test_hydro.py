@@ -394,3 +394,12 @@ def test_cost_corridor_crafted_band(tmp_path):
     assert best == 27 * 4 + (2 + 1) * 2 + (1 + 3) * 2
     # the straight band between the sources holds >= 28 pixels at best
     assert d[best] >= 28
+
+
+def test_zonal_fill_stats_bit_exact(tiny_world):
+    for ds in ("kg", "lc"):
+        mine = hydro.zonal_fill_stats(tiny_world, ds)
+        want = oracle.zonal_fill_stats_oracle(SPEC, ds)
+        assert mine.equals(want), ds
+        assert (mine["n_filled"] <= mine["n_px"]).all()
+        assert ((mine["sum_depth"] > 0) == (mine["n_filled"] > 0)).all()
