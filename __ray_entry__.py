@@ -670,6 +670,43 @@ def _spatial_focal_mean(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _spatial_fill_strahler(sf_dir: str):
+    """Stream network on the conditioned DEM (fill -> flowdir ->
+    Strahler, the standard channel-extraction chain): orders on the
+    written filled dataset bit-equal to sequential priority-flood +
+    whole-array Strahler, at two thresholds. Also pins the flattening
+    semantics: a heavily-filled surface (lc) has NO strictly-downhill
+    channels — empty network on both sides — while the raw surface's
+    network is non-empty."""
+    import shutil
+    from spatial_aez_ray import fixtures
+    from spatial_aez_ray.pipelines import hydro
+    om = _oracle_mod()
+    out = os.path.join(_TMP, "fill_strahler_world")
+    shutil.rmtree(out, ignore_errors=True)
+    hydro.fill_sinks_to_dataset(_world(), "kg", out)
+    outs = []
+    import pandas as pd
+    for thr in (1, 4):
+        mine = hydro.strahler_orders(out, "kg_filled", threshold=thr)
+        want = om.fill_strahler_oracle(fixtures.TINY, "kg", thr)
+        if not mine.equals(want):
+            raise AssertionError(f"filled strahler (thr={thr}) != oracle")
+        mine = mine.copy()
+        mine.insert(0, "threshold", thr)
+        outs.append(mine)
+    out2 = os.path.join(_TMP, "fill_strahler_lc_world")
+    shutil.rmtree(out2, ignore_errors=True)
+    hydro.fill_sinks_to_dataset(_world(), "lc", out2)
+    flat = hydro.strahler_orders(out2, "lc_filled", threshold=1)
+    if not flat.equals(om.fill_strahler_oracle(fixtures.TINY, "lc", 1)):
+        raise AssertionError("flattened lc network != oracle")
+    if len(flat) != 0 or len(hydro.strahler_orders(_world(), "lc",
+                                                   threshold=1)) == 0:
+        raise AssertionError("flattening semantics not pinned")
+    return pd.concat(outs, ignore_index=True)
+
+
 def _spatial_zonal_fill(sf_dir: str):
     """Per-admin depression statistics (fill × zonal claims —
     impounded-volume per country): the fill fixpoint composed with
@@ -2765,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_region_geometry": _spatial_region_geometry,
         "spatial_corridor": _spatial_corridor,
         "spatial_zonal_fill": _spatial_zonal_fill,
+        "spatial_fill_strahler": _spatial_fill_strahler,
         "spatial_sieve": _spatial_sieve,
         "spatial_focal_mean": _spatial_focal_mean,
         "spatial_geomorphon": _spatial_geomorphon,

@@ -2332,3 +2332,28 @@ def zonal_fill_stats_oracle(spec, dataset: str = "kg",
         if c != "admin":
             out[c] = out[c].astype(np.int64)
     return out.sort_values("admin").reset_index(drop=True)
+
+
+def fill_strahler_oracle(spec, dataset: str = "kg", threshold: int = 1,
+                         hole_value: int | None = None) -> pd.DataFrame:
+    """Sequential conditioned-DEM stream network: priority-flood
+    fill, then Strahler orders on the FILLED surface (the fill ->
+    flowdir -> network chain)."""
+    grid = spec.grid(fixtures.DATASET_GRID[dataset])
+    nodata = fixtures.DATASET_NODATA[dataset]
+    hole = nodata if hole_value is None else int(hole_value)
+    base = full_raster(spec, dataset)[0]
+    pad = np.full((grid.height + 2, grid.width + 2), hole, dtype=np.uint8)
+    pad[1:-1, 1:-1] = base
+    present = np.ones((grid.height, grid.width), dtype=bool)
+    land_idx = fixtures.land_index(spec.seed)
+    for ty in range(grid.tiles_y):
+        for tx in range(grid.tiles_x):
+            if fixtures.tile_arrays(spec, dataset, ty, tx,
+                                    land_idx) is None:
+                x, y, nc, nr = grid.tile_window(ty, tx)
+                pad[1 + y:1 + y + nr, 1 + x:1 + x + nc] = hole
+                present[y:y + nr, x:x + nc] = False
+    wf = fill_values(pad, hole)
+    filled = np.where(pad != hole, wf, np.int64(hole)).astype(np.uint8)
+    return strahler_hist(filled, present, int(threshold))

@@ -803,6 +803,10 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
            .groupby("strahler")
            .aggregate(Sum("n_px", alias_name="n_px"))
            .to_pandas())
+    if out.empty:   # no channel reaches threshold (e.g. a DEM whose
+        out = pd.DataFrame({  # fill flattened every gradient)
+            "strahler": pd.Series([], dtype=np.int64),
+            "n_px": pd.Series([], dtype=np.int64)})
     for col in out.columns:
         out[col] = out[col].astype(np.int64)
     out = out.sort_values("strahler").reset_index(drop=True)

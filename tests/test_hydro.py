@@ -403,3 +403,20 @@ def test_zonal_fill_stats_bit_exact(tiny_world):
         assert mine.equals(want), ds
         assert (mine["n_filled"] <= mine["n_px"]).all()
         assert ((mine["sum_depth"] > 0) == (mine["n_filled"] > 0)).all()
+
+
+def test_fill_strahler_composition(tiny_world, tmp_path):
+    out = str(tmp_path / "fsw")
+    hydro.fill_sinks_to_dataset(tiny_world, "kg", out)
+    mine = hydro.strahler_orders(out, "kg_filled", threshold=1)
+    want = oracle.fill_strahler_oracle(SPEC, "kg", 1)
+    assert mine.equals(want)
+
+
+def test_strahler_empty_network_graceful(tiny_world, tmp_path):
+    """A fully-flattened fill (lc) must yield an EMPTY network with
+    the stable (strahler, n_px) schema, not a crash."""
+    out = str(tmp_path / "fsw_lc")
+    hydro.fill_sinks_to_dataset(tiny_world, "lc", out)
+    flat = hydro.strahler_orders(out, "lc_filled", threshold=1)
+    assert list(flat.columns) == ["strahler", "n_px"] and len(flat) == 0
