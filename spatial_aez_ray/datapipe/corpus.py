@@ -2283,8 +2283,9 @@ def vocab_growth(sf_dir: str,
 
 
 def _vocab_growth_sql(points: tuple[int, ...]) -> str:
-    sels = " UNION ALL ".join(f"SELECT {int(n)} AS n_docs" for n in
-                              sorted(points))
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({int(n)} AS BIGINT) AS n_docs" for n in
+        sorted(points))
     return f"""
 WITH first AS (
   SELECT token, MIN(doc_id) AS d FROM (

@@ -811,7 +811,7 @@ def doc_embedding_label_stats(sf_dir: str) -> pd.DataFrame:
 
 
 DOC_EMBEDDING_LABEL_STATS_SQL = """
-SELECT e.label AS label, d.lang AS lang, COUNT(*) AS doc_cnt
+SELECT e.label::BIGINT AS label, d.lang AS lang, COUNT(*) AS doc_cnt
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY e.label, d.lang ORDER BY label, lang
 """
@@ -3733,7 +3733,7 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
 
 NATION_HHI_SQL = """
 WITH cr AS (
-  SELECT c_nationkey AS nationkey, o_custkey,
+  SELECT c_nationkey::BIGINT AS nationkey, o_custkey,
          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2)
@@ -3893,7 +3893,7 @@ def supplier_variety_by_part_class(sf_dir: str) -> pd.DataFrame:
 
 
 SUPPLIER_VARIETY_SQL = """
-SELECT p_brand, p_size,
+SELECT p_brand, p_size::BIGINT AS p_size,
        COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt,
        COUNT(DISTINCT p_partkey)::BIGINT AS n_parts
 FROM lineitem JOIN part ON l_partkey = p_partkey

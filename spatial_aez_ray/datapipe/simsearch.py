@@ -571,7 +571,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cnt DESC, label) AS r
   FROM votes)
-SELECT query_id, label AS pred_label FROM ranked WHERE r = 1
+SELECT query_id, label::BIGINT AS pred_label FROM ranked WHERE r = 1
 ORDER BY query_id
 """
 
@@ -750,7 +750,7 @@ d AS (
   FROM q JOIN c ON c.label = q.label AND c.dim = q.dim
          JOIN cnt ON cnt.label = q.label
   GROUP BY q.vec_id, q.label)
-SELECT vec_id, label, CAST(dist AS BIGINT) AS dist_q
+SELECT vec_id, label::BIGINT AS label, CAST(dist AS BIGINT) AS dist_q
 FROM d ORDER BY dist_q DESC, vec_id LIMIT {k}
 """
 

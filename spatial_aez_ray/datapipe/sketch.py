@@ -350,7 +350,7 @@ def _cms_sql(d: int = CMS_D, w: int = CMS_W) -> str:
             f"substr(md5('{r}:' || tok), {15 - 2 * i}, 2)"
             for i in range(8))
     rows = "\nUNION ALL\n".join(
-        f"SELECT {r} AS sketch_row, "
+        f"SELECT CAST({r} AS BIGINT) AS sketch_row, "
         f"(('0x' || {le(r)})::UBIGINT % {w})::BIGINT AS bucket, "
         f"CAST(SUM(c) AS BIGINT) AS cnt FROM tf GROUP BY bucket"
         for r in range(d))

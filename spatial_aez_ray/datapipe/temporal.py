@@ -2220,7 +2220,7 @@ def orders_moving_sum(sf_dir: str, w: int = MOVING_W) -> pd.DataFrame:
 ORDERS_MOVING_SUM_SQL = f"""
 SELECT o_custkey AS custkey, o_orderkey AS okey,
        COUNT(*) OVER win::BIGINT AS mov_n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER win
+       (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER win)::BIGINT
          AS mov_cents
 FROM orders
 WINDOW win AS (PARTITION BY o_custkey

@@ -54,6 +54,7 @@ import ray.data
 from .. import model
 from ..datapipe.util import as_task_fn
 from ..sources.documents import MediaStore
+from . import seamdist
 from .extract import world_grid
 from .pyramid import flowdir_codes
 
@@ -127,6 +128,10 @@ class _FlowTiles:
         g = self.grid
         t = g.tile
         ids = b["id"].to_numpy(zero_copy_only=False)
+        # distributed mode: inflow arrives as list columns in the work
+        # batch (seamdist co-partitioned delivery), not the broadcast
+        batch_inflow = seamdist.unpack_inflow(b, "in")
+        inflow = self.inflow if batch_inflow is None else batch_inflow
         plans, want = [], set()
         for pid in ids:
             ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
@@ -191,7 +196,7 @@ class _FlowTiles:
             outmask = out_pos >= 0
 
             acc = np.zeros(nr * nc, dtype=np.int64)
-            inf = self.inflow.get(ty * g.tiles_x + tx)
+            inf = inflow.get(ty * g.tiles_x + tx)
             if inf:
                 idx = np.fromiter(inf.keys(), np.int64, len(inf))
                 val = np.fromiter(inf.values(), np.int64, len(inf))
@@ -252,10 +257,19 @@ def _present_tiles(world_path: str, dataset: str, grid) -> list[int]:
 
 
 def _accum_fixpoint(run, present_tiles: list[int],
-                    what: str = "flow-accumulation"):
+                    what: str = "flow-accumulation", *, grid=None):
     """Seam-flux delta iteration to convergence; ``run(tile_ids,
     inflow, final=False)`` must yield (src, dst, px, flux) rows.
-    Returns (converged inflow, rounds)."""
+    Returns (converged inflow, rounds). Above
+    ``seamdist.SEAM_DRIVER_MAX_ROWS`` estimated seam rows (pass
+    ``grid``) the identical round structure runs distributed — fold,
+    inflow state and change detection all as Datasets, driver memory
+    O(#tiles) — and returns a ``seamdist.DistInflow`` the launchers
+    recognize (bit-equal by construction; forced in tests)."""
+    if grid is not None and seamdist.use_distributed(present_tiles,
+                                                     grid):
+        return seamdist.fixpoint(run, present_tiles, kind="sum",
+                                 what=what, max_rounds=MAX_ROUNDS)
     inflow: dict[int, dict[int, int]] = {}
     out_by_src: dict[int, dict[tuple[int, int], int]] = {}
     pending = list(present_tiles)
@@ -303,6 +317,12 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
     present_tiles = _present_tiles(world_path, dataset, grid)
 
     def run(tile_ids, inflow, final):
+        if isinstance(inflow, seamdist.DistInflow):
+            fn = as_task_fn(_FlowTiles, world_path=world_path,
+                            dataset=dataset, hole=hole,
+                            inflow_ref=None, final=final)
+            return inflow.work_ds(tile_ids).map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size)
         ref = ray.put(inflow) if inflow else None
         fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
                         hole=hole, inflow_ref=ref, final=final)
@@ -311,7 +331,7 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
                 .map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size))
 
-    inflow, rounds = _accum_fixpoint(run, present_tiles)
+    inflow, rounds = _accum_fixpoint(run, present_tiles, grid=grid)
 
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
@@ -594,6 +614,11 @@ class _StrahlerTiles:
         g = self.grid
         t = g.tile
         ids = b["id"].to_numpy(zero_copy_only=False)
+        batch_inflow = seamdist.unpack_inflow(b, "in", two_vals=True)
+        inflow = self.inflow if batch_inflow is None else batch_inflow
+        batch_acc = seamdist.unpack_inflow(b, "acc")
+        acc_inflow = (self.acc_inflow if batch_acc is None
+                      else batch_acc)
         plans, want = [], set()
         for pid in ids:
             ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
@@ -658,7 +683,7 @@ class _StrahlerTiles:
 
             # exact in-tile flow accumulation given converged inflow
             acc = np.zeros(npx, dtype=np.int64)
-            ainf = self.acc_inflow.get(tile_id)
+            ainf = acc_inflow.get(tile_id)
             if ainf:
                 idx = np.fromiter(ainf.keys(), np.int64, len(ainf))
                 val = np.fromiter(ainf.values(), np.int64, len(ainf))
@@ -671,7 +696,7 @@ class _StrahlerTiles:
 
             m = np.zeros(npx, dtype=np.int64)
             c = np.zeros(npx, dtype=np.int64)
-            oinf = self.inflow.get(tile_id)
+            oinf = inflow.get(tile_id)
             if oinf:
                 for px, (mm, cc_) in oinf.items():
                     if stream[px]:
@@ -745,6 +770,12 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
     present_tiles = _present_tiles(world_path, dataset, grid)
 
     def run_acc(tile_ids, inflow, final):
+        if isinstance(inflow, seamdist.DistInflow):
+            fn = as_task_fn(_FlowTiles, world_path=world_path,
+                            dataset=dataset, hole=hole,
+                            inflow_ref=None, final=final)
+            return inflow.work_ds(tile_ids).map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size)
         ref = ray.put(inflow) if inflow else None
         fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
                         hole=hole, inflow_ref=ref, final=final)
@@ -752,10 +783,22 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                 .map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size))
 
-    acc_inflow, acc_rounds = _accum_fixpoint(run_acc, present_tiles)
-    acc_ref = ray.put(acc_inflow) if acc_inflow else None
+    acc_inflow, acc_rounds = _accum_fixpoint(run_acc, present_tiles,
+                                             grid=grid)
+    dist_mode = isinstance(acc_inflow, seamdist.DistInflow)
+    acc_ref = (None if dist_mode
+               else (ray.put(acc_inflow) if acc_inflow else None))
 
     def run(tile_ids, inflow, final):
+        if isinstance(inflow, seamdist.DistInflow):
+            fn = as_task_fn(_StrahlerTiles, world_path=world_path,
+                            dataset=dataset, hole=hole,
+                            threshold=int(threshold), acc_ref=None,
+                            inflow_ref=None, final=final)
+            work = inflow.work_ds(tile_ids,
+                                  extra=[("acc", acc_inflow)])
+            return work.map_batches(fn, batch_format="pyarrow",
+                                    batch_size=batch_size)
         ref = ray.put(inflow) if inflow else None
         fn = as_task_fn(_StrahlerTiles, world_path=world_path,
                         dataset=dataset, hole=hole,
@@ -765,6 +808,12 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                 .map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size))
 
+    if dist_mode:
+        inflow, rounds = seamdist.fixpoint(
+            run, present_tiles, kind="strahler", what="strahler",
+            max_rounds=MAX_ROUNDS)
+        return _strahler_finish(run, present_tiles, inflow,
+                                (acc_rounds, rounds), with_rounds)
     inflow: dict[int, dict[int, tuple[int, int]]] = {}
     out_by_src: dict[int, dict[tuple[int, int, int], int]] = {}
     pending = list(present_tiles)
@@ -798,6 +847,11 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
             if new_inflow.get(tid) != inflow.get(tid))
         inflow = new_inflow
 
+    return _strahler_finish(run, present_tiles, inflow,
+                            (acc_rounds, rounds), with_rounds)
+
+
+def _strahler_finish(run, present_tiles, inflow, rounds, with_rounds):
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
            .groupby("strahler")
@@ -811,7 +865,7 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
         out[col] = out[col].astype(np.int64)
     out = out.sort_values("strahler").reset_index(drop=True)
     if with_rounds:
-        return out, (acc_rounds, rounds)
+        return out, rounds
     return out
 
 
@@ -913,6 +967,8 @@ class _CostTiles:
         g = self.grid
         t = g.tile
         ids = b["id"].to_numpy(zero_copy_only=False)
+        batch_inflow = seamdist.unpack_inflow(b, "in")
+        inflow = self.inflow if batch_inflow is None else batch_inflow
         plans, want = [], set()
         for pid in ids:
             ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
@@ -969,7 +1025,7 @@ class _CostTiles:
                                     + tx * t + sx)
             else:
                 interior[src_mask] = 0
-            inf = self.inflow.get(ty * g.tiles_x + tx)
+            inf = inflow.get(ty * g.tiles_x + tx)
             if inf:
                 idx = np.fromiter(inf.keys(), np.int64, len(inf))
                 val = np.fromiter(inf.values(), np.int64, len(inf))
@@ -1120,7 +1176,7 @@ def cost_distance(world_path: str, dataset: str = "kg",
                          batch_size)
 
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
-                                        "cost-distance")
+                                        "cost-distance", grid=grid)
 
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
@@ -1150,6 +1206,15 @@ def _make_cost_run(world_path: str, dataset: str, target: int,
     rows either way (the kernel is deterministic per tile id)."""
 
     def run(tile_ids, inflow, final):
+        if isinstance(inflow, seamdist.DistInflow):
+            fn = as_task_fn(_CostTiles, world_path=world_path,
+                            dataset=dataset, target=int(target),
+                            hole=hole, inflow_ref=None, final=final,
+                            alloc=alloc,
+                            index=index if final else None,
+                            source_dataset=source_dataset)
+            return inflow.work_ds(tile_ids).map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size)
         ref = ray.put(inflow) if inflow else None
         if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
             @ray.remote(num_cpus=1)
@@ -1175,13 +1240,23 @@ def _make_cost_run(world_path: str, dataset: str, target: int,
     return run
 
 
-def _min_seam_fixpoint(run, present_tiles: list[int], what: str):
+def _min_seam_fixpoint(run, present_tiles: list[int], what: str, *,
+                       grid=None):
     """Seam MIN-exchange delta iteration to convergence: ``run(ids,
     inflow, final=False)`` yields (src, dst, px, dist) offer rows;
     the fold keeps the per-destination-pixel minimum and re-queues
     exactly the tiles whose boundary candidates improved. Distances
     decrease monotonically over bounded integers, so this terminates.
-    Returns (converged inflow, rounds)."""
+    Returns (converged inflow, rounds). Pass ``grid`` to enable the
+    ``seamdist`` distributed fold above the seam-row threshold (see
+    ``_accum_fixpoint``); callers whose FINAL consumer needs driver-
+    side random tile access (``cost_path``'s path walk) omit it and
+    keep the driver fold — the walk is path-length-sized anyway."""
+    if grid is not None and seamdist.use_distributed(present_tiles,
+                                                     grid):
+        return seamdist.fixpoint(run, present_tiles, kind="min",
+                                 what=what,
+                                 max_rounds=_COST_MAX_ROUNDS)
     inflow: dict[int, dict[int, int]] = {}
     out_by_src: dict[int, dict[tuple[int, int], int]] = {}
     pending = list(present_tiles)
@@ -1246,7 +1321,7 @@ def cost_allocation(world_path: str, dataset: str = "kg",
                          batch_size, alloc=True)
 
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
-                                        "cost-allocation")
+                                        "cost-allocation", grid=grid)
 
     from ray.data.aggregate import Sum
     # final partials: column "dist" holds the source pixel id
@@ -1298,7 +1373,8 @@ def zonal_cost_stats(world_path: str, dataset: str = "kg",
                          batch_size, index=index)
 
     inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
-                                         "zonal-cost-stats")
+                                         "zonal-cost-stats",
+                                         grid=grid)
 
     from ray.data.aggregate import Max, Min, Sum
     out = (run(present_tiles, inflow, final=True)
@@ -1719,7 +1795,8 @@ def cost_distance_cross(world_path: str, cost_dataset: str = "kg",
     run = _make_cost_run(world_path, cost_dataset, int(target), hole,
                          batch_size, source_dataset=source_dataset)
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
-                                        "cost-distance-cross")
+                                        "cost-distance-cross",
+                                        grid=grid)
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
            .groupby("dist")
@@ -1819,6 +1896,8 @@ class _FillTiles:
                         want.add(r)
             plans.append((ty, tx, nbrs))
         payloads = self.media.fetch(sorted(want), strict=False)
+        batch_inflow = seamdist.unpack_inflow(b, "in")
+        inflow = self.inflow if batch_inflow is None else batch_inflow
 
         o_src: list[np.ndarray] = []
         o_dst: list[np.ndarray] = []
@@ -1840,7 +1919,7 @@ class _FillTiles:
             w_pad = np.where(passable_pad, _UNREACH, np.int64(0))
             interior = w_pad[1:1 + nr, 1:1 + nc]
             e_int = e_pad[1:1 + nr, 1:1 + nc]
-            inf = self.inflow.get(ty * g.tiles_x + tx)
+            inf = inflow.get(ty * g.tiles_x + tx)
             if inf:
                 idx = np.fromiter(inf.keys(), np.int64, len(inf))
                 val = np.fromiter(inf.values(), np.int64, len(inf))
@@ -1970,12 +2049,27 @@ class _FillTiles:
 
 
 def _make_fill_run(world_path: str, dataset: str, hole: int,
-                   batch_size: int):
+                   batch_size: int, *, index=None,
+                   write_to: str | None = None,
+                   out_dataset: str | None = None):
     """Launcher for the fill seam fixpoint: big rounds via ray.data,
     small delta rounds via plain tasks (the ``_make_cost_run``
-    fast-path discipline; rows identical either way)."""
+    fast-path discipline; rows identical either way). ``index`` /
+    ``write_to`` / ``out_dataset`` apply to the FINAL pass only (the
+    zonal-stats and write-the-filled-surface consumers), so those
+    callers go through ``run(..., final=True)`` and inherit the
+    distributed-inflow branch for free."""
 
     def run(tile_ids, inflow, final):
+        if isinstance(inflow, seamdist.DistInflow):
+            fn = as_task_fn(_FillTiles, world_path=world_path,
+                            dataset=dataset, hole=hole,
+                            inflow_ref=None, final=final,
+                            index=index if final else None,
+                            write_to=write_to if final else None,
+                            out_dataset=out_dataset if final else None)
+            return inflow.work_ds(tile_ids).map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size)
         ref = ray.put(inflow) if inflow else None
         if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
             @ray.remote(num_cpus=1)
@@ -1988,7 +2082,9 @@ def _make_fill_run(world_path: str, dataset: str, hole: int,
             return pa.concat_tables(tables).to_pandas()
         fn = as_task_fn(_FillTiles, world_path=world_path,
                         dataset=dataset, hole=hole, inflow_ref=ref,
-                        final=final)
+                        final=final, index=index if final else None,
+                        write_to=write_to if final else None,
+                        out_dataset=out_dataset if final else None)
         items = [{"id": int(i)} for i in tile_ids]
         return (ray.data.from_items(items)
                 .map_batches(fn, batch_format="pyarrow",
@@ -2022,7 +2118,7 @@ def fill_sinks(world_path: str, dataset: str = "kg", *,
 
     run = _make_fill_run(world_path, dataset, hole, batch_size)
     inflow, rounds = _min_seam_fixpoint(run, present_tiles,
-                                        "fill-sinks")
+                                        "fill-sinks", grid=grid)
 
     from ray.data.aggregate import Sum
     out = (run(present_tiles, inflow, final=True)
@@ -2061,11 +2157,12 @@ def fill_sinks_to_dataset(world_path: str, dataset: str,
     hole = nodata if hole_value is None else int(hole_value)
     present_tiles = _present_tiles(world_path, dataset, grid)
 
-    run = _make_fill_run(world_path, dataset, hole, batch_size)
-    inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
-                                         "fill-sinks")
-
     out_ds = f"{dataset}_filled"
+    run = _make_fill_run(world_path, dataset, hole, batch_size,
+                         write_to=out_dir, out_dataset=out_ds)
+    inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
+                                         "fill-sinks", grid=grid)
+
     import os
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_WORLD.json")
@@ -2083,14 +2180,7 @@ def fill_sinks_to_dataset(world_path: str, dataset: str,
     with open(marker, "w") as f:
         json.dump(meta, f)
 
-    ref = ray.put(inflow) if inflow else None
-    fn = as_task_fn(_FillTiles, world_path=world_path, dataset=dataset,
-                    hole=hole, inflow_ref=ref, final=True,
-                    write_to=out_dir, out_dataset=out_ds)
-    items = [{"id": int(i)} for i in present_tiles]
-    out = (ray.data.from_items(items)
-           .map_batches(fn, batch_format="pyarrow",
-                        batch_size=batch_size)
+    out = (run(present_tiles, inflow, final=True)
            .groupby("depth")
            .aggregate(Sum("n_px", alias_name="n_px"))
            .to_pandas())
@@ -2120,15 +2210,19 @@ class _CorridorTiles:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         g = self.grid
+        ba = seamdist.unpack_inflow(b, "a")
+        bb = seamdist.unpack_inflow(b, "b")
+        inf_a = self.inf_a if ba is None else ba
+        inf_b = self.inf_b if bb is None else bb
         hist: dict[int, int] = {}
         for pid in b["id"].to_numpy(zero_copy_only=False):
             ty, tx = int(pid) // g.tiles_x, int(pid) % g.tiles_x
             fa = _tile_dist_field(self.media, g, self.dataset, self.ta,
-                                  self.hole, self.inf_a, ty, tx)
+                                  self.hole, inf_a, ty, tx)
             if fa is None:
                 continue
             fb = _tile_dist_field(self.media, g, self.dataset, self.tb,
-                                  self.hole, self.inf_b, ty, tx)
+                                  self.hole, inf_b, ty, tx)
             nr, nc = fa.shape
             ref = model.media_ref(self.dataset, g.name, ty, tx, 1)
             arr = np.frombuffer(self.media.fetch([ref])[ref], np.uint8,
@@ -2172,19 +2266,30 @@ def cost_corridor(world_path: str, dataset: str = "kg",
     run_b = _make_cost_run(world_path, dataset, int(target_b), hole,
                            batch_size)
     inflow_a, _ = _min_seam_fixpoint(run_a, present_tiles,
-                                     "corridor-a")
+                                     "corridor-a", grid=grid)
     inflow_b, _ = _min_seam_fixpoint(run_b, present_tiles,
-                                     "corridor-b")
+                                     "corridor-b", grid=grid)
 
     from ray.data.aggregate import Sum
 
-    fn = as_task_fn(_CorridorTiles, world_path=world_path,
-                    dataset=dataset, target_a=int(target_a),
-                    target_b=int(target_b), hole=hole,
-                    inflow_a_ref=ray.put(inflow_a) if inflow_a else None,
-                    inflow_b_ref=ray.put(inflow_b) if inflow_b else None)
-    items = [{"id": int(i)} for i in present_tiles]
-    out = (ray.data.from_items(items)
+    if isinstance(inflow_a, seamdist.DistInflow):
+        fn = as_task_fn(_CorridorTiles, world_path=world_path,
+                        dataset=dataset, target_a=int(target_a),
+                        target_b=int(target_b), hole=hole,
+                        inflow_a_ref=None, inflow_b_ref=None)
+        final_in = seamdist.pack_work(
+            present_tiles, [("a", inflow_a.ds, False),
+                            ("b", inflow_b.ds, False)])
+    else:
+        fn = as_task_fn(
+            _CorridorTiles, world_path=world_path,
+            dataset=dataset, target_a=int(target_a),
+            target_b=int(target_b), hole=hole,
+            inflow_a_ref=ray.put(inflow_a) if inflow_a else None,
+            inflow_b_ref=ray.put(inflow_b) if inflow_b else None)
+        final_in = ray.data.from_items(
+            [{"id": int(i)} for i in present_tiles])
+    out = (final_in
            .map_batches(fn, batch_format="pyarrow",
                         batch_size=batch_size)
            .groupby("total")
@@ -2213,19 +2318,15 @@ def zonal_fill_stats(world_path: str, dataset: str = "kg", *,
     present_tiles = _present_tiles(world_path, dataset, grid)
     index = build_zonal_index(world_path)
 
-    run = _make_fill_run(world_path, dataset, hole, batch_size)
+    run = _make_fill_run(world_path, dataset, hole, batch_size,
+                         index=index)
     inflow, _rounds = _min_seam_fixpoint(run, present_tiles,
-                                         "zonal-fill-stats")
+                                         "zonal-fill-stats",
+                                         grid=grid)
 
     from ray.data.aggregate import Max, Sum
 
-    ref = ray.put(inflow) if inflow else None
-    fn = as_task_fn(_FillTiles, world_path=world_path, dataset=dataset,
-                    hole=hole, inflow_ref=ref, final=True, index=index)
-    items = [{"id": int(i)} for i in present_tiles]
-    out = (ray.data.from_items(items)
-           .map_batches(fn, batch_format="pyarrow",
-                        batch_size=batch_size)
+    out = (run(present_tiles, inflow, final=True)
            .groupby("admin")
            .aggregate(Sum("n_px", alias_name="n_px"),
                       Sum("sum_depth", alias_name="sum_depth"),

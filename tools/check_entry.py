@@ -46,6 +46,13 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     if list(a.columns) != list(b.columns):
         errs.append(f"schema {list(a.columns)} != {list(b.columns)}")
         return errs
+    # The driver's value hash is dtype-sensitive (int64 vs float64 on
+    # bit-equal values hash-mismatches — bit us on orders_moving_sum,
+    # CORRECTNESS_r04): require exact dtype parity per column.
+    bad_dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if a[c].dtype != b[c].dtype]
+    if bad_dt:
+        errs.append(f"dtype mismatch (engine vs oracle): {bad_dt}")
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].values, b[c].values
