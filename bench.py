@@ -63,7 +63,7 @@ def _bench_world():
 
 def run_queries(sf_dir: str, num_cpus: int) -> dict:
     from spatial_aez_ray.datapipe import dedup, relational, simsearch
-    from spatial_aez_ray.pipelines import aez, extract
+    from spatial_aez_ray.pipelines import aez, extract, hydro
 
     spec, world = _bench_world()
     g1 = spec.g1
@@ -108,6 +108,8 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     _tiny = _fx.generate_world(_fx.TINY)
     extract.zonal_stats(_tiny, "kg", concurrency=conc)
     aez.aez_stats(_tiny, concurrency=conc)
+    hydro.cost_distance(_tiny, "kg")
+    hydro.fill_sinks(_tiny, "kg")
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -124,6 +126,20 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     # AEZ reads 4 co-keyed rasters: 3×G1 + 1×G3 cells per pass
     extras["aez_cells_per_sec"] = (3 * g1_cells + g3.width * g3.height) \
         / timings["aez"]
+
+    # round-4 raster flagships (the heaviest new kernels — global-
+    # dependency seam fixpoints); cells/s over the G1 surface so a
+    # regression in rounds or per-round cost is visible to the driver
+    t0 = time.time()
+    hydro.cost_distance(world, "kg")
+    timings["cost_distance"] = time.time() - t0
+    extras["cost_distance_cells_per_sec"] = \
+        g1_cells / timings["cost_distance"]
+
+    t0 = time.time()
+    hydro.fill_sinks(world, "kg")
+    timings["fill_sinks"] = time.time() - t0
+    extras["fill_sinks_cells_per_sec"] = g1_cells / timings["fill_sinks"]
 
     t0 = time.time()
     relational.pricing_summary(sf_dir)
@@ -227,13 +243,33 @@ def _scaling_child(num_cpus: int) -> None:
 
 
 def main_scaling(sf_dir: str) -> dict:
-    # pre-generate the world so neither leg pays generation cost
+    # pre-generate the worlds so no leg pays generation cost (the tiny
+    # world backs the fixed-cost legs)
     _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     _scaling_world()
+    from spatial_aez_ray import fixtures as _fx
+    _fx.generate_world(_fx.TINY)
     import ray
     ray.shutdown()
 
+    def child(n: int, world: str | None = None) -> dict:
+        env = dict(os.environ, RAY_ADDRESS="local")
+        if world is not None:
+            env["AEZRAY_SCALING_WORLD"] = world
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-child", str(n)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        lines = [l for l in p.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stderr[-2000:])
+            raise RuntimeError(f"scaling child (cpus={n}) failed")
+        return json.loads(lines[-1])
+
     legs = {}
+    fixed = {}
     # one run per leg by default: at ~250 s/leg-pair the work dwarfs the
     # per-leg overhead AND leaves most host cores idle in the 8-cpu leg,
     # so contention noise (which forced best-of-2 at smaller scales) is
@@ -242,37 +278,40 @@ def main_scaling(sf_dir: str) -> dict:
     for n in (8, 32):
         best = None
         for _ in range(repeats):
-            env = dict(os.environ, RAY_ADDRESS="local")
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-child", str(n)],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            lines = [l for l in p.stdout.strip().splitlines()
-                     if l.startswith("{")]
-            if not lines:
-                sys.stderr.write(p.stderr[-2000:])
-                raise RuntimeError(f"scaling child (cpus={n}) failed")
-            rec = json.loads(lines[-1])
+            rec = child(n)
             # best-of-N: wall-time variance on a shared sandbox host is
             # large (measured 124–192 s for identical 8-cpu legs); the
             # minimum is the least-contended, most reproducible sample
             if best is None or rec["sec"] < best["sec"]:
                 best = rec
         legs[n] = best
+        # measurement hygiene (round-4 review): the raw efficiency can
+        # exceed 1 — physically impossible for the metric — when the
+        # 8-cpu leg's SERIALIZED fixed cost (process/pool spin-up,
+        # plan construction, read warmup) inflates its wall. Measure
+        # each leg's fixed cost directly with a near-zero-work run of
+        # the SAME harness (tiny world, identical process shape) and
+        # report the efficiency both raw and fixed-cost-adjusted.
+        fixed[n] = child(n, world="tiny")["sec"]
     thr8, thr32 = legs[8]["cells_per_sec"], legs[32]["cells_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
+    adj8 = max(legs[8]["sec"] - fixed[8], 1e-9)
+    adj32 = max(legs[32]["sec"] - fixed[32], 1e-9)
+    eff_adj = (adj8 / adj32) / (32 / 8)
     return {
         "metric": "zonal+aez cells/sec scaling, num_cpus 8 vs 32",
-        "value": round(eff, 3),
+        "value": round(eff_adj, 3),
         "unit": "efficiency",
         "queries": {"sec_cpus8": round(legs[8]["sec"], 3),
-                    "sec_cpus32": round(legs[32]["sec"], 3)},
+                    "sec_cpus32": round(legs[32]["sec"], 3),
+                    "fixed_sec_cpus8": round(fixed[8], 3),
+                    "fixed_sec_cpus32": round(fixed[32], 3)},
         "host_steal_pct_cpus8": legs[8].get("host_steal_pct"),
         "host_steal_pct_cpus32": legs[32].get("host_steal_pct"),
         "throughput_cpus8": round(thr8, 1),
         "throughput_cpus32": round(thr32, 1),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_raw": round(eff, 3),
+        "scaling_efficiency": round(eff_adj, 3),
         "sf": sf_dir,
         "num_cpus": 32,
     }

@@ -51,6 +51,91 @@ from ..sources.documents import MediaStore
 
 _INF = np.iinfo(np.int64).max
 
+#: seam-equivalence pair rows above which the driver union-find swaps
+#: to the distributed min-label components
+#: (``datapipe.dedup.connected_components``) + join-based remap. A
+#: planetary noise raster has >= 1e8 seam pairs; the sandbox worlds
+#: stay far below, so the default path is the (faster there) driver
+#: fold — the threshold is the 100 TB swap-in, not a tuning.
+UF_DRIVER_MAX_PAIRS = 2_000_000
+
+#: tests monkeypatch: True forces the distributed components path,
+#: False forces the driver union-find, None = threshold decision.
+FORCE_CC: bool | None = None
+
+
+def _use_cc(n_pairs: int) -> bool:
+    if FORCE_CC is not None:
+        return FORCE_CC
+    return n_pairs > UF_DRIVER_MAX_PAIRS
+
+
+def _driver_roots(a, b) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over seam pairs, always rooting at the smaller id —
+    so every root is its component's MINIMUM member id. Returns the
+    (sorted keys, root values) broadcast arrays."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for aa, bb in zip(a, b):
+        ra, rb = find(int(aa)), find(int(bb))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = {x: find(x) for x in list(parent)}
+    keys = np.array(sorted(roots), dtype=np.int64)
+    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    return keys, vals
+
+
+def _cc_labels(pairs_ds, a_col: str, b_col: str):
+    """Distributed min-label connected components over the seam
+    pairs: Dataset (node, label), label = min member id — EXACTLY the
+    driver union-find's root (it always roots at the smaller id, so
+    by induction each root is its tree's minimum), which is why the
+    two paths are interchangeable bit-for-bit."""
+    from ..datapipe.dedup import connected_components
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_lo": t[a_col].cast(pa.int64()),
+                         "doc_hi": t[b_col].cast(pa.int64())})
+
+    return connected_components(
+        pairs_ds.map_batches(conform, batch_format="pyarrow"))
+
+
+def _remap_with_labels(ds, labels, col: str, out_col: str):
+    """Join-based root remap for the distributed path: left-join the
+    partial rows against the labels Dataset on ``col`` and coalesce
+    (nodes in no seam pair keep their own id) — the shuffle analog of
+    the driver path's broadcast-searchsorted remap."""
+    import pyarrow.compute as pc
+
+    from ..datapipe.util import shuffle_width
+
+    width = shuffle_width(ds)
+    joined = ds.join(labels.materialize(), join_type="left_outer",
+                     num_partitions=width, on=(col,),
+                     right_on=("node",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        root = pc.coalesce(t["label"].cast(pa.int64()),
+                           t[col].cast(pa.int64()))
+        keep = [c for c in t.column_names if c not in (col, "label")]
+        cols = {out_col: root}
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
 
 def label_components(arr: np.ndarray, bg: int) -> np.ndarray:
     """4-connected components of equal value over ``arr`` (any int
@@ -303,45 +388,45 @@ def label_regions(world_path: str, dataset: str = "kg",
         parts = region_parts(world_path, dataset)
     parts = parts.materialize()   # region+seam-sized, read twice below
 
-    pairs = parts.filter(expr="kind == 1").to_pandas()
-    # seam graph -> roots. Region-count-sized: driver union-find (the
-    # minhash survivor discipline); datapipe.dedup.connected_components
-    # is the distributed swap-in past ~2M pairs.
-    parent: dict[int, int] = {}
+    pairs_ds = parts.filter(expr="kind == 1")
+    kind0 = parts.filter(expr="kind == 0")
+    # seam graph -> roots. Driver union-find below UF_DRIVER_MAX_PAIRS
+    # (the minhash survivor discipline); above it, the distributed
+    # min-label components + join remap — roots are the min member id
+    # on BOTH paths, so results are bit-identical.
+    if _use_cc(pairs_ds.count()):
+        labels = _cc_labels(pairs_ds, "a", "b")
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["a"], "cls": t["cls"],
+                             "n_px": t["n_px"], "perim": t["perim"]})
 
-    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
-        ra, rb = find(int(aa)), find(int(bb))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    roots = {x: find(x) for x in list(parent)}
-    keys = np.array(sorted(roots), dtype=np.int64)
-    vals = np.array([roots[k] for k in keys], dtype=np.int64)
-    bc = ray.put((keys, vals))
+        remapped = _remap_with_labels(
+            kind0.map_batches(project, batch_format="pyarrow"),
+            labels, "a", "region_id")
+    else:
+        pairs = pairs_ds.to_pandas()
+        keys, vals = _driver_roots(pairs.get("a", []),
+                                   pairs.get("b", []))
+        bc = ray.put((keys, vals))
 
-    def remap(b: pa.Table) -> pa.Table:
-        ks, vs = ray.get(bc)
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ks):
-            loc = np.searchsorted(ks, a)
-            hit = (loc < len(ks)) & (ks[np.minimum(loc, len(ks) - 1)]
-                                     == a)
-            a = np.where(hit, vs[np.minimum(loc, len(ks) - 1)], a)
-        return pa.table({"region_id": pa.array(a),
-                         "cls": b["cls"], "n_px": b["n_px"],
-                         "perim": b["perim"]})
+        def remap(b: pa.Table) -> pa.Table:
+            ks, vs = ray.get(bc)
+            a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks):
+                loc = np.searchsorted(ks, a)
+                hit = (loc < len(ks)) & (ks[np.minimum(loc,
+                                                       len(ks) - 1)]
+                                         == a)
+                a = np.where(hit, vs[np.minimum(loc, len(ks) - 1)], a)
+            return pa.table({"region_id": pa.array(a),
+                             "cls": b["cls"], "n_px": b["n_px"],
+                             "perim": b["perim"]})
+
+        remapped = kind0.map_batches(remap, batch_format="pyarrow")
 
     from ray.data.aggregate import Sum
-    out = (parts.filter(expr="kind == 0")
-           .map_batches(remap, batch_format="pyarrow")
+    out = (remapped
            .groupby(["region_id", "cls"])
            .aggregate(Sum("n_px", alias_name="n_px"),
                       Sum("perim", alias_name="perim"))
@@ -1014,26 +1099,15 @@ def polygonize_regions(world_path: str,
                  batch_format="pyarrow", batch_size=64)
              .materialize())
 
-    pairs = parts.filter(expr="kind == 1").to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for aa, bb in zip(pairs.get("comp", []), pairs.get("x1", [])):
-        ra, rb = find(int(aa)), find(int(bb))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    roots = {x: find(x) for x in list(parent)}
-    keys = np.array(sorted(roots), dtype=np.int64)
-    vals = np.array([roots[k] for k in keys], dtype=np.int64)
-    bc = ray.put((keys, vals))
+    pairs_ds = parts.filter(expr="kind == 1")
+    use_cc = _use_cc(pairs_ds.count())
+    if use_cc:
+        labels = _cc_labels(pairs_ds, "comp", "x1")
+    else:
+        pairs = pairs_ds.to_pandas()
+        keys, vals = _driver_roots(pairs.get("comp", []),
+                                   pairs.get("x1", []))
+        bc = ray.put((keys, vals))
 
     def remap(b: pa.Table) -> pa.Table:
         ks, vs = ray.get(bc)
@@ -1072,8 +1146,18 @@ def polygonize_regions(world_path: str,
             "region_id", "n_rings", "n_vertices", "n_edges",
             "area_px", "wkb"])
 
-    out = (parts.filter(expr="kind == 2")
-           .map_batches(remap, batch_format="pyarrow")
+    edges_ds = parts.filter(expr="kind == 2")
+    if use_cc:
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({"comp": t["comp"],
+                             "x1": t["x1"], "y1": t["y1"],
+                             "x2": t["x2"], "y2": t["y2"]})
+        remapped = _remap_with_labels(
+            edges_ds.map_batches(project, batch_format="pyarrow"),
+            labels, "comp", "region_id")
+    else:
+        remapped = edges_ds.map_batches(remap, batch_format="pyarrow")
+    out = (remapped
            .groupby("region_id")
            .map_groups(assemble, batch_format="pandas")
            .to_pandas())
@@ -1235,26 +1319,38 @@ def region_adjacency(world_path: str, dataset: str = "kg") -> pd.DataFrame:
                  batch_format="pyarrow", batch_size=64)
              .materialize())
 
-    pairs = parts.filter(expr="kind == 1").to_pandas()
-    parent: dict[int, int] = {}
+    pairs_ds = parts.filter(expr="kind == 1")
+    adj_ds = parts.filter(expr="kind == 2")
+    if _use_cc(pairs_ds.count()):
+        labels = _cc_labels(pairs_ds, "a", "b").materialize()
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["a"], "b": t["b"], "n": t["n"]})
 
-    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
-        ra, rb = find(int(aa)), find(int(bb))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        step = _remap_with_labels(
+            adj_ds.map_batches(project, batch_format="pyarrow"),
+            labels, "a", "ra")
+        step = _remap_with_labels(step, labels, "b", "rb")
+        adj = step.to_pandas()
+        ra = adj["ra"].to_numpy(dtype=np.int64)
+        rb = adj["rb"].to_numpy(dtype=np.int64)
+    else:
+        pairs = pairs_ds.to_pandas()
+        keys, vals = _driver_roots(pairs.get("a", []),
+                                   pairs.get("b", []))
 
-    adj = parts.filter(expr="kind == 2").to_pandas()
-    ra = adj["a"].map(lambda x: find(int(x))).to_numpy(dtype=np.int64)
-    rb = adj["b"].map(lambda x: find(int(x))).to_numpy(dtype=np.int64)
+        def root_of(col: np.ndarray) -> np.ndarray:
+            if not len(keys):
+                return col
+            loc = np.searchsorted(keys, col)
+            hit = (loc < len(keys)) & (keys[np.minimum(
+                loc, len(keys) - 1)] == col)
+            return np.where(hit, vals[np.minimum(loc, len(keys) - 1)],
+                            col)
+
+        adj = adj_ds.to_pandas()
+        ra = root_of(adj["a"].to_numpy(dtype=np.int64))
+        rb = root_of(adj["b"].to_numpy(dtype=np.int64))
     lo = np.minimum(ra, rb)
     hi = np.maximum(ra, rb)
     keep = lo != hi        # cross-seam merges collapse to self-pairs
