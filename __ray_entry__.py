@@ -2558,7 +2558,65 @@ def _spatial_real_csv_areas(sf_dir: str):
     return realcsv.check_real_csv_areas(realcsv.real_csv_areas())
 
 
+def _have_lance() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("lance") is not None
+
+
+def _spatial_lance_roundtrip(sf_dir: str):
+    """REAL-``lance`` round trip (auto-activates if the package ever
+    appears in the sandbox; unregistered — not failed — while it is
+    absent): copy the tiny world's 'kg' document table to scratch,
+    convert it to the Lance physical format, read it back through the
+    standard ``read_documents`` branch and assert byte equality with
+    the parquet original in-query. The same logic is covered today
+    against a faked module in tests/test_lance_branch.py; this gate
+    exists so the first environment WITH pylance exercises the real
+    write/read path with zero code changes (round-5 verdict task 7)."""
+    import shutil
+    import tempfile
+
+    from spatial_aez_ray.sources import documents
+
+    world = _world()
+    before = (documents.read_documents(world, ["kg"])
+              .to_pandas().sort_values("doc_id")
+              .reset_index(drop=True))
+    scratch = tempfile.mkdtemp(prefix="lance_rt_", dir="/tmp")
+    try:
+        dst = os.path.join(scratch, "w")
+        os.makedirs(os.path.join(dst, "documents"))
+        shutil.copytree(
+            os.path.join(world, "documents", "dataset=kg"),
+            os.path.join(dst, "documents", "dataset=kg"))
+        for aux in ("_WORLD.json",):
+            src = os.path.join(world, aux)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(dst, aux))
+        man = documents.convert_world_documents_to_lance(
+            dst, datasets=["kg"])
+        after = (documents.read_documents(dst, ["kg"])
+                 .to_pandas().sort_values("doc_id")
+                 .reset_index(drop=True))
+        assert list(after.columns) == list(before.columns) \
+            and len(after) == len(before), "lance round trip: shape"
+        for c in before.columns:
+            assert (after[c].to_numpy() == before[c].to_numpy()).all(), \
+                f"lance round trip: column {c} differs"
+        return man
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # SAMPLE-WINDOW CONTRACT: the driver value-hashes (dtype-
+    # sensitively) the FIRST 50 registry entries side-by-side with
+    # their oracle SQL; keep those 50 SQL-oracled, keep their oracle
+    # column dtypes pinned with explicit casts (::BIGINT on integer
+    # aggregates/window sums, integer-cents money), and never insert
+    # a rows-only gate into that window. The whole registry is held
+    # to the same dtype-parity bar by tests/test_oracle_dtypes.py and
+    # tools/check_entry.py (strict per-column dtype equality).
     from spatial_aez_ray.datapipe import (
         corpus, dedup, graph, multimodal, relational, simsearch, sketch,
         temporal, text,
@@ -2846,6 +2904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_geotiff_export": _spatial_geotiff_export,
         "spatial_thumbnail_png": _spatial_thumbnail_png,
     }
+    if _have_lance():  # auto-activates the REAL-package round trip
+        q["spatial_lance_roundtrip"] = _spatial_lance_roundtrip
     return q
 
 

@@ -143,3 +143,22 @@ def test_convert_requires_lance(tmp_path, monkeypatch):
     monkeypatch.setattr(documents, "HAVE_LANCE", False)
     with pytest.raises(ImportError, match="lance"):
         documents.convert_world_documents_to_lance(str(tmp_path))
+
+
+def test_real_lance_gate_activation():
+    """The real-package round-trip gate self-registers iff ``lance``
+    is importable (round-5 verdict task 7) — skipped-with-reason in
+    this sandbox, active with zero code changes elsewhere."""
+    import importlib.util
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as E
+    q = E.queries()
+    if importlib.util.find_spec("lance") is None:
+        assert "spatial_lance_roundtrip" not in q
+        pytest.skip("lance package absent — real round-trip gate "
+                    "stays unregistered (activates automatically "
+                    "when pylance appears)")
+    man = q["spatial_lance_roundtrip"]("x")
+    assert man["dataset"].tolist() == ["kg"]
