@@ -73,6 +73,59 @@ for _c, (_dy, _dx) in _D8.items():
 MAX_ROUNDS = 257
 
 
+def _pack_inflow_arrays(inflow: dict) -> dict:
+    """{tile: {px: v}} (or {px: (v1, v2)}) -> {tile: tuple of int64
+    arrays}: the per-round broadcast then ships numpy buffers instead
+    of ~1e5 boxed Python ints — ray.put + per-worker ray.get of the
+    nested dict measured ~0.5 s per big round on the bench world's
+    cost fixpoint; the array form is near-free. Scatter targets are
+    unique per tile, so consumption order is irrelevant and results
+    are bit-identical."""
+    out = {}
+    for t, d in inflow.items():
+        if not d:
+            continue
+        if isinstance(d, tuple):
+            out[t] = d
+            continue
+        idx = np.fromiter(d.keys(), np.int64, len(d))
+        first = next(iter(d.values()))
+        if isinstance(first, tuple):
+            out[t] = (idx,
+                      np.fromiter((v[0] for v in d.values()),
+                                  np.int64, len(d)),
+                      np.fromiter((v[1] for v in d.values()),
+                                  np.int64, len(d)))
+        else:
+            out[t] = (idx, np.fromiter(d.values(), np.int64, len(d)))
+    return out
+
+
+def _inflow_arrays(inf):
+    """(idx, val) int64 arrays from either the packed broadcast form
+    or a plain {px: v} dict (the seamdist work-column delivery);
+    None when empty."""
+    if not inf:
+        return None
+    if isinstance(inf, tuple):
+        return inf if len(inf[0]) else None
+    return (np.fromiter(inf.keys(), np.int64, len(inf)),
+            np.fromiter(inf.values(), np.int64, len(inf)))
+
+
+def _inflow_arrays3(inf):
+    """(idx, v1, v2) for the strahler (max-order, count) inflow."""
+    if not inf:
+        return None
+    if isinstance(inf, tuple):
+        return inf if len(inf[0]) else None
+    return (np.fromiter(inf.keys(), np.int64, len(inf)),
+            np.fromiter((v[0] for v in inf.values()), np.int64,
+                        len(inf)),
+            np.fromiter((v[1] for v in inf.values()), np.int64,
+                        len(inf)))
+
+
 def _assemble_pad(payloads: dict, nbrs: dict, nr: int, nc: int,
                   dims, hole: int) -> np.ndarray:
     """(nr+2, nc+2) focal halo pad for one tile from the batch's
@@ -196,10 +249,9 @@ class _FlowTiles:
             outmask = out_pos >= 0
 
             acc = np.zeros(nr * nc, dtype=np.int64)
-            inf = inflow.get(ty * g.tiles_x + tx)
-            if inf:
-                idx = np.fromiter(inf.keys(), np.int64, len(inf))
-                val = np.fromiter(inf.values(), np.int64, len(inf))
+            inf = _inflow_arrays(inflow.get(ty * g.tiles_x + tx))
+            if inf is not None:
+                idx, val = inf
                 acc[idx] += val
             flux_out = np.zeros(len(sel), dtype=np.int64)
             # descending elevation levels: a level only feeds strictly
@@ -323,7 +375,8 @@ def flow_accumulation(world_path: str, dataset: str = "kg", *,
                             inflow_ref=None, final=final)
             return inflow.work_ds(tile_ids).map_batches(
                 fn, batch_format="pyarrow", batch_size=batch_size)
-        ref = ray.put(inflow) if inflow else None
+        ref = (ray.put(_pack_inflow_arrays(inflow))
+               if inflow else None)
         fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
                         hole=hole, inflow_ref=ref, final=final)
         items = [{"id": int(i)} for i in tile_ids]
@@ -683,10 +736,9 @@ class _StrahlerTiles:
 
             # exact in-tile flow accumulation given converged inflow
             acc = np.zeros(npx, dtype=np.int64)
-            ainf = acc_inflow.get(tile_id)
-            if ainf:
-                idx = np.fromiter(ainf.keys(), np.int64, len(ainf))
-                val = np.fromiter(ainf.values(), np.int64, len(ainf))
+            ainf = _inflow_arrays(acc_inflow.get(tile_id))
+            if ainf is not None:
+                idx, val = ainf
                 acc[idx] += val
             for lvl in np.unique(elev)[::-1]:
                 m_in = (elev == lvl) & intile
@@ -696,12 +748,12 @@ class _StrahlerTiles:
 
             m = np.zeros(npx, dtype=np.int64)
             c = np.zeros(npx, dtype=np.int64)
-            oinf = inflow.get(tile_id)
-            if oinf:
-                for px, (mm, cc_) in oinf.items():
-                    if stream[px]:
-                        m[px] = mm
-                        c[px] = cc_
+            oinf = _inflow_arrays3(inflow.get(tile_id))
+            if oinf is not None:
+                oidx, omo, okk = oinf
+                s_ = stream[oidx]
+                m[oidx[s_]] = omo[s_]
+                c[oidx[s_]] = okk[s_]
             order_arr = np.zeros(npx, dtype=np.int64)
             for lvl in np.unique(elev[stream])[::-1]:
                 si = np.flatnonzero(stream & (elev == lvl))
@@ -776,7 +828,8 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                             inflow_ref=None, final=final)
             return inflow.work_ds(tile_ids).map_batches(
                 fn, batch_format="pyarrow", batch_size=batch_size)
-        ref = ray.put(inflow) if inflow else None
+        ref = (ray.put(_pack_inflow_arrays(inflow))
+               if inflow else None)
         fn = as_task_fn(_FlowTiles, world_path=world_path, dataset=dataset,
                         hole=hole, inflow_ref=ref, final=final)
         return (ray.data.from_items([{"id": int(i)} for i in tile_ids])
@@ -787,7 +840,8 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                                              grid=grid)
     dist_mode = isinstance(acc_inflow, seamdist.DistInflow)
     acc_ref = (None if dist_mode
-               else (ray.put(acc_inflow) if acc_inflow else None))
+               else (ray.put(_pack_inflow_arrays(acc_inflow))
+                     if acc_inflow else None))
 
     def run(tile_ids, inflow, final):
         if isinstance(inflow, seamdist.DistInflow):
@@ -799,7 +853,8 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                                   extra=[("acc", acc_inflow)])
             return work.map_batches(fn, batch_format="pyarrow",
                                     batch_size=batch_size)
-        ref = ray.put(inflow) if inflow else None
+        ref = (ray.put(_pack_inflow_arrays(inflow))
+               if inflow else None)
         fn = as_task_fn(_StrahlerTiles, world_path=world_path,
                         dataset=dataset, hole=hole,
                         threshold=int(threshold), acc_ref=acc_ref,
@@ -1025,10 +1080,9 @@ class _CostTiles:
                                     + tx * t + sx)
             else:
                 interior[src_mask] = 0
-            inf = inflow.get(ty * g.tiles_x + tx)
-            if inf:
-                idx = np.fromiter(inf.keys(), np.int64, len(inf))
-                val = np.fromiter(inf.values(), np.int64, len(inf))
+            inf = _inflow_arrays(inflow.get(ty * g.tiles_x + tx))
+            if inf is not None:
+                idx, val = inf
                 # interior is a non-contiguous view: scatter via 2D
                 # indices (reshape(-1) would silently copy)
                 np.minimum.at(interior, (idx // nc, idx % nc), val)
@@ -1191,10 +1245,14 @@ def cost_distance(world_path: str, dataset: str = "kg",
     return out
 
 
-#: delta rounds touching at most this many tiles skip the ray.data
-#: launch (~0.4 s fixed) and run as a handful of plain tasks — the
-#: late rounds of a converging seam fixpoint are exactly this shape
-_SMALL_ROUND_MAX = 96
+#: rounds touching at most this many tiles skip the ray.data launch
+#: (~0.4-0.5 s fixed per round) and run as plain tasks in 32-tile
+#: chunks. Raised 96 -> 1024 in round 5: on the bench world EVERY
+#: round of the cost/fill fixpoints fits (496 tiles), and the paired
+#: A/B measured cost_distance 6.8-7.4 -> 5.0-5.2 s, fill_sinks
+#: 3.7-3.9 -> 2.4 s. Above the cap (planetary rounds, 100k+ tiles)
+#: the streaming ray.data path with its backpressure still takes over.
+_SMALL_ROUND_MAX = 1024
 
 
 def _make_cost_run(world_path: str, dataset: str, target: int,
@@ -1215,7 +1273,8 @@ def _make_cost_run(world_path: str, dataset: str, target: int,
                             source_dataset=source_dataset)
             return inflow.work_ds(tile_ids).map_batches(
                 fn, batch_format="pyarrow", batch_size=batch_size)
-        ref = ray.put(inflow) if inflow else None
+        ref = (ray.put(_pack_inflow_arrays(inflow))
+               if inflow else None)
         if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
             @ray.remote(num_cpus=1)
             def _chunk(ids):
@@ -1639,10 +1698,9 @@ def _tile_dist_field(media: MediaStore, grid, dataset: str, target: int,
     src_mask = passable_pad[1:1 + nr, 1:1 + nc] & (
         pad[1:1 + nr, 1:1 + nc] == target)
     interior[src_mask] = 0
-    inf = inflow.get(ty * grid.tiles_x + tx)
-    if inf:
-        idx = np.fromiter(inf.keys(), np.int64, len(inf))
-        val = np.fromiter(inf.values(), np.int64, len(inf))
+    inf = _inflow_arrays(inflow.get(ty * grid.tiles_x + tx))
+    if inf is not None:
+        idx, val = inf
         np.minimum.at(interior, (idx // nc, idx % nc), val)
     for _ in range(nr * nc + 2):
         before = dist_pad.copy()
@@ -1919,10 +1977,9 @@ class _FillTiles:
             w_pad = np.where(passable_pad, _UNREACH, np.int64(0))
             interior = w_pad[1:1 + nr, 1:1 + nc]
             e_int = e_pad[1:1 + nr, 1:1 + nc]
-            inf = inflow.get(ty * g.tiles_x + tx)
-            if inf:
-                idx = np.fromiter(inf.keys(), np.int64, len(inf))
-                val = np.fromiter(inf.values(), np.int64, len(inf))
+            inf = _inflow_arrays(inflow.get(ty * g.tiles_x + tx))
+            if inf is not None:
+                idx, val = inf
                 np.minimum.at(interior, (idx // nc, idx % nc), val)
             # in-tile fixpoint: each sweep only lowers values (every
             # candidate is >= the greatest fixpoint), so a no-op
@@ -2070,7 +2127,8 @@ def _make_fill_run(world_path: str, dataset: str, hole: int,
                             out_dataset=out_dataset if final else None)
             return inflow.work_ds(tile_ids).map_batches(
                 fn, batch_format="pyarrow", batch_size=batch_size)
-        ref = ray.put(inflow) if inflow else None
+        ref = (ray.put(_pack_inflow_arrays(inflow))
+               if inflow else None)
         if not final and len(tile_ids) <= _SMALL_ROUND_MAX:
             @ray.remote(num_cpus=1)
             def _chunk(ids):
@@ -2285,8 +2343,10 @@ def cost_corridor(world_path: str, dataset: str = "kg",
             _CorridorTiles, world_path=world_path,
             dataset=dataset, target_a=int(target_a),
             target_b=int(target_b), hole=hole,
-            inflow_a_ref=ray.put(inflow_a) if inflow_a else None,
-            inflow_b_ref=ray.put(inflow_b) if inflow_b else None)
+            inflow_a_ref=(ray.put(_pack_inflow_arrays(inflow_a))
+                          if inflow_a else None),
+            inflow_b_ref=(ray.put(_pack_inflow_arrays(inflow_b))
+                          if inflow_b else None))
         final_in = ray.data.from_items(
             [{"id": int(i)} for i in present_tiles])
     out = (final_in
