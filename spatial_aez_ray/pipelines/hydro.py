@@ -326,24 +326,44 @@ def _segment_inflow(keys: np.ndarray, vals: np.ndarray) -> dict:
             for i in range(len(starts))}
 
 
-def _changed_dst_tiles(nk, nv, ok, ov) -> list[int]:
+def _segment_inflow3(keys: np.ndarray, v1: np.ndarray,
+                     v2: np.ndarray) -> dict:
+    """Three-array variant of ``_segment_inflow`` for the strahler
+    (max order, count-at-max) inflow: {tile: (px, mo, k)}."""
+    if not len(keys):
+        return {}
+    dst = keys >> 31
+    px = keys & _PX_MASK
+    starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+    bounds = np.r_[starts, len(keys)]
+    return {int(dst[bounds[i]]): (px[bounds[i]:bounds[i + 1]],
+                                  v1[bounds[i]:bounds[i + 1]],
+                                  v2[bounds[i]:bounds[i + 1]])
+            for i in range(len(starts))}
+
+
+def _changed_dst_tiles(nk, nv, ok, ov, nv2=None, ov2=None) -> list[int]:
     """EXACT per-(key, value) symmetric diff of two aggregated seam
     tables (each sorted with unique keys): dst tiles where any key
     appeared, vanished, or changed value — the same predicate the
-    dict fold's ``new_inflow.get(t) != inflow.get(t)`` evaluated."""
+    dict fold's ``new_inflow.get(t) != inflow.get(t)`` evaluated.
+    Pass the second value pair for two-component inflow (strahler's
+    (max order, count-at-max))."""
     k = np.concatenate([nk, ok])
     v = np.concatenate([nv, ov])
     if not len(k):
         return []
+    v2 = (np.concatenate([nv2, ov2]) if nv2 is not None
+          else np.zeros(len(k), np.int64))
     order = np.argsort(k, kind="stable")
-    k, v = k[order], v[order]
+    k, v, v2 = k[order], v[order], v2[order]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     counts = np.diff(np.r_[starts, len(k)])
     changed = counts == 1            # appeared or vanished
     two = counts == 2
     if two.any():
         i2 = starts[two]
-        changed[two] = v[i2] != v[i2 + 1]
+        changed[two] = (v[i2] != v[i2 + 1]) | (v2[i2] != v2[i2 + 1])
     return sorted(int(x) for x in
                   np.unique(k[starts[changed]] >> 31))
 
@@ -952,8 +972,17 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
             max_rounds=MAX_ROUNDS)
         return _strahler_finish(run, present_tiles, inflow,
                                 (acc_rounds, rounds), with_rounds)
-    inflow: dict[int, dict[int, tuple[int, int]]] = {}
-    out_by_src: dict[int, dict[tuple[int, int, int], int]] = {}
+    # vectorized (max order, count-at-max) monoid fold — the strahler
+    # twin of _driver_seam_fold: per-src partials keep only their own
+    # max per key (sub-max ords contribute 0 to any larger global max,
+    # so pre-reduction is lossless), merged by the same monoid
+    out_k: dict[int, np.ndarray] = {}
+    out_o: dict[int, np.ndarray] = {}
+    out_c: dict[int, np.ndarray] = {}
+    agg_k = np.zeros(0, np.int64)
+    agg_o = np.zeros(0, np.int64)
+    agg_c = np.zeros(0, np.int64)
+    inflow: dict = {}
     pending = list(present_tiles)
     rounds = 0
     while pending:
@@ -964,26 +993,37 @@ def strahler_orders(world_path: str, dataset: str = "kg", *,
                 f"within {MAX_ROUNDS} rounds (cyclic flow?)")
         rows = run(pending, inflow, final=False).to_pandas()
         for tid in pending:
-            out_by_src.pop(tid, None)
-        for src, dst, px, ordv, k in rows.itertuples(index=False):
-            d = out_by_src.setdefault(int(src), {})
-            key = (int(dst), int(px), int(ordv))
-            d[key] = d.get(key, 0) + int(k)
-        # merge all sources' contributions per (dst, px): max order
-        # and total multiplicity at that max (monoid merge)
-        by_px: dict[tuple[int, int], dict[int, int]] = {}
-        for tbl in out_by_src.values():
-            for (dst, px, ordv), k in tbl.items():
-                d = by_px.setdefault((dst, px), {})
-                d[ordv] = d.get(ordv, 0) + k
-        new_inflow: dict[int, dict[int, tuple[int, int]]] = {}
-        for (dst, px), om in by_px.items():
-            mo = max(om)
-            new_inflow.setdefault(dst, {})[px] = (mo, om[mo])
-        pending = sorted(
-            tid for tid in set(new_inflow) | set(inflow)
-            if new_inflow.get(tid) != inflow.get(tid))
-        inflow = new_inflow
+            out_k.pop(tid, None)
+            out_o.pop(tid, None)
+            out_c.pop(tid, None)
+        if not rows.empty:
+            src = rows["src"].to_numpy(np.int64)
+            key = ((rows["dst"].to_numpy(np.int64) << 31)
+                   | rows["px"].to_numpy(np.int64))
+            ordv = rows["ord"].to_numpy(np.int64)
+            kk = rows["k"].to_numpy(np.int64)
+            order = np.lexsort((key, src))
+            src, key, ordv, kk = (src[order], key[order], ordv[order],
+                                  kk[order])
+            sbound = np.r_[np.flatnonzero(
+                np.r_[True, src[1:] != src[:-1]]), len(src)]
+            for i in range(len(sbound) - 1):
+                a, b = int(sbound[i]), int(sbound[i + 1])
+                uk, mo, ks = seamdist._strahler_partial(
+                    key[a:b], ordv[a:b], kk[a:b])
+                s0 = int(src[a])
+                out_k[s0], out_o[s0], out_c[s0] = uk, mo, ks
+        if out_k:
+            nk, no_, nc_ = seamdist._strahler_partial(
+                np.concatenate(list(out_k.values())),
+                np.concatenate(list(out_o.values())),
+                np.concatenate(list(out_c.values())))
+        else:
+            nk = no_ = nc_ = np.zeros(0, np.int64)
+        pending = _changed_dst_tiles(nk, no_, agg_k, agg_o,
+                                     nv2=nc_, ov2=agg_c)
+        agg_k, agg_o, agg_c = nk, no_, nc_
+        inflow = _segment_inflow3(nk, no_, nc_)
 
     return _strahler_finish(run, present_tiles, inflow,
                             (acc_rounds, rounds), with_rounds)
