@@ -348,6 +348,10 @@ def aez_stats(world_path: str, *, index: PolygonIndex | None = None,
                            AEZ_COLUMNS, world_path)
     if coalesce == "auto":
         coalesce = partials_coalesce_width(n_tiles)
+    # barrier before the combine shuffle — see zonal_stats: the fused
+    # streaming plan starves the map stage at low CPU counts (3.4x on
+    # the scale-80 world at 8 CPUs); the partial table is bounded
+    partials = partials.materialize()
     if coalesce:
         partials = partials.repartition(coalesce)
     combined = partials.groupby("admin").map_groups(
