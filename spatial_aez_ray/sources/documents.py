@@ -138,8 +138,29 @@ class MediaStore:
 
     # process-global footer-index cache: survives kernel re-instantiation
     # (groupby().map_groups may construct the callable per group) —
-    # dir path -> list of (path, min_ref, max_ref, [(rg, lo, hi), ...])
-    _FILE_INDEX: dict[str, list[tuple[str, str, str, list]]] = {}
+    # dir path -> list of (path, min_ref, max_ref, rg_ids int64 array,
+    # rg_lo U-array, rg_hi U-array). Refs are zero-padded and NUL-free,
+    # so numpy U-dtype string arrays + searchsorted are safe and make
+    # the per-fetch pruning O(files log refs) instead of the Python
+    # per-(row-group x ref) scan that profiled at ~9.5M genexpr calls
+    # per 3000 tiles.
+    _FILE_INDEX: dict[str, list[tuple]] = {}
+
+    # process-global open-file cache: pq.ParquetFile re-open per fetch
+    # profiled at ~6% of the AEZ kernel; handles are tiny (footer
+    # already parsed) and the cap bounds fd usage at 100 TB file counts
+    _OPEN_FILES: dict[str, object] = {}
+    _OPEN_FILES_MAX = 512
+
+    @classmethod
+    def _open(cls, path: str):
+        import pyarrow.parquet as pq
+        pf = cls._OPEN_FILES.get(path)
+        if pf is None:
+            if len(cls._OPEN_FILES) >= cls._OPEN_FILES_MAX:
+                cls._OPEN_FILES.clear()
+            pf = cls._OPEN_FILES[path] = pq.ParquetFile(path)
+        return pf
 
     def __init__(self, world_path: str):
         self._root = os.path.join(world_path, "media")
@@ -173,7 +194,11 @@ class MediaStore:
                     rgs.append((rg, st.min, st.max))
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                idx.append((path, lo or "", hi or "\U0010ffff", rgs))
+                import numpy as np
+                idx.append((path, lo or "", hi or "\U0010ffff",
+                            np.array([g for g, _, _ in rgs], np.int64),
+                            np.array([l_ for _, l_, _ in rgs]),
+                            np.array([h for _, _, h in rgs])))
             MediaStore._FILE_INDEX[cache_key] = idx
         return idx
 
@@ -186,27 +211,34 @@ class MediaStore:
         fragment scanning dominate point lookups, and fetch dominates
         the zonal/AEZ kernels.) ``strict=False`` returns only the refs
         that exist (callers fill nodata for the rest)."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
         by_ds: dict[str, list[str]] = {}
         for r in refs:
             by_ds.setdefault(self._dataset_for(r), []).append(r)
         out: dict[str, bytes] = {}
         for ds_name, ds_refs in by_ds.items():
-            by_file: dict[str, tuple[list[str], list]] = {}
-            for path, lo, hi, rgs in self._index_for(ds_name):
-                wanted = [r for r in ds_refs if lo <= r <= hi]
-                if wanted:
-                    hit_rgs = [rg for rg, rlo, rhi in rgs
-                               if any(rlo <= r <= rhi for r in wanted)]
-                    if hit_rgs:
-                        by_file[path] = (wanted, hit_rgs)
-            for path, (wanted, hit_rgs) in by_file.items():
-                t = pq.ParquetFile(path).read_row_groups(
-                    hit_rgs, columns=["media_ref", "payload"])
+            wr = np.array(sorted(set(ds_refs)))
+            for path, lo, hi, rg_ids, rg_lo, rg_hi in \
+                    self._index_for(ds_name):
+                a = np.searchsorted(wr, lo, "left")
+                b = np.searchsorted(wr, hi, "right")
+                if a >= b:
+                    continue
+                w = wr[a:b]
+                # a row group is hit iff >= 1 wanted ref falls in its
+                # [rg_lo, rg_hi] interval: binary search both ends
+                hit = np.flatnonzero(
+                    np.searchsorted(w, rg_hi, "right")
+                    > np.searchsorted(w, rg_lo, "left"))
+                if not len(hit):
+                    continue
+                t = self._open(path).read_row_groups(
+                    rg_ids[hit].tolist(),
+                    columns=["media_ref", "payload"])
                 t = t.filter(pc.is_in(t["media_ref"],
-                                      value_set=pa.array(wanted)))
+                                      value_set=pa.array(w)))
                 for ref, payload in zip(t.column("media_ref").to_pylist(),
                                         t.column("payload").to_pylist()):
                     out[ref] = payload
