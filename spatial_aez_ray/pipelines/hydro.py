@@ -660,10 +660,13 @@ def watershed_basins(world_path: str, dataset: str = "kg", *,
 
     fn = as_task_fn(_BasinTiles, world_path=world_path, dataset=dataset,
                     hole=hole)
-    rows = (ray.data.from_items([{"id": int(i)} for i in present_tiles])
-            .map_batches(fn, batch_format="pyarrow",
-                         batch_size=batch_size)
-            .to_pandas())
+    rows_ds = (ray.data.from_items([{"id": int(i)}
+                                    for i in present_tiles])
+               .map_batches(fn, batch_format="pyarrow",
+                            batch_size=batch_size))
+    if seamdist.use_distributed(present_tiles, grid):
+        return _watershed_distributed(rows_ds)
+    rows = rows_ds.to_pandas()
 
     ring = rows[rows["node"] >= 0]
     res: dict[int, tuple[int, int]] = {
@@ -706,6 +709,76 @@ def watershed_basins(world_path: str, dataset: str = "kg", *,
         out = pd.concat(
             [out, pd.DataFrame({"kind": ["external"],
                                 "size": [np.int64(external)],
+                                "n": [np.int64(1)]})],
+            ignore_index=True)
+    return out
+
+
+def _watershed_distributed(rows_ds) -> pd.DataFrame:
+    """Distributed twin of the watershed driver chase: pointer
+    doubling over the ring Dataset (``seamdist.chase_resolve``), then
+    count rows resolve with ONE join and fold into per-basin sums and
+    the size histogram as grouped aggregates — only the histogram
+    reaches the driver. Resolution is function application, so the
+    result is bit-identical to the memoized sequential chase."""
+    from ray.data.aggregate import Count, Sum
+
+    rows_ds = rows_ds.materialize()
+
+    def ring_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "s": pa.array(np.zeros(len(b), np.int64)),
+                         "cls": b["cls"].cast(pa.int64()),
+                         "aux": b["aux"]})
+
+    resolved = seamdist.chase_resolve(
+        rows_ds.filter(expr="node >= 0")
+        .map_batches(ring_proj, batch_format="pyarrow"),
+        cross=_CROSS)
+
+    counts = rows_ds.filter(expr="node < 0")
+    term = counts.filter(expr=f"cls != {_CROSS}")
+    crossed = counts.filter(expr=f"cls == {_CROSS}")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node2": b["node"], "cls2": b["cls"],
+                         "aux2": b["aux"]})
+
+    from ..datapipe.util import shuffle_width
+    joined = crossed.join(
+        resolved.map_batches(rename, batch_format="pyarrow")
+        .materialize(),
+        join_type="inner",
+        num_partitions=shuffle_width(blocks=resolved.num_blocks()),
+        on=("aux",), right_on=("node2",))
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"tcls": b["cls"].cast(pa.int64()),
+                         "root": b["aux"], "n": b["n"]})
+
+    def joined_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"tcls": b["cls2"].cast(pa.int64()),
+                         "root": b["aux2"], "n": b["n"]})
+
+    outcomes = (term.map_batches(term_rows, batch_format="pyarrow")
+                .union(joined.map_batches(joined_rows,
+                                          batch_format="pyarrow"))
+                .materialize())
+    ext = outcomes.filter(expr=f"tcls == {_EXT}").sum("n") or 0
+    basin_sizes = (outcomes.filter(expr=f"tcls == {_PIT}")
+                   .groupby("root")
+                   .aggregate(Sum("n", alias_name="size")))
+    hist = (basin_sizes.groupby("size")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas())
+    hist = hist.sort_values("size").reset_index(drop=True)
+    out = pd.DataFrame({"kind": ["basin"] * len(hist),
+                        "size": hist["size"].astype(np.int64),
+                        "n": hist["n"].astype(np.int64)})
+    if ext:
+        out = pd.concat(
+            [out, pd.DataFrame({"kind": ["external"],
+                                "size": [np.int64(ext)],
                                 "n": [np.int64(1)]})],
             ignore_index=True)
     return out
@@ -1704,10 +1777,13 @@ def flow_path_length(world_path: str, dataset: str = "kg", *,
 
     fn = as_task_fn(_FlowLenTiles, world_path=world_path,
                     dataset=dataset, hole=hole)
-    rows = (ray.data.from_items([{"id": int(i)} for i in present_tiles])
-            .map_batches(fn, batch_format="pyarrow",
-                         batch_size=batch_size)
-            .to_pandas())
+    rows_ds = (ray.data.from_items([{"id": int(i)}
+                                    for i in present_tiles])
+               .map_batches(fn, batch_format="pyarrow",
+                            batch_size=batch_size))
+    if seamdist.use_distributed(present_tiles, grid):
+        return _flowlen_distributed(rows_ds)
+    rows = rows_ds.to_pandas()
 
     ring = rows[rows["node"] >= 0]
     res: dict[int, tuple[int, int, int]] = {
@@ -1751,6 +1827,69 @@ def flow_path_length(world_path: str, dataset: str = "kg", *,
     return pd.DataFrame({"path_len": np.asarray(keys, np.int64),
                          "n_px": np.asarray([hist[k] for k in keys],
                                             np.int64)})
+
+
+def _flowlen_distributed(rows_ds) -> pd.DataFrame:
+    """Distributed twin of the flow-length driver chase: weighted
+    pointer doubling over the ring Dataset (``seamdist.chase_resolve``
+    accumulates the 1 + dst-steps offsets per seam crossing), count
+    rows resolve with ONE join, and the (path_len, n_px) histogram is
+    a grouped sum — only the histogram reaches the driver. Bit-equal
+    to the memoized sequential chase (pure function application)."""
+    from ray.data.aggregate import Sum
+
+    rows_ds = rows_ds.materialize()
+
+    def ring_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "s": b["steps"],
+                         "cls": b["cls"].cast(pa.int64()),
+                         "aux": b["aux"]})
+
+    resolved = seamdist.chase_resolve(
+        rows_ds.filter(expr="node >= 0")
+        .map_batches(ring_proj, batch_format="pyarrow"),
+        cross=_CROSS)
+
+    counts = rows_ds.filter(expr="node < 0")
+    term = counts.filter(expr=f"cls != {_CROSS}")
+    crossed = counts.filter(expr=f"cls == {_CROSS}")
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        # pit terminal adds 0 past the local root, external adds 1
+        cls = b["cls"].to_numpy(zero_copy_only=False)
+        ln = (b["steps"].to_numpy(zero_copy_only=False)
+              + (cls != _PIT).astype(np.int64))
+        return pa.table({"path_len": pa.array(ln), "n_px": b["n"]})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node2": b["node"], "s2": b["s"],
+                         "cls2": b["cls"], "acc2": b["acc"]})
+
+    from ..datapipe.util import shuffle_width
+    joined = crossed.join(
+        resolved.map_batches(rename, batch_format="pyarrow")
+        .materialize(),
+        join_type="inner",
+        num_partitions=shuffle_width(blocks=resolved.num_blocks()),
+        on=("aux",), right_on=("node2",))
+
+    def joined_rows(b: pa.Table) -> pa.Table:
+        cls2 = b["cls2"].to_numpy(zero_copy_only=False)
+        ln = (b["steps"].to_numpy(zero_copy_only=False) + 1
+              + b["s2"].to_numpy(zero_copy_only=False)
+              + b["acc2"].to_numpy(zero_copy_only=False)
+              + (cls2 != _PIT).astype(np.int64))
+        return pa.table({"path_len": pa.array(ln), "n_px": b["n"]})
+
+    hist = (term.map_batches(term_rows, batch_format="pyarrow")
+            .union(joined.map_batches(joined_rows,
+                                      batch_format="pyarrow"))
+            .groupby("path_len")
+            .aggregate(Sum("n_px", alias_name="n_px"))
+            .to_pandas())
+    for c in hist.columns:
+        hist[c] = hist[c].astype(np.int64)
+    return hist.sort_values("path_len").reset_index(drop=True)
 
 
 # ------------------------------------------------------ least-cost path

@@ -390,3 +390,63 @@ def fixpoint(run, present_tiles, *, kind: str, what: str,
         pending = changed_dsts(new_inflow, inflow.ds, two_vals=two)
         inflow = DistInflow(new_inflow, two_vals=two)
     return inflow, rounds
+
+
+# ---------------------------------------------------- seam-ring chases
+
+def chase_resolve(ring_ds, *, cross: int, max_iters: int = 16):
+    """Distributed pointer doubling over a seam ring graph — the
+    100 TB form of the watershed / flow-length driver chases (their
+    memoized dict holds one entry per ring pixel = O(world
+    perimeter)). Rows: ``(node, s, cls, aux)`` where ``cls == cross``
+    means "crossing a seam into ring pixel ``aux``" and anything else
+    is terminal; ``s`` is the static in-tile offset of ``node``.
+    Maintains per row an accumulated offset ``acc`` with the
+    invariant  total(node) = s + acc + T(cls, aux),
+    T(cross, a) = 1 + s_a + acc_a + T(...), T(terminal) = caller's
+    constant — one join per iteration SQUARES the resolved chase
+    depth (strictly-downhill D8 bounds chases at 255 seams, so <= 9
+    iterations). Returns the materialized all-terminal Dataset
+    ``(node, s, cls, aux, acc)``; resolution is function application,
+    so results are bit-identical to the sequential chase."""
+    from ..datapipe.util import shuffle_width
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "s": b["s"], "cls": b["cls"],
+            "aux": b["aux"],
+            "acc": pa.array(np.zeros(len(b), dtype=np.int64))})
+
+    r = ring_ds.map_batches(init, batch_format="pyarrow").materialize()
+    width = shuffle_width(blocks=r.num_blocks())
+    for _ in range(max_iters):
+        pending = r.filter(expr=f"cls == {int(cross)}")
+        if pending.count() == 0:
+            return r
+        done = r.filter(expr=f"cls != {int(cross)}")
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"node2": b["node"], "s2": b["s"],
+                             "cls2": b["cls"], "aux2": b["aux"],
+                             "acc2": b["acc"]})
+
+        target = r.map_batches(rename, batch_format="pyarrow")
+        joined = pending.join(target, join_type="inner",
+                              num_partitions=width,
+                              on=("aux",), right_on=("node2",))
+
+        def jump(b: pa.Table) -> pa.Table:
+            acc = (b["acc"].to_numpy(zero_copy_only=False)
+                   + 1 + b["s2"].to_numpy(zero_copy_only=False)
+                   + b["acc2"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "node": b["node"], "s": b["s"], "cls": b["cls2"],
+                "aux": b["aux2"], "acc": pa.array(acc)})
+
+        r = (done.union(joined.map_batches(jump,
+                                           batch_format="pyarrow"))
+             .materialize())
+    if r.filter(expr=f"cls == {int(cross)}").count():
+        raise AssertionError(
+            "seam-ring chase did not terminate (cyclic flow?)")
+    return r

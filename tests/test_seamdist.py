@@ -47,6 +47,8 @@ def _both(fn):
     ("cost_corridor", lambda w: hydro.cost_corridor(w, "kg")),
     ("cost_distance_cross", lambda w: hydro.cost_distance_cross(w)),
     ("zonal_fill_stats", lambda w: hydro.zonal_fill_stats(w, "kg")),
+    ("watershed_basins", lambda w: hydro.watershed_basins(w, "kg")),
+    ("flow_path_length", lambda w: hydro.flow_path_length(w, "kg")),
 ])
 def test_distributed_equals_driver(tiny_world, name, call):
     drv, dist = _both(lambda: call(tiny_world))
