@@ -124,3 +124,41 @@ def test_pack_unpack_roundtrip(ray_session):
     assert got == {7: {5: 100, 9: 200}, 12: {0: 300}}
     ids = sorted(tbl["id"].to_pylist())
     assert ids == [7, 12, 99]  # inflow-less tiles still get work rows
+
+
+def test_distributed_fixpoint_bit_exact_after_worker_kill(
+        tiny_world, tmp_path, monkeypatch):
+    """The forced-distributed cost fixpoint must survive a worker
+    SIGKILL mid-round and still match the driver path bit-for-bit
+    (Ray retries the killed map task; every seamdist stage is
+    deterministic, so the retry reproduces the same rows)."""
+    import os
+
+    from spatial_aez_ray.pipelines import hydro
+
+    marker = str(tmp_path / "killed")
+    base = hydro._CostTiles
+
+    class KillOnce(base):  # function-scope: shipped by value
+        def __call__(self, b):
+            import os as _os
+            import signal
+            if not _os.path.exists(marker):
+                try:
+                    open(marker, "x").close()
+                except FileExistsError:
+                    pass
+                else:
+                    _os.kill(_os.getpid(), signal.SIGKILL)
+            return super().__call__(b)
+
+    seamdist.FORCE_MODE = False
+    want = hydro.cost_distance(tiny_world, "kg")
+    monkeypatch.setattr(hydro, "_CostTiles", KillOnce)
+    seamdist.FORCE_MODE = True
+    try:
+        got = hydro.cost_distance(tiny_world, "kg")
+    finally:
+        seamdist.FORCE_MODE = None
+    assert os.path.exists(marker), "kill stage never fired"
+    pd.testing.assert_frame_equal(want, got)
