@@ -703,35 +703,82 @@ def region_area_km2(world_path: str, dataset: str = "kg") -> pd.DataFrame:
                  batch_format="pyarrow", batch_size=64)
              .materialize())
 
-    pairs = parts.filter(expr="kind == 1").to_pandas()
-    parent: dict[int, int] = {}
+    pairs_ds = parts.filter(expr="kind == 1")
+    comp_ds = parts.filter(expr="kind == 0")
+    # combine discipline: partials sorted by (region, cls, tile,
+    # provisional comp id) — the kernel emits components per tile in
+    # ascending-id order (np.unique), so the explicit final key pins
+    # the SAME canonical order the stable tile sort already produced,
+    # and makes it shuffle-independent for the distributed branch;
+    # per-(region, cls) sums use numpy pairwise summation either way.
+    if _use_cc(pairs_ds.count()):
+        labels = _cc_labels(pairs_ds, "a", "b")
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["a"], "comp": t["a"],
+                             "cls": t["cls"], "tile": t["tile"],
+                             "km2": t["km2"]})
 
-    for aa, bb in zip(pairs.get("a", []), pairs.get("b", [])):
-        ra, rb = find(int(aa)), find(int(bb))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        remapped = _remap_with_labels(
+            comp_ds.map_batches(project, batch_format="pyarrow"),
+            labels, "a", "region_id")
+        from ..datapipe.util import coarse_fold_width
+        width = coarse_fold_width()
 
-    comp = parts.filter(expr="kind == 0").to_pandas()
-    comp["region_id"] = comp["a"].map(lambda x: find(int(x)))
-    comp = comp.sort_values(["region_id", "cls", "tile"],
-                            kind="mergesort")
-    rows = []
-    for (rid, cls), g in comp.groupby(["region_id", "cls"], sort=True):
-        rows.append((int(rid), int(cls),
-                     float(g["km2"].to_numpy(dtype=np.float64).sum())))
-    out = pd.DataFrame(rows, columns=["region_id", "cls", "km2"])
+        def add_coarse(t: pa.Table) -> pa.Table:
+            rid = t["region_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("coarse", pa.array(rid % width))
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            rid = g["region_id"].to_numpy(np.int64)
+            cls = g["cls"].to_numpy(np.int64)
+            tile = g["tile"].to_numpy(np.int64)
+            a = g["comp"].to_numpy(np.int64)
+            km2 = g["km2"].to_numpy(np.float64)
+            order = np.lexsort((a, tile, cls, rid))
+            rid, cls, km2 = rid[order], cls[order], km2[order]
+            starts = np.flatnonzero(np.r_[True, (rid[1:] != rid[:-1])
+                                          | (cls[1:] != cls[:-1])])
+            bounds = np.r_[starts, len(rid)]
+            return pd.DataFrame({
+                "region_id": rid[starts],
+                "cls": cls[starts],
+                "km2": np.array([km2[bounds[i]:bounds[i + 1]].sum()
+                                 for i in range(len(starts))],
+                                np.float64)})
+
+        out = (remapped.map_batches(add_coarse, batch_format="pyarrow")
+               .groupby("coarse")
+               .map_groups(fold, batch_format="pandas")
+               .to_pandas())
+        out = out[["region_id", "cls", "km2"]]
+    else:
+        pairs = pairs_ds.to_pandas()
+        keys, vals = _driver_roots(pairs.get("a", []),
+                                   pairs.get("b", []))
+
+        comp = comp_ds.to_pandas()
+        av = comp["a"].to_numpy(dtype=np.int64)
+        if len(keys):
+            loc = np.searchsorted(keys, av)
+            hit = (loc < len(keys)) & (keys[np.minimum(
+                loc, len(keys) - 1)] == av)
+            av = np.where(hit, vals[np.minimum(loc, len(keys) - 1)],
+                          av)
+        comp["region_id"] = av
+        comp = comp.sort_values(["region_id", "cls", "tile", "a"],
+                                kind="mergesort")
+        rows = []
+        for (rid, cls), g in comp.groupby(["region_id", "cls"],
+                                          sort=True):
+            rows.append((int(rid), int(cls),
+                         float(g["km2"].to_numpy(
+                             dtype=np.float64).sum())))
+        out = pd.DataFrame(rows, columns=["region_id", "cls", "km2"])
     out["region_id"] = out["region_id"].astype(np.int64)
     out["cls"] = out["cls"].astype(np.int64)
-    return out.sort_values("region_id").reset_index(drop=True)
+    return (out.sort_values(["region_id", "cls"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

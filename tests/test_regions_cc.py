@@ -37,6 +37,10 @@ def _both(fn):
     ("polygonize",
      lambda w: regions.polygonize_regions(w, "kg")
      .drop(columns=["wkb"])),
+    ("region_area_km2",
+     lambda w: regions.region_area_km2(w, "kg")),
+    ("region_area_km2_lc",
+     lambda w: regions.region_area_km2(w, "lc")),
 ])
 def test_cc_equals_driver(tiny_world, name, call):
     drv, dist = _both(lambda: call(tiny_world))
