@@ -1768,54 +1768,114 @@ def region_geometry(world_path: str, dataset: str = "kg"
                              **{k: pa.array(v, pa.int64())
                                 for k, v in cols.items()}})
 
-    parts = (ray.data.range(grid.tiles_y * grid.tiles_x)
-             .map_batches(as_task_fn(
-                 GeomKernel, world_path=world_path, dataset=dataset,
-                 grid_name=grid_name, nodata=nodata),
-                 batch_format="pyarrow", batch_size=16)
-             .to_pandas())
+    parts_ds = (ray.data.range(grid.tiles_y * grid.tiles_x)
+                .map_batches(as_task_fn(
+                    GeomKernel, world_path=world_path, dataset=dataset,
+                    grid_name=grid_name, nodata=nodata),
+                    batch_format="pyarrow", batch_size=16)
+                .materialize())
+    pairs_ds = parts_ds.filter(expr="kind == 1")
 
-    pairs = parts[parts["kind"] == 1]
-    parent: dict[int, int] = {}
+    if _use_cc(pairs_ds.count()):
+        # every fold here is order-free and integer-exact (min/max/sum
+        # bbox+centroid moments; Andrew-monotone-chain hull sorts its
+        # candidate points internally), so the distributed grouped
+        # form is bit-identical to the driver fold by construction
+        labels = _cc_labels(pairs_ds, "a", "p0").materialize()
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        def project(t: pa.Table) -> pa.Table:
+            keep = {c: t[c] for c in
+                    ("a", "cls", "p0", "p1", "p2", "p3", "p4", "p5")}
+            return pa.table(keep)
 
-    for aa, bb in zip(pairs["a"], pairs["p0"]):
-        ra, rb = find(int(aa)), find(int(bb))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        from ray.data.aggregate import Max, Min, Sum
+        k0 = _remap_with_labels(
+            parts_ds.filter(expr="kind == 0")
+            .map_batches(project, batch_format="pyarrow"),
+            labels, "a", "region_id")
+        agg = (k0.groupby("region_id")
+               .aggregate(Min("cls", alias_name="cls"),
+                          Min("p0", alias_name="min_y"),
+                          Min("p1", alias_name="min_x"),
+                          Max("p2", alias_name="max_y"),
+                          Max("p3", alias_name="max_x"),
+                          Sum("p4", alias_name="sum_y"),
+                          Sum("p5", alias_name="sum_x"))
+               .to_pandas())
 
-    def remap(col: pd.Series) -> np.ndarray:
-        return np.array([find(int(x)) for x in col], dtype=np.int64)
+        k2 = _remap_with_labels(
+            parts_ds.filter(expr="kind == 2")
+            .map_batches(project, batch_format="pyarrow"),
+            labels, "a", "region_id")
+        from ..datapipe.util import coarse_fold_width
+        width = coarse_fold_width()
 
-    p0 = parts[parts["kind"] == 0].copy()
-    p0["a"] = remap(p0["a"])
-    agg = p0.groupby("a").agg(
-        cls=("cls", "first"), min_y=("p0", "min"), min_x=("p1", "min"),
-        max_y=("p2", "max"), max_x=("p3", "max"), sum_y=("p4", "sum"),
-        sum_x=("p5", "sum"))
-    p2 = parts[parts["kind"] == 2].copy()
-    p2["a"] = remap(p2["a"])
-    hull_pts = np.zeros(len(agg), dtype=np.int64)
-    hull_area2 = np.zeros(len(agg), dtype=np.int64)
-    grouped = {a: gdf for a, gdf in p2.groupby("a")}
-    for i, a in enumerate(agg.index):
-        gdf = grouped[a]
-        n, a2 = convex_hull_int(
-            np.stack([gdf["p0"].to_numpy(dtype=np.int64),
-                      gdf["p1"].to_numpy(dtype=np.int64)], axis=1))
-        hull_pts[i] = n
-        hull_area2[i] = a2
-    out = agg.reset_index().rename(columns={"a": "region_id"})
-    out["hull_pts"] = hull_pts
-    out["hull_area2"] = hull_area2
+        def add_coarse(t: pa.Table) -> pa.Table:
+            rid = t["region_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("coarse", pa.array(rid % width))
+
+        def hull_fold(g: pd.DataFrame) -> pd.DataFrame:
+            rid = g["region_id"].to_numpy(np.int64)
+            ys = g["p0"].to_numpy(np.int64)
+            xs = g["p1"].to_numpy(np.int64)
+            order = np.argsort(rid, kind="stable")
+            rid, ys, xs = rid[order], ys[order], xs[order]
+            starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+            bounds = np.r_[starts, len(rid)]
+            rows = []
+            for i in range(len(starts)):
+                a_, b_ = bounds[i], bounds[i + 1]
+                n, a2 = convex_hull_int(
+                    np.stack([ys[a_:b_], xs[a_:b_]], axis=1))
+                rows.append((int(rid[a_]), int(n), int(a2)))
+            return pd.DataFrame(rows, columns=["region_id",
+                                               "hull_pts",
+                                               "hull_area2"])
+
+        hulls = (k2.map_batches(add_coarse, batch_format="pyarrow")
+                 .groupby("coarse")
+                 .map_groups(hull_fold, batch_format="pandas")
+                 .to_pandas())
+        out = agg.merge(hulls, on="region_id", how="left")
+    else:
+        parts = parts_ds.to_pandas()
+        pairs = parts[parts["kind"] == 1]
+        keys, vals = _driver_roots(pairs["a"], pairs["p0"])
+
+        def remap(col: pd.Series) -> np.ndarray:
+            av = col.to_numpy(dtype=np.int64)
+            if not len(keys):
+                return av
+            loc = np.searchsorted(keys, av)
+            hit = (loc < len(keys)) & (keys[np.minimum(
+                loc, len(keys) - 1)] == av)
+            return np.where(hit, vals[np.minimum(loc, len(keys) - 1)],
+                            av)
+
+        p0 = parts[parts["kind"] == 0].copy()
+        p0["a"] = remap(p0["a"])
+        agg = p0.groupby("a").agg(
+            cls=("cls", "first"), min_y=("p0", "min"),
+            min_x=("p1", "min"), max_y=("p2", "max"),
+            max_x=("p3", "max"), sum_y=("p4", "sum"),
+            sum_x=("p5", "sum"))
+        p2 = parts[parts["kind"] == 2].copy()
+        p2["a"] = remap(p2["a"])
+        hull_pts = np.zeros(len(agg), dtype=np.int64)
+        hull_area2 = np.zeros(len(agg), dtype=np.int64)
+        grouped = {a: gdf for a, gdf in p2.groupby("a")}
+        for i, a in enumerate(agg.index):
+            gdf = grouped[a]
+            n, a2 = convex_hull_int(
+                np.stack([gdf["p0"].to_numpy(dtype=np.int64),
+                          gdf["p1"].to_numpy(dtype=np.int64)], axis=1))
+            hull_pts[i] = n
+            hull_area2[i] = a2
+        out = agg.reset_index().rename(columns={"a": "region_id"})
+        out["hull_pts"] = hull_pts
+        out["hull_area2"] = hull_area2
+    out = out[["region_id", "cls", "min_y", "min_x", "max_y", "max_x",
+               "sum_y", "sum_x", "hull_pts", "hull_area2"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("region_id").reset_index(drop=True)

@@ -52,3 +52,10 @@ def test_polygonize_wkb_identical(tiny_world):
     drv, dist = _both(
         lambda: regions.polygonize_regions(tiny_world, "kg"))
     assert list(drv["wkb"]) == list(dist["wkb"])
+
+
+@pytest.mark.parametrize("ds", ["kg", "lc"])
+def test_region_geometry_cc_equals_driver(tiny_world, ds):
+    drv, dist = _both(
+        lambda: regions.region_geometry(tiny_world, ds))
+    pd.testing.assert_frame_equal(drv, dist)
