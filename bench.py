@@ -235,15 +235,34 @@ def _crowding_child(nproc: int) -> None:
             k(b)
         q.put(time.time() - t0)
 
-    q = mp.Queue()
-    ps = [mp.Process(target=work, args=(r, q)) for r in range(nproc)]
-    for p in ps:
-        p.start()
-    walls = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
-    print(json.dumps({"nproc": nproc,
-                      "per_proc_sec": statistics.mean(walls)}))
+    def fleet(k: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=work, args=(r, q)) for r in range(k)]
+        for p in ps:
+            p.start()
+        walls = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return statistics.mean(walls)
+
+    if nproc > 0:
+        print(json.dumps({"nproc": nproc, "per_proc_sec": fleet(nproc)}))
+        return
+    # nproc == 0: PAIRED mode — interleave 8- and 32-proc fleets
+    # min-of-3 within one process epoch. Separate child invocations
+    # measured the same 8-proc leg at 2.86 vs 3.84 s an hour apart
+    # (page cache / co-tenant drift), which swung the factor 1.14-1.43;
+    # back-to-back interleaving + the repo's min-of-N discipline pins
+    # both widths to the same host state.
+    m8 = None
+    m32 = None
+    for _ in range(3):
+        w8 = fleet(8)
+        w32 = fleet(32)
+        m8 = w8 if m8 is None else min(m8, w8)
+        m32 = w32 if m32 is None else min(m32, w32)
+    print(json.dumps({"per_proc_sec8": m8, "per_proc_sec32": m32,
+                      "factor": m32 / m8}))
 
 
 def _scaling_world_spec():
@@ -356,9 +375,9 @@ def main_scaling(sf_dir: str) -> dict:
     # raw and calibrated are reported; earlier rounds' >1 readings
     # came from a low-CPU streaming collapse since fixed in
     # zonal/aez_stats (partials materialize barrier).
-    cal8 = child("--crowding-child", 8)["per_proc_sec"]
-    cal32 = child("--crowding-child", 32)["per_proc_sec"]
-    factor = cal32 / cal8
+    cal = child("--crowding-child", 0)   # paired min-of-3 mode
+    cal8, cal32 = cal["per_proc_sec8"], cal["per_proc_sec32"]
+    factor = cal["factor"]
     eff_cal = eff * factor
     return {
         "metric": "zonal+aez cells/sec scaling, num_cpus 8 vs 32",
